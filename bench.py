@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Headline benchmark: runs representative catalog queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full plan
+execution, no driver collect cost).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from chess_pipeline_spark.plans import catalog  # noqa: E402
+from chess_pipeline_spark.session import get_spark  # noqa: E402
+
+# perf-representative subset: scan+agg, join+topk, pivot, windows,
+# explode-shuffle, sessionization, dedup, near-dup self-join, knn,
+# expression-ML inference
+HEADLINE = [
+    "pricing_summary",
+    "top_customer_revenue",
+    "win_ratio_by_status",
+    "clock_lead_fill",
+    "explode_quantities",
+    "events_sessionized",
+    "events_tumbling_1h",
+    "dedup_exact",
+    "near_dup_pairs_jaccard",
+    "minhash_signatures",
+    "knn_cosine_topk",
+    "win_prob_lr",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark(app_name="chess-pipeline-spark-bench")
+    cat = catalog()
+
+    # warm up the JVM/codegen paths on a trivial action
+    spark.range(1000).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = cat[name]
+        t0 = time.perf_counter()
+        spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

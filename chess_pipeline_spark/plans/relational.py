@@ -1,0 +1,809 @@
+"""Core relational query catalog (SURVEY §2.2-2.9).
+
+Each entry re-expresses one (or a cluster of) reference operators on
+the driver's TPC-H-ish synthetic tables, with a DuckDB oracle. Role
+mapping (FIXTURES.md F10): orders ≙ chess_games, lineitem ≙ per-move
+tables ((l_orderkey, l_linenumber) ≙ (game_link, half_move)), part ≙
+position_evals (p_partkey ≙ fen), region/nation ≙ eco_codes.
+
+Cross-engine determinism rules used throughout:
+- every float output is round(x, N) on BOTH sides;
+- counts / row_numbers cast to BIGINT on the Spark side (DuckDB's
+  native integer-agg type);
+- dates exported as 'yyyy-MM-dd' strings;
+- no ORDER BY needed for the hash (driver compare is order-insensitive)
+  except where LIMIT makes order semantic — there a total tiebreak
+  order is used.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from chess_pipeline_spark.functions.rounding import fround
+from chess_pipeline_spark.plans.spec import QuerySpec
+from chess_pipeline_spark.sources import load_table as _L
+
+# --------------------------------------------------------------------------
+# Flagship: win-ratio-by-color pivot (reference transforms.py:396-417, A1+A2+E5)
+# --------------------------------------------------------------------------
+
+
+def win_ratio_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy + pivot(countDistinct) + row-normalize + 0-fill.
+
+    Reference: `win_ratio_by_color`'s pivot of game results
+    (src/pipeline_import/transforms.py:396-417) — here
+    o_orderpriority ≙ time-control category, o_orderstatus ≙ result.
+    Explicit pivot value list guarantees the missing-column 0-fill the
+    reference does by hand.
+    """
+    orders = _L(spark, sf_dir, "orders")
+    statuses = ["O", "F", "P"]
+    counts = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", statuses)
+        .agg(F.countDistinct("o_orderkey"))
+    )
+    filled = [F.coalesce(F.col(s), F.lit(0)).alias(f"n_{s.lower()}") for s in statuses]
+    counts = counts.select("o_orderpriority", *filled)
+    total = sum(F.col(f"n_{s.lower()}") for s in statuses)
+    return counts.select(
+        "o_orderpriority",
+        *[
+            fround(F.col(f"n_{s.lower()}") / total, 6).alias(f"pct_{s.lower()}")
+            for s in statuses
+        ],
+    )
+
+
+WIN_RATIO_SQL = """
+WITH c AS (
+  SELECT o_orderpriority,
+         count(DISTINCT CASE WHEN o_orderstatus = 'O' THEN o_orderkey END) AS n_o,
+         count(DISTINCT CASE WHEN o_orderstatus = 'F' THEN o_orderkey END) AS n_f,
+         count(DISTINCT CASE WHEN o_orderstatus = 'P' THEN o_orderkey END) AS n_p
+  FROM orders GROUP BY o_orderpriority)
+SELECT o_orderpriority,
+       floor((n_o / CAST(n_o + n_f + n_p AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS pct_o,
+       floor((n_f / CAST(n_o + n_f + n_p AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS pct_f,
+       floor((n_p / CAST(n_o + n_f + n_p AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS pct_p
+FROM c
+"""
+
+
+# --------------------------------------------------------------------------
+# Multi-agg stats (A1, A3 — TPC-H Q1 shape; headline bench query)
+# --------------------------------------------------------------------------
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped groupBy with 8 aggregates.
+
+    Exercises A3 (multi-agg stats incl. stddev with NULL→0 fill,
+    reference transforms.py:428-439) at lineitem scale. Map-side
+    partial aggregation + single shuffle on the two low-cardinality
+    group keys — the plan of record at 100 TB.
+    """
+    li = _L(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            fround(F.sum("l_quantity"), 2).alias("sum_qty"),
+            fround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            fround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            fround(F.avg("l_quantity"), 6).alias("avg_qty"),
+            fround(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            fround(F.avg("l_discount"), 6).alias("avg_disc"),
+            fround(F.coalesce(F.stddev_samp("l_quantity"), F.lit(0.0)), 6).alias("std_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0                              AS sum_qty,
+       floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0                         AS sum_base_price,
+       floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0      AS sum_disc_price,
+       floor((avg(l_quantity)) * 1000000.0 + 0.5) / 1000000.0                              AS avg_qty,
+       floor((avg(l_extendedprice)) * 1000000.0 + 0.5) / 1000000.0                         AS avg_price,
+       floor((avg(l_discount)) * 1000000.0 + 0.5) / 1000000.0                              AS avg_disc,
+       floor((coalesce(stddev_samp(l_quantity), 0)) * 1000000.0 + 0.5) / 1000000.0         AS std_qty,
+       count(*)                                               AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# Join + agg + top-k (J5, O3 — TPC-H Q3 shape; headline bench query)
+# --------------------------------------------------------------------------
+
+
+def top_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ orders ⋈ lineitem → revenue per customer, top 10.
+
+    Join order small→large with the fact table last; customer is
+    broadcast below the default threshold, orders⋈lineitem shuffles on
+    the join key. Deterministic top-k via (revenue DESC, key ASC).
+    """
+    c = _L(spark, sf_dir, "customer")
+    o = _L(spark, sf_dir, "orders")
+    li = _L(spark, sf_dir, "lineitem")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            fround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+    return rev.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(10)
+
+
+TOP_CUSTOMER_REVENUE_SQL = """
+SELECT c_custkey, c_name,
+       floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# Projection / rename / recode layer (P1, P2, P8, F3, F6, F10)
+# --------------------------------------------------------------------------
+
+
+def order_priority_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-list select + rename-map + regexp extract + CASE recode.
+
+    Reference: header renames (feature_engineering.py:48-69), regex
+    time-control split (transforms.py:329-331), dict-map recodes
+    (transforms.py:279-321), '?'→numeric cast (transforms.py:388-391).
+    """
+    o = _L(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_orderkey").alias("game_link"),
+        F.col("o_custkey").alias("player_id"),
+        F.regexp_extract(F.col("o_orderpriority"), r"(\d+)-", 1).cast("int").alias(
+            "priority_num"
+        ),
+        F.when(F.col("o_orderstatus") == "O", "Win")
+        .when(F.col("o_orderstatus") == "F", "Loss")
+        .otherwise("Draw")
+        .alias("result_label"),
+        F.when(F.col("o_orderpriority").contains("URGENT"), "In arena")
+        .otherwise("Not in arena")
+        .alias("in_arena"),
+        fround(F.col("o_totalprice"), 2).alias("total_price"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("date_played"),
+    )
+
+
+ORDER_PRIORITY_CLEAN_SQL = r"""
+SELECT o_orderkey AS game_link,
+       o_custkey  AS player_id,
+       CAST(regexp_extract(o_orderpriority, '(\d+)-', 1) AS INT) AS priority_num,
+       CASE WHEN o_orderstatus = 'O' THEN 'Win'
+            WHEN o_orderstatus = 'F' THEN 'Loss'
+            ELSE 'Draw' END AS result_label,
+       CASE WHEN o_orderpriority LIKE '%URGENT%' THEN 'In arena'
+            ELSE 'Not in arena' END AS in_arena,
+       floor((o_totalprice) * 100.0 + 0.5) / 100.0 AS total_price,
+       strftime(o_orderdate, '%Y-%m-%d') AS date_played
+FROM orders
+"""
+
+
+def lineitem_filter_isin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality / inequality / IN-list predicates (P3, P4).
+
+    Reference: clock != -1 filter (models.py:23), elo>2800 + category
+    IN-list (create_dataset.py:125-129). All three predicates reach
+    the parquet scan as PushedFilters.
+    """
+    li = _L(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") > 45)
+        & (F.col("l_returnflag") != "A")
+        & F.col("l_linestatus").isin("O", "F")
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_linestatus")
+
+
+LINEITEM_FILTER_ISIN_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_linestatus
+FROM lineitem
+WHERE l_quantity > 45 AND l_returnflag <> 'A' AND l_linestatus IN ('O', 'F')
+"""
+
+
+def distinct_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT over two columns (P9; reference drop_duplicates on fen,
+    stockfish.py:51 / SELECT DISTINCT, utils/db.py:22-25)."""
+    li = _L(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+DISTINCT_FLAG_STATUS_SQL = """
+SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+"""
+
+
+# --------------------------------------------------------------------------
+# Join layer (J3, J4, J7, J8, J10)
+# --------------------------------------------------------------------------
+
+
+def parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (J7 — the eval-cache anti-join on fen,
+    stockfish.py:96: positions not already evaluated)."""
+    p = _L(spark, sf_dir, "part")
+    li = _L(spark, sf_dir, "lineitem")
+    return p.join(li, p.p_partkey == li.l_partkey, "left_anti").select(
+        "p_partkey", "p_name", "p_brand"
+    )
+
+
+PARTS_NEVER_ORDERED_SQL = """
+SELECT p_partkey, p_name, p_brand
+FROM part
+WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+"""
+
+
+def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (J10 — the upsert delete's `WHERE key IN
+    (SELECT DISTINCT key …)`, postgres_templates.py:192-196)."""
+    c = _L(spark, sf_dir, "customer")
+    o = _L(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 150000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+CUSTOMERS_WITH_ORDERS_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 150000)
+"""
+
+
+def orders_fulfillment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join + coalesce-to-0 for the missing side (J3 —
+    positions ⋈ evals with nulls→0, inference.py:41-50; P7 fillna)."""
+    o = _L(spark, sf_dir, "orders")
+    li = _L(spark, sf_dir, "lineitem")
+    heavy = (
+        li.filter(F.col("l_quantity") > 45)
+        .groupBy("l_orderkey")
+        .agg(
+            fround(F.sum("l_quantity"), 2).alias("heavy_qty"),
+            F.count("*").alias("heavy_lines"),
+        )
+    )
+    joined = o.join(heavy, o.o_orderkey == heavy.l_orderkey, "left")
+    return joined.select(
+        "o_orderkey",
+        "o_orderstatus",
+        fround(F.coalesce(F.col("heavy_qty"), F.lit(0.0)), 2).alias("heavy_qty"),
+        F.coalesce(F.col("heavy_lines"), F.lit(0)).alias("heavy_lines"),
+    )
+
+
+ORDERS_FULFILLMENT_SQL = """
+WITH heavy AS (
+  SELECT l_orderkey,
+         floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS heavy_qty,
+         count(*) AS heavy_lines
+  FROM lineitem WHERE l_quantity > 45 GROUP BY l_orderkey)
+SELECT o_orderkey, o_orderstatus,
+       floor((coalesce(heavy_qty, 0)) * 100.0 + 0.5) / 100.0 AS heavy_qty,
+       coalesce(heavy_lines, 0) AS heavy_lines
+FROM orders LEFT JOIN heavy ON o_orderkey = l_orderkey
+"""
+
+
+def order_lines_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained inner joins incl. a broadcast dimension (J4+J5+J8/J9 —
+    the game_evals view & model-dataset chain). part is the fen-keyed
+    eval dimension; evaluation := p_retailprice/100."""
+    li = _L(spark, sf_dir, "lineitem")
+    o = _L(spark, sf_dir, "orders")
+    p = _L(spark, sf_dir, "part")
+    evals = p.select(
+        "p_partkey", fround(F.col("p_retailprice") / 100.0, 6).alias("evaluation")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(evals), li.l_partkey == evals.p_partkey)
+        .filter(F.col("o_orderstatus") == "F")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "o_orderpriority",
+            "evaluation",
+            fround(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
+                "net_price"
+            ),
+        )
+    )
+
+
+ORDER_LINES_ENRICHED_SQL = """
+SELECT l_orderkey, l_linenumber, o_orderpriority,
+       floor((p_retailprice / 100.0) * 1000000.0 + 0.5) / 1000000.0 AS evaluation,
+       floor((l_extendedprice * (1 - l_discount)) * 100.0 + 0.5) / 100.0 AS net_price
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part   ON l_partkey = p_partkey
+WHERE o_orderstatus = 'F'
+"""
+
+
+# --------------------------------------------------------------------------
+# Window layer (W1-W5)
+# --------------------------------------------------------------------------
+
+def clock_lead_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead + lag-of-lead coalesce chain (W2+W3) — the exact
+    opponent-clock fill semantics of models.py:25-30:
+    coalesce(lead(clock,1), lag(lead(clock,1),2), clock)."""
+    # l_linenumber ties exist in the synthetic data → include the value
+    # in the sort key so the shift order is engine-independent
+    _W = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_quantity")
+    li = _L(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+    step1 = li.withColumn("lead1", F.lead("l_quantity", 1).over(_W))
+    return step1.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.coalesce(F.col("lead1"), F.lit(-1.0)).alias("lead_qty"),
+        F.coalesce(
+            F.col("lead1"), F.lag("lead1", 2).over(_W), F.col("l_quantity")
+        ).alias("opponent_clock"),
+    )
+
+
+CLOCK_LEAD_FILL_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity,
+       coalesce(lead1, -1.0) AS lead_qty,
+       coalesce(lead1,
+                lag(lead1, 2) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity),
+                l_quantity) AS opponent_clock
+FROM (SELECT l_orderkey, l_linenumber, l_quantity,
+             lead(l_quantity, 1) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity) AS lead1
+      FROM lineitem)
+"""
+
+
+def initial_clock_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value over an ordered composite partition (W4/A4 — initial
+    clock per (game, parity), models.py:37-48; replaces the
+    reference's double self-join J6 with one window)."""
+    li = _L(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+    li = li.withColumn("parity", (F.col("l_linenumber") % 2).cast("int"))
+    w = Window.partitionBy("l_orderkey", "parity").orderBy("l_linenumber", "l_quantity")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "parity",
+        F.first("l_quantity").over(w).alias("initial_qty"),
+    )
+
+
+INITIAL_CLOCK_PER_GROUP_SQL = """
+SELECT l_orderkey, l_linenumber, CAST(l_linenumber % 2 AS INT) AS parity,
+       first_value(l_quantity) OVER (PARTITION BY l_orderkey, l_linenumber % 2
+                                     ORDER BY l_linenumber, l_quantity) AS initial_qty
+FROM lineitem
+"""
+
+
+def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number top-k per group (W1/O3) with a total tiebreak."""
+    o = _L(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", fround("o_totalprice", 2).alias("total_price"), "rn")
+    )
+
+
+TOP3_ORDERS_PER_CUSTOMER_SQL = """
+SELECT o_custkey, o_orderkey, floor((o_totalprice) * 100.0 + 0.5) / 100.0 AS total_price, rn
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders)
+WHERE rn <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# Explode / reshape layer (E1, E2, E3)
+# --------------------------------------------------------------------------
+
+
+def explode_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array build + posexplode round-trip (E1/W1): half_move :=
+    array position + 1, the deterministic replacement for the
+    reference's order-dependent cumcount (feature_engineering.py:92)."""
+    li = _L(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+    arr = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list(F.struct("l_linenumber", "l_quantity"))).alias("moves")
+    )
+    return arr.select(
+        "l_orderkey", F.posexplode("moves").alias("pos", "s")
+    ).select(
+        "l_orderkey",
+        (F.col("pos") + 1).cast("long").alias("half_move"),
+        F.col("s.l_quantity").alias("quantity"),
+    )
+
+
+EXPLODE_QUANTITIES_SQL = """
+-- (l_linenumber is NOT unique per order in the synthetic data, so the
+-- ordinal is defined over the full (linenumber, quantity) sort key —
+-- matching sort_array on the struct)
+SELECT l_orderkey,
+       row_number() OVER (PARTITION BY l_orderkey
+                          ORDER BY l_linenumber, l_quantity) AS half_move,
+       l_quantity AS quantity
+FROM lineitem
+"""
+
+
+def zip_explode_lockstep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arrays_zip + posexplode: lockstep explode of parallel arrays
+    (E3 — evaluations/eval_depths/positions zip, stockfish.py:36-53;
+    replaces pandas positional concat U2)."""
+    li = _L(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    arr = li.groupBy("l_orderkey").agg(
+        F.sort_array(
+            F.collect_list(F.struct("l_linenumber", "l_quantity", "l_extendedprice"))
+        ).alias("s")
+    )
+    two = arr.select(
+        "l_orderkey",
+        F.expr("transform(s, x -> x.l_quantity)").alias("qty"),
+        F.expr("transform(s, x -> x.l_extendedprice)").alias("price"),
+    )
+    z = two.select("l_orderkey", F.posexplode(F.arrays_zip("qty", "price")).alias("pos", "z"))
+    return z.select(
+        "l_orderkey",
+        (F.col("pos") + 1).cast("long").alias("half_move"),
+        F.col("z.qty").alias("quantity"),
+        fround(F.col("z.price"), 2).alias("price"),
+    )
+
+
+ZIP_EXPLODE_LOCKSTEP_SQL = """
+SELECT l_orderkey,
+       row_number() OVER (PARTITION BY l_orderkey
+                          ORDER BY l_linenumber, l_quantity, l_extendedprice) AS half_move,
+       l_quantity AS quantity,
+       floor((l_extendedprice) * 100.0 + 0.5) / 100.0 AS price
+FROM lineitem
+"""
+
+
+def material_map_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """map column → fixed columns with 0-fill (E2 — material Counter →
+    10 piece-count columns, feature_engineering.py:161-181)."""
+    li = _L(spark, sf_dir, "lineitem")
+    per_flag = li.groupBy("l_orderkey", "l_returnflag").agg(F.count("*").alias("n"))
+    as_map = per_flag.groupBy("l_orderkey").agg(
+        F.map_from_entries(F.collect_list(F.struct("l_returnflag", "n"))).alias("m")
+    )
+    return as_map.select(
+        "l_orderkey",
+        F.coalesce(F.element_at("m", "A"), F.lit(0)).alias("cnt_a"),
+        F.coalesce(F.element_at("m", "N"), F.lit(0)).alias("cnt_n"),
+        F.coalesce(F.element_at("m", "R"), F.lit(0)).alias("cnt_r"),
+    )
+
+
+MATERIAL_MAP_EXPAND_SQL = """
+SELECT l_orderkey,
+       count(CASE WHEN l_returnflag = 'A' THEN 1 END) AS cnt_a,
+       count(CASE WHEN l_returnflag = 'N' THEN 1 END) AS cnt_n,
+       count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS cnt_r
+FROM lineitem
+GROUP BY l_orderkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Set operations (U1)
+# --------------------------------------------------------------------------
+
+
+def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName with missing-column fill (U1 — evals union,
+    stockfish.py:94,109; allowMissingColumns ≙ UNION ALL BY NAME)."""
+    o = _L(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_totalprice") > 250000).select(
+        "o_orderkey", fround("o_totalprice", 2).alias("total_price")
+    )
+    b = o.filter(F.col("o_totalprice") < 5000).select("o_orderkey", "o_orderpriority")
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+UNION_BY_NAME_SQL = """
+SELECT o_orderkey, floor((o_totalprice) * 100.0 + 0.5) / 100.0 AS total_price, NULL AS o_orderpriority
+FROM orders WHERE o_totalprice > 250000
+UNION ALL
+SELECT o_orderkey, NULL AS total_price, o_orderpriority
+FROM orders WHERE o_totalprice < 5000
+"""
+
+
+# --------------------------------------------------------------------------
+# Scalar-function layer (F1-F15 sampler; F8 duration parse; F17 eval parse)
+# --------------------------------------------------------------------------
+
+
+def scalar_feature_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One wide projection exercising the §2.9 scalar library:
+    concat (F1), replace (F2), regexp_extract (F3), contains→CASE
+    (F4), split+index (F5), date parts (F7/F9), clip (F11),
+    log-sigmoid-inverse (F12), modulo/pow (F14), rounding (F15)."""
+    o = _L(spark, sf_dir, "orders")
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("o_totalprice") / F.lit(100000.0))))
+    return o.select(
+        F.concat(F.lit("https://lichess.org/"), F.col("o_orderkey").cast("string")).alias(
+            "game_link"
+        ),
+        F.regexp_replace(F.col("o_orderpriority"), "-", " ").alias("priority_spaced"),
+        F.regexp_extract(F.col("o_orderpriority"), r"(\d+)-", 1).cast("int").alias(
+            "priority_num"
+        ),
+        F.when(F.col("o_orderpriority").contains("LOW"), "Casual")
+        .otherwise("Rated")
+        .alias("rated_casual"),
+        F.split(F.col("o_orderpriority"), "-").getItem(1).alias("priority_word"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("date_played"),
+        (F.dayofweek("o_orderdate") - 1).cast("int").alias("weekday"),
+        fround(F.greatest(F.least(F.col("o_totalprice"), F.lit(200000.0)), F.lit(1000.0)), 2).alias("price_clipped"),
+        fround(F.log(p / (F.lit(1.00001) - p)), 6).alias("sig_inverse"),
+        (F.col("o_orderkey") % 2).cast("long").alias("parity"),
+        fround(F.pow(F.col("o_totalprice") / 1000.0, 2), 4).alias("price_sq"),
+    )
+
+
+SCALAR_FEATURE_SAMPLER_SQL = r"""
+SELECT 'https://lichess.org/' || CAST(o_orderkey AS VARCHAR) AS game_link,
+       replace(o_orderpriority, '-', ' ') AS priority_spaced,
+       CAST(regexp_extract(o_orderpriority, '(\d+)-', 1) AS INT) AS priority_num,
+       CASE WHEN o_orderpriority LIKE '%LOW%' THEN 'Casual' ELSE 'Rated' END AS rated_casual,
+       string_split(o_orderpriority, '-')[2] AS priority_word,
+       strftime(o_orderdate, '%Y-%m-%d') AS date_played,
+       CAST(dayofweek(o_orderdate) AS INT) AS weekday,
+       floor((greatest(least(o_totalprice, 200000.0), 1000.0)) * 100.0 + 0.5) / 100.0 AS price_clipped,
+       floor((ln((1.0 / (1.0 + exp(-(o_totalprice / 100000.0))))
+                / (1.00001 - (1.0 / (1.0 + exp(-(o_totalprice / 100000.0))))))) * 1000000.0 + 0.5) / 1000000.0 AS sig_inverse,
+       o_orderkey % 2 AS parity,
+       floor((pow(o_totalprice / 1000.0, 2)) * 10000.0 + 0.5) / 10000.0 AS price_sq
+FROM orders
+"""
+
+
+def clock_seconds_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'H:MM:SS' → seconds with unparseable→-1 (F8 — convert_clock_to_
+    seconds, transforms.py:236-243). The clock string is synthesized
+    from integer columns so the round-trip is exactly checkable."""
+    li = _L(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice")
+    # floor, not cast: DuckDB's double→int cast rounds half-to-even
+    # while Spark's truncates — floor() agrees on both engines
+    total = (F.floor("l_extendedprice") % 7200).alias("total_sec")
+    df = li.select("l_orderkey", "l_linenumber", total)
+    clock = F.when(
+        F.col("l_linenumber") != 7,
+        F.format_string(
+            "%d:%02d:%02d",
+            (F.col("total_sec") / 3600).cast("long"),
+            ((F.col("total_sec") % 3600) / 60).cast("long"),
+            (F.col("total_sec") % 60).cast("long"),
+        ),
+    )  # linenumber 7 → NULL clock, exercising the -1 fill
+    df = df.withColumn("clock", clock)
+    parts = F.split(F.col("clock"), ":")
+    parsed = (
+        parts.getItem(0).cast("long") * 3600
+        + parts.getItem(1).cast("long") * 60
+        + parts.getItem(2).cast("long")
+    )
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.coalesce(F.col("clock"), F.lit("")).alias("clock"),
+        F.coalesce(parsed, F.lit(-1)).alias("clock_seconds"),
+    )
+
+
+CLOCK_SECONDS_PARSE_SQL = """
+WITH base AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(floor(l_extendedprice) AS BIGINT) % 7200 AS total_sec
+  FROM lineitem),
+clocked AS (
+  SELECT l_orderkey, l_linenumber,
+         CASE WHEN l_linenumber <> 7
+              THEN printf('%d:%02d:%02d', total_sec // 3600,
+                          (total_sec % 3600) // 60, total_sec % 60)
+         END AS clock
+  FROM base)
+SELECT l_orderkey, l_linenumber,
+       coalesce(clock, '') AS clock,
+       coalesce(CAST(string_split(clock, ':')[1] AS BIGINT) * 3600
+                + CAST(string_split(clock, ':')[2] AS BIGINT) * 60
+                + CAST(string_split(clock, ':')[3] AS BIGINT), -1) AS clock_seconds
+FROM clocked
+"""
+
+
+def eval_comment_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UCI eval-comment regex parse (F17 — transforms.py:186-212):
+    'score cp N' → N/100, 'score mate N' → ±9999; synthesized from
+    numeric columns for exact checkability."""
+    li = _L(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+    cp = (F.floor(F.col("l_discount") * 10000) - 500).cast("string")
+    comment = F.when(
+        F.col("l_quantity") > 45, F.concat(F.lit("info score mate "), (F.col("l_linenumber") - 4).cast("string"))
+    ).otherwise(F.concat(F.lit("info score cp "), cp))
+    df = li.withColumn("comment", comment)
+    kind = F.regexp_extract("comment", r"score (cp|mate) (-?\d+)", 1)
+    val = F.regexp_extract("comment", r"score (cp|mate) (-?\d+)", 2).cast("double")
+    evaluation = (
+        F.when(kind == "cp", fround(val / 100.0, 6))
+        .when((kind == "mate") & (val >= 0), 9999.0)
+        .otherwise(-9999.0)
+    )
+    return df.select("l_orderkey", "l_linenumber", "comment", evaluation.alias("evaluation"))
+
+
+EVAL_COMMENT_PARSE_SQL = r"""
+WITH c AS (
+  SELECT l_orderkey, l_linenumber,
+         CASE WHEN l_quantity > 45
+              THEN 'info score mate ' || CAST(l_linenumber - 4 AS VARCHAR)
+              ELSE 'info score cp ' ||
+                   CAST(CAST(floor(l_discount * 10000) AS BIGINT) - 500 AS VARCHAR)
+         END AS comment
+  FROM lineitem)
+SELECT l_orderkey, l_linenumber, comment,
+       CASE WHEN regexp_extract(comment, 'score (cp|mate) (-?\d+)', 1) = 'cp'
+            THEN floor((CAST(regexp_extract(comment, 'score (cp|mate) (-?\d+)', 2) AS DOUBLE) / 100.0) * 1000000.0 + 0.5) / 1000000.0
+            WHEN CAST(regexp_extract(comment, 'score (cp|mate) (-?\d+)', 2) AS DOUBLE) >= 0
+            THEN 9999.0
+            ELSE -9999.0 END AS evaluation
+FROM c
+"""
+
+
+# --------------------------------------------------------------------------
+# Aggregation extras (A1 exact count-distinct; A7 global scalars)
+# --------------------------------------------------------------------------
+
+
+def orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy + exact countDistinct (A1 — games per category,
+    transforms.py:397-399)."""
+    o = _L(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+ORDERS_PER_PRIORITY_SQL = """
+SELECT o_orderpriority,
+       count(DISTINCT o_custkey) AS n_customers,
+       count(*) AS n_orders
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def global_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global scalar aggregate row (A7 — newsletter min/max elo,
+    utils/newsletter.py:69-70)."""
+    o = _L(spark, sf_dir, "orders")
+    return o.agg(
+        fround(F.max("o_totalprice"), 2).alias("max_price"),
+        fround(F.min("o_totalprice"), 2).alias("min_price"),
+        F.count("*").alias("n"),
+    )
+
+
+GLOBAL_MINMAX_SQL = """
+SELECT floor((max(o_totalprice)) * 100.0 + 0.5) / 100.0 AS max_price,
+       floor((min(o_totalprice)) * 100.0 + 0.5) / 100.0 AS min_price,
+       count(*) AS n
+FROM orders
+"""
+
+
+def sql_view_game_evals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The game_evals view as Spark SQL over temp views (J8 —
+    db/tables/game_evals_view.sql): positions ⋈ evals chained joins
+    expressed in the SQL API end-to-end."""
+    _L(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    _L(spark, sf_dir, "part").createOrReplaceTempView("v_part")
+    return spark.sql(
+        """
+        SELECT l.l_orderkey AS game_link,
+               l.l_linenumber AS half_move,
+               l.l_partkey AS fen,
+               -- 1e6 not 1000000.0: Spark SQL parses x.y literals as
+               -- DECIMAL, which would turn the whole expr decimal
+               floor((p.p_retailprice / double(100)) * 1e6 + 0.5) / 1e6 AS evaluation
+        FROM v_lineitem l
+        JOIN v_part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_size > 25
+        """
+    )
+
+
+SQL_VIEW_GAME_EVALS_SQL = """
+SELECT l_orderkey AS game_link,
+       l_linenumber AS half_move,
+       l_partkey AS fen,
+       floor((p_retailprice / 100.0) * 1000000.0 + 0.5) / 1000000.0 AS evaluation
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size > 25
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "win_ratio_by_status": QuerySpec(win_ratio_by_status, WIN_RATIO_SQL, "A1 A2 E5 P7"),
+    "pricing_summary": QuerySpec(pricing_summary, PRICING_SUMMARY_SQL, "A3 P3"),
+    "top_customer_revenue": QuerySpec(
+        top_customer_revenue, TOP_CUSTOMER_REVENUE_SQL, "J5 A1 O1 O3"
+    ),
+    "order_priority_clean": QuerySpec(
+        order_priority_clean, ORDER_PRIORITY_CLEAN_SQL, "P1 P2 P8 F3 F6 F7 F10"
+    ),
+    "lineitem_filter_isin": QuerySpec(lineitem_filter_isin, LINEITEM_FILTER_ISIN_SQL, "P3 P4"),
+    "distinct_flag_status": QuerySpec(distinct_flag_status, DISTINCT_FLAG_STATUS_SQL, "P9"),
+    "parts_never_ordered": QuerySpec(parts_never_ordered, PARTS_NEVER_ORDERED_SQL, "J7 P6"),
+    "customers_with_orders": QuerySpec(customers_with_orders, CUSTOMERS_WITH_ORDERS_SQL, "J10"),
+    "orders_fulfillment": QuerySpec(orders_fulfillment, ORDERS_FULFILLMENT_SQL, "J3 P7"),
+    "order_lines_enriched": QuerySpec(
+        order_lines_enriched, ORDER_LINES_ENRICHED_SQL, "J4 J5 J8 J9"
+    ),
+    "clock_lead_fill": QuerySpec(clock_lead_fill, CLOCK_LEAD_FILL_SQL, "W2 W3 W5"),
+    "initial_clock_per_group": QuerySpec(
+        initial_clock_per_group, INITIAL_CLOCK_PER_GROUP_SQL, "W4 A4 J6"
+    ),
+    "top3_orders_per_customer": QuerySpec(
+        top3_orders_per_customer, TOP3_ORDERS_PER_CUSTOMER_SQL, "W1 O2 O3"
+    ),
+    "explode_quantities": QuerySpec(explode_quantities, EXPLODE_QUANTITIES_SQL, "E1 W1"),
+    "zip_explode_lockstep": QuerySpec(zip_explode_lockstep, ZIP_EXPLODE_LOCKSTEP_SQL, "E3 U2"),
+    "material_map_expand": QuerySpec(material_map_expand, MATERIAL_MAP_EXPAND_SQL, "E2 A6"),
+    "union_by_name": QuerySpec(union_by_name, UNION_BY_NAME_SQL, "U1 U3"),
+    "scalar_feature_sampler": QuerySpec(
+        scalar_feature_sampler, SCALAR_FEATURE_SAMPLER_SQL,
+        "F1 F2 F3 F4 F5 F7 F9 F11 F12 F14 F15",
+    ),
+    "clock_seconds_parse": QuerySpec(clock_seconds_parse, CLOCK_SECONDS_PARSE_SQL, "F8 P7"),
+    "eval_comment_parse": QuerySpec(eval_comment_parse, EVAL_COMMENT_PARSE_SQL, "F17 F6"),
+    "orders_per_priority": QuerySpec(orders_per_priority, ORDERS_PER_PRIORITY_SQL, "A1"),
+    "global_minmax": QuerySpec(global_minmax, GLOBAL_MINMAX_SQL, "A7"),
+    "sql_view_game_evals": QuerySpec(sql_view_game_evals, SQL_VIEW_GAME_EVALS_SQL, "J8 S3"),
+}

@@ -1,0 +1,241 @@
+"""Time-series / streaming-semantics queries over the events table.
+
+The reference is strictly batch (SURVEY §2.11) — these are the
+Structured-Streaming extension surface expressed in their *batch*
+equivalents so the DuckDB oracle can check semantics. The true
+streaming variants (readStream + watermark + the same window specs)
+live in chess_pipeline_spark/streaming/ and are covered by pytest.
+
+Timestamp discipline: events.ts is TIMESTAMP(NANOS) in parquet. Spark
+reads it as a raw ns long (sources.load_table) and all window math
+here is done on exact integer seconds (ts_sec = ns div 1e9), so no
+float or sub-second precision can diverge between engines. Window
+boundaries are exported as epoch seconds (BIGINT).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from chess_pipeline_spark.functions.rounding import fround
+from chess_pipeline_spark.plans.spec import QuerySpec
+from chess_pipeline_spark.sources import load_table as _L
+
+# DuckDB equivalent of ts_sec (exact integer truncation of ns epoch)
+_TS_SEC = "(epoch_ns(ts) // 1000000000)"
+
+
+def value_stats_by_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-weekday multi-agg stats (A3+F9 — elo_by_weekday,
+    transforms.py:420-440): mean/std/min/max with NULL std→0."""
+    ev = _L(spark, sf_dir, "events")
+    return (
+        ev.withColumn("weekday", (F.dayofweek("ts") - 1).cast("int"))
+        .groupBy("weekday")
+        .agg(
+            fround(F.avg("value"), 6).alias("mean_value"),
+            fround(F.coalesce(F.stddev_samp("value"), F.lit(0.0)), 6).alias("std_value"),
+            fround(F.min("value"), 2).alias("min_value"),
+            fround(F.max("value"), 2).alias("max_value"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+VALUE_STATS_BY_WEEKDAY_SQL = """
+SELECT CAST(dayofweek(ts) AS INT) AS weekday,
+       floor((avg(value)) * 1000000.0 + 0.5) / 1000000.0 AS mean_value,
+       floor((coalesce(stddev_samp(value), 0)) * 1000000.0 + 0.5) / 1000000.0 AS std_value,
+       floor((min(value)) * 100.0 + 0.5) / 100.0 AS min_value,
+       floor((max(value)) * 100.0 + 0.5) / 100.0 AS max_value,
+       count(*) AS n_events
+FROM events GROUP BY 1
+"""
+
+
+def weekday_recode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's exact Sunday-first weekday recode (F9,
+    transforms.py:423-426): pandas weekday (Mon=0..Sun=6) with 6→-1,
+    so Sunday=-1, Monday=0, ..., Saturday=5 — reproduced from Spark's
+    Sunday=1 dayofweek and DuckDB's Sunday=0 dayofweek."""
+    ev = _L(spark, sf_dir, "events")
+    pandas_weekday = F.when(F.dayofweek("ts") == 1, 6).otherwise(F.dayofweek("ts") - 2)
+    recoded = F.when(pandas_weekday == 6, -1).otherwise(pandas_weekday)
+    return ev.groupBy(recoded.cast("int").alias("weekday_recode")).agg(
+        F.count("*").alias("n"), fround(F.avg("value"), 6).alias("mean_value")
+    )
+
+
+WEEKDAY_RECODE_SQL = """
+SELECT CAST(CASE WHEN dayofweek(ts) = 0 THEN -1 ELSE dayofweek(ts) - 1 END AS INT)
+         AS weekday_recode,
+       count(*) AS n,
+       floor((avg(value)) * 1000000.0 + 0.5) / 1000000.0 AS mean_value
+FROM events GROUP BY 1
+"""
+
+
+def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregate by event_type — the batch
+    equivalent of the streaming groupBy(window(ts,'1 hour')) plan
+    (streaming/windows.py). Window start exported as epoch seconds."""
+    ev = _L(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour")
+    return (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), fround(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+EVENTS_TUMBLING_1H_SQL = f"""
+SELECT ({_TS_SEC} // 3600) * 3600 AS window_start,
+       event_type,
+       count(*) AS n,
+       floor((sum(value)) * 100.0 + 0.5) / 100.0 AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1h length, 30m slide): every event belongs to
+    two windows. Oracle expresses the same by unnesting the two
+    candidate window starts."""
+    ev = _L(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour", "30 minutes")
+    return (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), fround(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+EVENTS_SLIDING_1H_30M_SQL = f"""
+WITH e AS (
+  SELECT event_type, value,
+         unnest([({_TS_SEC} // 1800) * 1800,
+                 ({_TS_SEC} // 1800) * 1800 - 1800]) AS window_start
+  FROM events)
+SELECT window_start, event_type,
+       count(*) AS n,
+       floor((sum(value)) * 100.0 + 0.5) / 100.0 AS sum_value
+FROM e GROUP BY 1, 2
+"""
+
+
+def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap per user
+    (streaming session_window analog), expressed as the classic
+    lag+cumsum composition so both engines agree exactly. Works on
+    integer seconds with event_id as total tiebreak. Emits
+    per-session start/end/count/sum."""
+    ev = _L(spark, sf_dir, "events").select("user_id", "event_id", "ts_sec", "value")
+    w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    gap = F.when(
+        (F.col("ts_sec") - F.lag("ts_sec", 1).over(w)) > 1800, 1
+    ).otherwise(0)
+    sess = ev.withColumn("new_session", gap).withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.min("ts_sec").alias("session_start"),
+        F.max("ts_sec").alias("session_end"),
+        F.count("*").alias("n_events"),
+        fround(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+EVENTS_SESSIONIZED_SQL = f"""
+WITH t AS (
+  SELECT user_id, event_id, {_TS_SEC} AS ts_sec, value FROM events),
+flagged AS (
+  SELECT user_id, event_id, ts_sec, value,
+         CASE WHEN ts_sec - lag(ts_sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_session
+  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)),
+sessions AS (
+  SELECT user_id, ts_sec, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged)
+SELECT user_id, session_id,
+       min(ts_sec) AS session_start,
+       max(ts_sec) AS session_end,
+       count(*) AS n_events,
+       floor((sum(value)) * 100.0 + 0.5) / 100.0 AS sum_value
+FROM sessions GROUP BY user_id, session_id
+"""
+
+
+def events_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the latest event per (user_id, event_type) — the batch
+    analog of streaming dropDuplicates / the S5 upsert's
+    last-writer-wins key semantics. row_number over ts DESC with
+    event_id tiebreak."""
+    ev = _L(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts_ns"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id", "event_type", "event_id", "ts_sec", fround("value", 2).alias("value")
+        )
+    )
+
+
+EVENTS_DEDUP_LATEST_SQL = f"""
+SELECT user_id, event_type, event_id, {_TS_SEC} AS ts_sec, floor((value) * 100.0 + 0.5) / 100.0 AS value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from a string column (S1/E6 — the
+    Lichess JSON flatten, vendors/lichess.py:53): get_json_object ≙
+    DuckDB json_extract_string."""
+    ev = _L(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+    )
+
+
+JSON_PROPS_EXTRACT_SQL = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INT) AS prop_k
+FROM events
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "value_stats_by_weekday": QuerySpec(
+        value_stats_by_weekday, VALUE_STATS_BY_WEEKDAY_SQL, "A3 F9"
+    ),
+    "weekday_recode": QuerySpec(weekday_recode, WEEKDAY_RECODE_SQL, "F9 P8"),
+    "events_tumbling_1h": QuerySpec(
+        events_tumbling_1h, EVENTS_TUMBLING_1H_SQL, "§2.11 streaming-batch"
+    ),
+    "events_sliding_1h_30m": QuerySpec(
+        events_sliding_1h_30m, EVENTS_SLIDING_1H_30M_SQL, "§2.11 streaming-batch"
+    ),
+    "events_sessionized": QuerySpec(events_sessionized, EVENTS_SESSIONIZED_SQL, "§2.11 W2"),
+    "events_dedup_latest": QuerySpec(events_dedup_latest, EVENTS_DEDUP_LATEST_SQL, "S5 W1 P9"),
+    "json_props_extract": QuerySpec(json_props_extract, JSON_PROPS_EXTRACT_SQL, "S1 E6"),
+}
