@@ -1,0 +1,158 @@
+"""PGN parser tests against literal games — mirrors the reference's
+visitor tests (tests/test_visitors.py:9-215 scenario shapes: evals
+incl. mate fill, clocks + berserk, castling, promotions, queen
+exchange)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from chess_pipeline_spark.parse import parse_pgn_dataframe, parse_pgn_game
+
+PGN_FULL = """[Event "Rated Blitz game"]
+[Site "https://lichess.org/abcd1234"]
+[Date "2024.01.29"]
+[White "PlayerOne"]
+[Black "PlayerTwo"]
+[Result "1-0"]
+[UTCDate "2024.01.29"]
+[UTCTime "02:34:14"]
+[WhiteElo "1800"]
+[BlackElo "1750"]
+[WhiteRatingDiff "+8"]
+[BlackRatingDiff "-7"]
+[TimeControl "300+3"]
+[ECO "B30"]
+[Opening "Sicilian Defense"]
+[Termination "Normal"]
+
+1. e4 { [%eval 0.3] [%clk 0:05:00] } 1... c5 { [%eval -0.1] [%clk 0:05:00] }
+2. Nf3 { [%eval 0.25] [%clk 0:04:58] } 2... d6 { [%eval 0.2] [%clk 0:04:57] } 1-0
+"""
+
+PGN_MATE = """[Event "Game"]
+[Site "https://lichess.org/mate0001"]
+[Result "1-0"]
+[TimeControl "60+0"]
+
+1. e4 { [%eval 0.3] [%clk 0:01:00] } 1... g5 { [%eval 0.9] [%clk 0:01:00] } 2. Nc3 { [%eval 0.6] [%clk 0:00:59] } 2... f5 { [%eval #2 ] [%clk 0:00:58] } 3. Qh5# 1-0
+"""
+
+PGN_FEATURES = """[Event "Arena"]
+[Site "https://lichess.org/feat0001"]
+[Result "0-1"]
+[TimeControl "120+1"]
+
+1. d4 { [%clk 0:01:00] } 1... d5 { [%clk 0:02:00] } 2. e4 { [%clk 0:00:58] } 2... dxe4 { [%clk 0:01:59] } 3. Qxd8+ { [%clk 0:00:55] } 3... Kxd8 { [%clk 0:01:58] } 4. O-O-O { [%clk 0:00:52] } 4... e1=Q { [%clk 0:01:55] } 0-1
+"""
+
+
+def test_headers_moves_clocks_evals():
+    g = parse_pgn_game(PGN_FULL)
+    assert g["White"] == "PlayerOne" and g["Black"] == "PlayerTwo"
+    assert g["Variant"] == "Standard"  # default, transforms.py:216-217
+    assert g["moves"] == ["e4", "c5", "Nf3", "d6"]
+    assert g["clocks"] == ["0:05:00", "0:05:00", "0:04:58", "0:04:57"]
+    assert g["evaluations"] == [0.3, -0.1, 0.25, 0.2]
+    assert g["eval_depths"] == [20, 20, 20, 20]
+    assert not g["white_berserked"] and not g["black_berserked"]
+    assert not g["queen_exchange"] and not g["has_promotion"]
+
+
+def test_mate_eval_and_checkmate_fill():
+    g = parse_pgn_game(PGN_MATE)
+    # '#2' annotation -> 9999; final mating move (no [%eval]) filled
+    # with mate-for-the-mover (visitors.py:26-28,44-48)
+    assert g["evaluations"] == [0.3, 0.9, 0.6, 9999.0, 9999.0]
+    assert g["moves"][-1] == "Qh5#"
+
+
+def test_no_eval_game_has_empty_evals():
+    g = parse_pgn_game(PGN_FEATURES)
+    assert g["evaluations"] == [] and g["eval_depths"] == []
+
+
+def test_berserk_detection():
+    g = parse_pgn_game(PGN_FEATURES)
+    # white first clock 60s == half of 120 -> berserked; black 120 -> not
+    assert g["white_berserked"] is True
+    assert g["black_berserked"] is False
+
+
+def test_castling_promotions_queen_exchange():
+    g = parse_pgn_game(PGN_FEATURES)
+    assert g["castling_sides"] == {"white": "queenside", "black": None}
+    assert g["queen_exchange"] is True  # Qxd8+ then Kxd8
+    assert g["has_promotion"] is True
+    assert g["promotion_count_black"] == 1 and g["promotions_black"] == "q"
+    assert g["promotion_count_white"] == 0 and g["promotions_white"] == ""
+
+
+def test_parse_dataframe_roundtrip(spark):
+    df = spark.createDataFrame([(PGN_FULL,), (PGN_FEATURES,)], "pgn string")
+    out = parse_pgn_dataframe(df)
+    rows = {r.Site: r for r in out.collect()}
+    assert len(rows) == 2
+    full = rows["https://lichess.org/abcd1234"]
+    assert full.moves == ["e4", "c5", "Nf3", "d6"]
+    assert full.castling_sides.white is None
+    feat = rows["https://lichess.org/feat0001"]
+    assert feat.castling_sides.white == "queenside"
+    assert feat.promotion_count_black == 1
+    # board-tier columns are null without python-chess, arrays with it
+    from chess_pipeline_spark.parse import HAS_PYTHON_CHESS
+
+    if HAS_PYTHON_CHESS:
+        assert feat.positions is not None
+    else:
+        assert feat.positions is None
+
+
+def test_evals_cache_dance(spark):
+    """The stockfish.py cache composition: split -> anti-join ->
+    fetch -> union -> dedup (J7+U1+A8) with a fixture engine."""
+    from chess_pipeline_spark.operators.evals import (
+        attach_evals,
+        fetch_missing,
+        missing_fens,
+        resolve_evals,
+        split_by_has_evals,
+    )
+    from chess_pipeline_spark.schemas import POSITION_EVALS
+
+    games = spark.createDataFrame(
+        [
+            ("g1", [0.5, -0.5], [20, 20], ["fenA 0 1", "fenB 0 2"]),
+            ("g2", [0.0, 0.0], [0, 0], ["fenC 0 1", "fenD 0 2"]),
+        ],
+        "game_link string, evaluations array<double>, eval_depths array<int>, positions array<string>",
+    )
+    with_evals, without = split_by_has_evals(games)
+    assert [r.game_link for r in with_evals.collect()] == ["g1"]
+    assert [r.game_link for r in without.collect()] == ["g2"]
+
+    cache = spark.createDataFrame([("fenC 0", 1.25, 18)], POSITION_EVALS)
+    from chess_pipeline_spark.operators.chess_transforms import explode_positions
+
+    cand = explode_positions(without.withColumnRenamed("positions", "positions_raw")
+                             .withColumnRenamed("positions_raw", "positions"))
+    missing = missing_fens(cand, cache)
+    assert sorted(r.fen for r in missing.collect()) == ["fenD 0"]  # fenC cached
+
+    fetched = fetch_missing(missing, fetch_fn=lambda f: (0.75, 12))
+    new_cache = resolve_evals(with_evals, fetched, cache)
+    got = {r.fen: (r.evaluation, r.eval_depth) for r in new_cache.collect()}
+    assert got == {
+        "fenA 0": (0.5, 20),
+        "fenB 0": (-0.5, 20),
+        "fenC 0": (1.25, 18),
+        "fenD 0": (0.75, 12),
+    }
+
+    positions = spark.createDataFrame(
+        [("g9", 1, "fenA 0"), ("g9", 2, "fenZ 0")],
+        "game_link string, half_move int, fen string",
+    )
+    joined = attach_evals(positions, new_cache)
+    vals = {r.half_move: r.evaluation for r in joined.collect()}
+    assert vals == {1: 0.5, 2: 0.0}  # missing -> 0 (inference.py:45)

@@ -1,0 +1,132 @@
+"""Window-semantics tests for the win-probability feature pipeline —
+the exact pandas shift/fillna chain of models.py:19-99 re-expressed
+as windows, property-checked on hand-computed fixtures (incl. the
+1-move and 2-move edge cases the reference's fillna chain exists
+for)."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from chess_pipeline_spark.operators.winprob_pipeline import (
+    add_clock_features,
+    add_initial_clocks,
+    add_opponent_clock,
+    infer_win_probabilities,
+)
+
+
+@pytest.fixture(scope="module")
+def clocks(spark):
+    rows = [
+        # 5-move game
+        ("g1", 1, 60), ("g1", 2, 58), ("g1", 3, 55), ("g1", 4, 50), ("g1", 5, 47),
+        # 1-move game (lead and lag both null -> own clock)
+        ("g2", 1, 30),
+        # 2-move game
+        ("g3", 1, 30), ("g3", 2, 29),
+    ]
+    return spark.createDataFrame(rows, "game_link string, half_move int, clock int")
+
+
+def test_opponent_clock_chain(clocks):
+    out = {
+        (r.game_link, r.half_move): r.opponent_clock
+        for r in add_opponent_clock(clocks).collect()
+    }
+    # coalesce(lead1, lag(lead1,2), clock) — models.py:25-30
+    assert out[("g1", 1)] == 58
+    assert out[("g1", 2)] == 55
+    assert out[("g1", 3)] == 50
+    assert out[("g1", 4)] == 47
+    assert out[("g1", 5)] == 50  # lead null -> lag2 of lead = lead at half 3
+    assert out[("g2", 1)] == 30  # both null -> own clock
+    assert out[("g3", 1)] == 29
+    assert out[("g3", 2)] == 29  # lead null, lag2 null -> own clock
+
+
+def test_initial_clocks(clocks):
+    df = add_initial_clocks(add_opponent_clock(clocks))
+    got = {
+        (r.game_link, r.half_move): (r.player_to_move, r.initial_clock)
+        for r in df.collect()
+    }
+    # parity partitions of g1: odd halves (white) start 60; even 58
+    assert got[("g1", 1)] == (1, 60)
+    assert got[("g1", 3)] == (1, 60)
+    assert got[("g1", 5)] == (1, 60)
+    assert got[("g1", 2)] == (0, 58)
+    assert got[("g1", 4)] == (0, 58)
+
+
+def test_clock_features_clip_and_sig(clocks):
+    df = add_clock_features(add_initial_clocks(add_opponent_clock(clocks)))
+    r = df.filter((F.col("game_link") == "g1") & (F.col("half_move") == 5)).first()
+    pct = 47 / 60
+    assert abs(r.clock_pct - pct) < 1e-12
+    assert abs(r.sig_clock_pct - math.log(pct / (1.00001 - pct))) < 1e-9
+    # pct clipped at 1.0 for the first move (clock == initial)
+    r1 = df.filter((F.col("game_link") == "g1") & (F.col("half_move") == 1)).first()
+    assert r1.clock_pct == 1.0
+    assert abs(r1.sig_clock_pct - math.log(1.0 / (1.00001 - 1.0))) < 1e-6
+
+
+def test_inference_outputs_probability_simplex(spark, clocks):
+    from chess_pipeline_spark.operators.winprob_pipeline import add_color_features
+
+    games = spark.createDataFrame(
+        [("g1", "white", 1800.0, 1750.0, 3), ("g2", "black", 1500.0, 1600.0, 0),
+         ("g3", "white", 2000.0, 2000.0, 2)],
+        "game_link string, player_color string, player_elo double, opponent_elo double, increment int",
+    )
+    feats = add_color_features(
+        add_clock_features(add_initial_clocks(add_opponent_clock(clocks))), games
+    ).withColumn("evaluation", F.lit(0.25))
+    probs = infer_win_probabilities(feats)
+    rows = probs.collect()
+    assert len(rows) == 8
+    for r in rows:
+        s = r.win_probability_white + r.draw_probability + r.win_probability_black
+        assert abs(s - 1.0) < 5e-6  # rounded to 1e-6 each
+        assert r.win_prob_model_version == "native-lr-v1"
+
+
+def test_pandas_udf_matches_native_expression(spark):
+    """The Arrow-UDF realization agrees with the pure-expression path
+    (models.py:102-121 parity between the two implementations)."""
+    import pyspark.sql.functions as F
+
+    from chess_pipeline_spark.functions.winprob import (
+        lr_probabilities,
+        lr_probabilities_pandas_udf,
+    )
+
+    df = spark.range(200).select(
+        (F.col("id") * 3.7 - 300).alias("elo_diff"),
+        ((F.col("id") % 40) / 10.0 - 2.0).alias("evaluation"),
+        ((F.col("id") % 17) / 17.0).alias("wclock"),
+        ((F.col("id") % 13) / 13.0).alias("bclock"),
+        (F.col("id") % 2).cast("double").alias("incr"),
+    )
+    x = {
+        "elo_diff": F.col("elo_diff"),
+        "evaluation": F.col("evaluation"),
+        "white_sig_clock_pct": F.col("wclock"),
+        "black_sig_clock_pct": F.col("bclock"),
+        "has_increment": F.col("incr"),
+    }
+    native = lr_probabilities(x)
+    udf = lr_probabilities_pandas_udf()
+    out = df.select(
+        native["win_probability_white"].alias("nw"),
+        native["draw_probability"].alias("nd"),
+        native["win_probability_black"].alias("nb"),
+        udf("elo_diff", "evaluation", "wclock", "bclock", "incr").alias("u"),
+    )
+    for r in out.collect():
+        assert abs(r.nw - r.u.win_probability_white) < 2e-6
+        assert abs(r.nd - r.u.draw_probability) < 2e-6
+        assert abs(r.nb - r.u.win_probability_black) < 2e-6
