@@ -1,0 +1,113 @@
+"""Sinks: idempotent upsert strategies (SURVEY §2.1 S5).
+
+The reference loads every table with delete-then-insert keyed on id
+columns (src/pipeline_import/postgres_templates.py:160-214: Arrow
+ingest to a temp table, DELETE matching keys, INSERT intersected
+columns). Spark-native equivalents, in preference order:
+
+1. ``upsert_partition_overwrite`` — dynamic partition overwrite for
+   date/entity-partitioned layouts: rewrite only the partitions the
+   batch touches. The 100 TB default: no read of existing data, no
+   shuffle beyond the write, idempotent per partition.
+2. ``upsert_parquet`` — key-level merge for unpartitioned targets:
+   read target, anti-join away rows whose keys are in the batch,
+   union the batch, rewrite atomically (write temp + swap). The
+   MERGE-emulation pattern for lakehouse-less deployments.
+3. ``upsert_jdbc_staging`` — the staging-table + MERGE/DELETE+INSERT
+   plan for real JDBC targets; generates the SQL and stages via
+   df.write.jdbc (exercised only when a JDBC url/driver is present).
+
+Column-intersection loading (postgres_templates.py:187-203) is
+``schemas.normalize_to_schema``.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def upsert_partition_overwrite(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Idempotent write replacing exactly the partitions present in
+    df (spark.sql.sources.partitionOverwriteMode=dynamic)."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def upsert_parquet(df: DataFrame, path: str, keys: list[str]) -> None:
+    """Key-level delete-then-insert into a parquet target.
+
+    New batch wins on key collision (the reference's DELETE …
+    IN (SELECT DISTINCT keys FROM batch) + INSERT,
+    postgres_templates.py:192-203: anti-join ≙ the delete, union ≙
+    the insert, dropDuplicates ≙ the SELECT DISTINCT)."""
+    spark = df.sparkSession
+    batch = df.dropDuplicates(keys)
+    if os.path.exists(path):
+        existing = spark.read.parquet(path)
+        keep = existing.join(batch.select(*keys).distinct(), keys, "left_anti")
+        merged = keep.unionByName(batch, allowMissingColumns=True)
+    else:
+        merged = batch
+    tmp = f"{path}.__tmp__{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(tmp, path)
+
+
+def upsert_jdbc_staging(
+    df: DataFrame,
+    url: str,
+    table: str,
+    keys: list[str],
+    mode: str = "delete_insert",
+    properties: dict[str, str] | None = None,
+) -> str:
+    """Stage the batch into <table>__staging via JDBC and return the
+    server-side merge SQL (DELETE+INSERT like the reference, or ANSI
+    MERGE). The caller executes the SQL on its connection — Spark has
+    no generic JDBC MERGE, so the pattern is stage + server-side
+    statement (postgres_templates.py:160-214 re-expressed)."""
+    staging = f"{table}__staging"
+    df.write.jdbc(url, staging, mode="overwrite", properties=properties or {})
+    key_list = ", ".join(keys)
+    cols = ", ".join(df.columns)
+    if mode == "merge":
+        on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+        sets = ", ".join(f"{c} = s.{c}" for c in df.columns if c not in keys)
+        return (
+            f"MERGE INTO {table} t USING {staging} s ON {on} "
+            f"WHEN MATCHED THEN UPDATE SET {sets} "
+            f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES "
+            f"({', '.join('s.' + c for c in df.columns)})"
+        )
+    return (
+        f"DELETE FROM {table} WHERE ({key_list}) IN "
+        f"(SELECT DISTINCT {key_list} FROM {staging}); "
+        f"INSERT INTO {table} ({cols}) SELECT {cols} FROM {staging}"
+    )
+
+
+def load_csv_dimension(spark, path: str, schema) -> DataFrame:
+    """CSV dimension seed (S6 — eco_codes / win_probabilities_eval_only
+    COPY, db/assorted_sql/copy_eco_codes.sql)."""
+    return spark.read.csv(path, schema=schema, header=False)
+
+
+def anti_join_delete(target: DataFrame, doomed_keys: DataFrame, keys: list[str]) -> DataFrame:
+    """Semi-join DELETE as a transformation (J10 —
+    drop_game_evals_with_na.sql:2-4): rows of target whose keys do
+    NOT appear in doomed_keys."""
+    return target.join(doomed_keys.select(*keys).distinct(), keys, "left_anti")

@@ -1,0 +1,118 @@
+"""Structured Streaming variants of the engine's incremental surface.
+
+The reference has no streams (SURVEY §2.11) — its incremental
+behavior is date-keyed batch + upsert + the FEN eval cache. These
+jobs are the Spark-native streaming re-expression over the `events`
+table: the same window specs as the batch catalog queries
+(plans/timeseries.py), driven by readStream, so one logical spec
+serves both modes.
+
+All jobs return *unstarted* DataFrames/writers where possible so
+tests and callers choose trigger + sink; `availableNow` + memory sink
+drives them to completion synchronously in tests (bounded input ≙ a
+replayed stream).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from chess_pipeline_spark.sources.tables import ensure_session_confs
+
+# events.parquet physical schema under nanosAsLong (ts arrives as raw
+# nanoseconds; the stream derives a proper timestamp column)
+EVENTS_PHYSICAL = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (S3 streaming
+    flavor). maxFilesPerTrigger gives replay-in-batches semantics for
+    bounded fixtures."""
+    ensure_session_confs(spark)
+    raw = (
+        spark.readStream.schema(EVENTS_PHYSICAL)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return (
+        raw.withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
+        .withColumn("ts_sec", F.expr("ts_ns div 1000000000"))
+    )
+
+
+def stream_tumbling_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1h window x event_type with late-data watermark — the
+    streaming twin of plans/timeseries.events_tumbling_1h."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def stream_session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native session_window sessionization (the streaming-stateful
+    twin of plans/timeseries.events_sessionized)."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start"),
+            F.unix_timestamp(F.col("w.end")).alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_dedup_latest(events: DataFrame) -> DataFrame:
+    """Streaming exact dedup on (user_id, event_type, event_id) with
+    watermarked state retention — the streaming analog of the S5
+    upsert key discipline."""
+    return events.withWatermark("ts", "2 hours").dropDuplicates(
+        ["user_id", "event_type", "event_id"]
+    )
+
+
+def stream_upsert_foreach_batch(
+    agg: DataFrame,
+    target_path: str,
+    keys: list[str],
+    checkpoint: str,
+):
+    """writeStream.foreachBatch upserting each micro-batch into a
+    parquet target keyed on `keys` — the reference's delete-then-
+    insert loader (postgres_templates.py:160-214) as an idempotent
+    streaming sink (exactly-once per epoch via overwrite-by-merge)."""
+    from chess_pipeline_spark.sinks import upsert_parquet
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        upsert_parquet(batch_df, target_path, keys)
+
+    return (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+    )

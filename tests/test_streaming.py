@@ -1,0 +1,84 @@
+"""Structured Streaming jobs (SURVEY §2.11 extension surface).
+
+Each stream is driven to completion with trigger(availableNow=True)
+into a memory sink (bounded fixture ≙ fully-replayed stream), and the
+windowed aggregates are checked against their batch twins from
+plans/timeseries — one logical spec, two execution modes.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+
+from chess_pipeline_spark.plans import timeseries
+from chess_pipeline_spark.streaming.jobs import (
+    read_events_stream,
+    stream_dedup_latest,
+    stream_session_counts,
+    stream_tumbling_counts,
+    stream_upsert_foreach_batch,
+)
+
+
+def _run_to_memory(df, spark, tmp_path, complete=True):
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if complete else "append")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_stream_tumbling_matches_batch(spark, sf_dir, tmp_path):
+    ev = read_events_stream(spark, sf_dir)
+    got = _run_to_memory(stream_tumbling_counts(ev), spark, tmp_path)
+    # batch twin, minus rounding (the stream job does no fround)
+    batch = timeseries.events_tumbling_1h(spark, sf_dir)
+    g = _rows(got.select("window_start", "event_type", "n"))
+    b = _rows(batch.select("window_start", "event_type", "n"))
+    assert g == b and len(g) > 0
+
+
+def test_stream_sessionized_runs_and_covers_all_users(spark, sf_dir, tmp_path):
+    ev = read_events_stream(spark, sf_dir)
+    got = _run_to_memory(stream_session_counts(ev), spark, tmp_path)
+    n_events = got.groupBy().sum("n_events").collect()[0][0]
+    # every event lands in exactly one session
+    from chess_pipeline_spark.sources import load_table
+
+    total = load_table(spark, sf_dir, "events").count()
+    assert n_events == total
+
+
+def test_stream_dedup_latest(spark, sf_dir, tmp_path):
+    ev = read_events_stream(spark, sf_dir)
+    got = _run_to_memory(stream_dedup_latest(ev), spark, tmp_path, complete=False)
+    # exact-dedup on a unique key set: row count preserved, no dupes
+    assert got.count() == got.select("user_id", "event_type", "event_id").distinct().count()
+
+
+def test_stream_upsert_foreach_batch(spark, sf_dir, tmp_path):
+    ev = read_events_stream(spark, sf_dir)
+    agg = stream_tumbling_counts(ev)
+    target = str(tmp_path / "stream_target")
+    writer = stream_upsert_foreach_batch(
+        agg, target, keys=["window_start", "event_type"], checkpoint=str(tmp_path / "ckpt_up")
+    )
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination(300)
+    got = spark.read.parquet(target)
+    batch = timeseries.events_tumbling_1h(spark, sf_dir)
+    assert _rows(got.select("window_start", "event_type", "n")) == _rows(
+        batch.select("window_start", "event_type", "n")
+    )
