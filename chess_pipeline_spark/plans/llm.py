@@ -310,6 +310,141 @@ SELECT doc_id, {mins} FROM sh
 MINHASH_SIGNATURES_SQL = _minhash_sql()
 
 
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash-LSH dedup path: shingle → k minhashes → band →
+    bucket-join → candidate pairs.
+
+    The k=4 signature is banded into 2 bands of 2 rows; docs sharing
+    any band bucket become candidates. This is the 100 TB near-dup
+    plan: the self-join key is (band, h1, h2) — a *bucket*, never the
+    corpus — so the pair space is sum of squares of bucket sizes, and
+    the only shuffles are one hash-partition on the bucket key and
+    the final pair dedup. Docs too short to shingle are excluded.
+    """
+    sig = minhash_signatures(spark, sf_dir).filter(F.col("mh_0") != -1)
+    bands = sig.select(
+        "doc_id",
+        F.expr(
+            "stack(2, 0, mh_0, mh_1, 1, mh_2, mh_3) AS (band, h1, h2)"
+        ),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.h1") == F.col("b.h1"))
+        & (F.col("a.h2") == F.col("b.h2"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    return (
+        pairs.groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_shared_bands"))
+    )
+
+
+MINHASH_LSH_CANDIDATES_SQL = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(words) - 1, 1)),
+                        i -> words[i] || ' ' || words[i + 1] || ' ' || words[i + 2]) AS sh
+  FROM w WHERE len(words) >= 3),
+sig AS (
+  SELECT doc_id,
+         {", ".join(f"list_min(list_transform(sh, s -> ({a} * ({_BASE_HASH.format(s='s')}) + {b}) % {_MINHASH_P})) AS mh_{j}" for j, (a, b) in enumerate(_MINHASH_PERMS))}
+  FROM sh),
+bands AS (
+  SELECT doc_id, 0 AS band, mh_0 AS h1, mh_1 AS h2 FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, mh_2 AS h1, mh_3 AS h2 FROM sig)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared_bands
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2
+            AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------------------
+# SimHash near-dup
+# ------------------------------------------------------------------
+# 16-bit SimHash over word hashes: each word votes ±1 per bit position
+# according to its hash bits; the signature takes the sign of each
+# vote sum. Near-dups = pairs within a block whose signatures differ
+# in <= 3 bits. Same closed-form word hash as MinHash so the oracle
+# reproduces it bit-for-bit.
+
+_SIMHASH_BITS = 16
+
+
+def _simhash_expr_spark() -> str:
+    h = _BASE_HASH.format(s="w")
+    terms = []
+    for j in range(_SIMHASH_BITS):
+        vote = (
+            f"aggregate(split(text, ' '), CAST(0 AS BIGINT), "
+            f"(acc, w) -> acc + CASE WHEN shiftright({h}, {j}) % 2 = 1 "
+            f"THEN 1 ELSE -1 END)"
+        )
+        terms.append(f"CASE WHEN ({vote}) > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+    return " + ".join(terms)
+
+
+def _simhash_expr_duckdb() -> str:
+    h = _BASE_HASH.format(s="w")
+    terms = []
+    for j in range(_SIMHASH_BITS):
+        vote = (
+            f"list_sum(list_transform(string_split(text, ' '), "
+            f"w -> CASE WHEN (({h}) >> {j}) & 1 = 1 THEN 1 ELSE -1 END))"
+        )
+        terms.append(f"CASE WHEN ({vote}) > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+    return " + ".join(terms)
+
+
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures + near-dup pairs (hamming <= 3) blocked on
+    `source`. At corpus scale the block key becomes the signature's
+    high bits (each doc probes only its own bucket), keeping the
+    pair space linear-ish; the signature itself is a pure per-row
+    projection — no shuffle until the pair join."""
+    d = _L(spark, sf_dir, "documents")
+    sig = d.select(
+        "doc_id", "source", F.expr(_simhash_expr_spark()).alias("simhash")
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    hamming = F.expr("bit_count(a.simhash ^ b.simhash)").cast("long")
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("simhash_a"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+    )
+
+
+SIMHASH_NEAR_DUP_SQL = f"""
+WITH sig AS (
+  SELECT doc_id, source, {_simhash_expr_duckdb()} AS simhash
+  FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       a.simhash AS simhash_a,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
 # ------------------------------------------------------------------
 # Similarity search (brute-force cosine top-k baseline)
 # ------------------------------------------------------------------
@@ -372,6 +507,160 @@ WHERE rank <= 5
 """
 
 
+_DOT = (
+    "aggregate(zip_with({u}, {v}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " CAST(0 AS DOUBLE), (a, b) -> a + b)"
+)
+_NORM = "sqrt(aggregate({v}, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+
+
+def embedding_near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked on `label` (the
+    cluster id ≙ an ANN bucket): pairs within a block with cosine
+    >= 0.3. The 100 TB shape: one shuffle on the block key, pair
+    space bounded by the largest block, dot products JVM-side."""
+    e = _L(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = F.expr(_DOT.format(u="a.embedding", v="b.embedding")) / (
+        F.expr(_NORM.format(v="a.embedding")) * F.expr(_NORM.format(v="b.embedding"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            fround(cos, 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.3)
+    )
+
+
+EMBEDDING_NEAR_DUP_COSINE_SQL = """
+WITH ue AS (
+  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings),
+norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ue GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+         sum(a.x * b.x) AS dot
+  FROM ue a JOIN ue b ON a.i = b.i AND a.label = b.label
+                      AND a.vec_id < b.vec_id
+  GROUP BY 1, 2, 3)
+SELECT vec_a, vec_b, label,
+       floor((dot / (na.nrm * nb.nrm)) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+FROM dots
+JOIN norms na ON na.vec_id = dots.vec_a
+JOIN norms nb ON nb.vec_id = dots.vec_b
+WHERE floor((dot / (na.nrm * nb.nrm)) * 1000000.0 + 0.5) / 1000000.0 >= 0.3
+"""
+
+
+def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse quantizer = per-label element-wise mean
+    centroid; each query (vec_id < 5) probes ONLY its nearest
+    centroid's inverted list (nprobe=1), then exact top-5 by cosine
+    inside that list.
+
+    The scale path vs brute force: the corpus is hash-partitioned by
+    label once; a query touches |corpus|/n_lists vectors. Centroids
+    are a tiny aggregate (broadcast), so the probe is a broadcast
+    join — no corpus-wide shuffle per query. Approximate by design:
+    neighbors outside the probed list are missed (recall measured in
+    tests against knn_cosine_topk).
+    """
+    e = _L(spark, sf_dir, "embeddings")
+    # element-wise mean per label via posexplode-free aggregate:
+    # explode (label, i, x) then avg — one narrow shuffle on label
+    ux = e.select(
+        "label", F.posexplode("embedding").alias("i", "x")
+    ).groupBy("label", "i").agg(F.avg(F.col("x").cast("double")).alias("c"))
+    centroids = ux.groupBy("label").agg(
+        F.array_sort(F.collect_list(F.struct("i", "c"))).alias("pairs")
+    ).select(
+        F.col("label").alias("c_label"),
+        F.expr("transform(pairs, p -> p.c)").alias("centroid"),
+    )
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    qc = q.crossJoin(F.broadcast(centroids))
+    cos_qc = F.expr(_DOT.format(u="qe", v="centroid")) / (
+        F.expr(_NORM.format(v="qe")) * F.expr(_NORM.format(v="centroid"))
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("c_cos"), F.asc("c_label"))
+    assigned = (
+        qc.select("qid", "qe", "c_label", fround(cos_qc, 9).alias("c_cos"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == 1)
+        .select("qid", "qe", F.col("c_label").alias("probe_label"))
+    )
+    cand = e.select("vec_id", "label", "embedding")
+    cos = F.expr(_DOT.format(u="qe", v="embedding")) / (
+        F.expr(_NORM.format(v="qe")) * F.expr(_NORM.format(v="embedding"))
+    )
+    scored = (
+        cand.join(F.broadcast(assigned), cand.label == F.col("probe_label"))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("neighbor_id"), fround(cos, 6).alias("cos_sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= 5
+    )
+
+
+KNN_COSINE_IVF_SQL = """
+WITH ue AS (
+  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings),
+centroids AS (
+  SELECT label AS c_label, i, avg(x) AS c FROM ue GROUP BY 1, 2),
+cnorms AS (SELECT c_label, sqrt(sum(c * c)) AS nrm FROM centroids GROUP BY 1),
+norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ue GROUP BY vec_id),
+qdots AS (
+  SELECT q.vec_id AS qid, c.c_label, sum(q.x * c.c) AS dot
+  FROM ue q JOIN centroids c ON q.i = c.i
+  WHERE q.vec_id < 5 GROUP BY 1, 2),
+qassign AS (
+  SELECT qid, c_label AS probe_label
+  FROM (SELECT qid, qdots.c_label AS c_label,
+               row_number() OVER (
+                 PARTITION BY qid
+                 ORDER BY floor((dot / (nq.nrm * nc.nrm)) * 1000000000.0 + 0.5) DESC,
+                          qdots.c_label ASC) AS rn
+        FROM qdots
+        JOIN norms nq ON nq.vec_id = qdots.qid
+        JOIN cnorms nc ON nc.c_label = qdots.c_label)
+  WHERE rn = 1),
+dots AS (
+  SELECT a.qid, b.vec_id AS neighbor_id, sum(qa.x * b.x) AS dot
+  FROM qassign a
+  JOIN ue b ON b.label = a.probe_label
+  JOIN ue qa ON qa.vec_id = a.qid AND qa.i = b.i
+  WHERE b.vec_id <> a.qid
+  GROUP BY 1, 2)
+SELECT qid, neighbor_id, cos_sim, rank
+FROM (SELECT qid, neighbor_id,
+             floor((dot / (na.nrm * nb.nrm)) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim,
+             row_number() OVER (
+               PARTITION BY qid
+               ORDER BY floor((dot / (na.nrm * nb.nrm)) * 1000000.0 + 0.5) DESC,
+                        neighbor_id ASC) AS rank
+      FROM dots
+      JOIN norms na ON na.vec_id = dots.qid
+      JOIN norms nb ON nb.vec_id = dots.neighbor_id)
+WHERE rank <= 5
+"""
+
+
 def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector norm / mean — the aggregate-lambda warm-up for any
     embedding-column pipeline (all JVM-side)."""
@@ -404,6 +693,22 @@ FROM ue GROUP BY vec_id, label, dim
 """
 
 
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload media pipeline: documents → opaque binary
+    payload + typed metadata → Arrow-batched mapInPandas feature
+    extraction (chess_pipeline_spark/multimodal.py). Python-UDF by
+    necessity (media decode), so no SQL oracle — the driver records
+    a rows-only check; byte-exact behavior is pytest-verified
+    (tests/test_multimodal.py)."""
+    from chess_pipeline_spark.multimodal import (
+        attach_binary_payload,
+        extract_media_features,
+    )
+
+    d = _L(spark, sf_dir, "documents")
+    return extract_media_features(attach_binary_payload(d))
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL, "llm-dedup F16"),
     "text_quality_stats": QuerySpec(text_quality_stats, TEXT_QUALITY_STATS_SQL, "llm-textstats"),
@@ -414,7 +719,16 @@ QUERIES: dict[str, QuerySpec] = {
         near_dup_pairs_jaccard, NEAR_DUP_PAIRS_JACCARD_SQL, "llm-neardup"
     ),
     "minhash_signatures": QuerySpec(minhash_signatures, MINHASH_SIGNATURES_SQL, "llm-minhash"),
+    "minhash_lsh_candidates": QuerySpec(
+        minhash_lsh_candidates, MINHASH_LSH_CANDIDATES_SQL, "llm-minhash-lsh"
+    ),
+    "simhash_near_dup": QuerySpec(simhash_near_dup, SIMHASH_NEAR_DUP_SQL, "llm-simhash"),
+    "embedding_near_dup_cosine": QuerySpec(
+        embedding_near_dup_cosine, EMBEDDING_NEAR_DUP_COSINE_SQL, "llm-embed-neardup"
+    ),
     "knn_cosine_topk": QuerySpec(knn_cosine_topk, KNN_COSINE_TOPK_SQL, "llm-knn F18"),
+    "knn_cosine_ivf": QuerySpec(knn_cosine_ivf, KNN_COSINE_IVF_SQL, "llm-knn-ivf"),
     "embedding_stats": QuerySpec(embedding_stats, EMBEDDING_STATS_SQL, "llm-embed"),
+    "multimodal_features": QuerySpec(multimodal_features, None, "llm-multimodal"),
 }
 
