@@ -39,8 +39,12 @@ HEADLINE = [
     "dedup_exact",
     "near_dup_pairs_jaccard",
     "minhash_signatures",
+    "minhash_lsh_candidates",
+    "simhash_near_dup",
     "knn_cosine_topk",
+    "knn_cosine_ivf",
     "win_prob_lr",
+    "multimodal_features",
 ]
 
 
@@ -52,8 +56,12 @@ def main() -> None:
     spark = get_spark(app_name="chess-pipeline-spark-bench")
     cat = catalog()
 
-    # warm up the JVM/codegen paths on a trivial action
+    # warm up JVM/codegen AND the parquet reader + shuffle paths so
+    # the first measured query isn't charged for one-time JIT cost
     spark.range(1000).count()
+    from chess_pipeline_spark.sources import load_table
+
+    load_table(spark, sf_dir, "region").groupBy("r_name").count().collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from chess_pipeline_spark.functions.rounding import fround
 from chess_pipeline_spark.plans.spec import QuerySpec
 from chess_pipeline_spark.sources import load_table as _L
+from chess_pipeline_spark.sources import spread
 
 # ------------------------------------------------------------------
 # Exact dedup (hash-groupBy)
@@ -35,7 +36,7 @@ from chess_pipeline_spark.sources import load_table as _L
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicate grouping on a content digest. At 100 TB the
     groupBy key is the 128-bit digest, never the document body."""
-    d = _L(spark, sf_dir, "documents")
+    d = spread(_L(spark, sf_dir, "documents"), "doc_id")
     return (
         d.groupBy(F.md5("text").alias("fp"))
         .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_dupes"))
@@ -59,7 +60,7 @@ def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-scoring features: length, word count, punctuation
     count/ratio, stopword ratio, mean word length — all JVM-side
     higher-order functions, one pass, no shuffle."""
-    d = _L(spark, sf_dir, "documents")
+    d = spread(_L(spark, sf_dir, "documents"), "doc_id")
     n_chars = F.length("text").cast("long")
     n_words = F.size(F.split("text", " ")).cast("long")
     stop_list = ", ".join(f"'{w}'" for w in _STOPWORDS)
@@ -100,7 +101,7 @@ FROM s
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens + a BPE-ish regex tokenizer
     (runs of letters | runs of digits | single other non-space)."""
-    d = _L(spark, sf_dir, "documents")
+    d = spread(_L(spark, sf_dir, "documents"), "doc_id")
     pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
     return d.select(
         "doc_id",
@@ -131,7 +132,7 @@ _LANG_MARKERS = {
 
 
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _L(spark, sf_dir, "documents")
+    d = spread(_L(spark, sf_dir, "documents"), "doc_id")
     scores = {}
     for lang, markers in _LANG_MARKERS.items():
         lst = ", ".join(f"'{m}'" for m in markers)
@@ -181,7 +182,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive rolling (polynomial) hash over the word
     sequence — a document fingerprint that, unlike a set hash,
     distinguishes permutations. Pure fold, JVM-side."""
-    d = _L(spark, sf_dir, "documents")
+    d = spread(_L(spark, sf_dir, "documents"), "doc_id")
     fp = F.expr(
         "aggregate("
         "  transform(split(text, ' '), w -> CAST(ascii(w) * 7 + length(w) AS BIGINT)),"
@@ -208,30 +209,46 @@ FROM documents
 
 
 def near_dup_pairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-set Jaccard near-dup pairs with blocking on `source`.
+    """Word-set Jaccard near-dup pairs with blocking on `source`,
+    computed via an inverted index (the scalable plan).
 
-    The block key caps the pair space (≙ an LSH band at scale — the
-    full-corpus variant uses minhash band buckets as the block key).
-    All-integer set sizes → the 0.9 threshold compares identical
-    doubles on both engines.
+    Instead of a blocked self-join doing an array_intersect per pair
+    (quadratic array work), explode distinct words and self-join the
+    posting lists on (source, word): the intersection size is a
+    count per (doc_a, doc_b), and pairs sharing no words never
+    materialize at all. One shuffle on (source, word), one on the
+    pair key — both bounded by posting-list sizes, which at 100 TB
+    is tamed by dropping ultra-common words (not needed here).
+    Output-identical to the naive plan: zero-intersection pairs
+    can't pass a 0.9 threshold anyway.
     """
-    d = _L(spark, sf_dir, "documents")
+    d = spread(_L(spark, sf_dir, "documents"), "doc_id")
     ws = d.select(
-        "doc_id", "source", F.array_distinct(F.split("text", " ")).alias("w")
+        "doc_id",
+        "source",
+        F.array_distinct(F.split("text", " ")).alias("w"),
+    ).select(
+        "doc_id", "source", F.size("w").alias("n"), F.explode("w").alias("word")
     )
-    a = ws.alias("a")
-    b = ws.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.source") == F.col("b.source")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    a, b = ws.alias("a"), ws.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .agg(F.count("*").alias("inter"))
     )
-    inter = F.size(F.array_intersect(F.col("a.w"), F.col("b.w")))
-    union = F.size(F.col("a.w")) + F.size(F.col("b.w")) - inter
-    jac = inter / union.cast("double")
-    return pairs.select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        fround(jac, 6).alias("jaccard"),
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+    return inter.select(
+        "doc_a", "doc_b", fround(jac, 6).alias("jaccard")
     ).filter(jac >= 0.9)
 
 
@@ -269,25 +286,46 @@ _BASE_HASH = (
 )
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _L(spark, sf_dir, "documents")
+def _minhash_sig(spark: SparkSession, sf_dir: str, only_shingled: bool = False) -> DataFrame:
+    d = spread(_L(spark, sf_dir, "documents"), "doc_id")
+    if only_shingled:
+        # cheap pre-filter for callers that drop unshingleable docs:
+        # filtering later on mh_0 != -1 would push the whole
+        # signature expression below the spread Exchange onto the
+        # single-partition scan — this predicate is pushdown-safe
+        d = d.filter(F.size(F.split("text", " ")) >= 3)
+    # materialize the words array FIRST: element_at over an attribute
+    # is O(1), whereas element_at(split(text), i) inside a lambda
+    # re-splits the string per element — O(n^2) per document
+    words = d.select("doc_id", F.split("text", " ").alias("ws"))
     # 3-word shingles, 1-based positions 1..n-2 (guard short docs:
     # Spark's sequence() descends when stop < start, so clamp first)
     shingles = (
-        "CASE WHEN size(split(text, ' ')) >= 3 THEN "
-        "transform(sequence(1, size(split(text, ' ')) - 2), "
-        "  i -> concat_ws(' ', element_at(split(text, ' '), i), "
-        "                 element_at(split(text, ' '), i + 1), "
-        "                 element_at(split(text, ' '), i + 2))) "
+        "CASE WHEN size(ws) >= 3 THEN "
+        "transform(sequence(1, size(ws) - 2), "
+        "  i -> concat_ws(' ', element_at(ws, i), "
+        "                 element_at(ws, i + 1), "
+        "                 element_at(ws, i + 2))) "
         "ELSE CAST(array() AS array<string>) END"
     )
-    df = d.select("doc_id", F.expr(shingles).alias("sh"))
-    cols = []
-    for j, (a, b) in enumerate(_MINHASH_PERMS):
-        h = _BASE_HASH.format(s="s")
-        mh = f"array_min(transform(sh, s -> ({a} * ({h}) + {b}) % {_MINHASH_P}))"
-        cols.append(F.coalesce(F.expr(mh), F.lit(-1)).alias(f"mh_{j}"))
+    # hash each shingle ONCE, then apply the k permutations to the
+    # integer array (string ops are the expensive part)
+    h = _BASE_HASH.format(s="s")
+    df = words.select(
+        "doc_id", F.expr(f"transform({shingles}, s -> {h})").alias("hs")
+    )
+    cols = [
+        F.coalesce(
+            F.expr(f"array_min(transform(hs, h -> ({a} * h + {b}) % {_MINHASH_P}))"),
+            F.lit(-1),
+        ).alias(f"mh_{j}")
+        for j, (a, b) in enumerate(_MINHASH_PERMS)
+    ]
     return df.select("doc_id", *cols)
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_sig(spark, sf_dir)
 
 
 def _minhash_sql() -> str:
@@ -321,26 +359,33 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only shuffles are one hash-partition on the bucket key and
     the final pair dedup. Docs too short to shingle are excluded.
     """
-    sig = minhash_signatures(spark, sf_dir).filter(F.col("mh_0") != -1)
+    sig = _minhash_sig(spark, sf_dir, only_shingled=True)
     bands = sig.select(
         "doc_id",
         F.expr(
             "stack(2, 0, mh_0, mh_1, 1, mh_2, mh_3) AS (band, h1, h2)"
         ),
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.band") == F.col("b.band"))
-        & (F.col("a.h1") == F.col("b.h1"))
-        & (F.col("a.h2") == F.col("b.h2"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # group each bucket and generate its pairs locally rather than
+    # bucket self-joining: a self-join would recompute the signature
+    # subtree on both sides (no plan CSE) and shuffle twice. One
+    # shuffle to the bucket key, combinations inside the bucket,
+    # then the pair-dedup shuffle. Bucket sizes stay small by LSH
+    # construction, so the local pair expansion is bounded.
+    buckets = bands.groupBy("band", "h1", "h2").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
     )
-    return (
-        pairs.groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").cast("long").alias("n_shared_bands"))
+    pairs = buckets.filter(F.size("ids") >= 2).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (a, i) -> "
+                "transform(slice(ids, i + 2, size(ids)), "
+                "b -> struct(a AS doc_a, b AS doc_b))))"
+            )
+        ).alias("p")
+    )
+    return pairs.groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b")).agg(
+        F.count("*").cast("long").alias("n_shared_bands")
     )
 
 
@@ -381,12 +426,13 @@ _SIMHASH_BITS = 16
 
 
 def _simhash_expr_spark() -> str:
-    h = _BASE_HASH.format(s="w")
+    """Signature over a pre-hashed word array column `hw` (hash each
+    word ONCE; 16 integer-only vote folds over it)."""
     terms = []
     for j in range(_SIMHASH_BITS):
         vote = (
-            f"aggregate(split(text, ' '), CAST(0 AS BIGINT), "
-            f"(acc, w) -> acc + CASE WHEN shiftright({h}, {j}) % 2 = 1 "
+            f"aggregate(hw, CAST(0 AS BIGINT), "
+            f"(acc, h) -> acc + CASE WHEN shiftright(h, {j}) % 2 = 1 "
             f"THEN 1 ELSE -1 END)"
         )
         terms.append(f"CASE WHEN ({vote}) > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
@@ -411,25 +457,47 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     high bits (each doc probes only its own bucket), keeping the
     pair space linear-ish; the signature itself is a pure per-row
     projection — no shuffle until the pair join."""
-    d = _L(spark, sf_dir, "documents")
-    sig = d.select(
+    d = spread(_L(spark, sf_dir, "documents"), "doc_id")
+    h = _BASE_HASH.format(s="w")
+    hashed = d.select(
+        "doc_id", "source",
+        F.expr(f"transform(split(text, ' '), w -> {h})").alias("hw"),
+    )
+    sig = hashed.select(
         "doc_id", "source", F.expr(_simhash_expr_spark()).alias("simhash")
     )
-    a, b = sig.alias("a"), sig.alias("b")
-    hamming = F.expr("bit_count(a.simhash ^ b.simhash)").cast("long")
-    return (
-        a.join(
-            b,
-            (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("simhash_a"),
-            hamming.alias("hamming"),
-        )
-        .filter(F.col("hamming") <= 3)
+    # LSH banding for hamming distance: 4 bands x 4 bits. A pair at
+    # hamming <= 3 differs in at most 3 bits, so by pigeonhole at
+    # least one band is identical — banding has 100% recall and the
+    # verified result equals the naive all-pairs definition (which
+    # is exactly what the DuckDB oracle computes). Only
+    # bucket-colliding pairs are generated/verified, and pair
+    # generation is bucket-local (one signature computation, one
+    # shuffle) instead of a self-join that would recompute the
+    # signature subtree on both sides.
+    bands = sig.select(
+        "doc_id",
+        "source",
+        "simhash",
+        F.explode(F.expr("sequence(0, 3)")).alias("band"),
+    ).withColumn("bv", F.expr("shiftright(simhash, band * 4) % 16"))
+    buckets = bands.groupBy("source", "band", "bv").agg(
+        F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias("xs")
+    )
+    pair_expr = (
+        "flatten(transform(xs, (a, i) -> "
+        "filter(transform(slice(xs, i + 2, size(xs)), "
+        "b -> struct(a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "a.simhash AS simhash_a, "
+        "CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT) AS hamming)), "
+        "p -> p.hamming <= 3)))"
+    )
+    cand = buckets.select(F.explode(F.expr(pair_expr)).alias("p")).select(
+        "p.doc_a", "p.doc_b", "p.simhash_a", "p.hamming"
+    )
+    # a pair can share several bands — dedup on the pair key
+    return cand.groupBy("doc_a", "doc_b").agg(
+        F.first("simhash_a").alias("simhash_a"), F.first("hamming").alias("hamming")
     )
 
 
@@ -459,7 +527,7 @@ def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     *rounded* cosine with a vec_id tiebreak so it is deterministic
     and engine-independent.
     """
-    e = _L(spark, sf_dir, "embeddings")
+    e = spread(_L(spark, sf_dir, "embeddings"), "vec_id")
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
@@ -519,7 +587,7 @@ def embedding_near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster id ≙ an ANN bucket): pairs within a block with cosine
     >= 0.3. The 100 TB shape: one shuffle on the block key, pair
     space bounded by the largest block, dot products JVM-side."""
-    e = _L(spark, sf_dir, "embeddings")
+    e = spread(_L(spark, sf_dir, "embeddings"), "vec_id")
     a = e.alias("a")
     b = e.alias("b")
     cos = F.expr(_DOT.format(u="a.embedding", v="b.embedding")) / (
@@ -575,7 +643,7 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbors outside the probed list are missed (recall measured in
     tests against knn_cosine_topk).
     """
-    e = _L(spark, sf_dir, "embeddings")
+    e = spread(_L(spark, sf_dir, "embeddings"), "vec_id")
     # element-wise mean per label via posexplode-free aggregate:
     # explode (label, i, x) then avg — one narrow shuffle on label
     ux = e.select(
@@ -664,7 +732,7 @@ WHERE rank <= 5
 def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector norm / mean — the aggregate-lambda warm-up for any
     embedding-column pipeline (all JVM-side)."""
-    e = _L(spark, sf_dir, "embeddings")
+    e = spread(_L(spark, sf_dir, "embeddings"), "vec_id")
     sum_ = F.expr(
         "aggregate(embedding, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE))"
     )
@@ -705,7 +773,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_media_features,
     )
 
-    d = _L(spark, sf_dir, "documents")
+    d = spread(_L(spark, sf_dir, "documents"), "doc_id")
     return extract_media_features(attach_binary_payload(d))
 
 

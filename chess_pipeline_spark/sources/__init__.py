@@ -3,4 +3,5 @@ from chess_pipeline_spark.sources.tables import (  # noqa: F401
     ensure_session_confs,
     load_table,
     load_tables,
+    spread,
 )

@@ -73,3 +73,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Ensure enough partitions for compute-heavy per-row work.
+
+    A small parquet file scans as ONE split, serializing all
+    downstream expression work onto one core — the local-mode analog
+    of a skewed/under-split input. If the scan already has >= cores
+    partitions (the 100 TB case: thousands of splits), this is a
+    no-op and costs nothing; otherwise one narrow-ish shuffle buys
+    full parallelism for the expensive projection that follows.
+    Hash-partitioning on `cols` (when given) keeps downstream
+    key-joins co-partitioned.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, *cols) if cols else df.repartition(target)
