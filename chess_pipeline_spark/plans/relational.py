@@ -769,6 +769,116 @@ WHERE p_size > 25
 """
 
 
+# --------------------------------------------------------------------------
+# Coverage extras: P5 array predicate, F19 array sort+join, A5 binned
+# mean, E4 struct fields, P10 empty-relation guard
+# --------------------------------------------------------------------------
+
+
+def array_predicate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate on an array column + sorted-array join (P5 —
+    has-evals partition split, vendors/stockfish.py:33-34; F19 —
+    promotions ''.join(sorted(...)), visitors.py:172-176): keep docs
+    whose word array contains a marker word; project the sorted
+    first-5 distinct words as a joined string."""
+    d = _L(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    has_marker = F.exists(words, lambda w: w.isin("the", "a", "of"))
+    sorted_sample = F.array_join(
+        F.slice(F.array_sort(F.array_distinct(words)), 1, 5), " "
+    )
+    return d.select(
+        "doc_id",
+        has_marker.alias("has_marker"),
+        sorted_sample.alias("first5_sorted"),
+    ).filter("has_marker")
+
+
+ARRAY_PREDICATE_FILTER_SQL = """
+SELECT doc_id,
+       len(list_filter(string_split(text, ' '),
+                       w -> w IN ('the', 'a', 'of'))) > 0 AS has_marker,
+       array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:5], ' ')
+         AS first5_sorted
+FROM documents
+WHERE len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a', 'of'))) > 0
+"""
+
+
+def binned_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped mean over a computed bin (A5 + F15 — mean result per
+    binned evaluation, res/.../create_features.py:16,122-123)."""
+    li = _L(spark, sf_dir, "lineitem")
+    bin_ = (F.floor(F.col("l_extendedprice") / 1000) * 1000).cast("long")
+    return li.groupBy(bin_.alias("price_bin")).agg(
+        fround(F.avg("l_discount"), 6).alias("mean_discount"),
+        F.count("*").alias("n"),
+    )
+
+
+BINNED_MEAN_SQL = """
+SELECT CAST(floor(l_extendedprice / 1000) * 1000 AS BIGINT) AS price_bin,
+       floor((avg(l_discount)) * 1000000.0 + 0.5) / 1000000.0 AS mean_discount,
+       count(*) AS n
+FROM lineitem GROUP BY 1
+"""
+
+
+def struct_pack_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct column built then projected back to fields with a
+    null-default (E4 — castling_sides dict → white/black cols with
+    fillna 'No castling', transforms.py:347-372). The struct stays a
+    column-store struct: no explode, field access is a projection."""
+    ev = _L(spark, sf_dir, "events")
+    packed = ev.select(
+        "event_id",
+        F.struct(
+            F.col("event_type").alias("etype"),
+            F.get_json_object("props", "$.k").alias("k"),
+        ).alias("s"),
+    )
+    return packed.select(
+        "event_id",
+        F.col("s.etype").alias("etype"),
+        F.coalesce(F.col("s.k"), F.lit("missing")).alias("k_or_default"),
+    )
+
+
+STRUCT_PACK_FIELDS_SQL = """
+WITH packed AS (
+  SELECT event_id,
+         struct_pack(etype := event_type,
+                     k := json_extract_string(props, '$.k')) AS s
+  FROM events)
+SELECT event_id, s.etype AS etype,
+       coalesce(s.k, 'missing') AS k_or_default
+FROM packed
+"""
+
+
+def empty_relation_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empty-input short-circuit (P10 — every reference step emits a
+    schema-preserving empty output when its input is empty,
+    feature_engineering.py:26-32). Lazy plans give this for free:
+    an impossible predicate yields 0 rows with the full agg schema
+    intact — which is exactly what the driver's schema check sees."""
+    li = _L(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_quantity") < -1)
+        .groupBy("l_linestatus")
+        .agg(fround(F.sum("l_extendedprice"), 2).alias("sum_price"),
+             F.count("*").alias("n"))
+    )
+
+
+EMPTY_RELATION_GUARD_SQL = """
+SELECT l_linestatus,
+       floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS sum_price,
+       count(*) AS n
+FROM lineitem WHERE l_quantity < -1 GROUP BY l_linestatus
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "win_ratio_by_status": QuerySpec(win_ratio_by_status, WIN_RATIO_SQL, "A1 A2 E5 P7"),
     "pricing_summary": QuerySpec(pricing_summary, PRICING_SUMMARY_SQL, "A3 P3"),
@@ -806,4 +916,12 @@ QUERIES: dict[str, QuerySpec] = {
     "orders_per_priority": QuerySpec(orders_per_priority, ORDERS_PER_PRIORITY_SQL, "A1"),
     "global_minmax": QuerySpec(global_minmax, GLOBAL_MINMAX_SQL, "A7"),
     "sql_view_game_evals": QuerySpec(sql_view_game_evals, SQL_VIEW_GAME_EVALS_SQL, "J8 S3"),
+    "array_predicate_filter": QuerySpec(
+        array_predicate_filter, ARRAY_PREDICATE_FILTER_SQL, "P5 F18 F19"
+    ),
+    "binned_mean": QuerySpec(binned_mean, BINNED_MEAN_SQL, "A5 F15"),
+    "struct_pack_fields": QuerySpec(struct_pack_fields, STRUCT_PACK_FIELDS_SQL, "E4 E6 P7"),
+    "empty_relation_guard": QuerySpec(
+        empty_relation_guard, EMPTY_RELATION_GUARD_SQL, "P10"
+    ),
 }

@@ -236,6 +236,8 @@ QUERIES: dict[str, QuerySpec] = {
         events_sliding_1h_30m, EVENTS_SLIDING_1H_30M_SQL, "§2.11 streaming-batch"
     ),
     "events_sessionized": QuerySpec(events_sessionized, EVENTS_SESSIONIZED_SQL, "§2.11 W2"),
-    "events_dedup_latest": QuerySpec(events_dedup_latest, EVENTS_DEDUP_LATEST_SQL, "S5 W1 P9"),
+    "events_dedup_latest": QuerySpec(
+        events_dedup_latest, EVENTS_DEDUP_LATEST_SQL, "S5 W1 P9 A8"
+    ),
     "json_props_extract": QuerySpec(json_props_extract, JSON_PROPS_EXTRACT_SQL, "S1 E6"),
 }

@@ -1,0 +1,106 @@
+"""Source adapters: REST-JSON flatten (S1/E6), CSV dimension load
+(S6), small-file spread."""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+from chess_pipeline_spark.sinks import load_csv_dimension
+from chess_pipeline_spark.sources import load_table, spread
+from chess_pipeline_spark.sources.rest import flatten_structs, json_records_source
+
+GAME_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("rated", T.BooleanType()),
+        T.StructField(
+            "players",
+            T.StructType(
+                [
+                    T.StructField(
+                        "white",
+                        T.StructType(
+                            [
+                                T.StructField("rating", T.IntegerType()),
+                                T.StructField("provisional", T.BooleanType()),
+                            ]
+                        ),
+                    ),
+                    T.StructField(
+                        "black",
+                        T.StructType([T.StructField("rating", T.IntegerType())]),
+                    ),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def test_json_records_flatten_nested(spark):
+    records = [
+        {"id": "abc", "rated": True,
+         "players": {"white": {"rating": 1500, "provisional": True},
+                     "black": {"rating": 1600}}},
+        # ragged record: missing provisional and black — NULL-filled
+        {"id": "xyz", "rated": False,
+         "players": {"white": {"rating": 1700, "provisional": None},
+                     "black": None}},
+    ]
+    df = json_records_source(spark, records, schema=GAME_SCHEMA)
+    assert df.columns == [
+        "id", "rated", "players_white_rating",
+        "players_white_provisional", "players_black_rating",
+    ]
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows["abc"]["players_white_rating"] == 1500
+    assert rows["abc"]["players_white_provisional"] is True
+    assert rows["xyz"]["players_black_rating"] is None
+
+
+def test_flatten_structs_leaves_arrays_intact(spark):
+    df = spark.createDataFrame(
+        [(1, {"a": [1, 2, 3]})],
+        T.StructType(
+            [
+                T.StructField("k", T.IntegerType()),
+                T.StructField(
+                    "s",
+                    T.StructType(
+                        [T.StructField("a", T.ArrayType(T.IntegerType()))]
+                    ),
+                ),
+            ]
+        ),
+    )
+    out = flatten_structs(df)
+    assert out.columns == ["k", "s_a"]
+    assert out.first()["s_a"] == [1, 2, 3]
+
+
+def test_load_csv_dimension(spark, tmp_path):
+    # eco_codes-style seed (db/assorted_sql/copy_eco_codes.sql)
+    p = tmp_path / "eco.csv"
+    p.write_text('A00,"Polish (Sokolsky) opening"\nB00,"King\'s pawn opening"\n')
+    schema = T.StructType(
+        [
+            T.StructField("eco_code", T.StringType()),
+            T.StructField("opening_name", T.StringType()),
+        ]
+    )
+    df = load_csv_dimension(spark, str(p), schema)
+    rows = {r["eco_code"]: r["opening_name"] for r in df.collect()}
+    assert rows == {
+        "A00": "Polish (Sokolsky) opening",
+        "B00": "King's pawn opening",
+    }
+
+
+def test_spread_noop_when_enough_partitions(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem").repartition(64)
+    assert spread(df) is df
+
+
+def test_spread_preserves_rows(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents")
+    assert spread(df, "doc_id").count() == df.count()
