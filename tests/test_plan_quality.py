@@ -1,0 +1,92 @@
+"""Physical-plan quality gates (the 100 TB design assertions).
+
+Correctness tests say the answer is right; these say the PLAN is the
+one we designed for scale: filters pushed to the parquet scan,
+column pruning in ReadSchema, small dimensions broadcast, partial
+(map-side) aggregation before the shuffle, and no Python evaluation
+in JVM-expressible paths. If a refactor silently degrades one of
+these (e.g. a filter stops pushing down), these fail before any
+benchmark does.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from chess_pipeline_spark.plans import catalog
+
+_CATALOG = catalog()
+
+
+def _explain(df, mode: str = "formatted") -> str:
+    jvm = df.sparkSession._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    return _explain(_CATALOG[name].spark(spark, sf_dir))
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    # sql_view_game_evals filters p_size > 25 — must reach the part scan
+    plan = _plan(spark, sf_dir, "sql_view_game_evals")
+    assert "GreaterThan(p_size,25)" in plan  # inside the part scan's PushedFilters
+
+
+def test_column_pruning_in_read_schema(spark, sf_dir):
+    # pricing_summary touches 5 of 16 lineitem columns; the scan
+    # schema must not include untouched ones
+    plan = _plan(spark, sf_dir, "pricing_summary")
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read, plan
+    schema_line = read[0]
+    assert "l_quantity" in schema_line and "l_extendedprice" in schema_line
+    assert "l_comment" not in schema_line and "l_shipdate" not in schema_line
+
+
+def test_dimension_join_broadcasts(spark, sf_dir):
+    # customer side of top_customer_revenue is small → broadcast join,
+    # no shuffle of the fact table for the dim join
+    plan = _plan(spark, sf_dir, "top_customer_revenue")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_partial_aggregation_before_shuffle(spark, sf_dir):
+    # groupBy must do map-side partial agg (HashAggregate appears
+    # both before and after the Exchange)
+    plan = _plan(spark, sf_dir, "pricing_summary")
+    assert plan.count("HashAggregate") >= 2
+    assert "hashpartitioning" in plan
+
+
+def test_no_python_eval_in_jvm_paths(spark, sf_dir):
+    # every oracle-checked query must stay JVM-side: Python appears
+    # only in the explicitly-UDF-backed rows-only queries
+    for name, spec in _CATALOG.items():
+        if spec.oracle is None:
+            continue
+        plan = _plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert "MapInPandas" not in plan, name
+
+
+def test_whole_stage_codegen_on_hot_path(spark, sf_dir):
+    # the TPC-H-Q1-shaped scan+agg must run inside whole-stage codegen
+    df = _CATALOG["pricing_summary"].spark(spark, sf_dir)
+    assert "WholeStageCodegen" in _explain(df, "codegen")
+
+
+def test_anti_join_uses_broadcast_or_hash(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "parts_never_ordered")
+    assert "LeftAnti" in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["events_tumbling_1h", "events_sessionized", "value_stats_by_weekday"]
+)
+def test_events_scan_prunes_columns(spark, sf_dir, name):
+    # ns-timestamp normalization must not break column pruning on
+    # the other columns
+    plan = _plan(spark, sf_dir, name)
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "props" not in read, f"{name}: props not pruned: {read}"

@@ -1,0 +1,56 @@
+"""applyInPandasWithState custom stateful operator: the final emitted
+state per user must equal the batch groupBy over the same bounded
+input (update mode → keep each user's LAST emitted row)."""
+
+from __future__ import annotations
+
+import uuid
+
+import pyspark.sql.functions as F
+
+from chess_pipeline_spark.sources import load_table
+from chess_pipeline_spark.streaming.jobs import read_events_stream
+from chess_pipeline_spark.streaming.stateful import stream_user_running_stats
+
+
+def test_stateful_running_stats_match_batch(spark, sf_dir, tmp_path):
+    # subset of users: per-key Python invocations dominate test
+    # wall-clock; 50 keys exercise the state machinery fully
+    ev = read_events_stream(spark, sf_dir).filter(F.col("user_id") < 50)
+    out = stream_user_running_stats(ev)
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.table(name).toPandas()
+    # update mode can emit a user several times (once per batch that
+    # touched it); the last emission carries the running totals
+    got = got.groupby("user_id").last()
+
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 50)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.max("ts_sec").alias("last_ts_sec"),
+        )
+        .toPandas()
+        .set_index("user_id")
+    )
+    assert len(got) == len(batch)
+    merged = got.join(batch, lsuffix="_s", rsuffix="_b")
+    assert (merged["n_s"] == merged["n_b"]).all()
+    assert (abs(merged["sum_value_s"] - merged["sum_value_b"]) < 1e-6).all()
+    assert (merged["min_value_s"] == merged["min_value_b"]).all()
+    assert (merged["max_value_s"] == merged["max_value_b"]).all()
+    assert (merged["last_ts_sec_s"] == merged["last_ts_sec_b"]).all()
