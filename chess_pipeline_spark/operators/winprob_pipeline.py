@@ -107,14 +107,26 @@ def add_color_features(df: DataFrame, games: DataFrame) -> DataFrame:
     )
 
 
-def build_features(clocks: DataFrame, games: DataFrame, evals: DataFrame) -> DataFrame:
-    """Full feature frame for inference: clocks -> opponent/initial
-    clock windows -> pct/sig transforms -> color swap joins -> eval
-    attach (inference.py:33-55 chain J3+J4+J5)."""
+def build_features(
+    clocks: DataFrame,
+    games: DataFrame,
+    positions: DataFrame,
+    eval_cache: DataFrame,
+) -> DataFrame:
+    """Full feature frame for inference (inference.py:33-55 chain):
+    positions LEFT JOIN eval cache on fen, nulls -> 0 (J3); join onto
+    the clock features on (game_link, half_move) (J4); broadcast-join
+    game facts (J5). Clock windows and sig transforms as above."""
     from chess_pipeline_spark.operators.evals import attach_evals
 
+    pos_evals = attach_evals(positions, eval_cache).select(
+        "game_link", "half_move", "evaluation"
+    )
     df = add_initial_clocks(add_opponent_clock(clocks))
     df = add_clock_features(df)
+    df = df.join(pos_evals, ["game_link", "half_move"], "left").withColumn(
+        "evaluation", F.coalesce(F.col("evaluation"), F.lit(0.0))
+    )
     df = add_color_features(df, games)
     return df
 

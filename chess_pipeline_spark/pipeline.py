@@ -1,0 +1,131 @@
+"""The full game-ETL DAG as ONE lazy logical plan.
+
+The reference runs 17 step processes chained through parquet files
+(src/docker_entrypoint.py:46-63, SURVEY §3.1):
+
+  fetch_json / fetch_pgn -> clean_df -> get_evals -> explode_* ->
+  get_game_infos -> get_win_probs -> load_* x7
+
+Here the whole DAG is a single function over lazy DataFrames — stage
+boundaries appear only where Catalyst needs a shuffle (the explode
+windows, the eval-cache anti-join, the winprob feature joins), and
+the seven loaders collapse into `materialize()` upsert sinks.
+``cleaned`` is the only frame read by five branches, so it is the
+one explicit persist point (≙ the reference's cleaned_df.parquet).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+from chess_pipeline_spark.operators.chess_transforms import (
+    clean_df,
+    explode_clocks,
+    explode_materials,
+    explode_moves,
+    explode_positions,
+    transform_game_data,
+)
+from chess_pipeline_spark.operators.evals import (
+    attach_evals,
+    resolve_evals,
+    split_by_has_evals,
+)
+from chess_pipeline_spark.operators.winprob_pipeline import (
+    build_features,
+    infer_win_probabilities,
+)
+
+
+@dataclass
+class GameEtlOutput:
+    """The reference's seven loaded tables (db/tables/*.sql), lazily."""
+
+    chess_games: DataFrame
+    game_moves: DataFrame
+    game_clocks: DataFrame
+    game_positions: DataFrame
+    game_materials: DataFrame
+    position_evals: DataFrame
+    win_probabilities: DataFrame
+
+    def tables(self) -> dict[str, DataFrame]:
+        return {
+            "chess_games": self.chess_games,
+            "game_moves": self.game_moves,
+            "game_clocks": self.game_clocks,
+            "game_positions": self.game_positions,
+            "game_materials": self.game_materials,
+            "position_evals": self.position_evals,
+            "win_probabilities": self.win_probabilities,
+        }
+
+
+def run_game_etl(
+    pgn: DataFrame,
+    json_games: DataFrame,
+    player: str,
+    eval_cache: DataFrame,
+    persist_cleaned: bool = True,
+) -> GameEtlOutput:
+    """raw PGN rows + raw JSON rows -> the seven reference tables.
+
+    `eval_cache` is the existing position_evals table (may be empty);
+    embedded PGN evals are folded into it (the reference's
+    cache-union, stockfish.py:94,109). External eval *fetching* for
+    still-missing FENs is a separate side-effecting step
+    (operators/evals.fetch_missing) deliberately outside this pure
+    plan.
+    """
+    cleaned = clean_df(pgn, json_games)
+    if persist_cleaned:
+        cleaned = cleaned.persist()
+
+    games = transform_game_data(cleaned, player)
+    moves = explode_moves(cleaned)
+    clocks = explode_clocks(cleaned)
+    positions = explode_positions(cleaned)
+    materials = explode_materials(cleaned)
+
+    with_evals, _without = split_by_has_evals(cleaned)
+    new_cache = resolve_evals(
+        with_evals,
+        new_evals=eval_cache.limit(0),  # no external fetch in the pure plan
+        cache=eval_cache,
+    )
+
+    features = build_features(clocks, games, positions, new_cache)
+    win_probs = infer_win_probabilities(features)
+
+    return GameEtlOutput(
+        chess_games=games,
+        game_moves=moves,
+        game_clocks=clocks,
+        game_positions=positions,
+        game_materials=materials,
+        position_evals=new_cache,
+        win_probabilities=win_probs,
+    )
+
+
+def materialize(
+    out: GameEtlOutput, base_path: str, keys: dict[str, list[str]] | None = None
+) -> None:
+    """The seven load_* steps as idempotent parquet upserts
+    (postgres_templates.py:13-157 -> sinks.upsert_parquet)."""
+    from chess_pipeline_spark.sinks import upsert_parquet
+
+    default_keys = {
+        "chess_games": ["player", "game_link"],
+        "game_moves": ["game_link", "half_move"],
+        "game_clocks": ["game_link", "half_move"],
+        "game_positions": ["game_link", "half_move"],
+        "game_materials": ["game_link", "half_move"],
+        "position_evals": ["fen"],
+        "win_probabilities": ["game_link", "half_move"],
+    }
+    keys = {**default_keys, **(keys or {})}
+    for name, df in out.tables().items():
+        upsert_parquet(df, f"{base_path}/{name}", keys[name])
