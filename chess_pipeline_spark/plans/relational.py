@@ -879,6 +879,40 @@ FROM lineitem WHERE l_quantity < -1 GROUP BY l_linestatus
 """
 
 
+def rollup_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP + grouping_id (SURVEY §2.4
+    note: no grouping sets exist in the reference — Spark's
+    rollup/cube come free and are exposed here). NULL group keys from
+    the subtotal rows are sentinel-filled for cross-engine hashing."""
+    o = _L(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            fround(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            "n",
+            "sum_price",
+            "gid",
+        )
+    )
+
+
+ROLLUP_PRIORITY_STATUS_SQL = """
+SELECT coalesce(o_orderpriority, '<all>') AS priority,
+       coalesce(o_orderstatus, '<all>') AS status,
+       count(*) AS n,
+       floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 AS sum_price,
+       CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS BIGINT) AS gid
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "win_ratio_by_status": QuerySpec(win_ratio_by_status, WIN_RATIO_SQL, "A1 A2 E5 P7"),
     "pricing_summary": QuerySpec(pricing_summary, PRICING_SUMMARY_SQL, "A3 P3"),
@@ -923,5 +957,8 @@ QUERIES: dict[str, QuerySpec] = {
     "struct_pack_fields": QuerySpec(struct_pack_fields, STRUCT_PACK_FIELDS_SQL, "E4 E6 P7"),
     "empty_relation_guard": QuerySpec(
         empty_relation_guard, EMPTY_RELATION_GUARD_SQL, "P10"
+    ),
+    "rollup_priority_status": QuerySpec(
+        rollup_priority_status, ROLLUP_PRIORITY_STATUS_SQL, "A2+ grouping-sets"
     ),
 }

@@ -70,6 +70,23 @@ def stream_tumbling_counts(events: DataFrame, watermark: str = "2 hours") -> Dat
     )
 
 
+def stream_sliding_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Sliding 1h/30m window x event_type — the streaming twin of
+    plans/timeseries.events_sliding_1h_30m (each event lands in two
+    overlapping windows)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
 def stream_session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Native session_window sessionization (the streaming-stateful
     twin of plans/timeseries.events_sessionized)."""

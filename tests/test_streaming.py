@@ -17,6 +17,7 @@ from chess_pipeline_spark.streaming.jobs import (
     read_events_stream,
     stream_dedup_latest,
     stream_session_counts,
+    stream_sliding_counts,
     stream_tumbling_counts,
     stream_upsert_foreach_batch,
 )
@@ -45,6 +46,15 @@ def test_stream_tumbling_matches_batch(spark, sf_dir, tmp_path):
     got = _run_to_memory(stream_tumbling_counts(ev), spark, tmp_path)
     # batch twin, minus rounding (the stream job does no fround)
     batch = timeseries.events_tumbling_1h(spark, sf_dir)
+    g = _rows(got.select("window_start", "event_type", "n"))
+    b = _rows(batch.select("window_start", "event_type", "n"))
+    assert g == b and len(g) > 0
+
+
+def test_stream_sliding_matches_batch(spark, sf_dir, tmp_path):
+    ev = read_events_stream(spark, sf_dir)
+    got = _run_to_memory(stream_sliding_counts(ev), spark, tmp_path)
+    batch = timeseries.events_sliding_1h_30m(spark, sf_dir)
     g = _rows(got.select("window_start", "event_type", "n"))
     b = _rows(batch.select("window_start", "event_type", "n"))
     assert g == b and len(g) > 0
