@@ -224,6 +224,47 @@ FROM events
 """
 
 
+def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every event picks up the user's most recent
+    purchase value at-or-before its timestamp (operators/asof.py —
+    union+window composition, one shuffle on user_id). The DuckDB
+    oracle uses its NATIVE ASOF JOIN, so the composition's semantics
+    are checked against a first-class implementation."""
+    from chess_pipeline_spark.operators.asof import asof_join
+
+    ev = _L(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts_sec", "event_type", "value"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts_sec")
+        .agg(F.max("value").alias("last_purchase_value"))
+    )
+    out = asof_join(
+        ev, purchases, on=["user_id"], ts="ts_sec", payload=["last_purchase_value"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_sec",
+        fround("last_purchase_value", 2).alias("last_purchase_value"),
+    )
+
+
+EVENTS_ASOF_LAST_PURCHASE_SQL = f"""
+WITH e AS (
+  SELECT event_id, user_id, {_TS_SEC} AS ts_sec, event_type, value
+  FROM events),
+p AS (
+  SELECT user_id, ts_sec, max(value) AS last_purchase_value
+  FROM e WHERE event_type = 'purchase' GROUP BY 1, 2)
+SELECT e.event_id, e.user_id, e.ts_sec,
+       floor((p.last_purchase_value) * 100.0 + 0.5) / 100.0 AS last_purchase_value
+FROM e ASOF LEFT JOIN p
+  ON e.user_id = p.user_id AND e.ts_sec >= p.ts_sec
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "value_stats_by_weekday": QuerySpec(
         value_stats_by_weekday, VALUE_STATS_BY_WEEKDAY_SQL, "A3 F9"
@@ -240,4 +281,7 @@ QUERIES: dict[str, QuerySpec] = {
         events_dedup_latest, EVENTS_DEDUP_LATEST_SQL, "S5 W1 P9 A8"
     ),
     "json_props_extract": QuerySpec(json_props_extract, JSON_PROPS_EXTRACT_SQL, "S1 E6"),
+    "events_asof_last_purchase": QuerySpec(
+        events_asof_last_purchase, EVENTS_ASOF_LAST_PURCHASE_SQL, "asof-join ext"
+    ),
 }
