@@ -879,6 +879,101 @@ FROM lineitem WHERE l_quantity < -1 GROUP BY l_linestatus
 """
 
 
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped 5-table join: region -> nation -> customer ->
+    orders -> lineitem, revenue per nation. The three dimension hops
+    (region, nation, customer) broadcast; only the orders⋈lineitem
+    fact join and the final agg shuffle — the canonical star-join
+    plan at 100 TB."""
+    region = _L(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _L(spark, sf_dir, "nation")
+    cust = _L(spark, sf_dir, "customer")
+    orders = _L(spark, sf_dir, "orders")
+    li = _L(spark, sf_dir, "lineitem")
+    dims = (
+        cust.join(
+            F.broadcast(nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)),
+            cust.c_nationkey == nation.n_nationkey,
+        )
+        .select("c_custkey", "n_name")
+    )
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("n_name")
+        .agg(fround(revenue, 2).alias("revenue"), F.count("*").alias("n_lines"))
+    )
+
+
+REVENUE_BY_NATION_SQL = """
+SELECT n_name,
+       floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile`
+    ≙ DuckDB `quantile_cont`). The exact variant shuffles the group's
+    values; at 100 TB swap in approx_percentile (t-digest sketch,
+    mergeable map-side) — same plan shape, bounded state."""
+    li = _L(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        fround(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        fround(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+        fround(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+        F.count("*").alias("n"),
+    )
+
+
+PRICE_PERCENTILES_SQL = """
+SELECT l_returnflag,
+       floor((quantile_cont(l_extendedprice, 0.5)) * 10000.0 + 0.5) / 10000.0 AS p50,
+       floor((quantile_cont(l_extendedprice, 0.9)) * 10000.0 + 0.5) / 10000.0 AS p90,
+       floor((quantile_cont(l_extendedprice, 0.99)) * 10000.0 + 0.5) / 10000.0 AS p99,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative sum with an explicit frame spec (rows unbounded
+    preceding — the frame-spec surface SURVEY §2.5 notes Spark
+    exposes beyond the reference): running order total per customer
+    in (date, orderkey) order."""
+    o = _L(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        fround(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+RUNNING_REVENUE_SQL = """
+SELECT o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       floor((sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey
+                                      ROWS UNBOUNDED PRECEDING)) * 100.0 + 0.5) / 100.0
+         AS running_total
+FROM orders
+"""
+
+
 def rollup_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical subtotals via ROLLUP + grouping_id (SURVEY §2.4
     note: no grouping sets exist in the reference — Spark's
@@ -961,4 +1056,7 @@ QUERIES: dict[str, QuerySpec] = {
     "rollup_priority_status": QuerySpec(
         rollup_priority_status, ROLLUP_PRIORITY_STATUS_SQL, "A2+ grouping-sets"
     ),
+    "revenue_by_nation": QuerySpec(revenue_by_nation, REVENUE_BY_NATION_SQL, "J5 A1 O1"),
+    "price_percentiles": QuerySpec(price_percentiles, PRICE_PERCENTILES_SQL, "A3+ percentile"),
+    "running_revenue": QuerySpec(running_revenue, RUNNING_REVENUE_SQL, "W5+ frame-spec"),
 }
