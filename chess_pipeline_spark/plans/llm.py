@@ -416,18 +416,27 @@ GROUP BY 1, 2
 # ------------------------------------------------------------------
 # SimHash near-dup
 # ------------------------------------------------------------------
-# 16-bit SimHash over word hashes: each word votes ±1 per bit position
-# according to its hash bits; the signature takes the sign of each
-# vote sum. Near-dups = pairs within a block whose signatures differ
-# in <= 3 bits. Same closed-form word hash as MinHash so the oracle
-# reproduces it bit-for-bit.
+# 28-bit SimHash over MIXED word hashes: each word votes ±1 per bit
+# position according to its hash bits; the signature takes the sign
+# of each vote sum. Near-dups = pairs whose signatures differ in
+# <= 3 bits. Width matters: a k-bit signature passes random pairs at
+# ~C(k,<=3)/2^k — 1% at k=16 (candidate blow-up at corpus scale,
+# observed in the 50k-doc stress run) vs ~1.4e-5 at k=28. The base
+# hash spans only ~27 bits for ASCII words (its high bits would be
+# dead), so it is mixed with a Knuth multiplicative step mod 2^31
+# first; the same closed form runs in the DuckDB oracle bit-for-bit.
 
-_SIMHASH_BITS = 16
+_SIMHASH_BITS = 28
+_SIMHASH_BANDS = 4
+_SIMHASH_BAND_BITS = _SIMHASH_BITS // _SIMHASH_BANDS  # 7 bits -> 128 buckets/band
+
+# mix: ((h mod 2^31) * 2654435761) mod 2^31 — stays within BIGINT
+_MIX = "((({h}) % 2147483648) * 2654435761) % 2147483648"
 
 
 def _simhash_expr_spark() -> str:
-    """Signature over a pre-hashed word array column `hw` (hash each
-    word ONCE; 16 integer-only vote folds over it)."""
+    """Signature over a pre-mixed word-hash array column `hw` (hash+
+    mix each word ONCE; integer-only vote folds over it)."""
     terms = []
     for j in range(_SIMHASH_BITS):
         vote = (
@@ -440,12 +449,12 @@ def _simhash_expr_spark() -> str:
 
 
 def _simhash_expr_duckdb() -> str:
-    h = _BASE_HASH.format(s="w")
+    """Same fold over a pre-mixed `hw` list column (built in a CTE)."""
     terms = []
     for j in range(_SIMHASH_BITS):
         vote = (
-            f"list_sum(list_transform(string_split(text, ' '), "
-            f"w -> CASE WHEN (({h}) >> {j}) & 1 = 1 THEN 1 ELSE -1 END))"
+            f"list_sum(list_transform(hw, "
+            f"h -> CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END))"
         )
         terms.append(f"CASE WHEN ({vote}) > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
     return " + ".join(terms)
@@ -458,15 +467,15 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair space linear-ish; the signature itself is a pure per-row
     projection — no shuffle until the pair join."""
     d = spread(_L(spark, sf_dir, "documents"), "doc_id")
-    h = _BASE_HASH.format(s="w")
+    hm = _MIX.format(h=_BASE_HASH.format(s="w"))
     hashed = d.select(
         "doc_id", "source",
-        F.expr(f"transform(split(text, ' '), w -> {h})").alias("hw"),
+        F.expr(f"transform(split(text, ' '), w -> {hm})").alias("hw"),
     )
     sig = hashed.select(
         "doc_id", "source", F.expr(_simhash_expr_spark()).alias("simhash")
     )
-    # LSH banding for hamming distance: 4 bands x 4 bits. A pair at
+    # LSH banding for hamming distance: 4 bands x 7 bits. A pair at
     # hamming <= 3 differs in at most 3 bits, so by pigeonhole at
     # least one band is identical — banding has 100% recall and the
     # verified result equals the naive all-pairs definition (which
@@ -479,8 +488,13 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         "simhash",
-        F.explode(F.expr("sequence(0, 3)")).alias("band"),
-    ).withColumn("bv", F.expr("shiftright(simhash, band * 4) % 16"))
+        F.explode(F.expr(f"sequence(0, {_SIMHASH_BANDS - 1})")).alias("band"),
+    ).withColumn(
+        "bv",
+        F.expr(
+            f"shiftright(simhash, band * {_SIMHASH_BAND_BITS}) % {1 << _SIMHASH_BAND_BITS}"
+        ),
+    )
     buckets = bands.groupBy("source", "band", "bv").agg(
         F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias("xs")
     )
@@ -502,9 +516,14 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SIMHASH_NEAR_DUP_SQL = f"""
-WITH sig AS (
+WITH hashed AS (
+  SELECT doc_id, source,
+         list_transform(string_split(text, ' '),
+                        w -> {_MIX.format(h=_BASE_HASH.format(s="w"))}) AS hw
+  FROM documents),
+sig AS (
   SELECT doc_id, source, {_simhash_expr_duckdb()} AS simhash
-  FROM documents)
+  FROM hashed)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        a.simhash AS simhash_a,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming

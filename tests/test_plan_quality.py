@@ -81,6 +81,15 @@ def test_anti_join_uses_broadcast_or_hash(spark, sf_dir):
     assert "LeftAnti" in plan
 
 
+def test_no_cartesian_products_anywhere(spark, sf_dir):
+    # broadcast nested-loop against a tiny broadcast side (the knn
+    # query set) is fine; an unpartitioned CartesianProduct is never
+    # acceptable — it means a join lost its equi-condition
+    for name in _CATALOG:
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+
+
 @pytest.mark.parametrize(
     "name", ["events_tumbling_1h", "events_sessionized", "value_stats_by_weekday"]
 )
