@@ -208,19 +208,19 @@ FROM documents
 # ------------------------------------------------------------------
 
 
-def near_dup_pairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-set Jaccard near-dup pairs with blocking on `source`,
-    computed via an inverted index (the scalable plan).
+_JACCARD_T = 0.9
 
-    Instead of a blocked self-join doing an array_intersect per pair
-    (quadratic array work), explode distinct words and self-join the
-    posting lists on (source, word): the intersection size is a
-    count per (doc_a, doc_b), and pairs sharing no words never
-    materialize at all. One shuffle on (source, word), one on the
-    pair key — both bounded by posting-list sizes, which at 100 TB
-    is tamed by dropping ultra-common words (not needed here).
-    Output-identical to the naive plan: zero-intersection pairs
-    can't pass a 0.9 threshold anyway.
+
+def near_dup_pairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-set Jaccard near-dup pairs (threshold 0.9) with blocking
+    on `source`, via a full inverted index: explode distinct words,
+    self-join posting lists on (source, word), count matches per
+    pair — intersection sizes arrive as counts, pairs sharing no
+    word never materialize. One shuffle on (source, word), one on
+    the pair key. Wins whenever token frequencies are benign (no
+    posting list dominates) — see `near_dup_pairs_jaccard_prefix`
+    for the zipfian-corpus variant and SCALING.md for the measured
+    crossover discussion.
     """
     d = spread(_L(spark, sf_dir, "documents"), "doc_id")
     ws = d.select(
@@ -249,7 +249,63 @@ def near_dup_pairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
     return inter.select(
         "doc_a", "doc_b", fround(jac, 6).alias("jaccard")
-    ).filter(jac >= 0.9)
+    ).filter(jac >= _JACCARD_T)
+
+
+def near_dup_pairs_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics via PREFIX-FILTERED inverted index + exact
+    verify — the AllPairs/PPJoin strategy for zipfian corpora.
+
+    Prefix-filter principle: order each doc's tokens by ascending
+    (block-local) frequency; if J(a,b) >= t, the first
+    |d| - ceil(t*|d|) + 1 tokens of a and b must intersect. So only
+    those prefix tokens enter the inverted index — posting lists
+    shrink to the RAREST tokens (at t=0.9, ~10% of each doc), and
+    ultra-common tokens never generate candidates. Candidates are
+    then verified EXACTLY on the full word sets, so the result is
+    identical to the naive all-pairs definition (which the DuckDB
+    oracle computes). Shuffles: token-frequency agg, per-doc rank
+    window, prefix-token join, pair dedup, verify join — all bounded
+    by prefix posting lists, never corpus².
+    """
+    d = spread(_L(spark, sf_dir, "documents"), "doc_id")
+    ws = d.select(
+        "doc_id",
+        "source",
+        F.array_distinct(F.split("text", " ")).alias("w"),
+    ).select("doc_id", "source", "w", F.size("w").alias("n"))
+
+    tokens = ws.select("doc_id", "source", "n", F.explode("w").alias("word"))
+    freq = tokens.groupBy("source", "word").agg(F.count("*").alias("df"))
+    rank_w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("word"))
+    prefix_len = (F.col("n") - F.ceil(F.lit(_JACCARD_T) * F.col("n")) + 1).cast("int")
+    prefix = (
+        tokens.join(freq, ["source", "word"])
+        .withColumn("rnk", F.row_number().over(rank_w))
+        .filter(F.col("rnk") <= prefix_len)
+        .select("doc_id", "source", "word")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    wa = ws.select(F.col("doc_id").alias("doc_a"), F.col("w").alias("wa"), F.col("n").alias("na"))
+    wb = ws.select(F.col("doc_id").alias("doc_b"), F.col("w").alias("wb"), F.col("n").alias("nb"))
+    inter = F.size(F.array_intersect(F.col("wa"), F.col("wb")))
+    jac = inter / (F.col("na") + F.col("nb") - inter).cast("double")
+    return (
+        cand.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .select("doc_a", "doc_b", fround(jac, 6).alias("jaccard"))
+        .filter(jac >= _JACCARD_T)
+    )
 
 
 NEAR_DUP_PAIRS_JACCARD_SQL = """
@@ -804,6 +860,9 @@ QUERIES: dict[str, QuerySpec] = {
     "doc_fingerprint": QuerySpec(doc_fingerprint, DOC_FINGERPRINT_SQL, "llm-fingerprint"),
     "near_dup_pairs_jaccard": QuerySpec(
         near_dup_pairs_jaccard, NEAR_DUP_PAIRS_JACCARD_SQL, "llm-neardup"
+    ),
+    "near_dup_pairs_jaccard_prefix": QuerySpec(
+        near_dup_pairs_jaccard_prefix, NEAR_DUP_PAIRS_JACCARD_SQL, "llm-neardup ppjoin"
     ),
     "minhash_signatures": QuerySpec(minhash_signatures, MINHASH_SIGNATURES_SQL, "llm-minhash"),
     "minhash_lsh_candidates": QuerySpec(
