@@ -804,6 +804,98 @@ WHERE rank <= 5
 """
 
 
+# random-hyperplane LSH: 8 deterministic pseudo-random planes over the
+# 64-dim space; bucket = sign-bit signature. Closed-form plane values
+# so the DuckDB oracle reproduces them exactly:
+#   plane(j, i) = ((j*1000003 + i*7919) % 1000) / 1000 - 0.5
+_LSH_PLANES = 8
+_PLANE = "((({j}) * 1000003 + ({i}) * 7919) % 1000) / 1000.0 - 0.5"
+
+
+def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: sign-of-dot signature against 8 fixed
+    hyperplanes buckets the corpus into 256 cells; each query
+    (vec_id < 5) probes ONLY its own cell, exact top-5 inside it.
+
+    The third point on the ANN menu (brute force = exactness, IVF =
+    learned lists, LSH = data-independent buckets): bucketing is a
+    pure per-row projection (no training pass), so ingest is
+    one-pass and the probe is a hash join on the bucket id. Queries
+    may return fewer than 5 rows when their cell is sparse —
+    that is the accuracy/cost trade, surfaced honestly.
+    """
+    e = spread(_L(spark, sf_dir, "embeddings"), "vec_id")
+    # bucket id: sum over planes j of 2^j * (dot(v, plane_j) > 0)
+    plane = _PLANE.format(j="j", i="i - 1")
+    dot_j = (
+        "aggregate(zip_with(embedding, sequence(1, size(embedding)), "
+        f"(x, i) -> CAST(x AS DOUBLE) * ({plane})), "
+        "CAST(0 AS DOUBLE), (a, b) -> a + b)"
+    )
+    bucket = (
+        f"aggregate(transform(sequence(0, {_LSH_PLANES - 1}), "
+        f"j -> CASE WHEN ({dot_j}) > 0 THEN shiftleft(CAST(1 AS BIGINT), j) "
+        "ELSE CAST(0 AS BIGINT) END), CAST(0 AS BIGINT), (a, b) -> a + b)"
+    )
+    bucketed = e.select("vec_id", "embedding", F.expr(bucket).alias("bucket"))
+    q = bucketed.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), "bucket"
+    )
+    cos = F.expr(_DOT.format(u="qe", v="embedding")) / (
+        F.expr(_NORM.format(v="qe")) * F.expr(_NORM.format(v="embedding"))
+    )
+    scored = (
+        bucketed.join(F.broadcast(q), "bucket")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("neighbor_id"), fround(cos, 6).alias("cos_sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= 5
+    )
+
+
+def _knn_lsh_sql() -> str:
+    plane = _PLANE.format(j="j", i="i - 1")
+    return f"""
+WITH ue AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings),
+dots AS (
+  SELECT u.vec_id, p.j, sum(u.x * ({plane})) AS d
+  FROM ue u, range(0, {_LSH_PLANES}) p(j)
+  GROUP BY 1, 2),
+buckets AS (
+  SELECT vec_id,
+         sum(CASE WHEN d > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS bucket
+  FROM dots GROUP BY 1),
+norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ue GROUP BY vec_id),
+pairs AS (
+  SELECT qb.vec_id AS qid, cb.vec_id AS neighbor_id, sum(qa.x * ca.x) AS dot
+  FROM buckets qb
+  JOIN buckets cb ON qb.bucket = cb.bucket AND cb.vec_id <> qb.vec_id
+  JOIN ue qa ON qa.vec_id = qb.vec_id
+  JOIN ue ca ON ca.vec_id = cb.vec_id AND ca.i = qa.i
+  WHERE qb.vec_id < 5
+  GROUP BY 1, 2)
+SELECT qid, neighbor_id, cos_sim, rank
+FROM (SELECT qid, neighbor_id,
+             floor((dot / (na.nrm * nb.nrm)) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim,
+             row_number() OVER (
+               PARTITION BY qid
+               ORDER BY floor((dot / (na.nrm * nb.nrm)) * 1000000.0 + 0.5) DESC,
+                        neighbor_id ASC) AS rank
+      FROM pairs
+      JOIN norms na ON na.vec_id = pairs.qid
+      JOIN norms nb ON nb.vec_id = pairs.neighbor_id)
+WHERE rank <= 5
+"""
+
+
+KNN_COSINE_LSH_SQL = _knn_lsh_sql()
+
+
 def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector norm / mean — the aggregate-lambda warm-up for any
     embedding-column pipeline (all JVM-side)."""
@@ -874,6 +966,7 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "knn_cosine_topk": QuerySpec(knn_cosine_topk, KNN_COSINE_TOPK_SQL, "llm-knn F18"),
     "knn_cosine_ivf": QuerySpec(knn_cosine_ivf, KNN_COSINE_IVF_SQL, "llm-knn-ivf"),
+    "knn_cosine_lsh": QuerySpec(knn_cosine_lsh, KNN_COSINE_LSH_SQL, "llm-knn-lsh"),
     "embedding_stats": QuerySpec(embedding_stats, EMBEDDING_STATS_SQL, "llm-embed"),
     "multimodal_features": QuerySpec(multimodal_features, None, "llm-multimodal"),
 }
