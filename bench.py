@@ -31,6 +31,8 @@ from chess_pipeline_spark.session import get_spark  # noqa: E402
 HEADLINE = [
     "pricing_summary",
     "top_customer_revenue",
+    "revenue_by_nation",
+    "events_asof_last_purchase",
     "win_ratio_by_status",
     "clock_lead_fill",
     "explode_quantities",
@@ -43,6 +45,7 @@ HEADLINE = [
     "simhash_near_dup",
     "knn_cosine_topk",
     "knn_cosine_ivf",
+    "knn_cosine_lsh",
     "win_prob_lr",
     "multimodal_features",
 ]
