@@ -37,19 +37,35 @@ def asof_join(
     right.ts <= left.ts per `on` key; nulls where no right row
     precedes. `right` must be unique per (on, ts) — pre-aggregate if
     not (ambiguous as-of matches are a semantics error, not a
-    tie to break silently)."""
+    tie to break silently).
+
+    The payload travels as ONE struct: `last(ignorenulls)` then
+    skips left rows' placeholder (whole-struct NULL) but always
+    takes the latest right ROW atomically — individual payload
+    fields that are genuinely NULL in that row stay NULL, and
+    multi-column payloads can never mix values from different right
+    rows (per-column ignorenulls fills would do both wrong).
+    """
+    clash = set(left.columns) & set(payload)
+    if clash:
+        raise ValueError(
+            f"asof_join payload column(s) {sorted(clash)} already exist on the "
+            "left side — rename one side before joining"
+        )
+    payload_struct = F.struct(*[F.col(c) for c in payload])
     l_tagged = left.withColumn("__side", F.lit(1))
-    for c in payload:
-        l_tagged = l_tagged.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
-    r_tagged = right.select(
-        *on, ts, *payload
-    ).withColumn("__side", F.lit(0))
+    r_tagged = (
+        right.select(*on, ts, payload_struct.alias("__payload"))
+        .withColumn("__side", F.lit(0))
+    )
     u = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
     w = (
         Window.partitionBy(*on)
         .orderBy(F.col(ts).asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    u = u.withColumn("__payload", F.last("__payload", ignorenulls=True).over(w))
+    out = u.filter(F.col("__side") == 1)
     for c in payload:
-        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return u.filter(F.col("__side") == 1).drop("__side")
+        out = out.withColumn(c, F.col(f"__payload.{c}"))
+    return out.drop("__side", "__payload")

@@ -74,7 +74,11 @@ def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_stop.alias("n_stopwords"),
         fround(n_stop / n_words.cast("double"), 6).alias("stopword_ratio"),
         n_punct.alias("n_punct"),
-        fround(n_punct / n_chars.cast("double"), 6).alias("punct_ratio"),
+        # nullif guard: on empty text Spark's 0/0 gives NULL but
+        # DuckDB's IEEE float 0/0.0 gives NaN — make both NULL
+        fround(n_punct / F.expr("nullif(length(text), 0)").cast("double"), 6).alias(
+            "punct_ratio"
+        ),
         fround((n_chars - (n_words - 1)) / n_words.cast("double"), 6).alias("mean_word_len"),
     )
 
@@ -92,7 +96,7 @@ WITH s AS (
 SELECT doc_id, n_chars, n_words, n_stopwords,
        floor((n_stopwords / CAST(n_words AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS stopword_ratio,
        n_punct,
-       floor((n_punct / CAST(n_chars AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS punct_ratio,
+       floor((n_punct / CAST(nullif(n_chars, 0) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS punct_ratio,
        floor(((n_chars - (n_words - 1)) / CAST(n_words AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS mean_word_len
 FROM s
 """
@@ -140,10 +144,11 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "long"
         )
     pred = F.lit("unknown")
-    # fixed precedence: later langs win ties only if strictly greater;
-    # evaluate in reverse so 'en' has highest precedence at equal score
+    # fixed precedence: evaluate in declaration order with a
+    # strictly-greater update — the FIRST-evaluated language keeps
+    # ties, so 'en' (declared first) has highest tie precedence
     best = F.lit(0).cast("long")
-    for lang in reversed(list(_LANG_MARKERS)):
+    for lang in _LANG_MARKERS:
         is_better = scores[lang] > best
         pred = F.when(is_better, F.lit(lang)).otherwise(pred)
         best = F.when(is_better, scores[lang]).otherwise(best)
@@ -158,11 +163,12 @@ def _lang_id_sql() -> str:
         score_exprs.append(
             f"CAST(len(list_filter(string_split(text, ' '), w -> w IN ({lst}))) AS BIGINT) AS score_{lang}"
         )
-    # mirror the Spark fold: reverse order, strictly-greater updates
+    # mirror the Spark fold: declaration order, strictly-greater
+    # updates (first-declared language keeps ties)
     langs = list(_LANG_MARKERS)
     pred = "'unknown'"
     best = "CAST(0 AS BIGINT)"
-    for lang in reversed(langs):
+    for lang in langs:
         pred = f"CASE WHEN score_{lang} > {best} THEN '{lang}' ELSE {pred} END"
         best = f"CASE WHEN score_{lang} > {best} THEN score_{lang} ELSE {best} END"
     return f"""
@@ -365,14 +371,23 @@ def _minhash_sig(spark: SparkSession, sf_dir: str, only_shingled: bool = False) 
         "ELSE CAST(array() AS array<string>) END"
     )
     # hash each shingle ONCE, then apply the k permutations to the
-    # integer array (string ops are the expensive part)
+    # integer array (string ops are the expensive part). Both the
+    # base hash and the permutation multiplier are reduced mod P
+    # BEFORE multiplying — (a%P)*(h%P) stays under 2^63 even for
+    # CJK code points (ascii('的')≈3e4 → h≈3e10, and one raw perm
+    # constant is ~9.6e9: the raw product would overflow, silently
+    # wrapping in Spark but ABORTING the DuckDB oracle). Modular
+    # arithmetic keeps the resulting signatures identical.
     h = _BASE_HASH.format(s="s")
     df = words.select(
-        "doc_id", F.expr(f"transform({shingles}, s -> {h})").alias("hs")
+        "doc_id",
+        F.expr(f"transform({shingles}, s -> ({h}) % {_MINHASH_P})").alias("hs"),
     )
     cols = [
         F.coalesce(
-            F.expr(f"array_min(transform(hs, h -> ({a} * h + {b}) % {_MINHASH_P}))"),
+            F.expr(
+                f"array_min(transform(hs, h -> ({a % _MINHASH_P} * h + {b}) % {_MINHASH_P}))"
+            ),
             F.lit(-1),
         ).alias(f"mh_{j}")
         for j, (a, b) in enumerate(_MINHASH_PERMS)
@@ -387,7 +402,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_sql() -> str:
     h = _BASE_HASH.format(s="s")
     mins = ", ".join(
-        f"coalesce(list_min(list_transform(sh, s -> ({a} * ({h}) + {b}) % {_MINHASH_P})), -1) AS mh_{j}"
+        f"coalesce(list_min(list_transform(sh, s -> ({a % _MINHASH_P} * ((({h})) % {_MINHASH_P}) + {b}) % {_MINHASH_P})), -1) AS mh_{j}"
         for j, (a, b) in enumerate(_MINHASH_PERMS)
     )
     return f"""
@@ -454,7 +469,7 @@ sh AS (
   FROM w WHERE len(words) >= 3),
 sig AS (
   SELECT doc_id,
-         {", ".join(f"list_min(list_transform(sh, s -> ({a} * ({_BASE_HASH.format(s='s')}) + {b}) % {_MINHASH_P})) AS mh_{j}" for j, (a, b) in enumerate(_MINHASH_PERMS))}
+         {", ".join(f"list_min(list_transform(sh, s -> ({a % _MINHASH_P} * ((({_BASE_HASH.format(s='s')})) % {_MINHASH_P}) + {b}) % {_MINHASH_P})) AS mh_{j}" for j, (a, b) in enumerate(_MINHASH_PERMS))}
   FROM sh),
 bands AS (
   SELECT doc_id, 0 AS band, mh_0 AS h1, mh_1 AS h2 FROM sig
@@ -593,6 +608,13 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 # ------------------------------------------------------------------
 
 
+_DOT = (
+    "aggregate(zip_with({u}, {v}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " CAST(0 AS DOUBLE), (a, b) -> a + b)"
+)
+_NORM = "sqrt(aggregate({v}, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+
+
 def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 cosine neighbors for each query vector (vec_id < 5).
 
@@ -607,12 +629,10 @@ def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
     cand = e.select("vec_id", "embedding")
-    dot = F.expr(
-        "aggregate(zip_with(qe, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
-        " CAST(0 AS DOUBLE), (a, b) -> a + b)"
+    dot = F.expr(_DOT.format(u="qe", v="embedding"))
+    cos = fround(
+        dot / (F.expr(_NORM.format(v="qe")) * F.expr(_NORM.format(v="embedding"))), 6
     )
-    norm = "sqrt(aggregate({v}, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
-    cos = fround(dot / (F.expr(norm.format(v="qe")) * F.expr(norm.format(v="embedding"))), 6)
     scored = (
         cand.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("qid"))
@@ -648,13 +668,6 @@ FROM (SELECT *, row_number() OVER (PARTITION BY qid
       FROM cosd)
 WHERE rank <= 5
 """
-
-
-_DOT = (
-    "aggregate(zip_with({u}, {v}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
-    " CAST(0 AS DOUBLE), (a, b) -> a + b)"
-)
-_NORM = "sqrt(aggregate({v}, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
 
 
 def embedding_near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -56,6 +56,11 @@ def _update_user_stats(
         return
     n, s, mn, mx, last = state.get if state.exists else (0, 0.0, None, None, None)
     for pdf in pdfs:
+        # rows with NULL value/ts_sec are skipped (NaN would poison
+        # min/max state permanently and int(NaN) would kill the task)
+        pdf = pdf.dropna(subset=["value", "ts_sec"])
+        if pdf.empty:
+            continue
         n += len(pdf)
         s += float(pdf["value"].sum())
         bmn = float(pdf["value"].min())

@@ -27,6 +27,28 @@ def test_asof_semantics(spark):
     }
 
 
+def test_asof_null_payload_and_multi_column_atomicity(spark):
+    # the latest right ROW wins atomically: its genuine NULL fields
+    # stay NULL (no stale fill from an earlier row), and multi-column
+    # payloads never mix values from different right rows
+    left = spark.createDataFrame([("k", 3)], "k string, ts int")
+    right = spark.createDataFrame(
+        [("k", 1, 5.0, 1.0), ("k", 2, None, 2.0)],
+        "k string, ts int, a double, b double",
+    )
+    r = asof_join(left, right, on=["k"], ts="ts", payload=["a", "b"]).first()
+    assert r["a"] is None and r["b"] == 2.0
+
+
+def test_asof_rejects_payload_collision(spark):
+    import pytest
+
+    left = spark.createDataFrame([("k", 1, 0.0)], "k string, ts int, v double")
+    right = spark.createDataFrame([("k", 1, 1.0)], "k string, ts int, v double")
+    with pytest.raises(ValueError, match="already exist"):
+        asof_join(left, right, on=["k"], ts="ts", payload=["v"])
+
+
 def test_asof_preserves_left_row_count(spark, sf_dir):
     from chess_pipeline_spark.plans.timeseries import events_asof_last_purchase
     from chess_pipeline_spark.sources import load_table
