@@ -28,7 +28,10 @@ def split_by_has_evals(games: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Partition games into (has embedded evals, needs fetch) — P5's
     predicate-on-array (stockfish.py:33-34 `evaluations.map(any)`:
     true iff any nonzero entry)."""
-    p = F.exists("evaluations", lambda x: x != 0)
+    # coalesce to false: exists() over a NULL array yields NULL,
+    # which would fail BOTH p and ~p — silently dropping the game
+    # from the cache fold AND the fetch queue
+    p = F.coalesce(F.exists("evaluations", lambda x: x != 0), F.lit(False))
     return games.filter(p), games.filter(~p)
 
 
@@ -50,21 +53,30 @@ def resolve_evals(
     U1 union; dedup A8)."""
     from chess_pipeline_spark.operators.chess_transforms import explode_evals
 
-    embedded = explode_evals(games_with_evals).select("fen", "evaluation", "eval_depth")
-    unioned = (
-        embedded.unionByName(new_evals, allowMissingColumns=True)
-        .unionByName(cache, allowMissingColumns=True)
+    embedded = (
+        explode_evals(games_with_evals)
+        .select("fen", "evaluation", "eval_depth")
+        .withColumn("_src", F.lit(2))
     )
-    # keep one row per fen, preferring the deepest evaluation
+    unioned = (
+        embedded.unionByName(new_evals.withColumn("_src", F.lit(1)), allowMissingColumns=True)
+        .unionByName(cache.withColumn("_src", F.lit(0)), allowMissingColumns=True)
+    )
+    # keep one row per fen: deepest evaluation first, then a fixed
+    # source precedence (embedded > fresh > cache) so full-row ties
+    # resolve deterministically even when the cache carries extra
+    # columns that differ between sources
     from pyspark.sql import Window
 
     w = Window.partitionBy("fen").orderBy(
-        F.desc_nulls_last("eval_depth"), F.desc_nulls_last("evaluation")
+        F.desc_nulls_last("eval_depth"),
+        F.desc_nulls_last("evaluation"),
+        F.desc("_src"),
     )
     return (
         unioned.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        .drop("_rn", "_src")
     )
 
 

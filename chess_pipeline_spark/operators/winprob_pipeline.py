@@ -41,14 +41,31 @@ def add_player_to_move(clocks: DataFrame) -> DataFrame:
 def add_initial_clocks(clocks: DataFrame) -> DataFrame:
     """Initial time per (game, mover parity) — berserk-aware because
     it reads the actual first clock of each side rather than the time
-    control (models.py:37-48; W4 replaces the J6 self-joins)."""
+    control (models.py:37-60; one window over the game replaces both
+    reference self-joins, including the flipped-bit one: the
+    opponent's initial clock is the FIRST CLOCK OF THE OTHER PARITY,
+    not anything derived from opponent_clock)."""
     df = add_player_to_move(clocks)
-    w = Window.partitionBy("game_link", "player_to_move").orderBy("half_move")
-    df = df.withColumn("initial_clock", F.first("clock").over(w))
-    w_opp = Window.partitionBy("game_link", "player_to_move").orderBy("half_move")
-    # opponent's initial clock: first opponent_clock in the same
-    # parity partition (the reference's flipped-bit second join)
-    return df.withColumn("initial_clock_opponent", F.first("opponent_clock").over(w_opp))
+    w_game = (
+        Window.partitionBy("game_link")
+        .orderBy("half_move")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    init_odd = F.first(
+        F.when(F.col("player_to_move") == 1, F.col("clock")), ignorenulls=True
+    ).over(w_game)
+    init_even = F.first(
+        F.when(F.col("player_to_move") == 0, F.col("clock")), ignorenulls=True
+    ).over(w_game)
+    own_is_odd = F.col("player_to_move") == 1
+    out = df.withColumn(
+        "initial_clock", F.when(own_is_odd, init_odd).otherwise(init_even)
+    ).withColumn(
+        "initial_clock_opponent", F.when(own_is_odd, init_even).otherwise(init_odd)
+    )
+    # the reference's flipped-bit merge is INNER (models.py:55-60):
+    # rows whose opposite parity never moved (1-move games) drop out
+    return out.filter(F.col("initial_clock_opponent").isNotNull())
 
 
 def add_clock_features(df: DataFrame) -> DataFrame:
@@ -85,7 +102,10 @@ def add_color_features(df: DataFrame, games: DataFrame) -> DataFrame:
         "increment",
     )
     df = df.join(F.broadcast(facts), "game_link")
-    white_to_move = F.col("player_to_move") == 1
+    # the reference selects by the game-perspective PLAYER COLOR for
+    # all three swaps (models.py:84-97 branchless flag arithmetic) —
+    # NOT by move parity: sig_clock_pct is 'the player's' series and
+    # opponent_sig 'the opponent's' on every row
     player_is_white = F.col("player_color") == "white"
     white_elo = F.when(player_is_white, F.col("player_elo")).otherwise(F.col("opponent_elo"))
     black_elo = F.when(player_is_white, F.col("opponent_elo")).otherwise(F.col("player_elo"))
@@ -93,13 +113,13 @@ def add_color_features(df: DataFrame, games: DataFrame) -> DataFrame:
         df.withColumn("elo_diff", white_elo - black_elo)
         .withColumn(
             "white_sig_clock_pct",
-            F.when(white_to_move, F.col("sig_clock_pct")).otherwise(
+            F.when(player_is_white, F.col("sig_clock_pct")).otherwise(
                 F.col("opponent_sig_clock_pct")
             ),
         )
         .withColumn(
             "black_sig_clock_pct",
-            F.when(~white_to_move, F.col("sig_clock_pct")).otherwise(
+            F.when(~player_is_white, F.col("sig_clock_pct")).otherwise(
                 F.col("opponent_sig_clock_pct")
             ),
         )
@@ -119,9 +139,12 @@ def build_features(
     game facts (J5). Clock windows and sig transforms as above."""
     from chess_pipeline_spark.operators.evals import attach_evals
 
-    pos_evals = attach_evals(positions, eval_cache).select(
+    pos_evals = attach_evals(positions, eval_cache, fill_zero=False).select(
         "game_link", "half_move", "evaluation"
     )
+    # the reference drops unparseable clocks BEFORE the shift chain
+    # (models.py:23) so neighbors shift past them
+    clocks = clocks.filter(F.col("clock") != -1)
     df = add_initial_clocks(add_opponent_clock(clocks))
     df = add_clock_features(df)
     df = df.join(pos_evals, ["game_link", "half_move"], "left").withColumn(

@@ -622,11 +622,14 @@ def clock_seconds_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )  # linenumber 7 → NULL clock, exercising the -1 fill
     df = df.withColumn("clock", clock)
+    # try_cast, not cast: under ANSI mode (default in Spark 4) a
+    # malformed segment must yield the -1 fill, not abort the query —
+    # same discipline as chess_transforms.convert_clock_to_seconds
     parts = F.split(F.col("clock"), ":")
     parsed = (
-        parts.getItem(0).cast("long") * 3600
-        + parts.getItem(1).cast("long") * 60
-        + parts.getItem(2).cast("long")
+        parts.getItem(0).try_cast("long") * 3600
+        + parts.getItem(1).try_cast("long") * 60
+        + parts.getItem(2).try_cast("long")
     )
     return df.select(
         "l_orderkey",

@@ -29,7 +29,10 @@ games_strategy = st.lists(
 
 
 def _pandas_reference(df: pd.DataFrame) -> pd.DataFrame:
-    """The reference's exact chain (models.py:21-48), verbatim pandas."""
+    """The reference's exact chain (models.py:21-60), verbatim pandas:
+    shift/fillna opponent clock, per-parity initial clocks, and the
+    flipped-bit INNER merge for the opponent's initial clock (which
+    drops rows whose opposite parity never moved)."""
     df = df.sort_values(["game_link", "half_move"]).reset_index(drop=True)
     oc = df.groupby("game_link")["clock"].shift(-1)
     oc = oc.fillna(oc.groupby(df["game_link"]).shift(2))
@@ -38,8 +41,14 @@ def _pandas_reference(df: pd.DataFrame) -> pd.DataFrame:
     df["player_to_move"] = df["half_move"] % 2
     grp = df.groupby(["game_link", "player_to_move"])
     df["initial_clock"] = grp["clock"].transform("first")
-    df["initial_clock_opponent"] = grp["opponent_clock"].transform("first")
-    return df
+    firsts = (
+        df.groupby(["game_link", "player_to_move"], as_index=False)["clock"]
+        .first()
+        .rename(columns={"clock": "initial_clock_opponent"})
+    )
+    firsts["player_to_move"] = (firsts["player_to_move"] + 1) % 2
+    df = df.merge(firsts, on=["game_link", "player_to_move"], how="inner")
+    return df.sort_values(["game_link", "half_move"]).reset_index(drop=True)
 
 
 @pytest.fixture(scope="module")

@@ -51,15 +51,26 @@ def test_opponent_clock_chain(clocks):
 def test_initial_clocks(clocks):
     df = add_initial_clocks(add_opponent_clock(clocks))
     got = {
-        (r.game_link, r.half_move): (r.player_to_move, r.initial_clock)
+        (r.game_link, r.half_move): (
+            r.player_to_move,
+            r.initial_clock,
+            r.initial_clock_opponent,
+        )
         for r in df.collect()
     }
-    # parity partitions of g1: odd halves (white) start 60; even 58
-    assert got[("g1", 1)] == (1, 60)
-    assert got[("g1", 3)] == (1, 60)
-    assert got[("g1", 5)] == (1, 60)
-    assert got[("g1", 2)] == (0, 58)
-    assert got[("g1", 4)] == (0, 58)
+    # parity partitions of g1: odd halves (white) start 60; even 58;
+    # the opponent's initial clock is the FLIPPED parity's first
+    # clock (models.py:50-60)
+    assert got[("g1", 1)] == (1, 60, 58)
+    assert got[("g1", 3)] == (1, 60, 58)
+    assert got[("g1", 5)] == (1, 60, 58)
+    assert got[("g1", 2)] == (0, 58, 60)
+    assert got[("g1", 4)] == (0, 58, 60)
+    # g2 is a 1-move game: the reference's flipped-bit merge is
+    # inner, so its row drops out entirely
+    assert ("g2", 1) not in got
+    assert got[("g3", 1)] == (1, 30, 29)
+    assert got[("g3", 2)] == (0, 29, 30)
 
 
 def test_clock_features_clip_and_sig(clocks):
@@ -87,7 +98,9 @@ def test_inference_outputs_probability_simplex(spark, clocks):
     ).withColumn("evaluation", F.lit(0.25))
     probs = infer_win_probabilities(feats)
     rows = probs.collect()
-    assert len(rows) == 8
+    # 8 input rows minus the 1-move game g2 (dropped by the
+    # reference's inner flipped-parity merge)
+    assert len(rows) == 7
     for r in rows:
         s = r.win_probability_white + r.draw_probability + r.win_probability_black
         assert abs(s - 1.0) < 5e-6  # rounded to 1e-6 each
