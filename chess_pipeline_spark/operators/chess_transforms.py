@@ -25,11 +25,14 @@ def convert_clock_to_seconds(clock: Column) -> Column:
     with NaT->-1).
     """
     parts = F.split(clock, ":")
-    # try_cast: malformed clocks must yield -1, not an ANSI cast error
-    parsed = (
+    # try_cast: malformed clocks must yield -1, not an ANSI cast
+    # error. Seconds parse as DOUBLE then floor — lichess emits
+    # tenths in low-time clocks ('0:00:59.9'), and the reference's
+    # to_timedelta(...).astype(int) truncates them to 59
+    parsed = F.floor(
         parts.getItem(0).try_cast("long") * 3600
         + parts.getItem(1).try_cast("long") * 60
-        + parts.getItem(2).try_cast("long")
+        + parts.getItem(2).try_cast("double")
     )
     return F.coalesce(parsed, F.lit(-1)).cast("int")
 
@@ -190,14 +193,19 @@ def transform_game_data(df: DataFrame, player: str) -> DataFrame:
         result_for_color(F.col("result"), F.col("player_color")).alias("player_result"),
         result_for_color(F.col("result"), F.col("opponent_color")).alias("opponent_result"),
         F.col("speed").alias("time_control_category"),
-        F.to_timestamp(
+        # try_* forms: under ANSI mode (Spark 4 default) a missing
+        # UTCTime or a '-' correspondence TimeControl must yield
+        # NULL, not abort the job
+        F.try_to_timestamp(
             F.concat_ws(" ", F.col("utc_date_played"), F.col("time_played")),
-            "yyyy.MM.dd HH:mm:ss",
+            F.lit("yyyy.MM.dd HH:mm:ss"),
         ).alias("datetime_played"),
-        F.regexp_extract(F.col("time_control"), r"(\d+)\+", 1).cast("int").alias(
+        F.regexp_extract(F.col("time_control"), r"(\d+)\+", 1).try_cast("int").alias(
             "starting_time"
         ),
-        F.regexp_extract(F.col("time_control"), r"\+(\d+)", 1).cast("int").alias("increment"),
+        F.regexp_extract(F.col("time_control"), r"\+(\d+)", 1)
+        .try_cast("int")
+        .alias("increment"),
         F.when(F.col("event_type").contains("Arena"), "In arena")
         .otherwise("Not in arena")
         .alias("in_arena"),

@@ -49,7 +49,7 @@ _RESULTS = {"1-0", "0-1", "1/2-1/2", "*"}
 MATE_EVAL = 9999.0
 
 
-def _parse_eval_token(tok: str, white_moved: bool) -> float:
+def _parse_eval_token(tok: str) -> float:
     if tok.startswith("#"):
         return MATE_EVAL if float(tok[1:]) > 0 else -MATE_EVAL
     return float(tok)
@@ -70,7 +70,11 @@ def _tokenize_movetext(movetext: str) -> list[tuple[str, str]]:
             depth -= 1
             i += 1
         elif c == "{":
-            j = movetext.index("}", i)
+            # tolerate an unterminated comment (truncated PGN): take
+            # the rest of the text rather than crashing the task
+            j = movetext.find("}", i)
+            if j == -1:
+                j = n
             if depth == 0 and out:
                 pending_comment.append(movetext[i + 1 : j])
             i = j + 1
@@ -89,6 +93,13 @@ def _tokenize_movetext(movetext: str) -> list[tuple[str, str]]:
                 pending_comment = []
             if tok in _RESULTS or tok.startswith("$") or _MOVENUM_RE.match(tok):
                 continue
+            # glued move numbers ('1.e4', '5...Nf6') are legal PGN:
+            # strip the numeric prefix, keep the SAN remainder
+            gm = re.match(r"^\d+\.+", tok)
+            if gm:
+                tok = tok[gm.end():]
+                if not tok:
+                    continue
             out.append((tok, ""))
     if pending_comment and out:
         out[-1] = (out[-1][0], out[-1][1] + " ".join(pending_comment))
@@ -123,24 +134,24 @@ def parse_pgn_game(pgn: str) -> dict[str, Any]:
     clocks: list[str] = []
     evaluations: list[float] = []
     eval_depths: list[int] = []
-    any_eval = any(_EVAL_RE.search(c) for _, c in moves_comments)
+    result_header = headers.get("Result", "")
+    # EvalsVisitor (visitors.py:33-47): a comment-bearing move with
+    # no [%eval], once evals have started, is (usually) the final
+    # checkmate position — filled by game RESULT at depth 20. Moves
+    # with no comment at all append nothing (ragged list, exactly
+    # like the reference's per-comment visitor). Draws fall back to
+    # 0.0 (the reference's result map omits them and would crash).
+    _RESULT_FILL = {"1-0": MATE_EVAL, "0-1": -MATE_EVAL}
     for ply, (san, comment) in enumerate(moves_comments):
-        white_moved = ply % 2 == 0
         cm = _CLK_RE.search(comment)
         clocks.append(cm.group(1) if cm else "")
-        if any_eval:
-            em = _EVAL_RE.search(comment)
-            if em:
-                evaluations.append(_parse_eval_token(em.group(1), white_moved))
-                eval_depths.append(20)  # lichess server analysis depth (README.md:62)
-            elif "#" in san:
-                # final checkmate move carries no [%eval]; the visitor
-                # fills mate-for-the-mover (visitors.py:44-48)
-                evaluations.append(MATE_EVAL if white_moved else -MATE_EVAL)
-                eval_depths.append(20)
-            else:
-                evaluations.append(0.0)
-                eval_depths.append(0)
+        em = _EVAL_RE.search(comment)
+        if em:
+            evaluations.append(_parse_eval_token(em.group(1)))
+            eval_depths.append(20)  # lichess server analysis depth (README.md:62)
+        elif comment and evaluations:
+            evaluations.append(_RESULT_FILL.get(result_header, 0.0))
+            eval_depths.append(20)
 
     # berserk: a side's first clock at most half the starting time
     # (ClocksVisitor, visitors.py:51-79)
@@ -176,18 +187,32 @@ def parse_pgn_game(pgn: str) -> dict[str, Any]:
             promo["white" if ply % 2 == 0 else "black"].append(pm.group(1).lower())
     has_promotion = bool(promo["white"] or promo["black"])
 
-    # queen exchange: queen captures on a square, immediately
-    # recaptured on the same square (QueenExchangeVisitor,
-    # visitors.py:82-101)
+    # queen exchange (QueenExchangeVisitor, visitors.py:82-101): a
+    # QUEEN captured on two CONSECUTIVE plies. Text tier tracks each
+    # side's queen squares from SAN (start squares, Q-moves,
+    # promotions) so 'queen takes pawn, gets recaptured' is NOT
+    # flagged; the board tier below recomputes it exactly.
     queen_exchange = False
-    for ply in range(len(moves) - 1):
-        san, nxt = moves[ply], moves[ply + 1]
-        if san.startswith("Q") and "x" in san:
-            d1 = _DEST_SQ_RE.search(san)
-            d2 = _DEST_SQ_RE.search(nxt)
-            if d1 and d2 and "x" in nxt and d1.group(1) == d2.group(1):
+    qsq = {0: {"d1"}, 1: {"d8"}}  # by mover parity: white, black
+    last_q_capture_ply = -2
+    for ply, san in enumerate(moves):
+        mover, opp = ply % 2, 1 - (ply % 2)
+        dm = _DEST_SQ_RE.search(san)
+        dest = dm.group(1) if dm else None
+        if "x" in san and dest and dest in qsq[opp]:
+            if last_q_capture_ply == ply - 1:
                 queen_exchange = True
-                break
+            last_q_capture_ply = ply
+            qsq[opp].discard(dest)
+        if dest and san.startswith("Q"):
+            # queen move: single-queen case relocates; with several
+            # queens the origin is ambiguous, keep a candidate set
+            if len(qsq[mover]) == 1:
+                qsq[mover] = {dest}
+            else:
+                qsq[mover].add(dest)
+        elif dest and _PROMO_RE.search(san) and san.rstrip("+#").endswith("=Q"):
+            qsq[mover].add(dest)
 
     positions: list[str] | None = None
     material_by_move: list[dict[str, int]] | None = None
@@ -198,16 +223,30 @@ def parse_pgn_game(pgn: str) -> dict[str, Any]:
         if game is not None:
             board = game.board()
             positions = []
-            material_by_move = []
-            for mv in game.mainline_moves():
+
+            def _counts(b) -> dict[str, int]:
+                out: dict[str, int] = {}
+                for piece in b.piece_map().values():
+                    sym = piece.symbol()
+                    out[sym] = out.get(sym, 0) + 1
+                return out
+
+            # MaterialVisitor.visit_board has no first-move skip
+            # (unlike PositionsVisitor): the STARTING position is
+            # entry 0 and the list has n_moves+1 entries, kings
+            # included
+            material_by_move = [_counts(board)]
+            queen_exchange = False
+            last_cap = -2
+            for ply, mv in enumerate(game.mainline_moves()):
+                captured = board.piece_at(mv.to_square)
+                if captured is not None and captured.piece_type == chess.QUEEN:
+                    if last_cap == ply - 1:
+                        queen_exchange = True
+                    last_cap = ply
                 board.push(mv)
                 positions.append(board.fen())
-                counts: dict[str, int] = {}
-                for piece in board.piece_map().values():
-                    sym = piece.symbol()
-                    if sym.lower() != "k":
-                        counts[sym] = counts.get(sym, 0) + 1
-                material_by_move.append(counts)
+                material_by_move.append(_counts(board))
 
     return {
         "Event": headers.get("Event"),
@@ -223,8 +262,13 @@ def parse_pgn_game(pgn: str) -> dict[str, Any]:
         "BlackElo": headers.get("BlackElo"),
         "WhiteRatingDiff": headers.get("WhiteRatingDiff"),
         "BlackRatingDiff": headers.get("BlackRatingDiff"),
-        # Variant default 'Standard' (transforms.py:216-217)
-        "Variant": headers.get("Variant", "Standard"),
+        # Variant normalize (transforms.py:216-217): missing, empty,
+        # and 'From Position' all become 'Standard'
+        "Variant": (
+            "Standard"
+            if headers.get("Variant", "") in ("", "From Position")
+            else headers["Variant"]
+        ),
         "TimeControl": headers.get("TimeControl"),
         "ECO": headers.get("ECO"),
         "Opening": headers.get("Opening"),

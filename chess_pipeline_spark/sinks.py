@@ -51,9 +51,21 @@ def upsert_parquet(df: DataFrame, path: str, keys: list[str]) -> None:
     New batch wins on key collision (the reference's DELETE …
     IN (SELECT DISTINCT keys FROM batch) + INSERT,
     postgres_templates.py:192-203: anti-join ≙ the delete, union ≙
-    the insert, dropDuplicates ≙ the SELECT DISTINCT)."""
+    the insert). ALL batch rows are inserted — the reference's
+    SELECT DISTINCT applies only to the delete's key probe, so a
+    batch carrying two rows for one key keeps both (deduping here
+    would nondeterministically discard one).
+
+    Local-filesystem targets only (the atomic tmp-swap uses
+    os.rename); cluster deployments use upsert_partition_overwrite
+    or a lakehouse MERGE instead."""
+    if "://" in path and not path.startswith("file://"):
+        raise ValueError(
+            f"upsert_parquet only supports local paths, got {path!r}; "
+            "use upsert_partition_overwrite for remote filesystems"
+        )
     spark = df.sparkSession
-    batch = df.dropDuplicates(keys)
+    batch = df
     if os.path.exists(path):
         existing = spark.read.parquet(path)
         keep = existing.join(batch.select(*keys).distinct(), keys, "left_anti")

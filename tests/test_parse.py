@@ -61,10 +61,17 @@ def test_headers_moves_clocks_evals():
 
 def test_mate_eval_and_checkmate_fill():
     g = parse_pgn_game(PGN_MATE)
-    # '#2' annotation -> 9999; final mating move (no [%eval]) filled
-    # with mate-for-the-mover (visitors.py:26-28,44-48)
-    assert g["evaluations"] == [0.3, 0.9, 0.6, 9999.0, 9999.0]
+    # '#2' annotation -> 9999; the final mating move has NO comment,
+    # so like the reference's per-comment visitor nothing is
+    # appended — the list is ragged (4 entries for 5 moves)
+    assert g["evaluations"] == [0.3, 0.9, 0.6, 9999.0]
     assert g["moves"][-1] == "Qh5#"
+    # with a clk-only comment on the mating move, the visitor's
+    # elif fires: result-based fill at depth 20 (visitors.py:33-47)
+    pgn2 = PGN_MATE.replace("3. Qh5# 1-0", "3. Qh5# { [%clk 0:00:57] } 1-0")
+    g2 = parse_pgn_game(pgn2)
+    assert g2["evaluations"] == [0.3, 0.9, 0.6, 9999.0, 9999.0]
+    assert g2["eval_depths"][-1] == 20
 
 
 def test_no_eval_game_has_empty_evals():

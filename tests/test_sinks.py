@@ -33,7 +33,15 @@ def test_upsert_parquet_new_batch_wins(spark, tmp_path):
     upsert_parquet(batch, path, keys=["k"])
 
     got = _rows(spark.read.parquet(path))
-    assert got == [(1, "a", 10), (2, "b2", 99), (3, "c", 30), (4, "d", 40)]
+    # ALL batch rows are inserted (the reference's SELECT DISTINCT
+    # is only the delete's key probe): duplicate-key batch rows stay
+    assert got == [
+        (1, "a", 10),
+        (2, "b2", 99),
+        (3, "c", 30),
+        (4, "d", 40),
+        (4, "d", 40),
+    ]
 
 
 def test_upsert_parquet_idempotent(spark, tmp_path):
