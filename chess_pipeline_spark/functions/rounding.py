@@ -9,6 +9,11 @@ bit-identical on any engine given bit-identical input, at the cost of
 always rounding halves toward +inf.
 
 ``sql_round`` emits the same formula for the DuckDB oracle side.
+
+Domain bound: Spark's floor(double) yields LONG, so the scaled value
+must fit in int64 — |x| < ~9.2e18 / 10^n (9.2e12 at n=6). Catalog
+outputs stay far below that; for larger aggregates round to fewer
+decimals or keep the raw value.
 """
 
 from __future__ import annotations

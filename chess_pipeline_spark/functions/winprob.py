@@ -50,7 +50,11 @@ def lr_probabilities(x: dict[str, Column], decimals: int = 6) -> dict[str, Colum
     from chess_pipeline_spark.functions.rounding import fround
 
     zs = {cls: _logit(cls, x) for cls in WINPROB_COEF}
-    exps = {cls: F.exp(z) for cls, z in zs.items()}
+    # max-stabilized softmax (shift-invariant): without it a mate
+    # evaluation (+-9999 sentinel) pushes exp() to inf and every
+    # probability to NaN — sklearn's predict_proba stabilizes too
+    zmax = F.greatest(*zs.values())
+    exps = {cls: F.exp(z - zmax) for cls, z in zs.items()}
     denom = exps["white_win"] + exps["draw"] + exps["black_win"]
     return {
         "win_probability_white": fround(exps["white_win"] / denom, decimals),
@@ -59,10 +63,11 @@ def lr_probabilities(x: dict[str, Column], decimals: int = 6) -> dict[str, Colum
     }
 
 
-def lr_probabilities_pandas_udf():
+def lr_probabilities_pandas_udf(decimals: int = 6):
     """Arrow-vectorized realization: the pattern for non-expression
     models (broadcast weights, one numpy matmul per batch). Returns a
-    pandas_udf producing a struct of the three probabilities."""
+    pandas_udf producing a struct of the three probabilities;
+    `decimals` matches the native path's rounding."""
     import numpy as np
     from pyspark.sql.types import DoubleType, StructField, StructType
 
@@ -89,10 +94,12 @@ def lr_probabilities_pandas_udf():
             [np.ones(len(elo_diff)), elo_diff, evaluation, wclock, bclock, incr]
         )
         Z = X @ W.T
+        Z = Z - Z.max(axis=1, keepdims=True)  # stabilized, like the native path
         E = np.exp(Z)
         P = E / E.sum(axis=1, keepdims=True)
         # floor-based rounding to match functions.rounding.fround
-        P = np.floor(P * 1e6 + 0.5) / 1e6
+        scale = 10.0**decimals
+        P = np.floor(P * scale + 0.5) / scale
         return pd.DataFrame(
             {
                 "win_probability_white": P[:, 0],

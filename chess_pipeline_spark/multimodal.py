@@ -101,6 +101,10 @@ def extract_media_features(media: DataFrame) -> DataFrame:
                 "feature_vec": [],
             }
             for doc_id, kind, payload in zip(pdf["doc_id"], pdf["kind"], pdf["payload"]):
+                if payload is None:
+                    # a NULL payload (e.g. NULL source text) must not
+                    # kill the job; the row is skipped
+                    continue
                 if kind in ("image", "audio", "video"):
                     # STUB: wire PIL / ffmpeg / librosa here on a real
                     # cluster image; the Spark plumbing above/below is

@@ -29,7 +29,6 @@ from chess_pipeline_spark.operators.chess_transforms import (
     transform_game_data,
 )
 from chess_pipeline_spark.operators.evals import (
-    attach_evals,
     resolve_evals,
     split_by_has_evals,
 )
@@ -50,6 +49,13 @@ class GameEtlOutput:
     game_materials: DataFrame
     position_evals: DataFrame
     win_probabilities: DataFrame
+    # the persisted cleaned frame (None when persist_cleaned=False);
+    # exposed so callers / materialize() can release executor memory
+    cleaned: DataFrame | None = None
+
+    def unpersist(self) -> None:
+        if self.cleaned is not None:
+            self.cleaned.unpersist()
 
     def tables(self) -> dict[str, DataFrame]:
         return {
@@ -107,6 +113,7 @@ def run_game_etl(
         game_materials=materials,
         position_evals=new_cache,
         win_probabilities=win_probs,
+        cleaned=cleaned if persist_cleaned else None,
     )
 
 
@@ -127,5 +134,12 @@ def materialize(
         "win_probabilities": ["game_link", "half_move"],
     }
     keys = {**default_keys, **(keys or {})}
-    for name, df in out.tables().items():
-        upsert_parquet(df, f"{base_path}/{name}", keys[name])
+    # position_evals LAST: win_probabilities' lazy plan reads the
+    # eval cache, which in the incremental flow IS the old
+    # {base_path}/position_evals files — upserting that table first
+    # would swap away part-files a later write still references
+    order = sorted(out.tables(), key=lambda n: n == "position_evals")
+    tables = out.tables()
+    for name in order:
+        upsert_parquet(tables[name], f"{base_path}/{name}", keys[name])
+    out.unpersist()

@@ -61,13 +61,17 @@ def _oracle() -> str:
         for wi, f in zip(w, feats):
             z = f"({z} + {wi!r} * {feat_sql[f]})"
         zs[cls] = z
-    denom = f"(exp({zs['white_win']}) + exp({zs['draw']}) + exp({zs['black_win']}))"
+    # mirror the native path's max-stabilized softmax exactly (same
+    # float ops in the same order, or rounding-boundary rows diverge)
+    zmax = f"greatest({zs['white_win']}, {zs['draw']}, {zs['black_win']})"
+    ex = {cls: f"exp({z} - {zmax})" for cls, z in zs.items()}
+    denom = f"({ex['white_win']} + {ex['draw']} + {ex['black_win']})"
     return f"""
 SELECT l_orderkey AS game_link,
        l_linenumber AS half_move,
-       floor((exp({zs['white_win']}) / {denom}) * 1000000.0 + 0.5) / 1000000.0 AS win_probability_white,
-       floor((exp({zs['draw']}) / {denom}) * 1000000.0 + 0.5) / 1000000.0 AS draw_probability,
-       floor((exp({zs['black_win']}) / {denom}) * 1000000.0 + 0.5) / 1000000.0 AS win_probability_black
+       floor(({ex['white_win']} / {denom}) * 1000000.0 + 0.5) / 1000000.0 AS win_probability_white,
+       floor(({ex['draw']} / {denom}) * 1000000.0 + 0.5) / 1000000.0 AS draw_probability,
+       floor(({ex['black_win']} / {denom}) * 1000000.0 + 0.5) / 1000000.0 AS win_probability_black
 FROM lineitem
 """
 

@@ -15,8 +15,6 @@ replayed stream).
 
 from __future__ import annotations
 
-from collections.abc import Callable
-
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -37,16 +35,20 @@ EVENTS_PHYSICAL = T.StructType(
 )
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """File-source stream over the events parquet (S3 streaming
-    flavor). maxFilesPerTrigger gives replay-in-batches semantics for
-    bounded fixtures."""
+    flavor). Pass max_files_per_trigger for replay-in-batches
+    semantics over multi-file fixtures (a single-file fixture always
+    arrives as one micro-batch regardless)."""
     ensure_session_confs(spark)
-    raw = (
-        spark.readStream.schema(EVENTS_PHYSICAL)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+    reader = spark.readStream.schema(EVENTS_PHYSICAL).option(
+        "pathGlobFilter", "events.parquet"
     )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.parquet(sf_dir)
     return (
         raw.withColumnRenamed("ts", "ts_ns")
         .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
@@ -106,9 +108,12 @@ def stream_session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFra
 
 def stream_dedup_latest(events: DataFrame) -> DataFrame:
     """Streaming exact dedup on (user_id, event_type, event_id) with
-    watermarked state retention — the streaming analog of the S5
-    upsert key discipline."""
-    return events.withWatermark("ts", "2 hours").dropDuplicates(
+    watermark-bounded state — the streaming analog of the S5 upsert
+    key discipline. dropDuplicatesWithinWatermark is the form whose
+    state the watermark actually evicts: plain dropDuplicates with an
+    event-time-less subset retains every key ever seen, growing state
+    without bound on a long-running stream."""
+    return events.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
         ["user_id", "event_type", "event_id"]
     )
 
