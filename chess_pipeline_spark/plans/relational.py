@@ -360,10 +360,16 @@ def clock_lead_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lead + lag-of-lead coalesce chain (W2+W3) — the exact
     opponent-clock fill semantics of models.py:25-30:
     coalesce(lead(clock,1), lag(lead(clock,1),2), clock)."""
-    # l_linenumber ties exist in the synthetic data → include the value
-    # in the sort key so the shift order is engine-independent
-    _W = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_quantity")
-    li = _L(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+    # l_linenumber ties exist in the synthetic data (and at sf0.1 so
+    # do (l_linenumber, l_quantity) ties) → the sort key must be a
+    # TOTAL order for the shifts to be engine-independent
+    _W = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_quantity", "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    li = _L(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_partkey", "l_suppkey",
+        "l_extendedprice",
+    )
     step1 = li.withColumn("lead1", F.lead("l_quantity", 1).over(_W))
     return step1.select(
         "l_orderkey",
@@ -380,10 +386,14 @@ CLOCK_LEAD_FILL_SQL = """
 SELECT l_orderkey, l_linenumber, l_quantity,
        coalesce(lead1, -1.0) AS lead_qty,
        coalesce(lead1,
-                lag(lead1, 2) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity),
+                lag(lead1, 2) OVER (PARTITION BY l_orderkey
+                                    ORDER BY l_linenumber, l_quantity, l_partkey,
+                                             l_suppkey, l_extendedprice),
                 l_quantity) AS opponent_clock
-FROM (SELECT l_orderkey, l_linenumber, l_quantity,
-             lead(l_quantity, 1) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity) AS lead1
+FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_partkey, l_suppkey, l_extendedprice,
+             lead(l_quantity, 1) OVER (PARTITION BY l_orderkey
+                                       ORDER BY l_linenumber, l_quantity, l_partkey,
+                                                l_suppkey, l_extendedprice) AS lead1
       FROM lineitem)
 """
 
