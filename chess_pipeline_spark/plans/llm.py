@@ -941,6 +941,99 @@ FROM ue GROUP BY vec_id, label, dim
 """
 
 
+def top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 terms by document frequency per source block (text
+    analysis: explode distinct words → df counts → per-source rank
+    window). The TF ranking every corpus-quality dashboard needs; at
+    100 TB the only wide shuffle is the (source, word) count, which
+    map-side combines."""
+    d = spread(_L(spark, sf_dir, "documents"), "doc_id")
+    tokens = d.select(
+        "source", F.explode(F.array_distinct(F.split("text", " "))).alias("word")
+    )
+    counts = tokens.groupBy("source", "word").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("source").orderBy(F.desc("df"), F.asc("word"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+    )
+
+
+TOP_TERMS_PER_SOURCE_SQL = """
+WITH tokens AS (
+  SELECT source, unnest(list_distinct(string_split(text, ' '))) AS word
+  FROM documents),
+counts AS (SELECT source, word, count(*) AS df FROM tokens GROUP BY 1, 2)
+SELECT source, word, df, rank
+FROM (SELECT source, word, df,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY df DESC, word ASC) AS rank
+      FROM counts)
+WHERE rank <= 5
+"""
+
+
+def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate GROUPS via iterative connected components over the
+    MinHash-LSH candidate graph — the step after candidate pairs
+    that an actual dedup pipeline needs (keep one doc per group).
+
+    Iterative min-label propagation: every doc starts labeled with
+    its own id; each round joins labels across candidate edges
+    (both directions) and takes the min; stops when no label
+    changes. Converges in O(graph diameter) rounds — near-dup
+    graphs are collections of small cliques, so 2-3 rounds in
+    practice. Each round is one broadcast-sized join + groupBy at
+    candidate-graph scale (≪ corpus scale); localCheckpoint breaks
+    the growing lineage. Genuinely not SQL-expressible without
+    recursive CTEs → no DuckDB oracle (rows-only driver check);
+    exactness is pytest-verified against a union-find ground truth.
+    """
+    pairs = minhash_lsh_candidates(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    )
+    nodes = edges.select(F.col("doc_a").alias("doc_id")).distinct()
+    labels = nodes.withColumn("label", F.col("doc_id"))
+    for _ in range(20):  # diameter bound; near-dup cliques need ~2
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy("doc_a")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.doc_a, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return (
+        labels.groupBy("label")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").cast("long").alias("group_size"),
+            F.sort_array(F.collect_list("doc_id")).alias("members"),
+        )
+        .select("keep_doc_id", "group_size", "members")
+    )
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload media pipeline: documents → opaque binary
     payload + typed metadata → Arrow-batched mapInPandas feature
@@ -982,5 +1075,9 @@ QUERIES: dict[str, QuerySpec] = {
     "knn_cosine_lsh": QuerySpec(knn_cosine_lsh, KNN_COSINE_LSH_SQL, "llm-knn-lsh"),
     "embedding_stats": QuerySpec(embedding_stats, EMBEDDING_STATS_SQL, "llm-embed"),
     "multimodal_features": QuerySpec(multimodal_features, None, "llm-multimodal"),
+    "top_terms_per_source": QuerySpec(
+        top_terms_per_source, TOP_TERMS_PER_SOURCE_SQL, "llm-textstats O3"
+    ),
+    "dedup_groups": QuerySpec(dedup_groups, None, "llm-dedup-groups iterative"),
 }
 
