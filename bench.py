@@ -18,6 +18,9 @@ import sys
 import time
 from pathlib import Path
 
+import pandas as pd  # module-level: the warm-up UDF's postponed
+                     # annotations resolve against module globals
+
 _REPO = str(Path(__file__).resolve().parent)
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
@@ -59,12 +62,27 @@ def main() -> None:
     spark = get_spark(app_name="chess-pipeline-spark-bench")
     cat = catalog()
 
-    # warm up JVM/codegen AND the parquet reader + shuffle paths so
-    # the first measured query isn't charged for one-time JIT cost
+    # warm up JVM/codegen, the parquet reader + shuffle paths, AND
+    # the Python UDF workers so the first measured query isn't
+    # charged one-time init cost (worker fork + package zip shipping
+    # alone is ~4s; steady-state mapInPandas throughput is the
+    # meaningful number)
     spark.range(1000).count()
     from chess_pipeline_spark.sources import load_table
 
     load_table(spark, sf_dir, "region").groupBy("r_name").count().collect()
+
+    from pyspark.sql import functions as F
+
+    from chess_pipeline_spark.multimodal import (
+        attach_binary_payload,
+        extract_media_features,
+    )
+
+    tiny = spark.range(64).repartition(32).select(
+        F.col("id").alias("doc_id"), F.lit("warmup").alias("text")
+    )
+    extract_media_features(attach_binary_payload(tiny)).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
