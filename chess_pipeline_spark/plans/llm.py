@@ -941,6 +941,36 @@ FROM ue GROUP BY vec_id, label, dim
 """
 
 
+def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup AFTER text normalization (lowercase, strip
+    non-alphanumerics, collapse whitespace) — catches trivially
+    reformatted duplicates exact-hash dedup misses. The
+    normalization chain is pure Catalyst string ops; the groupBy key
+    is the digest of the normalized text, never the body."""
+    d = spread(_L(spark, sf_dir, "documents"), "doc_id")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return (
+        d.select("doc_id", F.md5(norm).alias("norm_fp"))
+        .groupBy("norm_fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_dupes"))
+    )
+
+
+DEDUP_NORMALIZED_SQL = """
+SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                               ' +', ' ', 'g'))) AS norm_fp,
+       min(doc_id) AS keep_doc_id,
+       count(*) AS n_dupes
+FROM documents GROUP BY 1
+"""
+
+
 def top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 terms by document frequency per source block (text
     analysis: explode distinct words → df counts → per-source rank
@@ -1078,6 +1108,7 @@ QUERIES: dict[str, QuerySpec] = {
     "top_terms_per_source": QuerySpec(
         top_terms_per_source, TOP_TERMS_PER_SOURCE_SQL, "llm-textstats O3"
     ),
+    "dedup_normalized": QuerySpec(dedup_normalized, DEDUP_NORMALIZED_SQL, "llm-dedup F16"),
     "dedup_groups": QuerySpec(dedup_groups, None, "llm-dedup-groups iterative"),
 }
 

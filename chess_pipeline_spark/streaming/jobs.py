@@ -118,6 +118,14 @@ def stream_dedup_latest(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_static_enrich(events: DataFrame, user_dim: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream with a static
+    (batch) user dimension — the canonical streaming-enrichment
+    pattern. The static side is re-read per micro-batch by Spark and
+    broadcast when small; no state is kept for the join itself."""
+    return events.join(F.broadcast(user_dim), "user_id", "left")
+
+
 def stream_upsert_foreach_batch(
     agg: DataFrame,
     target_path: str,

@@ -18,6 +18,7 @@ from chess_pipeline_spark.streaming.jobs import (
     stream_dedup_latest,
     stream_session_counts,
     stream_sliding_counts,
+    stream_static_enrich,
     stream_tumbling_counts,
     stream_upsert_foreach_batch,
 )
@@ -76,6 +77,26 @@ def test_stream_dedup_latest(spark, sf_dir, tmp_path):
     got = _run_to_memory(stream_dedup_latest(ev), spark, tmp_path, complete=False)
     # exact-dedup on a unique key set: row count preserved, no dupes
     assert got.count() == got.select("user_id", "event_type", "event_id").distinct().count()
+
+
+def test_stream_static_enrich(spark, sf_dir, tmp_path):
+    import pyspark.sql.functions as F
+
+    from chess_pipeline_spark.sources import load_table
+
+    # static dimension derived from the batch table: per-user cohort
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn("cohort", (F.col("user_id") % 10).cast("int"))
+    )
+    ev = read_events_stream(spark, sf_dir)
+    enriched = stream_static_enrich(ev, dim)
+    got = _run_to_memory(enriched, spark, tmp_path, complete=False)
+    total = load_table(spark, sf_dir, "events").count()
+    assert got.count() == total  # left join preserves the stream
+    assert got.filter(F.col("cohort") != F.col("user_id") % 10).count() == 0
 
 
 def test_stream_upsert_foreach_batch(spark, sf_dir, tmp_path):
