@@ -81,6 +81,26 @@ def test_anti_join_uses_broadcast_or_hash(spark, sf_dir):
     assert "LeftAnti" in plan
 
 
+def test_star_join_broadcasts_all_dims(spark, sf_dir):
+    # revenue_by_nation: region/nation/customer hops must all
+    # broadcast — only the fact join + final agg may shuffle
+    plan = _plan(spark, sf_dir, "revenue_by_nation")
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_asof_is_single_key_shuffle(spark, sf_dir):
+    # the as-of composition must be window-over-union: exactly one
+    # hashpartitioning on the key, no join operator at all
+    plan = _plan(spark, sf_dir, "events_asof_last_purchase")
+    assert "Join" not in plan or "BroadcastHashJoin" not in plan
+    assert "Window" in plan and "Union" in plan
+
+
+def test_lsh_ann_probe_is_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "knn_cosine_lsh")
+    assert "BroadcastHashJoin" in plan  # bucket-id hash join, queries broadcast
+
+
 def test_no_cartesian_products_anywhere(spark, sf_dir):
     # broadcast nested-loop against a tiny broadcast side (the knn
     # query set) is fine; an unpartitioned CartesianProduct is never
