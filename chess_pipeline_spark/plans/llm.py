@@ -847,7 +847,11 @@ def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bucket = (
         f"aggregate(transform(sequence(0, {_LSH_PLANES - 1}), "
-        f"j -> CASE WHEN ({dot_j}) > 0 THEN shiftleft(CAST(1 AS BIGINT), j) "
+        # the sign test runs on the dot ROUNDED at 1e-9: raw float
+        # sums associate differently across engines, and a true dot
+        # near 0 could otherwise land in different buckets
+        f"j -> CASE WHEN floor(({dot_j}) * 1e9 + 0.5) > 0 "
+        "THEN shiftleft(CAST(1 AS BIGINT), j) "
         "ELSE CAST(0 AS BIGINT) END), CAST(0 AS BIGINT), (a, b) -> a + b)"
     )
     bucketed = e.select("vec_id", "embedding", F.expr(bucket).alias("bucket"))
@@ -881,7 +885,7 @@ dots AS (
   GROUP BY 1, 2),
 buckets AS (
   SELECT vec_id,
-         sum(CASE WHEN d > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS bucket
+         sum(CASE WHEN floor(d * 1000000000.0 + 0.5) > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS bucket
   FROM dots GROUP BY 1),
 norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ue GROUP BY vec_id),
 pairs AS (
@@ -1024,10 +1028,12 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
         )
-    )
+    ).localCheckpoint()  # the LSH pipeline runs ONCE, not per round
     nodes = edges.select(F.col("doc_a").alias("doc_id")).distinct()
     labels = nodes.withColumn("label", F.col("doc_id"))
-    for _ in range(20):  # diameter bound; near-dup cliques need ~2
+    max_rounds = 50  # diameter bound; near-dup cliques converge in ~2
+    converged = False
+    for _ in range(max_rounds):
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.doc_id)
             .groupBy("doc_a")
@@ -1052,7 +1058,15 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # a silent early exit would emit one component as several
+        # groups with no error — fail loudly instead
+        raise RuntimeError(
+            f"dedup_groups: label propagation did not converge in "
+            f"{max_rounds} rounds (candidate graph diameter too large)"
+        )
     return (
         labels.groupBy("label")
         .agg(
