@@ -265,6 +265,64 @@ FROM e ASOF LEFT JOIN p
 """
 
 
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel per user: first view -> first click AFTER that
+    view -> first purchase AFTER that click, then stage counts.
+    Conditional min-aggregation, no self-joins: each stage timestamp
+    is min(ts where type=X and ts >= previous stage) — two passes of
+    per-user aggregation, one shuffle on user_id."""
+    ev = _L(spark, sf_dir, "events").select("user_id", "event_type", "ts_sec", "event_id")
+    t_view = F.min(F.when(F.col("event_type") == "view", F.col("ts_sec")))
+    per_user = ev.groupBy("user_id").agg(t_view.alias("t_view"))
+    with_view = ev.join(per_user, "user_id")
+    t_click = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts_sec") >= F.col("t_view")),
+            F.col("ts_sec"),
+        )
+    )
+    per_user2 = with_view.groupBy("user_id", "t_view").agg(t_click.alias("t_click"))
+    with_click = ev.join(per_user2, "user_id")
+    t_buy = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts_sec") >= F.col("t_click")),
+            F.col("ts_sec"),
+        )
+    )
+    funnel = with_click.groupBy("user_id", "t_view", "t_click").agg(t_buy.alias("t_buy"))
+    return funnel.agg(
+        F.count("*").alias("n_users"),
+        F.count("t_view").alias("reached_view"),
+        F.count("t_click").alias("reached_click"),
+        F.count("t_buy").alias("reached_purchase"),
+    )
+
+
+EVENT_FUNNEL_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_type, {_TS_SEC} AS ts_sec FROM events),
+v AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts_sec END) AS t_view
+  FROM e GROUP BY 1),
+c AS (
+  SELECT e.user_id, v.t_view,
+         min(CASE WHEN e.event_type = 'click' AND e.ts_sec >= v.t_view
+                  THEN e.ts_sec END) AS t_click
+  FROM e JOIN v ON e.user_id = v.user_id GROUP BY 1, 2),
+p AS (
+  SELECT e.user_id, c.t_view, c.t_click,
+         min(CASE WHEN e.event_type = 'purchase' AND e.ts_sec >= c.t_click
+                  THEN e.ts_sec END) AS t_buy
+  FROM e JOIN c ON e.user_id = c.user_id GROUP BY 1, 2, 3)
+SELECT count(*) AS n_users,
+       count(t_view) AS reached_view,
+       count(t_click) AS reached_click,
+       count(t_buy) AS reached_purchase
+FROM p
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "value_stats_by_weekday": QuerySpec(
         value_stats_by_weekday, VALUE_STATS_BY_WEEKDAY_SQL, "A3 F9"
@@ -284,4 +342,5 @@ QUERIES: dict[str, QuerySpec] = {
     "events_asof_last_purchase": QuerySpec(
         events_asof_last_purchase, EVENTS_ASOF_LAST_PURCHASE_SQL, "asof-join ext"
     ),
+    "event_funnel": QuerySpec(event_funnel, EVENT_FUNNEL_SQL, "funnel ext A5"),
 }
