@@ -167,8 +167,8 @@ flagged AS (
   FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)),
 sessions AS (
   SELECT user_id, ts_sec, value,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
-                                ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM flagged)
 SELECT user_id, session_id,
        min(ts_sec) AS session_start,
