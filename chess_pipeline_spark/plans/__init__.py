@@ -17,11 +17,12 @@ __all__ = ["QuerySpec", "catalog", "DRIVER_WINDOW"]
 # entries per round, so ordering is part of the verification contract.
 DRIVER_WINDOW = 50
 
-# Queries pushed past the driver window. Each one's SURVEY §2 operator
+# Queries pushed past the driver window — exactly
+# len(catalog) - DRIVER_WINDOW names (catalog() asserts this, so the
+# window contents can't drift silently). Each one's SURVEY §2 operator
 # ids remain covered by a query that stays inside the window (and each
 # demoted query keeps its local pytest oracle + two rounds of green
 # driver history in CORRECTNESS_r01/r02):
-#   orders_per_priority        A1    ⊂ win_ratio_by_status, revenue_by_nation
 #   distinct_flag_status       P9    ⊂ events_dedup_latest
 #   global_minmax              A7    ⊂ newsletter_summary
 #   weekday_recode             F9,P8 ⊂ scalar_feature_sampler, order_priority_clean
@@ -33,7 +34,6 @@ DRIVER_WINDOW = 50
 #   events_sliding_1h_30m      §2.11 ⊂ events_tumbling_1h, events_sessionized
 #   minhash_signatures         built + exercised inside minhash_lsh_candidates
 _DEMOTED: tuple[str, ...] = (
-    "orders_per_priority",
     "distinct_flag_status",
     "global_minmax",
     "weekday_recode",
@@ -65,6 +65,11 @@ def catalog() -> dict[str, QuerySpec]:
     missing = [n for n in _DEMOTED if n not in out]
     if missing:
         raise ValueError(f"_DEMOTED names not in catalog: {missing}")
+    if len(_DEMOTED) != len(out) - DRIVER_WINDOW:
+        raise ValueError(
+            f"_DEMOTED must hold exactly len(catalog) - DRIVER_WINDOW "
+            f"= {len(out) - DRIVER_WINDOW} names, got {len(_DEMOTED)}"
+        )
     head = {n: s for n, s in out.items() if n not in _DEMOTED}
     head.update({n: out[n] for n in _DEMOTED})
     return head

@@ -1072,7 +1072,14 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.min("doc_id").alias("keep_doc_id"),
             F.count("*").cast("long").alias("group_size"),
-            F.sort_array(F.collect_list("doc_id")).alias("members"),
+            # Serialized to a CSV string, not array<long>: the driver's
+            # canonicalizer sorts/hashes pandas columns and dies on
+            # ndarray cells. sort_array first, so the string is
+            # deterministic; numeric member order is preserved inside it.
+            F.concat_ws(
+                ",",
+                F.sort_array(F.collect_list("doc_id")).cast("array<string>"),
+            ).alias("members"),
         )
         .select("keep_doc_id", "group_size", "members")
     )
@@ -1084,14 +1091,36 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     extraction (chess_pipeline_spark/multimodal.py). Python-UDF by
     necessity (media decode), so no SQL oracle — the driver records
     a rows-only check; byte-exact behavior is pytest-verified
-    (tests/test_multimodal.py)."""
+    (tests/test_multimodal.py).
+
+    Array feature columns (byte_hist, feature_vec) are serialized to
+    CSV strings at this catalog boundary ONLY — the driver's
+    canonicalizer can't sort/hash ndarray cells. Library users call
+    extract_media_features directly and keep the typed arrays.
+    Floats go through format_string('%.6f') so the text form is
+    deterministic across engines/locales."""
     from chess_pipeline_spark.multimodal import (
         attach_binary_payload,
         extract_media_features,
     )
 
     d = spread(_L(spark, sf_dir, "documents"), "doc_id")
-    return extract_media_features(attach_binary_payload(d))
+    feats = extract_media_features(attach_binary_payload(d))
+    return feats.select(
+        "doc_id",
+        "kind",
+        "n_bytes",
+        F.concat_ws(",", F.col("byte_hist").cast("array<string>")).alias(
+            "byte_hist"
+        ),
+        "checksum",
+        F.concat_ws(
+            ",",
+            F.transform(
+                "feature_vec", lambda x: F.format_string("%.6f", x)
+            ),
+        ).alias("feature_vec"),
+    )
 
 
 QUERIES: dict[str, QuerySpec] = {

@@ -1,0 +1,126 @@
+"""Catalog ↔ driver contract guards.
+
+The external verifier hash-checks the first DRIVER_WINDOW catalog
+entries per round, and its canonicalizer (pandas sort_values across
+all columns) dies on array/map cells. Two classes of regression have
+actually burned rounds:
+
+1. a silent catalog reorder rotating a never-verified query out of
+   the window (r2 → r3 was an intentional reorder; the r2+r3 union of
+   green rows is the proof of 58/60, so the order is now frozen);
+2. a query emitting array-typed columns (dedup_groups and
+   multimodal_features crashed the r3 canonicalizer with
+   "unhashable type: 'numpy.ndarray'").
+
+These tests make both breakages loud at pytest time.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import types as T
+
+from chess_pipeline_spark.plans import DRIVER_WINDOW, catalog
+
+# The byte-stable order proven green across CORRECTNESS_r02/r03 (plus
+# the two r4 canonicalizer fixes). Any edit here is a deliberate
+# contract change and must re-justify the driver-window contents.
+FROZEN_ORDER: tuple[str, ...] = (
+    "win_ratio_by_status",
+    "pricing_summary",
+    "top_customer_revenue",
+    "order_priority_clean",
+    "lineitem_filter_isin",
+    "parts_never_ordered",
+    "customers_with_orders",
+    "orders_fulfillment",
+    "order_lines_enriched",
+    "clock_lead_fill",
+    "initial_clock_per_group",
+    "top3_orders_per_customer",
+    "zip_explode_lockstep",
+    "material_map_expand",
+    "union_by_name",
+    "scalar_feature_sampler",
+    "clock_seconds_parse",
+    "eval_comment_parse",
+    "orders_per_priority",
+    "array_predicate_filter",
+    "struct_pack_fields",
+    "empty_relation_guard",
+    "rollup_priority_status",
+    "revenue_by_nation",
+    "price_percentiles",
+    "running_revenue",
+    "events_tumbling_1h",
+    "events_sessionized",
+    "events_dedup_latest",
+    "json_props_extract",
+    "events_asof_last_purchase",
+    "event_funnel",
+    "win_prob_lr",
+    "dedup_exact",
+    "text_quality_stats",
+    "token_count",
+    "lang_id_heuristic",
+    "doc_fingerprint",
+    "near_dup_pairs_jaccard",
+    "minhash_lsh_candidates",
+    "simhash_near_dup",
+    "embedding_near_dup_cosine",
+    "knn_cosine_topk",
+    "knn_cosine_ivf",
+    "knn_cosine_lsh",
+    "embedding_stats",
+    "multimodal_features",
+    "top_terms_per_source",
+    "dedup_normalized",
+    "dedup_groups",
+    # --- past the driver window (demoted; green in r01/r02) ---
+    "distinct_flag_status",
+    "global_minmax",
+    "weekday_recode",
+    "binned_mean",
+    "value_stats_by_weekday",
+    "sql_view_game_evals",
+    "explode_quantities",
+    "near_dup_pairs_jaccard_prefix",
+    "events_sliding_1h_30m",
+    "minhash_signatures",
+)
+
+
+def test_catalog_order_frozen():
+    assert tuple(catalog()) == FROZEN_ORDER
+
+
+def test_driver_window_covers_the_r3_verified_set():
+    # the 50 in-window names must be exactly the set the driver
+    # verified in round 3 (CORRECTNESS_r03.json keys) — internal
+    # order within the window is free, membership is not
+    assert len(FROZEN_ORDER) - DRIVER_WINDOW == 10
+    in_window = set(FROZEN_ORDER[:DRIVER_WINDOW])
+    assert "dedup_groups" in in_window
+    assert "multimodal_features" in in_window
+    assert "orders_per_priority" in in_window
+
+
+# The driver's canonicalizer sorts a pandas frame across all columns:
+# array/map cells become ndarrays/dicts and raise
+# "unhashable type" — so no catalog query may emit them top-level.
+# (Structs survive: Spark → pandas yields Row tuples, which sort.)
+_FORBIDDEN = (T.ArrayType, T.MapType)
+
+
+@pytest.mark.parametrize("name", list(FROZEN_ORDER))
+def test_output_schema_is_canonicalizable(spark, sf_dir, name):
+    spec = catalog()[name]
+    df = spec.spark(spark, sf_dir)
+    bad = [
+        f.name for f in df.schema.fields if isinstance(f.dataType, _FORBIDDEN)
+    ]
+    assert not bad, (
+        f"{name} emits non-canonicalizable column(s) {bad}; serialize to "
+        f"scalars at the catalog boundary (concat_ws / to_json)"
+    )
