@@ -86,24 +86,33 @@ def upsert_jdbc_staging(
     keys: list[str],
     mode: str = "delete_insert",
     properties: dict[str, str] | None = None,
+    quote: str = "",
 ) -> str:
     """Stage the batch into <table>__staging via JDBC and return the
     server-side merge SQL (DELETE+INSERT like the reference, or ANSI
     MERGE). The caller executes the SQL on its connection — Spark has
     no generic JDBC MERGE, so the pattern is stage + server-side
-    statement (postgres_templates.py:160-214 re-expressed)."""
+    statement (postgres_templates.py:160-214 re-expressed).
+
+    ``quote`` wraps COLUMN identifiers (e.g. '"'): Spark's JDBC
+    writer creates columns quoted-as-written, so on engines that fold
+    unquoted identifiers (Derby/Oracle → upper) the merge SQL must
+    quote to match. Postgres folds to lower = the reference's
+    unquoted default. Table names are left as given — Spark writes
+    them unquoted, so they fold the same way on both sides."""
+    q = (lambda c: f"{quote}{c}{quote}") if quote else (lambda c: c)
     staging = f"{table}__staging"
     df.write.jdbc(url, staging, mode="overwrite", properties=properties or {})
-    key_list = ", ".join(keys)
-    cols = ", ".join(df.columns)
+    key_list = ", ".join(q(k) for k in keys)
+    cols = ", ".join(q(c) for c in df.columns)
     if mode == "merge":
-        on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
-        sets = ", ".join(f"{c} = s.{c}" for c in df.columns if c not in keys)
+        on = " AND ".join(f"t.{q(k)} = s.{q(k)}" for k in keys)
+        sets = ", ".join(f"{q(c)} = s.{q(c)}" for c in df.columns if c not in keys)
         return (
             f"MERGE INTO {table} t USING {staging} s ON {on} "
             f"WHEN MATCHED THEN UPDATE SET {sets} "
             f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES "
-            f"({', '.join('s.' + c for c in df.columns)})"
+            f"({', '.join('s.' + q(c) for c in df.columns)})"
         )
     return (
         f"DELETE FROM {table} WHERE ({key_list}) IN "
