@@ -163,3 +163,45 @@ def test_evals_cache_dance(spark):
     joined = attach_evals(positions, new_cache)
     vals = {r.half_move: r.evaluation for r in joined.collect()}
     assert vals == {1: 0.5, 2: 0.0}  # missing -> 0 (inference.py:45)
+
+
+def test_board_tier_fen_and_material_fixtures(spark):
+    """Board tier vs reference visitor semantics
+    (visitors.py:130-143 PositionsVisitor: FEN after each move,
+    starting position skipped; visitors.py:182-196 MaterialVisitor:
+    piece-symbol counter per position INCLUDING the start, kings in).
+    Wherever python-chess IS importable these columns must be
+    populated and exact — a silent None there would mean the import
+    gate is masking a board-tier break. (Not importable in this
+    container, so the fixture assertions arm on real deployments.)"""
+    from chess_pipeline_spark.parse import HAS_PYTHON_CHESS
+
+    if not HAS_PYTHON_CHESS:
+        import pytest
+
+        pytest.skip("python-chess not importable in this environment")
+
+    g = parse_pgn_game(PGN_FULL)
+    assert g["positions"] is not None and g["material_by_move"] is not None
+    # PositionsVisitor: one FEN per move (no starting position)
+    placements = [f.split(" ")[0] for f in g["positions"]]
+    assert placements == [
+        "rnbqkbnr/pppppppp/8/8/4P3/8/PPPP1PPP/RNBQKBNR",       # 1. e4
+        "rnbqkbnr/pp1ppppp/8/2p5/4P3/8/PPPP1PPP/RNBQKBNR",     # 1... c5
+        "rnbqkbnr/pp1ppppp/8/2p5/4P3/5N2/PPPP1PPP/RNBQKB1R",   # 2. Nf3
+        "rnbqkbnr/pp2pppp/3p4/2p5/4P3/5N2/PPPP1PPP/RNBQKB1R",  # 2... d6
+    ]
+    # MaterialVisitor: n_moves+1 entries, entry 0 = full starting set;
+    # no captures in this game so every entry is the full 32 pieces
+    start = {"P": 8, "p": 8, "N": 2, "n": 2, "B": 2, "b": 2,
+             "R": 2, "r": 2, "Q": 1, "q": 1, "K": 1, "k": 1}
+    assert len(g["material_by_move"]) == len(g["positions"]) + 1
+    for entry in g["material_by_move"]:
+        assert entry == start
+
+    # and the same non-nulls must survive the executor-side
+    # mapInPandas path (the import gate runs on executors too)
+    df = spark.createDataFrame([(PGN_FULL,)], "pgn string")
+    row = parse_pgn_dataframe(df).select("positions", "material_by_move").first()
+    assert row["positions"] is not None and len(row["positions"]) == 4
+    assert row["material_by_move"] is not None and len(row["material_by_move"]) == 5
