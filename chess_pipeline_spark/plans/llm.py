@@ -460,8 +460,10 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-MINHASH_LSH_CANDIDATES_SQL = f"""
-WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+# Shared CTE block: shingle → minhash → band → bucket-join candidate
+# pairs. Used verbatim by the LSH-candidates oracle AND (under WITH
+# RECURSIVE) by the dedup_groups connected-components oracle.
+_LSH_CAND_CTES = f"""w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
 sh AS (
   SELECT doc_id,
          list_transform(range(1, greatest(len(words) - 1, 1)),
@@ -474,13 +476,41 @@ sig AS (
 bands AS (
   SELECT doc_id, 0 AS band, mh_0 AS h1, mh_1 AS h2 FROM sig
   UNION ALL
-  SELECT doc_id, 1 AS band, mh_2 AS h1, mh_3 AS h2 FROM sig)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(count(*) AS BIGINT) AS n_shared_bands
-FROM bands a
-JOIN bands b ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2
-            AND a.doc_id < b.doc_id
-GROUP BY 1, 2
+  SELECT doc_id, 1 AS band, mh_2 AS h1, mh_3 AS h2 FROM sig),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS n_shared_bands
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2
+              AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)"""
+
+MINHASH_LSH_CANDIDATES_SQL = f"""
+WITH {_LSH_CAND_CTES}
+SELECT doc_a, doc_b, n_shared_bands FROM cand
+"""
+
+# Connected components as a recursive transitive closure: reach(a, b)
+# = b reachable from a over the (bidirectional) candidate edges; a
+# node's label = min over itself + everything it reaches — exactly
+# the fixpoint the Spark min-label propagation loop computes. Fine
+# for an ORACLE because closure size is Σ|component|² and near-dup
+# components are small cliques; the distributed engine still uses
+# the O(diameter)-round loop, which scales where closure does not.
+DEDUP_GROUPS_SQL = f"""
+WITH RECURSIVE {_LSH_CAND_CTES},
+edges AS (SELECT doc_a, doc_b FROM cand UNION SELECT doc_b, doc_a FROM cand),
+reach(a, b) AS (
+  SELECT doc_a, doc_b FROM edges
+  UNION
+  SELECT r.a, e.doc_b FROM reach r JOIN edges e ON r.b = e.doc_a),
+allr AS (SELECT a, b FROM reach UNION SELECT DISTINCT doc_a, doc_a FROM edges),
+labels AS (SELECT a AS doc_id, min(b) AS label FROM allr GROUP BY 1)
+SELECT min(doc_id) AS keep_doc_id,
+       CAST(count(*) AS BIGINT) AS group_size,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members
+FROM labels
+GROUP BY label
 """
 
 
@@ -1019,9 +1049,10 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     graphs are collections of small cliques, so 2-3 rounds in
     practice. Each round is one broadcast-sized join + groupBy at
     candidate-graph scale (≪ corpus scale); localCheckpoint breaks
-    the growing lineage. Genuinely not SQL-expressible without
-    recursive CTEs → no DuckDB oracle (rows-only driver check);
-    exactness is pytest-verified against a union-find ground truth.
+    the growing lineage. Oracle: DEDUP_GROUPS_SQL expresses the same
+    fixpoint as a DuckDB recursive-CTE transitive closure; exactness
+    is additionally pytest-verified against a union-find ground
+    truth.
     """
     pairs = minhash_lsh_candidates(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.unionByName(
@@ -1106,6 +1137,10 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = spread(_L(spark, sf_dir, "documents"), "doc_id")
     feats = extract_media_features(attach_binary_payload(d))
+    # NOTE: the fake decoder is deterministic byte arithmetic, so it
+    # HAS a SQL oracle (MULTIMODAL_FEATURES_SQL) despite running as a
+    # Python UDF — the oracle re-derives the features from hex(blob)
+    # bytes. A real image/audio decoder would drop back to rows-only.
     return feats.select(
         "doc_id",
         "kind",
@@ -1116,11 +1151,62 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "checksum",
         F.concat_ws(
             ",",
+            # fround BEFORE formatting: a raw ratio can tie exactly at
+            # the 6th decimal (e.g. 105/128 = 0.8203125) and Java
+            # format_string rounds half-up while C printf rounds
+            # half-even — pre-rounding floor-style kills the tie on
+            # both engines (same discipline as fround everywhere else)
             F.transform(
-                "feature_vec", lambda x: F.format_string("%.6f", x)
+                "feature_vec",
+                lambda x: F.format_string("%.6f", fround(x, 6)),
             ),
         ).alias("feature_vec"),
     )
+
+
+# Byte-exact SQL twin of multimodal.py's _fake_decode: UTF-8 bytes
+# via hex(encode(text)) two-chars-at-a-time, 4-bucket histogram on
+# byte>>6, position-weighted checksum with per-element mod (matching
+# numpy's `(arr * weights % p).sum() % p`), features = hist/n with
+# printf('%.6f') mirroring the Spark side's format_string('%.6f').
+# NULL text rows are skipped (NULL payload is skipped by the UDF);
+# empty text keeps a row with zero counts (n guarded to >= 1).
+MULTIMODAL_FEATURES_SQL = """
+WITH d AS (SELECT doc_id, encode(text) AS payload
+           FROM documents WHERE text IS NOT NULL),
+b AS (SELECT doc_id, CAST(octet_length(payload) AS BIGINT) AS n,
+             hex(payload) AS h
+      FROM d),
+x AS (SELECT doc_id, n, h, unnest(range(1, n + 1)) AS i FROM b),
+bytes AS (
+  SELECT doc_id, i,
+         (strpos('0123456789ABCDEF', substr(h, CAST(2 * i - 1 AS INT), 1)) - 1) * 16
+         + (strpos('0123456789ABCDEF', substr(h, CAST(2 * i AS INT), 1)) - 1) AS bv
+  FROM x),
+agg AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN bv >> 6 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS h0,
+         CAST(sum(CASE WHEN bv >> 6 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+         CAST(sum(CASE WHEN bv >> 6 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS h2,
+         CAST(sum(CASE WHEN bv >> 6 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS h3,
+         CAST(sum((bv * i) % 1000000007) % 1000000007 AS BIGINT) AS checksum
+  FROM bytes GROUP BY doc_id),
+f AS (
+  SELECT b.doc_id, b.n,
+         coalesce(a.h0, 0) AS h0, coalesce(a.h1, 0) AS h1,
+         coalesce(a.h2, 0) AS h2, coalesce(a.h3, 0) AS h3,
+         CAST(coalesce(a.checksum, 0) AS BIGINT) AS checksum,
+         greatest(b.n, 1) AS nd
+  FROM b LEFT JOIN agg a USING (doc_id))
+SELECT doc_id, 'fake-text' AS kind, n AS n_bytes,
+       h0 || ',' || h1 || ',' || h2 || ',' || h3 AS byte_hist,
+       checksum,
+       printf('%.6f', floor((h0 / nd) * 1000000.0 + 0.5) / 1000000.0) || ',' ||
+       printf('%.6f', floor((h1 / nd) * 1000000.0 + 0.5) / 1000000.0) || ',' ||
+       printf('%.6f', floor((h2 / nd) * 1000000.0 + 0.5) / 1000000.0) || ',' ||
+       printf('%.6f', floor((h3 / nd) * 1000000.0 + 0.5) / 1000000.0) AS feature_vec
+FROM f
+"""
 
 
 QUERIES: dict[str, QuerySpec] = {
@@ -1147,11 +1233,15 @@ QUERIES: dict[str, QuerySpec] = {
     "knn_cosine_ivf": QuerySpec(knn_cosine_ivf, KNN_COSINE_IVF_SQL, "llm-knn-ivf"),
     "knn_cosine_lsh": QuerySpec(knn_cosine_lsh, KNN_COSINE_LSH_SQL, "llm-knn-lsh"),
     "embedding_stats": QuerySpec(embedding_stats, EMBEDDING_STATS_SQL, "llm-embed"),
-    "multimodal_features": QuerySpec(multimodal_features, None, "llm-multimodal"),
+    "multimodal_features": QuerySpec(
+        multimodal_features, MULTIMODAL_FEATURES_SQL, "llm-multimodal"
+    ),
     "top_terms_per_source": QuerySpec(
         top_terms_per_source, TOP_TERMS_PER_SOURCE_SQL, "llm-textstats O3"
     ),
     "dedup_normalized": QuerySpec(dedup_normalized, DEDUP_NORMALIZED_SQL, "llm-dedup F16"),
-    "dedup_groups": QuerySpec(dedup_groups, None, "llm-dedup-groups iterative"),
+    "dedup_groups": QuerySpec(
+        dedup_groups, DEDUP_GROUPS_SQL, "llm-dedup-groups iterative"
+    ),
 }
 

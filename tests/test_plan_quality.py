@@ -59,15 +59,23 @@ def test_partial_aggregation_before_shuffle(spark, sf_dir):
     assert "hashpartitioning" in plan
 
 
+# Oracle-checked queries that are Arrow-batched-UDF-backed BY DESIGN:
+# the media decode must run in Python, but the deterministic fake
+# decoder still admits a byte-arithmetic SQL oracle.
+_UDF_BY_NECESSITY = {"multimodal_features"}
+
+
 def test_no_python_eval_in_jvm_paths(spark, sf_dir):
     # every oracle-checked query must stay JVM-side: Python appears
-    # only in the explicitly-UDF-backed rows-only queries
+    # only in the explicitly-UDF-backed queries, and those must be
+    # Arrow-batched mapInPandas, never row-at-a-time eval
     for name, spec in _CATALOG.items():
         if spec.oracle is None:
             continue
         plan = _plan(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
-        assert "MapInPandas" not in plan, name
+        if name not in _UDF_BY_NECESSITY:
+            assert "MapInPandas" not in plan, name
 
 
 def test_whole_stage_codegen_on_hot_path(spark, sf_dir):
