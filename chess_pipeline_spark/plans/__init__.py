@@ -33,6 +33,11 @@ DRIVER_WINDOW = 50
 #   near_dup_pairs_jaccard_prefix    same semantics as near_dup_pairs_jaccard
 #   events_sliding_1h_30m      §2.11 ⊂ events_tumbling_1h, events_sessionized
 #   minhash_signatures         built + exercised inside minhash_lsh_candidates
+# The four corpus-preparation queries (plans/corpus.py, added round
+# 4) start life demoted: the in-window 50 are the proven r2+r3 set
+# and stay byte-stable; the new queries carry local DuckDB-oracle
+# parity (tests/test_catalog_oracle.py) until a future round
+# deliberately rotates them in.
 _DEMOTED: tuple[str, ...] = (
     "distinct_flag_status",
     "global_minmax",
@@ -44,6 +49,10 @@ _DEMOTED: tuple[str, ...] = (
     "near_dup_pairs_jaccard_prefix",
     "events_sliding_1h_30m",
     "minhash_signatures",
+    "dedup_keep_best",
+    "stratified_sample",
+    "pack_sequences",
+    "tfidf_top_terms",
 )
 
 
@@ -54,10 +63,10 @@ def catalog() -> dict[str, QuerySpec]:
     Order matters: the driver verifies the first DRIVER_WINDOW entries,
     so never-yet-verified queries must precede double-covered ones.
     """
-    from chess_pipeline_spark.plans import llm, relational, timeseries, winprob
+    from chess_pipeline_spark.plans import corpus, llm, relational, timeseries, winprob
 
     out: dict[str, QuerySpec] = {}
-    for mod in (relational, timeseries, winprob, llm):
+    for mod in (relational, timeseries, winprob, llm, corpus):
         for name, spec in mod.QUERIES.items():
             if name in out:
                 raise ValueError(f"duplicate query name: {name}")

@@ -1,0 +1,274 @@
+"""Corpus-preparation operators for training-data pipelines.
+
+The step AFTER analysis/dedup: choosing what to keep and how to lay
+it out for a trainer. Four operators a 100 TB text pipeline runs on
+every refresh, each with a DuckDB oracle:
+
+- dedup_keep_best: quality-aware representative selection per
+  near-dup group (the "which copy do we keep" policy — reference
+  pipelines keep min-id; real corpora keep the longest/cleanest);
+- stratified_sample: deterministic hash sampling salted per stratum
+  (reproducible eval holdouts — re-runs and backfills pick the same
+  documents, no RNG state to ship);
+- pack_sequences: token-budget concat-and-chunk shard assignment
+  (the batch-packing layout LLM trainers consume);
+- tfidf_top_terms: per-source TF-IDF term ranking (corpus-drift
+  dashboards; upgrades top_terms_per_source's raw DF counts).
+
+Scale notes (100 TB design):
+- keep-best: one shuffle — labels join tokens on doc_id (both sides
+  hash-partitioned), then a single max(struct) groupBy per label;
+  no window, no second shuffle on the same key;
+- sampling: pure per-row projection (md5 fold), no shuffle at all;
+  the sample decision is a function of the row alone, so it pushes
+  into the scan and composes with partition pruning;
+- packing: one window per (source) partition — the running sum is
+  the only state, and source blocks are bounded (a stratum fits an
+  executor); at larger strata the same plan runs per (source, day);
+- tfidf: two map-side-combined shuffles, both on (source, word) /
+  (word) — vocabulary-scale, not corpus-scale.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from chess_pipeline_spark.functions.rounding import fround
+from chess_pipeline_spark.plans.llm import (
+    BPE_TOKEN_PATTERN,
+    COMPONENT_LABELS_CTES,
+    component_labels,
+)
+from chess_pipeline_spark.plans.spec import QuerySpec
+from chess_pipeline_spark.sources import load_table as _L
+from chess_pipeline_spark.sources import spread
+
+_TOKENS_SQL = (
+    "CAST(len(regexp_extract_all(text, "
+    r"'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)"
+)
+
+
+def _with_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(_L(spark, sf_dir, "documents"), "doc_id")
+    return d.select(
+        "doc_id",
+        "source",
+        F.regexp_count("text", F.lit(BPE_TOKEN_PATTERN)).cast("long").alias("n_tokens"),
+    )
+
+
+# ------------------------------------------------------------------
+# Quality-aware dedup representative selection
+# ------------------------------------------------------------------
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each near-dup group (connected component over the
+    MinHash-LSH candidate graph, labels from
+    plans.llm.component_labels), keep the HIGHEST-token-count member
+    rather than the min-id one — the "keep the longest copy" policy
+    corpus curation actually wants (truncated mirrors lose to their
+    fuller original).
+
+    Plan shape: labels ⋈ token counts on doc_id (one shuffle), then
+    a single groupBy(label) whose representative comes from
+    max(struct(n_tokens, -doc_id)) — max-by with a deterministic
+    min-id tiebreak, no window and no second pass over the group.
+    """
+    labels = component_labels(spark, sf_dir)
+    toks = _with_tokens(spark, sf_dir).select("doc_id", "n_tokens")
+    joined = labels.join(toks, "doc_id")
+    agg = joined.groupBy("label").agg(
+        F.count("*").cast("long").alias("group_size"),
+        # max over (tokens, -doc_id): most tokens wins, lowest doc_id
+        # breaks ties — one aggregate instead of a rank window
+        F.max(F.struct(F.col("n_tokens"), (-F.col("doc_id")).alias("nid"))).alias("b"),
+    )
+    return agg.select(
+        F.col("label").alias("group_id"),
+        (-F.col("b.nid")).cast("long").alias("best_doc_id"),
+        F.col("b.n_tokens").alias("best_tokens"),
+        "group_size",
+    )
+
+
+DEDUP_KEEP_BEST_SQL = f"""
+WITH RECURSIVE {COMPONENT_LABELS_CTES},
+toks AS (SELECT doc_id, {_TOKENS_SQL} AS n_tokens FROM documents),
+ranked AS (
+  SELECT l.label, t.doc_id, t.n_tokens,
+         row_number() OVER (PARTITION BY l.label
+                            ORDER BY t.n_tokens DESC, t.doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY l.label) AS gs
+  FROM labels l JOIN toks t USING (doc_id))
+SELECT label AS group_id, doc_id AS best_doc_id, n_tokens AS best_tokens,
+       CAST(gs AS BIGINT) AS group_size
+FROM ranked WHERE rn = 1
+"""
+
+
+# ------------------------------------------------------------------
+# Deterministic stratified sampling
+# ------------------------------------------------------------------
+
+# Engine-portable uniform hash in [0, 1000): fold the first 6 hex
+# chars of md5(source:doc_id) to an integer. instr/substr/md5 behave
+# identically in Spark SQL and DuckDB, so the SAME expression string
+# runs on both engines — no closed-form re-derivation to keep in
+# sync. Salting the key with the stratum (source) makes strata
+# sample independently: dropping or adding one stratum never changes
+# another's picks.
+_HEX = "0123456789abcdef"
+_SAMPLE_KEY = "concat(source, ':', CAST(doc_id AS STRING))"
+_BUCKET_EXPR = (
+    "CAST(("
+    + " + ".join(
+        f"(instr('{_HEX}', substr(md5({_SAMPLE_KEY}), {k}, 1)) - 1) * {16 ** (6 - k)}"
+        for k in range(1, 7)
+    )
+    + ") % 1000 AS BIGINT)"
+)
+_SAMPLE_PERMILLE = 100  # keep ~10% of every stratum
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% deterministic sample of every source stratum: keep rows
+    whose per-stratum hash bucket < 100 of 1000. Pure per-row
+    projection — no shuffle, no RNG state; the filter composes with
+    scan pushdown, and re-running at any later date (or on a
+    backfill subset) selects the same documents."""
+    d = spread(_L(spark, sf_dir, "documents"), "doc_id")
+    return (
+        d.select("doc_id", "source", F.expr(_BUCKET_EXPR).alias("bucket"))
+        .filter(F.col("bucket") < _SAMPLE_PERMILLE)
+    )
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+SELECT doc_id, source, {_BUCKET_EXPR} AS bucket
+FROM documents
+WHERE {_BUCKET_EXPR} < {_SAMPLE_PERMILLE}
+"""
+
+
+# ------------------------------------------------------------------
+# Token-budget sequence packing
+# ------------------------------------------------------------------
+
+_SHARD_TOKENS = 4096
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing: within each source (ordered by
+    doc_id), documents are laid end-to-end and cut into
+    4096-token shards; a document's shard_id is the shard its first
+    token lands in. One running-sum window per source partition —
+    the layout step between a curated corpus and a trainer's
+    dataloader. Docs longer than the budget simply span shards
+    (chunk semantics), so no per-doc size cap is needed."""
+    toks = _with_tokens(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy("doc_id")
+    cum = F.sum("n_tokens").over(w).cast("long")
+    return toks.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        cum.alias("cum_tokens"),
+        F.floor((cum - F.col("n_tokens")) / F.lit(_SHARD_TOKENS)).cast("long").alias(
+            "shard_id"
+        ),
+    )
+
+
+PACK_SEQUENCES_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, {_TOKENS_SQL} AS n_tokens FROM documents)
+SELECT doc_id, source, n_tokens,
+       CAST(sum(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+       CAST(floor((CAST(sum(n_tokens) OVER w AS BIGINT) - n_tokens)
+                  / {_SHARD_TOKENS}.0) AS BIGINT) AS shard_id
+FROM toks
+WINDOW w AS (PARTITION BY source ORDER BY doc_id)
+"""
+
+
+# ------------------------------------------------------------------
+# TF-IDF term ranking per source
+# ------------------------------------------------------------------
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 terms per source by TF-IDF: tf = term occurrences within
+    the source, idf = ln(#sources / #sources containing the term).
+    Upgrades top_terms_per_source's raw document-frequency ranking —
+    stopwords shared by every source get idf 0 and drop out.
+
+    Cross-engine determinism: idf is floor-rounded at 1e-6 (fround)
+    BEFORE the tf multiply — ln differs by 1 ulp between libm and the
+    JVM on some arguments, and tf * ln(...) can reach magnitudes
+    where a 1e-6 grid sits at double-ulp distance; tf * rounded-idf
+    is a single IEEE multiply, bit-identical on both engines."""
+    d = spread(_L(spark, sf_dir, "documents"), "doc_id")
+    tokens = d.select("source", F.explode(F.split("text", " ")).alias("word"))
+    tf = tokens.groupBy("source", "word").agg(F.count("*").cast("long").alias("tf"))
+    df_ = (
+        tokens.select("source", "word")
+        .distinct()
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("df_sources"))
+    )
+    n = d.agg(F.countDistinct("source").cast("long").alias("n_sources"))
+    idf = fround(
+        F.log(F.col("n_sources").cast("double") / F.col("df_sources")), 6
+    )
+    scored = (
+        tf.join(df_, "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source", "word", "tf", "df_sources", (F.col("tf") * idf).alias("score")
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("score"), F.asc("word")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+    )
+
+
+TFIDF_TOP_TERMS_SQL = """
+WITH tokens AS (
+  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents),
+tf AS (SELECT source, word, CAST(count(*) AS BIGINT) AS tf
+       FROM tokens GROUP BY 1, 2),
+docfreq AS (SELECT word, CAST(count(DISTINCT source) AS BIGINT) AS df_sources
+            FROM tokens GROUP BY 1),
+n AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_sources FROM documents),
+scored AS (
+  SELECT tf.source, tf.word, tf.tf, docfreq.df_sources,
+         tf.tf * (floor(ln(CAST(n.n_sources AS DOUBLE) / docfreq.df_sources)
+                        * 1000000.0 + 0.5) / 1000000.0) AS score
+  FROM tf JOIN docfreq USING (word) CROSS JOIN n)
+SELECT source, word, tf, df_sources, score, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY score DESC, word ASC) AS rank
+      FROM scored)
+WHERE rank <= 5
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "dedup_keep_best": QuerySpec(
+        dedup_keep_best, DEDUP_KEEP_BEST_SQL, "corpus-keep-best"
+    ),
+    "stratified_sample": QuerySpec(
+        stratified_sample, STRATIFIED_SAMPLE_SQL, "corpus-sample"
+    ),
+    "pack_sequences": QuerySpec(pack_sequences, PACK_SEQUENCES_SQL, "corpus-pack"),
+    "tfidf_top_terms": QuerySpec(
+        tfidf_top_terms, TFIDF_TOP_TERMS_SQL, "corpus-tfidf"
+    ),
+}

@@ -102,11 +102,16 @@ FROM s
 """
 
 
+# BPE-ish tokenization: runs of letters | runs of digits | single
+# other non-space. Shared with plans/corpus.py (packing, keep-best).
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens + a BPE-ish regex tokenizer
     (runs of letters | runs of digits | single other non-space)."""
     d = spread(_L(spark, sf_dir, "documents"), "doc_id")
-    pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    pat = BPE_TOKEN_PATTERN
     return d.select(
         "doc_id",
         F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
@@ -497,15 +502,19 @@ SELECT doc_a, doc_b, n_shared_bands FROM cand
 # for an ORACLE because closure size is Σ|component|² and near-dup
 # components are small cliques; the distributed engine still uses
 # the O(diameter)-round loop, which scales where closure does not.
-DEDUP_GROUPS_SQL = f"""
-WITH RECURSIVE {_LSH_CAND_CTES},
+# The CTE block is shared with plans/corpus.py (dedup_keep_best),
+# which selects a different representative over the same labels.
+COMPONENT_LABELS_CTES = f"""{_LSH_CAND_CTES},
 edges AS (SELECT doc_a, doc_b FROM cand UNION SELECT doc_b, doc_a FROM cand),
 reach(a, b) AS (
   SELECT doc_a, doc_b FROM edges
   UNION
   SELECT r.a, e.doc_b FROM reach r JOIN edges e ON r.b = e.doc_a),
 allr AS (SELECT a, b FROM reach UNION SELECT DISTINCT doc_a, doc_a FROM edges),
-labels AS (SELECT a AS doc_id, min(b) AS label FROM allr GROUP BY 1)
+labels AS (SELECT a AS doc_id, min(b) AS label FROM allr GROUP BY 1)"""
+
+DEDUP_GROUPS_SQL = f"""
+WITH RECURSIVE {COMPONENT_LABELS_CTES}
 SELECT min(doc_id) AS keep_doc_id,
        CAST(count(*) AS BIGINT) AS group_size,
        string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members
@@ -1081,10 +1090,9 @@ WHERE rank <= 5
 """
 
 
-def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate GROUPS via iterative connected components over the
-    MinHash-LSH candidate graph — the step after candidate pairs
-    that an actual dedup pipeline needs (keep one doc per group).
+def component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component labels (doc_id, label) over the MinHash-LSH
+    candidate graph; label = min doc_id of the component.
 
     Iterative min-label propagation: every doc starts labeled with
     its own id; each round joins labels across candidate edges
@@ -1093,10 +1101,9 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     graphs are collections of small cliques, so 2-3 rounds in
     practice. Each round is one broadcast-sized join + groupBy at
     candidate-graph scale (≪ corpus scale); localCheckpoint breaks
-    the growing lineage. Oracle: DEDUP_GROUPS_SQL expresses the same
-    fixpoint as a DuckDB recursive-CTE transitive closure; exactness
-    is additionally pytest-verified against a union-find ground
-    truth.
+    the growing lineage. Only docs that appear in at least one
+    candidate pair are labeled (singletons are their own trivial
+    groups and never need deduplication).
     """
     pairs = minhash_lsh_candidates(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.unionByName(
@@ -1139,9 +1146,24 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         # a silent early exit would emit one component as several
         # groups with no error — fail loudly instead
         raise RuntimeError(
-            f"dedup_groups: label propagation did not converge in "
+            f"component_labels: label propagation did not converge in "
             f"{max_rounds} rounds (candidate graph diameter too large)"
         )
+    return labels
+
+
+def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate GROUPS via iterative connected components over the
+    MinHash-LSH candidate graph — the step after candidate pairs
+    that an actual dedup pipeline needs (keep one doc per group).
+
+    Oracle: DEDUP_GROUPS_SQL expresses the same fixpoint as a DuckDB
+    recursive-CTE transitive closure; exactness is additionally
+    pytest-verified against a union-find ground truth. See
+    component_labels for the propagation loop and its scale shape;
+    plans/corpus.py::dedup_keep_best selects a quality-aware
+    representative over the same labels."""
+    labels = component_labels(spark, sf_dir)
     return (
         labels.groupBy("label")
         .agg(
