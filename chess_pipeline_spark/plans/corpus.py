@@ -16,12 +16,13 @@ every refresh, each with a DuckDB oracle:
   dashboards; upgrades top_terms_per_source's raw DF counts).
 
 Scale notes (100 TB design):
-- keep-best: one shuffle — labels join tokens on doc_id (both sides
-  hash-partitioned), then a single max(struct) groupBy per label;
-  no window, no second shuffle on the same key;
-- sampling: pure per-row projection (md5 fold), no shuffle at all;
-  the sample decision is a function of the row alone, so it pushes
-  into the scan and composes with partition pruning;
+- keep-best: labels ⋈ tokens co-partition on doc_id, then ONE
+  label-keyed shuffle whose representative comes from a partial
+  max(struct) — no rank window, no join-back, no second pass over
+  the group;
+- sampling: pure per-row projection (md5 fold) — the filter runs in
+  the scan stage before any exchange, and the scan reads only the
+  two columns the output needs;
 - packing: one window per (source) partition — the running sum is
   the only state, and source blocks are bounded (a stratum fits an
   executor); at larger strata the same plan runs per (source, day);
@@ -136,9 +137,10 @@ _SAMPLE_PERMILLE = 100  # keep ~10% of every stratum
 def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """~10% deterministic sample of every source stratum: keep rows
     whose per-stratum hash bucket < 100 of 1000. Pure per-row
-    projection — no shuffle, no RNG state; the filter composes with
-    scan pushdown, and re-running at any later date (or on a
-    backfill subset) selects the same documents."""
+    projection — no shuffle, no RNG state; the bucket filter runs in
+    the scan stage (before any exchange), and re-running at any
+    later date (or on a backfill subset) selects the same
+    documents."""
     d = spread(_L(spark, sf_dir, "documents"), "doc_id")
     return (
         d.select("doc_id", "source", F.expr(_BUCKET_EXPR).alias("bucket"))

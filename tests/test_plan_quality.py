@@ -118,6 +118,50 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
 
 
+def _required_shuffles(plan: str) -> int:
+    # keyed exchanges the plan REQUIRES — spread()'s local-mode
+    # REPARTITION_BY_NUM split-widening doesn't count (it vanishes on
+    # real multi-file datasets; see SCALING.md "local-mode artifacts")
+    return sum(
+        1
+        for ln in plan.splitlines()
+        if "hashpartitioning" in ln and "ENSURE_REQUIREMENTS" in ln
+    )
+
+
+def test_stratified_sample_prunes_and_filters_in_scan_stage(spark, sf_dir):
+    # the sample decision is per-row: the text column must not be
+    # read at all, and no keyed shuffle is required anywhere
+    plan = _plan(spark, sf_dir, "stratified_sample")
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "text" not in read, f"text not pruned: {read}"
+    assert _required_shuffles(plan) == 0
+
+
+def test_pack_sequences_single_window_shuffle(spark, sf_dir):
+    # concat-and-chunk is ONE running-sum window per source: exactly
+    # one required hash exchange, one window, no join
+    plan = _plan(spark, sf_dir, "pack_sequences")
+    assert _required_shuffles(plan) == 1
+    assert "Window" in plan and "Join" not in plan
+
+
+def test_tfidf_aggregates_map_side(spark, sf_dir):
+    # both the (source, word) tf count and the df count must partial-
+    # aggregate before their shuffles; the 1-row n_sources aggregate
+    # may broadcast-nested-loop (bounded by construction)
+    plan = _plan(spark, sf_dir, "tfidf_top_terms")
+    assert "partial_count" in plan
+
+
+def test_dedup_keep_best_partial_max_before_shuffle(spark, sf_dir):
+    # the representative must come from a partial max(struct) on the
+    # map side of the single label shuffle — not a rank window
+    plan = _plan(spark, sf_dir, "dedup_keep_best")
+    assert "partial_max" in plan
+    assert "row_number" not in plan
+
+
 @pytest.mark.parametrize(
     "name", ["events_tumbling_1h", "events_sessionized", "value_stats_by_weekday"]
 )
