@@ -49,6 +49,7 @@ _DEMOTED: tuple[str, ...] = (
     "near_dup_pairs_jaccard_prefix",
     "events_sliding_1h_30m",
     "minhash_signatures",
+    "ngram_jaccard_near_dup",
     "dedup_keep_best",
     "stratified_sample",
     "pack_sequences",

@@ -263,6 +263,79 @@ def near_dup_pairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(jac >= _JACCARD_T)
 
 
+_SHINGLE_K = 5  # character n-gram width
+_NGRAM_T = 0.25  # char-shingle overlap of word-substituted near-dups ~1/3
+
+
+def ngram_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character n-gram (5-gram shingle) Jaccard near-dup pairs —
+    the tokenization-free flavor: robust to word-boundary edits
+    (hyphenation, spacing, punctuation) that fragment word-set
+    Jaccard. Same blocked inverted-index plan as
+    near_dup_pairs_jaccard, but posting lists key on
+    (source, shingle). The threshold is far below the word-set 0.9:
+    every word substitution destroys ~k shingles around it, so true
+    near-dups (word-level edits) land near 1/3 shingle overlap —
+    0.25 sits between that cluster and the topical background
+    (measured on the driver corpus; brute-force ground truth in
+    tests/test_corpus_properties.py). Docs shorter than the shingle
+    width
+    contribute their whole text as one shingle."""
+    d = spread(_L(spark, sf_dir, "documents"), "doc_id")
+    sh = (
+        f"array_distinct(transform(sequence(1, greatest(length(text) - {_SHINGLE_K - 1}, 1)), "
+        f"i -> substring(text, i, {_SHINGLE_K})))"
+    )
+    ws = d.select(
+        "doc_id", "source", F.expr(sh).alias("s")
+    ).select(
+        "doc_id", "source", F.size("s").alias("n"), F.explode("s").alias("shingle")
+    )
+    a, b = ws.alias("a"), ws.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+    return inter.select(
+        "doc_a", "doc_b", fround(jac, 6).alias("jaccard")
+    ).filter(jac >= _NGRAM_T)
+
+
+NGRAM_JACCARD_NEAR_DUP_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(
+           range(1, greatest(length(text) - {_SHINGLE_K - 1}, 1) + 1),
+           i -> substr(text, CAST(i AS INTEGER), {_SHINGLE_K}))) AS s
+  FROM documents),
+ws AS (
+  SELECT doc_id, source, len(s) AS n, unnest(s) AS shingle FROM sh),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+         count(*) AS inter
+  FROM ws a JOIN ws b ON a.source = b.source AND a.shingle = b.shingle
+                      AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4)
+SELECT doc_a, doc_b,
+       floor((inter / CAST(na + nb - inter AS DOUBLE)) * 1000000.0 + 0.5)
+         / 1000000.0 AS jaccard
+FROM inter
+WHERE inter / CAST(na + nb - inter AS DOUBLE) >= {_NGRAM_T}
+"""
+
+
 def near_dup_pairs_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same semantics via PREFIX-FILTERED inverted index + exact
     verify — the AllPairs/PPJoin strategy for zipfian corpora.
@@ -1286,6 +1359,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "near_dup_pairs_jaccard_prefix": QuerySpec(
         near_dup_pairs_jaccard_prefix, NEAR_DUP_PAIRS_JACCARD_SQL, "llm-neardup ppjoin"
+    ),
+    "ngram_jaccard_near_dup": QuerySpec(
+        ngram_jaccard_near_dup, NGRAM_JACCARD_NEAR_DUP_SQL, "llm-neardup ngram"
     ),
     "minhash_signatures": QuerySpec(minhash_signatures, MINHASH_SIGNATURES_SQL, "llm-minhash"),
     "minhash_lsh_candidates": QuerySpec(

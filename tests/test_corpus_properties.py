@@ -1,0 +1,101 @@
+"""Randomized cross-engine parity + ground truth for the corpus ops.
+
+Two layers beyond the fixed-corpus oracle tests:
+
+1. a brute-force Python ground truth for the char-shingle Jaccard
+   (all pairs within source blocks — feasible at sf0.001), proving
+   the inverted-index plan computes the textbook definition;
+2. hypothesis-generated corpora (adversarial shapes the synthetic
+   testdata never shows: empty texts, 1-char docs, shared prefixes,
+   single-source strata) written to a tmp documents.parquet and run
+   through the SAME run_and_compare harness the driver mirrors —
+   Spark plan vs DuckDB oracle on arbitrary inputs, not just the
+   blessed corpus. SURVEY §5 notes the reference has no
+   property-based tests; this is the extension's answer.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from chess_pipeline_spark.plans import catalog
+from chess_pipeline_spark.plans.llm import _NGRAM_T, _SHINGLE_K
+from tests.oracle_harness import run_and_compare
+
+_CATALOG = catalog()
+
+# printable-ASCII text, word-ish: letters, digits, space, punctuation
+_ALPHABET = "abcdefghij XYZ012,.!?'-"
+_text = st.text(alphabet=_ALPHABET, min_size=0, max_size=60)
+
+
+def _shingles(text: str) -> set[str]:
+    n = max(len(text) - (_SHINGLE_K - 1), 1)
+    return {text[i : i + _SHINGLE_K] for i in range(n)}
+
+
+def test_ngram_jaccard_matches_bruteforce(spark, sf_dir):
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    expected = set()
+    for _, block in docs.groupby("source"):
+        rows = list(block[["doc_id", "text"]].itertuples(index=False, name=None))
+        sh = {doc_id: _shingles(t) for doc_id, t in rows}
+        ids = sorted(sh)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                inter = len(sh[a] & sh[b])
+                union = len(sh[a] | sh[b])
+                if union and inter / union >= _NGRAM_T:
+                    expected.add((a, b))
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in _CATALOG["ngram_jaccard_near_dup"].spark(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+# corpora: up to 12 docs over up to 3 sources; duplicate and
+# near-duplicate texts arise naturally from the small alphabet
+_corpus = st.lists(
+    st.tuples(_text, st.sampled_from(["srcA", "srcB", "srcC"])),
+    min_size=1,
+    max_size=12,
+)
+
+_RANDOMIZED_QUERIES = (
+    "stratified_sample",
+    "pack_sequences",
+    "tfidf_top_terms",
+    "ngram_jaccard_near_dup",
+    "dedup_exact",
+    "text_quality_stats",
+    "token_count",
+)
+
+
+@given(corpus=_corpus)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_corpus_queries_match_oracle_on_random_inputs(spark, tmp_path_factory, corpus):
+    tmp = tmp_path_factory.mktemp("randcorpus")
+    pd.DataFrame(
+        {
+            "doc_id": range(len(corpus)),
+            "text": [t for t, _ in corpus],
+            "lang": ["en"] * len(corpus),
+            "source": [s for _, s in corpus],
+            "n_chars": [len(t) for t, _ in corpus],
+        }
+    ).astype({"doc_id": "int64", "n_chars": "int64"}).to_parquet(
+        tmp / "documents.parquet", index=False
+    )
+    for name in _RANDOMIZED_QUERIES:
+        run_and_compare(spark, str(tmp), name, _CATALOG[name])
