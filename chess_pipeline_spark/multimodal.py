@@ -122,3 +122,153 @@ def extract_media_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("n_bytes", T.LongType()),
+                    T.StructField("mime", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def _check_decodable(kind: str) -> None:
+    if kind in ("image", "audio", "video"):
+        # STUB: wire PIL / ffmpeg / librosa here on a real cluster
+        # image; the Spark plumbing is identical for real decoders.
+        raise NotImplementedError(
+            f"decoder for kind={kind!r} not available in this environment"
+        )
+
+
+def resize_payload(media: DataFrame, target_bytes: int = 64) -> DataFrame:
+    """Resize stage: payload -> fixed-size payload, schema preserved
+    (MEDIA_SCHEMA in, MEDIA_SCHEMA out) so stages chain. The fake
+    path nearest-neighbor-resamples the byte buffer to exactly
+    target_bytes (out[i] = in[(i*n)//target]) — the dimensional
+    analog of an image resize; a real PIL resize plugs into the same
+    branch. Empty payloads stay empty (nothing to sample)."""
+    import numpy as np
+    import pandas as pd
+
+    from chess_pipeline_spark.deploy import ensure_package_on_executors
+
+    ensure_package_on_executors(media.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "kind": [], "payload": [], "meta": []}
+            for doc_id, kind, payload, meta in zip(
+                pdf["doc_id"], pdf["kind"], pdf["payload"], pdf["meta"]
+            ):
+                if payload is None:
+                    continue
+                _check_decodable(kind)
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if len(arr):
+                    idx = (np.arange(target_bytes, dtype=np.int64) * len(arr)) // target_bytes
+                    resized = arr[idx].tobytes()
+                else:
+                    resized = b""
+                out["doc_id"].append(doc_id)
+                out["kind"].append(kind)
+                out["payload"].append(resized)
+                out["meta"].append({"n_bytes": len(resized), "mime": meta["mime"]})
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, MEDIA_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, frame_bytes: int = 32, every_n: int = 2
+) -> DataFrame:
+    """Frame-sampling stage: one payload row -> every_n-th
+    frame_bytes chunk as its own row (1→N, which mapInPandas
+    expresses natively). The fake path chunks the byte buffer; a
+    real ffmpeg keyframe sampler plugs into the same branch. Frames
+    stay binary so a decode stage can follow; partitioning advice:
+    frames inherit the parent's partition, so downstream per-frame
+    work needs no extra shuffle until a keyed op."""
+    import numpy as np
+    import pandas as pd
+
+    from chess_pipeline_spark.deploy import ensure_package_on_executors
+
+    ensure_package_on_executors(media.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "kind": [], "frame_idx": [], "payload": [], "meta": []}
+            for doc_id, kind, payload, meta in zip(
+                pdf["doc_id"], pdf["kind"], pdf["payload"], pdf["meta"]
+            ):
+                if payload is None:
+                    continue
+                _check_decodable(kind)
+                buf = bytes(payload)
+                n_frames = (len(buf) + frame_bytes - 1) // frame_bytes
+                for k in range(0, n_frames, every_n):
+                    frame = buf[k * frame_bytes : (k + 1) * frame_bytes]
+                    out["doc_id"].append(doc_id)
+                    out["kind"].append(kind)
+                    out["frame_idx"].append(k)
+                    out["payload"].append(frame)
+                    out["meta"].append({"n_bytes": len(frame), "mime": meta["mime"]})
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, FRAME_SCHEMA)
+
+
+def frame_features(
+    media: DataFrame, frame_bytes: int = 32, every_n: int = 2
+) -> DataFrame:
+    """Fused frame-sample + per-frame checksum in ONE Arrow pass —
+    the all-scalar output the catalog exposes (frame_sample_features
+    query). Semantically sample_frames followed by a per-frame
+    position-weighted checksum (the _fake_decode formula applied
+    within each frame), but the frames never materialize as
+    intermediate binary rows: at 100 TB that halves the Arrow
+    transfer for the common sample→featurize chain."""
+    import numpy as np
+    import pandas as pd
+
+    from chess_pipeline_spark.deploy import ensure_package_on_executors
+
+    ensure_package_on_executors(media.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "n_bytes": [], "checksum": []}
+            for doc_id, kind, payload in zip(pdf["doc_id"], pdf["kind"], pdf["payload"]):
+                if payload is None:
+                    continue
+                _check_decodable(kind)
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                n_frames = (len(arr) + frame_bytes - 1) // frame_bytes
+                for k in range(0, n_frames, every_n):
+                    fr = arr[k * frame_bytes : (k + 1) * frame_bytes]
+                    weights = np.arange(1, len(fr) + 1, dtype=np.int64)
+                    checksum = int(
+                        (fr.astype(np.int64) * weights % 1_000_000_007).sum()
+                        % 1_000_000_007
+                    )
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(k)
+                    out["n_bytes"].append(len(fr))
+                    out["checksum"].append(checksum)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        run, "doc_id long, frame_idx long, n_bytes long, checksum long"
+    )

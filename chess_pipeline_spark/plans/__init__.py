@@ -50,6 +50,7 @@ _DEMOTED: tuple[str, ...] = (
     "events_sliding_1h_30m",
     "minhash_signatures",
     "ngram_jaccard_near_dup",
+    "frame_sample_features",
     "dedup_keep_best",
     "stratified_sample",
     "pack_sequences",

@@ -1348,6 +1348,57 @@ FROM f
 """
 
 
+def frame_sample_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame pipeline on the fake-decode path: payload →
+    every 2nd 32-byte frame → per-frame position-weighted checksum,
+    fused into one Arrow pass (multimodal.py::frame_features). The
+    1→N row expansion and per-frame featurization are the real
+    deliverable; a real ffmpeg keyframe sampler swaps into the same
+    branch. Oracle: the frame arithmetic re-derived from hex(blob)
+    in SQL, same discipline as MULTIMODAL_FEATURES_SQL."""
+    from chess_pipeline_spark.multimodal import (
+        attach_binary_payload,
+        frame_features,
+    )
+
+    d = spread(_L(spark, sf_dir, "documents"), "doc_id")
+    return frame_features(attach_binary_payload(d))
+
+
+# Byte-exact SQL twin of multimodal.py::frame_features: frames are
+# every 2nd 32-byte chunk (frame_idx = chunk ordinal, so 0, 2, 4...),
+# checksum = position-weighted sum WITHIN the frame with per-element
+# mod, matching numpy. Empty/NULL text yields no frames (no rows).
+FRAME_SAMPLE_FEATURES_SQL = """
+WITH d AS (SELECT doc_id, encode(text) AS payload
+           FROM documents WHERE text IS NOT NULL),
+b AS (SELECT doc_id, CAST(octet_length(payload) AS BIGINT) AS n,
+             hex(payload) AS h
+      FROM d WHERE octet_length(payload) > 0),
+frames AS (
+  SELECT doc_id, n, h,
+         unnest(range(0, CAST(ceil(n / 32.0) AS BIGINT))) AS fidx
+  FROM b),
+kept AS (SELECT * FROM frames WHERE fidx % 2 = 0),
+fb AS (SELECT doc_id, fidx, h, fidx * 32 + 1 AS lo,
+              least(n, fidx * 32 + 32) AS hi
+       FROM kept),
+bytes AS (
+  SELECT doc_id, fidx, hi - lo + 1 AS fn,
+         unnest(range(lo, hi + 1)) AS i, lo, h
+  FROM fb),
+vals AS (
+  SELECT doc_id, fidx, fn, i - lo + 1 AS w,
+         (strpos('0123456789ABCDEF', substr(h, CAST(2 * i - 1 AS INT), 1)) - 1) * 16
+         + (strpos('0123456789ABCDEF', substr(h, CAST(2 * i AS INT), 1)) - 1) AS bv
+  FROM bytes)
+SELECT doc_id, fidx AS frame_idx, CAST(fn AS BIGINT) AS n_bytes,
+       CAST(sum((bv * w) % 1000000007) % 1000000007 AS BIGINT) AS checksum
+FROM vals
+GROUP BY doc_id, fidx, fn
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL, "llm-dedup F16"),
     "text_quality_stats": QuerySpec(text_quality_stats, TEXT_QUALITY_STATS_SQL, "llm-textstats"),
@@ -1377,6 +1428,9 @@ QUERIES: dict[str, QuerySpec] = {
     "embedding_stats": QuerySpec(embedding_stats, EMBEDDING_STATS_SQL, "llm-embed"),
     "multimodal_features": QuerySpec(
         multimodal_features, MULTIMODAL_FEATURES_SQL, "llm-multimodal"
+    ),
+    "frame_sample_features": QuerySpec(
+        frame_sample_features, FRAME_SAMPLE_FEATURES_SQL, "llm-multimodal frames"
     ),
     "top_terms_per_source": QuerySpec(
         top_terms_per_source, TOP_TERMS_PER_SOURCE_SQL, "llm-textstats O3"
