@@ -51,6 +51,7 @@ _DEMOTED: tuple[str, ...] = (
     "minhash_signatures",
     "ngram_jaccard_near_dup",
     "frame_sample_features",
+    "embedding_quantize_int8",
     "dedup_keep_best",
     "stratified_sample",
     "pack_sequences",

@@ -1101,6 +1101,76 @@ FROM ue GROUP BY vec_id, label, dim
 """
 
 
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization (affine min/max), plus the
+    reconstruction MSE that tells an ANN operator whether the
+    compressed index is usable — the memory-side scale path: a 100 TB
+    float32 embedding corpus drops 4× to int8 codes, which is what
+    IVF lists actually store. Pure per-row projection, no shuffle.
+
+    Cross-engine determinism: the quantize/dequantize arithmetic is
+    written with the IDENTICAL expression text on both engines
+    (floor(t + 0.5) grids, e0-style double literals, same
+    parenthesization), so every intermediate double is bit-equal;
+    only the final mn/mx/mse surfaces go through fround. Flat
+    vectors (mx = mn) quantize to code 0 by definition."""
+    e = spread(_L(spark, sf_dir, "embeddings"), "vec_id")
+    base = e.select(
+        "vec_id",
+        F.expr("CAST(size(embedding) AS BIGINT)").alias("dim"),
+        F.expr("CAST(array_min(embedding) AS DOUBLE)").alias("mn"),
+        F.expr("CAST(array_max(embedding) AS DOUBLE)").alias("mx"),
+        "embedding",
+    )
+    code = (
+        "CASE WHEN mx = mn THEN CAST(0 AS BIGINT) "
+        "ELSE CAST(floor(((CAST(x AS DOUBLE) - mn) / (mx - mn)) * 255 + 0.5) AS BIGINT) - 128 END"
+    )
+    codes = f"transform(embedding, x -> {code})"
+    recon_err = (
+        f"aggregate(zip_with(embedding, {codes}, "
+        "(x, c) -> pow(CAST(x AS DOUBLE) - (mn + ((c + 128) * ((mx - mn) / 255e0))), 2)), "
+        "CAST(0 AS DOUBLE), (a, b) -> a + b)"
+    )
+    return base.select(
+        "vec_id",
+        "dim",
+        fround(F.col("mn"), 6).alias("qmin"),
+        fround(F.col("mx"), 6).alias("qmax"),
+        F.expr(f"concat_ws(',', transform({codes}, c -> CAST(c AS STRING)))").alias(
+            "codes"
+        ),
+        fround(F.expr(recon_err) / F.col("dim"), 9).alias("recon_mse"),
+    )
+
+
+EMBEDDING_QUANTIZE_INT8_SQL = """
+WITH ue AS (
+  SELECT vec_id, len(embedding) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings),
+mm AS (SELECT vec_id, dim, min(x) AS mn, max(x) AS mx FROM ue GROUP BY 1, 2),
+coded AS (
+  SELECT u.vec_id, mm.dim, mm.mn, mm.mx, u.i, u.x,
+         CASE WHEN mm.mx = mm.mn THEN CAST(0 AS BIGINT)
+              ELSE CAST(floor(((u.x - mm.mn) / (mm.mx - mm.mn)) * 255 + 0.5) AS BIGINT) - 128
+         END AS c
+  FROM ue u JOIN mm USING (vec_id)),
+agg AS (
+  SELECT vec_id, dim, mn, mx,
+         string_agg(CAST(c AS VARCHAR), ',' ORDER BY i) AS codes,
+         sum(pow(x - (mn + ((c + 128) * ((mx - mn) / 255e0))), 2)) AS sse
+  FROM coded GROUP BY 1, 2, 3, 4)
+SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+       floor(mn * 1000000.0 + 0.5) / 1000000.0 AS qmin,
+       floor(mx * 1000000.0 + 0.5) / 1000000.0 AS qmax,
+       codes,
+       floor((sse / dim) * 1000000000.0 + 0.5) / 1000000000.0 AS recon_mse
+FROM agg
+"""
+
+
 def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup AFTER text normalization (lowercase, strip
     non-alphanumerics, collapse whitespace) — catches trivially
@@ -1426,6 +1496,9 @@ QUERIES: dict[str, QuerySpec] = {
     "knn_cosine_ivf": QuerySpec(knn_cosine_ivf, KNN_COSINE_IVF_SQL, "llm-knn-ivf"),
     "knn_cosine_lsh": QuerySpec(knn_cosine_lsh, KNN_COSINE_LSH_SQL, "llm-knn-lsh"),
     "embedding_stats": QuerySpec(embedding_stats, EMBEDDING_STATS_SQL, "llm-embed"),
+    "embedding_quantize_int8": QuerySpec(
+        embedding_quantize_int8, EMBEDDING_QUANTIZE_INT8_SQL, "llm-embed-quant"
+    ),
     "multimodal_features": QuerySpec(
         multimodal_features, MULTIMODAL_FEATURES_SQL, "llm-multimodal"
     ),

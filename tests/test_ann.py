@@ -166,3 +166,24 @@ def test_lsh_recall_vs_brute_force(spark, sf_dir):
     mean_recall = sum(recalls) / len(recalls)
     assert len(recalls) == 5
     assert mean_recall >= 0.5, f"LSH mean recall {mean_recall} < 0.5: {recalls}"
+
+
+def test_embedding_quantize_int8_numpy_ground_truth(spark, sf_dir):
+    # codes must round-trip within half a quantization step, and the
+    # reported MSE must equal the numpy-recomputed one — an
+    # engine-independent check of the quantizer's semantics
+    from chess_pipeline_spark.plans.llm import embedding_quantize_int8
+
+    ids, _, X = _load(spark, sf_dir)
+    by_id = dict(zip(ids.tolist(), X))
+    for r in embedding_quantize_int8(spark, sf_dir).collect():
+        x = by_id[r["vec_id"]]
+        codes = np.array([int(c) for c in r["codes"].split(",")], dtype=np.int64)
+        assert len(codes) == r["dim"] == len(x)
+        assert codes.min() >= -128 and codes.max() <= 127
+        mn, mx = x.min(), x.max()
+        step = (mx - mn) / 255 if mx > mn else 0.0
+        recon = mn + (codes + 128) * step
+        err = np.abs(x - recon)
+        assert err.max() <= step / 2 + 1e-9
+        assert abs(float((err**2).mean()) - r["recon_mse"]) <= 2e-9

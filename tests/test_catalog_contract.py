@@ -90,6 +90,7 @@ FROZEN_ORDER: tuple[str, ...] = (
     "minhash_signatures",
     "ngram_jaccard_near_dup",
     "frame_sample_features",
+    "embedding_quantize_int8",
     # --- corpus-preparation queries added round 4 (never yet in the
     # window; local oracle parity only until deliberately rotated) ---
     "dedup_keep_best",
@@ -107,7 +108,7 @@ def test_driver_window_covers_the_r3_verified_set():
     # the 50 in-window names must be exactly the set the driver
     # verified in round 3 (CORRECTNESS_r03.json keys) — internal
     # order within the window is free, membership is not
-    assert len(FROZEN_ORDER) - DRIVER_WINDOW == 16
+    assert len(FROZEN_ORDER) - DRIVER_WINDOW == 17
     in_window = set(FROZEN_ORDER[:DRIVER_WINDOW])
     assert "dedup_groups" in in_window
     assert "multimodal_features" in in_window
