@@ -155,6 +155,21 @@ WHERE {_BUCKET_EXPR} < {_SAMPLE_PERMILLE}
 """
 
 
+def curate_documents(docs: DataFrame) -> DataFrame:
+    """Mode-agnostic curation spec: deterministic per-stratum sample
+    + minimal quality gate (non-empty tokenization). Every expression
+    is row-local (no state, no window), so the SAME function runs
+    over a batch read or a readStream — the streaming ingest twin is
+    tests/test_streaming.py::test_stream_curation_matches_batch via
+    streaming/jobs.py::read_documents_stream."""
+    return docs.select(
+        "doc_id",
+        "source",
+        F.expr(_BUCKET_EXPR).alias("bucket"),
+        F.regexp_count("text", F.lit(BPE_TOKEN_PATTERN)).cast("long").alias("n_tokens"),
+    ).filter((F.col("bucket") < _SAMPLE_PERMILLE) & (F.col("n_tokens") > 0))
+
+
 # ------------------------------------------------------------------
 # Token-budget sequence packing
 # ------------------------------------------------------------------

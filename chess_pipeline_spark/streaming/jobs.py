@@ -146,3 +146,28 @@ def stream_upsert_foreach_batch(
         .foreachBatch(write_batch)
         .option("checkpointLocation", checkpoint)
     )
+
+
+# documents.parquet physical schema (plain types; no ns-timestamp)
+DOCUMENTS_PHYSICAL = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents parquet — the ingest
+    mode of a continuously-arriving corpus. Pair with
+    plans.corpus.curate_documents: the curation spec is stateless
+    row-local Catalyst, so the identical function body runs in both
+    batch and streaming (no watermark, append output)."""
+    return (
+        spark.readStream.schema(DOCUMENTS_PHYSICAL)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )

@@ -113,3 +113,20 @@ def test_stream_upsert_foreach_batch(spark, sf_dir, tmp_path):
     assert _rows(got.select("window_start", "event_type", "n")) == _rows(
         batch.select("window_start", "event_type", "n")
     )
+
+
+def test_stream_curation_matches_batch(spark, sf_dir, tmp_path):
+    # the curation spec is one function body for both modes: the
+    # streamed result must equal the batch result row-for-row
+    from chess_pipeline_spark.plans.corpus import curate_documents
+    from chess_pipeline_spark.streaming.jobs import read_documents_stream
+
+    got = _run_to_memory(
+        curate_documents(read_documents_stream(spark, sf_dir)),
+        spark,
+        tmp_path,
+        complete=False,
+    )
+    batch = curate_documents(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    g, b = _rows(got), _rows(batch)
+    assert g == b and len(g) > 0
