@@ -1,0 +1,285 @@
+"""Randomized cross-engine parity for the relational + events queries.
+
+Same idea as test_corpus_properties, pointed at the TPC-H-ish side:
+hypothesis generates tiny-but-adversarial orders/lineitem/customer and
+events tables (duplicate line numbers, ties on every sort key, empty
+joins, one-row groups, null-ish funnels), writes them as parquet with
+the exact production schemas, and runs a battery of catalog queries
+through the SAME Spark-vs-DuckDB harness the driver mirrors. The
+fixed testdata can't hit these shapes; ties in particular are where
+cross-engine determinism bugs live (the repo's window/sort tiebreak
+discipline exists because of them).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from chess_pipeline_spark.plans import catalog
+from tests.oracle_harness import run_and_compare
+
+_CATALOG = catalog()
+
+# fixed tiny dimensions (randomizing them adds nothing; the fact
+# tables reference these keys)
+_REGION = pd.DataFrame(
+    {"r_regionkey": np.array([0, 1], dtype="int32"), "r_name": ["AMERICA", "ASIA"]}
+)
+_NATION = pd.DataFrame(
+    {
+        "n_nationkey": np.array([0, 1, 2], dtype="int32"),
+        "n_name": ["BRAZIL", "JAPAN", "PERU"],
+        "n_regionkey": np.array([0, 1, 0], dtype="int32"),
+    }
+)
+_CUSTOMER = pd.DataFrame(
+    {
+        "c_custkey": np.arange(4, dtype="int64"),
+        "c_name": [f"Customer#{i}" for i in range(4)],
+        "c_nationkey": np.array([0, 1, 2, 0], dtype="int32"),
+        "c_acctbal": [10.25, -3.5, 0.0, 99.99],
+        "c_mktsegment": ["BUILDING", "MACHINERY", "BUILDING", "AUTOMOBILE"],
+    }
+)
+_PART = pd.DataFrame(
+    {
+        "p_partkey": np.arange(5, dtype="int64"),
+        "p_name": [f"part {i}" for i in range(5)],
+        "p_brand": ["Brand#1", "Brand#2", "Brand#1", "Brand#3", "Brand#2"],
+        "p_type": ["STANDARD", "SMALL", "LARGE", "STANDARD", "SMALL"],
+        "p_size": np.array([1, 5, 10, 15, 20], dtype="int32"),
+        "p_retailprice": [100.0, 200.5, 300.25, 400.75, 500.0],
+    }
+)
+_SUPPLIER = pd.DataFrame(
+    {
+        "s_suppkey": np.arange(3, dtype="int64"),
+        "s_name": [f"Supplier#{i}" for i in range(3)],
+        "s_nationkey": np.array([0, 1, 2], dtype="int32"),
+        "s_acctbal": [1.5, 2.5, 3.5],
+    }
+)
+
+_STATUS = ("O", "F", "P")
+_PRIORITY = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+_FLAG = ("A", "N", "R")
+_LSTATUS = ("O", "F")
+_ETYPE = ("view", "click", "purchase")
+_PROPS = ('{"k": 1}', '{"k": 2, "tag": "x"}', "{}", '{"tag": "y"}')
+
+# cents-valued doubles: both engines read the identical parquet
+# double, and two-decimal values keep fround boundaries honest
+_cents = st.integers(min_value=0, max_value=99999).map(lambda c: c / 100.0)
+
+
+@st.composite
+def _tables(draw):
+    n_orders = draw(st.integers(min_value=1, max_value=10))
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(n_orders, dtype="int64"),
+            "o_custkey": np.array(
+                draw(
+                    st.lists(
+                        st.integers(0, 3), min_size=n_orders, max_size=n_orders
+                    )
+                ),
+                dtype="int64",
+            ),
+            "o_orderstatus": draw(
+                st.lists(
+                    st.sampled_from(_STATUS), min_size=n_orders, max_size=n_orders
+                )
+            ),
+            "o_totalprice": draw(
+                st.lists(_cents, min_size=n_orders, max_size=n_orders)
+            ),
+            "o_orderdate": pd.to_datetime(
+                draw(
+                    st.lists(
+                        st.integers(1_600_000_000, 1_600_400_000),
+                        min_size=n_orders,
+                        max_size=n_orders,
+                    )
+                ),
+                unit="s",
+            ).astype("datetime64[ms]"),
+            "o_orderpriority": draw(
+                st.lists(
+                    st.sampled_from(_PRIORITY), min_size=n_orders, max_size=n_orders
+                )
+            ),
+        }
+    )
+    n_lines = draw(st.integers(min_value=0, max_value=20))
+    lineitem = pd.DataFrame(
+        {
+            "l_orderkey": np.array(
+                draw(
+                    st.lists(
+                        st.integers(0, n_orders - 1),
+                        min_size=n_lines,
+                        max_size=n_lines,
+                    )
+                ),
+                dtype="int64",
+            ),
+            "l_partkey": np.array(
+                draw(st.lists(st.integers(0, 4), min_size=n_lines, max_size=n_lines)),
+                dtype="int64",
+            ),
+            "l_suppkey": np.array(
+                draw(st.lists(st.integers(0, 2), min_size=n_lines, max_size=n_lines)),
+                dtype="int64",
+            ),
+            # deliberately NON-unique within an order (the documented
+            # tiebreak landmine)
+            "l_linenumber": np.array(
+                draw(st.lists(st.integers(1, 3), min_size=n_lines, max_size=n_lines)),
+                dtype="int32",
+            ),
+            "l_quantity": [
+                float(q)
+                for q in draw(
+                    st.lists(st.integers(1, 50), min_size=n_lines, max_size=n_lines)
+                )
+            ],
+            "l_extendedprice": draw(
+                st.lists(_cents, min_size=n_lines, max_size=n_lines)
+            ),
+            "l_discount": draw(
+                st.lists(
+                    st.sampled_from([0.0, 0.05, 0.1]),
+                    min_size=n_lines,
+                    max_size=n_lines,
+                )
+            ),
+            "l_tax": draw(
+                st.lists(
+                    st.sampled_from([0.0, 0.04, 0.08]),
+                    min_size=n_lines,
+                    max_size=n_lines,
+                )
+            ),
+            "l_returnflag": draw(
+                st.lists(st.sampled_from(_FLAG), min_size=n_lines, max_size=n_lines)
+            ),
+            "l_linestatus": draw(
+                st.lists(st.sampled_from(_LSTATUS), min_size=n_lines, max_size=n_lines)
+            ),
+            "l_shipdate": pd.to_datetime(
+                draw(
+                    st.lists(
+                        st.integers(1_600_000_000, 1_600_400_000),
+                        min_size=n_lines,
+                        max_size=n_lines,
+                    )
+                ),
+                unit="s",
+            ).astype("datetime64[ms]"),
+        }
+    )
+    n_events = draw(st.integers(min_value=1, max_value=20))
+    events = pd.DataFrame(
+        {
+            "event_id": np.arange(n_events, dtype="int64"),
+            # second-resolution stamps INCLUDING exact ties, stored as
+            # TIMESTAMP(NANOS) like the production table
+            "ts": pd.to_datetime(
+                draw(
+                    st.lists(
+                        st.integers(1_700_000_000, 1_700_020_000),
+                        min_size=n_events,
+                        max_size=n_events,
+                    )
+                ),
+                unit="s",
+            ).astype("datetime64[ns]"),
+            "user_id": np.array(
+                draw(st.lists(st.integers(0, 3), min_size=n_events, max_size=n_events)),
+                dtype="int64",
+            ),
+            "event_type": draw(
+                st.lists(st.sampled_from(_ETYPE), min_size=n_events, max_size=n_events)
+            ),
+            "value": draw(st.lists(_cents, min_size=n_events, max_size=n_events)),
+            "props": draw(
+                st.lists(st.sampled_from(_PROPS), min_size=n_events, max_size=n_events)
+            ),
+        }
+    )
+    return orders, lineitem, events
+
+
+def _write_all(tmp, orders, lineitem, events):
+    for name, df in (
+        ("region", _REGION),
+        ("nation", _NATION),
+        ("customer", _CUSTOMER),
+        ("part", _PART),
+        ("supplier", _SUPPLIER),
+        ("orders", orders),
+        ("lineitem", lineitem),
+        ("events", events),
+    ):
+        df.to_parquet(tmp / f"{name}.parquet", index=False)
+
+
+_RELATIONAL_QUERIES = (
+    "pricing_summary",
+    "orders_fulfillment",
+    "order_priority_clean",
+    "orders_per_priority",
+    "parts_never_ordered",
+    "customers_with_orders",
+    "top3_orders_per_customer",
+    "running_revenue",
+    "rollup_priority_status",
+    "revenue_by_nation",
+    "top_customer_revenue",
+    "price_percentiles",
+)
+
+_EVENTS_QUERIES = (
+    "events_tumbling_1h",
+    "events_sessionized",
+    "events_dedup_latest",
+    "events_asof_last_purchase",
+    "event_funnel",
+    "json_props_extract",
+)
+
+
+@given(tables=_tables())
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_relational_queries_match_oracle_on_random_inputs(
+    spark, tmp_path_factory, tables
+):
+    orders, lineitem, events = tables
+    tmp = tmp_path_factory.mktemp("randrel")
+    _write_all(tmp, orders, lineitem, events)
+    for name in _RELATIONAL_QUERIES:
+        run_and_compare(spark, str(tmp), name, _CATALOG[name])
+
+
+@given(tables=_tables())
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_events_queries_match_oracle_on_random_inputs(
+    spark, tmp_path_factory, tables
+):
+    orders, lineitem, events = tables
+    tmp = tmp_path_factory.mktemp("randev")
+    _write_all(tmp, orders, lineitem, events)
+    for name in _EVENTS_QUERIES:
+        run_and_compare(spark, str(tmp), name, _CATALOG[name])
