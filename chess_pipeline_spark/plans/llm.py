@@ -877,12 +877,14 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos_qc = F.expr(_DOT.format(u="qe", v="centroid")) / (
         F.col("qnorm") * F.expr(_NORM.format(v="centroid"))
     )
-    wq = Window.partitionBy("qid").orderBy(F.desc("c_cos"), F.asc("c_label"))
+    # nearest centroid as a single max(struct) aggregate (best cosine,
+    # ties to the LOWEST label via the negated key) — one stage less
+    # than the rank-window form, same deterministic assignment
     assigned = (
         qc.select("qid", "qe", "qnorm", "c_label", fround(cos_qc, 9).alias("c_cos"))
-        .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") == 1)
-        .select("qid", "qe", "qnorm", F.col("c_label").alias("probe_label"))
+        .groupBy("qid", "qe", "qnorm")
+        .agg(F.max(F.struct(F.col("c_cos"), (-F.col("c_label")).alias("nl"))).alias("b"))
+        .select("qid", "qe", "qnorm", (-F.col("b.nl")).alias("probe_label"))
     )
     # corpus-side norm once per row, not once per (query, row) pair
     cand = e.select("vec_id", "label", "embedding", nrm.alias("cnorm"))

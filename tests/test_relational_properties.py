@@ -181,6 +181,18 @@ def _tables(draw):
                 unit="s",
             ).astype("datetime64[ms]"),
         }
+    ).astype(
+        {
+            # n_lines can be 0: columns built from empty Python lists
+            # get object dtype and the parquet schema degrades (Spark
+            # then reads l_quantity as string) — pin every dtype
+            "l_quantity": "float64",
+            "l_extendedprice": "float64",
+            "l_discount": "float64",
+            "l_tax": "float64",
+            "l_returnflag": "string",
+            "l_linestatus": "string",
+        }
     )
     n_events = draw(st.integers(min_value=1, max_value=20))
     events = pd.DataFrame(
@@ -241,6 +253,13 @@ _RELATIONAL_QUERIES = (
     "revenue_by_nation",
     "top_customer_revenue",
     "price_percentiles",
+    "lineitem_filter_isin",
+    "order_lines_enriched",
+    "clock_lead_fill",
+    "initial_clock_per_group",
+    "zip_explode_lockstep",
+    "union_by_name",
+    "scalar_feature_sampler",
 )
 
 _EVENTS_QUERIES = (
