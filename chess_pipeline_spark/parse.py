@@ -17,10 +17,12 @@ Two tiers:
   sorted-join F19), queen-exchange from consecutive captures on the
   same square (visitors.py:82-101; text-level approximation — exact
   when the capturing piece letter identifies the queen).
-- **board tier (python-chess, import-gated)**: per-move FEN list
-  (visitors.py:130-143) and material Counters (visitors.py:182-196).
-  Without python-chess those columns are null arrays; the rest of the
-  engine treats them as optional.
+- **board tier (self-contained)**: per-move FEN list
+  (visitors.py:130-143) and material Counters (visitors.py:182-196)
+  via the pure-Python SAN replay in chess_pipeline_spark/board.py —
+  no python-chess dependency (when importable it serves as a test
+  cross-check). Corrupt SAN nulls the board columns instead of
+  failing the task; the rest of the engine treats them as optional.
 """
 
 from __future__ import annotations
@@ -29,7 +31,7 @@ import re
 from collections.abc import Iterator
 from typing import Any
 
-try:  # board tier is optional — not shipped in the base image
+try:  # only used as a cross-check oracle in tests, never required
     import chess  # type: ignore
     import chess.pgn  # type: ignore
 
@@ -214,39 +216,39 @@ def parse_pgn_game(pgn: str) -> dict[str, Any]:
         elif dest and _PROMO_RE.search(san) and san.rstrip("+#").endswith("=Q"):
             qsq[mover].add(dest)
 
-    positions: list[str] | None = None
-    material_by_move: list[dict[str, int]] | None = None
-    if HAS_PYTHON_CHESS:
-        import io
+    # board tier: self-contained SAN replay (chess_pipeline_spark/
+    # board.py) — per-move FEN (visitors.py:130-143, starting position
+    # skipped) and material counters (visitors.py:182-196,
+    # MaterialVisitor has no first-move skip: entry 0 is the START and
+    # the list has n_moves+1 entries, kings included). No python-chess
+    # needed; tests cross-check against it when importable. On an
+    # illegal/corrupt SAN token the replay keeps the LEGAL PREFIX —
+    # exactly what the reference sees: python-chess read_game records
+    # the error and truncates the mainline there (never kills the
+    # task). The full prefix case replaces the text tier's
+    # queen-exchange approximation with the exact captured-piece test.
+    from chess_pipeline_spark.board import Board
 
-        game = chess.pgn.read_game(io.StringIO(pgn))
-        if game is not None:
-            board = game.board()
-            positions = []
-
-            def _counts(b) -> dict[str, int]:
-                out: dict[str, int] = {}
-                for piece in b.piece_map().values():
-                    sym = piece.symbol()
-                    out[sym] = out.get(sym, 0) + 1
-                return out
-
-            # MaterialVisitor.visit_board has no first-move skip
-            # (unlike PositionsVisitor): the STARTING position is
-            # entry 0 and the list has n_moves+1 entries, kings
-            # included
-            material_by_move = [_counts(board)]
-            queen_exchange = False
-            last_cap = -2
-            for ply, mv in enumerate(game.mainline_moves()):
-                captured = board.piece_at(mv.to_square)
-                if captured is not None and captured.piece_type == chess.QUEEN:
-                    if last_cap == ply - 1:
-                        queen_exchange = True
-                    last_cap = ply
-                board.push(mv)
-                positions.append(board.fen())
-                material_by_move.append(_counts(board))
+    board = Board()
+    positions: list[str] = []
+    material_by_move: list[dict[str, int]] = [board.piece_counts()]
+    board_qe = False
+    last_cap = -2
+    replay_complete = True
+    for ply, san in enumerate(moves):
+        try:
+            captured = board.apply_san(san)
+        except Exception:
+            replay_complete = False
+            break
+        if captured in ("Q", "q"):
+            if last_cap == ply - 1:
+                board_qe = True
+            last_cap = ply
+        positions.append(board.fen())
+        material_by_move.append(board.piece_counts())
+    if replay_complete:
+        queen_exchange = board_qe  # exact, replaces the text-tier guess
 
     return {
         "Event": headers.get("Event"),

@@ -106,13 +106,14 @@ def test_parse_dataframe_roundtrip(spark):
     feat = rows["https://lichess.org/feat0001"]
     assert feat.castling_sides.white == "queenside"
     assert feat.promotion_count_black == 1
-    # board-tier columns are null without python-chess, arrays with it
-    from chess_pipeline_spark.parse import HAS_PYTHON_CHESS
-
-    if HAS_PYTHON_CHESS:
-        assert feat.positions is not None
-    else:
-        assert feat.positions is None
+    # board-tier columns are always populated by the self-contained
+    # SAN replay (board.py); PGN_FEATURES is a synthetic ILLEGAL game
+    # (Qxd8+ through a blocked file), so — like python-chess, which
+    # truncates the mainline at the first illegal SAN — the replay
+    # keeps only the legal prefix (d4 d5 e4 dxe4)
+    assert full.positions is not None and len(full.positions) == 4
+    assert feat.positions is not None and len(feat.positions) == 4
+    assert len(feat.material_by_move) == 5
 
 
 def test_evals_cache_dance(spark):
@@ -170,17 +171,8 @@ def test_board_tier_fen_and_material_fixtures(spark):
     (visitors.py:130-143 PositionsVisitor: FEN after each move,
     starting position skipped; visitors.py:182-196 MaterialVisitor:
     piece-symbol counter per position INCLUDING the start, kings in).
-    Wherever python-chess IS importable these columns must be
-    populated and exact — a silent None there would mean the import
-    gate is masking a board-tier break. (Not importable in this
-    container, so the fixture assertions arm on real deployments.)"""
-    from chess_pipeline_spark.parse import HAS_PYTHON_CHESS
-
-    if not HAS_PYTHON_CHESS:
-        import pytest
-
-        pytest.skip("python-chess not importable in this environment")
-
+    The tier runs on the self-contained SAN replay engine
+    (chess_pipeline_spark/board.py) — no python-chess gate."""
     g = parse_pgn_game(PGN_FULL)
     assert g["positions"] is not None and g["material_by_move"] is not None
     # PositionsVisitor: one FEN per move (no starting position)
