@@ -6,10 +6,12 @@ equivalents so the DuckDB oracle can check semantics. The true
 streaming variants (readStream + watermark + the same window specs)
 live in chess_pipeline_spark/streaming/ and are covered by pytest.
 
-Timestamp discipline: events.ts is TIMESTAMP(NANOS) in parquet. Spark
-reads it as a raw ns long (sources.load_table) and all window math
-here is done on exact integer seconds (ts_sec = ns div 1e9), so no
-float or sub-second precision can diverge between engines. Window
+Timestamp discipline: events.ts has shipped as both TIMESTAMP(NANOS)
+and TIMESTAMP(MICROS) parquet across driver testdata generations;
+sources.load_table normalizes either to exact integer epoch seconds
+(ts_sec), and all window math here runs on ts_sec so no float or
+sub-second precision can diverge between engines. The DuckDB oracle
+macro uses epoch_ns(ts), which accepts both layouts. Window
 boundaries are exported as epoch seconds (BIGINT).
 """
 

@@ -16,8 +16,9 @@ from pyspark.sql import SparkSession
 # builder-only confs so they can be applied to an externally-created
 # session too (see sources.ensure_session_confs).
 RUNTIME_CONFS: dict[str, str] = {
-    # the driver's events.parquet stores TIMESTAMP(NANOS); Spark only
-    # reads it as long with this legacy flag (converted in sources.py)
+    # older driver testdata stored events.ts as TIMESTAMP(NANOS);
+    # Spark only reads that layout as long with this legacy flag
+    # (normalized in sources.py — a no-op for µs-layout files)
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # deterministic oracle comparison vs DuckDB (UTC-naive timestamps)
     "spark.sql.session.timeZone": "UTC",

@@ -3,12 +3,20 @@
 Covers SURVEY §2.1 S3 (parquet scan as the inter-step IR). The scan
 stays fully declarative — `spark.read.parquet` — so Catalyst keeps
 predicate pushdown, column pruning and partition pruning. The only
-special case is `events`, whose parquet stores TIMESTAMP(NANOS):
-Spark cannot decode it natively, so we read it as long
-(`spark.sql.legacy.parquet.nanosAsLong`) and derive
-microsecond-precision `ts` plus exact `ts_sec` columns. The ns->us
-conversion is a pure projection (`ts div 1000` on the raw long), so
-pushdown on every other column is preserved.
+special case is `events`, whose on-disk `ts` column has shipped in two
+physical layouts across driver testdata generations:
+
+  * TIMESTAMP(NANOS) — Spark cannot decode it natively, so it is read
+    as a raw ns long (`spark.sql.legacy.parquet.nanosAsLong`);
+  * TIMESTAMP(MICROS) without UTC adjustment — Spark reads it as
+    TIMESTAMP_NTZ directly.
+
+`_normalize_events` maps either layout onto one logical schema:
+`ts` TIMESTAMP (µs, UTC session tz), `ts_sec` LONG exact epoch
+seconds, `ts_ns` LONG epoch nanoseconds. All derivations are pure
+projections on the scanned column, so pushdown on every other column
+is preserved. DuckDB oracles stay layout-independent the same way:
+`epoch_ns(ts)` accepts both TIMESTAMP_NS and TIMESTAMP.
 """
 
 from __future__ import annotations
@@ -17,6 +25,7 @@ import os
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
 
 from chess_pipeline_spark.session import RUNTIME_CONFS
 
@@ -48,26 +57,47 @@ def ensure_session_confs(spark: SparkSession) -> None:
             pass  # a static conf on this build — builder path already set it
 
 
+def _normalize_events(df: DataFrame) -> DataFrame:
+    """Map either physical events layout onto the logical schema
+    (ts TIMESTAMP, ts_sec LONG, ts_ns LONG) — see module docstring.
+
+    All arithmetic is exact integer truncation, matching the DuckDB
+    oracle's ``epoch_ns(ts) // 1000000000``.
+    """
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        # nanosAsLong layout: raw epoch-ns long
+        return (
+            df.withColumnRenamed("ts", "ts_ns")
+            .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
+            .withColumn("ts_sec", F.expr("ts_ns div 1000000000"))
+        )
+    # µs layout (TIMESTAMP or TIMESTAMP_NTZ): with the UTC session tz
+    # the NTZ→TZ cast preserves the wall clock, so unix_micros is the
+    # exact stored epoch.
+    return (
+        df.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn("ts_ns", F.expr("unix_micros(ts) * 1000"))
+        .withColumn("ts_sec", F.expr("unix_micros(ts) div 1000000"))
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table; normalizes the events timestamp.
 
     events gains:
-      ts      TIMESTAMP  (microsecond truncation of the stored nanos)
+      ts      TIMESTAMP  (microsecond precision)
       ts_sec  LONG       (exact epoch seconds — safe for cross-engine
                           comparison, no float rounding involved)
-    and keeps the raw nanosecond long as ts_ns.
+      ts_ns   LONG       (epoch nanoseconds; ns-exact only under the
+                          TIMESTAMP(NANOS) layout, µs-truncated otherwise
+                          — a total tiebreak order either way)
     """
     ensure_session_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     if name == "events" and "ts" in df.columns:
-        # integer division on the raw long => exact truncation,
-        # matching DuckDB's epoch_us()//1000000 semantics
-        df = (
-            df.withColumnRenamed("ts", "ts_ns")
-            .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
-            .withColumn("ts_sec", F.expr("ts_ns div 1000000000"))
-        )
+        df = _normalize_events(df)
     return df
 
 

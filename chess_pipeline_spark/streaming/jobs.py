@@ -19,20 +19,18 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from chess_pipeline_spark.sources.tables import ensure_session_confs
+from chess_pipeline_spark.sources.tables import _normalize_events, ensure_session_confs
 
-# events.parquet physical schema under nanosAsLong (ts arrives as raw
-# nanoseconds; the stream derives a proper timestamp column)
-EVENTS_PHYSICAL = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+
+def _events_physical_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    """File-source streams require an explicit schema; probe it from a
+    footer-only batch read so both physical `ts` layouts (raw ns long
+    under nanosAsLong, or native TIMESTAMP/NTZ µs) stream correctly.
+    At scale this is one driver-side footer read, not a data scan.
+    """
+    import os
+
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
 
 
 def read_events_stream(
@@ -43,17 +41,13 @@ def read_events_stream(
     semantics over multi-file fixtures (a single-file fixture always
     arrives as one micro-batch regardless)."""
     ensure_session_confs(spark)
-    reader = spark.readStream.schema(EVENTS_PHYSICAL).option(
+    reader = spark.readStream.schema(_events_physical_schema(spark, sf_dir)).option(
         "pathGlobFilter", "events.parquet"
     )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     raw = reader.parquet(sf_dir)
-    return (
-        raw.withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
-        .withColumn("ts_sec", F.expr("ts_ns div 1000000000"))
-    )
+    return _normalize_events(raw)
 
 
 def stream_tumbling_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
