@@ -20,9 +20,10 @@ DRIVER_WINDOW = 50
 # Queries pushed past the driver window — exactly
 # len(catalog) - DRIVER_WINDOW names (catalog() asserts this, so the
 # window contents can't drift silently). Each one's SURVEY §2 operator
-# ids remain covered by a query that stays inside the window (and each
-# demoted query keeps its local pytest oracle + two rounds of green
-# driver history in CORRECTNESS_r01/r02):
+# ids remain covered by a query that stays inside the window, and each
+# demoted query keeps its local DuckDB-oracle pytest row
+# (tests/test_catalog_oracle.py) plus at least two rounds of green
+# driver history:
 #   distinct_flag_status       P9    ⊂ events_dedup_latest
 #   global_minmax              A7    ⊂ newsletter_summary
 #   weekday_recode             F9,P8 ⊂ scalar_feature_sampler, order_priority_clean
@@ -33,11 +34,19 @@ DRIVER_WINDOW = 50
 #   near_dup_pairs_jaccard_prefix    same semantics as near_dup_pairs_jaccard
 #   events_sliding_1h_30m      §2.11 ⊂ events_tumbling_1h, events_sessionized
 #   minhash_signatures         built + exercised inside minhash_lsh_candidates
-# The four corpus-preparation queries (plans/corpus.py, added round
-# 4) start life demoted: the in-window 50 are the proven r2+r3 set
-# and stay byte-stable; the new queries carry local DuckDB-oracle
-# parity (tests/test_catalog_oracle.py) until a future round
-# deliberately rotates them in.
+# Demoted in round 4 (green r2 AND r3) to make room for the seven
+# round-4 queries that have never had driver contact:
+#   orders_per_priority        A1    ⊂ win_ratio_by_status (pivot counts)
+#   clock_seconds_parse        F10   ⊂ eval_comment_parse (regexp parse chain)
+#   initial_clock_per_group    W4,A4 ⊂ events_dedup_latest (window first-row)
+#   lineitem_filter_isin       P4    ⊂ order_priority_clean, array_predicate_filter
+#   empty_relation_guard       P10   ⊂ parts_never_ordered (0-row path, schema kept)
+#   struct_pack_fields         E4    ⊂ json_props_extract (struct/JSON shaping)
+#   token_count                F-tok ⊂ pack_sequences, tfidf_top_terms (same tokenizer)
+# Promoted into the window in their place: ngram_jaccard_near_dup,
+# frame_sample_features, embedding_quantize_int8, dedup_keep_best,
+# stratified_sample, pack_sequences, tfidf_top_terms — all with local
+# DuckDB-oracle parity rows before first driver contact.
 _DEMOTED: tuple[str, ...] = (
     "distinct_flag_status",
     "global_minmax",
@@ -49,13 +58,13 @@ _DEMOTED: tuple[str, ...] = (
     "near_dup_pairs_jaccard_prefix",
     "events_sliding_1h_30m",
     "minhash_signatures",
-    "ngram_jaccard_near_dup",
-    "frame_sample_features",
-    "embedding_quantize_int8",
-    "dedup_keep_best",
-    "stratified_sample",
-    "pack_sequences",
-    "tfidf_top_terms",
+    "orders_per_priority",
+    "clock_seconds_parse",
+    "initial_clock_per_group",
+    "lineitem_filter_isin",
+    "empty_relation_guard",
+    "struct_pack_fields",
+    "token_count",
 )
 
 

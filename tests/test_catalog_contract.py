@@ -23,32 +23,29 @@ from pyspark.sql import types as T
 
 from chess_pipeline_spark.plans import DRIVER_WINDOW, catalog
 
-# The byte-stable order proven green across CORRECTNESS_r02/r03 (plus
-# the two r4 canonicalizer fixes). Any edit here is a deliberate
-# contract change and must re-justify the driver-window contents.
+# The byte-stable order for the round-4 driver run: the deliberate
+# r4 rotation promotes the seven never-driver-verified round-4
+# queries into the window and demotes seven doubly-proven (r2 AND r3
+# green) queries whose operators stay covered in-window (the
+# subsumption table lives in plans/__init__.py). Any edit here is a
+# deliberate contract change and must re-justify the window contents.
 FROZEN_ORDER: tuple[str, ...] = (
     "win_ratio_by_status",
     "pricing_summary",
     "top_customer_revenue",
     "order_priority_clean",
-    "lineitem_filter_isin",
     "parts_never_ordered",
     "customers_with_orders",
     "orders_fulfillment",
     "order_lines_enriched",
     "clock_lead_fill",
-    "initial_clock_per_group",
     "top3_orders_per_customer",
     "zip_explode_lockstep",
     "material_map_expand",
     "union_by_name",
     "scalar_feature_sampler",
-    "clock_seconds_parse",
     "eval_comment_parse",
-    "orders_per_priority",
     "array_predicate_filter",
-    "struct_pack_fields",
-    "empty_relation_guard",
     "rollup_priority_status",
     "revenue_by_nation",
     "price_percentiles",
@@ -62,10 +59,10 @@ FROZEN_ORDER: tuple[str, ...] = (
     "win_prob_lr",
     "dedup_exact",
     "text_quality_stats",
-    "token_count",
     "lang_id_heuristic",
     "doc_fingerprint",
     "near_dup_pairs_jaccard",
+    "ngram_jaccard_near_dup",
     "minhash_lsh_candidates",
     "simhash_near_dup",
     "embedding_near_dup_cosine",
@@ -73,11 +70,18 @@ FROZEN_ORDER: tuple[str, ...] = (
     "knn_cosine_ivf",
     "knn_cosine_lsh",
     "embedding_stats",
+    "embedding_quantize_int8",
     "multimodal_features",
+    "frame_sample_features",
     "top_terms_per_source",
     "dedup_normalized",
     "dedup_groups",
-    # --- past the driver window (demoted; green in r01/r02) ---
+    "dedup_keep_best",
+    "stratified_sample",
+    "pack_sequences",
+    "tfidf_top_terms",
+    # --- past the driver window (demoted; every demoted query has
+    # two rounds of green driver history plus a local oracle row) ---
     "distinct_flag_status",
     "global_minmax",
     "weekday_recode",
@@ -88,15 +92,13 @@ FROZEN_ORDER: tuple[str, ...] = (
     "near_dup_pairs_jaccard_prefix",
     "events_sliding_1h_30m",
     "minhash_signatures",
-    "ngram_jaccard_near_dup",
-    "frame_sample_features",
-    "embedding_quantize_int8",
-    # --- corpus-preparation queries added round 4 (never yet in the
-    # window; local oracle parity only until deliberately rotated) ---
-    "dedup_keep_best",
-    "stratified_sample",
-    "pack_sequences",
-    "tfidf_top_terms",
+    "orders_per_priority",
+    "clock_seconds_parse",
+    "initial_clock_per_group",
+    "lineitem_filter_isin",
+    "empty_relation_guard",
+    "struct_pack_fields",
+    "token_count",
 )
 
 
@@ -104,15 +106,24 @@ def test_catalog_order_frozen():
     assert tuple(catalog()) == FROZEN_ORDER
 
 
-def test_driver_window_covers_the_r3_verified_set():
-    # the 50 in-window names must be exactly the set the driver
-    # verified in round 3 (CORRECTNESS_r03.json keys) — internal
-    # order within the window is free, membership is not
+def test_driver_window_r4_rotation():
+    # round 4's window: the seven never-driver-verified additions are
+    # IN, the two r3 canonicalizer casualties stay in for their first
+    # clean driver row, and everything rotated out is r2+r3 green
     assert len(FROZEN_ORDER) - DRIVER_WINDOW == 17
     in_window = set(FROZEN_ORDER[:DRIVER_WINDOW])
-    assert "dedup_groups" in in_window
-    assert "multimodal_features" in in_window
-    assert "orders_per_priority" in in_window
+    for newcomer in (
+        "ngram_jaccard_near_dup",
+        "frame_sample_features",
+        "embedding_quantize_int8",
+        "dedup_keep_best",
+        "stratified_sample",
+        "pack_sequences",
+        "tfidf_top_terms",
+        "dedup_groups",
+        "multimodal_features",
+    ):
+        assert newcomer in in_window
 
 
 # The driver's canonicalizer sorts a pandas frame across all columns:
