@@ -47,6 +47,9 @@ DRIVER_WINDOW = 50
 # frame_sample_features, embedding_quantize_int8, dedup_keep_best,
 # stratified_sample, pack_sequences, tfidf_top_terms — all with local
 # DuckDB-oracle parity rows before first driver contact.
+# Added late in round 4 (start demoted, rotate in once they carry a
+# round of local history): decontaminate_ngram_overlap,
+# events_interval_join.
 _DEMOTED: tuple[str, ...] = (
     "distinct_flag_status",
     "global_minmax",
@@ -65,6 +68,8 @@ _DEMOTED: tuple[str, ...] = (
     "empty_relation_guard",
     "struct_pack_fields",
     "token_count",
+    "decontaminate_ngram_overlap",
+    "events_interval_join",
 )
 
 

@@ -277,6 +277,81 @@ WHERE rank <= 5
 """
 
 
+# ------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap)
+# ------------------------------------------------------------------
+
+# Word n-gram width for overlap detection. Production pipelines use
+# 8-13-gram windows; the synthetic docs average ~55 words of a tiny
+# vocabulary, so 4-grams give the equivalent specificity here.
+_DECONTAM_N = 4
+
+# Deterministic "benchmark suite" slice: every 40th document plays
+# the role of the held-out eval set the training corpus must not
+# contain verbatim spans of.
+_BENCH_MOD = 40
+
+
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag training documents that share any word 4-gram with the
+    benchmark slice — the contamination check an LLM corpus runs
+    against its eval suites before training.
+
+    Plan shape (100 TB): the benchmark gram set is tiny by
+    construction (eval suites are MBs against a TB-scale corpus), so
+    it BROADCASTS; the training side generates grams inside the scan
+    stage projection and never shuffles until the final
+    groupBy(doc_id), which partial-aggregates map-side. At real scale
+    the join key would be xxhash64(gram) to keep the exchange narrow;
+    here it stays the gram string so the DuckDB oracle can join on
+    identical values.
+    """
+    d = spread(_L(spark, sf_dir, "documents"), "doc_id")
+    toks = d.select("doc_id", F.split("text", " ").alias("w")).filter(
+        F.size("w") >= _DECONTAM_N
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(w) - {_DECONTAM_N - 1}), "
+                f"i -> concat_ws(' ', slice(w, i, {_DECONTAM_N})))"
+            )
+        ).alias("g"),
+    ).distinct()
+    bench = (
+        grams.filter(F.col("doc_id") % _BENCH_MOD == 0)
+        .select("g", F.col("doc_id").alias("bench_id"))
+    )
+    train = grams.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    return (
+        train.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("g").cast("long").alias("n_shared"),
+            F.countDistinct("bench_id").cast("long").alias("n_bench_docs"),
+        )
+    )
+
+
+DECONTAMINATE_NGRAM_OVERLAP_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= {_DECONTAM_N}),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+{_DECONTAM_N - 1}], ' ') AS g
+  FROM toks, unnest(range(1, len(w) - {_DECONTAM_N - 2})) AS t(i)),
+bench AS (
+  SELECT g, doc_id AS bench_id FROM grams WHERE doc_id % {_BENCH_MOD} = 0)
+SELECT tr.doc_id,
+       CAST(count(DISTINCT tr.g) AS BIGINT) AS n_shared,
+       CAST(count(DISTINCT bench.bench_id) AS BIGINT) AS n_bench_docs
+FROM grams tr JOIN bench USING (g)
+WHERE tr.doc_id % {_BENCH_MOD} <> 0
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_keep_best": QuerySpec(
         dedup_keep_best, DEDUP_KEEP_BEST_SQL, "corpus-keep-best"
@@ -287,5 +362,10 @@ QUERIES: dict[str, QuerySpec] = {
     "pack_sequences": QuerySpec(pack_sequences, PACK_SEQUENCES_SQL, "corpus-pack"),
     "tfidf_top_terms": QuerySpec(
         tfidf_top_terms, TFIDF_TOP_TERMS_SQL, "corpus-tfidf"
+    ),
+    "decontaminate_ngram_overlap": QuerySpec(
+        decontaminate_ngram_overlap,
+        DECONTAMINATE_NGRAM_OVERLAP_SQL,
+        "corpus-decontam",
     ),
 }

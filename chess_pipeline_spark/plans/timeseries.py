@@ -325,6 +325,73 @@ FROM p
 """
 
 
+# ------------------------------------------------------------------
+# Bounded interval join (range join via bin bucketing)
+# ------------------------------------------------------------------
+
+_INTERVAL_S = 600  # "errors in the 10 minutes before each purchase"
+
+
+def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase, count error events by the same user in the
+    preceding 10 minutes — the bounded-range temporal join Spark has
+    no native optimization for (a raw inequality join falls back to
+    broadcast-nested-loop and goes quadratic per user).
+
+    Plan shape (100 TB): bucket both sides on bin = ts_sec div W
+    where W equals the interval width, and replicate each right-side
+    row into (bin, bin+1). Any qualifying pair then agrees on exactly
+    ONE (user_id, bin) key — an equi-join with bounded 2x replication
+    of the (smaller) error side, one keyed shuffle per input, never a
+    nested loop. The exact range predicate applied after the
+    equi-match only discards within-bucket misses.
+    """
+    ev = _L(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts_sec")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts_sec",
+        F.expr(f"ts_sec div {_INTERVAL_S}").alias("bin"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"),
+        F.col("ts_sec").alias("err_ts"),
+        F.explode(
+            F.array(
+                F.expr(f"ts_sec div {_INTERVAL_S}"),
+                F.expr(f"ts_sec div {_INTERVAL_S} + 1"),
+            )
+        ).alias("bin"),
+    )
+    joined = purchases.join(
+        errors,
+        (purchases.user_id == errors.e_user)
+        & (purchases.bin == errors.bin)
+        & (errors.err_ts >= purchases.ts_sec - _INTERVAL_S)
+        & (errors.err_ts < purchases.ts_sec),
+        "left",
+    )
+    return joined.groupBy("event_id", "user_id", "ts_sec").agg(
+        F.count("err_ts").cast("long").alias("n_errors_10m"),
+        F.max("err_ts").alias("last_error_ts"),
+    )
+
+
+EVENTS_INTERVAL_JOIN_SQL = f"""
+WITH e AS (
+  SELECT event_id, user_id, event_type, {_TS_SEC} AS ts_sec FROM events),
+p AS (SELECT event_id, user_id, ts_sec FROM e WHERE event_type = 'purchase'),
+r AS (SELECT user_id, ts_sec AS err_ts FROM e WHERE event_type = 'error')
+SELECT p.event_id, p.user_id, p.ts_sec,
+       CAST(count(r.err_ts) AS BIGINT) AS n_errors_10m,
+       max(r.err_ts) AS last_error_ts
+FROM p LEFT JOIN r
+  ON p.user_id = r.user_id
+ AND r.err_ts >= p.ts_sec - {_INTERVAL_S} AND r.err_ts < p.ts_sec
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "value_stats_by_weekday": QuerySpec(
         value_stats_by_weekday, VALUE_STATS_BY_WEEKDAY_SQL, "A3 F9"
@@ -345,4 +412,7 @@ QUERIES: dict[str, QuerySpec] = {
         events_asof_last_purchase, EVENTS_ASOF_LAST_PURCHASE_SQL, "asof-join ext"
     ),
     "event_funnel": QuerySpec(event_funnel, EVENT_FUNNEL_SQL, "funnel ext A5"),
+    "events_interval_join": QuerySpec(
+        events_interval_join, EVENTS_INTERVAL_JOIN_SQL, "interval-join ext"
+    ),
 }

@@ -162,6 +162,26 @@ def test_dedup_keep_best_partial_max_before_shuffle(spark, sf_dir):
     assert "row_number" not in plan
 
 
+def test_decontam_benchmark_side_broadcasts(spark, sf_dir):
+    # the benchmark gram set is the small side by construction — it
+    # must broadcast; the training side may not shuffle before its
+    # final doc_id aggregation
+    plan = _plan(spark, sf_dir, "decontaminate_ngram_overlap")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_join_is_equi_not_nested_loop(spark, sf_dir):
+    # the bin-bucketing rewrite must produce a hash/sort-merge
+    # equi-join on (user_id, bin); a raw range predicate would fall
+    # back to BroadcastNestedLoopJoin and go quadratic per user
+    plan = _plan(spark, sf_dir, "events_interval_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
 @pytest.mark.parametrize(
     "name", ["events_tumbling_1h", "events_sessionized", "value_stats_by_weekday"]
 )
