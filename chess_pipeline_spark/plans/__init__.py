@@ -49,7 +49,7 @@ DRIVER_WINDOW = 50
 # DuckDB-oracle parity rows before first driver contact.
 # Added late in round 4 (start demoted, rotate in once they carry a
 # round of local history): decontaminate_ngram_overlap,
-# events_interval_join.
+# events_interval_join, repetition_stats, quality_filter_verdicts.
 _DEMOTED: tuple[str, ...] = (
     "distinct_flag_status",
     "global_minmax",
@@ -70,6 +70,8 @@ _DEMOTED: tuple[str, ...] = (
     "token_count",
     "decontaminate_ngram_overlap",
     "events_interval_join",
+    "repetition_stats",
+    "quality_filter_verdicts",
 )
 
 

@@ -352,6 +352,159 @@ GROUP BY 1
 """
 
 
+# ------------------------------------------------------------------
+# Within-document repetition stats (Gopher-style repetition signal)
+# ------------------------------------------------------------------
+
+_REP_N = 3  # word n-gram width for the repetition signal
+
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repeated-n-gram stats — the intra-doc repetition
+    signal corpus-quality rules (Rae et al. 2021 "Gopher" §A1.1; also
+    C4's heuristics) threshold on: boilerplate and looping generations
+    repeat the same short spans.
+
+    Plan shape (100 TB): the gram multiset of one document is
+    row-local, so everything here is a per-row JVM projection — no
+    explode, no shuffle, nothing leaves the scan stage. The
+    most-repeated-gram count folds over the distinct grams with a
+    nested higher-order filter (O(unique x total) string compares per
+    row, bounded by document length).
+    """
+    d = spread(_L(spark, sf_dir, "documents"), "doc_id")
+    toks = d.select("doc_id", F.split("text", " ").alias("w")).filter(
+        F.size("w") >= _REP_N
+    )
+    grams = toks.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(1, size(w) - {_REP_N - 1}), "
+            f"i -> concat_ws(' ', slice(w, i, {_REP_N})))"
+        ).alias("grams"),
+    )
+    n_grams = F.size("grams").cast("long")
+    n_unique = F.size(F.array_distinct("grams")).cast("long")
+    return grams.select(
+        "doc_id",
+        n_grams.alias("n_grams"),
+        n_unique.alias("n_unique"),
+        fround(F.lit(1.0) - n_unique / n_grams.cast("double"), 6).alias("dup_ratio"),
+        F.expr(
+            "aggregate(array_distinct(grams), 0, "
+            "(acc, x) -> greatest(acc, size(filter(grams, y -> y = x))))"
+        )
+        .cast("long")
+        .alias("max_gram_rep"),
+    )
+
+
+REPETITION_STATS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= {_REP_N}),
+g AS (
+  SELECT doc_id,
+         list_transform(range(1, len(w) - {_REP_N - 2}),
+                        i -> array_to_string(array_slice(w, i, i + {_REP_N - 1}), ' ')) AS grams
+  FROM toks)
+SELECT doc_id,
+       CAST(len(grams) AS BIGINT) AS n_grams,
+       CAST(len(list_distinct(grams)) AS BIGINT) AS n_unique,
+       floor((1.0 - len(list_distinct(grams)) / CAST(len(grams) AS DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS dup_ratio,
+       CAST(list_aggregate(
+         list_transform(list_distinct(grams),
+                        x -> len(list_filter(grams, y -> y = x))), 'max')
+         AS BIGINT) AS max_gram_rep
+FROM g
+"""
+
+
+# ------------------------------------------------------------------
+# Quality-filter verdicts (threshold rules with reasons)
+# ------------------------------------------------------------------
+
+# same six-word stopword list as plans.llm.text_quality_stats
+_QUALITY_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+# Gopher/C4-style keep rules, thresholds fitted to the synthetic
+# corpus so each discriminating rule actually fires (~75% keep):
+#   min_words       n_words >= 20
+#   max_words       n_words <= 90
+#   stopword_floor  stopword_ratio >= 0.02
+#   word_len_band   3 <= mean_word_len <= 7
+# All ratios are integer-over-integer double divisions, so the
+# boundary comparisons are bit-identical across engines.
+
+
+def quality_filter_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep/drop verdict per document with the failed rule names —
+    the auditable form of a corpus quality gate (a curation run wants
+    WHY a document dropped, not just the survivor set).
+
+    Plan shape (100 TB): per-row scan-stage projection, zero
+    shuffles; the verdict is a boolean column so the survivor filter
+    pushes into the same stage.
+    """
+    d = spread(_L(spark, sf_dir, "documents"), "doc_id")
+    n_chars = F.length("text").cast("long")
+    n_words = F.size(F.split("text", " ")).cast("long")
+    stop_list = ", ".join(f"'{w}'" for w in _QUALITY_STOPWORDS)
+    stop_ratio = (
+        F.expr(f"size(filter(split(text, ' '), w -> w IN ({stop_list})))").cast("double")
+        / n_words.cast("double")
+    )
+    mwl = (n_chars - (n_words - 1)) / n_words.cast("double")
+    rules = [
+        ("min_words", n_words >= 20),
+        ("max_words", n_words <= 90),
+        ("stopword_floor", stop_ratio >= 0.02),
+        ("word_len_band", (mwl >= 3.0) & (mwl <= 7.0)),
+    ]
+    fails = F.concat_ws(
+        ",", *[F.when(~ok, F.lit(rname)) for rname, ok in rules]
+    )
+    keep = F.lit(True)
+    for _, ok in rules:
+        keep = keep & ok
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        keep.alias("keep"),
+        fails.alias("fail_reasons"),
+    )
+
+
+_Q_STOP_SQL = ", ".join(f"'{w}'" for w in _QUALITY_STOPWORDS)
+QUALITY_FILTER_VERDICTS_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         len(list_filter(string_split(text, ' '),
+             w -> w IN ({_Q_STOP_SQL}))) / CAST(len(string_split(text, ' ')) AS DOUBLE)
+           AS stop_ratio
+  FROM documents),
+r AS (
+  SELECT doc_id, n_words,
+         n_words >= 20 AS ok_min,
+         n_words <= 90 AS ok_max,
+         stop_ratio >= 0.02 AS ok_stop,
+         ((n_chars - (n_words - 1)) / CAST(n_words AS DOUBLE)) BETWEEN 3.0 AND 7.0
+           AS ok_band
+  FROM s)
+SELECT doc_id, n_words,
+       (ok_min AND ok_max AND ok_stop AND ok_band) AS keep,
+       concat_ws(',',
+         CASE WHEN NOT ok_min THEN 'min_words' END,
+         CASE WHEN NOT ok_max THEN 'max_words' END,
+         CASE WHEN NOT ok_stop THEN 'stopword_floor' END,
+         CASE WHEN NOT ok_band THEN 'word_len_band' END) AS fail_reasons
+FROM r
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_keep_best": QuerySpec(
         dedup_keep_best, DEDUP_KEEP_BEST_SQL, "corpus-keep-best"
@@ -367,5 +520,11 @@ QUERIES: dict[str, QuerySpec] = {
         decontaminate_ngram_overlap,
         DECONTAMINATE_NGRAM_OVERLAP_SQL,
         "corpus-decontam",
+    ),
+    "repetition_stats": QuerySpec(
+        repetition_stats, REPETITION_STATS_SQL, "corpus-repetition"
+    ),
+    "quality_filter_verdicts": QuerySpec(
+        quality_filter_verdicts, QUALITY_FILTER_VERDICTS_SQL, "corpus-quality-gate"
     ),
 }

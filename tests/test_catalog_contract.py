@@ -101,6 +101,8 @@ FROZEN_ORDER: tuple[str, ...] = (
     "token_count",
     "decontaminate_ngram_overlap",
     "events_interval_join",
+    "repetition_stats",
+    "quality_filter_verdicts",
 )
 
 
@@ -112,7 +114,7 @@ def test_driver_window_r4_rotation():
     # round 4's window: the seven never-driver-verified additions are
     # IN, the two r3 canonicalizer casualties stay in for their first
     # clean driver row, and everything rotated out is r2+r3 green
-    assert len(FROZEN_ORDER) - DRIVER_WINDOW == 19
+    assert len(FROZEN_ORDER) - DRIVER_WINDOW == 21
     in_window = set(FROZEN_ORDER[:DRIVER_WINDOW])
     for newcomer in (
         "ngram_jaccard_near_dup",

@@ -171,6 +171,15 @@ def test_decontam_benchmark_side_broadcasts(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+@pytest.mark.parametrize("name", ["repetition_stats", "quality_filter_verdicts"])
+def test_row_local_quality_ops_never_shuffle(spark, sf_dir, name):
+    # the per-document repetition fold and the rule verdicts are
+    # scan-stage projections: no keyed exchange anywhere
+    plan = _plan(spark, sf_dir, name)
+    assert _required_shuffles(plan) == 0
+    assert "Join" not in plan
+
+
 def test_interval_join_is_equi_not_nested_loop(spark, sf_dir):
     # the bin-bucketing rewrite must produce a hash/sort-merge
     # equi-join on (user_id, bin); a raw range predicate would fall
