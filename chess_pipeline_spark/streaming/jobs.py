@@ -112,6 +112,50 @@ def stream_dedup_latest(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_interval_join(events: DataFrame, interval_s: int = 600) -> DataFrame:
+    """Stream-stream event-time range join: each purchase paired with
+    the same user's error events from the preceding `interval_s`
+    seconds — the streaming twin of
+    plans/timeseries.events_interval_join.
+
+    Uses Spark's native interval join: both branches carry a
+    watermark and the join condition bounds event time on both sides,
+    so each side's join state is evicted once the other side's
+    watermark passes the range (state is O(watermark window), not
+    O(stream)). The batch twin re-expresses the same range predicate
+    as a bin-bucketed equi-join because batch has no watermark to
+    bound a nested-loop — two mode-appropriate plans for one logical
+    spec.
+    """
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    e = (
+        events.filter(F.col("event_type") == "error")
+        .select(F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts"))
+        .withWatermark("e_ts", "2 hours")
+    )
+    return p.join(
+        e,
+        F.expr(
+            f"p_user = e_user AND e_ts >= p_ts - INTERVAL {interval_s} SECONDS "
+            f"AND e_ts < p_ts"
+        ),
+        "inner",
+    ).select(
+        "p_event_id",
+        F.col("p_user").alias("user_id"),
+        F.unix_timestamp("p_ts").alias("p_ts_sec"),
+        F.unix_timestamp("e_ts").alias("err_ts_sec"),
+    )
+
+
 def stream_static_enrich(events: DataFrame, user_dim: DataFrame) -> DataFrame:
     """Stream-static join: enrich the event stream with a static
     (batch) user dimension — the canonical streaming-enrichment

@@ -115,6 +115,40 @@ def test_stream_upsert_foreach_batch(spark, sf_dir, tmp_path):
     )
 
 
+def test_stream_interval_join_matches_batch_pairs(spark, sf_dir, tmp_path):
+    # the stream-stream range join must produce exactly the
+    # (purchase, error) pairs a direct batch inequality join finds
+    import pyspark.sql.functions as F
+
+    from chess_pipeline_spark.sources import load_table
+    from chess_pipeline_spark.streaming.jobs import stream_interval_join
+
+    ev = read_events_stream(spark, sf_dir)
+    got = _run_to_memory(stream_interval_join(ev), spark, tmp_path, complete=False)
+
+    b = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts_sec"
+    )
+    p = b.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"),
+        "user_id",
+        F.col("ts_sec").alias("p_ts_sec"),
+    )
+    e = b.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"), F.col("ts_sec").alias("err_ts_sec")
+    )
+    # direct inequality join is fine at test scale (nested loop)
+    expected = p.join(
+        e,
+        (p.user_id == e.e_user)
+        & (F.col("err_ts_sec") >= F.col("p_ts_sec") - 600)
+        & (F.col("err_ts_sec") < F.col("p_ts_sec")),
+    ).select("p_event_id", "user_id", "p_ts_sec", "err_ts_sec")
+    g = _rows(got.select("p_event_id", "user_id", "p_ts_sec", "err_ts_sec"))
+    x = _rows(expected)
+    assert g == x and len(g) > 0
+
+
 def test_stream_curation_matches_batch(spark, sf_dir, tmp_path):
     # the curation spec is one function body for both modes: the
     # streamed result must equal the batch result row-for-row
