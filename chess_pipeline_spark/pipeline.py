@@ -117,6 +117,102 @@ def run_game_etl(
     )
 
 
+@dataclass
+class CorpusEtlOutput:
+    """The curated-corpus counterpart of GameEtlOutput: survivors with
+    their shard layout, plus a full audit trail of what dropped and
+    why (production corpus runs are judged on their drop ledger as
+    much as their survivor set)."""
+
+    shards: DataFrame  # doc_id, source, n_tokens, cum_tokens, shard_id
+    audit: DataFrame   # doc_id, source, stage, reason
+
+    def tables(self) -> dict[str, DataFrame]:
+        return {"corpus_shards": self.shards, "corpus_audit": self.audit}
+
+
+def run_corpus_etl(docs: DataFrame, shard_tokens: int = 4096) -> CorpusEtlOutput:
+    """documents -> trainer-ready shard layout, as ONE lazy plan:
+
+      quality gate (row-local) -> exact dedup keep-min (one digest
+      shuffle) -> deterministic stratified sample (row-local) ->
+      token-budget packing (one window shuffle per source)
+
+    Four curation stages, exactly TWO keyed exchanges end-to-end —
+    the whole point of composing lazily instead of chaining
+    materialized steps: Catalyst fuses the three row-local stages
+    into the scan and the digest-window output flows straight into
+    the sample filter. The audit frame unions the three drop ledgers
+    (quality / duplicate / sampled-out) with machine-readable
+    reasons.
+    """
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from chess_pipeline_spark.plans.corpus import (
+        _BUCKET_EXPR,
+        _SAMPLE_PERMILLE,
+        with_quality_verdicts,
+    )
+    from chess_pipeline_spark.plans.llm import BPE_TOKEN_PATTERN
+
+    v = with_quality_verdicts(docs.select("doc_id", "source", "text"))
+    quality_dropped = v.filter(~F.col("keep")).select(
+        "doc_id",
+        "source",
+        F.lit("quality").alias("stage"),
+        F.col("fail_reasons").alias("reason"),
+    )
+    kept = v.filter(F.col("keep")).select("doc_id", "source", "text")
+
+    # exact dedup among survivors: min doc_id per content digest; the
+    # window partitions on the 128-bit digest, never the body
+    dig = kept.withColumn("fp", F.md5("text"))
+    ranked = dig.withColumn(
+        "keep_id", F.min("doc_id").over(Window.partitionBy("fp"))
+    )
+    dup_dropped = ranked.filter(F.col("doc_id") != F.col("keep_id")).select(
+        "doc_id",
+        "source",
+        F.lit("exact_dup").alias("stage"),
+        F.concat(F.lit("dup_of:"), F.col("keep_id").cast("string")).alias("reason"),
+    )
+    deduped = ranked.filter(F.col("doc_id") == F.col("keep_id"))
+
+    # deterministic per-stratum sample (row-local; same bucket expr
+    # as the stratified_sample catalog query)
+    bucketed = deduped.withColumn("bucket", F.expr(_BUCKET_EXPR))
+    sampled_out = bucketed.filter(F.col("bucket") >= _SAMPLE_PERMILLE).select(
+        "doc_id",
+        "source",
+        F.lit("sampled_out").alias("stage"),
+        F.concat(F.lit("bucket:"), F.col("bucket").cast("string")).alias("reason"),
+    )
+    sampled = bucketed.filter(F.col("bucket") < _SAMPLE_PERMILLE)
+
+    # token-budget packing over the final survivor set (one window
+    # per source; same layout rule as the pack_sequences query)
+    toks = sampled.select(
+        "doc_id",
+        "source",
+        F.regexp_count("text", F.lit(BPE_TOKEN_PATTERN)).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    cum = F.sum("n_tokens").over(w).cast("long")
+    shards = toks.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        cum.alias("cum_tokens"),
+        F.floor((cum - F.col("n_tokens")) / F.lit(shard_tokens))
+        .cast("long")
+        .alias("shard_id"),
+    )
+
+    audit = quality_dropped.unionByName(dup_dropped).unionByName(sampled_out)
+    return CorpusEtlOutput(shards=shards, audit=audit)
+
+
 def materialize(
     out: GameEtlOutput, base_path: str, keys: dict[str, list[str]] | None = None
 ) -> None:

@@ -438,16 +438,12 @@ _QUALITY_STOPWORDS = ("the", "a", "of", "and", "to", "in")
 # boundary comparisons are bit-identical across engines.
 
 
-def quality_filter_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Keep/drop verdict per document with the failed rule names —
-    the auditable form of a corpus quality gate (a curation run wants
-    WHY a document dropped, not just the survivor set).
-
-    Plan shape (100 TB): per-row scan-stage projection, zero
-    shuffles; the verdict is a boolean column so the survivor filter
-    pushes into the same stage.
-    """
-    d = spread(_L(spark, sf_dir, "documents"), "doc_id")
+def with_quality_verdicts(docs: DataFrame) -> DataFrame:
+    """Append `n_words`, `keep`, `fail_reasons` to a documents frame —
+    the DataFrame-level quality gate shared by the catalog query and
+    the composed corpus ETL (pipeline.run_corpus_etl). Pure row-local
+    projection; the verdict boolean lets the survivor filter push into
+    the same scan stage."""
     n_chars = F.length("text").cast("long")
     n_words = F.size(F.split("text", " ")).cast("long")
     stop_list = ", ".join(f"'{w}'" for w in _QUALITY_STOPWORDS)
@@ -468,12 +464,24 @@ def quality_filter_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = F.lit(True)
     for _, ok in rules:
         keep = keep & ok
-    return d.select(
-        "doc_id",
+    return docs.select(
+        "*",
         n_words.alias("n_words"),
         keep.alias("keep"),
         fails.alias("fail_reasons"),
     )
+
+
+def quality_filter_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep/drop verdict per document with the failed rule names —
+    the auditable form of a corpus quality gate (a curation run wants
+    WHY a document dropped, not just the survivor set).
+
+    Plan shape (100 TB): per-row scan-stage projection, zero
+    shuffles (see with_quality_verdicts).
+    """
+    d = spread(_L(spark, sf_dir, "documents"), "doc_id")
+    return with_quality_verdicts(d).select("doc_id", "n_words", "keep", "fail_reasons")
 
 
 _Q_STOP_SQL = ", ".join(f"'{w}'" for w in _QUALITY_STOPWORDS)

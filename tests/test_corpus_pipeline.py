@@ -1,0 +1,105 @@
+"""Composed corpus ETL (pipeline.run_corpus_etl): the one-plan
+quality -> dedup -> sample -> pack flow must agree with the
+individually-verified catalog stages, and its audit ledger must
+account for every input document exactly once.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from chess_pipeline_spark.pipeline import run_corpus_etl
+from chess_pipeline_spark.plans.corpus import (
+    _SAMPLE_PERMILLE,
+    quality_filter_verdicts,
+    stratified_sample,
+)
+from chess_pipeline_spark.sources import load_table
+
+
+def _ids(df, col="doc_id"):
+    return sorted(r[0] for r in df.select(col).collect())
+
+
+def test_every_document_lands_in_exactly_one_ledger(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = run_corpus_etl(docs)
+    survivors = set(_ids(out.shards))
+    dropped = set(_ids(out.audit))
+    assert survivors.isdisjoint(dropped)
+    assert survivors | dropped == set(_ids(docs))
+    # audit has one row per dropped doc (no double-dropping)
+    assert out.audit.count() == len(dropped)
+
+
+def test_quality_stage_matches_catalog_verdicts(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = run_corpus_etl(docs)
+    audit_quality = set(_ids(out.audit.filter(F.col("stage") == "quality")))
+    verdicts = quality_filter_verdicts(spark, sf_dir)
+    assert audit_quality == set(_ids(verdicts.filter(~F.col("keep"))))
+
+
+def test_dedup_keeps_min_id_and_unique_digests(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = run_corpus_etl(docs)
+    survivors = docs.join(out.shards.select("doc_id"), "doc_id").select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+    # survivor digests are unique
+    assert survivors.count() == survivors.select("fp").distinct().count()
+    # every dup audit row names a surviving-or-smaller doc
+    dups = out.audit.filter(F.col("stage") == "exact_dup").select(
+        "doc_id", F.split("reason", ":")[1].cast("long").alias("kept")
+    )
+    assert dups.filter(F.col("kept") >= F.col("doc_id")).count() == 0
+
+
+def test_sample_stage_matches_catalog_sample(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = run_corpus_etl(docs)
+    # every surviving doc must be in the catalog sample (the catalog
+    # query samples BEFORE quality/dedup, so it is a superset)
+    catalog_sample = set(_ids(stratified_sample(spark, sf_dir)))
+    assert set(_ids(out.shards)) <= catalog_sample
+    sampled_out = out.audit.filter(F.col("stage") == "sampled_out")
+    bad = sampled_out.filter(
+        F.split("reason", ":")[1].cast("long") < _SAMPLE_PERMILLE
+    )
+    assert bad.count() == 0
+
+
+def test_packing_is_contiguous_per_source(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = run_corpus_etl(docs, shard_tokens=512)
+    rows = out.shards.orderBy("source", "doc_id").collect()
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    for source, rs in by_source.items():
+        run = 0
+        prev_shard = -1
+        for r in rs:
+            assert r.cum_tokens == run + r.n_tokens, (source, r)
+            assert r.shard_id == run // 512, (source, r)
+            assert r.shard_id >= prev_shard  # shards only move forward
+            run += r.n_tokens
+            prev_shard = r.shard_id
+
+
+def test_composed_plan_has_two_keyed_shuffles(spark, sf_dir):
+    # the whole 4-stage flow needs exactly two required exchanges:
+    # the digest window and the packing window (audit excluded — its
+    # branches reuse the same exchanges)
+    docs = load_table(spark, sf_dir, "documents")
+    out = run_corpus_etl(docs)
+    jvm = spark._jvm
+    plan = jvm.PythonSQLUtils.explainString(
+        out.shards._jdf.queryExecution(), "formatted"
+    )
+    required = sum(
+        1
+        for ln in plan.splitlines()
+        if "hashpartitioning" in ln and "ENSURE_REQUIREMENTS" in ln
+    )
+    assert required == 2, plan
