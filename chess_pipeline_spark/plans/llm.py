@@ -247,7 +247,12 @@ def near_dup_pairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             b,
             (F.col("a.source") == F.col("b.source"))
             & (F.col("a.word") == F.col("b.word"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # size filter (exactness-preserving): J >= t forces
+            # t <= min(na,nb)/max(na,nb), so size-mismatched pairs
+            # are pruned inside the join, before the pair-key shuffle
+            & (F.col("a.n") * F.lit(_JACCARD_T) <= F.col("b.n"))
+            & (F.col("b.n") * F.lit(_JACCARD_T) <= F.col("a.n")),
         )
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),
@@ -297,7 +302,12 @@ def ngram_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             b,
             (F.col("a.source") == F.col("b.source"))
             & (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # same exactness-preserving size filter as the word-set
+            # variant (weaker at t=0.25 — factor-4 size band — but
+            # still prunes cross-length pairs pre-shuffle)
+            & (F.col("a.n") * F.lit(_NGRAM_T) <= F.col("b.n"))
+            & (F.col("b.n") * F.lit(_NGRAM_T) <= F.col("a.n")),
         )
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),
