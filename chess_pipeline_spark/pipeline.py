@@ -213,6 +213,17 @@ def run_corpus_etl(docs: DataFrame, shard_tokens: int = 4096) -> CorpusEtlOutput
     return CorpusEtlOutput(shards=shards, audit=audit)
 
 
+def materialize_corpus(out: CorpusEtlOutput, base_path: str) -> None:
+    """Write the curated-corpus outputs as idempotent keyed upserts —
+    re-running a curation over an overlapping document batch replaces
+    rows by doc_id instead of duplicating them (same discipline as
+    the game-ETL loaders)."""
+    from chess_pipeline_spark.sinks import upsert_parquet
+
+    for name, df in out.tables().items():
+        upsert_parquet(df, f"{base_path}/{name}", ["doc_id"])
+
+
 def materialize(
     out: GameEtlOutput, base_path: str, keys: dict[str, list[str]] | None = None
 ) -> None:

@@ -49,7 +49,8 @@ DRIVER_WINDOW = 50
 # DuckDB-oracle parity rows before first driver contact.
 # Added late in round 4 (start demoted, rotate in once they carry a
 # round of local history): decontaminate_ngram_overlap,
-# events_interval_join, repetition_stats, quality_filter_verdicts.
+# events_interval_join, repetition_stats, quality_filter_verdicts,
+# bm25_top_terms.
 _DEMOTED: tuple[str, ...] = (
     "distinct_flag_status",
     "global_minmax",
@@ -72,6 +73,7 @@ _DEMOTED: tuple[str, ...] = (
     "events_interval_join",
     "repetition_stats",
     "quality_filter_verdicts",
+    "bm25_top_terms",
 )
 
 

@@ -278,6 +278,116 @@ WHERE rank <= 5
 
 
 # ------------------------------------------------------------------
+# BM25 term ranking per source
+# ------------------------------------------------------------------
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 terms per source by BM25 — TF-IDF with saturating term
+    frequency and document-length normalization (Robertson/Sparck
+    Jones probabilistic idf), treating each source stratum as one
+    "document". The practical upgrade over tfidf_top_terms: a source
+    twice as long no longer doubles every term's score, and repeated
+    terms saturate instead of growing linearly.
+
+    score = idf(w) * tf / (tf + k1 * (1 - b + b * len_s / avg_len)),
+    idf(w) = ln((N - df + 0.5) / (df + 0.5) + 1)
+
+    Shuffle budget: the same two vocabulary-scale exchanges as tfidf
+    ((source, word) tf and word df, both map-side combined); source
+    lengths reuse the tf frame (no third pass over the corpus); N and
+    avg_len are one broadcast row.
+
+    Cross-engine determinism: both ln-bearing factors are
+    floor-rounded at 1e-6 before the final multiply (same discipline
+    as tfidf_top_terms), and avg_len is one exact-integer division,
+    never an engine-accumulated avg().
+    """
+    d = spread(_L(spark, sf_dir, "documents"), "doc_id")
+    tokens = d.select("source", F.explode(F.split("text", " ")).alias("word"))
+    tf = tokens.groupBy("source", "word").agg(F.count("*").cast("long").alias("tf"))
+    slen = tf.groupBy("source").agg(F.sum("tf").cast("long").alias("len_s"))
+    df_ = (
+        tokens.select("source", "word")
+        .distinct()
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("df_sources"))
+    )
+    glob = slen.agg(
+        F.count("*").cast("long").alias("n_sources"),
+        F.sum("len_s").cast("long").alias("total_len"),
+    )
+    idf = fround(
+        F.log(
+            (F.col("n_sources") - F.col("df_sources") + F.lit(0.5))
+            / (F.col("df_sources") + F.lit(0.5))
+            + F.lit(1.0)
+        ),
+        6,
+    )
+    avg_len = F.col("total_len").cast("double") / F.col("n_sources")
+    tf_norm = fround(
+        F.col("tf")
+        / (
+            F.col("tf")
+            + F.lit(_BM25_K1)
+            * (F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("len_s") / avg_len)
+        ),
+        6,
+    )
+    scored = (
+        tf.join(df_, "word")
+        .join(F.broadcast(slen), "source")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "source",
+            "word",
+            "tf",
+            "df_sources",
+            fround(idf * tf_norm, 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("word"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+    )
+
+
+BM25_TOP_TERMS_SQL = f"""
+WITH tokens AS (
+  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents),
+tf AS (SELECT source, word, CAST(count(*) AS BIGINT) AS tf
+       FROM tokens GROUP BY 1, 2),
+slen AS (SELECT source, CAST(sum(tf) AS BIGINT) AS len_s FROM tf GROUP BY 1),
+docfreq AS (SELECT word, CAST(count(DISTINCT source) AS BIGINT) AS df_sources
+            FROM tokens GROUP BY 1),
+gstats AS (SELECT CAST(count(*) AS BIGINT) AS n_sources,
+                CAST(sum(len_s) AS BIGINT) AS total_len FROM slen),
+scored AS (
+  SELECT tf.source, tf.word, tf.tf, docfreq.df_sources,
+         floor((
+           (floor(ln((gstats.n_sources - docfreq.df_sources + 0.5)
+                     / (docfreq.df_sources + 0.5) + 1.0)
+                  * 1000000.0 + 0.5) / 1000000.0)
+           *
+           (floor((tf.tf / (tf.tf + {_BM25_K1} * ({1.0 - _BM25_B} + {_BM25_B}
+                    * slen.len_s / (CAST(gstats.total_len AS DOUBLE) / gstats.n_sources))))
+                  * 1000000.0 + 0.5) / 1000000.0)
+         ) * 1000000.0 + 0.5) / 1000000.0 AS score
+  FROM tf JOIN docfreq USING (word) JOIN slen USING (source) CROSS JOIN gstats)
+SELECT source, word, tf, df_sources, score, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY score DESC, word ASC) AS rank
+      FROM scored)
+WHERE rank <= 5
+"""
+
+
+# ------------------------------------------------------------------
 # Benchmark decontamination (n-gram overlap)
 # ------------------------------------------------------------------
 
@@ -529,6 +639,7 @@ QUERIES: dict[str, QuerySpec] = {
         DECONTAMINATE_NGRAM_OVERLAP_SQL,
         "corpus-decontam",
     ),
+    "bm25_top_terms": QuerySpec(bm25_top_terms, BM25_TOP_TERMS_SQL, "corpus-bm25"),
     "repetition_stats": QuerySpec(
         repetition_stats, REPETITION_STATS_SQL, "corpus-repetition"
     ),

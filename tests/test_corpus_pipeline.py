@@ -87,6 +87,26 @@ def test_packing_is_contiguous_per_source(spark, sf_dir):
             prev_shard = r.shard_id
 
 
+def test_materialize_corpus_is_idempotent(spark, sf_dir, tmp_path):
+    from chess_pipeline_spark.pipeline import materialize_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = run_corpus_etl(docs)
+    base = str(tmp_path / "corpus")
+    materialize_corpus(out, base)
+    first = sorted(
+        tuple(r) for r in spark.read.parquet(f"{base}/corpus_shards").collect()
+    )
+    # second run over the same batch must replace, not duplicate
+    materialize_corpus(run_corpus_etl(docs), base)
+    second = sorted(
+        tuple(r) for r in spark.read.parquet(f"{base}/corpus_shards").collect()
+    )
+    assert first == second and len(first) > 0
+    audit = spark.read.parquet(f"{base}/corpus_audit")
+    assert audit.count() == audit.select("doc_id").distinct().count()
+
+
 def test_composed_plan_has_two_keyed_shuffles(spark, sf_dir):
     # the whole 4-stage flow needs exactly two required exchanges:
     # the digest window and the packing window (audit excluded — its
