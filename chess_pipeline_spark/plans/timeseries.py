@@ -392,6 +392,74 @@ GROUP BY 1, 2, 3
 """
 
 
+# ------------------------------------------------------------------
+# Rolling z-score anomaly detection (trailing window frame)
+# ------------------------------------------------------------------
+
+_Z_LOOKBACK = 10  # trailing events per user
+
+
+def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user anomaly score: each event's value against the mean
+    and sample stddev of that user's previous 10 events — the
+    trailing-frame monitoring query (fraud/alerting) that exercises
+    an explicit ROWS frame rather than a growing or tumbling window.
+
+    Determinism: the frame orders by (ts_sec, event_id) — a total
+    order, so both engines aggregate the identical row set; mean and
+    stddev are floor-rounded at 1e-6 before the z computation, and
+    the z denominator nulls out via nullif so a constant-valued
+    window yields NULL on both engines rather than one inf and one
+    NaN. Plan: ONE keyed shuffle on user_id; every frame aggregate
+    shares the same window spec, so Catalyst computes them in a
+    single Window operator pass.
+    """
+    ev = _L(spark, sf_dir, "events").select("event_id", "user_id", "ts_sec", "value")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec", "event_id")
+        .rowsBetween(-_Z_LOOKBACK, -1)
+    )
+    m = fround(F.avg("value").over(w), 6)
+    s = fround(F.stddev_samp("value").over(w), 6)
+    z = fround(
+        (F.col("value") - F.col("roll_mean")) / F.expr("nullif(roll_std, 0.0)"), 6
+    )
+    return (
+        ev.withColumn("roll_mean", m)
+        .withColumn("roll_std", s)
+        .withColumn("zscore", z)
+        .select(
+            "event_id",
+            "user_id",
+            "ts_sec",
+            fround("value", 2).alias("value"),
+            "roll_mean",
+            "roll_std",
+            "zscore",
+        )
+    )
+
+
+EVENTS_ROLLING_ZSCORE_SQL = f"""
+WITH t AS (
+  SELECT event_id, user_id, {_TS_SEC} AS ts_sec, value FROM events),
+r AS (
+  SELECT event_id, user_id, ts_sec, value,
+         floor((avg(value) OVER w) * 1000000.0 + 0.5) / 1000000.0 AS roll_mean,
+         floor((stddev_samp(value) OVER w) * 1000000.0 + 0.5) / 1000000.0 AS roll_std
+  FROM t
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id
+               ROWS BETWEEN {_Z_LOOKBACK} PRECEDING AND 1 PRECEDING))
+SELECT event_id, user_id, ts_sec,
+       floor((value) * 100.0 + 0.5) / 100.0 AS value,
+       roll_mean, roll_std,
+       floor(((value - roll_mean) / nullif(roll_std, 0.0)) * 1000000.0 + 0.5)
+         / 1000000.0 AS zscore
+FROM r
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "value_stats_by_weekday": QuerySpec(
         value_stats_by_weekday, VALUE_STATS_BY_WEEKDAY_SQL, "A3 F9"
@@ -414,5 +482,8 @@ QUERIES: dict[str, QuerySpec] = {
     "event_funnel": QuerySpec(event_funnel, EVENT_FUNNEL_SQL, "funnel ext A5"),
     "events_interval_join": QuerySpec(
         events_interval_join, EVENTS_INTERVAL_JOIN_SQL, "interval-join ext"
+    ),
+    "events_rolling_zscore": QuerySpec(
+        events_rolling_zscore, EVENTS_ROLLING_ZSCORE_SQL, "W-frame anomaly ext"
     ),
 }
