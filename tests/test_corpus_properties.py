@@ -75,6 +75,10 @@ _RANDOMIZED_QUERIES = (
     "dedup_exact",
     "text_quality_stats",
     "token_count",
+    "decontaminate_ngram_overlap",
+    "repetition_stats",
+    "quality_filter_verdicts",
+    "bm25_top_terms",
 )
 
 

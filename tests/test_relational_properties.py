@@ -269,6 +269,8 @@ _EVENTS_QUERIES = (
     "events_asof_last_purchase",
     "event_funnel",
     "json_props_extract",
+    "events_interval_join",
+    "events_rolling_zscore",
 )
 
 
