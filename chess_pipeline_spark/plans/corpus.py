@@ -1,19 +1,27 @@
 """Corpus-preparation operators for training-data pipelines.
 
 The step AFTER analysis/dedup: choosing what to keep and how to lay
-it out for a trainer. Four operators a 100 TB text pipeline runs on
+it out for a trainer. The operators a 100 TB text pipeline runs on
 every refresh, each with a DuckDB oracle:
 
 - dedup_keep_best: quality-aware representative selection per
   near-dup group (the "which copy do we keep" policy — reference
   pipelines keep min-id; real corpora keep the longest/cleanest);
-- stratified_sample: deterministic hash sampling salted per stratum
-  (reproducible eval holdouts — re-runs and backfills pick the same
-  documents, no RNG state to ship);
+- stratified_sample / mixture_sample: deterministic hash sampling,
+  uniform or mixture-weighted per stratum (reproducible holdouts and
+  dataset mixtures — re-runs and backfills pick the same documents,
+  no RNG state to ship);
 - pack_sequences: token-budget concat-and-chunk shard assignment
   (the batch-packing layout LLM trainers consume);
-- tfidf_top_terms: per-source TF-IDF term ranking (corpus-drift
-  dashboards; upgrades top_terms_per_source's raw DF counts).
+- tfidf_top_terms / bm25_top_terms: per-source term ranking
+  (corpus-drift dashboards; BM25 adds tf saturation and length
+  normalization);
+- decontaminate_ngram_overlap: benchmark contamination check;
+- repetition_stats / quality_filter_verdicts: Gopher-style intra-doc
+  repetition signal and the auditable keep/drop gate.
+
+The composed flow (quality -> dedup -> sample -> pack as one lazy
+plan) lives in pipeline.run_corpus_etl.
 
 Scale notes (100 TB design):
 - keep-best: labels ⋈ tokens co-partition on doc_id, then ONE
@@ -152,6 +160,56 @@ STRATIFIED_SAMPLE_SQL = f"""
 SELECT doc_id, source, {_BUCKET_EXPR} AS bucket
 FROM documents
 WHERE {_BUCKET_EXPR} < {_SAMPLE_PERMILLE}
+"""
+
+
+# Dataset-mixture weights: keep-rate permille per source tier. The
+# mixture step of an LLM data pipeline — upweight curated tiers,
+# downweight bulk crawl — expressed as deterministic per-stratum
+# thresholds over the same salted hash as stratified_sample, so
+# mixtures are reproducible and each stratum's picks are independent.
+_MIX_HIGH = ("src0", "src1")     # 300‰ — "curated" tier
+_MIX_MID = ("src2", "src3")      # 150‰ — "reference" tier
+_MIX_DEFAULT = 50                # 50‰  — bulk tier
+
+
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted dataset-mixture sampling: each source tier keeps a
+    different deterministic fraction (300/150/50 permille). Same
+    scale posture as stratified_sample — pure per-row projection, the
+    tier CASE and bucket filter both run in the scan stage, zero
+    shuffles; changing mixture weights is a constant edit, not a new
+    shuffle plan."""
+    d = spread(_L(spark, sf_dir, "documents"), "doc_id")
+    high = ", ".join(f"'{s}'" for s in _MIX_HIGH)
+    mid = ", ".join(f"'{s}'" for s in _MIX_MID)
+    rate = F.expr(
+        f"CAST(CASE WHEN source IN ({high}) THEN 300 "
+        f"WHEN source IN ({mid}) THEN 150 "
+        f"ELSE {_MIX_DEFAULT} END AS BIGINT)"
+    )
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            F.expr(_BUCKET_EXPR).alias("bucket"),
+            rate.alias("keep_permille"),
+        )
+        .filter(F.col("bucket") < F.col("keep_permille"))
+    )
+
+
+_MIX_HIGH_SQL = ", ".join(f"'{s}'" for s in _MIX_HIGH)
+_MIX_MID_SQL = ", ".join(f"'{s}'" for s in _MIX_MID)
+MIXTURE_SAMPLE_SQL = f"""
+WITH r AS (
+  SELECT doc_id, source, {_BUCKET_EXPR} AS bucket,
+         CAST(CASE WHEN source IN ({_MIX_HIGH_SQL}) THEN 300
+                   WHEN source IN ({_MIX_MID_SQL}) THEN 150
+                   ELSE {_MIX_DEFAULT} END AS BIGINT) AS keep_permille
+  FROM documents)
+SELECT doc_id, source, bucket, keep_permille
+FROM r WHERE bucket < keep_permille
 """
 
 
@@ -630,6 +688,7 @@ QUERIES: dict[str, QuerySpec] = {
     "stratified_sample": QuerySpec(
         stratified_sample, STRATIFIED_SAMPLE_SQL, "corpus-sample"
     ),
+    "mixture_sample": QuerySpec(mixture_sample, MIXTURE_SAMPLE_SQL, "corpus-mixture"),
     "pack_sequences": QuerySpec(pack_sequences, PACK_SEQUENCES_SQL, "corpus-pack"),
     "tfidf_top_terms": QuerySpec(
         tfidf_top_terms, TFIDF_TOP_TERMS_SQL, "corpus-tfidf"

@@ -105,6 +105,7 @@ FROZEN_ORDER: tuple[str, ...] = (
     "quality_filter_verdicts",
     "bm25_top_terms",
     "events_rolling_zscore",
+    "mixture_sample",
 )
 
 
@@ -116,7 +117,7 @@ def test_driver_window_r4_rotation():
     # round 4's window: the seven never-driver-verified additions are
     # IN, the two r3 canonicalizer casualties stay in for their first
     # clean driver row, and everything rotated out is r2+r3 green
-    assert len(FROZEN_ORDER) - DRIVER_WINDOW == 23
+    assert len(FROZEN_ORDER) - DRIVER_WINDOW == 24
     in_window = set(FROZEN_ORDER[:DRIVER_WINDOW])
     for newcomer in (
         "ngram_jaccard_near_dup",

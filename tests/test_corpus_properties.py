@@ -79,6 +79,7 @@ _RANDOMIZED_QUERIES = (
     "repetition_stats",
     "quality_filter_verdicts",
     "bm25_top_terms",
+    "mixture_sample",
 )
 
 

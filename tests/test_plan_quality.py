@@ -129,10 +129,11 @@ def _required_shuffles(plan: str) -> int:
     )
 
 
-def test_stratified_sample_prunes_and_filters_in_scan_stage(spark, sf_dir):
+@pytest.mark.parametrize("name", ["stratified_sample", "mixture_sample"])
+def test_stratified_sample_prunes_and_filters_in_scan_stage(spark, sf_dir, name):
     # the sample decision is per-row: the text column must not be
     # read at all, and no keyed shuffle is required anywhere
-    plan = _plan(spark, sf_dir, "stratified_sample")
+    plan = _plan(spark, sf_dir, name)
     read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
     assert "text" not in read, f"text not pruned: {read}"
     assert _required_shuffles(plan) == 0
