@@ -50,7 +50,8 @@ DRIVER_WINDOW = 50
 # Added late in round 4 (start demoted, rotate in once they carry a
 # round of local history): decontaminate_ngram_overlap,
 # events_interval_join, repetition_stats, quality_filter_verdicts,
-# bm25_top_terms, events_rolling_zscore, mixture_sample.
+# bm25_top_terms, events_rolling_zscore, mixture_sample,
+# dedup_incremental_simhash.
 _DEMOTED: tuple[str, ...] = (
     "distinct_flag_status",
     "global_minmax",
@@ -76,6 +77,7 @@ _DEMOTED: tuple[str, ...] = (
     "bm25_top_terms",
     "events_rolling_zscore",
     "mixture_sample",
+    "dedup_incremental_simhash",
 )
 
 

@@ -731,6 +731,109 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 
 
 # ------------------------------------------------------------------
+# Incremental near-dedup: new batch vs existing corpus
+# ------------------------------------------------------------------
+
+# deterministic corpus/batch split of the documents table: ids below
+# the cut play the already-ingested corpus, the rest the new batch
+_INCR_SPLIT = 250
+
+
+def dedup_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: flag each NEW document that is a
+    SimHash near-dup (hamming <= 3) of the EXISTING corpus — the
+    corpus-refresh twin of the reference's eval-cache anti-join
+    (fetch only what the cache lacks; here: ingest only what the
+    corpus doesn't already contain). Output one row per batch doc:
+    is_dup, the nearest cached doc (min hamming, then min id) and
+    its hamming distance.
+
+    Plan shape (100 TB): signatures are per-row projections computed
+    once per side; the batch-vs-corpus match is a band-bucket
+    equi-join on (source, band, bucket) — at real scale the batch
+    side is tiny relative to the corpus and broadcasts, so the
+    corpus's banded signature table (a persisted index in practice)
+    streams through unshuffled. Banding at 4x7 bits keeps 100%
+    recall at hamming <= 3 by pigeonhole, so the result equals the
+    naive all-pairs definition the oracle computes.
+    """
+    d = spread(_L(spark, sf_dir, "documents"), "doc_id")
+    hm = _MIX.format(h=_BASE_HASH.format(s="w"))
+    sig = d.select(
+        "doc_id",
+        "source",
+        F.expr(f"transform(split(text, ' '), w -> {hm})").alias("hw"),
+    ).select("doc_id", "source", F.expr(_simhash_expr_spark()).alias("simhash"))
+    bands = sig.select(
+        "doc_id",
+        "source",
+        "simhash",
+        F.explode(F.expr(f"sequence(0, {_SIMHASH_BANDS - 1})")).alias("band"),
+    ).withColumn(
+        "bv",
+        F.expr(
+            f"shiftright(simhash, band * {_SIMHASH_BAND_BITS}) % {1 << _SIMHASH_BAND_BITS}"
+        ),
+    )
+    cache = bands.filter(F.col("doc_id") < _INCR_SPLIT).select(
+        F.col("source").alias("c_source"),
+        F.col("band").alias("c_band"),
+        F.col("bv").alias("c_bv"),
+        F.col("doc_id").alias("c_id"),
+        F.col("simhash").alias("c_sig"),
+    )
+    batch = bands.filter(F.col("doc_id") >= _INCR_SPLIT)
+    matched = (
+        batch.join(
+            cache,
+            (batch.source == cache.c_source)
+            & (batch.band == cache.c_band)
+            & (batch.bv == cache.c_bv),
+        )
+        .withColumn("hamming", F.expr("CAST(bit_count(simhash ^ c_sig) AS BIGINT)"))
+        .filter(F.col("hamming") <= 3)
+        .groupBy("doc_id")
+        .agg(F.min(F.struct("hamming", "c_id")).alias("m"))
+    )
+    return (
+        sig.filter(F.col("doc_id") >= _INCR_SPLIT)
+        .join(matched, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("m").isNotNull().alias("is_dup"),
+            F.col("m.c_id").alias("dup_of"),
+            F.col("m.hamming").alias("hamming"),
+        )
+    )
+
+
+DEDUP_INCREMENTAL_SIMHASH_SQL = f"""
+WITH hashed AS (
+  SELECT doc_id, source,
+         list_transform(string_split(text, ' '),
+                        w -> {_MIX.format(h=_BASE_HASH.format(s="w"))}) AS hw
+  FROM documents),
+sig AS (
+  SELECT doc_id, source, {_simhash_expr_duckdb()} AS simhash FROM hashed),
+cache AS (SELECT * FROM sig WHERE doc_id < {_INCR_SPLIT}),
+batch AS (SELECT * FROM sig WHERE doc_id >= {_INCR_SPLIT}),
+nearest AS (
+  SELECT doc_id, hamming, dup_of FROM (
+    SELECT b.doc_id,
+           CAST(bit_count(xor(b.simhash, c.simhash)) AS BIGINT) AS hamming,
+           c.doc_id AS dup_of,
+           row_number() OVER (
+             PARTITION BY b.doc_id
+             ORDER BY bit_count(xor(b.simhash, c.simhash)), c.doc_id) AS rn
+    FROM batch b JOIN cache c ON b.source = c.source
+    WHERE bit_count(xor(b.simhash, c.simhash)) <= 3)
+  WHERE rn = 1)
+SELECT b.doc_id, n.hamming IS NOT NULL AS is_dup, n.dup_of, n.hamming
+FROM batch b LEFT JOIN nearest n USING (doc_id)
+"""
+
+
+# ------------------------------------------------------------------
 # Similarity search (brute-force cosine top-k baseline)
 # ------------------------------------------------------------------
 
@@ -1501,6 +1604,11 @@ QUERIES: dict[str, QuerySpec] = {
         minhash_lsh_candidates, MINHASH_LSH_CANDIDATES_SQL, "llm-minhash-lsh"
     ),
     "simhash_near_dup": QuerySpec(simhash_near_dup, SIMHASH_NEAR_DUP_SQL, "llm-simhash"),
+    "dedup_incremental_simhash": QuerySpec(
+        dedup_incremental_simhash,
+        DEDUP_INCREMENTAL_SIMHASH_SQL,
+        "llm-incremental-dedup",
+    ),
     "embedding_near_dup_cosine": QuerySpec(
         embedding_near_dup_cosine, EMBEDDING_NEAR_DUP_COSINE_SQL, "llm-embed-neardup"
     ),
