@@ -86,6 +86,93 @@ def _update_user_stats(
     )
 
 
+_Z_LOOKBACK = 10  # must match plans.timeseries.events_rolling_zscore
+
+ZSCORE_STATE_SCHEMA = "vals array<double>"
+ZSCORE_OUTPUT_SCHEMA = (
+    "event_id long, user_id long, ts_sec long, value double, "
+    "roll_mean double, roll_std double, zscore double"
+)
+
+
+def _fround6(x: float | None) -> float | None:
+    import math
+
+    if x is None or (isinstance(x, float) and math.isnan(x)):
+        return None
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+def _update_zscore(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    import math
+
+    (user_id,) = key
+    vals: list[float] = list(state.get[0]) if state.exists else []
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    batch = batch.dropna(subset=["value", "ts_sec"]).sort_values(
+        ["ts_sec", "event_id"]
+    )
+    rows = []
+    for r in batch.itertuples(index=False):
+        window = vals[-_Z_LOOKBACK:]
+        mean = _fround6(sum(window) / len(window)) if window else None
+        std = None
+        if len(window) >= 2:
+            m = sum(window) / len(window)
+            std = _fround6(
+                math.sqrt(sum((v - m) ** 2 for v in window) / (len(window) - 1))
+            )
+        z = None
+        if std is not None and std != 0.0 and mean is not None:
+            z = _fround6((float(r.value) - mean) / std)
+        rows.append(
+            {
+                "event_id": int(r.event_id),
+                "user_id": user_id,
+                "ts_sec": int(r.ts_sec),
+                "value": math.floor(float(r.value) * 100.0 + 0.5) / 100.0,
+                "roll_mean": mean,
+                "roll_std": std,
+                "zscore": z,
+            }
+        )
+        vals.append(float(r.value))
+        vals = vals[-_Z_LOOKBACK:]
+    state.update((vals,))
+    cols = ["event_id", "user_id", "ts_sec", "value", "roll_mean", "roll_std", "zscore"]
+    yield pd.DataFrame(rows, columns=cols)
+
+
+def stream_rolling_zscore(events: DataFrame) -> DataFrame:
+    """Streaming twin of plans.timeseries.events_rolling_zscore: the
+    trailing-10 per-user anomaly score maintained as custom state (a
+    bounded deque of the last 10 values — O(lookback) per key, never
+    the event history). Within a micro-batch rows process in
+    (ts_sec, event_id) order; cross-batch correctness assumes
+    time-ordered arrival (the file-replay case) — out-of-order
+    arrivals beyond that need event-time timers
+    (transformWithStateInPandas, gated in streaming/tws.py).
+    """
+    from chess_pipeline_spark.deploy import ensure_package_on_executors
+
+    ensure_package_on_executors(events.sparkSession)
+    return (
+        events.select("event_id", "user_id", "value", "ts_sec")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_zscore,
+            outputStructType=ZSCORE_OUTPUT_SCHEMA,
+            stateStructType=ZSCORE_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def stream_user_running_stats(
     events: DataFrame, timeout_ms: int = 0
 ) -> DataFrame:

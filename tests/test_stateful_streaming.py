@@ -10,7 +10,10 @@ import pyspark.sql.functions as F
 
 from chess_pipeline_spark.sources import load_table
 from chess_pipeline_spark.streaming.jobs import read_events_stream
-from chess_pipeline_spark.streaming.stateful import stream_user_running_stats
+from chess_pipeline_spark.streaming.stateful import (
+    stream_rolling_zscore,
+    stream_user_running_stats,
+)
 
 
 def test_stateful_running_stats_match_batch(spark, sf_dir, tmp_path):
@@ -54,3 +57,40 @@ def test_stateful_running_stats_match_batch(spark, sf_dir, tmp_path):
     assert (merged["min_value_s"] == merged["min_value_b"]).all()
     assert (merged["max_value_s"] == merged["max_value_b"]).all()
     assert (merged["last_ts_sec_s"] == merged["last_ts_sec_b"]).all()
+
+
+def test_stateful_rolling_zscore_matches_batch(spark, sf_dir, tmp_path):
+    from chess_pipeline_spark.plans.timeseries import events_rolling_zscore
+
+    ev = read_events_stream(spark, sf_dir).filter(F.col("user_id") < 50)
+    out = stream_rolling_zscore(ev)
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_z"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.table(name).toPandas().set_index("event_id").sort_index()
+
+    batch = (
+        events_rolling_zscore(spark, sf_dir)
+        .filter(F.col("user_id") < 50)
+        .toPandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    assert len(got) == len(batch) > 0
+    assert (got["user_id"] == batch["user_id"]).all()
+    assert (got["ts_sec"] == batch["ts_sec"]).all()
+    # float columns: the stream computes mean/std in Python, the batch
+    # in the JVM — identical frames and rounding, but allow last-ulp
+    # differences that survive the 1e-6 floor grid
+    for col in ("value", "roll_mean", "roll_std", "zscore"):
+        g, b = got[col], batch[col]
+        assert (g.isna() == b.isna()).all(), col
+        diff = (g - b).abs().fillna(0.0)
+        assert (diff <= 1e-6).all(), (col, float(diff.max()))
