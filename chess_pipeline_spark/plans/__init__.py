@@ -51,7 +51,8 @@ DRIVER_WINDOW = 50
 # round of local history): decontaminate_ngram_overlap,
 # events_interval_join, repetition_stats, quality_filter_verdicts,
 # bm25_top_terms, events_rolling_zscore, mixture_sample,
-# dedup_incremental_simhash.
+# dedup_incremental_simhash, events_ohlc_hourly,
+# events_time_weighted_avg.
 _DEMOTED: tuple[str, ...] = (
     "distinct_flag_status",
     "global_minmax",
@@ -78,6 +79,8 @@ _DEMOTED: tuple[str, ...] = (
     "events_rolling_zscore",
     "mixture_sample",
     "dedup_incremental_simhash",
+    "events_ohlc_hourly",
+    "events_time_weighted_avg",
 )
 
 

@@ -460,6 +460,108 @@ FROM r
 """
 
 
+# ------------------------------------------------------------------
+# OHLC bars (ordered first/last aggregation)
+# ------------------------------------------------------------------
+
+
+def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly open/high/low/close bars per event type — the classic
+    TSDB rollup whose open/close need a DETERMINISTIC ordered pick:
+    both come from min/max over struct(ts_sec, event_id, value), so
+    exact-timestamp ties resolve by event_id identically on both
+    engines (DuckDB mirrors with first(... ORDER BY ts_sec, event_id)).
+    One map-side-combined shuffle on (hour, type)."""
+    hour = (F.expr("ts_sec div 3600") * 3600).cast("long")
+    ev = _L(spark, sf_dir, "events").select(
+        hour.alias("window_start"), "event_type", "ts_sec", "event_id", "value"
+    )
+    o = F.min(F.struct("ts_sec", "event_id", "value")).getField("value")
+    c = F.max(F.struct("ts_sec", "event_id", "value")).getField("value")
+    return ev.groupBy("window_start", "event_type").agg(
+        fround(o, 2).alias("open"),
+        fround(F.max("value"), 2).alias("high"),
+        fround(F.min("value"), 2).alias("low"),
+        fround(c, 2).alias("close"),
+        F.count("*").alias("n"),
+    )
+
+
+EVENTS_OHLC_HOURLY_SQL = f"""
+WITH t AS (
+  SELECT event_type, {_TS_SEC} AS ts_sec, event_id, value,
+         ({_TS_SEC} // 3600) * 3600 AS window_start
+  FROM events)
+SELECT window_start, event_type,
+       floor((first(value ORDER BY ts_sec, event_id)) * 100.0 + 0.5) / 100.0 AS open,
+       floor((max(value)) * 100.0 + 0.5) / 100.0 AS high,
+       floor((min(value)) * 100.0 + 0.5) / 100.0 AS low,
+       floor((last(value ORDER BY ts_sec, event_id)) * 100.0 + 0.5) / 100.0 AS close,
+       count(*) AS n
+FROM t GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------------------
+# Time-weighted average (irregular-sample TSDB aggregate)
+# ------------------------------------------------------------------
+
+
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted mean value: each sample holds until the
+    user's next event, so its weight is that duration in seconds —
+    the irregular-sampling average a metrics store computes (a value
+    held for an hour counts 3600x one held a second).
+
+    Cross-engine determinism trick: double summation order inside a
+    groupBy is engine-defined, so the weighted sum is computed in
+    EXACT integer cents (values are 2-decimal) times integer seconds
+    — BIGINT addition commutes — and converted to a double by ONE
+    division at the end. Plan: one window (lead) and one aggregate,
+    both on the same user_id partitioning, so Catalyst reuses a
+    single exchange."""
+    ev = _L(spark, sf_dir, "events").select("user_id", "ts_sec", "event_id", "value")
+    w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    nxt = F.lead("ts_sec", 1).over(w)
+    cents = F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)")
+    t = ev.select(
+        "user_id",
+        "ts_sec",
+        cents.alias("cents"),
+        (nxt - F.col("ts_sec")).cast("long").alias("weight_s"),
+    ).filter(F.col("weight_s").isNotNull())
+    return t.groupBy("user_id").agg(
+        fround(
+            F.sum(F.col("cents") * F.col("weight_s")).cast("double")
+            / (F.lit(100.0) * F.sum("weight_s").cast("double")),
+            6,
+        ).alias("twa_value"),
+        F.sum("weight_s").cast("long").alias("total_seconds"),
+        F.count("*").cast("long").alias("n_intervals"),
+    )
+
+
+EVENTS_TIME_WEIGHTED_AVG_SQL = f"""
+WITH t AS (
+  SELECT user_id, {_TS_SEC} AS ts_sec, event_id,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events),
+iv AS (
+  SELECT user_id, cents,
+         lead(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id)
+           - ts_sec AS weight_s
+  FROM t)
+SELECT user_id,
+       floor((CAST(sum(cents * weight_s) AS DOUBLE)
+              / (100.0 * CAST(sum(weight_s) AS DOUBLE))) * 1000000.0 + 0.5)
+         / 1000000.0 AS twa_value,
+       CAST(sum(weight_s) AS BIGINT) AS total_seconds,
+       CAST(count(*) AS BIGINT) AS n_intervals
+FROM iv WHERE weight_s IS NOT NULL
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "value_stats_by_weekday": QuerySpec(
         value_stats_by_weekday, VALUE_STATS_BY_WEEKDAY_SQL, "A3 F9"
@@ -485,5 +587,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "events_rolling_zscore": QuerySpec(
         events_rolling_zscore, EVENTS_ROLLING_ZSCORE_SQL, "W-frame anomaly ext"
+    ),
+    "events_ohlc_hourly": QuerySpec(
+        events_ohlc_hourly, EVENTS_OHLC_HOURLY_SQL, "tsdb-ohlc ext"
+    ),
+    "events_time_weighted_avg": QuerySpec(
+        events_time_weighted_avg, EVENTS_TIME_WEIGHTED_AVG_SQL, "tsdb-twa ext"
     ),
 }

@@ -271,6 +271,8 @@ _EVENTS_QUERIES = (
     "json_props_extract",
     "events_interval_join",
     "events_rolling_zscore",
+    "events_ohlc_hourly",
+    "events_time_weighted_avg",
 )
 
 
