@@ -192,6 +192,15 @@ def test_interval_join_is_equi_not_nested_loop(spark, sf_dir):
     )
 
 
+@pytest.mark.parametrize("name", ["events_ohlc_hourly", "events_time_weighted_avg"])
+def test_tsdb_rollups_single_exchange_partial_agg(spark, sf_dir, name):
+    # OHLC and the time-weighted average must partial-aggregate
+    # map-side and require exactly one keyed exchange
+    plan = _plan(spark, sf_dir, name)
+    assert _required_shuffles(plan) == 1, plan
+    assert "partial_" in plan
+
+
 @pytest.mark.parametrize(
     "name", ["events_tumbling_1h", "events_sessionized", "value_stats_by_weekday"]
 )
