@@ -154,3 +154,16 @@ def test_output_schema_is_canonicalizable(spark, sf_dir, name):
         f"{name} emits non-canonicalizable column(s) {bad}; serialize to "
         f"scalars at the catalog boundary (concat_ws / to_json)"
     )
+
+
+@pytest.mark.parametrize("name", list(FROZEN_ORDER))
+def test_driver_canonicalization_does_not_crash(spark, sf_dir, name):
+    # the r3 failure class, reproduced byte-for-byte: the driver does
+    # a pandas sort_values across ALL columns of the collected frame.
+    # The type check above catches declared array/map columns; this
+    # runs the actual driver code path, so anything else pandas can't
+    # factorize (ndarray cells from structs-of-arrays, unhashable
+    # objects) fails HERE instead of burning a driver round.
+    pdf = catalog()[name].spark(spark, sf_dir).toPandas()
+    pdf = pdf[sorted(pdf.columns)]
+    pdf.sort_values(by=list(pdf.columns)).reset_index(drop=True)
