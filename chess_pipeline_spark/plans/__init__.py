@@ -52,7 +52,7 @@ DRIVER_WINDOW = 50
 # events_interval_join, repetition_stats, quality_filter_verdicts,
 # bm25_top_terms, events_rolling_zscore, mixture_sample,
 # dedup_incremental_simhash, events_ohlc_hourly,
-# events_time_weighted_avg.
+# events_time_weighted_avg, embedding_random_projection.
 _DEMOTED: tuple[str, ...] = (
     "distinct_flag_status",
     "global_minmax",
@@ -81,6 +81,7 @@ _DEMOTED: tuple[str, ...] = (
     "dedup_incremental_simhash",
     "events_ohlc_hourly",
     "events_time_weighted_avg",
+    "embedding_random_projection",
 )
 
 

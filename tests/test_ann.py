@@ -187,3 +187,37 @@ def test_embedding_quantize_int8_numpy_ground_truth(spark, sf_dir):
         err = np.abs(x - recon)
         assert err.max() <= step / 2 + 1e-9
         assert abs(float((err**2).mean()) - r["recon_mse"]) <= 2e-9
+
+
+def test_random_projection_jl_norm_concentration(spark, sf_dir):
+    # the JL property: per-row scaled projected norm concentrates
+    # around the original norm; numpy recomputes the projection from
+    # the same closed-form sign matrix to pin the semantics
+    from chess_pipeline_spark.plans.llm import (
+        _JL_OUT,
+        embedding_random_projection,
+    )
+
+    ids, _, X = _load(spark, sf_dir)
+    by_id = dict(zip(ids.tolist(), X))
+    signs = np.empty((_JL_OUT, 64))
+    for j in range(_JL_OUT):
+        for i in range(64):
+            k = j * 64 + i
+            h = ((k * 2654435761) % 2147483648) // 65536 % 2
+            signs[j, i] = 1.0 if h == 1 else -1.0
+    ratios = []
+    for r in embedding_random_projection(spark, sf_dir).collect():
+        x = by_id[r["vec_id"]].astype(np.float64)
+        p_np = signs @ x
+        for j in range(_JL_OUT):
+            assert abs(r[f"p{j}"] - p_np[j]) <= 2e-6, (r["vec_id"], j)
+        expect_ratio = float(
+            np.sqrt((p_np**2).sum() / _JL_OUT) / np.sqrt((x**2).sum())
+        )
+        assert abs(r["norm_ratio"] - expect_ratio) <= 2e-6
+        ratios.append(r["norm_ratio"])
+    ratios = np.array(ratios)
+    # concentration: mean near 1, individual rows within loose JL bounds
+    assert 0.85 <= float(ratios.mean()) <= 1.15
+    assert float(ratios.min()) > 0.2 and float(ratios.max()) < 2.5

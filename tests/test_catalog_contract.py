@@ -109,6 +109,7 @@ FROZEN_ORDER: tuple[str, ...] = (
     "dedup_incremental_simhash",
     "events_ohlc_hourly",
     "events_time_weighted_avg",
+    "embedding_random_projection",
 )
 
 
@@ -120,7 +121,7 @@ def test_driver_window_r4_rotation():
     # round 4's window: the seven never-driver-verified additions are
     # IN, the two r3 canonicalizer casualties stay in for their first
     # clean driver row, and everything rotated out is r2+r3 green
-    assert len(FROZEN_ORDER) - DRIVER_WINDOW == 27
+    assert len(FROZEN_ORDER) - DRIVER_WINDOW == 28
     in_window = set(FROZEN_ORDER[:DRIVER_WINDOW])
     for newcomer in (
         "ngram_jaccard_near_dup",
