@@ -60,6 +60,23 @@ HEADLINE = [
     "multimodal_features",
 ]
 
+# round-4 additions, timed separately so the headline total stays
+# comparable across rounds: range join, corpus curation + ranking,
+# TSDB rollups, JL projection, incremental dedup
+EXTENDED = [
+    "events_interval_join",
+    "events_rolling_zscore",
+    "events_ohlc_hourly",
+    "events_time_weighted_avg",
+    "decontaminate_ngram_overlap",
+    "bm25_top_terms",
+    "quality_filter_verdicts",
+    "repetition_stats",
+    "mixture_sample",
+    "dedup_incremental_simhash",
+    "embedding_random_projection",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -94,15 +111,20 @@ def main() -> None:
     loadavg_start = [round(x, 2) for x in os.getloadavg()]
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        spec = cat[name]
-        best = float("inf")
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+    def time_set(names: list[str]) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in names:
+            spec = cat[name]
+            best = float("inf")
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            out[name] = round(best, 3)
+        return out
+
+    timings = time_set(HEADLINE)
+    extended = time_set(EXTENDED)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -112,6 +134,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extended_queries": extended,
+                "extended_total": round(sum(extended.values()), 3),
                 "sf": sf,
                 "loadavg": loadavg_start,
                 "loadavg_end": [round(x, 2) for x in os.getloadavg()],
