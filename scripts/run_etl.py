@@ -1,0 +1,135 @@
+#!/usr/bin/env python3
+"""CLI entrypoint for the two end-to-end pipelines — the runnable
+counterpart of the reference's container entrypoint
+(/root/reference/src/docker_entrypoint.py:46-63), which chains 17
+step processes through intermediate files; here each pipeline is one
+lazy plan materialized through idempotent keyed upserts, so re-runs
+(and incremental refreshes) replace rather than duplicate.
+
+  games:  raw multi-game PGN file + JSON-lines metadata ->
+          the seven reference tables under --out. An existing
+          {out}/position_evals parquet is reused as the eval cache
+          (the reference's incremental cache union).
+  corpus: driver-format documents.parquet dir ->
+          corpus_shards + corpus_audit under --out.
+
+Usage:
+  python scripts/run_etl.py games --pgn games.pgn --json games.ndjson \
+      --player SomeName --out /data/warehouse
+  python scripts/run_etl.py corpus --sf-dir /root/testdata/sf0.001 \
+      --out /data/corpus
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import sys
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent.parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+def _split_pgn_games(text: str) -> list[str]:
+    """Split a multi-game PGN file on game boundaries (a blank line
+    followed by the next game's [Event header)."""
+    games = re.split(r"\n\s*\n(?=\[Event )", text.strip())
+    return [g.strip() + "\n" for g in games if g.strip()]
+
+
+def _strip_nulls(obj):
+    """Drop None-valued keys (recursively) so schema inference never
+    sees an all-NULL column; the RAW_JSON conform step reintroduces
+    absent fields as typed NULLs."""
+    if isinstance(obj, dict):
+        return {k: _strip_nulls(v) for k, v in obj.items() if v is not None}
+    return obj
+
+
+def _load_json_records(path: str) -> list[dict]:
+    """JSON-lines or a single JSON array, nested or pre-flattened."""
+    raw = Path(path).read_text()
+    s = raw.lstrip()
+    records = (
+        json.loads(s)
+        if s.startswith("[")
+        else [json.loads(line) for line in raw.splitlines() if line.strip()]
+    )
+    return [_strip_nulls(r) for r in records]
+
+
+def run_games(args: argparse.Namespace, spark=None) -> int:
+    import pyspark.sql.functions as F
+
+    from chess_pipeline_spark.parse import parse_pgn_dataframe
+    from chess_pipeline_spark.pipeline import materialize, run_game_etl
+    from chess_pipeline_spark.schemas import POSITION_EVALS, RAW_JSON
+    from chess_pipeline_spark.session import get_spark
+    from chess_pipeline_spark.sources.rest import json_records_source
+
+    spark = spark or get_spark(app_name="chess-pipeline-etl")
+    games = _split_pgn_games(Path(args.pgn).read_text())
+    if not games:
+        print("no games found in", args.pgn, file=sys.stderr)
+        return 2
+    pgn = parse_pgn_dataframe(
+        spark.createDataFrame([(g,) for g in games], "pgn string")
+    )
+    js = json_records_source(spark, _load_json_records(args.json))
+    # conform to the RAW_JSON contract: absent fields become NULL,
+    # present ones cast to the declared types
+    for f in RAW_JSON.fields:
+        if f.name not in js.columns:
+            js = js.withColumn(f.name, F.lit(None).cast(f.dataType))
+    js = js.select([F.col(f.name).cast(f.dataType) for f in RAW_JSON.fields])
+
+    cache_path = os.path.join(args.out, "position_evals")
+    cache = (
+        spark.read.parquet(cache_path)
+        if os.path.exists(cache_path)
+        else spark.createDataFrame([], POSITION_EVALS)
+    )
+    out = run_game_etl(pgn, js, args.player, cache)
+    materialize(out, args.out)
+    print(f"wrote 7 tables under {args.out}")
+    return 0
+
+
+def run_corpus(args: argparse.Namespace, spark=None) -> int:
+    from chess_pipeline_spark.pipeline import materialize_corpus, run_corpus_etl
+    from chess_pipeline_spark.session import get_spark
+    from chess_pipeline_spark.sources import load_table
+
+    spark = spark or get_spark(app_name="chess-pipeline-corpus")
+    docs = load_table(spark, args.sf_dir, "documents")
+    out = run_corpus_etl(docs, shard_tokens=args.shard_tokens)
+    materialize_corpus(out, args.out)
+    print(f"wrote corpus_shards + corpus_audit under {args.out}")
+    return 0
+
+
+def main(argv: list[str] | None = None, spark=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("games", help="PGN + JSON -> seven game tables")
+    g.add_argument("--pgn", required=True, help="multi-game PGN file")
+    g.add_argument("--json", required=True, help="JSON-lines (or array) metadata")
+    g.add_argument("--player", required=True, help="perspective player name")
+    g.add_argument("--out", required=True, help="output warehouse dir")
+
+    c = sub.add_parser("corpus", help="documents parquet -> shards + audit")
+    c.add_argument("--sf-dir", required=True, help="dir holding documents.parquet")
+    c.add_argument("--out", required=True, help="output dir")
+    c.add_argument("--shard-tokens", type=int, default=4096)
+
+    args = p.parse_args(argv)
+    return run_games(args, spark) if args.cmd == "games" else run_corpus(args, spark)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,83 @@
+"""The scripts/run_etl.py CLI drives both pipelines end-to-end from
+files on disk — the user-facing path a reference switcher would run.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+
+import run_etl  # noqa: E402
+
+from tests.test_chess_domain import _json_row  # noqa: E402
+from tests.test_parse import PGN_FULL, PGN_MATE  # noqa: E402
+
+
+def test_cli_games_end_to_end(spark, tmp_path):
+    pgn_file = tmp_path / "games.pgn"
+    pgn_file.write_text(PGN_FULL + "\n\n" + PGN_MATE)
+    json_file = tmp_path / "games.ndjson"
+    rows = [
+        _json_row(id="abcd1234"),
+        _json_row(id="mate0001", status="mate"),
+    ]
+    json_file.write_text("\n".join(json.dumps(r) for r in rows))
+    out = tmp_path / "wh"
+
+    rc = run_etl.main(
+        [
+            "games",
+            "--pgn",
+            str(pgn_file),
+            "--json",
+            str(json_file),
+            "--player",
+            "PlayerOne",
+            "--out",
+            str(out),
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    assert spark.read.parquet(str(out / "chess_games")).count() == 2
+    n_moves = spark.read.parquet(str(out / "game_moves")).count()
+    assert n_moves > 0
+    # idempotency: a second identical run must not duplicate rows
+    rc = run_etl.main(
+        [
+            "games",
+            "--pgn",
+            str(pgn_file),
+            "--json",
+            str(json_file),
+            "--player",
+            "PlayerOne",
+            "--out",
+            str(out),
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    assert spark.read.parquet(str(out / "chess_games")).count() == 2
+    assert spark.read.parquet(str(out / "game_moves")).count() == n_moves
+
+
+def test_cli_corpus_end_to_end(spark, sf_dir, tmp_path):
+    out = tmp_path / "corpus"
+    rc = run_etl.main(
+        ["corpus", "--sf-dir", sf_dir, "--out", str(out)], spark=spark
+    )
+    assert rc == 0
+    shards = spark.read.parquet(str(out / "corpus_shards"))
+    audit = spark.read.parquet(str(out / "corpus_audit"))
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert shards.count() + audit.count() == n_docs
+
+
+def test_split_pgn_games():
+    games = run_etl._split_pgn_games(PGN_FULL + "\n\n" + PGN_MATE)
+    assert len(games) == 2
+    assert games[0].startswith("[Event") and games[1].startswith("[Event")
