@@ -109,7 +109,7 @@ def main() -> None:
     extract_media_features(attach_binary_payload(tiny)).count()
 
     loadavg_start = [round(x, 2) for x in os.getloadavg()]
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
 
     def time_set(names: list[str]) -> dict[str, float]:
         out: dict[str, float] = {}

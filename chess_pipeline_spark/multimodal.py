@@ -105,13 +105,7 @@ def extract_media_features(media: DataFrame) -> DataFrame:
                     # a NULL payload (e.g. NULL source text) must not
                     # kill the job; the row is skipped
                     continue
-                if kind in ("image", "audio", "video"):
-                    # STUB: wire PIL / ffmpeg / librosa here on a real
-                    # cluster image; the Spark plumbing above/below is
-                    # identical for real decoders.
-                    raise NotImplementedError(
-                        f"decoder for kind={kind!r} not available in this environment"
-                    )
+                _check_decodable(kind)
                 hist, checksum, vec = _fake_decode(bytes(payload))
                 out["doc_id"].append(doc_id)
                 out["kind"].append(kind)

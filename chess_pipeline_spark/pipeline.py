@@ -152,6 +152,7 @@ def run_corpus_etl(docs: DataFrame, shard_tokens: int = 4096) -> CorpusEtlOutput
     from chess_pipeline_spark.plans.corpus import (
         _BUCKET_EXPR,
         _SAMPLE_PERMILLE,
+        pack_tokens,
         with_quality_verdicts,
     )
     from chess_pipeline_spark.plans.llm import BPE_TOKEN_PATTERN
@@ -190,24 +191,14 @@ def run_corpus_etl(docs: DataFrame, shard_tokens: int = 4096) -> CorpusEtlOutput
     )
     sampled = bucketed.filter(F.col("bucket") < _SAMPLE_PERMILLE)
 
-    # token-budget packing over the final survivor set (one window
-    # per source; same layout rule as the pack_sequences query)
+    # token-budget packing over the final survivor set — the SAME
+    # layout rule as the pack_sequences catalog query (pack_tokens)
     toks = sampled.select(
         "doc_id",
         "source",
         F.regexp_count("text", F.lit(BPE_TOKEN_PATTERN)).cast("long").alias("n_tokens"),
     )
-    w = Window.partitionBy("source").orderBy("doc_id")
-    cum = F.sum("n_tokens").over(w).cast("long")
-    shards = toks.select(
-        "doc_id",
-        "source",
-        "n_tokens",
-        cum.alias("cum_tokens"),
-        F.floor((cum - F.col("n_tokens")) / F.lit(shard_tokens))
-        .cast("long")
-        .alias("shard_id"),
-    )
+    shards = pack_tokens(toks, shard_tokens)
 
     audit = quality_dropped.unionByName(dup_dropped).unionByName(sampled_out)
     return CorpusEtlOutput(shards=shards, audit=audit)

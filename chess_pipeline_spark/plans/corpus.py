@@ -235,6 +235,24 @@ def curate_documents(docs: DataFrame) -> DataFrame:
 _SHARD_TOKENS = 4096
 
 
+def pack_tokens(toks: DataFrame, shard_tokens: int = _SHARD_TOKENS) -> DataFrame:
+    """(doc_id, source, n_tokens) -> + cum_tokens, shard_id: the
+    concat-and-chunk layout rule, shared by the pack_sequences
+    catalog query and the composed ETL (pipeline.run_corpus_etl) so
+    the packing semantics exist in exactly one place."""
+    w = Window.partitionBy("source").orderBy("doc_id")
+    cum = F.sum("n_tokens").over(w).cast("long")
+    return toks.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        cum.alias("cum_tokens"),
+        F.floor((cum - F.col("n_tokens")) / F.lit(shard_tokens)).cast("long").alias(
+            "shard_id"
+        ),
+    )
+
+
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk packing: within each source (ordered by
     doc_id), documents are laid end-to-end and cut into
@@ -243,18 +261,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     the layout step between a curated corpus and a trainer's
     dataloader. Docs longer than the budget simply span shards
     (chunk semantics), so no per-doc size cap is needed."""
-    toks = _with_tokens(spark, sf_dir)
-    w = Window.partitionBy("source").orderBy("doc_id")
-    cum = F.sum("n_tokens").over(w).cast("long")
-    return toks.select(
-        "doc_id",
-        "source",
-        "n_tokens",
-        cum.alias("cum_tokens"),
-        F.floor((cum - F.col("n_tokens")) / F.lit(_SHARD_TOKENS)).cast("long").alias(
-            "shard_id"
-        ),
-    )
+    return pack_tokens(_with_tokens(spark, sf_dir))
 
 
 PACK_SEQUENCES_SQL = f"""
@@ -626,16 +633,23 @@ def with_quality_verdicts(docs: DataFrame) -> DataFrame:
         ("stopword_floor", stop_ratio >= 0.02),
         ("word_len_band", (mwl >= 3.0) & (mwl <= 7.0)),
     ]
+    # NULL text makes every rule NULL; without an explicit gate such a
+    # row would pass NEITHER keep-filter nor its negation and vanish
+    # from both ledgers of the composed ETL — force it to a drop with
+    # its own reason instead
+    null_text = F.col("text").isNull()
     fails = F.concat_ws(
-        ",", *[F.when(~ok, F.lit(rname)) for rname, ok in rules]
+        ",",
+        F.when(null_text, F.lit("null_text")),
+        *[F.when(~ok, F.lit(rname)) for rname, ok in rules],
     )
-    keep = F.lit(True)
+    keep = ~null_text
     for _, ok in rules:
         keep = keep & ok
     return docs.select(
         "*",
         n_words.alias("n_words"),
-        keep.alias("keep"),
+        F.coalesce(keep, F.lit(False)).alias("keep"),
         fails.alias("fail_reasons"),
     )
 
@@ -664,6 +678,7 @@ WITH s AS (
   FROM documents),
 r AS (
   SELECT doc_id, n_words,
+         n_words IS NULL AS null_text,
          n_words >= 20 AS ok_min,
          n_words <= 90 AS ok_max,
          stop_ratio >= 0.02 AS ok_stop,
@@ -671,8 +686,10 @@ r AS (
            AS ok_band
   FROM s)
 SELECT doc_id, n_words,
-       (ok_min AND ok_max AND ok_stop AND ok_band) AS keep,
+       coalesce(NOT null_text AND ok_min AND ok_max AND ok_stop AND ok_band,
+                FALSE) AS keep,
        concat_ws(',',
+         CASE WHEN null_text THEN 'null_text' END,
          CASE WHEN NOT ok_min THEN 'min_words' END,
          CASE WHEN NOT ok_max THEN 'max_words' END,
          CASE WHEN NOT ok_stop THEN 'stopword_floor' END,

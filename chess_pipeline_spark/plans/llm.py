@@ -1117,6 +1117,14 @@ def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "THEN shiftleft(CAST(1 AS BIGINT), j) "
         "ELSE CAST(0 AS BIGINT) END), CAST(0 AS BIGINT), (a, b) -> a + b)"
     )
+    # the materialized plane literal is dim-specific: zip_with against
+    # a differently-sized embedding would NULL-pad and silently send
+    # every row to bucket 0 — fail loudly instead
+    bucket = (
+        f"IF(size(embedding) = {_LSH_DIM}, {bucket}, "
+        f"raise_error('knn_cosine_lsh: embedding dim != {_LSH_DIM}; "
+        f"regenerate the plane literal (_lsh_planes_literal)'))"
+    )
     bucketed = e.select(
         "vec_id",
         "embedding",

@@ -127,18 +127,27 @@ def stream_interval_join(events: DataFrame, interval_s: int = 600) -> DataFrame:
     bound a nested-loop — two mode-appropriate plans for one logical
     spec.
     """
+    # second-truncate the event time BEFORE the join so the range
+    # semantics match the batch twin exactly (events_interval_join
+    # compares integer ts_sec); µs-precision timestamps would
+    # otherwise flip pairs at the window boundary between the twins.
+    # Truncation happens on the watermark column itself, so the
+    # interval join's state cleanup still applies.
     p = (
         events.filter(F.col("event_type") == "purchase")
         .select(
             F.col("event_id").alias("p_event_id"),
             F.col("user_id").alias("p_user"),
-            F.col("ts").alias("p_ts"),
+            F.date_trunc("second", F.col("ts")).alias("p_ts"),
         )
         .withWatermark("p_ts", "2 hours")
     )
     e = (
         events.filter(F.col("event_type") == "error")
-        .select(F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts"))
+        .select(
+            F.col("user_id").alias("e_user"),
+            F.date_trunc("second", F.col("ts")).alias("e_ts"),
+        )
         .withWatermark("e_ts", "2 hours")
     )
     return p.join(

@@ -87,6 +87,32 @@ def test_packing_is_contiguous_per_source(spark, sf_dir):
             prev_shard = r.shard_id
 
 
+def test_null_text_document_lands_in_audit(spark, sf_dir):
+    # a NULL text makes every quality rule NULL; the gate must force
+    # such rows into the audit ledger (not silently drop them from
+    # both ledgers via the NULL predicate)
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    nulled = docs.unionByName(
+        docs.limit(1).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.lit(None).cast("string").alias("text"),
+            "lang",
+            "source",
+            F.lit(None).cast("long").alias("n_chars"),
+        ).select(docs.columns)
+    )
+    out = run_corpus_etl(nulled)
+    survivors = set(_ids(out.shards))
+    dropped = set(_ids(out.audit))
+    assert survivors | dropped == set(_ids(nulled))
+    row = out.audit.filter(F.col("doc_id") >= 100000).collect()
+    assert len(row) == 1
+    assert row[0]["stage"] == "quality"
+    assert "null_text" in row[0]["reason"]
+
+
 def test_materialize_corpus_is_idempotent(spark, sf_dir, tmp_path):
     from chess_pipeline_spark.pipeline import materialize_corpus
 
