@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from chess_pipeline_spark.plans.spec import QuerySpec
 
-__all__ = ["QuerySpec", "catalog", "DRIVER_WINDOW"]
+__all__ = ["QuerySpec", "catalog", "DRIVER_WINDOW", "DEMOTION_COVERAGE"]
 
 # The external verifier hash-checks only the first DRIVER_WINDOW catalog
 # entries per round, so ordering is part of the verification contract.
@@ -19,40 +19,28 @@ DRIVER_WINDOW = 50
 
 # Queries pushed past the driver window — exactly
 # len(catalog) - DRIVER_WINDOW names (catalog() asserts this, so the
-# window contents can't drift silently). Each one's SURVEY §2 operator
-# ids remain covered by a query that stays inside the window, and each
-# demoted query keeps its local DuckDB-oracle pytest row
-# (tests/test_catalog_oracle.py) plus at least two rounds of green
-# driver history:
-#   distinct_flag_status       P9    ⊂ events_dedup_latest
-#   global_minmax              A7    ⊂ newsletter_summary
-#   weekday_recode             F9,P8 ⊂ scalar_feature_sampler, order_priority_clean
-#   binned_mean                A5,F15⊂ event_funnel, scalar_feature_sampler
-#   value_stats_by_weekday     A3,F9 ⊂ pricing_summary, scalar_feature_sampler
-#   sql_view_game_evals        J8,S3 ⊂ order_lines_enriched, every parquet scan
-#   explode_quantities         E1,W1 ⊂ zip_explode_lockstep, top3_orders_per_customer
-#   near_dup_pairs_jaccard_prefix    same semantics as near_dup_pairs_jaccard
-#   events_sliding_1h_30m      §2.11 ⊂ events_tumbling_1h, events_sessionized
-#   minhash_signatures         built + exercised inside minhash_lsh_candidates
-# Demoted in round 4 (green r2 AND r3) to make room for the seven
-# round-4 queries that have never had driver contact:
-#   orders_per_priority        A1    ⊂ win_ratio_by_status (pivot counts)
-#   clock_seconds_parse        F10   ⊂ eval_comment_parse (regexp parse chain)
-#   initial_clock_per_group    W4,A4 ⊂ events_dedup_latest (window first-row)
-#   lineitem_filter_isin       P4    ⊂ order_priority_clean, array_predicate_filter
-#   empty_relation_guard       P10   ⊂ parts_never_ordered (0-row path, schema kept)
-#   struct_pack_fields         E4    ⊂ json_props_extract (struct/JSON shaping)
-#   token_count                F-tok ⊂ pack_sequences, tfidf_top_terms (same tokenizer)
-# Promoted into the window in their place: ngram_jaccard_near_dup,
-# frame_sample_features, embedding_quantize_int8, dedup_keep_best,
-# stratified_sample, pack_sequences, tfidf_top_terms — all with local
-# DuckDB-oracle parity rows before first driver contact.
-# Added late in round 4 (start demoted, rotate in once they carry a
-# round of local history): decontaminate_ngram_overlap,
-# events_interval_join, repetition_stats, quality_filter_verdicts,
-# bm25_top_terms, events_rolling_zscore, mixture_sample,
-# dedup_incremental_simhash, events_ohlc_hourly,
-# events_time_weighted_avg, embedding_random_projection.
+# window contents can't drift silently). Every demoted query keeps its
+# local DuckDB-oracle pytest row (tests/test_catalog_oracle.py) and has
+# at least two rounds of green driver history (the r2/r3/r4
+# CORRECTNESS files); its SURVEY §2 operator ids remain covered by the
+# IN-WINDOW queries named in DEMOTION_COVERAGE below, which
+# tests/test_catalog_contract.py validates (every key demoted, every
+# cited coverer exists AND sits inside the window) so a citation can't
+# dangle the way round 4's `newsletter_summary` comment did.
+#
+# Rotation history:
+#   r3→r4: promoted the seven late-r3 queries; demoted seven r2+r3
+#          green (orders_per_priority … token_count).
+#   r4→r5: promoted the eleven late-r4 queries
+#          (decontaminate_ngram_overlap, events_interval_join,
+#          repetition_stats, quality_filter_verdicts, bm25_top_terms,
+#          events_rolling_zscore, mixture_sample,
+#          dedup_incremental_simhash, events_ohlc_hourly,
+#          events_time_weighted_avg, embedding_random_projection —
+#          all with local DuckDB-oracle parity rows before first
+#          driver contact); demoted eleven doubly-proven queries
+#          (dedup_exact … revenue_by_nation below, each green in r4
+#          AND r2-or-r3).
 _DEMOTED: tuple[str, ...] = (
     "distinct_flag_status",
     "global_minmax",
@@ -71,18 +59,82 @@ _DEMOTED: tuple[str, ...] = (
     "empty_relation_guard",
     "struct_pack_fields",
     "token_count",
-    "decontaminate_ngram_overlap",
-    "events_interval_join",
-    "repetition_stats",
-    "quality_filter_verdicts",
-    "bm25_top_terms",
-    "events_rolling_zscore",
-    "mixture_sample",
-    "dedup_incremental_simhash",
-    "events_ohlc_hourly",
-    "events_time_weighted_avg",
-    "embedding_random_projection",
+    # --- demoted in the r4→r5 rotation (green r4 AND r2-or-r3) ---
+    "dedup_exact",
+    "text_quality_stats",
+    "doc_fingerprint",
+    "near_dup_pairs_jaccard",
+    "minhash_lsh_candidates",
+    "simhash_near_dup",
+    "knn_cosine_topk",
+    "embedding_stats",
+    "top_terms_per_source",
+    "running_revenue",
+    "revenue_by_nation",
 )
+
+# For every demoted query: the IN-WINDOW queries that keep its SURVEY
+# §2 operator ids (or extension-component family) exercised by the
+# driver. Contract-tested: keys == _DEMOTED, every cited name exists
+# in the catalog and is NOT itself demoted.
+DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
+    # P9 distinct → window-dedup distinct semantics
+    "distinct_flag_status": ("events_dedup_latest",),
+    # A7 global min/max → per-group min/max aggregates (high/low)
+    "global_minmax": ("events_ohlc_hourly",),
+    # F9,P8 value recode → CASE/when chains in the scalar sampler
+    "weekday_recode": ("scalar_feature_sampler", "order_priority_clean"),
+    # A5,F15 binned mean → funnel bins + width_bucket-style scalars
+    "binned_mean": ("event_funnel", "scalar_feature_sampler"),
+    # A3,F9 multi-agg stats → Q1-shaped 8-agg groupBy
+    "value_stats_by_weekday": ("pricing_summary", "scalar_feature_sampler"),
+    # J8,S3 SQL view over joins → the same join graph as a DataFrame
+    "sql_view_game_evals": ("order_lines_enriched",),
+    # E1,W1 explode+index → lockstep zip explode, posexplode rank
+    "explode_quantities": ("zip_explode_lockstep", "top3_orders_per_customer"),
+    # prefix-filtered Jaccard → same inverted-index + size-filter plan
+    "near_dup_pairs_jaccard_prefix": ("ngram_jaccard_near_dup",),
+    # §2.11 sliding window → tumbling + session batch twins
+    "events_sliding_1h_30m": ("events_tumbling_1h", "events_sessionized"),
+    # MinHash signature projection → embedded in the LSH+CC dedup DAG
+    "minhash_signatures": ("dedup_groups", "dedup_keep_best"),
+    # A1 count-distinct pivot → pivoted win-ratio counts
+    "orders_per_priority": ("win_ratio_by_status",),
+    # F10 regexp parse chain → eval-comment regexp extraction
+    "clock_seconds_parse": ("eval_comment_parse",),
+    # W4,A4 first-in-group → window first-row dedup
+    "initial_clock_per_group": ("events_dedup_latest",),
+    # P4 isin filter → projection filters + array predicates
+    "lineitem_filter_isin": ("order_priority_clean", "array_predicate_filter"),
+    # P10 0-row guard → anti-join that legitimately returns 0 rows
+    "empty_relation_guard": ("parts_never_ordered",),
+    # E4 struct pack → JSON→struct extraction
+    "struct_pack_fields": ("json_props_extract",),
+    # tokenizer → same split-tokenize core feeds packing and TF-IDF
+    "token_count": ("pack_sequences", "tfidf_top_terms"),
+    # exact md5-groupBy dedup → same digest-groupBy with normalization
+    "dedup_exact": ("dedup_normalized", "events_dedup_latest"),
+    # quality signal columns → same signals + keep/drop verdicts
+    "text_quality_stats": ("quality_filter_verdicts",),
+    # rolling-hash fingerprint → row-local hashing/gram folds
+    "doc_fingerprint": ("dedup_incremental_simhash", "repetition_stats"),
+    # word-set Jaccard inverted index → 5-gram variant, same plan shape
+    "near_dup_pairs_jaccard": ("ngram_jaccard_near_dup",),
+    # MinHash+LSH band join → embedded in the CC dedup pipeline
+    "minhash_lsh_candidates": ("dedup_groups", "dedup_keep_best"),
+    # SimHash banding → incremental variant computes the same signature
+    "simhash_near_dup": ("dedup_incremental_simhash",),
+    # brute-force cosine top-k → same scoring core inside IVF/LSH
+    "knn_cosine_topk": ("knn_cosine_ivf", "knn_cosine_lsh"),
+    # row-local embedding stats → row-local quantize + JL projection
+    "embedding_stats": ("embedding_quantize_int8", "embedding_random_projection"),
+    # per-source term ranking → TF-IDF and BM25 rankers, same shape
+    "top_terms_per_source": ("tfidf_top_terms", "bm25_top_terms"),
+    # W5 cumulative window frame → rolling frame + ordered integration
+    "running_revenue": ("events_rolling_zscore", "events_time_weighted_avg"),
+    # J4/J5 dim-join + agg chain → broadcast dim joins + revenue aggs
+    "revenue_by_nation": ("top_customer_revenue", "order_lines_enriched"),
+}
 
 
 def catalog() -> dict[str, QuerySpec]:

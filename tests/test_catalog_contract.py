@@ -21,14 +21,20 @@ import pytest
 
 from pyspark.sql import types as T
 
-from chess_pipeline_spark.plans import DRIVER_WINDOW, catalog
+from chess_pipeline_spark.plans import (
+    DEMOTION_COVERAGE,
+    DRIVER_WINDOW,
+    _DEMOTED,
+    catalog,
+)
 
-# The byte-stable order for the round-4 driver run: the deliberate
-# r4 rotation promotes the seven never-driver-verified round-4
-# queries into the window and demotes seven doubly-proven (r2 AND r3
-# green) queries whose operators stay covered in-window (the
-# subsumption table lives in plans/__init__.py). Any edit here is a
-# deliberate contract change and must re-justify the window contents.
+# The byte-stable order for the round-5 driver run: the deliberate
+# r4→r5 rotation promotes the eleven never-driver-verified round-4
+# queries into the window and demotes eleven doubly-proven (r4 AND
+# r2-or-r3 green) queries whose operators stay covered in-window (the
+# subsumption table is DEMOTION_COVERAGE in plans/__init__.py,
+# machine-validated below). Any edit here is a deliberate contract
+# change and must re-justify the window contents.
 FROZEN_ORDER: tuple[str, ...] = (
     "win_ratio_by_status",
     "pricing_summary",
@@ -47,39 +53,39 @@ FROZEN_ORDER: tuple[str, ...] = (
     "eval_comment_parse",
     "array_predicate_filter",
     "rollup_priority_status",
-    "revenue_by_nation",
     "price_percentiles",
-    "running_revenue",
     "events_tumbling_1h",
     "events_sessionized",
     "events_dedup_latest",
     "json_props_extract",
     "events_asof_last_purchase",
     "event_funnel",
+    "events_interval_join",
+    "events_rolling_zscore",
+    "events_ohlc_hourly",
+    "events_time_weighted_avg",
     "win_prob_lr",
-    "dedup_exact",
-    "text_quality_stats",
     "lang_id_heuristic",
-    "doc_fingerprint",
-    "near_dup_pairs_jaccard",
     "ngram_jaccard_near_dup",
-    "minhash_lsh_candidates",
-    "simhash_near_dup",
+    "dedup_incremental_simhash",
     "embedding_near_dup_cosine",
-    "knn_cosine_topk",
     "knn_cosine_ivf",
     "knn_cosine_lsh",
-    "embedding_stats",
     "embedding_quantize_int8",
+    "embedding_random_projection",
     "multimodal_features",
     "frame_sample_features",
-    "top_terms_per_source",
     "dedup_normalized",
     "dedup_groups",
     "dedup_keep_best",
     "stratified_sample",
+    "mixture_sample",
     "pack_sequences",
     "tfidf_top_terms",
+    "decontaminate_ngram_overlap",
+    "bm25_top_terms",
+    "repetition_stats",
+    "quality_filter_verdicts",
     # --- past the driver window (demoted; every demoted query has
     # two rounds of green driver history plus a local oracle row) ---
     "distinct_flag_status",
@@ -99,17 +105,17 @@ FROZEN_ORDER: tuple[str, ...] = (
     "empty_relation_guard",
     "struct_pack_fields",
     "token_count",
-    "decontaminate_ngram_overlap",
-    "events_interval_join",
-    "repetition_stats",
-    "quality_filter_verdicts",
-    "bm25_top_terms",
-    "events_rolling_zscore",
-    "mixture_sample",
-    "dedup_incremental_simhash",
-    "events_ohlc_hourly",
-    "events_time_weighted_avg",
-    "embedding_random_projection",
+    "dedup_exact",
+    "text_quality_stats",
+    "doc_fingerprint",
+    "near_dup_pairs_jaccard",
+    "minhash_lsh_candidates",
+    "simhash_near_dup",
+    "knn_cosine_topk",
+    "embedding_stats",
+    "top_terms_per_source",
+    "running_revenue",
+    "revenue_by_nation",
 )
 
 
@@ -117,24 +123,43 @@ def test_catalog_order_frozen():
     assert tuple(catalog()) == FROZEN_ORDER
 
 
-def test_driver_window_r4_rotation():
-    # round 4's window: the seven never-driver-verified additions are
-    # IN, the two r3 canonicalizer casualties stay in for their first
-    # clean driver row, and everything rotated out is r2+r3 green
+def test_driver_window_r5_rotation():
+    # round 5's window: the eleven never-driver-verified round-4
+    # additions are IN; everything rotated out is r4 AND r2-or-r3
+    # green (verified against the CORRECTNESS files at rotation time)
     assert len(FROZEN_ORDER) - DRIVER_WINDOW == 28
     in_window = set(FROZEN_ORDER[:DRIVER_WINDOW])
     for newcomer in (
-        "ngram_jaccard_near_dup",
-        "frame_sample_features",
-        "embedding_quantize_int8",
-        "dedup_keep_best",
-        "stratified_sample",
-        "pack_sequences",
-        "tfidf_top_terms",
-        "dedup_groups",
-        "multimodal_features",
+        "decontaminate_ngram_overlap",
+        "events_interval_join",
+        "repetition_stats",
+        "quality_filter_verdicts",
+        "bm25_top_terms",
+        "events_rolling_zscore",
+        "mixture_sample",
+        "dedup_incremental_simhash",
+        "events_ohlc_hourly",
+        "events_time_weighted_avg",
+        "embedding_random_projection",
     ):
         assert newcomer in in_window
+
+
+def test_demotion_coverage_citations_valid():
+    # the r4 verdict found a dangling claim (`global_minmax ⊂
+    # newsletter_summary`, a query that never existed). The ledger is
+    # now structured data; this pins: every demoted query has a
+    # coverage entry, every cited coverer is a real catalog query, and
+    # every coverer actually sits INSIDE the driver window (a claim
+    # pointing at another demoted query proves nothing).
+    cat = catalog()
+    in_window = set(list(cat)[:DRIVER_WINDOW])
+    assert set(DEMOTION_COVERAGE) == set(_DEMOTED)
+    for demoted, coverers in DEMOTION_COVERAGE.items():
+        assert coverers, f"{demoted}: empty coverage claim"
+        for c in coverers:
+            assert c in cat, f"{demoted}: cites nonexistent query {c!r}"
+            assert c in in_window, f"{demoted}: coverer {c!r} is itself demoted"
 
 
 # The driver's canonicalizer sorts a pandas frame across all columns:
