@@ -1349,8 +1349,14 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select("vec_id", *cols, ratio.alias("norm_ratio"))
 
 
+# ORDER BY i inside every aggregate: the Spark side accumulates with
+# an ordered fold (i = 0..63 ascending), and double addition is not
+# associative — an engine-defined summation order could land a
+# half-ulp away and flip a digit on the floor(x*1e6+0.5) grid, failing
+# driver parity nondeterministically. The ordered-aggregate modifier
+# pins DuckDB to the same ascending-subscript accumulation.
 _JL_P_SUMS = ",\n    ".join(
-    f"sum(x * ({_JL_SIGN_DUCK.format(k=f'{j} * 64 + (i - 1)')})) AS rp{j}"
+    f"sum(x * ({_JL_SIGN_DUCK.format(k=f'{j} * 64 + (i - 1)')}) ORDER BY i) AS rp{j}"
     for j in range(_JL_OUT)
 )
 _JL_P_ROUND = ",\n  ".join(
@@ -1365,7 +1371,7 @@ WITH ue AS (
 proj AS (
   SELECT vec_id,
     {_JL_P_SUMS},
-    sqrt(sum(x * x)) AS nrm
+    sqrt(sum(x * x ORDER BY i)) AS nrm
   FROM ue GROUP BY vec_id)
 SELECT vec_id,
   {_JL_P_ROUND},

@@ -113,34 +113,42 @@ def _update_zscore(
     (user_id,) = key
     vals: list[float] = list(state.get[0]) if state.exists else []
     batch = pd.concat(list(pdfs), ignore_index=True)
-    batch = batch.dropna(subset=["value", "ts_sec"]).sort_values(
-        ["ts_sec", "event_id"]
-    )
+    # Mirror the batch twin's ROWS-frame semantics exactly (the r4
+    # advice: dropna here made the twins diverge on NULL input):
+    # a NULL-value row is EMITTED (roll_mean/roll_std from the current
+    # frame, zscore NULL) and still occupies one frame slot — stored
+    # in state as a NaN sentinel the aggregates skip, because
+    # rowsBetween(-10, -1) counts rows, not non-null values. NULL
+    # ts_sec rows sort first, matching Spark's asc_nulls_first.
+    batch = batch.sort_values(["ts_sec", "event_id"], na_position="first")
     rows = []
     for r in batch.itertuples(index=False):
-        window = vals[-_Z_LOOKBACK:]
-        mean = _fround6(sum(window) / len(window)) if window else None
+        present = [v for v in vals[-_Z_LOOKBACK:] if not math.isnan(v)]
+        mean = _fround6(sum(present) / len(present)) if present else None
         std = None
-        if len(window) >= 2:
-            m = sum(window) / len(window)
+        if len(present) >= 2:
+            m = sum(present) / len(present)
             std = _fround6(
-                math.sqrt(sum((v - m) ** 2 for v in window) / (len(window) - 1))
+                math.sqrt(sum((v - m) ** 2 for v in present) / (len(present) - 1))
             )
+        v_raw = None if pd.isna(r.value) else float(r.value)
         z = None
-        if std is not None and std != 0.0 and mean is not None:
-            z = _fround6((float(r.value) - mean) / std)
+        if v_raw is not None and std is not None and std != 0.0 and mean is not None:
+            z = _fround6((v_raw - mean) / std)
         rows.append(
             {
                 "event_id": int(r.event_id),
                 "user_id": user_id,
-                "ts_sec": int(r.ts_sec),
-                "value": math.floor(float(r.value) * 100.0 + 0.5) / 100.0,
+                "ts_sec": None if pd.isna(r.ts_sec) else int(r.ts_sec),
+                "value": None
+                if v_raw is None
+                else math.floor(v_raw * 100.0 + 0.5) / 100.0,
                 "roll_mean": mean,
                 "roll_std": std,
                 "zscore": z,
             }
         )
-        vals.append(float(r.value))
+        vals.append(float("nan") if v_raw is None else v_raw)
         vals = vals[-_Z_LOOKBACK:]
     state.update((vals,))
     cols = ["event_id", "user_id", "ts_sec", "value", "roll_mean", "roll_std", "zscore"]

@@ -70,6 +70,7 @@ def run_games(args: argparse.Namespace, spark=None) -> int:
     from chess_pipeline_spark.schemas import POSITION_EVALS, RAW_JSON
     from chess_pipeline_spark.session import get_spark
     from chess_pipeline_spark.sources.rest import json_records_source
+    from pyspark.errors import AnalysisException
 
     spark = spark or get_spark(app_name="chess-pipeline-etl")
     games = _split_pgn_games(Path(args.pgn).read_text())
@@ -87,12 +88,14 @@ def run_games(args: argparse.Namespace, spark=None) -> int:
             js = js.withColumn(f.name, F.lit(None).cast(f.dataType))
     js = js.select([F.col(f.name).cast(f.dataType) for f in RAW_JSON.fields])
 
+    # probe the cache through Spark, not os.path: with an HDFS/S3
+    # --out, a local-filesystem existence check would silently treat
+    # the cache as absent and recompute every eval from scratch
     cache_path = os.path.join(args.out, "position_evals")
-    cache = (
-        spark.read.parquet(cache_path)
-        if os.path.exists(cache_path)
-        else spark.createDataFrame([], POSITION_EVALS)
-    )
+    try:
+        cache = spark.read.parquet(cache_path)
+    except AnalysisException:  # first run: no cache yet
+        cache = spark.createDataFrame([], POSITION_EVALS)
     out = run_game_etl(pgn, js, args.player, cache)
     materialize(out, args.out)
     print(f"wrote 7 tables under {args.out}")
