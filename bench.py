@@ -58,7 +58,14 @@ HEADLINE = [
     "knn_cosine_lsh",
     "win_prob_lr",
     "multimodal_features",
+    # r5: the two heaviest plans per SCALING.md, added so regressions
+    # in them are visible round-over-round (they were in neither set);
+    # subtract ADDED_IN_R5 from the total when comparing to BENCH_r04
+    "dedup_keep_best",
+    "ngram_jaccard_near_dup",
 ]
+
+ADDED_IN_R5 = ["dedup_keep_best", "ngram_jaccard_near_dup"]
 
 # round-4 additions, timed separately so the headline total stays
 # comparable across rounds: range join, corpus curation + ranking,
@@ -134,6 +141,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "added_in_r5": ADDED_IN_R5,
+                "comparable_total_r4": round(
+                    sum(v for k, v in timings.items() if k not in ADDED_IN_R5), 3
+                ),
                 "extended_queries": extended,
                 "extended_total": round(sum(extended.values()), 3),
                 "sf": sf,

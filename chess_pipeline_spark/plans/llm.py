@@ -1474,6 +1474,11 @@ def component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("doc_a")
             .agg(F.min("label").alias("nlabel"))
         )
+        # the convergence signal rides INSIDE the propagation job (the
+        # r4 advice): `changed` is just a column of the same join, so
+        # the per-round check below is a limit-1 scan of the already-
+        # checkpointed result — no second join job per round (was: a
+        # labels-vs-new_labels join + count each round)
         new_labels = (
             labels.join(neighbor_min, labels.doc_id == neighbor_min.doc_a, "left")
             .select(
@@ -1481,17 +1486,16 @@ def component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.least(
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
+                # labels only ever decrease, so "changed" ⇔ a strictly
+                # smaller neighbor label arrived
+                (F.coalesce(F.col("nlabel"), F.col("label")) < F.col("label")).alias(
+                    "changed"
+                ),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("changed").limit(1).count()
+        labels = new_labels.select("doc_id", "label")
         if changed == 0:
             converged = True
             break
