@@ -82,6 +82,11 @@ EXTENDED = [
     "mixture_sample",
     "dedup_incremental_simhash",
     "embedding_random_projection",
+    # round-5 additions: sub-document dedup, per-item semantic dedup,
+    # row-local PII scrub
+    "paragraph_dedup",
+    "semdedup_embedding",
+    "pii_redact_stats",
 ]
 
 

@@ -71,6 +71,14 @@ _DEMOTED: tuple[str, ...] = (
     "top_terms_per_source",
     "running_revenue",
     "revenue_by_nation",
+    # --- demoted mid-r5 (green r4 AND r2-or-r3) to open window slots
+    # for the three NEW r5 operators (semdedup_embedding,
+    # paragraph_dedup, pii_redact_stats — local oracle parity +
+    # canonicalization tests before first driver contact, same gate
+    # the r4 promotions passed) ---
+    "embedding_near_dup_cosine",
+    "eval_comment_parse",
+    "top3_orders_per_customer",
 )
 
 # For every demoted query: the IN-WINDOW queries that keep its SURVEY
@@ -90,8 +98,8 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     "value_stats_by_weekday": ("pricing_summary", "scalar_feature_sampler"),
     # J8,S3 SQL view over joins → the same join graph as a DataFrame
     "sql_view_game_evals": ("order_lines_enriched",),
-    # E1,W1 explode+index → lockstep zip explode, posexplode rank
-    "explode_quantities": ("zip_explode_lockstep", "top3_orders_per_customer"),
+    # E1,W1 explode+index → lockstep zip explode, chunk posexplode
+    "explode_quantities": ("zip_explode_lockstep", "paragraph_dedup"),
     # prefix-filtered Jaccard → same inverted-index + size-filter plan
     "near_dup_pairs_jaccard_prefix": ("ngram_jaccard_near_dup",),
     # §2.11 sliding window → tumbling + session batch twins
@@ -100,8 +108,8 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     "minhash_signatures": ("dedup_groups", "dedup_keep_best"),
     # A1 count-distinct pivot → pivoted win-ratio counts
     "orders_per_priority": ("win_ratio_by_status",),
-    # F10 regexp parse chain → eval-comment regexp extraction
-    "clock_seconds_parse": ("eval_comment_parse",),
+    # F10 regexp parse chain → scalar CASE/parse chains + PII regexps
+    "clock_seconds_parse": ("scalar_feature_sampler", "pii_redact_stats"),
     # W4,A4 first-in-group → window first-row dedup
     "initial_clock_per_group": ("events_dedup_latest",),
     # P4 isin filter → projection filters + array predicates
@@ -134,6 +142,12 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     "running_revenue": ("events_rolling_zscore", "events_time_weighted_avg"),
     # J4/J5 dim-join + agg chain → broadcast dim joins + revenue aggs
     "revenue_by_nation": ("top_customer_revenue", "order_lines_enriched"),
+    # label-blocked cosine pair list → same join core, per-item form
+    "embedding_near_dup_cosine": ("knn_cosine_ivf", "semdedup_embedding"),
+    # F regexp extraction chain → scalar sampler + PII regexp chain
+    "eval_comment_parse": ("scalar_feature_sampler", "pii_redact_stats"),
+    # W1/O2-O3 posexplode rank + top-k → chunk posexplode, ranked terms
+    "top3_orders_per_customer": ("zip_explode_lockstep", "tfidf_top_terms"),
 }
 
 

@@ -698,6 +698,176 @@ FROM r
 """
 
 
+# ------------------------------------------------------------------
+# Paragraph-level exact dedup (C4/RefinedWeb-style)
+# ------------------------------------------------------------------
+
+_PARA_WORDS = 20  # chunk width in words; real corpora split on \n\n —
+                  # the synthetic docs are single-line word streams,
+                  # so a fixed-width word chunker stands in
+
+
+def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup: chunk every document, keep only the
+    corpus-wide FIRST occurrence of each chunk (min doc_id, then min
+    chunk index), and report per document how much of it survived —
+    the C4/RefinedWeb trick that removes boilerplate repeated across
+    pages without dropping whole documents.
+
+    100 TB shape: chunking is a row-local explode inside the scan
+    stage; first-occurrence marking shuffles ONCE on the chunk's md5
+    digest (never the chunk body — the exchange key is 32 bytes per
+    chunk at any corpus size); the per-doc rollup shuffles once on
+    doc_id. No self-join, no pair space at all — this is the cheapest
+    dedup family in the catalog and the first pass a real pipeline
+    runs before the fuzzy ones.
+    """
+    d = spread(_L(spark, sf_dir, "documents"), "doc_id").select("doc_id", "text")
+    w = d.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    chunks = w.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, int((size(ws) - 1) / {_PARA_WORDS})), "
+                f"i -> array_join(slice(ws, i * {_PARA_WORDS} + 1, {_PARA_WORDS}), ' '))"
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    win = Window.partitionBy(F.md5("chunk")).orderBy("doc_id", "chunk_idx")
+    marked = chunks.withColumn("rn", F.row_number().over(win))
+    agg = marked.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_chunks"),
+        F.array_sort(
+            F.collect_list(F.when(F.col("rn") == 1, F.struct("chunk_idx", "chunk")))
+        ).alias("kept"),
+    )
+    kept_hash = F.when(F.size("kept") > 0, F.md5(
+        F.array_join(F.expr("transform(kept, k -> k.chunk)"), " ")
+    ))
+    return (
+        d.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_chunks", F.lit(0)).cast("long").alias("n_chunks"),
+            F.coalesce("n_dup_chunks", F.lit(0)).cast("long").alias("n_dup_chunks"),
+            kept_hash.alias("kept_hash"),
+        )
+    )
+
+
+PARAGRAPH_DEDUP_SQL = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws
+  FROM documents WHERE text IS NOT NULL),
+ch AS (
+  SELECT doc_id, CAST(t.i AS BIGINT) AS chunk_idx,
+         array_to_string(
+           ws[(CAST(t.i AS BIGINT) * {_PARA_WORDS} + 1):
+              (CAST(t.i AS BIGINT) * {_PARA_WORDS} + {_PARA_WORDS})], ' ') AS chunk
+  FROM w, LATERAL unnest(range(0, (len(ws) - 1) // {_PARA_WORDS} + 1)) AS t(i)),
+marked AS (
+  SELECT doc_id, chunk_idx, chunk,
+         row_number() OVER (PARTITION BY md5(chunk)
+                            ORDER BY doc_id, chunk_idx) AS rn
+  FROM ch),
+agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_chunks,
+         CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+         md5(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
+                        ORDER BY chunk_idx)) AS kept_hash
+  FROM marked GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(a.n_chunks, 0) AS n_chunks,
+       coalesce(a.n_dup_chunks, 0) AS n_dup_chunks,
+       a.kept_hash
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+# ------------------------------------------------------------------
+# PII detection + redaction (row-local scrub pass)
+# ------------------------------------------------------------------
+
+# Java-regex/RE2-compatible subset: no backrefs, no lookaround, so the
+# same pattern strings run in Spark (Java) and DuckDB (RE2)
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_SSN = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
+_PII_PHONE = r"\b\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b"
+_PII_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+# applied in this order: emails first (their host part would otherwise
+# feed the IP pattern), then the more specific numeric shapes
+_PII_RULES: tuple[tuple[str, str], ...] = (
+    (_PII_EMAIL, "<EMAIL>"),
+    (_PII_SSN, "<SSN>"),
+    (_PII_PHONE, "<PHONE>"),
+    (_PII_IP, "<IP>"),
+)
+
+
+def pii_redact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII scrub: count email/SSN/phone/IPv4 hits and
+    emit the md5 of the fully redacted text plus a changed flag —
+    the privacy pass every training-data pipeline runs before
+    packing. Counts are per-pattern on the ORIGINAL text (a token
+    consumed by an earlier rule can still be counted by a later one;
+    the redaction chain itself is sequential so replacements never
+    cascade).
+
+    The synthetic corpus contains no PII, so at the catalog level
+    this verifies the full chain produces identical hashes and zero
+    counts across engines; detection semantics on PII-bearing text
+    are pinned by tests/test_corpus_properties.py fixtures.
+
+    100 TB shape: pure per-row projection in the scan stage — zero
+    shuffles, zero joins; the regex work is JVM-side codegen, no UDF.
+    """
+    d = spread(_L(spark, sf_dir, "documents"), "doc_id").select("doc_id", "text")
+    red = F.col("text")
+    for pat, repl in _PII_RULES:
+        red = F.regexp_replace(red, pat, repl)
+    counts = {
+        "n_emails": _PII_EMAIL,
+        "n_ssns": _PII_SSN,
+        "n_phones": _PII_PHONE,
+        "n_ips": _PII_IP,
+    }
+    return d.select(
+        "doc_id",
+        *[
+            F.regexp_count("text", F.lit(p)).cast("long").alias(name)
+            for name, p in counts.items()
+        ],
+        F.when(F.col("text").isNotNull(), red != F.col("text")).alias("changed"),
+        F.md5(red).alias("redacted_hash"),
+    )
+
+
+_PII_RED_SQL = "text"
+for _pat, _repl in _PII_RULES:
+    _PII_RED_SQL = f"regexp_replace({_PII_RED_SQL}, '{_pat}', '{_repl}', 'g')"
+
+PII_REDACT_STATS_SQL = f"""
+WITH r AS (
+  SELECT doc_id, text, {_PII_RED_SQL} AS redacted FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_PII_SSN}')) AS BIGINT) AS n_ssns,
+       CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(text, '{_PII_IP}')) AS BIGINT) AS n_ips,
+       CASE WHEN text IS NULL THEN NULL ELSE redacted <> text END AS changed,
+       md5(redacted) AS redacted_hash
+FROM r
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_keep_best": QuerySpec(
         dedup_keep_best, DEDUP_KEEP_BEST_SQL, "corpus-keep-best"
@@ -721,5 +891,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "quality_filter_verdicts": QuerySpec(
         quality_filter_verdicts, QUALITY_FILTER_VERDICTS_SQL, "corpus-quality-gate"
+    ),
+    "paragraph_dedup": QuerySpec(
+        paragraph_dedup, PARAGRAPH_DEDUP_SQL, "corpus-paragraph-dedup"
+    ),
+    "pii_redact_stats": QuerySpec(
+        pii_redact_stats, PII_REDACT_STATS_SQL, "corpus-pii"
     ),
 }

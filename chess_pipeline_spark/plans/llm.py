@@ -955,6 +955,103 @@ WHERE floor((dot / (na.nrm * nb.nrm)) * 1000000.0 + 0.5) / 1000000.0 >= 0.3
 """
 
 
+_SEMDEDUP_TAU = 0.3  # cosine threshold; 0.95+ on real embeddings —
+                     # the synthetic vectors are near-orthogonal, so
+                     # the demo threshold sits where pairs exist
+
+
+def semdedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup-style per-ITEM verdicts over embedding clusters
+    (Abbas et al. 2023: cluster the corpus, then drop all but one of
+    any within-cluster pair above a cosine threshold). Differs from
+    embedding_near_dup_cosine (the pair LIST) by producing the
+    keep/drop decision per vector: is_dup=true iff a LOWER-id cluster
+    member sits at cosine >= tau; dup_of = that member with the
+    highest cosine (ties to the lowest id) — a deterministic greedy
+    "keep the first copy" sweep, no iteration needed because dup-ness
+    only ever points at lower ids.
+
+    100 TB shape: `label` stands in for the coarse k-means assignment
+    (at scale: the IVF centroid id, assigned per-row against
+    broadcast centroids). One shuffle keys the self-join on the
+    cluster id, pair space is bounded by the largest cluster, one
+    groupBy picks each victim's nearest keeper, and the final left
+    join returns per-item verdicts. Dot products are JVM-side folds
+    on precomputed per-row norms.
+    """
+    e = spread(_L(spark, sf_dir, "embeddings"), "vec_id").withColumn(
+        "nrm", F.expr(_NORM.format(v="embedding"))
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = F.expr(_DOT.format(u="a.embedding", v="b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    # (a = potential keeper with the lower id, b = potential victim)
+    nearest_keeper = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("b.vec_id").alias("vec_id"),
+            F.col("a.vec_id").alias("keeper"),
+            fround(cos, 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= _SEMDEDUP_TAU)
+        .groupBy("vec_id")
+        # best = (max rounded cosine, then min keeper id) via the
+        # negated-key max(struct) — one partial-aggregated shuffle,
+        # no rank window
+        .agg(F.max(F.struct("cos_sim", (-F.col("keeper")).alias("nk"))).alias("m"))
+        .select(
+            "vec_id",
+            (-F.col("m.nk")).alias("dup_of"),
+            F.col("m.cos_sim").alias("dup_cos"),
+        )
+    )
+    return (
+        e.select("vec_id", "label")
+        .join(nearest_keeper, "vec_id", "left")
+        .select(
+            "vec_id",
+            "label",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+            "dup_of",
+            "dup_cos",
+        )
+    )
+
+
+SEMDEDUP_EMBEDDING_SQL = f"""
+WITH ue AS (
+  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings),
+norms AS (SELECT vec_id, sqrt(sum(x * x ORDER BY i)) AS nrm FROM ue GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS keeper, b.vec_id AS vec_id, sum(a.x * b.x ORDER BY a.i) AS dot
+  FROM ue a JOIN ue b ON a.i = b.i AND a.label = b.label
+                      AND a.vec_id < b.vec_id
+  GROUP BY 1, 2),
+scored AS (
+  SELECT dots.vec_id AS vec_id, keeper,
+         floor((dot / (nk.nrm * nv.nrm)) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+  FROM dots
+  JOIN norms nk ON nk.vec_id = dots.keeper
+  JOIN norms nv ON nv.vec_id = dots.vec_id),
+nearest AS (
+  SELECT vec_id, keeper AS dup_of, cos_sim AS dup_cos
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cos_sim DESC, keeper ASC) AS rn
+        FROM scored WHERE cos_sim >= {_SEMDEDUP_TAU})
+  WHERE rn = 1)
+SELECT e.vec_id, e.label, n.dup_of IS NOT NULL AS is_dup, n.dup_of, n.dup_cos
+FROM embeddings e LEFT JOIN nearest n ON n.vec_id = e.vec_id
+"""
+
+
 def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: coarse quantizer = per-label element-wise mean
     centroid; each query (vec_id < 5) probes ONLY its nearest
@@ -1710,6 +1807,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "embedding_near_dup_cosine": QuerySpec(
         embedding_near_dup_cosine, EMBEDDING_NEAR_DUP_COSINE_SQL, "llm-embed-neardup"
+    ),
+    "semdedup_embedding": QuerySpec(
+        semdedup_embedding, SEMDEDUP_EMBEDDING_SQL, "llm-semdedup"
     ),
     "knn_cosine_topk": QuerySpec(knn_cosine_topk, KNN_COSINE_TOPK_SQL, "llm-knn F18"),
     "knn_cosine_ivf": QuerySpec(knn_cosine_ivf, KNN_COSINE_IVF_SQL, "llm-knn-ivf"),

@@ -45,12 +45,10 @@ FROZEN_ORDER: tuple[str, ...] = (
     "orders_fulfillment",
     "order_lines_enriched",
     "clock_lead_fill",
-    "top3_orders_per_customer",
     "zip_explode_lockstep",
     "material_map_expand",
     "union_by_name",
     "scalar_feature_sampler",
-    "eval_comment_parse",
     "array_predicate_filter",
     "rollup_priority_status",
     "price_percentiles",
@@ -68,7 +66,7 @@ FROZEN_ORDER: tuple[str, ...] = (
     "lang_id_heuristic",
     "ngram_jaccard_near_dup",
     "dedup_incremental_simhash",
-    "embedding_near_dup_cosine",
+    "semdedup_embedding",
     "knn_cosine_ivf",
     "knn_cosine_lsh",
     "embedding_quantize_int8",
@@ -86,8 +84,11 @@ FROZEN_ORDER: tuple[str, ...] = (
     "bm25_top_terms",
     "repetition_stats",
     "quality_filter_verdicts",
-    # --- past the driver window (demoted; every demoted query has
-    # two rounds of green driver history plus a local oracle row) ---
+    "paragraph_dedup",
+    "pii_redact_stats",
+    # --- past the driver window (demoted; every demoted query except
+    # the brand-new r5 ones has two rounds of green driver history
+    # plus a local oracle row) ---
     "distinct_flag_status",
     "global_minmax",
     "weekday_recode",
@@ -116,6 +117,9 @@ FROZEN_ORDER: tuple[str, ...] = (
     "top_terms_per_source",
     "running_revenue",
     "revenue_by_nation",
+    "embedding_near_dup_cosine",
+    "eval_comment_parse",
+    "top3_orders_per_customer",
 )
 
 
@@ -125,9 +129,10 @@ def test_catalog_order_frozen():
 
 def test_driver_window_r5_rotation():
     # round 5's window: the eleven never-driver-verified round-4
-    # additions are IN; everything rotated out is r4 AND r2-or-r3
-    # green (verified against the CORRECTNESS files at rotation time)
-    assert len(FROZEN_ORDER) - DRIVER_WINDOW == 28
+    # additions are IN, as are the three operators built new in r5;
+    # everything rotated out is r4 AND r2-or-r3 green (verified
+    # against the CORRECTNESS files at rotation time)
+    assert len(FROZEN_ORDER) - DRIVER_WINDOW == 31
     in_window = set(FROZEN_ORDER[:DRIVER_WINDOW])
     for newcomer in (
         "decontaminate_ngram_overlap",
@@ -141,6 +146,9 @@ def test_driver_window_r5_rotation():
         "events_ohlc_hourly",
         "events_time_weighted_avg",
         "embedding_random_projection",
+        "semdedup_embedding",
+        "paragraph_dedup",
+        "pii_redact_stats",
     ):
         assert newcomer in in_window
 

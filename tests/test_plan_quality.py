@@ -181,6 +181,39 @@ def test_row_local_quality_ops_never_shuffle(spark, sf_dir, name):
     assert "Join" not in plan
 
 
+def test_pii_redact_is_scan_stage_only(spark, sf_dir):
+    # the whole detect+redact chain is per-row regexp work: no keyed
+    # exchange, no join — pure scan-stage projection
+    plan = _plan(spark, sf_dir, "pii_redact_stats")
+    assert _required_shuffles(plan) == 0
+    assert "Join" not in plan
+
+
+def test_paragraph_dedup_shuffles_on_digest_not_body(spark, sf_dir):
+    # first-occurrence marking is ONE window whose partition key is
+    # md5(chunk) — the exchange must be keyed on the digest expression
+    # so the shuffle payload is bounded; plus the doc_id rollup and
+    # the verdict join-back
+    plan = _plan(spark, sf_dir, "paragraph_dedup")
+    assert "row_number" in plan
+    assert "md5" in plan
+    assert _required_shuffles(plan) <= 3
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semdedup_joins_are_keyed(spark, sf_dir):
+    # the within-cluster pair join must be an equi-join on label (the
+    # vec_id inequality rides as a post-condition), and the nearest-
+    # keeper pick must partial-aggregate map-side — no rank window
+    plan = _plan(spark, sf_dir, "semdedup_embedding")
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_max" in plan
+    assert "row_number" not in plan
+
+
 def test_interval_join_is_equi_not_nested_loop(spark, sf_dir):
     # the bin-bucketing rewrite must produce a hash/sort-merge
     # equi-join on (user_id, bin); a raw range predicate would fall
