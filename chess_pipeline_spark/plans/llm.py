@@ -1606,6 +1606,96 @@ def component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels
 
 
+def component_labels_logstep(
+    edges: DataFrame, max_rounds: int = 40
+) -> DataFrame:
+    """Connected-component labels via min-hook + pointer-jumping —
+    the large-diameter alternative to `component_labels`' plain
+    propagation. Input: an edge list (doc_a, doc_b), any orientation.
+    Output: (doc_id, label) with label = component min, for every
+    node that appears in an edge.
+
+    Each round does two keyed joins instead of one:
+      hook      p'(v)  = min(p(v), min over neighbors' p)   (as in
+                component_labels)
+      compress  p''(v) = p'(p'(v))                          (jump to
+                the parent's parent)
+    Compression halves pointer-chain depth every round, so the loop
+    converges in O(log diameter) rounds instead of O(diameter) — the
+    difference between 7 and 100 cluster-scheduled jobs on a
+    100-node chain (near-dup graphs are clique-ish, where the plain
+    loop already wins; path-compression is for adversarial/chained
+    corpora — think boilerplate A~B, B~C, ... across a crawl).
+    Labels only ever decrease and never leave the component, so the
+    fixpoint equals component_labels' exactly (property-tested
+    against union-find ground truth in tests/test_dedup_groups.py).
+    """
+    e = edges.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    e = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = e.select(F.col("u").alias("doc_id")).distinct().withColumn(
+        "label", F.col("doc_id")
+    )
+    converged = False
+    for _ in range(max_rounds):
+        nbr_min = (
+            e.join(labels, e.v == labels.doc_id)
+            .groupBy("u")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        hooked = (
+            labels.join(nbr_min, labels.doc_id == nbr_min.u, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        parent = hooked.select(
+            F.col("doc_id").alias("p_id"), F.col("label").alias("p_label")
+        )
+        compressed = (
+            hooked.join(parent, hooked.label == parent.p_id, "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("p_label"), F.col("label")).alias("label"),
+                (
+                    F.coalesce(F.col("p_label"), F.col("label")) < F.col("label")
+                ).alias("jumped"),
+            )
+            .localCheckpoint()
+        )
+        changed = compressed.filter("jumped").limit(1).count()
+        new_labels = compressed.select("doc_id", "label")
+        # the hook step may have changed labels even when compression
+        # didn't jump — compare against the previous round only when
+        # compression reports quiescence
+        if changed == 0:
+            still = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if still == 0:
+                converged = True
+                break
+        else:
+            labels = new_labels
+    if not converged:
+        raise RuntimeError(
+            f"component_labels_logstep: no convergence in {max_rounds} rounds"
+        )
+    return labels
+
+
 def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate GROUPS via iterative connected components over the
     MinHash-LSH candidate graph — the step after candidate pairs
