@@ -131,26 +131,42 @@ class CorpusEtlOutput:
         return {"corpus_shards": self.shards, "corpus_audit": self.audit}
 
 
-def run_corpus_etl(docs: DataFrame, shard_tokens: int = 4096) -> CorpusEtlOutput:
+def run_corpus_etl(
+    docs: DataFrame,
+    shard_tokens: int = 4096,
+    scrub_pii: bool = False,
+    drop_dup_paragraphs: bool = False,
+) -> CorpusEtlOutput:
     """documents -> trainer-ready shard layout, as ONE lazy plan:
 
-      quality gate (row-local) -> exact dedup keep-min (one digest
-      shuffle) -> deterministic stratified sample (row-local) ->
-      token-budget packing (one window shuffle per source)
+      quality gate (row-local) -> [optional PII scrub, row-local] ->
+      exact dedup keep-min (one digest shuffle) -> [optional
+      paragraph-level dedup, one chunk-digest window] ->
+      deterministic stratified sample (row-local) -> token-budget
+      packing (one window shuffle per source)
 
-    Four curation stages, exactly TWO keyed exchanges end-to-end —
-    the whole point of composing lazily instead of chaining
-    materialized steps: Catalyst fuses the three row-local stages
-    into the scan and the digest-window output flows straight into
-    the sample filter. The audit frame unions the three drop ledgers
-    (quality / duplicate / sampled-out) with machine-readable
+    With the defaults, exactly TWO keyed exchanges end-to-end — the
+    whole point of composing lazily instead of chaining materialized
+    steps: Catalyst fuses the row-local stages into the scan and the
+    digest-window output flows straight into the sample filter. The
+    audit frame unions the drop ledgers (quality / duplicate /
+    paragraph_dup when enabled / sampled-out) with machine-readable
     reasons.
+
+    scrub_pii runs the pii_redact_stats rule chain over surviving
+    text BEFORE dedup, so two documents differing only in their PII
+    tokens dedup together (and no PII ever reaches a shard). It adds
+    zero exchanges. drop_dup_paragraphs rewrites each document to
+    its corpus-wide first-occurrence chunks (paragraph_dedup
+    semantics) and routes fully-duplicate documents to the audit; it
+    adds one chunk-digest window + the per-doc rebuild.
     """
     import pyspark.sql.functions as F
     from pyspark.sql import Window
 
     from chess_pipeline_spark.plans.corpus import (
         _BUCKET_EXPR,
+        _PII_RULES,
         _SAMPLE_PERMILLE,
         pack_tokens,
         with_quality_verdicts,
@@ -165,6 +181,11 @@ def run_corpus_etl(docs: DataFrame, shard_tokens: int = 4096) -> CorpusEtlOutput
         F.col("fail_reasons").alias("reason"),
     )
     kept = v.filter(F.col("keep")).select("doc_id", "source", "text")
+    if scrub_pii:
+        red = F.col("text")
+        for pat, repl in _PII_RULES:
+            red = F.regexp_replace(red, pat, repl)
+        kept = kept.withColumn("text", red)
 
     # exact dedup among survivors: min doc_id per content digest; the
     # window partitions on the 128-bit digest, never the body
@@ -178,7 +199,50 @@ def run_corpus_etl(docs: DataFrame, shard_tokens: int = 4096) -> CorpusEtlOutput
         F.lit("exact_dup").alias("stage"),
         F.concat(F.lit("dup_of:"), F.col("keep_id").cast("string")).alias("reason"),
     )
-    deduped = ranked.filter(F.col("doc_id") == F.col("keep_id"))
+    deduped = ranked.filter(F.col("doc_id") == F.col("keep_id")).select(
+        "doc_id", "source", "text"
+    )
+
+    para_dropped = None
+    if drop_dup_paragraphs:
+        from chess_pipeline_spark.plans.corpus import _PARA_WORDS
+
+        w = deduped.select("doc_id", "source", F.split("text", " ").alias("ws"))
+        chunks = w.select(
+            "doc_id",
+            "source",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, int((size(ws) - 1) / {_PARA_WORDS})), "
+                    f"i -> array_join(slice(ws, i * {_PARA_WORDS} + 1, {_PARA_WORDS}), ' '))"
+                )
+            ).alias("chunk_idx", "chunk"),
+        )
+        cwin = Window.partitionBy(F.md5("chunk")).orderBy("doc_id", "chunk_idx")
+        rebuilt = (
+            chunks.withColumn("rn", F.row_number().over(cwin))
+            .groupBy("doc_id", "source")
+            .agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("rn") == 1, F.struct("chunk_idx", "chunk"))
+                    )
+                ).alias("kept_chunks")
+            )
+        )
+        para_dropped = rebuilt.filter(F.size("kept_chunks") == 0).select(
+            "doc_id",
+            "source",
+            F.lit("paragraph_dup").alias("stage"),
+            F.lit("all_chunks_seen_earlier").alias("reason"),
+        )
+        deduped = rebuilt.filter(F.size("kept_chunks") > 0).select(
+            "doc_id",
+            "source",
+            F.array_join(
+                F.expr("transform(kept_chunks, k -> k.chunk)"), " "
+            ).alias("text"),
+        )
 
     # deterministic per-stratum sample (row-local; same bucket expr
     # as the stratified_sample catalog query)
@@ -201,6 +265,8 @@ def run_corpus_etl(docs: DataFrame, shard_tokens: int = 4096) -> CorpusEtlOutput
     shards = pack_tokens(toks, shard_tokens)
 
     audit = quality_dropped.unionByName(dup_dropped).unionByName(sampled_out)
+    if para_dropped is not None:
+        audit = audit.unionByName(para_dropped)
     return CorpusEtlOutput(shards=shards, audit=audit)
 
 

@@ -109,7 +109,12 @@ def run_corpus(args: argparse.Namespace, spark=None) -> int:
 
     spark = spark or get_spark(app_name="chess-pipeline-corpus")
     docs = load_table(spark, args.sf_dir, "documents")
-    out = run_corpus_etl(docs, shard_tokens=args.shard_tokens)
+    out = run_corpus_etl(
+        docs,
+        shard_tokens=args.shard_tokens,
+        scrub_pii=getattr(args, "scrub_pii", False),
+        drop_dup_paragraphs=getattr(args, "drop_dup_paragraphs", False),
+    )
     materialize_corpus(out, args.out)
     print(f"wrote corpus_shards + corpus_audit under {args.out}")
     return 0
@@ -129,6 +134,16 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     c.add_argument("--sf-dir", required=True, help="dir holding documents.parquet")
     c.add_argument("--out", required=True, help="output dir")
     c.add_argument("--shard-tokens", type=int, default=4096)
+    c.add_argument(
+        "--scrub-pii",
+        action="store_true",
+        help="redact email/SSN/phone/IPv4 before dedup (row-local)",
+    )
+    c.add_argument(
+        "--drop-dup-paragraphs",
+        action="store_true",
+        help="strip corpus-wide repeated chunks; drop fully-duplicate docs",
+    )
 
     args = p.parse_args(argv)
     return run_games(args, spark) if args.cmd == "games" else run_corpus(args, spark)

@@ -149,3 +149,69 @@ def test_composed_plan_has_two_keyed_shuffles(spark, sf_dir):
         if "hashpartitioning" in ln and "ENSURE_REQUIREMENTS" in ln
     )
     assert required == 2, plan
+
+
+def _synthetic_docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+
+
+def test_scrub_pii_stage_redacts_before_packing(spark):
+    # 30-word docs pass the quality gate (20-90 words, 3-7 chars/word,
+    # stopword ratio >= 0.02); doc ids 2/7/25 hash into the kept
+    # sample buckets for source 's', so sampling can't eat the test.
+    # Docs 2 and 7 differ ONLY in their email — with the scrub on
+    # they must dedup together
+    base = " ".join(f"word{i} the nearby stream keeps" for i in range(6))
+    rows = [
+        (2, "s", base + " contact alice@example.com now"),
+        (7, "s", base + " contact bob@other.org now"),
+        (25, "s", base + " nothing sensitive here at all"),
+    ]
+    out = run_corpus_etl(_synthetic_docs(spark, rows), scrub_pii=True)
+    audit = {r.doc_id: r.stage for r in out.audit.collect()}
+    survivors = set(_ids(out.shards))
+    # doc 7 becomes an exact duplicate of doc 2 post-redaction
+    assert audit.get(7) == "exact_dup"
+    assert survivors == {2, 25}
+    # without the scrub both survive as distinct documents
+    out2 = run_corpus_etl(_synthetic_docs(spark, rows))
+    assert set(_ids(out2.shards)) == {2, 7, 25}
+
+
+def test_drop_dup_paragraphs_stage(spark):
+    # doc 11 and 12 share their full 20-word chunk content; doc 12
+    # is NOT an exact dup (different second chunk order? no — make
+    # doc 12's every chunk a repeat of doc 11's chunks, but in an
+    # order that changes the full-text digest) -> paragraph stage
+    # must drop it while exact dedup could not
+    c1 = " ".join(f"alpha{i} the stream keeps moving" for i in range(4))
+    c2 = " ".join(f"bravo{i} the stream keeps moving" for i in range(4))
+    c3 = " ".join(f"carol{i} the stream keeps moving" for i in range(4))
+    rows = [
+        (2, "s", c1 + " " + c2),
+        (7, "s", c2 + " " + c1),  # same chunks, swapped order
+        (12, "s", c1 + " " + c3),
+    ]
+    out = run_corpus_etl(
+        _synthetic_docs(spark, rows), drop_dup_paragraphs=True
+    )
+    audit = {r.doc_id: (r.stage, r.reason) for r in out.audit.collect()}
+    assert audit.get(7) == ("paragraph_dup", "all_chunks_seen_earlier")
+    survivors = set(_ids(out.shards))
+    assert 2 in survivors
+    # doc 12 survives with its c1 chunk stripped (first seen in 2):
+    # its packed token count reflects only the novel chunk
+    toks = {r.doc_id: r.n_tokens for r in out.shards.collect()}
+    assert toks[12] < toks[2]
+
+
+def test_optional_stages_default_off_plan_unchanged(spark, sf_dir):
+    # the 2-exchange guarantee of the default path must not regress
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (
+        run_corpus_etl(docs)
+        .shards._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "paragraph_dup" not in plan
