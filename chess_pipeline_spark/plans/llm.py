@@ -739,6 +739,34 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 _INCR_SPLIT = 250
 
 
+def simhash_signatures_for(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, text) -> (doc_id, source, simhash). Pure
+    per-row Catalyst projection, no shuffle."""
+    hm = _MIX.format(h=_BASE_HASH.format(s="w"))
+    return docs.select(
+        "doc_id",
+        "source",
+        F.expr(f"transform(split(text, ' '), w -> {hm})").alias("hw"),
+    ).select("doc_id", "source", F.expr(_simhash_expr_spark()).alias("simhash"))
+
+
+def simhash_bands_for(sig: DataFrame) -> DataFrame:
+    """Signature frame -> one row per (doc, band): adds (band, bv).
+    The shared banding projection behind dedup_incremental_simhash
+    and the streaming ingest-dedup job — row-local explode."""
+    return sig.select(
+        "doc_id",
+        "source",
+        "simhash",
+        F.explode(F.expr(f"sequence(0, {_SIMHASH_BANDS - 1})")).alias("band"),
+    ).withColumn(
+        "bv",
+        F.expr(
+            f"shiftright(simhash, band * {_SIMHASH_BAND_BITS}) % {1 << _SIMHASH_BAND_BITS}"
+        ),
+    )
+
+
 def dedup_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ingestion dedup: flag each NEW document that is a
     SimHash near-dup (hamming <= 3) of the EXISTING corpus — the
@@ -758,23 +786,8 @@ def dedup_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     naive all-pairs definition the oracle computes.
     """
     d = spread(_L(spark, sf_dir, "documents"), "doc_id")
-    hm = _MIX.format(h=_BASE_HASH.format(s="w"))
-    sig = d.select(
-        "doc_id",
-        "source",
-        F.expr(f"transform(split(text, ' '), w -> {hm})").alias("hw"),
-    ).select("doc_id", "source", F.expr(_simhash_expr_spark()).alias("simhash"))
-    bands = sig.select(
-        "doc_id",
-        "source",
-        "simhash",
-        F.explode(F.expr(f"sequence(0, {_SIMHASH_BANDS - 1})")).alias("band"),
-    ).withColumn(
-        "bv",
-        F.expr(
-            f"shiftright(simhash, band * {_SIMHASH_BAND_BITS}) % {1 << _SIMHASH_BAND_BITS}"
-        ),
-    )
+    sig = simhash_signatures_for(d)
+    bands = simhash_bands_for(sig)
     cache = bands.filter(F.col("doc_id") < _INCR_SPLIT).select(
         F.col("source").alias("c_source"),
         F.col("band").alias("c_band"),

@@ -207,14 +207,107 @@ DOCUMENTS_PHYSICAL = T.StructType(
 )
 
 
-def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_documents_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "documents.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """File-source stream over the documents parquet — the ingest
     mode of a continuously-arriving corpus. Pair with
     plans.corpus.curate_documents: the curation spec is stateless
     row-local Catalyst, so the identical function body runs in both
     batch and streaming (no watermark, append output)."""
-    return (
-        spark.readStream.schema(DOCUMENTS_PHYSICAL)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
+    reader = spark.readStream.schema(DOCUMENTS_PHYSICAL).option(
+        "pathGlobFilter", glob
     )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(sf_dir)
+
+
+def stream_ingest_dedup(docs: DataFrame, index_path: str, verdicts_path: str):
+    """Continuous-ingestion near-dedup: every micro-batch of arriving
+    documents is flagged against a PERSISTED SimHash band index, then
+    its own signatures are appended to the index — the streaming twin
+    of plans.llm.dedup_incremental_simhash (whose corpus cache plays
+    the index role), and the same shape as the reference's eval-cache
+    "fetch only what the cache lacks" discipline applied to ingest.
+
+    Semantics matched to the batch twin exactly: a batch is compared
+    against everything ingested in EARLIER batches (not against
+    itself), every ingested doc enters the index whether or not it
+    was a dup, and the nearest cached doc is picked by (min hamming,
+    then min doc_id) at hamming <= 3 (banding keeps 100% recall by
+    pigeonhole — see the batch twin's docstring).
+
+    100 TB shape: the per-batch work is a row-local signature
+    projection plus one band-bucket equi-join where the batch side
+    is small and broadcasts; the index is an append-only parquet
+    keyed by (source, band, bv) that at real scale would be
+    bucket-partitioned so a batch touches only its bands' files.
+
+    Returns a DataStreamWriter; callers start it with their own
+    checkpoint/trigger options.
+    """
+    import pyspark.sql.functions as F
+    from pyspark.errors import AnalysisException
+
+    from chess_pipeline_spark.plans.llm import (
+        simhash_bands_for,
+        simhash_signatures_for,
+    )
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        sig = simhash_signatures_for(
+            batch.select("doc_id", "source", "text")
+        ).persist()
+        bands = simhash_bands_for(sig)
+        try:
+            idx = spark.read.parquet(index_path)
+        except AnalysisException:
+            idx = spark.createDataFrame([], bands.schema)
+        cache = idx.select(
+            F.col("source").alias("c_source"),
+            F.col("band").alias("c_band"),
+            F.col("bv").alias("c_bv"),
+            F.col("doc_id").alias("c_id"),
+            F.col("simhash").alias("c_sig"),
+        )
+        matched = (
+            # hint the BATCH side as the broadcast build: the index
+            # (corpus-scale) then streams through unshuffled
+            F.broadcast(bands).join(
+                cache,
+                (bands.source == cache.c_source)
+                & (bands.band == cache.c_band)
+                & (bands.bv == cache.c_bv),
+            )
+            .withColumn(
+                "hamming", F.expr("CAST(bit_count(simhash ^ c_sig) AS BIGINT)")
+            )
+            .filter(F.col("hamming") <= 3)
+            .groupBy("doc_id")
+            .agg(F.min(F.struct("hamming", "c_id")).alias("m"))
+        )
+        verdicts = (
+            sig.join(matched, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.col("m").isNotNull().alias("is_dup"),
+                F.col("m.c_id").alias("dup_of"),
+                F.col("m.hamming").alias("hamming"),
+                F.lit(batch_id).alias("batch_id"),
+            )
+        )
+        # verdicts first, then index append: a replayed batch (failure
+        # between the two writes) re-reads an index without its own
+        # signatures and reproduces identical verdicts — idempotent
+        # under foreachBatch's at-least-once contract modulo the
+        # duplicate verdict rows a downstream keyed upsert removes
+        verdicts.write.mode("append").parquet(verdicts_path)
+        bands.write.mode("append").parquet(index_path)
+        sig.unpersist()
+
+    return docs.writeStream.foreachBatch(_process)

@@ -164,3 +164,67 @@ def test_stream_curation_matches_batch(spark, sf_dir, tmp_path):
     batch = curate_documents(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     g, b = _rows(got), _rows(batch)
     assert g == b and len(g) > 0
+
+
+def test_stream_ingest_dedup_matches_incremental_batch(spark, sf_dir, tmp_path):
+    """Replay the corpus in two micro-batches split at _INCR_SPLIT;
+    batch-2 verdicts must equal dedup_incremental_simhash's (whose
+    cache is exactly the ids below the split), and batch-1 docs must
+    all flag clean (the index was empty when they arrived)."""
+    import os
+    import time
+
+    import pyspark.sql.functions as F
+
+    from chess_pipeline_spark.plans.llm import _INCR_SPLIT, dedup_incremental_simhash
+    from chess_pipeline_spark.sources import load_table
+    from chess_pipeline_spark.streaming.jobs import (
+        read_documents_stream,
+        stream_ingest_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    # one file per batch; file-source processes oldest mtime first
+    docs.filter(F.col("doc_id") < _INCR_SPLIT).toPandas().to_parquet(
+        str(src / "b0.parquet")
+    )
+    docs.filter(F.col("doc_id") >= _INCR_SPLIT).toPandas().to_parquet(
+        str(src / "b1.parquet")
+    )
+    now = time.time()
+    os.utime(src / "b0.parquet", (now - 60, now - 60))
+    os.utime(src / "b1.parquet", (now, now))
+
+    stream = read_documents_stream(
+        spark, str(src), glob="*.parquet", max_files_per_trigger=1
+    )
+    q = (
+        stream_ingest_dedup(
+            stream, str(tmp_path / "index"), str(tmp_path / "verdicts")
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(str(tmp_path / "verdicts")).toPandas()
+    assert set(got["batch_id"].unique()) == {0, 1}
+    b0 = got[got["batch_id"] == 0]
+    assert (b0["doc_id"] < _INCR_SPLIT).all() and (~b0["is_dup"]).all()
+
+    expected = {
+        r.doc_id: (r.is_dup, r.dup_of, r.hamming)
+        for r in dedup_incremental_simhash(spark, sf_dir).collect()
+    }
+    b1 = {
+        int(r.doc_id): (
+            bool(r.is_dup),
+            None if r.dup_of is None or r.dup_of != r.dup_of else int(r.dup_of),
+            None if r.hamming is None or r.hamming != r.hamming else int(r.hamming),
+        )
+        for r in got[got["batch_id"] == 1].itertuples(index=False)
+    }
+    assert b1 == expected
