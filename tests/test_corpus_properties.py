@@ -80,6 +80,8 @@ _RANDOMIZED_QUERIES = (
     "quality_filter_verdicts",
     "bm25_top_terms",
     "mixture_sample",
+    "paragraph_dedup",
+    "pii_redact_stats",
 )
 
 
