@@ -997,8 +997,11 @@ def semdedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = e.alias("a")
     b = e.alias("b")
-    cos = F.expr(_DOT.format(u="a.embedding", v="b.embedding")) / (
-        F.col("a.nrm") * F.col("b.nrm")
+    # nullif guards the zero-vector edge: Spark would yield NaN
+    # (NaN >= tau is FALSE) while DuckDB orders NaN above everything
+    # (>= tau TRUE) — NULL propagates identically in both engines
+    cos = F.expr(_DOT.format(u="a.embedding", v="b.embedding")) / F.expr(
+        "nullif(a.nrm * b.nrm, 0.0)"
     )
     # (a = potential keeper with the lower id, b = potential victim)
     nearest_keeper = (
@@ -1050,7 +1053,8 @@ dots AS (
   GROUP BY 1, 2),
 scored AS (
   SELECT dots.vec_id AS vec_id, keeper,
-         floor((dot / (nk.nrm * nv.nrm)) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+         floor((dot / nullif(nk.nrm * nv.nrm, 0.0)) * 1000000.0 + 0.5) / 1000000.0
+           AS cos_sim
   FROM dots
   JOIN norms nk ON nk.vec_id = dots.keeper
   JOIN norms nv ON nv.vec_id = dots.vec_id),

@@ -186,3 +186,74 @@ def test_paragraph_dedup_conservation(spark, sf_dir):
     )
     assert total - dups == n_distinct
     assert 0 < dups < total
+
+
+def test_paragraph_dedup_boilerplate_skew(spark, tmp_path):
+    # the adversarial shape for the digest window: ONE chunk repeated
+    # in every document (site boilerplate). All its occurrences land
+    # in a single window partition — correctness must hold and every
+    # doc except the first must lose exactly that chunk
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from chess_pipeline_spark.plans.corpus import _PARA_WORDS
+
+    boiler = " ".join(f"b{i}" for i in range(_PARA_WORDS))
+    rows = []
+    for d in range(60):
+        unique = " ".join(f"u{d}x{i}" for i in range(_PARA_WORDS))
+        rows.append((d, boiler + " " + unique))
+    d = tmp_path / "skew"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array(["en"] * len(rows), pa.string()),
+                "source": pa.array(["s"] * len(rows), pa.string()),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    got = {r.doc_id: r for r in paragraph_dedup(spark, str(d)).collect()}
+    assert got[0].n_dup_chunks == 0 and got[0].n_chunks == 2
+    for i in range(1, 60):
+        assert (got[i].n_chunks, got[i].n_dup_chunks) == (2, 1), i
+
+
+def test_semdedup_zero_vector_cross_engine(spark, tmp_path):
+    # a zero-norm embedding makes cosine 0/0: Spark says NaN (NaN >=
+    # tau is false), DuckDB orders NaN above everything (>= tau would
+    # be TRUE) — the nullif guard must keep both engines agreeing
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from chess_pipeline_spark.plans import catalog
+    from tests.oracle_harness import run_and_compare
+
+    rng = [
+        [float((i * 7 + j * 3) % 5 - 2) for j in range(64)] for i in range(6)
+    ]
+    rng[2] = [0.0] * 64  # the zero vector
+    rng[4] = list(rng[1])  # an exact dup pair so tau fires
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(6), pa.int64()),
+            "label": pa.array([1, 1, 1, 2, 1, 2], pa.int64()),
+            "embedding": pa.array(rng, pa.list_(pa.float32())),
+        }
+    )
+    d = tmp_path / "zv"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "embeddings.parquet"))
+    run_and_compare(
+        spark, str(d), "semdedup_embedding", catalog()["semdedup_embedding"]
+    )
+    out = {
+        r.vec_id: r.is_dup
+        for r in catalog()["semdedup_embedding"].spark(spark, str(d)).collect()
+    }
+    assert out[4] is True and out[2] is False
