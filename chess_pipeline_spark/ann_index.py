@@ -96,16 +96,22 @@ def _nearest_lists(
 
 
 def build_ivf_index(
-    corpus: DataFrame, out_path: str, n_lists: int = 8, id_col: str = "vec_id"
+    corpus: DataFrame,
+    out_path: str,
+    n_lists: int = 8,
+    id_col: str = "vec_id",
+    lloyd_iterations: int = 0,
 ) -> None:
-    """Assign every vector to its nearest seed centroid and persist
-    the corpus partitioned by list_id (+ a centroids summary).
+    """Assign every vector to its nearest centroid and persist the
+    corpus partitioned by list_id (+ a centroids summary).
 
     Seeds are the n_lists lowest-id vectors — deterministic, no RNG
-    to ship; a production build would run a few Lloyd iterations on
-    a sample, which changes only the centroid frame fed to the same
-    writer. One wide shuffle total (the partitioned write); the
-    assignment itself is a broadcast join evaluated in the scan.
+    to ship. `lloyd_iterations` optionally refines them k-means
+    style: assign → recompute each list's element-wise mean →
+    repeat. Each iteration is one broadcast-join assignment plus one
+    narrow (list_id, dim) aggregation; a list that loses all members
+    keeps its previous centroid. The final write is the only wide
+    shuffle (partitioned by list).
     """
     seeds = (
         corpus.orderBy(id_col)
@@ -115,10 +121,32 @@ def build_ivf_index(
             F.col("embedding").alias("centroid"),
         )
         .withColumn("c_nrm", F.expr(_NORM.format(v="centroid")))
+        .localCheckpoint()
     )
-    assigned = _nearest_lists(
-        corpus.select(id_col, "embedding"), seeds, 1, id_col
-    )
+    vecs = corpus.select(id_col, "embedding")
+    for _ in range(lloyd_iterations):
+        assigned = _nearest_lists(vecs, seeds, 1, id_col)
+        means = (
+            assigned.select("list_id", F.posexplode("embedding").alias("i", "x"))
+            .groupBy("list_id", "i")
+            .agg(F.avg(F.col("x").cast("double")).alias("c"))
+            .groupBy("list_id")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("pairs"))
+            .select(
+                F.col("list_id").alias("m_list"),
+                F.expr("transform(pairs, p -> CAST(p.c AS FLOAT))").alias("m_centroid"),
+            )
+        )
+        seeds = (
+            seeds.join(means, seeds.list_id == means.m_list, "left")
+            .select(
+                "list_id",
+                F.coalesce(F.col("m_centroid"), F.col("centroid")).alias("centroid"),
+            )
+            .withColumn("c_nrm", F.expr(_NORM.format(v="centroid")))
+            .localCheckpoint()
+        )
+    assigned = _nearest_lists(vecs, seeds, 1, id_col)
     assigned.write.partitionBy("list_id").mode("overwrite").parquet(
         os.path.join(out_path, "lists")
     )

@@ -121,3 +121,49 @@ def test_ivf_index_build_probe_parity_and_pruning(spark, sf_dir, tmp_path):
 
     r1, r2 = recall(1), recall(2)
     assert 0 < r1 <= r2 <= 1.0
+
+
+def test_ivf_lloyd_refinement(spark, sf_dir, tmp_path):
+    # refined build: assignments must match numpy recomputed from the
+    # PERSISTED centroids (no FP drift possible — same values), at
+    # least one centroid must have moved off its seed, and the probe
+    # still dynamic-prunes
+    corpus = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    idx = str(tmp_path / "ivf_lloyd")
+    build_ivf_index(corpus, idx, n_lists=_N_LISTS, lloyd_iterations=2)
+
+    cents = {
+        r.list_id: np.array(r.centroid, dtype=np.float64)
+        for r in spark.read.parquet(f"{idx}/centroids").collect()
+    }
+    ids, X = _load(spark, sf_dir)
+    moved = sum(
+        1
+        for j in range(_N_LISTS)
+        if not np.allclose(cents[j + 1], X[j], atol=1e-7)
+    )
+    assert moved > 0, "no centroid moved; Lloyd iterations were a no-op"
+
+    got = {
+        r.vec_id: r.list_id
+        for r in spark.read.parquet(f"{idx}/lists").collect()
+    }
+    C = np.array([cents[j + 1] for j in range(_N_LISTS)])
+    cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    cos = np.floor(xn @ cn.T * 1e9 + 0.5) / 1e9
+    for i, v in enumerate(ids):
+        expect = max(range(_N_LISTS), key=lambda j: (cos[i, j], -j)) + 1
+        assert got[v] == expect, v
+
+    queries = corpus.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    probe = probe_ivf_index(spark, idx, queries, k=_K, nprobe=1, id_col="qid")
+    explain = probe._jdf.queryExecution().toString()
+    assert any(
+        "list_id" in ln and "dynamicpruning" in ln
+        for ln in explain.splitlines()
+        if "PartitionFilters" in ln
+    )
+    assert probe.count() > 0

@@ -104,3 +104,31 @@ def test_spread_noop_when_enough_partitions(spark, sf_dir):
 def test_spread_preserves_rows(spark, sf_dir):
     df = load_table(spark, sf_dir, "documents")
     assert spread(df, "doc_id").count() == df.count()
+
+
+def test_embedding_queries_survive_float64_layout(spark, sf_dir, tmp_path):
+    """The driver regenerates testdata between rounds and physical
+    types have drifted before (events ns-timestamps). Embeddings
+    could plausibly arrive as array<double> instead of array<float>;
+    every embedding query CASTs inside its folds, so both layouts
+    must produce identical oracle-parity results."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from chess_pipeline_spark.plans import catalog
+    from tests.oracle_harness import run_and_compare
+
+    src = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    cols = {name: src.column(name) for name in src.column_names}
+    cols["embedding"] = src.column("embedding").cast(pa.list_(pa.float64()))
+    d = tmp_path / "f64"
+    d.mkdir()
+    pq.write_table(pa.table(cols), str(d / "embeddings.parquet"))
+
+    cat = catalog()
+    for name in (
+        "semdedup_embedding",
+        "embedding_quantize_int8",
+        "embedding_random_projection",
+    ):
+        run_and_compare(spark, str(d), name, cat[name])
