@@ -146,7 +146,12 @@ def build_ivf_index(
             .withColumn("c_nrm", F.expr(_NORM.format(v="centroid")))
             .localCheckpoint()
         )
-    assigned = _nearest_lists(vecs, seeds, 1, id_col)
+    assigned = _nearest_lists(vecs, seeds, 1, id_col).withColumn(
+        # norms are an index-build artifact: probes divide by them on
+        # every scored pair, so compute once here, never at query time
+        "nrm",
+        F.expr(_NORM.format(v="embedding")),
+    )
     assigned.write.partitionBy("list_id").mode("overwrite").parquet(
         os.path.join(out_path, "lists")
     )
@@ -175,8 +180,10 @@ def probe_ivf_index(
         F.col("list_id").alias("probe_list"),
     ).withColumn("qnorm", F.expr(_NORM.format(v="qe")))
     lists = spark.read.parquet(os.path.join(index_path, "lists"))
+    if "nrm" not in lists.columns:  # pre-r5 index layout
+        lists = lists.withColumn("nrm", F.expr(_NORM.format(v="embedding")))
     cos = F.expr(_DOT.format(u="qe", v="embedding")) / (
-        F.col("qnorm") * F.expr(_NORM.format(v="embedding"))
+        F.col("qnorm") * F.col("nrm")
     )
     scored = (
         lists.join(
