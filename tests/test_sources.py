@@ -132,3 +132,75 @@ def test_embedding_queries_survive_float64_layout(spark, sf_dir, tmp_path):
         "embedding_random_projection",
     ):
         run_and_compare(spark, str(d), name, cat[name])
+
+
+def test_live_rest_adapter_gating_and_parse(spark):
+    """The live-HTTP seam: URL construction matches the reference's
+    query surface, the token rides as a Bearer header, ndjson parses
+    to records that flow through json_records_source, PGN text flows
+    through parse_pgn_dataframe, and the no-opener/no-env path
+    refuses loudly (this container has no network)."""
+    import io
+    import json
+    import os
+
+    import pytest
+
+    from chess_pipeline_spark.parse import parse_pgn_dataframe
+    from chess_pipeline_spark.sources.rest import (
+        fetch_user_games_json,
+        fetch_user_games_pgn,
+        json_records_source,
+        lichess_games_url,
+    )
+    from tests.test_parse import PGN_FULL
+
+    url = lichess_games_url("someone", 1000, 2000, "blitz", evals="false")
+    assert url.startswith("https://lichess.org/api/games/user/someone?")
+    assert "since=1000" in url and "until=2000" in url and "perfType=blitz" in url
+
+    seen = {}
+
+    class _Resp(io.BytesIO):
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    def fake_opener(req):
+        seen["url"] = req.full_url
+        seen["headers"] = dict(req.header_items())
+        if "ndjson" in req.get_header("Accept", ""):
+            recs = [
+                {"id": "abcd1234", "players": {"white": {"rating": 1800}}},
+                {"id": "efgh5678", "players": {"white": {"rating": 1700}}},
+            ]
+            return _Resp("\n".join(json.dumps(r) for r in recs).encode())
+        return _Resp(PGN_FULL.encode())
+
+    recs = fetch_user_games_json(
+        "someone", 1000, 2000, "blitz", token="tok", opener=fake_opener
+    )
+    assert [r["id"] for r in recs] == ["abcd1234", "efgh5678"]
+    assert seen["headers"].get("Authorization") == "Bearer tok"
+    # schemaless dict inference yields maps, so pass the declared
+    # schema (the RAW_JSON-contract discipline) to get struct flatten
+    flat = json_records_source(
+        spark, recs, schema="id string, players struct<white: struct<rating: int>>"
+    )
+    assert "players_white_rating" in flat.columns
+    assert flat.count() == 2
+
+    pgn_text = fetch_user_games_pgn(
+        "someone", 1000, 2000, "blitz", opener=fake_opener
+    )
+    games = parse_pgn_dataframe(
+        spark.createDataFrame([(pgn_text,)], "pgn string")
+    )
+    assert games.count() == 1
+    assert games.first().moves == ["e4", "c5", "Nf3", "d6"]
+
+    os.environ.pop("SPARK_GRAFT_LIVE_HTTP", None)
+    with pytest.raises(RuntimeError, match="gated"):
+        fetch_user_games_json("someone", 1000, 2000, "blitz")
