@@ -1,0 +1,114 @@
+"""UCI engine adapter against a fake engine speaking the real
+protocol (uci/isready handshake, position/go, info score lines,
+bestmove). Scoring semantics pinned to the reference's
+_parse_uci_result: cp vs mate, black-to-move sign flip, /100."""
+
+from __future__ import annotations
+
+import os
+import stat
+import textwrap
+
+import pytest
+
+from chess_pipeline_spark.operators.engine import (
+    parse_uci_score,
+    uci_fetch_fn,
+)
+
+_FAKE_ENGINE = textwrap.dedent(
+    """\
+    #!/usr/bin/env python3
+    import sys
+
+    fen = ""
+    for line in sys.stdin:
+        line = line.strip()
+        if line == "uci":
+            print("id name FakeFish")
+            print("uciok", flush=True)
+        elif line == "isready":
+            print("readyok", flush=True)
+        elif line.startswith("position fen "):
+            fen = line[len("position fen "):]
+        elif line.startswith("go"):
+            if fen.split(" ")[0].startswith("8/8/8"):
+                print("info depth 20 score mate 3 pv e2e4", flush=True)
+            else:
+                cp = sum(ord(c) for c in fen) % 200 - 100
+                print(f"info depth 19 score cp 0 pv e2e4", flush=True)
+                print(f"info depth 20 score cp {cp} pv e2e4", flush=True)
+            print("bestmove e2e4", flush=True)
+        elif line == "quit":
+            break
+    """
+)
+
+
+@pytest.fixture()
+def fake_engine(tmp_path):
+    p = tmp_path / "fakefish"
+    p.write_text(_FAKE_ENGINE)
+    p.chmod(p.stat().st_mode | stat.S_IEXEC)
+    return str(p)
+
+
+def _expected_cp(fen: str) -> float:
+    cp = sum(ord(c) for c in fen) % 200 - 100
+    if " b " in fen:
+        cp = -cp
+    return cp / 100
+
+
+def test_parse_uci_score_reference_semantics():
+    w = "rnbqkbnr/pppppppp/8/8/8/8/PPPPPPPP/RNBQKBNR w KQkq - 0"
+    b = "rnbqkbnr/pppppppp/8/8/8/8/PPPPPPPP/RNBQKBNR b KQkq - 0"
+    assert parse_uci_score("info depth 20 score cp 37 pv e2e4", w) == 0.37
+    assert parse_uci_score("info depth 20 score cp 37 pv e2e4", b) == -0.37
+    assert parse_uci_score("info score mate 3", w) == 9999.0
+    assert parse_uci_score("info score mate -2", w) == -9999.0
+    assert parse_uci_score("info score mate 3", b) == -9999.0
+    assert parse_uci_score("info score mate 0", b) == 9999.0  # b fen, -(-999900)
+    with pytest.raises(ValueError):
+        parse_uci_score("info depth 20 pv e2e4", w)
+
+
+def test_uci_fetch_fn_against_fake_engine(fake_engine):
+    fetch = uci_fetch_fn(fake_engine, depth=20)
+    w = "rnbqkbnr/pppppppp/8/8/4P3/8/PPPP1PPP/RNBQKBNR w KQkq - 0"
+    b = "rnbqkbnr/pp1ppppp/8/2p5/4P3/8/PPPP1PPP/RNBQKBNR b KQkq - 0"
+    mate = "8/8/8/8/8/5K2/6Q1/7k w - - 0"
+    assert fetch(w) == (_expected_cp(w), 20)
+    assert fetch(b) == (_expected_cp(b), 20)  # sign flipped
+    assert fetch(mate) == (9999.0, 20)
+    # takes the LAST info line (depth 20), not the depth-19 one
+    assert fetch(w)[0] == _expected_cp(w)
+
+
+def test_fetch_missing_with_uci_engine(spark, fake_engine):
+    # the production wiring: FEN frame -> mapInPandas -> one engine
+    # per worker, reused across the partition's rows
+    from chess_pipeline_spark.operators.evals import fetch_missing
+
+    fens = [
+        "rnbqkbnr/pppppppp/8/8/4P3/8/PPPP1PPP/RNBQKBNR w KQkq - 0",
+        "rnbqkbnr/pp1ppppp/8/2p5/4P3/8/PPPP1PPP/RNBQKBNR b KQkq - 0",
+        "8/8/8/8/8/5K2/6Q1/7k w - - 0",
+    ]
+    df = spark.createDataFrame([(f,) for f in fens], "fen string")
+    got = {
+        r.fen: (r.evaluation, r.eval_depth)
+        for r in fetch_missing(df, fetch_fn=uci_fetch_fn(fake_engine)).collect()
+    }
+    assert got[fens[0]] == (_expected_cp(fens[0]), 20)
+    assert got[fens[1]] == (_expected_cp(fens[1]), 20)
+    assert got[fens[2]] == (9999.0, 20)
+
+
+def test_engine_binary_from_env(fake_engine, monkeypatch):
+    # the documented production hook
+    monkeypatch.setenv("SPARK_GRAFT_STOCKFISH", fake_engine)
+    binary = os.environ["SPARK_GRAFT_STOCKFISH"]
+    fetch = uci_fetch_fn(binary, depth=20)
+    w = "rnbqkbnr/pppppppp/8/8/8/8/PPPPPPPP/RNBQKBNR w KQkq - 0"
+    assert fetch(w) == (_expected_cp(w), 20)
