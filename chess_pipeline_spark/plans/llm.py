@@ -1578,8 +1578,16 @@ def component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
         )
     ).localCheckpoint()  # the LSH pipeline runs ONCE, not per round
-    nodes = edges.select(F.col("doc_a").alias("doc_id")).distinct()
-    labels = nodes.withColumn("label", F.col("doc_id"))
+    # round-0 hook folded into initialization: every node starts at
+    # min(itself, its neighbors) — the same aggregation that would
+    # otherwise be the first loop iteration, saving one full round of
+    # checkpoint+count job latency (cliques then converge in 1 round
+    # plus the confirming pass)
+    labels = (
+        edges.groupBy("doc_a")
+        .agg(F.least(F.min("doc_b"), F.col("doc_a")).alias("label"))
+        .select(F.col("doc_a").alias("doc_id"), "label")
+    )
     max_rounds = 50  # diameter bound; near-dup cliques converge in ~2
     converged = False
     for _ in range(max_rounds):
