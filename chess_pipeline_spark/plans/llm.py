@@ -1662,8 +1662,11 @@ def component_labels_logstep(
         .distinct()
         .localCheckpoint()
     )
-    labels = e.select(F.col("u").alias("doc_id")).distinct().withColumn(
-        "label", F.col("doc_id")
+    # same init-hook as component_labels: start at min(self, neighbors)
+    labels = (
+        e.groupBy("u")
+        .agg(F.least(F.min("v"), F.col("u")).alias("label"))
+        .select(F.col("u").alias("doc_id"), "label")
     )
     converged = False
     for _ in range(max_rounds):
