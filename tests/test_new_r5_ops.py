@@ -203,6 +203,7 @@ def test_paragraph_dedup_boilerplate_skew(spark, tmp_path):
     for d in range(60):
         unique = " ".join(f"u{d}x{i}" for i in range(_PARA_WORDS))
         rows.append((d, boiler + " " + unique))
+    rows.append((60, None))  # NULL text: (0, 0, NULL) via the left join
     d = tmp_path / "skew"
     d.mkdir()
     pq.write_table(
@@ -212,7 +213,9 @@ def test_paragraph_dedup_boilerplate_skew(spark, tmp_path):
                 "text": pa.array([r[1] for r in rows], pa.string()),
                 "lang": pa.array(["en"] * len(rows), pa.string()),
                 "source": pa.array(["s"] * len(rows), pa.string()),
-                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+                "n_chars": pa.array(
+                    [len(r[1]) if r[1] else 0 for r in rows], pa.int64()
+                ),
             }
         ),
         str(d / "documents.parquet"),
@@ -221,6 +224,7 @@ def test_paragraph_dedup_boilerplate_skew(spark, tmp_path):
     assert got[0].n_dup_chunks == 0 and got[0].n_chunks == 2
     for i in range(1, 60):
         assert (got[i].n_chunks, got[i].n_dup_chunks) == (2, 1), i
+    assert (got[60].n_chunks, got[60].n_dup_chunks, got[60].kept_hash) == (0, 0, None)
 
 
 def test_semdedup_zero_vector_cross_engine(spark, tmp_path):
