@@ -707,6 +707,55 @@ _PARA_WORDS = 20  # chunk width in words; real corpora split on \n\n —
                   # so a fixed-width word chunker stands in
 
 
+def paragraph_chunks(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, chunk_idx, chunk): the fixed-width
+    word chunker as a row-local scan-stage explode. NULL-text docs
+    produce no chunks (paragraph_rollup restores their verdict row)."""
+    w = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    return w.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, int((size(ws) - 1) / {_PARA_WORDS})), "
+                f"i -> array_join(slice(ws, i * {_PARA_WORDS} + 1, {_PARA_WORDS}), ' '))"
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+
+
+def paragraph_rollup(docs: DataFrame, flagged: DataFrame) -> DataFrame:
+    """flagged: (doc_id, chunk_idx, chunk, is_dup) -> one verdict row
+    per input document: (doc_id, n_chunks, n_dup_chunks, kept_hash),
+    kept_hash = md5 of the surviving chunks rejoined in order (NULL
+    when nothing survives or the text was NULL)."""
+    agg = flagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_chunks"),
+        F.array_sort(
+            F.collect_list(
+                F.when(~F.col("is_dup"), F.struct("chunk_idx", "chunk"))
+            )
+        ).alias("kept"),
+    )
+    kept_hash = F.when(F.size("kept") > 0, F.md5(
+        F.array_join(F.expr("transform(kept, k -> k.chunk)"), " ")
+    ))
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_chunks", F.lit(0)).cast("long").alias("n_chunks"),
+            F.coalesce("n_dup_chunks", F.lit(0)).cast("long").alias("n_dup_chunks"),
+            kept_hash.alias("kept_hash"),
+        )
+    )
+
+
 def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-document exact dedup: chunk every document, keep only the
     corpus-wide FIRST occurrence of each chunk (min doc_id, then min
@@ -720,45 +769,17 @@ def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk at any corpus size); the per-doc rollup shuffles once on
     doc_id. No self-join, no pair space at all — this is the cheapest
     dedup family in the catalog and the first pass a real pipeline
-    runs before the fuzzy ones.
+    runs before the fuzzy ones. The streaming twin
+    (streaming/jobs.py::stream_paragraph_dedup) runs the same chunker
+    and rollup against a persisted digest ledger.
     """
     d = spread(_L(spark, sf_dir, "documents"), "doc_id").select("doc_id", "text")
-    w = d.filter(F.col("text").isNotNull()).select(
-        "doc_id", F.split("text", " ").alias("ws")
-    )
-    chunks = w.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, int((size(ws) - 1) / {_PARA_WORDS})), "
-                f"i -> array_join(slice(ws, i * {_PARA_WORDS} + 1, {_PARA_WORDS}), ' '))"
-            )
-        ).alias("chunk_idx", "chunk"),
-    )
+    chunks = paragraph_chunks(d)
     win = Window.partitionBy(F.md5("chunk")).orderBy("doc_id", "chunk_idx")
-    marked = chunks.withColumn("rn", F.row_number().over(win))
-    agg = marked.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_chunks"),
-        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
-        .cast("long")
-        .alias("n_dup_chunks"),
-        F.array_sort(
-            F.collect_list(F.when(F.col("rn") == 1, F.struct("chunk_idx", "chunk")))
-        ).alias("kept"),
+    flagged = chunks.withColumn("rn", F.row_number().over(win)).withColumn(
+        "is_dup", F.col("rn") > 1
     )
-    kept_hash = F.when(F.size("kept") > 0, F.md5(
-        F.array_join(F.expr("transform(kept, k -> k.chunk)"), " ")
-    ))
-    return (
-        d.select("doc_id")
-        .join(agg, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_chunks", F.lit(0)).cast("long").alias("n_chunks"),
-            F.coalesce("n_dup_chunks", F.lit(0)).cast("long").alias("n_dup_chunks"),
-            kept_hash.alias("kept_hash"),
-        )
-    )
+    return paragraph_rollup(d, flagged)
 
 
 PARAGRAPH_DEDUP_SQL = f"""

@@ -311,3 +311,59 @@ def stream_ingest_dedup(docs: DataFrame, index_path: str, verdicts_path: str):
         sig.unpersist()
 
     return docs.writeStream.foreachBatch(_process)
+
+
+def stream_paragraph_dedup(docs: DataFrame, ledger_path: str, verdicts_path: str):
+    """Continuous paragraph-level dedup: each micro-batch's chunks
+    are checked against a persisted chunk-DIGEST ledger (never chunk
+    bodies), first-occurrence within the batch resolves by
+    (doc_id, chunk_idx), and the batch's newly-seen digests append
+    to the ledger — the streaming twin of plans.corpus.
+    paragraph_dedup. With doc-id-ordered arrival the verdicts equal
+    the batch query's exactly (the equivalence the test replays).
+
+    100 TB shape: the ledger is 32 bytes per distinct chunk ever
+    seen; the membership check is an equi-join on the digest where
+    the batch side is small and broadcasts. At real scale the ledger
+    partitions by digest prefix so a batch touches only its buckets.
+    """
+    import pyspark.sql.functions as F
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import Window
+
+    from chess_pipeline_spark.plans.corpus import (
+        paragraph_chunks,
+        paragraph_rollup,
+    )
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        d = batch.select("doc_id", "text")
+        chunks = paragraph_chunks(d).withColumn("digest", F.md5("chunk"))
+        try:
+            ledger = spark.read.parquet(ledger_path).select(
+                "digest", F.lit(True).alias("in_ledger")
+            )
+        except AnalysisException:
+            ledger = spark.createDataFrame([], "digest string, in_ledger boolean")
+        win = Window.partitionBy("digest").orderBy("doc_id", "chunk_idx")
+        flagged = (
+            chunks.join(ledger, "digest", "left")
+            .withColumn("rn", F.row_number().over(win))
+            .withColumn(
+                "is_dup",
+                F.coalesce(F.col("in_ledger"), F.lit(False)) | (F.col("rn") > 1),
+            )
+        )
+        verdicts = paragraph_rollup(d, flagged).withColumn(
+            "batch_id", F.lit(batch_id)
+        )
+        verdicts.write.mode("append").parquet(verdicts_path)
+        new_digests = (
+            flagged.filter((F.col("rn") == 1) & F.col("in_ledger").isNull())
+            .select("digest")
+            .distinct()
+        )
+        new_digests.write.mode("append").parquet(ledger_path)
+
+    return docs.writeStream.foreachBatch(_process)

@@ -228,3 +228,56 @@ def test_stream_ingest_dedup_matches_incremental_batch(spark, sf_dir, tmp_path):
         for r in got[got["batch_id"] == 1].itertuples(index=False)
     }
     assert b1 == expected
+
+
+def test_stream_paragraph_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """Two doc-id-ordered micro-batches through the chunk-digest
+    ledger must reproduce the batch paragraph_dedup verdicts exactly
+    (n_chunks, n_dup_chunks, kept_hash per document)."""
+    import os
+    import time
+
+    import pyspark.sql.functions as F
+
+    from chess_pipeline_spark.plans.corpus import paragraph_dedup
+    from chess_pipeline_spark.sources import load_table
+    from chess_pipeline_spark.streaming.jobs import (
+        read_documents_stream,
+        stream_paragraph_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    docs.filter(F.col("doc_id") < 250).toPandas().to_parquet(
+        str(src / "b0.parquet")
+    )
+    docs.filter(F.col("doc_id") >= 250).toPandas().to_parquet(
+        str(src / "b1.parquet")
+    )
+    now = time.time()
+    os.utime(src / "b0.parquet", (now - 60, now - 60))
+    os.utime(src / "b1.parquet", (now, now))
+
+    stream = read_documents_stream(
+        spark, str(src), glob="*.parquet", max_files_per_trigger=1
+    )
+    q = (
+        stream_paragraph_dedup(
+            stream, str(tmp_path / "ledger"), str(tmp_path / "verdicts")
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt_pd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        r.doc_id: (r.n_chunks, r.n_dup_chunks, r.kept_hash)
+        for r in spark.read.parquet(str(tmp_path / "verdicts")).collect()
+    }
+    expected = {
+        r.doc_id: (r.n_chunks, r.n_dup_chunks, r.kept_hash)
+        for r in paragraph_dedup(spark, sf_dir).collect()
+    }
+    assert got == expected
