@@ -205,19 +205,9 @@ def run_corpus_etl(
 
     para_dropped = None
     if drop_dup_paragraphs:
-        from chess_pipeline_spark.plans.corpus import _PARA_WORDS
+        from chess_pipeline_spark.plans.corpus import paragraph_chunks
 
-        w = deduped.select("doc_id", "source", F.split("text", " ").alias("ws"))
-        chunks = w.select(
-            "doc_id",
-            "source",
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(0, int((size(ws) - 1) / {_PARA_WORDS})), "
-                    f"i -> array_join(slice(ws, i * {_PARA_WORDS} + 1, {_PARA_WORDS}), ' '))"
-                )
-            ).alias("chunk_idx", "chunk"),
-        )
+        chunks = paragraph_chunks(deduped, carry=("source",))
         cwin = Window.partitionBy(F.md5("chunk")).orderBy("doc_id", "chunk_idx")
         rebuilt = (
             chunks.withColumn("rn", F.row_number().over(cwin))

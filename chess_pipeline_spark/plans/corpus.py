@@ -707,15 +707,18 @@ _PARA_WORDS = 20  # chunk width in words; real corpora split on \n\n —
                   # so a fixed-width word chunker stands in
 
 
-def paragraph_chunks(docs: DataFrame) -> DataFrame:
-    """(doc_id, text) -> (doc_id, chunk_idx, chunk): the fixed-width
-    word chunker as a row-local scan-stage explode. NULL-text docs
-    produce no chunks (paragraph_rollup restores their verdict row)."""
+def paragraph_chunks(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id, text) -> (doc_id, *carry, chunk_idx, chunk): the
+    fixed-width word chunker as a row-local scan-stage explode.
+    NULL-text docs produce no chunks (paragraph_rollup restores their
+    verdict row); `carry` columns ride along so callers don't need a
+    join-back."""
     w = docs.filter(F.col("text").isNotNull()).select(
-        "doc_id", F.split("text", " ").alias("ws")
+        "doc_id", *carry, F.split("text", " ").alias("ws")
     )
     return w.select(
         "doc_id",
+        *carry,
         F.posexplode(
             F.expr(
                 f"transform(sequence(0, int((size(ws) - 1) / {_PARA_WORDS})), "
