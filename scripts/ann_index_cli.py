@@ -1,0 +1,99 @@
+#!/usr/bin/env python3
+"""CLI for the persisted IVF similarity index (ann_index.py):
+
+  build: embeddings parquet dir -> {out}/lists (corpus partitioned by
+         nearest-centroid list; probes dynamic-prune to their lists)
+         + {out}/centroids (broadcast-sized summary). Optional Lloyd
+         refinement of the deterministic lowest-id seeds.
+  probe: top-k cosine neighbors for a set of query vector ids,
+         printed as JSON lines (qid, neighbor_id, cos_sim, rank).
+
+Usage:
+  python scripts/ann_index_cli.py build --sf-dir /root/testdata/sf0.01 \
+      --out /data/ivf --n-lists 8 --lloyd 2
+  python scripts/ann_index_cli.py probe --sf-dir /root/testdata/sf0.01 \
+      --index /data/ivf --query-ids 0,1,2 --k 5 --nprobe 2
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def run_build(args: argparse.Namespace, spark=None) -> int:
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from chess_pipeline_spark.ann_index import build_ivf_index
+    from chess_pipeline_spark.session import get_spark
+    from chess_pipeline_spark.sources import load_table
+
+    spark = spark or get_spark(app_name="ann-index-build")
+    corpus = load_table(spark, args.sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    build_ivf_index(
+        corpus, args.out, n_lists=args.n_lists, lloyd_iterations=args.lloyd
+    )
+    print(f"wrote lists + centroids under {args.out}")
+    return 0
+
+
+def run_probe(args: argparse.Namespace, spark=None) -> int:
+    import pyspark.sql.functions as F
+
+    from chess_pipeline_spark.ann_index import probe_ivf_index
+    from chess_pipeline_spark.session import get_spark
+    from chess_pipeline_spark.sources import load_table
+
+    spark = spark or get_spark(app_name="ann-index-probe")
+    qids = [int(x) for x in args.query_ids.split(",") if x.strip()]
+    queries = (
+        load_table(spark, args.sf_dir, "embeddings")
+        .filter(F.col("vec_id").isin(qids))
+        .select(F.col("vec_id").alias("qid"), "embedding")
+    )
+    out = probe_ivf_index(
+        spark, args.index, queries, k=args.k, nprobe=args.nprobe, id_col="qid"
+    )
+    for r in out.orderBy("qid", "rank").collect():
+        print(
+            json.dumps(
+                {
+                    "qid": r.qid,
+                    "neighbor_id": r.neighbor_id,
+                    "cos_sim": r.cos_sim,
+                    "rank": r.rank,
+                }
+            )
+        )
+    return 0
+
+
+def main(argv: list[str] | None = None, spark=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="embeddings -> partitioned IVF index")
+    b.add_argument("--sf-dir", required=True)
+    b.add_argument("--out", required=True)
+    b.add_argument("--n-lists", type=int, default=8)
+    b.add_argument("--lloyd", type=int, default=0, help="Lloyd refinement iterations")
+
+    q = sub.add_parser("probe", help="top-k neighbors for query vector ids")
+    q.add_argument("--sf-dir", required=True)
+    q.add_argument("--index", required=True)
+    q.add_argument("--query-ids", required=True, help="comma-separated vec_ids")
+    q.add_argument("--k", type=int, default=5)
+    q.add_argument("--nprobe", type=int, default=1)
+
+    args = p.parse_args(argv)
+    return run_build(args, spark) if args.cmd == "build" else run_probe(args, spark)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -81,3 +81,30 @@ def test_split_pgn_games():
     games = run_etl._split_pgn_games(PGN_FULL + "\n\n" + PGN_MATE)
     assert len(games) == 2
     assert games[0].startswith("[Event") and games[1].startswith("[Event")
+
+
+def test_cli_ann_index_build_probe(spark, sf_dir, tmp_path, capsys):
+    import json as _json
+
+    import ann_index_cli
+
+    idx = str(tmp_path / "ivf")
+    rc = ann_index_cli.main(
+        ["build", "--sf-dir", sf_dir, "--out", idx, "--n-lists", "8"],
+        spark=spark,
+    )
+    assert rc == 0
+    rc = ann_index_cli.main(
+        ["probe", "--sf-dir", sf_dir, "--index", idx,
+         "--query-ids", "0,1,2", "--k", "3"],
+        spark=spark,
+    )
+    assert rc == 0
+    lines = [
+        _json.loads(ln)
+        for ln in capsys.readouterr().out.splitlines()
+        if ln.startswith("{")
+    ]
+    assert lines and {r["qid"] for r in lines} <= {0, 1, 2}
+    for r in lines:
+        assert 1 <= r["rank"] <= 3 and r["neighbor_id"] != r["qid"]
