@@ -79,6 +79,10 @@ _DEMOTED: tuple[str, ...] = (
     "embedding_near_dup_cosine",
     "eval_comment_parse",
     "top3_orders_per_customer",
+    # --- added late in r5 (start demoted with local oracle rows;
+    # rotate into the window in r6 per the established cadence) ---
+    "events_gap_detection",
+    "orders_retention_cohort",
 )
 
 # For every demoted query: the IN-WINDOW queries that keep its SURVEY
@@ -148,6 +152,10 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     "eval_comment_parse": ("scalar_feature_sampler", "pii_redact_stats"),
     # W1/O2-O3 posexplode rank + top-k → chunk posexplode, ranked terms
     "top3_orders_per_customer": ("zip_explode_lockstep", "tfidf_top_terms"),
+    # staged r5 additions, not rotations: their op families are
+    # meanwhile represented in-window by these relatives
+    "events_gap_detection": ("clock_lead_fill", "events_sessionized"),
+    "orders_retention_cohort": ("event_funnel", "win_ratio_by_status"),
 }
 
 

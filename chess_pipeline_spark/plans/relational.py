@@ -1021,8 +1021,58 @@ GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 """
 
 
+def orders_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: customers grouped by the month of
+    their FIRST order; for each (cohort, month-offset) cell, how many
+    of that cohort's customers placed an order — the classic
+    retention/engagement rollup every analytics warehouse runs.
+
+    Cross-engine exactness: the cohort key is a formatted yyyy-MM
+    string and the offset is pure integer month arithmetic
+    (year*12 + month differences) — no interval/months_between
+    floats to diverge. Plan: one shuffle for the per-customer min
+    (map-side partial min), the join back is co-keyed on o_custkey
+    (AQE picks the strategy), one final cohort-cell aggregation.
+    """
+    o = _L(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    firsts = o.groupBy("o_custkey").agg(F.min("o_orderdate").alias("first_dt"))
+    j = o.join(firsts, "o_custkey")
+    months = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    cohort_months = F.year("first_dt") * 12 + F.month("first_dt")
+    return (
+        j.select(
+            F.date_format("first_dt", "yyyy-MM").alias("cohort_month"),
+            (months - cohort_months).cast("int").alias("month_offset"),
+            "o_custkey",
+        )
+        .groupBy("cohort_month", "month_offset")
+        .agg(
+            F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+            F.count("*").cast("long").alias("n_orders"),
+        )
+    )
+
+
+ORDERS_RETENTION_COHORT_SQL = """
+WITH firsts AS (
+  SELECT o_custkey, min(o_orderdate) AS first_dt
+  FROM orders GROUP BY o_custkey)
+SELECT strftime(first_dt, '%Y-%m') AS cohort_month,
+       CAST((year(o_orderdate) * 12 + month(o_orderdate))
+            - (year(first_dt) * 12 + month(first_dt)) AS INTEGER)
+         AS month_offset,
+       CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "win_ratio_by_status": QuerySpec(win_ratio_by_status, WIN_RATIO_SQL, "A1 A2 E5 P7"),
+    "orders_retention_cohort": QuerySpec(
+        orders_retention_cohort, ORDERS_RETENTION_COHORT_SQL, "cohort ext J4 A1"
+    ),
     "pricing_summary": QuerySpec(pricing_summary, PRICING_SUMMARY_SQL, "A3 P3"),
     "top_customer_revenue": QuerySpec(
         top_customer_revenue, TOP_CUSTOMER_REVENUE_SQL, "J5 A1 O1 O3"

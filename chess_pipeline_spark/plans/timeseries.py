@@ -562,9 +562,57 @@ GROUP BY 1
 """
 
 
+_GAP_SEC = 3600  # report silences longer than an hour
+
+
+def events_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heartbeat-gap detection: per user, consecutive-event pairs
+    whose time gap exceeds a threshold — the TSDB monitoring staple
+    (missed heartbeats, dead sensors, churn precursors).
+
+    Determinism: the lag frame orders by (ts_sec, event_id), a total
+    order; NULL-ts rows are excluded explicitly on BOTH engines
+    (Spark sorts nulls first, DuckDB last — filtering is the only
+    portable semantic). Plan: ONE keyed shuffle on user_id, one
+    window pass, filter in the same stage.
+    """
+    ev = (
+        _L(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts_sec")
+        .filter(F.col("ts_sec").isNotNull())
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    out = ev.select(
+        "user_id",
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        F.col("event_id"),
+        (F.col("ts_sec") - F.lag("ts_sec").over(w)).alias("gap_sec"),
+    )
+    return out.filter(F.col("gap_sec") > _GAP_SEC)
+
+
+EVENTS_GAP_DETECTION_SQL = f"""
+WITH t AS (
+  SELECT event_id, user_id, {_TS_SEC} AS ts_sec
+  FROM events WHERE ts IS NOT NULL),
+g AS (
+  SELECT user_id,
+         lag(event_id) OVER w AS prev_event_id,
+         event_id,
+         ts_sec - lag(ts_sec) OVER w AS gap_sec
+  FROM t
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id))
+SELECT user_id, prev_event_id, event_id, gap_sec
+FROM g WHERE gap_sec > {_GAP_SEC}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "value_stats_by_weekday": QuerySpec(
         value_stats_by_weekday, VALUE_STATS_BY_WEEKDAY_SQL, "A3 F9"
+    ),
+    "events_gap_detection": QuerySpec(
+        events_gap_detection, EVENTS_GAP_DETECTION_SQL, "tsdb-gap ext W2"
     ),
     "weekday_recode": QuerySpec(weekday_recode, WEEKDAY_RECODE_SQL, "F9 P8"),
     "events_tumbling_1h": QuerySpec(
