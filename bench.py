@@ -83,10 +83,12 @@ EXTENDED = [
     "dedup_incremental_simhash",
     "embedding_random_projection",
     # round-5 additions: sub-document dedup, per-item semantic dedup,
-    # row-local PII scrub
+    # row-local PII scrub, TSDB gap detection, retention cohorts
     "paragraph_dedup",
     "semdedup_embedding",
     "pii_redact_stats",
+    "events_gap_detection",
+    "orders_retention_cohort",
 ]
 
 
