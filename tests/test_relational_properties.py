@@ -260,6 +260,7 @@ _RELATIONAL_QUERIES = (
     "zip_explode_lockstep",
     "union_by_name",
     "scalar_feature_sampler",
+    "orders_retention_cohort",
 )
 
 _EVENTS_QUERIES = (
@@ -273,6 +274,7 @@ _EVENTS_QUERIES = (
     "events_rolling_zscore",
     "events_ohlc_hourly",
     "events_time_weighted_avg",
+    "events_gap_detection",
 )
 
 
