@@ -214,6 +214,23 @@ def test_semdedup_joins_are_keyed(spark, sf_dir):
     assert "row_number" not in plan
 
 
+def test_gap_detection_single_window_pass(spark, sf_dir):
+    # one keyed shuffle on user_id, one window, the gap filter fused
+    # into the same stage — no join anywhere
+    plan = _plan(spark, sf_dir, "events_gap_detection")
+    assert _required_shuffles(plan) == 1
+    assert "Window" in plan and "Join" not in plan
+
+
+def test_retention_cohort_partial_aggs_no_cartesian(spark, sf_dir):
+    # the per-customer min must partial-aggregate map-side; the join
+    # back is an equi-join on o_custkey; no nested loop
+    plan = _plan(spark, sf_dir, "orders_retention_cohort")
+    assert "partial_min" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_interval_join_is_equi_not_nested_loop(spark, sf_dir):
     # the bin-bucketing rewrite must produce a hash/sort-merge
     # equi-join on (user_id, bin); a raw range predicate would fall
