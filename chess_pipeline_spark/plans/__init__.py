@@ -83,6 +83,7 @@ _DEMOTED: tuple[str, ...] = (
     # rotate into the window in r6 per the established cadence) ---
     "events_gap_detection",
     "orders_retention_cohort",
+    "oov_rate_top1k",
 )
 
 # For every demoted query: the IN-WINDOW queries that keep its SURVEY
@@ -156,6 +157,7 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     # meanwhile represented in-window by these relatives
     "events_gap_detection": ("clock_lead_fill", "events_sessionized"),
     "orders_retention_cohort": ("event_funnel", "win_ratio_by_status"),
+    "oov_rate_top1k": ("quality_filter_verdicts", "tfidf_top_terms"),
 }
 
 

@@ -892,6 +892,75 @@ FROM r
 """
 
 
+# ------------------------------------------------------------------
+# OOV rate vs the corpus's own head vocabulary
+# ------------------------------------------------------------------
+
+_OOV_TOP_K = 1000
+
+
+def oov_rate_top1k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus's own
+    top-1000 words — the tokenizer-free cousin of a perplexity
+    filter (documents full of rare tokens are boilerplate, code, or
+    noise). Integer-only arithmetic end-to-end: the head vocabulary
+    ranks by (count DESC, word ASC) — a total order — and the rate
+    is a small-denominator rational, so no transcendental or
+    engine-ordered float summation can diverge (the JL lesson).
+
+    100 TB shape: vocabulary counting is a map-side-combined shuffle
+    at vocabulary scale; the top-K set is KBs and broadcasts; the
+    per-doc membership check and rollup shuffle once on doc_id.
+    """
+    d = spread(_L(spark, sf_dir, "documents"), "doc_id").select("doc_id", "text")
+    tokens = d.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    wvocab = Window.orderBy(F.desc("cnt"), F.asc("word"))
+    top = (
+        tokens.groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("rk", F.row_number().over(wvocab))
+        .filter(F.col("rk") <= _OOV_TOP_K)
+        .select("word", F.lit(True).alias("in_vocab"))
+    )
+    rate = F.col("n_oov") / F.col("n_words").cast("double")
+    return (
+        tokens.join(F.broadcast(top), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select("doc_id", "n_words", "n_oov", fround(rate, 6).alias("oov_rate"))
+    )
+
+
+OOV_RATE_TOP1K_SQL = f"""
+WITH tokens AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+  FROM documents WHERE text IS NOT NULL),
+vocab AS (
+  SELECT word FROM (
+    SELECT word, row_number() OVER (ORDER BY count(*) DESC, word ASC) AS rk
+    FROM tokens GROUP BY word)
+  WHERE rk <= {_OOV_TOP_K}),
+agg AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov
+  FROM tokens t LEFT JOIN vocab v ON t.word = v.word
+  GROUP BY t.doc_id)
+SELECT doc_id, n_words, n_oov,
+       floor((n_oov / CAST(n_words AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+         AS oov_rate
+FROM agg
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_keep_best": QuerySpec(
         dedup_keep_best, DEDUP_KEEP_BEST_SQL, "corpus-keep-best"
@@ -922,4 +991,5 @@ QUERIES: dict[str, QuerySpec] = {
     "pii_redact_stats": QuerySpec(
         pii_redact_stats, PII_REDACT_STATS_SQL, "corpus-pii"
     ),
+    "oov_rate_top1k": QuerySpec(oov_rate_top1k, OOV_RATE_TOP1K_SQL, "corpus-oov"),
 }

@@ -82,6 +82,7 @@ _RANDOMIZED_QUERIES = (
     "mixture_sample",
     "paragraph_dedup",
     "pii_redact_stats",
+    "oov_rate_top1k",
 )
 
 

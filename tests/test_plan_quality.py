@@ -214,6 +214,15 @@ def test_semdedup_joins_are_keyed(spark, sf_dir):
     assert "row_number" not in plan
 
 
+def test_oov_rate_vocab_broadcasts(spark, sf_dir):
+    # the head vocabulary is KBs by construction — its membership
+    # join must broadcast, and the token count partial-aggregates
+    plan = _plan(spark, sf_dir, "oov_rate_top1k")
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_gap_detection_single_window_pass(spark, sf_dir):
     # one keyed shuffle on user_id, one window, the gap filter fused
     # into the same stage — no join anywhere
