@@ -89,6 +89,7 @@ EXTENDED = [
     "pii_redact_stats",
     "events_gap_detection",
     "orders_retention_cohort",
+    "oov_rate_top1k",
 ]
 
 
