@@ -90,6 +90,7 @@ EXTENDED = [
     "events_gap_detection",
     "orders_retention_cohort",
     "oov_rate_top1k",
+    "cross_source_leakage",
 ]
 
 

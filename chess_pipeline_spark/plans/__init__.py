@@ -84,6 +84,7 @@ _DEMOTED: tuple[str, ...] = (
     "events_gap_detection",
     "orders_retention_cohort",
     "oov_rate_top1k",
+    "cross_source_leakage",
 )
 
 # For every demoted query: the IN-WINDOW queries that keep its SURVEY
@@ -158,6 +159,7 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     "events_gap_detection": ("clock_lead_fill", "events_sessionized"),
     "orders_retention_cohort": ("event_funnel", "win_ratio_by_status"),
     "oov_rate_top1k": ("quality_filter_verdicts", "tfidf_top_terms"),
+    "cross_source_leakage": ("dedup_incremental_simhash", "decontaminate_ngram_overlap"),
 }
 
 

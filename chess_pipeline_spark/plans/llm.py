@@ -730,6 +730,74 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
 
+def cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs whose two documents live in DIFFERENT
+    sources — the train/test-leakage detector. Every other near-dup
+    query here blocks on `source` (dedup within a split); leakage is
+    the opposite question, so banding runs WITHOUT the source key and
+    the pair filter keeps only cross-source hits. Same 4x7-bit
+    SimHash banding ⇒ same pigeonhole guarantee: 100% recall at
+    hamming <= 3 against the all-pairs definition the oracle
+    computes.
+
+    100 TB shape: identical to simhash_near_dup minus the source
+    block — buckets get denser (all sources share them), which is
+    the price of the cross-split question; the lever at scale is
+    wider bands (more, smaller buckets), a constant in this plan.
+    """
+    d = spread(_L(spark, sf_dir, "documents"), "doc_id")
+    bands = simhash_bands_for(simhash_signatures_for(d)).localCheckpoint()
+    a, b = bands.alias("a"), bands.alias("b")
+    # hash-join on the band bucket (the shared-bucket shape, but as a
+    # streamed join: without the source block the buckets are DENSE,
+    # and the collect_list + O(|bucket|²) lambda expansion that wins
+    # for sparse simhash buckets loses here — same lesson as the
+    # ngram posting join, measured in SCALING.md). localCheckpoint
+    # materializes the banded signatures once so the join's two sides
+    # don't recompute the signature subtree.
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.source") != F.col("b.source")),
+        )
+        .withColumn(
+            "hamming", F.expr("CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT)")
+        )
+        .filter(F.col("hamming") <= 3)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            "hamming",
+        )
+    )
+    return cand.groupBy("doc_a", "doc_b").agg(
+        F.first("source_a").alias("source_a"),
+        F.first("source_b").alias("source_b"),
+        F.first("hamming").alias("hamming"),
+    )
+
+
+CROSS_SOURCE_LEAKAGE_SQL = f"""
+WITH hashed AS (
+  SELECT doc_id, source,
+         list_transform(string_split(text, ' '),
+                        w -> {_MIX.format(h=_BASE_HASH.format(s="w"))}) AS hw
+  FROM documents),
+sig AS (
+  SELECT doc_id, source, {_simhash_expr_duckdb()} AS simhash FROM hashed)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       a.source AS source_a, b.source AS source_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND a.source <> b.source
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
 # ------------------------------------------------------------------
 # Incremental near-dedup: new batch vs existing corpus
 # ------------------------------------------------------------------
@@ -1918,6 +1986,9 @@ QUERIES: dict[str, QuerySpec] = {
         minhash_lsh_candidates, MINHASH_LSH_CANDIDATES_SQL, "llm-minhash-lsh"
     ),
     "simhash_near_dup": QuerySpec(simhash_near_dup, SIMHASH_NEAR_DUP_SQL, "llm-simhash"),
+    "cross_source_leakage": QuerySpec(
+        cross_source_leakage, CROSS_SOURCE_LEAKAGE_SQL, "llm-leakage"
+    ),
     "dedup_incremental_simhash": QuerySpec(
         dedup_incremental_simhash,
         DEDUP_INCREMENTAL_SIMHASH_SQL,

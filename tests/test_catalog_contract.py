@@ -123,6 +123,7 @@ FROZEN_ORDER: tuple[str, ...] = (
     "events_gap_detection",
     "orders_retention_cohort",
     "oov_rate_top1k",
+    "cross_source_leakage",
 )
 
 
@@ -135,7 +136,7 @@ def test_driver_window_r5_rotation():
     # additions are IN, as are the three operators built new in r5;
     # everything rotated out is r4 AND r2-or-r3 green (verified
     # against the CORRECTNESS files at rotation time)
-    assert len(FROZEN_ORDER) - DRIVER_WINDOW == 34
+    assert len(FROZEN_ORDER) - DRIVER_WINDOW == 35
     in_window = set(FROZEN_ORDER[:DRIVER_WINDOW])
     for newcomer in (
         "decontaminate_ngram_overlap",

@@ -101,3 +101,26 @@ def test_incremental_simhash_recall_exact(spark, sf_dir):
     # non-dup batch rows still present, flagged false with NULL fields
     not_dup = [r for r in out if not r.is_dup]
     assert all(r.dup_of is None and r.hamming is None for r in not_dup)
+
+
+def test_cross_source_leakage_recall_exact(spark, sf_dir):
+    # the leakage flavor bands WITHOUT the source key; pigeonhole
+    # recall must still be exact against cross-source all-pairs
+    from chess_pipeline_spark.plans.llm import cross_source_leakage
+
+    sigs = _signatures(spark, sf_dir)
+    expected = {}
+    xs = sorted(sigs)
+    for i, (da, sa, ha) in enumerate(xs):
+        for db, sb, hb in xs[i + 1 :]:
+            if sa == sb:
+                continue
+            hd = _hamming(ha, hb)
+            if hd <= 3:
+                expected[(da, db)] = hd
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in cross_source_leakage(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert expected, "no cross-source near-dups in fixture"
