@@ -91,6 +91,8 @@ EXTENDED = [
     "orders_retention_cohort",
     "oov_rate_top1k",
     "cross_source_leakage",
+    "boilerplate_chunk_removal",
+    "corpus_composition",
 ]
 
 

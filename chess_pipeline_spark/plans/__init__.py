@@ -85,6 +85,8 @@ _DEMOTED: tuple[str, ...] = (
     "orders_retention_cohort",
     "oov_rate_top1k",
     "cross_source_leakage",
+    "boilerplate_chunk_removal",
+    "corpus_composition",
 )
 
 # For every demoted query: the IN-WINDOW queries that keep its SURVEY
@@ -160,6 +162,8 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     "orders_retention_cohort": ("event_funnel", "win_ratio_by_status"),
     "oov_rate_top1k": ("quality_filter_verdicts", "tfidf_top_terms"),
     "cross_source_leakage": ("dedup_incremental_simhash", "decontaminate_ngram_overlap"),
+    "boilerplate_chunk_removal": ("paragraph_dedup", "ngram_jaccard_near_dup"),
+    "corpus_composition": ("quality_filter_verdicts", "mixture_sample"),
 }
 
 

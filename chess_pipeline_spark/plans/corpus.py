@@ -961,6 +961,161 @@ FROM agg
 """
 
 
+# ------------------------------------------------------------------
+# Corpus-frequency boilerplate removal (RefinedWeb repeated-line rule)
+# ------------------------------------------------------------------
+
+_BOILER_MIN_DOCS = 2  # a chunk in >= this many DISTINCT docs is boilerplate
+
+
+def boilerplate_chunk_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remove chunks whose cross-document frequency marks them as
+    template boilerplate (nav bars, license headers, cookie banners)
+    — the RefinedWeb repeated-line rule. Distinct from
+    paragraph_dedup, which KEEPS the first occurrence of each
+    repeated chunk: here every occurrence of a chunk seen in
+    >= _BOILER_MIN_DOCS distinct documents is dropped, including the
+    first (a license header is noise in all of its hosts, not just
+    the copies). Frequency counts distinct documents, so a doc
+    repeating its own chunk is repetition (repetition_stats' job),
+    not boilerplate.
+
+    Output per input document: (doc_id, n_chunks, n_boiler_chunks,
+    kept_hash) with kept_hash = md5 of the surviving chunks rejoined
+    in order (NULL when nothing survives or the text was NULL).
+
+    100 TB shape: chunking is a row-local scan-stage explode; the
+    digest-frequency aggregate shuffles 32-byte digests with
+    map-side combine; the surviving boilerplate set is tiny
+    (high-frequency chunks are by definition few) and broadcasts
+    back onto the chunk stream; the per-doc rollup shuffles once on
+    doc_id. No self-join, no pair space.
+    """
+    d = spread(_L(spark, sf_dir, "documents"), "doc_id").select("doc_id", "text")
+    chunks = paragraph_chunks(d).withColumn("dg", F.md5("chunk"))
+    boiler = (
+        chunks.groupBy("dg")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= _BOILER_MIN_DOCS)
+        .select("dg")
+    )
+    flagged = (
+        chunks.join(F.broadcast(boiler.withColumn("hit", F.lit(True))), "dg", "left")
+        .withColumn("is_dup", F.col("hit").isNotNull())
+    )
+    return paragraph_rollup(d, flagged).withColumnRenamed(
+        "n_dup_chunks", "n_boiler_chunks"
+    )
+
+
+BOILERPLATE_CHUNK_REMOVAL_SQL = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws
+  FROM documents WHERE text IS NOT NULL),
+ch AS (
+  SELECT doc_id, CAST(t.i AS BIGINT) AS chunk_idx,
+         array_to_string(
+           ws[(CAST(t.i AS BIGINT) * {_PARA_WORDS} + 1):
+              (CAST(t.i AS BIGINT) * {_PARA_WORDS} + {_PARA_WORDS})], ' ') AS chunk
+  FROM w, LATERAL unnest(range(0, (len(ws) - 1) // {_PARA_WORDS} + 1)) AS t(i)),
+boiler AS (
+  SELECT md5(chunk) AS dg FROM ch
+  GROUP BY md5(chunk)
+  HAVING count(DISTINCT doc_id) >= {_BOILER_MIN_DOCS}),
+flagged AS (
+  SELECT c.doc_id, c.chunk_idx, c.chunk, b.dg IS NOT NULL AS is_dup
+  FROM ch c LEFT JOIN boiler b ON md5(c.chunk) = b.dg),
+agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_chunks,
+         CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_boiler_chunks,
+         md5(string_agg(CASE WHEN NOT is_dup THEN chunk END, ' '
+                        ORDER BY chunk_idx)) AS kept_hash
+  FROM flagged GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(a.n_chunks, 0) AS n_chunks,
+       coalesce(a.n_boiler_chunks, 0) AS n_boiler_chunks,
+       a.kept_hash
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+# ------------------------------------------------------------------
+# Corpus composition report (the dataset card)
+# ------------------------------------------------------------------
+
+_COMP_BUCKET_CHARS = 200  # length-bucket width in characters
+
+
+def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card composition report: documents, characters, and
+    whitespace words per (source, lang, length-bucket) cell, plus
+    each cell's share of the corpus — the first table a dataset
+    audit prints and the input to mixture re-weighting decisions.
+
+    100 TB shape: one map-side-combined groupBy at cell scale (a few
+    hundred rows regardless of corpus size); the global total joins
+    back as a broadcast single-row aggregate (the same shape the
+    TF-IDF idf join uses). The share is a small-denominator rational
+    rounded on the fixed 1e-6 grid, so there is no float
+    summation-order hazard for the oracle to diverge on.
+    """
+    d = spread(_L(spark, sf_dir, "documents"), "doc_id")
+    words = (
+        F.when(F.col("text").isNotNull(), F.size(F.split("text", " ")))
+        .otherwise(0)
+        .cast("long")
+    )
+    cells = (
+        d.select(
+            "source",
+            "lang",
+            F.floor(F.col("n_chars") / F.lit(float(_COMP_BUCKET_CHARS)))
+            .cast("long")
+            .alias("len_bucket"),
+            words.alias("nw"),
+            "n_chars",
+        )
+        .groupBy("source", "lang", "len_bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum("nw").cast("long").alias("total_words"),
+        )
+    )
+    total = d.groupBy().agg(F.count("*").alias("corpus_docs"))
+    share = F.col("n_docs") / F.col("corpus_docs").cast("double")
+    return cells.crossJoin(F.broadcast(total)).select(
+        "source",
+        "lang",
+        "len_bucket",
+        "n_docs",
+        "total_chars",
+        "total_words",
+        fround(share, 6).alias("doc_share"),
+    )
+
+
+CORPUS_COMPOSITION_SQL = f"""
+WITH cells AS (
+  SELECT source, lang,
+         CAST(floor(n_chars / {float(_COMP_BUCKET_CHARS)}) AS BIGINT)
+           AS len_bucket,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         CAST(sum(CASE WHEN text IS NULL THEN 0
+                       ELSE len(string_split(text, ' ')) END) AS BIGINT)
+           AS total_words
+  FROM documents GROUP BY 1, 2, 3),
+total AS (SELECT count(*) AS corpus_docs FROM documents)
+SELECT source, lang, len_bucket, n_docs, total_chars, total_words,
+       floor((n_docs / CAST(corpus_docs AS DOUBLE)) * 1000000.0 + 0.5)
+         / 1000000.0 AS doc_share
+FROM cells, total
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_keep_best": QuerySpec(
         dedup_keep_best, DEDUP_KEEP_BEST_SQL, "corpus-keep-best"
@@ -992,4 +1147,12 @@ QUERIES: dict[str, QuerySpec] = {
         pii_redact_stats, PII_REDACT_STATS_SQL, "corpus-pii"
     ),
     "oov_rate_top1k": QuerySpec(oov_rate_top1k, OOV_RATE_TOP1K_SQL, "corpus-oov"),
+    "boilerplate_chunk_removal": QuerySpec(
+        boilerplate_chunk_removal,
+        BOILERPLATE_CHUNK_REMOVAL_SQL,
+        "corpus-boilerplate",
+    ),
+    "corpus_composition": QuerySpec(
+        corpus_composition, CORPUS_COMPOSITION_SQL, "corpus-card"
+    ),
 }

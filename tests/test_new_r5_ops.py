@@ -261,3 +261,105 @@ def test_semdedup_zero_vector_cross_engine(spark, tmp_path):
         for r in catalog()["semdedup_embedding"].spark(spark, str(d)).collect()
     }
     assert out[4] is True and out[2] is False
+
+
+def test_boilerplate_removal_matches_bruteforce(spark, sf_dir):
+    # brute-force the RefinedWeb repeated-line rule: chunk every doc,
+    # count DISTINCT docs per chunk, drop every occurrence of chunks
+    # seen in >= _BOILER_MIN_DOCS docs (including the first — the
+    # defining difference from paragraph_dedup's keep-first sweep)
+    from chess_pipeline_spark.plans.corpus import (
+        _BOILER_MIN_DOCS,
+        boilerplate_chunk_removal,
+    )
+
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    chunks_of: dict[int, list[str]] = {}
+    doc_freq: dict[str, set[int]] = {}
+    for doc_id, text in docs.items():
+        if text is None:
+            chunks_of[doc_id] = []
+            continue
+        ws = text.split(" ")
+        cs = [
+            " ".join(ws[i : i + _PARA_WORDS])
+            for i in range(0, len(ws), _PARA_WORDS)
+        ]
+        chunks_of[doc_id] = cs
+        for c in cs:
+            doc_freq.setdefault(c, set()).add(doc_id)
+    boiler = {c for c, d in doc_freq.items() if len(d) >= _BOILER_MIN_DOCS}
+    expected = {}
+    for doc_id, cs in chunks_of.items():
+        kept = [c for c in cs if c not in boiler]
+        kept_hash = (
+            hashlib.md5(" ".join(kept).encode()).hexdigest() if kept else None
+        )
+        expected[doc_id] = (len(cs), len(cs) - len(kept), kept_hash)
+    got = {
+        r.doc_id: (r.n_chunks, r.n_boiler_chunks, r.kept_hash)
+        for r in boilerplate_chunk_removal(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert sum(b for _, b, _ in expected.values()) > 0, "no boilerplate in fixture"
+
+
+def test_boilerplate_differs_from_paragraph_dedup_on_first_copy(spark, sf_dir):
+    # a chunk repeated across docs: paragraph_dedup keeps its first
+    # occurrence, boilerplate removal drops them all — so boiler
+    # counts must strictly exceed dup counts somewhere on this fixture
+    from chess_pipeline_spark.plans.corpus import boilerplate_chunk_removal
+
+    dup = {
+        r.doc_id: r.n_dup_chunks for r in paragraph_dedup(spark, sf_dir).collect()
+    }
+    boiler = {
+        r.doc_id: r.n_boiler_chunks
+        for r in boilerplate_chunk_removal(spark, sf_dir).collect()
+    }
+    assert all(boiler[d] >= dup[d] for d in dup)
+    assert any(boiler[d] > dup[d] for d in dup)
+
+
+def test_corpus_composition_matches_bruteforce(spark, sf_dir):
+    from chess_pipeline_spark.plans.corpus import (
+        _COMP_BUCKET_CHARS,
+        corpus_composition,
+    )
+
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .collect()
+    )
+    cells: dict[tuple, list[int]] = {}
+    for r in rows:
+        key = (r.source, r.lang, r.n_chars // _COMP_BUCKET_CHARS)
+        nw = 0 if r.text is None else len(r.text.split(" "))
+        c = cells.setdefault(key, [0, 0, 0])
+        c[0] += 1
+        c[1] += r.n_chars
+        c[2] += nw
+    total = len(rows)
+    got = {
+        (r.source, r.lang, r.len_bucket): (
+            r.n_docs,
+            r.total_chars,
+            r.total_words,
+            r.doc_share,
+        )
+        for r in corpus_composition(spark, sf_dir).collect()
+    }
+    assert set(got) == set(cells)
+    import math
+
+    for key, (nd, nc, nw) in cells.items():
+        share = math.floor(nd / total * 1e6 + 0.5) / 1e6
+        assert got[key] == (nd, nc, nw, share), key
+    # conservation: cells partition the corpus
+    assert sum(v[0] for v in got.values()) == total

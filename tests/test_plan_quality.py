@@ -269,3 +269,27 @@ def test_events_scan_prunes_columns(spark, sf_dir, name):
     plan = _plan(spark, sf_dir, name)
     read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
     assert "props" not in read, f"{name}: props not pruned: {read}"
+
+
+def test_boilerplate_set_broadcasts_and_rollup_copartitions(spark, sf_dir):
+    # the high-frequency chunk set is tiny by definition and must
+    # broadcast back onto the chunk stream; the digest-frequency
+    # count is the only required keyed exchange (the doc_id rollup
+    # reuses spread()'s doc_id partitioning) — and nothing ships
+    # chunk bodies through a nested-loop join
+    plan = _plan(spark, sf_dir, "boilerplate_chunk_removal")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "md5" in plan
+    assert _required_shuffles(plan) <= 2
+
+
+def test_corpus_composition_partial_aggs_scalar_broadcast(spark, sf_dir):
+    # cell counts partial-aggregate map-side; the corpus total rides
+    # in as a broadcast single-row aggregate (the idf-join shape),
+    # never a keyed shuffle against the cells
+    plan = _plan(spark, sf_dir, "corpus_composition")
+    assert "partial_count" in plan and "partial_sum" in plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert _required_shuffles(plan) == 1
