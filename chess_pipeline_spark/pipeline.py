@@ -136,6 +136,7 @@ def run_corpus_etl(
     shard_tokens: int = 4096,
     scrub_pii: bool = False,
     drop_dup_paragraphs: bool = False,
+    drop_boilerplate: bool = False,
 ) -> CorpusEtlOutput:
     """documents -> trainer-ready shard layout, as ONE lazy plan:
 
@@ -160,6 +161,16 @@ def run_corpus_etl(
     its corpus-wide first-occurrence chunks (paragraph_dedup
     semantics) and routes fully-duplicate documents to the audit; it
     adds one chunk-digest window + the per-doc rebuild.
+
+    drop_boilerplate applies the RefinedWeb repeated-line rule
+    (boilerplate_chunk_removal semantics) BEFORE the paragraph-dedup
+    stage: chunks whose distinct-document frequency marks them as
+    template boilerplate are dropped from EVERY host, including the
+    first, and fully-boilerplate documents route to the audit. It
+    adds one digest-frequency aggregate (map-side combined) plus a
+    broadcast join of the tiny boilerplate set — removing the
+    boilerplate first also keeps it from winning "first occurrence"
+    in the paragraph-dedup sweep behind it.
     """
     import pyspark.sql.functions as F
     from pyspark.sql import Window
@@ -202,6 +213,47 @@ def run_corpus_etl(
     deduped = ranked.filter(F.col("doc_id") == F.col("keep_id")).select(
         "doc_id", "source", "text"
     )
+
+    boiler_dropped = None
+    if drop_boilerplate:
+        from chess_pipeline_spark.plans.corpus import (
+            _BOILER_MIN_DOCS,
+            paragraph_chunks,
+        )
+
+        chunks = paragraph_chunks(deduped, carry=("source",)).withColumn(
+            "dg", F.md5("chunk")
+        )
+        boiler = (
+            chunks.groupBy("dg")
+            .agg(F.count_distinct("doc_id").alias("df"))
+            .filter(F.col("df") >= _BOILER_MIN_DOCS)
+            .select("dg", F.lit(True).alias("hit"))
+        )
+        rebuilt = (
+            chunks.join(F.broadcast(boiler), "dg", "left")
+            .groupBy("doc_id", "source")
+            .agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("hit").isNull(), F.struct("chunk_idx", "chunk"))
+                    )
+                ).alias("kept_chunks")
+            )
+        )
+        boiler_dropped = rebuilt.filter(F.size("kept_chunks") == 0).select(
+            "doc_id",
+            "source",
+            F.lit("boilerplate").alias("stage"),
+            F.lit("all_chunks_corpus_frequent").alias("reason"),
+        )
+        deduped = rebuilt.filter(F.size("kept_chunks") > 0).select(
+            "doc_id",
+            "source",
+            F.array_join(
+                F.expr("transform(kept_chunks, k -> k.chunk)"), " "
+            ).alias("text"),
+        )
 
     para_dropped = None
     if drop_dup_paragraphs:
@@ -255,6 +307,8 @@ def run_corpus_etl(
     shards = pack_tokens(toks, shard_tokens)
 
     audit = quality_dropped.unionByName(dup_dropped).unionByName(sampled_out)
+    if boiler_dropped is not None:
+        audit = audit.unionByName(boiler_dropped)
     if para_dropped is not None:
         audit = audit.unionByName(para_dropped)
     return CorpusEtlOutput(shards=shards, audit=audit)

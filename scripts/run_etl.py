@@ -114,6 +114,7 @@ def run_corpus(args: argparse.Namespace, spark=None) -> int:
         shard_tokens=args.shard_tokens,
         scrub_pii=getattr(args, "scrub_pii", False),
         drop_dup_paragraphs=getattr(args, "drop_dup_paragraphs", False),
+        drop_boilerplate=getattr(args, "drop_boilerplate", False),
     )
     materialize_corpus(out, args.out)
     print(f"wrote corpus_shards + corpus_audit under {args.out}")
@@ -143,6 +144,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         "--drop-dup-paragraphs",
         action="store_true",
         help="strip corpus-wide repeated chunks; drop fully-duplicate docs",
+    )
+    c.add_argument(
+        "--drop-boilerplate",
+        action="store_true",
+        help="strip chunks shared by >=2 distinct docs (every copy); "
+        "drop fully-boilerplate docs",
     )
 
     args = p.parse_args(argv)

@@ -215,3 +215,49 @@ def test_optional_stages_default_off_plan_unchanged(spark, sf_dir):
         .shards._jdf.queryExecution().executedPlan().toString()
     )
     assert "paragraph_dup" not in plan
+
+
+def test_drop_boilerplate_stage(spark):
+    # c1 appears in all three docs -> it is boilerplate and must be
+    # stripped from EVERY host, including doc 2 (which paragraph
+    # dedup would have let keep it); c2/c3/c4 are unique per doc.
+    # Doc 25 is pure boilerplate and must route to the audit.
+    c1 = " ".join(f"alpha{i} the stream keeps moving" for i in range(4))
+    c2 = " ".join(f"bravo{i} the stream keeps moving" for i in range(4))
+    c3 = " ".join(f"carol{i} the stream keeps moving" for i in range(4))
+    rows = [
+        (2, "s", c1 + " " + c2),
+        (7, "s", c1 + " " + c3),
+        (25, "s", c1),
+    ]
+    out = run_corpus_etl(_synthetic_docs(spark, rows), drop_boilerplate=True)
+    audit = {r.doc_id: (r.stage, r.reason) for r in out.audit.collect()}
+    assert audit.get(25) == ("boilerplate", "all_chunks_corpus_frequent")
+    toks = {r.doc_id: r.n_tokens for r in out.shards.collect()}
+    assert set(toks) == {2, 7}
+    # both survivors were cut to their single novel chunk
+    assert toks[2] == toks[7]
+    # cross-check: with the stage off, doc 2 keeps c1 too and packs
+    # more tokens
+    base = {
+        r.doc_id: r.n_tokens
+        for r in run_corpus_etl(_synthetic_docs(spark, rows)).shards.collect()
+    }
+    assert base[2] > toks[2]
+
+
+def test_boilerplate_stage_agrees_with_catalog_query(spark, sf_dir):
+    # the catalog query runs over ALL documents while the stage runs
+    # over quality/dedup survivors, so exact agreement isn't defined;
+    # pin the stage's marginal semantics instead: enabling it never
+    # adds a survivor and never increases a survivor's token count
+    docs = load_table(spark, sf_dir, "documents")
+    base = {
+        r.doc_id: r.n_tokens for r in run_corpus_etl(docs).shards.collect()
+    }
+    with_b = {
+        r.doc_id: r.n_tokens
+        for r in run_corpus_etl(docs, drop_boilerplate=True).shards.collect()
+    }
+    assert set(with_b) <= set(base)
+    assert all(with_b[d] <= base[d] for d in with_b)
