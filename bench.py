@@ -93,6 +93,7 @@ EXTENDED = [
     "cross_source_leakage",
     "boilerplate_chunk_removal",
     "corpus_composition",
+    "events_decay_score",
 ]
 
 

@@ -87,6 +87,7 @@ _DEMOTED: tuple[str, ...] = (
     "cross_source_leakage",
     "boilerplate_chunk_removal",
     "corpus_composition",
+    "events_decay_score",
 )
 
 # For every demoted query: the IN-WINDOW queries that keep its SURVEY
@@ -164,6 +165,8 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     "cross_source_leakage": ("dedup_incremental_simhash", "decontaminate_ngram_overlap"),
     "boilerplate_chunk_removal": ("paragraph_dedup", "ngram_jaccard_near_dup"),
     "corpus_composition": ("quality_filter_verdicts", "mixture_sample"),
+    # integer-exact weighted aggregate family + per-user window agg
+    "events_decay_score": ("events_time_weighted_avg", "events_ohlc_hourly"),
 }
 
 

@@ -607,6 +607,89 @@ FROM g WHERE gap_sec > {_GAP_SEC}
 """
 
 
+# ------------------------------------------------------------------
+# Exponential-decay engagement score (recency-weighted value)
+# ------------------------------------------------------------------
+
+_DECAY_HALF_LIFE_S = 21600  # 6-hour half-life
+_DECAY_MAX_K = 20  # beyond 20 half-lives (5 days) the weight is exactly 0
+
+
+def events_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user recency-weighted engagement: each event's value is
+    down-weighted by 2^-k where k = half-lives elapsed between the
+    event and that user's LATEST event — the decayed activity score
+    behind churn models and leaderboards.
+
+    Cross-engine determinism (the TWA trick, extended): a float
+    decay (pow(0.5, age/hl)) summed in engine-defined order cannot
+    hash-match across engines. Instead the half-life index k is an
+    INTEGER, the weight is the exact integer 2^(MAX_K - k) (0 past
+    MAX_K), and the accumulator is BIGINT cents x weight — addition
+    commutes, and one final division by 100*2^MAX_K (a power-of-two
+    scale, then the 1e-6 grid) converts to the score. Bounds: cents
+    <= 5e4, weight <= 2^20, so even 1e5 events/user stay under 2^53
+    — the DOUBLE cast at the end is exact.
+
+    Plan: the per-user max rides a whole-partition window on the
+    same user_id partitioning the final groupBy needs, so Catalyst
+    plans ONE keyed exchange end-to-end.
+    """
+    ev = (
+        _L(spark, sf_dir, "events")
+        .select("user_id", "ts_sec", "value")
+        .filter(F.col("ts_sec").isNotNull())
+    )
+    cents = F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)")
+    w = Window.partitionBy("user_id")
+    t = (
+        ev.select("user_id", "ts_sec", cents.alias("cents"))
+        .withColumn("mx", F.max("ts_sec").over(w))
+        # `div` is exact integer division on longs — no float detour
+        .withColumn("k", F.expr(f"(mx - ts_sec) div {_DECAY_HALF_LIFE_S}"))
+    )
+    wgt = F.when(
+        F.col("k") <= _DECAY_MAX_K,
+        F.expr(
+            f"CAST(shiftleft(CAST(1 AS BIGINT), "
+            f"CAST({_DECAY_MAX_K} - k AS INT)) AS BIGINT)"
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    denom = float(100 * (2**_DECAY_MAX_K))
+    return t.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.when(F.col("k") <= _DECAY_MAX_K, 1).otherwise(0))
+        .cast("long")
+        .alias("n_recent"),
+        fround(
+            F.sum(F.col("cents") * wgt).cast("double") / F.lit(denom), 6
+        ).alias("decay_score"),
+    )
+
+
+EVENTS_DECAY_SCORE_SQL = f"""
+WITH t AS (
+  SELECT user_id, {_TS_SEC} AS ts_sec,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE ts IS NOT NULL),
+k AS (
+  SELECT user_id, cents,
+         (max(ts_sec) OVER (PARTITION BY user_id) - ts_sec)
+           // {_DECAY_HALF_LIFE_S} AS k
+  FROM t)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN k <= {_DECAY_MAX_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_recent,
+       floor((CAST(sum(cents * (CASE WHEN k <= {_DECAY_MAX_K}
+                  THEN (CAST(1 AS BIGINT) << CAST({_DECAY_MAX_K} - k AS INTEGER))
+                  ELSE 0 END)) AS DOUBLE)
+              / {float(100 * (2 ** _DECAY_MAX_K))}) * 1000000.0 + 0.5)
+         / 1000000.0 AS decay_score
+FROM k GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "value_stats_by_weekday": QuerySpec(
         value_stats_by_weekday, VALUE_STATS_BY_WEEKDAY_SQL, "A3 F9"
@@ -641,5 +724,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "events_time_weighted_avg": QuerySpec(
         events_time_weighted_avg, EVENTS_TIME_WEIGHTED_AVG_SQL, "tsdb-twa ext"
+    ),
+    "events_decay_score": QuerySpec(
+        events_decay_score, EVENTS_DECAY_SCORE_SQL, "tsdb-decay ext"
     ),
 }

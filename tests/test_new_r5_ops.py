@@ -363,3 +363,46 @@ def test_corpus_composition_matches_bruteforce(spark, sf_dir):
         assert got[key] == (nd, nc, nw, share), key
     # conservation: cells partition the corpus
     assert sum(v[0] for v in got.values()) == total
+
+
+def test_events_decay_score_matches_bruteforce(spark, sf_dir):
+    # integer-exact ground truth in Python: weight 2^(20-k) for
+    # k = half-lives since the user's latest event, 0 past 20
+    import math
+
+    from chess_pipeline_spark.plans.timeseries import (
+        _DECAY_HALF_LIFE_S,
+        _DECAY_MAX_K,
+        events_decay_score,
+    )
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts_sec", "value")
+        .filter("ts_sec IS NOT NULL")
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    expected = {}
+    for uid, evs in by_user.items():
+        mx = max(e.ts_sec for e in evs)
+        num = 0
+        n_recent = 0
+        for e in evs:
+            k = (mx - e.ts_sec) // _DECAY_HALF_LIFE_S
+            if k <= _DECAY_MAX_K:
+                n_recent += 1
+                cents = math.floor(e.value * 100.0 + 0.5)
+                num += cents * (1 << (_DECAY_MAX_K - k))
+        score = math.floor(
+            num / (100.0 * (1 << _DECAY_MAX_K)) * 1e6 + 0.5
+        ) / 1e6
+        expected[uid] = (len(evs), n_recent, score)
+    got = {
+        r.user_id: (r.n_events, r.n_recent, r.decay_score)
+        for r in events_decay_score(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert any(v[1] > 0 for v in expected.values())

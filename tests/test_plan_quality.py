@@ -293,3 +293,13 @@ def test_corpus_composition_partial_aggs_scalar_broadcast(spark, sf_dir):
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
     assert _required_shuffles(plan) == 1
+
+
+def test_decay_score_single_exchange_window_agg_fusion(spark, sf_dir):
+    # the per-user max window and the final groupBy share the user_id
+    # partitioning — one keyed exchange end-to-end, filter pushed to
+    # the scan, three-column ReadSchema
+    plan = _plan(spark, sf_dir, "events_decay_score")
+    assert _required_shuffles(plan) == 1
+    assert "Window" in plan and "Join" not in plan
+    assert "PushedFilters: [IsNotNull(ts)" in plan
