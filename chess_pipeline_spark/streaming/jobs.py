@@ -367,3 +367,72 @@ def stream_paragraph_dedup(docs: DataFrame, ledger_path: str, verdicts_path: str
         new_digests.write.mode("append").parquet(ledger_path)
 
     return docs.writeStream.foreachBatch(_process)
+
+
+def stream_boilerplate_removal(docs: DataFrame, ledger_path: str, verdicts_path: str):
+    """Continuous boilerplate removal: a persisted per-digest
+    COUNT ledger (event-sourced: each batch appends (digest,
+    distinct-doc increment) rows; readers aggregate) tracks how many
+    distinct documents each chunk has appeared in; a batch's chunks
+    are dropped when ledger + in-batch count reaches the
+    _BOILER_MIN_DOCS threshold — the streaming twin of
+    plans.corpus.boilerplate_chunk_removal.
+
+    As-of semantics, by design: a verdict reflects the corpus seen
+    UP TO its batch, so the chunk's first host (ingested before the
+    chunk crossed the threshold) keeps it while later hosts lose it.
+    The batch query is the retroactive view; run it as a compaction
+    pass when removal-from-every-host matters (it drops the first
+    copy too). With the whole corpus in ONE batch the stream verdict
+    equals the batch query's exactly (tested). Counting assumes
+    upstream exact-dedup: a doc_id re-ingested in a later batch
+    would increment its chunks' counts again.
+
+    100 TB shape: the ledger carries 32-byte digests + a count;
+    per-batch increments append (no rewrite) and compact under the
+    same digest-prefix partitioning as the dedup ledgers; the
+    boilerplate set for a batch stays broadcast-sized.
+    """
+    import pyspark.sql.functions as F
+    from pyspark.errors import AnalysisException
+
+    from chess_pipeline_spark.plans.corpus import (
+        _BOILER_MIN_DOCS,
+        paragraph_chunks,
+        paragraph_rollup,
+    )
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        d = batch.select("doc_id", "text")
+        chunks = paragraph_chunks(d).withColumn("digest", F.md5("chunk"))
+        batch_counts = chunks.groupBy("digest").agg(
+            F.count_distinct("doc_id").cast("long").alias("inc")
+        )
+        try:
+            prior = (
+                spark.read.parquet(ledger_path)
+                .groupBy("digest")
+                .agg(F.sum("inc").alias("prior"))
+            )
+        except AnalysisException:
+            prior = spark.createDataFrame([], "digest string, prior long")
+        boiler = (
+            batch_counts.join(prior, "digest", "left")
+            .filter(
+                F.col("inc") + F.coalesce("prior", F.lit(0)) >= _BOILER_MIN_DOCS
+            )
+            .select("digest", F.lit(True).alias("hit"))
+        )
+        flagged = chunks.join(F.broadcast(boiler), "digest", "left").withColumn(
+            "is_dup", F.col("hit").isNotNull()
+        )
+        verdicts = (
+            paragraph_rollup(d, flagged)
+            .withColumnRenamed("n_dup_chunks", "n_boiler_chunks")
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        verdicts.write.mode("append").parquet(verdicts_path)
+        batch_counts.write.mode("append").parquet(ledger_path)
+
+    return docs.writeStream.foreachBatch(_process)

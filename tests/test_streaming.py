@@ -281,3 +281,103 @@ def test_stream_paragraph_dedup_matches_batch(spark, sf_dir, tmp_path):
         for r in paragraph_dedup(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_stream_boilerplate_single_batch_equals_batch_query(spark, sf_dir, tmp_path):
+    """With the whole corpus in one micro-batch the count ledger sees
+    exactly the batch query's frequencies, so verdicts must match
+    boilerplate_chunk_removal row for row."""
+    from chess_pipeline_spark.plans.corpus import boilerplate_chunk_removal
+    from chess_pipeline_spark.sources import load_table
+    from chess_pipeline_spark.streaming.jobs import (
+        read_documents_stream,
+        stream_boilerplate_removal,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    docs.toPandas().to_parquet(str(src / "b0.parquet"))
+
+    stream = read_documents_stream(
+        spark, str(src), glob="*.parquet", max_files_per_trigger=1
+    )
+    q = (
+        stream_boilerplate_removal(
+            stream, str(tmp_path / "ledger"), str(tmp_path / "verdicts")
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt_bp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        r.doc_id: (r.n_chunks, r.n_boiler_chunks, r.kept_hash)
+        for r in spark.read.parquet(str(tmp_path / "verdicts")).collect()
+    }
+    expected = {
+        r.doc_id: (r.n_chunks, r.n_boiler_chunks, r.kept_hash)
+        for r in boilerplate_chunk_removal(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_stream_boilerplate_asof_semantics_across_batches(spark, tmp_path):
+    """A chunk shared by one doc per batch: the batch-0 host keeps it
+    (count 1 at its ingestion), the batch-1 host loses it (ledger +
+    batch reaches the threshold) — the documented as-of semantics,
+    and the ledger ends at the correct cumulative count."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from chess_pipeline_spark.streaming.jobs import (
+        read_documents_stream,
+        stream_boilerplate_removal,
+    )
+
+    shared = " ".join(f"w{i} shared boiler chunk body" for i in range(4))
+    uniq_a = " ".join(f"a{i} only doc one here" for i in range(4))
+    uniq_b = " ".join(f"b{i} only doc two here" for i in range(4))
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    pd.DataFrame(
+        {"doc_id": [1], "text": [shared + " " + uniq_a]}
+    ).to_parquet(str(src / "b0.parquet"))
+    pd.DataFrame(
+        {"doc_id": [2], "text": [shared + " " + uniq_b]}
+    ).to_parquet(str(src / "b1.parquet"))
+    now = time.time()
+    os.utime(src / "b0.parquet", (now - 60, now - 60))
+    os.utime(src / "b1.parquet", (now, now))
+
+    stream = read_documents_stream(
+        spark, str(src), glob="*.parquet", max_files_per_trigger=1
+    )
+    q = (
+        stream_boilerplate_removal(
+            stream, str(tmp_path / "ledger2"), str(tmp_path / "verdicts2")
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt_bp2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        r.doc_id: (r.n_chunks, r.n_boiler_chunks)
+        for r in spark.read.parquet(str(tmp_path / "verdicts2")).collect()
+    }
+    assert got[1] == (2, 0)  # first host ingested before the threshold
+    assert got[2] == (2, 1)  # later host loses the shared chunk
+    import pyspark.sql.functions as F
+
+    ledger = (
+        spark.read.parquet(str(tmp_path / "ledger2"))
+        .groupBy("digest")
+        .agg(F.sum("inc").alias("df"))
+    )
+    counts = sorted(r.df for r in ledger.collect())
+    assert counts == [1, 1, 2]  # uniq_a, uniq_b, shared
