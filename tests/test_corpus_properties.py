@@ -83,6 +83,8 @@ _RANDOMIZED_QUERIES = (
     "paragraph_dedup",
     "pii_redact_stats",
     "oov_rate_top1k",
+    "boilerplate_chunk_removal",
+    "corpus_composition",
 )
 
 

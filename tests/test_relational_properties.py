@@ -275,6 +275,7 @@ _EVENTS_QUERIES = (
     "events_ohlc_hourly",
     "events_time_weighted_avg",
     "events_gap_detection",
+    "events_decay_score",
 )
 
 
