@@ -11,7 +11,7 @@ execution, no driver collect cost).
 
 Provenance: a contended box inflates timings 3-9x on the long-tail
 queries (a recorded 59s round was really 25s idle), so each query
-reports min-of-2 runs and the 1/5/15-min load averages are emitted
+reports min-of-3 runs and the 1/5/15-min load averages are emitted
 alongside — a result with loadavg >> 1 at start should be re-run
 before it drives decisions.
 """
@@ -128,7 +128,11 @@ def main() -> None:
     extract_media_features(attach_binary_payload(tiny)).count()
 
     loadavg_start = [round(x, 2) for x in os.getloadavg()]
-    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    # min-of-3: the first execution of each query pays whole-stage
+    # codegen compilation (measured 3.8s -> 0.5s steady-state on the
+    # minhash signature expressions), so min-of-2 can still record a
+    # compile-tainted number; the third run pins steady state
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
     def time_set(names: list[str]) -> dict[str, float]:
         out: dict[str, float] = {}
