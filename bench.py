@@ -94,6 +94,7 @@ EXTENDED = [
     "boilerplate_chunk_removal",
     "corpus_composition",
     "events_decay_score",
+    "orders_rfm_segments",
 ]
 
 

@@ -88,6 +88,7 @@ _DEMOTED: tuple[str, ...] = (
     "boilerplate_chunk_removal",
     "corpus_composition",
     "events_decay_score",
+    "orders_rfm_segments",
 )
 
 # For every demoted query: the IN-WINDOW queries that keep its SURVEY
@@ -167,6 +168,8 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     "corpus_composition": ("quality_filter_verdicts", "mixture_sample"),
     # integer-exact weighted aggregate family + per-user window agg
     "events_decay_score": ("events_time_weighted_avg", "events_ohlc_hourly"),
+    # per-key agg + CASE scoring + broadcast global scalar
+    "orders_rfm_segments": ("pricing_summary", "scalar_feature_sampler"),
 }
 
 

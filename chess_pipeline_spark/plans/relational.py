@@ -1068,8 +1068,119 @@ GROUP BY 1, 2
 """
 
 
+# fixed RFM thresholds (integer-exact — percentile-derived cuts
+# would reintroduce cross-engine interpolation hazards); chosen
+# around the synthetic orders' medians (f=10, m≈$2.5M, r=169d) so
+# all three scores populate
+_RFM_RECENCY_DAYS = (90, 365)  # <=90d -> 3, <=365d -> 2, else 1
+_RFM_FREQ = (12, 6)  # >=12 -> 3, >=6 -> 2, else 1
+_RFM_MONETARY_CENTS = (300_000_000, 150_000_000)
+
+
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per customer, recency (days since
+    last order, against the dataset's global latest date), frequency
+    (order count), monetary (lifetime cents), each scored 1-3 on
+    fixed thresholds and concatenated into the classic 'RFM' segment
+    code — the marketing-analytics staple.
+
+    Cross-engine exactness: datediff on DATE columns, BIGINT counts
+    and cent sums, CASE thresholds — no floats anywhere. Plan: one
+    map-side-combined groupBy on o_custkey; the global max date
+    rides in as a broadcast single-row aggregate (the idf-join
+    shape); scoring is a scan-stage projection after the agg.
+    """
+    o = _L(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cents = F.expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(cents).cast("long").alias("monetary_cents"),
+        F.max("o_orderdate").alias("last_dt"),
+    )
+    ref = o.groupBy().agg(F.max("o_orderdate").alias("ref_dt"))
+    r_hi, r_mid = _RFM_RECENCY_DAYS
+    f_hi, f_mid = _RFM_FREQ
+    m_hi, m_mid = _RFM_MONETARY_CENTS
+    rec = F.datediff(F.col("ref_dt"), F.col("last_dt")).cast("long")
+    r_s = (
+        F.when(F.col("recency_days") <= r_hi, 3)
+        .when(F.col("recency_days") <= r_mid, 2)
+        .otherwise(1)
+    )
+    f_s = (
+        F.when(F.col("n_orders") >= f_hi, 3)
+        .when(F.col("n_orders") >= f_mid, 2)
+        .otherwise(1)
+    )
+    m_s = (
+        F.when(F.col("monetary_cents") >= m_hi, 3)
+        .when(F.col("monetary_cents") >= m_mid, 2)
+        .otherwise(1)
+    )
+    return (
+        per_cust.crossJoin(F.broadcast(ref))
+        .withColumn("recency_days", rec)
+        .select(
+            "o_custkey",
+            "recency_days",
+            "n_orders",
+            "monetary_cents",
+            r_s.cast("int").alias("r_score"),
+            f_s.cast("int").alias("f_score"),
+            m_s.cast("int").alias("m_score"),
+        )
+        .withColumn(
+            "segment",
+            F.concat_ws(
+                "",
+                F.col("r_score").cast("string"),
+                F.col("f_score").cast("string"),
+                F.col("m_score").cast("string"),
+            ),
+        )
+    )
+
+
+ORDERS_RFM_SEGMENTS_SQL = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS monetary_cents,
+         max(o_orderdate) AS last_dt
+  FROM orders GROUP BY o_custkey),
+ref AS (SELECT max(o_orderdate) AS ref_dt FROM orders),
+scored AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', last_dt, ref_dt) AS BIGINT) AS recency_days,
+         n_orders, monetary_cents,
+         CASE WHEN date_diff('day', last_dt, ref_dt) <= {_RFM_RECENCY_DAYS[0]}
+              THEN 3
+              WHEN date_diff('day', last_dt, ref_dt) <= {_RFM_RECENCY_DAYS[1]}
+              THEN 2 ELSE 1 END AS r_score,
+         CASE WHEN n_orders >= {_RFM_FREQ[0]} THEN 3
+              WHEN n_orders >= {_RFM_FREQ[1]} THEN 2 ELSE 1 END AS f_score,
+         CASE WHEN monetary_cents >= {_RFM_MONETARY_CENTS[0]} THEN 3
+              WHEN monetary_cents >= {_RFM_MONETARY_CENTS[1]} THEN 2
+              ELSE 1 END AS m_score
+  FROM per_cust, ref)
+SELECT o_custkey, recency_days, n_orders, monetary_cents,
+       CAST(r_score AS INTEGER) AS r_score,
+       CAST(f_score AS INTEGER) AS f_score,
+       CAST(m_score AS INTEGER) AS m_score,
+       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+         || CAST(m_score AS VARCHAR) AS segment
+FROM scored
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "win_ratio_by_status": QuerySpec(win_ratio_by_status, WIN_RATIO_SQL, "A1 A2 E5 P7"),
+    "orders_rfm_segments": QuerySpec(
+        orders_rfm_segments, ORDERS_RFM_SEGMENTS_SQL, "rfm ext A3 F6"
+    ),
     "orders_retention_cohort": QuerySpec(
         orders_retention_cohort, ORDERS_RETENTION_COHORT_SQL, "cohort ext J4 A1"
     ),

@@ -127,6 +127,7 @@ FROZEN_ORDER: tuple[str, ...] = (
     "boilerplate_chunk_removal",
     "corpus_composition",
     "events_decay_score",
+    "orders_rfm_segments",
 )
 
 
@@ -139,7 +140,7 @@ def test_driver_window_r5_rotation():
     # additions are IN, as are the three operators built new in r5;
     # everything rotated out is r4 AND r2-or-r3 green (verified
     # against the CORRECTNESS files at rotation time)
-    assert len(FROZEN_ORDER) - DRIVER_WINDOW == 38
+    assert len(FROZEN_ORDER) - DRIVER_WINDOW == 39
     in_window = set(FROZEN_ORDER[:DRIVER_WINDOW])
     for newcomer in (
         "decontaminate_ngram_overlap",

@@ -406,3 +406,53 @@ def test_events_decay_score_matches_bruteforce(spark, sf_dir):
     }
     assert got == expected
     assert any(v[1] > 0 for v in expected.values())
+
+
+def test_orders_rfm_segments_matches_bruteforce(spark, sf_dir):
+    import math
+
+    from chess_pipeline_spark.plans.relational import (
+        _RFM_FREQ,
+        _RFM_MONETARY_CENTS,
+        _RFM_RECENCY_DAYS,
+        orders_rfm_segments,
+    )
+
+    rows = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderdate", "o_totalprice")
+        .collect()
+    )
+    per = {}
+    ref = max(r.o_orderdate for r in rows)
+    for r in rows:
+        c = per.setdefault(r.o_custkey, [0, 0, r.o_orderdate])
+        c[0] += 1
+        c[1] += math.floor(r.o_totalprice * 100.0 + 0.5)
+        if r.o_orderdate > c[2]:
+            c[2] = r.o_orderdate
+    expected = {}
+    for cust, (n, cents, last) in per.items():
+        rec = (ref - last).days
+        r_s = 3 if rec <= _RFM_RECENCY_DAYS[0] else (2 if rec <= _RFM_RECENCY_DAYS[1] else 1)
+        f_s = 3 if n >= _RFM_FREQ[0] else (2 if n >= _RFM_FREQ[1] else 1)
+        m_s = 3 if cents >= _RFM_MONETARY_CENTS[0] else (
+            2 if cents >= _RFM_MONETARY_CENTS[1] else 1
+        )
+        expected[cust] = (rec, n, cents, r_s, f_s, m_s, f"{r_s}{f_s}{m_s}")
+    got = {
+        r.o_custkey: (
+            r.recency_days,
+            r.n_orders,
+            r.monetary_cents,
+            r.r_score,
+            r.f_score,
+            r.m_score,
+            r.segment,
+        )
+        for r in orders_rfm_segments(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # fixture sanity: more than one distinct segment, else the CASE
+    # chain is untested
+    assert len({v[6] for v in expected.values()}) > 1

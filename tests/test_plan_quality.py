@@ -303,3 +303,14 @@ def test_decay_score_single_exchange_window_agg_fusion(spark, sf_dir):
     assert _required_shuffles(plan) == 1
     assert "Window" in plan and "Join" not in plan
     assert "PushedFilters: [IsNotNull(ts)" in plan
+
+
+def test_rfm_single_agg_broadcast_global_scalar(spark, sf_dir):
+    # one map-side-combined groupBy on o_custkey; the global max date
+    # joins back as a broadcast single-row aggregate; scoring is a
+    # projection — no window, no second keyed exchange on the fact
+    plan = _plan(spark, sf_dir, "orders_rfm_segments")
+    assert "partial_count" in plan and "partial_max" in plan
+    assert "BroadcastExchange" in plan
+    assert "row_number" not in plan and "CartesianProduct" not in plan
+    assert _required_shuffles(plan) <= 2

@@ -261,6 +261,7 @@ _RELATIONAL_QUERIES = (
     "union_by_name",
     "scalar_feature_sampler",
     "orders_retention_cohort",
+    "orders_rfm_segments",
 )
 
 _EVENTS_QUERIES = (
