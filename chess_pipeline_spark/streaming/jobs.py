@@ -28,21 +28,32 @@ def _events_physical_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
     under nanosAsLong, or native TIMESTAMP/NTZ µs) stream correctly.
     At scale this is one driver-side footer read, not a data scan.
     """
+    import glob as _glob
     import os
 
-    return spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    pattern = os.path.join(sf_dir, "events.parquet")
+    if not os.path.exists(pattern):
+        # multi-file replay fixtures: probe the first matching file
+        matches = sorted(_glob.glob(os.path.join(sf_dir, "*.parquet")))
+        if matches:
+            pattern = matches[0]
+    return spark.read.parquet(pattern).schema
 
 
 def read_events_stream(
-    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+    glob: str = "events.parquet",
 ) -> DataFrame:
     """File-source stream over the events parquet (S3 streaming
-    flavor). Pass max_files_per_trigger for replay-in-batches
-    semantics over multi-file fixtures (a single-file fixture always
-    arrives as one micro-batch regardless)."""
+    flavor). Pass max_files_per_trigger (with a wider `glob`) for
+    replay-in-batches semantics over multi-file fixtures (a
+    single-file fixture always arrives as one micro-batch
+    regardless)."""
     ensure_session_confs(spark)
     reader = spark.readStream.schema(_events_physical_schema(spark, sf_dir)).option(
-        "pathGlobFilter", "events.parquet"
+        "pathGlobFilter", glob
     )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))

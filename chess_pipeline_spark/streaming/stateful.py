@@ -214,3 +214,84 @@ def stream_user_running_stats(
             ),
         )
     )
+
+
+DECAY_STATE_SCHEMA = "last_ts_sec long, score double, n long"
+DECAY_OUTPUT_SCHEMA = "user_id long, n long, last_ts_sec long, decay_score double"
+
+
+def _update_decay(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    half_life_s: int = 21600,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    last, score, n = state.get if state.exists else (None, 0.0, 0)
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    # NULL value/ts rows carry no signal for a decayed counter and are
+    # ignored entirely (unlike the z-score twin there is no batch
+    # frame contract to mirror — documented in stream_decayed_engagement)
+    batch = batch.dropna(subset=["value", "ts_sec"]).sort_values(
+        ["ts_sec", "event_id"]
+    )
+    for r in batch.itertuples(index=False):
+        ts = int(r.ts_sec)
+        if last is not None and ts > last:
+            score *= 0.5 ** ((ts - last) / half_life_s)
+        # same-timestamp or out-of-order-within-batch events add at
+        # the current anchor without negative decay (monotone state)
+        score += float(r.value)
+        last = ts if last is None else max(last, ts)
+        n += 1
+    state.update((last, score, n))
+    if last is not None:
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": user_id,
+                    "n": n,
+                    "last_ts_sec": last,
+                    "decay_score": score,
+                }
+            ]
+        )
+
+
+def stream_decayed_engagement(
+    events: DataFrame, half_life_s: int = 21600
+) -> DataFrame:
+    """Streaming decayed engagement counter (custom stateful op):
+    per user, an exponentially decayed sum of event values with a
+    6-hour half-life, anchored at the user's latest processed event
+    — the classic O(1)-state streaming sketch behind activity scores
+    and rate estimators (state is (last_ts, score, n), never the
+    event history).
+
+    Relation to the BATCH `events_decay_score` catalog query: the
+    batch op floors the half-life index (integer 2^-k weights, exact
+    cross-engine arithmetic, anchored once at the final corpus
+    state); a stream cannot re-anchor floored indices incrementally
+    without retaining every event, so this op uses CONTINUOUS decay
+    (score *= 0.5^(dt/hl) per step) — the standard streaming
+    formulation. Verified against an ordered Python replay of the
+    same stream instead of a SQL oracle. NULL value/ts events are
+    ignored. Cross-batch correctness assumes time-ordered arrival,
+    as with the z-score twin.
+    """
+    from functools import partial
+
+    from chess_pipeline_spark.deploy import ensure_package_on_executors
+
+    ensure_package_on_executors(events.sparkSession)
+    return (
+        events.select("event_id", "user_id", "value", "ts_sec")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            partial(_update_decay, half_life_s=half_life_s),
+            outputStructType=DECAY_OUTPUT_SCHEMA,
+            stateStructType=DECAY_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -160,3 +160,109 @@ def test_stateful_rolling_zscore_matches_batch(spark, sf_dir, tmp_path):
         assert (g.isna() == b.isna()).all(), col
         diff = (g - b).abs().fillna(0.0)
         assert (diff <= 1e-6).all(), (col, float(diff.max()))
+
+
+def test_stateful_decayed_engagement_matches_python_replay(spark, sf_dir, tmp_path):
+    """The decayed counter's final per-user state must equal an
+    ordered Python replay of the same events (same float ops in the
+    same (ts_sec, event_id) order)."""
+    from chess_pipeline_spark.streaming.stateful import (
+        stream_decayed_engagement,
+    )
+
+    HL = 21600
+    ev = read_events_stream(spark, sf_dir).filter(F.col("user_id") < 50)
+    out = stream_decayed_engagement(ev, half_life_s=HL)
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_decay"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.table(name).toPandas().groupby("user_id").last()
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 50)
+        .select("user_id", "ts_sec", "event_id", "value")
+        .filter("value IS NOT NULL AND ts_sec IS NOT NULL")
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for uid, evs in by_user.items():
+        evs.sort(key=lambda r: (r.ts_sec, r.event_id))
+        score, last = 0.0, None
+        for r in evs:
+            ts = int(r.ts_sec)
+            if last is not None and ts > last:
+                score *= 0.5 ** ((ts - last) / HL)
+            score += float(r.value)
+            last = ts if last is None else max(last, ts)
+        g = got.loc[uid]
+        assert int(g["n"]) == len(evs)
+        assert int(g["last_ts_sec"]) == last
+        assert abs(float(g["decay_score"]) - score) < 1e-9 * max(1.0, abs(score))
+
+
+def test_stateful_decayed_engagement_state_carries_across_batches(spark, tmp_path):
+    """Two time-ordered micro-batches must produce the same final
+    score as one batch over the full stream (state carries the
+    anchor and score across the boundary)."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from chess_pipeline_spark.streaming.stateful import (
+        stream_decayed_engagement,
+    )
+
+    HL = 3600
+    base = 1_700_000_000
+    all_events = [
+        (0, 7, base + i * 1800, 10.0 + i) for i in range(8)
+    ]  # one user, 30-min spacing
+
+    def run(split_at, tag):
+        src = tmp_path / f"src_{tag}"
+        src.mkdir()
+        frames = [all_events[:split_at], all_events[split_at:]]
+        now = time.time()
+        for i, chunk in enumerate(frames):
+            if not chunk:
+                continue
+            pd.DataFrame(
+                {
+                    "event_id": [e[0] * 100 + j for j, e in enumerate(chunk)],
+                    "user_id": [e[1] for e in chunk],
+                    "ts": pd.to_datetime([e[2] for e in chunk], unit="s"),
+                    "event_type": ["click"] * len(chunk),
+                    "value": [e[3] for e in chunk],
+                    "props": ["{}"] * len(chunk),
+                }
+            ).to_parquet(str(src / f"b{i}.parquet"))
+            os.utime(src / f"b{i}.parquet", (now - 60 + i * 30, now - 60 + i * 30))
+        ev = read_events_stream(spark, str(src), glob="*.parquet", max_files_per_trigger=1)
+        out = stream_decayed_engagement(ev, half_life_s=HL)
+        name = f"mem_{uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return spark.table(name).toPandas().groupby("user_id").last()
+
+    split = run(4, "split")
+    whole = run(8, "whole")
+    assert int(split.loc[7, "n"]) == int(whole.loc[7, "n"]) == 8
+    assert abs(float(split.loc[7, "decay_score"]) - float(whole.loc[7, "decay_score"])) < 1e-9
