@@ -95,6 +95,7 @@ EXTENDED = [
     "corpus_composition",
     "events_decay_score",
     "orders_rfm_segments",
+    "orders_snapshot_diff",
 ]
 
 

@@ -89,6 +89,7 @@ _DEMOTED: tuple[str, ...] = (
     "corpus_composition",
     "events_decay_score",
     "orders_rfm_segments",
+    "orders_snapshot_diff",
 )
 
 # For every demoted query: the IN-WINDOW queries that keep its SURVEY
@@ -170,6 +171,8 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     "events_decay_score": ("events_time_weighted_avg", "events_ohlc_hourly"),
     # per-key agg + CASE scoring + broadcast global scalar
     "orders_rfm_segments": ("pricing_summary", "scalar_feature_sampler"),
+    # keyed outer-join classify → left-join 0-fill + anti-join classes
+    "orders_snapshot_diff": ("orders_fulfillment", "parts_never_ordered"),
 }
 
 

@@ -1176,10 +1176,78 @@ FROM scored
 """
 
 
+# deterministic snapshot derivation for the CDC diff: the "old"
+# snapshot is pre-1998 orders at whole-dollar prices, the "new" is
+# post-1996 orders at exact prices — overlap keys classify as
+# update/unchanged, disjoint keys as delete/insert, so every change
+# class populates from one immutable table
+_SNAP_OLD_BEFORE = "1998-01-01"
+_SNAP_NEW_SINCE = "1996-01-01"
+
+
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot diff: classify every key across two table
+    snapshots as insert / delete / update / unchanged with the old
+    and new values — the audit an incremental warehouse load (SCD,
+    MERGE validation, replication check) runs. Mirrors the keyed
+    delete-then-insert semantics of the reference's upsert loader
+    (postgres_templates.py:160-214) as a QUERY: what WOULD change.
+
+    Exactness: prices compare as integer cents; change_type is a
+    CASE over NULL-ness and cent equality. Plan: two filtered
+    projections of the same parquet (both filters push to the scan)
+    full-outer-joined on the key — co-partitioned single join, no
+    window, no cartesian.
+    """
+    o = _L(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    old = o.filter(F.col("o_orderdate") < _SNAP_OLD_BEFORE).select(
+        "o_orderkey",
+        F.expr("CAST(floor(o_totalprice) AS BIGINT) * 100").alias("old_cents"),
+    )
+    new = o.filter(F.col("o_orderdate") >= _SNAP_NEW_SINCE).select(
+        "o_orderkey",
+        F.expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)").alias(
+            "new_cents"
+        ),
+    )
+    j = old.join(new, "o_orderkey", "full_outer")
+    change = (
+        F.when(F.col("old_cents").isNull(), "insert")
+        .when(F.col("new_cents").isNull(), "delete")
+        .when(F.col("old_cents") != F.col("new_cents"), "update")
+        .otherwise("unchanged")
+    )
+    return j.select("o_orderkey", "old_cents", "new_cents", change.alias("change_type"))
+
+
+ORDERS_SNAPSHOT_DIFF_SQL = f"""
+WITH old AS (
+  SELECT o_orderkey,
+         CAST(floor(o_totalprice) AS BIGINT) * 100 AS old_cents
+  FROM orders WHERE o_orderdate < '{_SNAP_OLD_BEFORE}'),
+new AS (
+  SELECT o_orderkey,
+         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS new_cents
+  FROM orders WHERE o_orderdate >= '{_SNAP_NEW_SINCE}')
+SELECT coalesce(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+       old_cents, new_cents,
+       CASE WHEN old_cents IS NULL THEN 'insert'
+            WHEN new_cents IS NULL THEN 'delete'
+            WHEN old_cents <> new_cents THEN 'update'
+            ELSE 'unchanged' END AS change_type
+FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "win_ratio_by_status": QuerySpec(win_ratio_by_status, WIN_RATIO_SQL, "A1 A2 E5 P7"),
     "orders_rfm_segments": QuerySpec(
         orders_rfm_segments, ORDERS_RFM_SEGMENTS_SQL, "rfm ext A3 F6"
+    ),
+    "orders_snapshot_diff": QuerySpec(
+        orders_snapshot_diff, ORDERS_SNAPSHOT_DIFF_SQL, "cdc ext S5 J10 U3"
     ),
     "orders_retention_cohort": QuerySpec(
         orders_retention_cohort, ORDERS_RETENTION_COHORT_SQL, "cohort ext J4 A1"

@@ -128,6 +128,7 @@ FROZEN_ORDER: tuple[str, ...] = (
     "corpus_composition",
     "events_decay_score",
     "orders_rfm_segments",
+    "orders_snapshot_diff",
 )
 
 
@@ -140,7 +141,7 @@ def test_driver_window_r5_rotation():
     # additions are IN, as are the three operators built new in r5;
     # everything rotated out is r4 AND r2-or-r3 green (verified
     # against the CORRECTNESS files at rotation time)
-    assert len(FROZEN_ORDER) - DRIVER_WINDOW == 39
+    assert len(FROZEN_ORDER) - DRIVER_WINDOW == 40
     in_window = set(FROZEN_ORDER[:DRIVER_WINDOW])
     for newcomer in (
         "decontaminate_ngram_overlap",

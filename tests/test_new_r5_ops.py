@@ -456,3 +456,48 @@ def test_orders_rfm_segments_matches_bruteforce(spark, sf_dir):
     # fixture sanity: more than one distinct segment, else the CASE
     # chain is untested
     assert len({v[6] for v in expected.values()}) > 1
+
+
+def test_orders_snapshot_diff_matches_bruteforce(spark, sf_dir):
+    import math
+
+    from chess_pipeline_spark.plans.relational import (
+        _SNAP_NEW_SINCE,
+        _SNAP_OLD_BEFORE,
+        orders_snapshot_diff,
+    )
+
+    rows = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .collect()
+    )
+    import datetime
+
+    old_cut = datetime.datetime.fromisoformat(_SNAP_OLD_BEFORE)
+    new_cut = datetime.datetime.fromisoformat(_SNAP_NEW_SINCE)
+    expected = {}
+    for r in rows:
+        dt = r.o_orderdate
+        old_c = math.floor(r.o_totalprice) * 100 if dt < old_cut else None
+        new_c = (
+            math.floor(r.o_totalprice * 100.0 + 0.5) if dt >= new_cut else None
+        )
+        if old_c is None and new_c is None:
+            continue
+        if old_c is None:
+            ct = "insert"
+        elif new_c is None:
+            ct = "delete"
+        elif old_c != new_c:
+            ct = "update"
+        else:
+            ct = "unchanged"
+        expected[r.o_orderkey] = (old_c, new_c, ct)
+    got = {
+        r.o_orderkey: (r.old_cents, r.new_cents, r.change_type)
+        for r in orders_snapshot_diff(spark, sf_dir).collect()
+    }
+    assert got == expected
+    kinds = {v[2] for v in expected.values()}
+    assert {"insert", "delete", "update"} <= kinds

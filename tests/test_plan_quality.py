@@ -314,3 +314,14 @@ def test_rfm_single_agg_broadcast_global_scalar(spark, sf_dir):
     assert "BroadcastExchange" in plan
     assert "row_number" not in plan and "CartesianProduct" not in plan
     assert _required_shuffles(plan) <= 2
+
+
+def test_snapshot_diff_pushes_both_filters_single_join(spark, sf_dir):
+    # both snapshot date filters must reach the parquet scan; the
+    # classify is one co-keyed full outer join — no window, no
+    # nested loop
+    plan = _plan(spark, sf_dir, "orders_snapshot_diff")
+    assert plan.count("PushedFilters: [IsNotNull(o_orderdate)") >= 1
+    assert "FullOuter" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "row_number" not in plan

@@ -262,6 +262,7 @@ _RELATIONAL_QUERIES = (
     "scalar_feature_sampler",
     "orders_retention_cohort",
     "orders_rfm_segments",
+    "orders_snapshot_diff",
 )
 
 _EVENTS_QUERIES = (
