@@ -96,6 +96,13 @@ EXTENDED = [
     "events_decay_score",
     "orders_rfm_segments",
     "orders_snapshot_diff",
+    # profiling/sketch tier (late r5)
+    "hll_distinct_users",
+    "data_profile_orders",
+    "mad_outlier_bounds",
+    "seq_length_histogram",
+    "returned_items_report",
+    "dup_cluster_size_hist",
 ]
 
 

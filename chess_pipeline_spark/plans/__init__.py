@@ -90,6 +90,15 @@ _DEMOTED: tuple[str, ...] = (
     "events_decay_score",
     "orders_rfm_segments",
     "orders_snapshot_diff",
+    # --- profiling/sketch tier, added late in r5 (local oracle rows
+    # from day one; r6-rotation candidates like the rest of the
+    # staged tail) ---
+    "hll_distinct_users",
+    "data_profile_orders",
+    "mad_outlier_bounds",
+    "seq_length_histogram",
+    "returned_items_report",
+    "dup_cluster_size_hist",
 )
 
 # For every demoted query: the IN-WINDOW queries that keep its SURVEY
@@ -173,6 +182,14 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     "orders_rfm_segments": ("pricing_summary", "scalar_feature_sampler"),
     # keyed outer-join classify → left-join 0-fill + anti-join classes
     "orders_snapshot_diff": ("orders_fulfillment", "parts_never_ordered"),
+    # staged r5 profiling tier: op families represented in-window by
+    # these relatives until the r6 rotation
+    "hll_distinct_users": ("win_ratio_by_status", "dedup_incremental_simhash"),
+    "data_profile_orders": ("pricing_summary", "order_priority_clean"),
+    "mad_outlier_bounds": ("events_rolling_zscore", "price_percentiles"),
+    "seq_length_histogram": ("quality_filter_verdicts", "pack_sequences"),
+    "returned_items_report": ("top_customer_revenue", "order_lines_enriched"),
+    "dup_cluster_size_hist": ("dedup_normalized", "dedup_groups"),
 }
 
 
@@ -183,10 +200,17 @@ def catalog() -> dict[str, QuerySpec]:
     Order matters: the driver verifies the first DRIVER_WINDOW entries,
     so never-yet-verified queries must precede double-covered ones.
     """
-    from chess_pipeline_spark.plans import corpus, llm, relational, timeseries, winprob
+    from chess_pipeline_spark.plans import (
+        corpus,
+        llm,
+        profiling,
+        relational,
+        timeseries,
+        winprob,
+    )
 
     out: dict[str, QuerySpec] = {}
-    for mod in (relational, timeseries, winprob, llm, corpus):
+    for mod in (relational, timeseries, winprob, llm, corpus, profiling):
         for name, spec in mod.QUERIES.items():
             if name in out:
                 raise ValueError(f"duplicate query name: {name}")

@@ -1,0 +1,495 @@
+"""Data-profiling, sketch, and corpus-report queries.
+
+Round-5 additions beyond the reference's own surface (the reference
+has no profiling tier; its closest analogue is the ad-hoc sanity
+aggregates in `src/utils/newsletter.py:59-77`): the operational
+queries a training-data pipeline runs continuously over a 100 TB
+lake — cardinality sketches, column profiles, robust outlier fences,
+length histograms, and duplication-distribution reports.
+
+Cross-engine determinism notes (the DuckDB oracle hash-compares
+values):
+
+* The HyperLogLog register math is done entirely in integer/string
+  space (hex-digit parsing, CASE bit-length) — no floating log2 —
+  and the harmonic sum is a sum of dyadic rationals 2^-M (M <= 25)
+  whose partial sums are all exactly representable, so the register
+  sum Z is bit-identical in any summation order on any IEEE engine.
+  Only the bias constant multiply/divide and the small-range ln()
+  touch inexact floats, both behind fround().
+* Robust fences round the median/MAD to the 1e-6 grid BEFORE the
+  fence arithmetic so both engines compare against bit-identical
+  bounds.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from chess_pipeline_spark.functions.rounding import fround, sql_round
+from chess_pipeline_spark.plans.spec import QuerySpec
+from chess_pipeline_spark.sources import load_table as _L
+from chess_pipeline_spark.sources import spread
+
+# ------------------------------------------------------------------
+# Deterministic HyperLogLog (m = 256 registers)
+# ------------------------------------------------------------------
+
+_HLL_M = 256
+# standard HLL bias correction for m = 256; repr() of the Python
+# double is the literal both engines parse, so both start from the
+# bit-identical constant
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / 256.0)
+
+_HEX = "0123456789abcdef"
+
+
+def _hll_rank_cols(h):
+    """(register, rank) columns from a 32-hex-char md5 column.
+
+    register = first 2 hex digits (0..255); rank = leading-zero count
+    of the next 24 bits + 1 (1..25), computed with string ops + a
+    16-way CASE so no float log is involved.
+    """
+    reg = (F.instr(F.lit(_HEX), F.substring(h, 1, 1)) - 1) * 16 + (
+        F.instr(F.lit(_HEX), F.substring(h, 2, 1)) - 1
+    )
+    whex = F.substring(h, 3, 6)
+    z = F.length(F.regexp_extract(whex, "^0*", 0))
+    d = F.substring(F.concat(whex, F.lit("1")), z + 1, 1)  # pad guards z=6
+    bitlen = (
+        F.when(d.isin(*"89abcdef"), 4)
+        .when(d.isin("4", "5", "6", "7"), 3)
+        .when(d.isin("2", "3"), 2)
+        .otherwise(1)
+    )
+    rank = F.when(z == 6, F.lit(25)).otherwise(z * 4 + 5 - bitlen)
+    return reg.alias("reg"), rank.alias("rank")
+
+
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct-user cardinality: exact count next to a
+    from-scratch deterministic HyperLogLog estimate (m=256, md5-based,
+    Flajolet et al. 2007 constants, small-range linear counting).
+
+    Scale shape: the register table is at most m rows per group —
+    the groupBy(type, reg) max() is a mergeable map-side partial agg,
+    and the final per-type reduce touches <= 256 rows per group. At
+    100 TB the exact countDistinct branch is the one you'd drop (it
+    shuffles every distinct user id); the sketch branch IS the plan —
+    fixed 256-register state per group regardless of corpus size,
+    the same mergeability argument as Spark's native HLL++
+    (approx_count_distinct), which this re-derivation cross-checks.
+    """
+    ev = _L(spark, sf_dir, "events").select(
+        "event_type", F.md5(F.col("user_id").cast("string")).alias("h")
+    )
+    reg, rank = _hll_rank_cols(F.col("h"))
+    regs = (
+        ev.select("event_type", reg, rank)
+        .groupBy("event_type", "reg")
+        .agg(F.max("rank").alias("m_j"))
+    )
+    per_type = regs.groupBy("event_type").agg(
+        F.count("*").alias("regs_used"),
+        F.sum(F.pow(F.lit(2.0), -F.col("m_j"))).alias("z_used"),
+    )
+    zeros = F.lit(_HLL_M) - F.col("regs_used")
+    z_tot = F.col("z_used") + zeros.cast("double")
+    e_raw = F.lit(_HLL_ALPHA * _HLL_M * _HLL_M) / z_tot
+    est = F.when(
+        (e_raw <= F.lit(2.5 * _HLL_M)) & (zeros > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / zeros.cast("double")),
+    ).otherwise(e_raw)
+    exact = (
+        _L(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_exact"))
+    )
+    return (
+        per_type.join(F.broadcast(exact), "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            "regs_used",
+            fround(est, 4).alias("hll_estimate"),
+        )
+        .orderBy("event_type")
+    )
+
+
+HLL_DISTINCT_USERS_SQL = f"""
+WITH h AS (
+  SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx
+  FROM events
+), rr AS (
+  SELECT event_type,
+         (instr('{_HEX}', substring(hx, 1, 1)) - 1) * 16
+           + (instr('{_HEX}', substring(hx, 2, 1)) - 1) AS reg,
+         CASE WHEN length(regexp_extract(substring(hx, 3, 6), '^0*')) = 6
+              THEN 25
+              ELSE length(regexp_extract(substring(hx, 3, 6), '^0*')) * 4 + 5
+                   - (CASE substring(substring(hx, 3, 6) || '1',
+                           length(regexp_extract(substring(hx, 3, 6), '^0*')) + 1, 1)
+                      WHEN '1' THEN 1 WHEN '2' THEN 2 WHEN '3' THEN 2
+                      ELSE CASE WHEN substring(substring(hx, 3, 6) || '1',
+                                length(regexp_extract(substring(hx, 3, 6), '^0*')) + 1, 1)
+                                IN ('4','5','6','7') THEN 3 ELSE 4 END END)
+         END AS rank
+  FROM h
+), regs AS (
+  SELECT event_type, reg, max(rank) AS m_j FROM rr GROUP BY 1, 2
+), per_type AS (
+  SELECT event_type, count(*) AS regs_used,
+         sum(power(2.0, -m_j)) AS z_used
+  FROM regs GROUP BY 1
+), est AS (
+  SELECT event_type, regs_used,
+         CASE WHEN ({_HLL_ALPHA * _HLL_M * _HLL_M!r}
+                    / (z_used + ({_HLL_M} - regs_used))) <= {2.5 * _HLL_M!r}
+                   AND ({_HLL_M} - regs_used) > 0
+              THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r}
+                   / CAST({_HLL_M} - regs_used AS DOUBLE))
+              ELSE {_HLL_ALPHA * _HLL_M * _HLL_M!r}
+                   / (z_used + ({_HLL_M} - regs_used))
+         END AS e
+  FROM per_type
+)
+SELECT e.event_type, x.n_exact, e.regs_used,
+       {sql_round('e.e', 4)} AS hll_estimate
+FROM est e
+JOIN (SELECT event_type, count(DISTINCT user_id) AS n_exact
+      FROM events GROUP BY 1) x USING (event_type)
+ORDER BY event_type
+"""
+
+
+# ------------------------------------------------------------------
+# Column profiling (deequ-style data-quality pass)
+# ------------------------------------------------------------------
+
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderpriority",
+)
+
+
+def data_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profile of the orders table: per column the
+    row count, NULL count, and exact distinct count — the
+    schema-drift / data-quality report a lake pipeline runs per
+    ingest batch (deequ/dqdl shape; no reference analogue).
+
+    Plan shape: ONE scan; multiple count(distinct) in a single agg
+    compile to a Catalyst Expand (one pass, k× rows in the shuffle,
+    mergeable partials). At 100 TB swap exact distinct for
+    approx_count_distinct and the Expand collapses to per-column HLL
+    sketch state — the same report at a fraction of the shuffle; the
+    exact variant is kept here because the oracle hash-compares
+    values.
+    """
+    o = _L(spark, sf_dir, "orders")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}" for c in _PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) "
+            "AS (column_name, n_nulls, n_distinct)"
+        ),
+        "n_rows",
+    ).select("column_name", "n_rows", "n_nulls", "n_distinct")
+
+
+DATA_PROFILE_ORDERS_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name, count(*) AS n_rows,
+       sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       count(DISTINCT {c}) AS n_distinct FROM orders"""
+    for c in _PROFILE_COLS
+)
+
+
+# ------------------------------------------------------------------
+# Robust (median/MAD) outlier fences
+# ------------------------------------------------------------------
+
+# 3 sigma-equivalents: 3 * 1.4826 (the normal-consistency constant)
+_MAD_K = 4.4478
+
+
+def mad_outlier_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type robust outlier fences: median ± 3·1.4826·MAD,
+    plus how many observations fall outside — the
+    monitoring/anomaly-gate pass over a metrics stream (no reference
+    analogue; extension tier).
+
+    Two grouped percentile aggs (median, then MAD of |value - med|)
+    with the tiny per-type medians broadcast back — never a window
+    over the full value set. med/MAD are grid-rounded (1e-6) before
+    the fence arithmetic so both engines derive bit-identical fences.
+    """
+    ev = _L(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        fround(F.expr("percentile(value, 0.5)"), 6).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("dev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.first("med").alias("med"),
+        fround(F.expr("percentile(dev, 0.5)"), 6).alias("mad"),
+        F.count("value").alias("n"),
+    )
+    lo = F.col("med") - F.lit(_MAD_K) * F.col("mad")
+    hi = F.col("med") + F.lit(_MAD_K) * F.col("mad")
+    fences = mad.select(
+        "event_type", "med", "mad", "n", lo.alias("lo"), hi.alias("hi")
+    )
+    out = (
+        ev.join(F.broadcast(fences), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("med").alias("med"),
+            F.first("mad").alias("mad"),
+            F.first("n").alias("n"),
+            F.sum(((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))).cast("long")).alias(
+                "n_outliers"
+            ),
+            fround(F.first("lo"), 6).alias("fence_lo"),
+            fround(F.first("hi"), 6).alias("fence_hi"),
+        )
+    )
+    return out.select(
+        "event_type", "med", "mad", "fence_lo", "fence_hi", "n", "n_outliers"
+    )
+
+
+MAD_OUTLIER_BOUNDS_SQL = f"""
+WITH med AS (
+  SELECT event_type, {sql_round('quantile_cont(value, 0.5)', 6)} AS med
+  FROM events GROUP BY 1
+), mad AS (
+  SELECT e.event_type, m.med,
+         {sql_round('quantile_cont(abs(e.value - m.med), 0.5)', 6)} AS mad,
+         count(e.value) AS n
+  FROM events e JOIN med m USING (event_type)
+  GROUP BY 1, 2
+), fences AS (
+  SELECT event_type, med, mad, n,
+         med - {_MAD_K!r} * mad AS lo,
+         med + {_MAD_K!r} * mad AS hi
+  FROM mad
+)
+SELECT f.event_type, f.med, f.mad,
+       {sql_round('f.lo', 6)} AS fence_lo,
+       {sql_round('f.hi', 6)} AS fence_hi,
+       f.n,
+       sum(CASE WHEN e.value < f.lo OR e.value > f.hi THEN 1 ELSE 0 END) AS n_outliers
+FROM events e JOIN fences f USING (event_type)
+GROUP BY 1, 2, 3, 4, 5, 6
+"""
+
+
+# ------------------------------------------------------------------
+# Sequence-length histogram (corpus length distribution)
+# ------------------------------------------------------------------
+
+_LEN_EDGES = (64, 256, 1024, 4096)
+
+
+def _bucket_label(col):
+    c = F.when(col < _LEN_EDGES[0], F.lit(f"00_lt_{_LEN_EDGES[0]}"))
+    for i in range(1, len(_LEN_EDGES)):
+        c = c.when(
+            col < _LEN_EDGES[i], F.lit(f"{i:02d}_lt_{_LEN_EDGES[i]}")
+        )
+    return c.otherwise(F.lit(f"{len(_LEN_EDGES):02d}_ge_{_LEN_EDGES[-1]}"))
+
+
+def seq_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length distribution per source over fixed geometric
+    buckets — the pre-training report that sizes packing shards and
+    flags truncation exposure (extension tier; works off the same
+    BPE-ish token split as pack_sequences).
+
+    Fixed CASE edges (not float log2) keep bucketing integer-exact on
+    both engines; one scan, one partial-aggregated groupBy.
+    """
+    from chess_pipeline_spark.plans.llm import BPE_TOKEN_PATTERN
+
+    d = spread(_L(spark, sf_dir, "documents"), "doc_id")
+    toks = d.select(
+        "source",
+        F.regexp_count("text", F.lit(BPE_TOKEN_PATTERN)).cast("long").alias("n_tokens"),
+    )
+    return (
+        toks.select("source", _bucket_label(F.col("n_tokens")).alias("len_bucket"), "n_tokens")
+        .groupBy("source", "len_bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            fround(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        )
+        .orderBy("source", "len_bucket")
+    )
+
+
+_TOKENS_SQL = (
+    "CAST(len(regexp_extract_all(text, "
+    r"'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)"
+)
+
+SEQ_LENGTH_HISTOGRAM_SQL = f"""
+WITH toks AS (
+  SELECT source, {_TOKENS_SQL} AS n_tokens FROM documents
+), b AS (
+  SELECT source, n_tokens,
+         CASE WHEN n_tokens < {_LEN_EDGES[0]} THEN '00_lt_{_LEN_EDGES[0]}'
+              WHEN n_tokens < {_LEN_EDGES[1]} THEN '01_lt_{_LEN_EDGES[1]}'
+              WHEN n_tokens < {_LEN_EDGES[2]} THEN '02_lt_{_LEN_EDGES[2]}'
+              WHEN n_tokens < {_LEN_EDGES[3]} THEN '03_lt_{_LEN_EDGES[3]}'
+              ELSE '04_ge_{_LEN_EDGES[-1]}' END AS len_bucket
+  FROM toks
+)
+SELECT source, len_bucket, count(*) AS n_docs,
+       sum(n_tokens) AS sum_tokens,
+       {sql_round('avg(n_tokens)', 4)} AS avg_tokens
+FROM b GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ------------------------------------------------------------------
+# TPC-H Q10-shaped returned-items report
+# ------------------------------------------------------------------
+
+
+def returned_items_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 customers by revenue lost to returned lineitems
+    (TPC-H Q10 shape): lineitem('R') ⋈ orders ⋈ customer ⋈ nation,
+    grouped by customer, ordered by revenue.
+
+    Plan: the returnflag filter is pushed to the lineitem scan; the
+    customer⋈nation dim side broadcasts; one fact shuffle
+    (orders⋈lineitem) + one agg shuffle; the global top-20 is
+    orderBy+limit, which Spark executes as TakeOrdered (per-partition
+    top-20, driver merge of 20-row heaps — no full sort at any
+    scale). Revenue is grid-rounded before ranking so the cutoff is
+    engine-stable; ties broken by c_custkey for a total order.
+    """
+    li = _L(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _L(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _L(spark, sf_dir, "customer")
+    nation = _L(spark, sf_dir, "nation")
+    dims = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).select("c_custkey", "c_name", "n_name")
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    per_cust = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(fround(rev, 2).alias("revenue"), F.count("*").alias("n_lines"))
+    )
+    return (
+        per_cust.join(F.broadcast(dims), per_cust.o_custkey == dims.c_custkey)
+        .select("c_custkey", "c_name", "n_name", "revenue", "n_lines")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+RETURNED_ITEMS_REPORT_SQL = f"""
+WITH per_cust AS (
+  SELECT o.o_custkey,
+         {sql_round('sum(l.l_extendedprice * (1 - l.l_discount))', 2)} AS revenue,
+         count(*) AS n_lines
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R'
+  GROUP BY 1
+)
+SELECT c.c_custkey, c.c_name, n.n_name, p.revenue, p.n_lines
+FROM per_cust p
+JOIN customer c ON p.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+ORDER BY p.revenue DESC, c.c_custkey ASC
+LIMIT 20
+"""
+
+
+# ------------------------------------------------------------------
+# Duplicate-cluster size distribution
+# ------------------------------------------------------------------
+
+
+def dup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of exact-duplicate cluster sizes over the corpus:
+    md5(text) → cluster, then (cluster size → how many clusters, how
+    many docs, wasted copies). The standard "how duplicated is this
+    crawl" report that decides whether near-dup passes are worth
+    their shuffle (extension tier; same digest-groupBy core as
+    dedup_exact, reduced to a two-level aggregation).
+
+    Both aggregations are partial-agg friendly; the second groupBy
+    runs over at most |distinct sizes| rows. Never touches text
+    after the digest projection.
+    """
+    d = spread(_L(spark, sf_dir, "documents"), "doc_id")
+    sizes = (
+        d.select(F.md5("text").alias("digest"))
+        .groupBy("digest")
+        .agg(F.count("*").alias("sz"))
+        .filter(F.col("sz") >= 2)
+    )
+    return (
+        sizes.groupBy("sz")
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            F.col("sz").alias("cluster_size"),
+            "n_clusters",
+            (F.col("sz") * F.col("n_clusters")).alias("n_docs"),
+            ((F.col("sz") - 1) * F.col("n_clusters")).alias("n_redundant"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+DUP_CLUSTER_SIZE_HIST_SQL = """
+WITH sizes AS (
+  SELECT md5(text) AS digest, count(*) AS sz
+  FROM documents GROUP BY 1 HAVING count(*) >= 2
+)
+SELECT sz AS cluster_size, count(*) AS n_clusters,
+       sz * count(*) AS n_docs,
+       (sz - 1) * count(*) AS n_redundant
+FROM sizes GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "hll_distinct_users": QuerySpec(
+        hll_distinct_users, HLL_DISTINCT_USERS_SQL, "ext: cardinality sketch"
+    ),
+    "data_profile_orders": QuerySpec(
+        data_profile_orders, DATA_PROFILE_ORDERS_SQL, "ext: column profiling"
+    ),
+    "mad_outlier_bounds": QuerySpec(
+        mad_outlier_bounds, MAD_OUTLIER_BOUNDS_SQL, "ext: robust outlier fences"
+    ),
+    "seq_length_histogram": QuerySpec(
+        seq_length_histogram, SEQ_LENGTH_HISTOGRAM_SQL, "ext: corpus length report"
+    ),
+    "returned_items_report": QuerySpec(
+        returned_items_report, RETURNED_ITEMS_REPORT_SQL, "J4/J5+A: TPC-H Q10 shape"
+    ),
+    "dup_cluster_size_hist": QuerySpec(
+        dup_cluster_size_hist, DUP_CLUSTER_SIZE_HIST_SQL, "ext: duplication report"
+    ),
+}

@@ -129,6 +129,12 @@ FROZEN_ORDER: tuple[str, ...] = (
     "events_decay_score",
     "orders_rfm_segments",
     "orders_snapshot_diff",
+    "hll_distinct_users",
+    "data_profile_orders",
+    "mad_outlier_bounds",
+    "seq_length_histogram",
+    "returned_items_report",
+    "dup_cluster_size_hist",
 )
 
 
@@ -141,7 +147,7 @@ def test_driver_window_r5_rotation():
     # additions are IN, as are the three operators built new in r5;
     # everything rotated out is r4 AND r2-or-r3 green (verified
     # against the CORRECTNESS files at rotation time)
-    assert len(FROZEN_ORDER) - DRIVER_WINDOW == 40
+    assert len(FROZEN_ORDER) - DRIVER_WINDOW == 46
     in_window = set(FROZEN_ORDER[:DRIVER_WINDOW])
     for newcomer in (
         "decontaminate_ngram_overlap",

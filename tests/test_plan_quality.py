@@ -325,3 +325,47 @@ def test_snapshot_diff_pushes_both_filters_single_join(spark, sf_dir):
     assert "FullOuter" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "row_number" not in plan
+
+
+def test_returned_items_pushes_filter_broadcasts_dims_takeordered(spark, sf_dir):
+    # Q10 shape: returnflag filter must reach the lineitem scan, the
+    # customer⋈nation dim side must broadcast, and the global top-20
+    # must be TakeOrdered (per-partition heaps), never a full sort
+    plan = _plan(spark, sf_dir, "returned_items_report")
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_mad_outlier_fence_joins_broadcast(spark, sf_dir):
+    # both per-type stat frames are tiny → every join broadcasts; the
+    # full value set is never shuffled for a window
+    plan = _plan(spark, sf_dir, "mad_outlier_bounds")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+
+
+def test_hll_registers_partial_agg_no_text_rescans(spark, sf_dir):
+    # the register table agg must be map-side partial (mergeable
+    # sketch state) and the scan must read only the two columns used
+    plan = _plan(spark, sf_dir, "hll_distinct_users")
+    assert plan.count("HashAggregate") >= 4  # partial+final × two aggs
+    reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert reads and all("props" not in ln and "value" not in ln for ln in reads)
+
+
+def test_data_profile_single_scan_expand(spark, sf_dir):
+    # k count-distincts compile to ONE scan + Expand, not k scans
+    plan = _plan(spark, sf_dir, "data_profile_orders")
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "Expand" in plan
+
+
+def test_dup_cluster_hist_never_shuffles_text(spark, sf_dir):
+    # after the md5 projection only the 32-char digest is shuffled;
+    # both aggregations keep map-side partials
+    plan = _plan(spark, sf_dir, "dup_cluster_size_hist")
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert exchanges and all("text" not in ln for ln in exchanges)
+    assert plan.count("HashAggregate") >= 4
