@@ -212,7 +212,7 @@ def data_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DATA_PROFILE_ORDERS_SQL = "\nUNION ALL\n".join(
     f"""SELECT '{c}' AS column_name, count(*) AS n_rows,
-       sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
        count(DISTINCT {c}) AS n_distinct FROM orders"""
     for c in _PROFILE_COLS
 )
@@ -293,7 +293,7 @@ SELECT f.event_type, f.med, f.mad,
        {sql_round('f.lo', 6)} AS fence_lo,
        {sql_round('f.hi', 6)} AS fence_hi,
        f.n,
-       sum(CASE WHEN e.value < f.lo OR e.value > f.hi THEN 1 ELSE 0 END) AS n_outliers
+       CAST(sum(CASE WHEN e.value < f.lo OR e.value > f.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
 FROM events e JOIN fences f USING (event_type)
 GROUP BY 1, 2, 3, 4, 5, 6
 """
@@ -361,7 +361,7 @@ WITH toks AS (
   FROM toks
 )
 SELECT source, len_bucket, count(*) AS n_docs,
-       sum(n_tokens) AS sum_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
        {sql_round('avg(n_tokens)', 4)} AS avg_tokens
 FROM b GROUP BY 1, 2 ORDER BY 1, 2
 """
@@ -430,20 +430,27 @@ LIMIT 20
 
 
 def dup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution of exact-duplicate cluster sizes over the corpus:
-    md5(text) → cluster, then (cluster size → how many clusters, how
-    many docs, wasted copies). The standard "how duplicated is this
-    crawl" report that decides whether near-dup passes are worth
-    their shuffle (extension tier; same digest-groupBy core as
-    dedup_exact, reduced to a two-level aggregation).
+    """Distribution of exact-duplicate cluster sizes at CHUNK
+    granularity: every paragraph chunk (the same fixed-width chunker
+    paragraph_dedup and the corpus ETL share) is digested, clusters
+    are chunks with an identical digest, and the report histograms
+    cluster size → (how many clusters, chunks, redundant copies).
+    The standard "how duplicated is this crawl" report that decides
+    whether the fuzzy near-dup passes are worth their shuffle
+    (extension tier; whole-document duplication shows up as many
+    max-size chunk clusters).
 
-    Both aggregations are partial-agg friendly; the second groupBy
-    runs over at most |distinct sizes| rows. Never touches text
-    after the digest projection.
+    Scale shape: chunking is a row-local explode in the scan stage;
+    the first groupBy shuffles only the 32-byte digest (never chunk
+    bodies), the second runs over at most |distinct sizes| rows —
+    both keep map-side partials.
     """
-    d = spread(_L(spark, sf_dir, "documents"), "doc_id")
+    from chess_pipeline_spark.plans.corpus import paragraph_chunks
+
+    d = spread(_L(spark, sf_dir, "documents"), "doc_id").select("doc_id", "text")
     sizes = (
-        d.select(F.md5("text").alias("digest"))
+        paragraph_chunks(d)
+        .select(F.md5("chunk").alias("digest"))
         .groupBy("digest")
         .agg(F.count("*").alias("sz"))
         .filter(F.col("sz") >= 2)
@@ -454,21 +461,32 @@ def dup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("sz").alias("cluster_size"),
             "n_clusters",
-            (F.col("sz") * F.col("n_clusters")).alias("n_docs"),
+            (F.col("sz") * F.col("n_clusters")).alias("n_chunks"),
             ((F.col("sz") - 1) * F.col("n_clusters")).alias("n_redundant"),
         )
         .orderBy("cluster_size")
     )
 
 
-DUP_CLUSTER_SIZE_HIST_SQL = """
-WITH sizes AS (
-  SELECT md5(text) AS digest, count(*) AS sz
-  FROM documents GROUP BY 1 HAVING count(*) >= 2
+from chess_pipeline_spark.plans.corpus import _PARA_WORDS as _PW
+
+# the chunking CTEs mirror PARAGRAPH_DEDUP_SQL exactly (same chunker)
+DUP_CLUSTER_SIZE_HIST_SQL = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws
+  FROM documents WHERE text IS NOT NULL),
+ch AS (
+  SELECT array_to_string(
+           ws[(CAST(t.i AS BIGINT) * {_PW} + 1):
+              (CAST(t.i AS BIGINT) * {_PW} + {_PW})], ' ') AS chunk
+  FROM w, LATERAL unnest(range(0, (len(ws) - 1) // {_PW} + 1)) AS t(i)),
+sizes AS (
+  SELECT md5(chunk) AS digest, count(*) AS sz
+  FROM ch GROUP BY 1 HAVING count(*) >= 2
 )
 SELECT sz AS cluster_size, count(*) AS n_clusters,
-       sz * count(*) AS n_docs,
-       (sz - 1) * count(*) AS n_redundant
+       CAST(sz * count(*) AS BIGINT) AS n_chunks,
+       CAST((sz - 1) * count(*) AS BIGINT) AS n_redundant
 FROM sizes GROUP BY 1 ORDER BY 1
 """
 
