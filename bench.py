@@ -103,6 +103,7 @@ EXTENDED = [
     "seq_length_histogram",
     "returned_items_report",
     "dup_cluster_size_hist",
+    "unigram_logprob_score",
 ]
 
 

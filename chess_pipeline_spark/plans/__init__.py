@@ -99,6 +99,7 @@ _DEMOTED: tuple[str, ...] = (
     "seq_length_histogram",
     "returned_items_report",
     "dup_cluster_size_hist",
+    "unigram_logprob_score",
 )
 
 # For every demoted query: the IN-WINDOW queries that keep its SURVEY
@@ -190,6 +191,7 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     "seq_length_histogram": ("quality_filter_verdicts", "pack_sequences"),
     "returned_items_report": ("top_customer_revenue", "order_lines_enriched"),
     "dup_cluster_size_hist": ("dedup_normalized", "dedup_groups"),
+    "unigram_logprob_score": ("quality_filter_verdicts", "tfidf_top_terms"),
 }
 
 

@@ -1116,6 +1116,124 @@ FROM cells, total
 """
 
 
+# ------------------------------------------------------------------
+# Unigram-LM log-probability quality score (CCNet-style)
+# ------------------------------------------------------------------
+
+
+def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram log-probability under a
+    Laplace-smoothed LM fit on the held-out half of the corpus (even
+    doc_ids) — the tokenizer-free stand-in for the CCNet/KenLM
+    perplexity filter: documents whose words are systematically rare
+    under the reference distribution score low and get routed to the
+    tail quality bucket.
+
+    Determinism (the TWA/JL lesson): each word's log-prob is
+    quantized to integer micro-nats (floor(ln(p)*1e6+0.5) as BIGINT)
+    BEFORE aggregation, so the per-doc sum is exact integer
+    arithmetic — no engine-defined float summation order anywhere.
+    Only the single per-word ln() carries float semantics, and it is
+    computed from identical rationals on both engines.
+
+    100 TB shape: LM counting is a map-side-combined word shuffle;
+    the (N, V) scalars and the vocabulary broadcast (a real corpus
+    caps the vocab at top-K exactly like oov_rate_top1k — documented
+    swap); scoring joins words against the broadcast LM and rolls up
+    once on doc_id.
+    """
+    d = spread(_L(spark, sf_dir, "documents"), "doc_id").select("doc_id", "text")
+    tokens = d.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    train = tokens.filter(F.col("doc_id") % 2 == 0)
+    scal = train.agg(
+        F.count("*").alias("n_train"),
+        F.countDistinct("word").alias("v_train"),
+    )
+    lm = (
+        train.groupBy("word")
+        .agg(F.count("*").alias("c"))
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "word",
+            F.floor(
+                F.log(
+                    (F.col("c") + 1).cast("double")
+                    / (F.col("n_train") + F.col("v_train")).cast("double")
+                )
+                * 1e6
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("lp_int"),
+        )
+    )
+    oov = scal.select(
+        F.floor(
+            F.log(
+                F.lit(1.0) / (F.col("n_train") + F.col("v_train")).cast("double")
+            )
+            * 1e6
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("lp_oov")
+    )
+    agg = (
+        tokens.join(F.broadcast(lm), "word", "left")
+        .crossJoin(F.broadcast(oov))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum(F.when(F.col("lp_int").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+            F.sum(F.coalesce("lp_int", "lp_oov")).cast("long").alias("sum_lp"),
+        )
+    )
+    return agg.select(
+        "doc_id",
+        "n_words",
+        "n_oov",
+        fround(F.col("sum_lp") / F.lit(1e6) / F.col("n_words").cast("double"), 6).alias(
+            "avg_logprob"
+        ),
+    )
+
+
+UNIGRAM_LOGPROB_SCORE_SQL = """
+WITH tokens AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+  FROM documents WHERE text IS NOT NULL),
+train AS (SELECT * FROM tokens WHERE doc_id % 2 = 0),
+scal AS (
+  SELECT count(*) AS n_train, count(DISTINCT word) AS v_train FROM train),
+lm AS (
+  SELECT word,
+         CAST(floor(ln(CAST(c + 1 AS DOUBLE)
+                       / CAST(n_train + v_train AS DOUBLE)) * 1000000.0 + 0.5)
+              AS BIGINT) AS lp_int
+  FROM (SELECT word, count(*) AS c FROM train GROUP BY 1), scal),
+oov AS (
+  SELECT CAST(floor(ln(1.0 / CAST(n_train + v_train AS DOUBLE))
+                    * 1000000.0 + 0.5) AS BIGINT) AS lp_oov
+  FROM scal),
+agg AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(CASE WHEN l.lp_int IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov,
+         CAST(sum(coalesce(l.lp_int, o.lp_oov)) AS BIGINT) AS sum_lp
+  FROM tokens t LEFT JOIN lm l ON t.word = l.word, oov o
+  GROUP BY t.doc_id)
+SELECT doc_id, n_words, n_oov,
+       floor((sum_lp / 1000000.0 / CAST(n_words AS DOUBLE)) * 1000000.0 + 0.5)
+         / 1000000.0 AS avg_logprob
+FROM agg
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_keep_best": QuerySpec(
         dedup_keep_best, DEDUP_KEEP_BEST_SQL, "corpus-keep-best"
@@ -1154,5 +1272,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "corpus_composition": QuerySpec(
         corpus_composition, CORPUS_COMPOSITION_SQL, "corpus-card"
+    ),
+    "unigram_logprob_score": QuerySpec(
+        unigram_logprob_score, UNIGRAM_LOGPROB_SCORE_SQL, "corpus-lm-quality"
     ),
 }

@@ -369,3 +369,14 @@ def test_dup_cluster_hist_never_shuffles_text(spark, sf_dir):
     exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
     assert exchanges and all("text" not in ln for ln in exchanges)
     assert plan.count("HashAggregate") >= 4
+
+
+def test_unigram_lm_broadcasts_no_cartesian_blowup(spark, sf_dir):
+    # the LM vocabulary and the (N, V) scalars broadcast; the only
+    # non-broadcast exchanges are the word-count shuffle and the
+    # per-doc rollup — and the scalar cross joins are broadcast-nested
+    # -loop against 1-row sides, never a partitioned cartesian
+    plan = _plan(spark, sf_dir, "unigram_logprob_score")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
