@@ -45,7 +45,7 @@ _HLL_ALPHA = 0.7213 / (1.0 + 1.079 / 256.0)
 _HEX = "0123456789abcdef"
 
 
-def _hll_rank_cols(h):
+def hll_rank_cols(h):
     """(register, rank) columns from a 32-hex-char md5 column.
 
     register = first 2 hex digits (0..255); rank = leading-zero count
@@ -68,6 +68,35 @@ def _hll_rank_cols(h):
     return reg.alias("reg"), rank.alias("rank")
 
 
+def hll_registers_for(keyed: DataFrame, key: str = "event_type") -> DataFrame:
+    """(key, h: md5-hex) -> (key, reg, m_j): the max-merged register
+    table. This IS the sketch state — ≤ 256 rows per key, and
+    max-merge is associative+commutative+idempotent, so partial
+    register tables from any partitioning (or any micro-batch replay)
+    merge to the identical result. The streaming twin
+    (streaming/jobs.py::stream_hll_distinct) persists exactly this
+    frame as its ledger."""
+    reg, rank = hll_rank_cols(F.col("h"))
+    return (
+        keyed.select(key, reg, rank)
+        .groupBy(key, "reg")
+        .agg(F.max("rank").alias("m_j"))
+    )
+
+
+def hll_estimate_col():
+    """The estimate expression over a per-key aggregate holding
+    regs_used + z_used (sum of 2^-m_j over used registers): raw HLL
+    with small-range linear counting, Flajolet et al. 2007."""
+    zeros = F.lit(_HLL_M) - F.col("regs_used")
+    z_tot = F.col("z_used") + zeros.cast("double")
+    e_raw = F.lit(_HLL_ALPHA * _HLL_M * _HLL_M) / z_tot
+    return F.when(
+        (e_raw <= F.lit(2.5 * _HLL_M)) & (zeros > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / zeros.cast("double")),
+    ).otherwise(e_raw)
+
+
 def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type distinct-user cardinality: exact count next to a
     from-scratch deterministic HyperLogLog estimate (m=256, md5-based,
@@ -85,23 +114,11 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _L(spark, sf_dir, "events").select(
         "event_type", F.md5(F.col("user_id").cast("string")).alias("h")
     )
-    reg, rank = _hll_rank_cols(F.col("h"))
-    regs = (
-        ev.select("event_type", reg, rank)
-        .groupBy("event_type", "reg")
-        .agg(F.max("rank").alias("m_j"))
-    )
-    per_type = regs.groupBy("event_type").agg(
+    per_type = hll_registers_for(ev).groupBy("event_type").agg(
         F.count("*").alias("regs_used"),
         F.sum(F.pow(F.lit(2.0), -F.col("m_j"))).alias("z_used"),
     )
-    zeros = F.lit(_HLL_M) - F.col("regs_used")
-    z_tot = F.col("z_used") + zeros.cast("double")
-    e_raw = F.lit(_HLL_ALPHA * _HLL_M * _HLL_M) / z_tot
-    est = F.when(
-        (e_raw <= F.lit(2.5 * _HLL_M)) & (zeros > 0),
-        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / zeros.cast("double")),
-    ).otherwise(e_raw)
+    est = hll_estimate_col()
     exact = (
         _L(spark, sf_dir, "events")
         .groupBy("event_type")

@@ -447,3 +447,69 @@ def stream_boilerplate_removal(docs: DataFrame, ledger_path: str, verdicts_path:
         batch_counts.write.mode("append").parquet(ledger_path)
 
     return docs.writeStream.foreachBatch(_process)
+
+
+def stream_hll_distinct(events: DataFrame, registers_path: str, estimates_path: str):
+    """Continuous distinct-user cardinality via the deterministic
+    HyperLogLog of plans.profiling: each micro-batch folds its rows
+    into a persisted per-(event_type, register) ledger (max-merge —
+    associative, commutative, idempotent, so replayed batches cannot
+    corrupt it), then snapshots the per-type estimate. Streaming twin
+    of the hll_distinct_users batch query; because the merged
+    register state is identical to what the batch query computes over
+    the same rows, the final snapshot equals the batch answer
+    EXACTLY (pytest asserts equality, not approximation).
+
+    100 TB shape: per batch, one map-side-combined shuffle down to
+    ≤ 256·|event_types| register rows; the ledger stays KB-sized
+    forever (that is the point of the sketch — countDistinct state
+    grows with users, register state does not). The ledger rewrite is
+    driver-side-tiny by construction; an append-only band/bucket
+    layout is unnecessary at any scale because the state is bounded.
+    """
+    from pyspark.errors import AnalysisException
+
+    from chess_pipeline_spark.plans.profiling import (
+        hll_estimate_col,
+        hll_registers_for,
+    )
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        regs = hll_registers_for(
+            batch.select(
+                "event_type", F.md5(F.col("user_id").cast("string")).alias("h")
+            )
+        )
+        try:
+            prior = spark.read.parquet(registers_path)
+        except AnalysisException:
+            prior = spark.createDataFrame([], "event_type string, reg int, m_j int")
+        merged = (
+            regs.unionByName(prior.select("event_type", "reg", "m_j"))
+            .groupBy("event_type", "reg")
+            .agg(F.max("m_j").alias("m_j"))
+        )
+        # the register table is bounded (≤ 256 per type): collect and
+        # rewrite — reading and overwriting the same parquet path in
+        # one lazy plan is not safe, and a KB-scale driver hop is the
+        # honest cost model at every scale
+        rows = merged.collect()
+        snap = spark.createDataFrame(rows, merged.schema)
+        snap.write.mode("overwrite").parquet(registers_path)
+        est = (
+            snap.groupBy("event_type")
+            .agg(
+                F.count("*").alias("regs_used"),
+                F.sum(F.pow(F.lit(2.0), -F.col("m_j"))).alias("z_used"),
+            )
+            .select(
+                "event_type",
+                "regs_used",
+                hll_estimate_col().alias("hll_estimate"),
+                F.lit(batch_id).alias("batch_id"),
+            )
+        )
+        est.write.mode("append").parquet(estimates_path)
+
+    return events.writeStream.foreachBatch(_process)

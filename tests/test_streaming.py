@@ -381,3 +381,76 @@ def test_stream_boilerplate_asof_semantics_across_batches(spark, tmp_path):
     )
     counts = sorted(r.df for r in ledger.collect())
     assert counts == [1, 1, 2]  # uniq_a, uniq_b, shared
+
+
+def test_stream_hll_matches_batch_exactly(spark, sf_dir, tmp_path):
+    """Replay events in two micro-batches; after the final batch the
+    merged register ledger must yield the EXACT batch-query estimate
+    (max-merge is order/partitioning-invariant), and the per-batch
+    snapshots must be monotonically non-decreasing per type."""
+    import os
+    import time
+
+    import pyspark.sql.functions as F
+
+    from chess_pipeline_spark.plans.profiling import hll_distinct_users
+    from chess_pipeline_spark.sources import load_table
+    from chess_pipeline_spark.streaming.jobs import (
+        read_events_stream,
+        stream_hll_distinct,
+    )
+
+    raw_cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ev = load_table(spark, sf_dir, "events").select(*raw_cols)
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    mid = ev.agg(F.expr("percentile(event_id, 0.5)")).first()[0]
+    ev.filter(F.col("event_id") <= mid).toPandas().to_parquet(
+        str(src / "b0.parquet")
+    )
+    ev.filter(F.col("event_id") > mid).toPandas().to_parquet(
+        str(src / "b1.parquet")
+    )
+    now = time.time()
+    os.utime(src / "b0.parquet", (now - 60, now - 60))
+    os.utime(src / "b1.parquet", (now, now))
+
+    stream = read_events_stream(
+        spark, str(src), glob="*.parquet", max_files_per_trigger=1
+    )
+    q = (
+        stream_hll_distinct(
+            stream, str(tmp_path / "registers"), str(tmp_path / "estimates")
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    est = spark.read.parquet(str(tmp_path / "estimates")).toPandas()
+    assert set(est["batch_id"].unique()) == {0, 1}
+    # estimates can only grow as more users fold in (register maxes
+    # are monotone; the estimate is monotone in the registers)
+    merged = est.pivot_table(
+        index="event_type", columns="batch_id", values="hll_estimate"
+    )
+    assert (merged[1] >= merged[0] - 1e-9).all()
+
+    batch = {
+        r.event_type: r.hll_estimate
+        for r in hll_distinct_users(spark, sf_dir).collect()
+    }
+    final = {
+        r.event_type: r.hll_estimate
+        for r in spark.read.parquet(str(tmp_path / "estimates"))
+        .filter(F.col("batch_id") == 1)
+        .select(
+            "event_type",
+            (F.floor(F.col("hll_estimate") * 1e4 + F.lit(0.5)) / 1e4).alias(
+                "hll_estimate"
+            ),
+        )
+        .collect()
+    }
+    assert final == {k: round(v, 4) for k, v in ((k, v) for k, v in batch.items())}
