@@ -104,6 +104,8 @@ EXTENDED = [
     "returned_items_report",
     "dup_cluster_size_hist",
     "unigram_logprob_score",
+    "cms_heavy_hitters",
+    "value_quantiles_binned",
 ]
 
 

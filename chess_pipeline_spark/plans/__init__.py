@@ -100,6 +100,8 @@ _DEMOTED: tuple[str, ...] = (
     "returned_items_report",
     "dup_cluster_size_hist",
     "unigram_logprob_score",
+    "cms_heavy_hitters",
+    "value_quantiles_binned",
 )
 
 # For every demoted query: the IN-WINDOW queries that keep its SURVEY
@@ -192,6 +194,8 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     "returned_items_report": ("top_customer_revenue", "order_lines_enriched"),
     "dup_cluster_size_hist": ("dedup_normalized", "dedup_groups"),
     "unigram_logprob_score": ("quality_filter_verdicts", "tfidf_top_terms"),
+    "cms_heavy_hitters": ("tfidf_top_terms", "dedup_incremental_simhash"),
+    "value_quantiles_binned": ("price_percentiles", "event_funnel"),
 }
 
 

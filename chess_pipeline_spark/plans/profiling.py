@@ -25,7 +25,7 @@ values):
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from chess_pipeline_spark.functions.rounding import fround, sql_round
 from chess_pipeline_spark.plans.spec import QuerySpec
@@ -508,6 +508,260 @@ FROM sizes GROUP BY 1 ORDER BY 1
 """
 
 
+
+
+# ------------------------------------------------------------------
+# Count-Min sketch heavy hitters (d = 4 rows x w = 1024 counters)
+# ------------------------------------------------------------------
+
+_CMS_D = 4
+_CMS_W = 1024
+
+
+def _hex3_to_int_spark(h):
+    """First 3 hex chars of a digest column -> 0..4095, pure
+    string/integer ops (no conv(); DuckDB has no conv, so both
+    engines parse digits the same way)."""
+    d0 = F.instr(F.lit(_HEX), F.substring(h, 1, 1)) - 1
+    d1 = F.instr(F.lit(_HEX), F.substring(h, 2, 1)) - 1
+    d2 = F.instr(F.lit(_HEX), F.substring(h, 3, 1)) - 1
+    return (d0 * 256 + d1 * 16 + d2).cast("long")
+
+
+def _hex3_to_int_sql(h: str) -> str:
+    return (
+        f"CAST((instr('{_HEX}', substring({h}, 1, 1)) - 1) * 256"
+        f" + (instr('{_HEX}', substring({h}, 2, 1)) - 1) * 16"
+        f" + (instr('{_HEX}', substring({h}, 3, 1)) - 1) AS BIGINT)"
+    )
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch word-frequency estimation validated against
+    the exact heavy hitters: the corpus word stream folds into a
+    4x1024 counter grid (hash row i buckets by md5(i || ':' || word)),
+    and the top-20 exact words are then estimated as min over their 4
+    counters — CMS guarantees estimate >= exact, with overflow bounded
+    by the counter-grid load. Completes the sketch tier next to HLL
+    (cardinality) and the binned quantile histogram (distribution).
+
+    100 TB shape: the sketch is 4096 mergeable counters TOTAL —
+    map-side partial agg shrinks every partition to <= 4096 rows
+    before the single shuffle, identical to the HLL register
+    argument; the exact branch exists only to quantify sketch error
+    and is the piece you drop at scale. Deterministic cross-engine:
+    md5 + integer hex parsing, integer counters, no floats anywhere.
+    """
+    d = spread(_L(spark, sf_dir, "documents"), "doc_id")
+    words = d.filter(F.col("text").isNotNull()).select(
+        F.explode(F.split("text", " ")).alias("word")
+    )
+    # ONE pass over the word stream: the 4 hash rows explode from an
+    # inline array per word (not a 4-way union of 4 re-scans — that
+    # variant measured ~2x slower at sf0.1)
+    rb = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row_i"),
+                (
+                    _hex3_to_int_spark(
+                        F.md5(F.concat(F.lit(f"{i}:"), F.col("word")))
+                    )
+                    % _CMS_W
+                ).alias("bucket"),
+            )
+            for i in range(_CMS_D)
+        ]
+    )
+    sketch = (
+        words.select(F.explode(rb).alias("rb"))
+        .select("rb.row_i", "rb.bucket")
+        .groupBy("row_i", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+    wtop = Window.orderBy(F.desc("n_exact"), F.asc("word"))
+    top = (
+        words.groupBy("word")
+        .agg(F.count("*").alias("n_exact"))
+        .withColumn("rk", F.row_number().over(wtop))
+        .filter(F.col("rk") <= 20)
+    )
+    probes = []
+    for i in range(_CMS_D):
+        h = F.md5(F.concat(F.lit(f"{i}:"), F.col("word")))
+        probes.append(
+            top.select(
+                "word",
+                "n_exact",
+                "rk",
+                F.lit(i).alias("row_i"),
+                (_hex3_to_int_spark(h) % _CMS_W).alias("bucket"),
+            )
+        )
+    pr = probes[0]
+    for p in probes[1:]:
+        pr = pr.unionByName(p)
+    est = (
+        pr.join(sketch, ["row_i", "bucket"])
+        .groupBy("word", "n_exact", "rk")
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
+    return est.select(
+        "word",
+        "n_exact",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("n_exact")).alias("overcount"),
+    ).orderBy(F.desc("n_exact"), F.asc("word"))
+
+
+def _cms_sql() -> str:
+    rows = "\nUNION ALL\n".join(
+        f"SELECT {i} AS row_i, "
+        + _hex3_to_int_sql(f"md5('{i}:' || word)")
+        + f" % {_CMS_W} AS bucket FROM words"
+        for i in range(_CMS_D)
+    )
+    probe_rows = "\nUNION ALL\n".join(
+        f"SELECT word, n_exact, {i} AS row_i, "
+        + _hex3_to_int_sql(f"md5('{i}:' || word)")
+        + f" % {_CMS_W} AS bucket FROM top"
+        for i in range(_CMS_D)
+    )
+    return f"""
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS word
+  FROM documents WHERE text IS NOT NULL),
+hashed AS ({rows}),
+sketch AS (
+  SELECT row_i, bucket, count(*) AS cnt FROM hashed GROUP BY 1, 2),
+top AS (
+  SELECT word, n_exact FROM (
+    SELECT word, count(*) AS n_exact,
+           row_number() OVER (ORDER BY count(*) DESC, word ASC) AS rk
+    FROM words GROUP BY 1)
+  WHERE rk <= 20),
+probes AS ({probe_rows}),
+est AS (
+  SELECT p.word, p.n_exact, min(s.cnt) AS cms_estimate
+  FROM probes p JOIN sketch s USING (row_i, bucket)
+  GROUP BY 1, 2)
+SELECT word, CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(cms_estimate AS BIGINT) AS cms_estimate,
+       CAST(cms_estimate - n_exact AS BIGINT) AS overcount
+FROM est ORDER BY n_exact DESC, word ASC
+"""
+
+
+CMS_HEAVY_HITTERS_SQL = _cms_sql()
+
+
+# ------------------------------------------------------------------
+# Fixed-bin quantile histogram (mergeable distribution sketch)
+# ------------------------------------------------------------------
+
+# 0.5-wide bins over [0, 500): events.value spans ~0..490 in the
+# synthetic data; values outside clamp into the edge bins (the
+# estimate degrades gracefully instead of erroring)
+_QBIN_W = 0.5
+_QBIN_N = 1000
+
+
+def value_quantiles_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate per-event-type quantiles from a fixed 1000-bin
+    histogram — the mergeable-sketch answer to percentile at scale
+    (exact percentile shuffles every value; the histogram is <= 1000
+    integer counters per group, map-side combinable, and its error is
+    bounded by the bin width). Reports the binned p50/p90/p99 (lower
+    edge of the bin where the cumulative count crosses the rank) next
+    to the exact interpolated percentile, so the catalog query itself
+    quantifies the sketch's error.
+
+    Integer-exact determinism: bin assignment is floor(value/width)
+    clamped, ranks are ceil-integer thresholds, and the reported edge
+    is bin * width on a fixed grid — no transcendental, no float
+    summation ordering anywhere (exact branch aside, which reuses the
+    percentile parity already proven by price_percentiles).
+    """
+    ev = _L(spark, sf_dir, "events").select("event_type", "value")
+    b = F.least(
+        F.greatest(F.floor(F.col("value") / F.lit(_QBIN_W)), F.lit(0)),
+        F.lit(_QBIN_N - 1),
+    ).cast("long")
+    hist = (
+        ev.filter(F.col("value").isNotNull())
+        .select("event_type", b.alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "bin",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wtot).alias("n"),
+    )
+
+    def edge(q: float):
+        # smallest bin whose cumulative count reaches ceil(q * n)
+        need = F.ceil(F.lit(q) * F.col("n"))
+        return F.min(F.when(F.col("cum") >= need, F.col("bin"))) * F.lit(_QBIN_W)
+
+    ex = ev.groupBy("event_type").agg(
+        fround(F.expr("percentile(value, 0.5)"), 4).alias("p50_exact"),
+        fround(F.expr("percentile(value, 0.9)"), 4).alias("p90_exact"),
+    )
+    out = cum.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        fround(edge(0.5), 4).alias("p50_binned"),
+        fround(edge(0.9), 4).alias("p90_binned"),
+        fround(edge(0.99), 4).alias("p99_binned"),
+    )
+    return (
+        out.join(F.broadcast(ex), "event_type")
+        .select(
+            "event_type", "n", "p50_binned", "p90_binned", "p99_binned",
+            "p50_exact", "p90_exact",
+        )
+        .orderBy("event_type")
+    )
+
+
+VALUE_QUANTILES_BINNED_SQL = f"""
+WITH hist AS (
+  SELECT event_type,
+         CAST(least(greatest(floor(value / {_QBIN_W!r}), 0), {_QBIN_N - 1}) AS BIGINT) AS bin,
+         count(*) AS cnt
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, bin,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS n
+  FROM hist),
+binned AS (
+  SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+         {sql_round(f'min(CASE WHEN cum >= ceil(0.5 * n) THEN bin END) * {_QBIN_W!r}', 4)} AS p50_binned,
+         {sql_round(f'min(CASE WHEN cum >= ceil(0.9 * n) THEN bin END) * {_QBIN_W!r}', 4)} AS p90_binned,
+         {sql_round(f'min(CASE WHEN cum >= ceil(0.99 * n) THEN bin END) * {_QBIN_W!r}', 4)} AS p99_binned
+  FROM cum GROUP BY 1),
+ex AS (
+  SELECT event_type,
+         {sql_round('quantile_cont(value, 0.5)', 4)} AS p50_exact,
+         {sql_round('quantile_cont(value, 0.9)', 4)} AS p90_exact
+  FROM events GROUP BY 1)
+SELECT b.event_type, b.n, b.p50_binned, b.p90_binned, b.p99_binned,
+       e.p50_exact, e.p90_exact
+FROM binned b JOIN ex e USING (event_type)
+ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "hll_distinct_users": QuerySpec(
         hll_distinct_users, HLL_DISTINCT_USERS_SQL, "ext: cardinality sketch"
@@ -526,5 +780,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "dup_cluster_size_hist": QuerySpec(
         dup_cluster_size_hist, DUP_CLUSTER_SIZE_HIST_SQL, "ext: duplication report"
+    ),
+    "cms_heavy_hitters": QuerySpec(
+        cms_heavy_hitters, CMS_HEAVY_HITTERS_SQL, "ext: frequency sketch"
+    ),
+    "value_quantiles_binned": QuerySpec(
+        value_quantiles_binned, VALUE_QUANTILES_BINNED_SQL, "ext: quantile sketch"
     ),
 }

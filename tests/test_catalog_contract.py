@@ -136,6 +136,8 @@ FROZEN_ORDER: tuple[str, ...] = (
     "returned_items_report",
     "dup_cluster_size_hist",
     "unigram_logprob_score",
+    "cms_heavy_hitters",
+    "value_quantiles_binned",
 )
 
 
@@ -148,7 +150,7 @@ def test_driver_window_r5_rotation():
     # additions are IN, as are the three operators built new in r5;
     # everything rotated out is r4 AND r2-or-r3 green (verified
     # against the CORRECTNESS files at rotation time)
-    assert len(FROZEN_ORDER) - DRIVER_WINDOW == 47
+    assert len(FROZEN_ORDER) - DRIVER_WINDOW == 49
     in_window = set(FROZEN_ORDER[:DRIVER_WINDOW])
     for newcomer in (
         "decontaminate_ngram_overlap",

@@ -380,3 +380,20 @@ def test_unigram_lm_broadcasts_no_cartesian_blowup(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_cms_sketch_partial_aggs_bounded_counters(spark, sf_dir):
+    # the 4x1024 counter fold must partial-aggregate map-side, and the
+    # probe join against the top-k word set must hash-join, never SMJ
+    plan = _plan(spark, sf_dir, "cms_heavy_hitters")
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_binned_quantiles_histogram_before_window(spark, sf_dir):
+    # the cumulative window must run over the <=1000-bin HISTOGRAM,
+    # not the raw value set: a partial-agg'd groupBy(type, bin)
+    # precedes the window
+    plan = _plan(spark, sf_dir, "value_quantiles_binned")
+    assert "partial_count" in plan
+    assert "Window" in plan
