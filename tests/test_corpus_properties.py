@@ -85,6 +85,10 @@ _RANDOMIZED_QUERIES = (
     "oov_rate_top1k",
     "boilerplate_chunk_removal",
     "corpus_composition",
+    "unigram_logprob_score",
+    "seq_length_histogram",
+    "dup_cluster_size_hist",
+    "cms_heavy_hitters",
 )
 
 

@@ -311,3 +311,31 @@ def test_events_queries_match_oracle_on_random_inputs(
     _write_all(tmp, orders, lineitem, events)
     for name in _EVENTS_QUERIES:
         run_and_compare(spark, str(tmp), name, _CATALOG[name])
+
+
+_PROFILING_QUERIES = (
+    "hll_distinct_users",
+    "data_profile_orders",
+    "mad_outlier_bounds",
+    "returned_items_report",
+    "value_quantiles_binned",
+)
+
+
+@given(tables=_tables())
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_profiling_queries_match_oracle_on_random_inputs(
+    spark, tmp_path_factory, tables
+):
+    # the sketch/profile tier on adversarial inputs: one-row groups,
+    # duplicate users, tied values on MAD fence boundaries (cents
+    # grid), empty lineitem for the Q10 report
+    orders, lineitem, events = tables
+    tmp = tmp_path_factory.mktemp("randprof")
+    _write_all(tmp, orders, lineitem, events)
+    for name in _PROFILING_QUERIES:
+        run_and_compare(spark, str(tmp), name, _CATALOG[name])
