@@ -106,6 +106,10 @@ EXTENDED = [
     "unigram_logprob_score",
     "cms_heavy_hitters",
     "value_quantiles_binned",
+    "order_priority_pending",
+    "returnflag_priority_casesum",
+    "cust_order_count_dist",
+    "small_qty_revenue",
 ]
 
 

@@ -102,6 +102,10 @@ _DEMOTED: tuple[str, ...] = (
     "unigram_logprob_score",
     "cms_heavy_hitters",
     "value_quantiles_binned",
+    "order_priority_pending",
+    "returnflag_priority_casesum",
+    "cust_order_count_dist",
+    "small_qty_revenue",
 )
 
 # For every demoted query: the IN-WINDOW queries that keep its SURVEY
@@ -196,6 +200,11 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     "unigram_logprob_score": ("quality_filter_verdicts", "tfidf_top_terms"),
     "cms_heavy_hitters": ("tfidf_top_terms", "dedup_incremental_simhash"),
     "value_quantiles_binned": ("price_percentiles", "event_funnel"),
+    # classic DSS shapes: families in-window via these relatives
+    "order_priority_pending": ("customers_with_orders", "parts_never_ordered"),
+    "returnflag_priority_casesum": ("win_ratio_by_status", "pricing_summary"),
+    "cust_order_count_dist": ("orders_fulfillment", "event_funnel"),
+    "small_qty_revenue": ("top_customer_revenue", "pricing_summary"),
 }
 
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from chess_pipeline_spark.functions.rounding import fround
+from chess_pipeline_spark.functions.rounding import fround, sql_round
 from chess_pipeline_spark.plans.spec import QuerySpec
 from chess_pipeline_spark.sources import load_table as _L
 
@@ -1241,6 +1241,151 @@ FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
 """
 
 
+
+
+# ------------------------------------------------------------------
+# Classic decision-support shapes (TPC-H Q4/Q12/Q13/Q17 analogues)
+# ------------------------------------------------------------------
+
+
+def order_priority_pending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: per order priority, how many orders have at
+    least one lineitem still open (EXISTS correlated subquery → the
+    left-semi join Catalyst rewrites it to). Exercises the semi-join
+    path the catalog's anti-join queries don't.
+
+    Scale: the semi probe carries only l_orderkey after the pushed
+    linestatus filter; one keyed shuffle pair + the final tiny agg.
+    """
+    orders = _L(spark, sf_dir, "orders")
+    li = _L(spark, sf_dir, "lineitem").filter(F.col("l_linestatus") == "O").select(
+        "l_orderkey"
+    )
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_open_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORDER_PRIORITY_PENDING_SQL = """
+SELECT o_orderpriority, count(*) AS n_open_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_linestatus = 'O')
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def returnflag_priority_casesum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional aggregation — per lineitem
+    returnflag, split the joined orders into urgent (1/2 priority)
+    vs other via CASE-sum in ONE pass instead of two filtered scans.
+
+    Scale: one fact-fact join on orderkey, then a 3-group agg; the
+    CASE folding happens map-side inside the partial agg.
+    """
+    orders = _L(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _L(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).cast("long").alias("n_urgent"),
+            F.sum(F.when(urgent, 0).otherwise(1)).cast("long").alias("n_other"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+RETURNFLAG_PRIORITY_CASESUM_SQL = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS n_other
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def cust_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count,
+    INCLUDING zero-order customers — the left outer join + double
+    aggregation whose first groupBy must preserve the unmatched side.
+
+    Scale: customer⋈orders shuffles once on custkey (customer is
+    small here and broadcasts; at warehouse scale both sides
+    co-partition), then the distribution agg runs over |distinct
+    counts| rows.
+    """
+    cust = _L(spark, sf_dir, "customer").select("c_custkey")
+    orders = _L(spark, sf_dir, "orders").select("o_custkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_custkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy(F.desc("n_customers"), F.desc("n_orders"))
+    )
+
+
+CUST_ORDER_COUNT_DIST_SQL = """
+WITH per_cust AS (
+  SELECT c.c_custkey, count(o.o_custkey) AS n_orders
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY 1)
+SELECT n_orders, count(*) AS n_customers
+FROM per_cust GROUP BY 1
+ORDER BY n_customers DESC, n_orders DESC
+"""
+
+
+def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery — revenue from
+    lineitems whose quantity is below 50%% of their part's average
+    quantity. Catalyst decorrelates this into a per-part aggregate
+    broadcast-joined back to the fact — the plan this builder writes
+    directly.
+
+    Determinism: the 0.5·avg threshold is grid-rounded (1e-6) before
+    the comparison so both engines filter on bit-identical bounds;
+    the revenue sum is fround'd like every price aggregate.
+    """
+    li = _L(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        fround(F.avg("l_quantity") * F.lit(0.5), 6).alias("half_avg_qty")
+    )
+    return (
+        li.join(F.broadcast(per_part), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(
+            fround(F.sum("l_extendedprice"), 2).alias("small_qty_revenue"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+    )
+
+
+SMALL_QTY_REVENUE_SQL = f"""
+WITH per_part AS (
+  SELECT l_partkey, {{half_avg}} AS half_avg_qty
+  FROM lineitem GROUP BY 1)
+SELECT {{rev}} AS small_qty_revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN per_part p USING (l_partkey)
+WHERE l.l_quantity < p.half_avg_qty
+""".format(
+    half_avg=sql_round("avg(l_quantity) * 0.5", 6),
+    rev=sql_round("sum(l_extendedprice)", 2),
+)
+
+
+
 QUERIES: dict[str, QuerySpec] = {
     "win_ratio_by_status": QuerySpec(win_ratio_by_status, WIN_RATIO_SQL, "A1 A2 E5 P7"),
     "orders_rfm_segments": QuerySpec(
@@ -1251,6 +1396,18 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "orders_retention_cohort": QuerySpec(
         orders_retention_cohort, ORDERS_RETENTION_COHORT_SQL, "cohort ext J4 A1"
+    ),
+    "order_priority_pending": QuerySpec(
+        order_priority_pending, ORDER_PRIORITY_PENDING_SQL, "Q4 semi-join ext"
+    ),
+    "returnflag_priority_casesum": QuerySpec(
+        returnflag_priority_casesum, RETURNFLAG_PRIORITY_CASESUM_SQL, "Q12 case-sum ext"
+    ),
+    "cust_order_count_dist": QuerySpec(
+        cust_order_count_dist, CUST_ORDER_COUNT_DIST_SQL, "Q13 outer-join dist ext"
+    ),
+    "small_qty_revenue": QuerySpec(
+        small_qty_revenue, SMALL_QTY_REVENUE_SQL, "Q17 correlated scalar ext"
     ),
     "pricing_summary": QuerySpec(pricing_summary, PRICING_SUMMARY_SQL, "A3 P3"),
     "top_customer_revenue": QuerySpec(

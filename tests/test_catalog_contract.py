@@ -138,6 +138,10 @@ FROZEN_ORDER: tuple[str, ...] = (
     "unigram_logprob_score",
     "cms_heavy_hitters",
     "value_quantiles_binned",
+    "order_priority_pending",
+    "returnflag_priority_casesum",
+    "cust_order_count_dist",
+    "small_qty_revenue",
 )
 
 
@@ -150,7 +154,7 @@ def test_driver_window_r5_rotation():
     # additions are IN, as are the three operators built new in r5;
     # everything rotated out is r4 AND r2-or-r3 green (verified
     # against the CORRECTNESS files at rotation time)
-    assert len(FROZEN_ORDER) - DRIVER_WINDOW == 49
+    assert len(FROZEN_ORDER) - DRIVER_WINDOW == 53
     in_window = set(FROZEN_ORDER[:DRIVER_WINDOW])
     for newcomer in (
         "decontaminate_ngram_overlap",

@@ -397,3 +397,33 @@ def test_binned_quantiles_histogram_before_window(spark, sf_dir):
     plan = _plan(spark, sf_dir, "value_quantiles_binned")
     assert "partial_count" in plan
     assert "Window" in plan
+
+
+def test_q4_exists_compiles_to_semi_join(spark, sf_dir):
+    # the EXISTS shape must be a left-semi hash join with the
+    # linestatus filter pushed into the lineitem scan
+    plan = _plan(spark, sf_dir, "order_priority_pending")
+    assert "LeftSemi" in plan
+    assert "EqualTo(l_linestatus,O)" in plan
+
+
+def test_q13_outer_join_preserves_unmatched(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "cust_order_count_dist")
+    assert "LeftOuter" in plan or "RightOuter" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q17_correlated_avg_broadcasts_back(spark, sf_dir):
+    # the per-part average must come back as a broadcast hash join,
+    # never an SMJ of the full fact against itself
+    plan = _plan(spark, sf_dir, "small_qty_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q12_casesum_single_pass(spark, sf_dir):
+    # one scan of each table, CASE folded into the partial agg — not
+    # two filtered scans unioned
+    plan = _plan(spark, sf_dir, "returnflag_priority_casesum")
+    assert plan.count("Location: InMemoryFileIndex") == 2
+    assert "partial_sum" in plan

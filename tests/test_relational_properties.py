@@ -263,6 +263,10 @@ _RELATIONAL_QUERIES = (
     "orders_retention_cohort",
     "orders_rfm_segments",
     "orders_snapshot_diff",
+    "order_priority_pending",
+    "returnflag_priority_casesum",
+    "cust_order_count_dist",
+    "small_qty_revenue",
 )
 
 _EVENTS_QUERIES = (
