@@ -110,6 +110,7 @@ EXTENDED = [
     "returnflag_priority_casesum",
     "cust_order_count_dist",
     "small_qty_revenue",
+    "waiting_supplier_orders",
 ]
 
 

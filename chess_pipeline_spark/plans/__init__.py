@@ -106,6 +106,7 @@ _DEMOTED: tuple[str, ...] = (
     "returnflag_priority_casesum",
     "cust_order_count_dist",
     "small_qty_revenue",
+    "waiting_supplier_orders",
 )
 
 # For every demoted query: the IN-WINDOW queries that keep its SURVEY
@@ -205,6 +206,7 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     "returnflag_priority_casesum": ("win_ratio_by_status", "pricing_summary"),
     "cust_order_count_dist": ("orders_fulfillment", "event_funnel"),
     "small_qty_revenue": ("top_customer_revenue", "pricing_summary"),
+    "waiting_supplier_orders": ("events_dedup_latest", "win_ratio_by_status"),
 }
 
 

@@ -1386,6 +1386,67 @@ WHERE l.l_quantity < p.half_avg_qty
 
 
 
+
+
+def waiting_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: double-correlated EXISTS + NOT EXISTS — per
+    supplier, count multi-supplier orders where THIS supplier left a
+    line open ('O' linestatus) and NO OTHER supplier in the order
+    did. The hardest classic decorrelation: Catalyst turns the EXISTS
+    into a left-semi and the NOT EXISTS into a left-anti over the
+    same fact, both correlated on (orderkey, suppkey≠).
+
+    Plan shape here: the decorrelated two-level-agg form — lineitem
+    projected to (orderkey, suppkey, open), a per-(order, supplier)
+    aggregate, then a per-order aggregate broadcast back. Spark
+    scans the projected fact twice (no subplan sharing without an
+    explicit cache), but both scans read the 3-column projection and
+    neither is a correlated semi/anti PROBE of the full fact — the
+    per-order side reduces to order-cardinality before its broadcast.
+    Top-10 by (count desc, suppkey) for a stable driver hash.
+    """
+    li = _L(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_linestatus") == "O").cast("int").alias("open"),
+    )
+    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("open").alias("has_open")
+    )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supps"),
+        F.sum("has_open").alias("n_open_supps"),
+    )
+    hits = (
+        per_os.filter(F.col("has_open") == 1)
+        .join(F.broadcast(per_o), "l_orderkey")
+        .filter((F.col("n_supps") >= 2) & (F.col("n_open_supps") == 1))
+    )
+    return (
+        hits.groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_waiting_orders"))
+        .orderBy(F.desc("n_waiting_orders"), F.asc("l_suppkey"))
+        .limit(10)
+    )
+
+
+WAITING_SUPPLIER_ORDERS_SQL = """
+WITH per_os AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS has_open
+  FROM lineitem GROUP BY 1, 2),
+per_o AS (
+  SELECT l_orderkey, count(*) AS n_supps, sum(has_open) AS n_open_supps
+  FROM per_os GROUP BY 1)
+SELECT s.l_suppkey, count(*) AS n_waiting_orders
+FROM per_os s JOIN per_o o USING (l_orderkey)
+WHERE s.has_open = 1 AND o.n_supps >= 2 AND o.n_open_supps = 1
+GROUP BY 1
+ORDER BY n_waiting_orders DESC, l_suppkey ASC
+LIMIT 10
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "win_ratio_by_status": QuerySpec(win_ratio_by_status, WIN_RATIO_SQL, "A1 A2 E5 P7"),
     "orders_rfm_segments": QuerySpec(
@@ -1408,6 +1469,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "small_qty_revenue": QuerySpec(
         small_qty_revenue, SMALL_QTY_REVENUE_SQL, "Q17 correlated scalar ext"
+    ),
+    "waiting_supplier_orders": QuerySpec(
+        waiting_supplier_orders, WAITING_SUPPLIER_ORDERS_SQL, "Q21 double-corr ext"
     ),
     "pricing_summary": QuerySpec(pricing_summary, PRICING_SUMMARY_SQL, "A3 P3"),
     "top_customer_revenue": QuerySpec(

@@ -427,3 +427,15 @@ def test_q12_casesum_single_pass(spark, sf_dir):
     plan = _plan(spark, sf_dir, "returnflag_priority_casesum")
     assert plan.count("Location: InMemoryFileIndex") == 2
     assert "partial_sum" in plan
+
+
+def test_q21_double_correlation_single_fact_scan(spark, sf_dir):
+    # the decorrelated two-level-agg form: two 3-column projected
+    # scans (no subplan sharing), no semi/anti probe of the full
+    # fact, per-order aggregate broadcast back
+    plan = _plan(spark, sf_dir, "waiting_supplier_orders")
+    assert plan.count("Location: InMemoryFileIndex") == 2
+    reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert all("l_extendedprice" not in ln for ln in reads)
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan

@@ -267,6 +267,7 @@ _RELATIONAL_QUERIES = (
     "returnflag_priority_casesum",
     "cust_order_count_dist",
     "small_qty_revenue",
+    "waiting_supplier_orders",
 )
 
 _EVENTS_QUERIES = (
