@@ -132,3 +132,91 @@ def anti_join_delete(target: DataFrame, doomed_keys: DataFrame, keys: list[str])
     drop_game_evals_with_na.sql:2-4): rows of target whose keys do
     NOT appear in doomed_keys."""
     return target.join(doomed_keys.select(*keys).distinct(), keys, "left_anti")
+
+
+def scd2_apply(
+    current: DataFrame,
+    batch: DataFrame,
+    keys: list[str],
+    attrs: list[str],
+    batch_ts: int,
+) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 merge: fold a new snapshot
+    batch into a versioned dimension.
+
+    current: (keys*, attrs*, valid_from, valid_to, is_current) — the
+    existing dimension (valid_to NULL on open rows). batch:
+    (keys*, attrs*) — the incoming snapshot, one row per key.
+    Returns the new dimension:
+
+    * unchanged keys keep their open row;
+    * changed attrs close the open row (valid_to = batch_ts,
+      is_current = false) and append a new open row;
+    * brand-new keys append an open row;
+    * keys absent from the batch are left open (a snapshot is a
+      partial upsert here, matching the reference's delete-then-
+      insert key semantics — full-snapshot expiry is one extra
+      anti-join the caller can apply).
+
+    The reference's loader overwrites history (SCD1 delete+insert,
+    postgres_templates.py:160-214); this is the warehouse-grade
+    extension that keeps it. Plan shape: keyed joins touch only the
+    OPEN rows and the batch (closed history unions through
+    untouched — at 100 TB partition the dimension by is_current so
+    its scan prunes); attr comparison is null-safe so NULL→value
+    transitions version correctly.
+    """
+    ts = F.lit(batch_ts).cast("long")
+    dim_cols = [*keys, *attrs, "valid_from", "valid_to", "is_current"]
+    closed_history = current.filter(~F.col("is_current")).select(*dim_cols)
+    open_rows = current.filter(F.col("is_current")).select(*dim_cols)
+
+    b = batch.select(
+        *[F.col(k) for k in keys],
+        *[F.col(a).alias(f"__new_{a}") for a in attrs],
+        F.lit(True).alias("__hit"),
+    )
+
+    def any_attr_changed(new_prefix: str):
+        cond = None
+        for a in attrs:
+            c = ~F.col(a).eqNullSafe(F.col(f"{new_prefix}{a}"))
+            cond = c if cond is None else (cond | c)
+        return cond
+
+    j = open_rows.join(b, keys, "left")
+    keep_open = j.filter(F.col("__hit").isNull()).select(*dim_cols)
+    survivors = j.filter(
+        F.col("__hit").isNotNull() & ~any_attr_changed("__new_")
+    ).select(*dim_cols)
+    closed_now = j.filter(
+        F.col("__hit").isNotNull() & any_attr_changed("__new_")
+    ).select(
+        *keys,
+        *attrs,
+        "valid_from",
+        ts.alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+
+    o = open_rows.select(
+        *[F.col(k) for k in keys],
+        *[F.col(a).alias(f"__old_{a}") for a in attrs],
+        F.lit(True).alias("__open"),
+    )
+    nb = batch.select(*keys, *attrs).join(o, keys, "left")
+    brand_new = nb.filter(F.col("__open").isNull())
+    changed_new = nb.filter(F.col("__open").isNotNull() & any_attr_changed("__old_"))
+    openers = brand_new.unionByName(changed_new).select(
+        *keys,
+        *attrs,
+        ts.alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return (
+        closed_history.unionByName(keep_open)
+        .unionByName(survivors)
+        .unionByName(closed_now)
+        .unionByName(openers)
+    )

@@ -102,3 +102,65 @@ def test_upsert_jdbc_staging_sql_generation():
     merge = upsert_jdbc_staging(_FakeDF(), "jdbc:x", "t", ["k"], mode="merge")
     assert merge.startswith("MERGE INTO t t USING t__staging s ON t.k = s.k")
     assert "UPDATE SET name = s.name, v = s.v" in merge
+
+
+def test_scd2_apply_versions_changes(spark):
+    import pyspark.sql.functions as F
+
+    from chess_pipeline_spark.sinks import scd2_apply
+
+    dim_schema = (
+        "k long, name string, tier string, valid_from long, "
+        "valid_to long, is_current boolean"
+    )
+    current = spark.createDataFrame(
+        [
+            # closed history for k=1
+            (1, "alice", "gold", 100, 200, False),
+            # open rows
+            (1, "alice", "platinum", 200, None, True),
+            (2, "bob", "silver", 150, None, True),
+            (3, "carol", None, 150, None, True),  # NULL attr open row
+            (4, "dan", "bronze", 150, None, True),
+        ],
+        dim_schema,
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "alice", "platinum"),   # unchanged -> survivor
+            (2, "bob", "gold"),         # changed -> close + reopen
+            (3, "carol", "silver"),     # NULL -> value: must version
+            (5, "eve", "silver"),       # brand new key
+            # k=4 absent -> stays open untouched
+        ],
+        "k long, name string, tier string",
+    )
+    out = scd2_apply(current, batch, ["k"], ["name", "tier"], batch_ts=300)
+    rows = {
+        (r.k, r.valid_from): (r.name, r.tier, r.valid_to, r.is_current)
+        for r in out.collect()
+    }
+    assert len(rows) == 8  # 1 closed + 5 open-ish + 2 new versions
+    # closed history untouched
+    assert rows[(1, 100)] == ("alice", "gold", 200, False)
+    # unchanged survivor stays open with original valid_from
+    assert rows[(1, 200)] == ("alice", "platinum", None, True)
+    # changed: old row closed at 300, new open row from 300
+    assert rows[(2, 150)] == ("bob", "silver", 300, False)
+    assert rows[(2, 300)] == ("bob", "gold", None, True)
+    # NULL -> value transition versions (null-safe comparison)
+    assert rows[(3, 150)] == ("carol", None, 300, False)
+    assert rows[(3, 300)] == ("carol", "silver", None, True)
+    # absent key left open
+    assert rows[(4, 150)] == ("dan", "bronze", None, True)
+    # brand-new key opens
+    assert rows[(5, 300)] == ("eve", "silver", None, True)
+
+    # idempotence: re-applying the same snapshot changes nothing
+    again = scd2_apply(out, batch, ["k"], ["name", "tier"], batch_ts=400)
+    canon = lambda df: sorted(map(repr, map(tuple, df.collect())))  # noqa: E731
+    assert canon(out) == canon(again)
+
+    # exactly one open row per key
+    opens = out.filter(F.col("is_current")).groupBy("k").count().collect()
+    assert all(r["count"] == 1 for r in opens)
