@@ -513,3 +513,74 @@ def stream_hll_distinct(events: DataFrame, registers_path: str, estimates_path: 
         est.write.mode("append").parquet(estimates_path)
 
     return events.writeStream.foreachBatch(_process)
+
+
+def stream_value_histogram(events: DataFrame, ledger_path: str, quantiles_path: str):
+    """Continuous binned-quantile tracking: each micro-batch reduces
+    to its (event_type, bin) counts and lands in a ledger PARTITIONED
+    BY batch_id with dynamic partition overwrite — a replayed batch
+    rewrites exactly its own partition, so the at-least-once
+    foreachBatch contract still yields exactly-once COUNTS (contrast
+    the HLL ledger, whose max-merge is idempotent by algebra and
+    needs no partitioning; sums are not, so idempotency comes from
+    the layout instead). The quantile snapshot then aggregates the
+    whole ledger — counts sum-merge across batches because histogram
+    addition is associative.
+
+    Streaming twin of plans.profiling.value_quantiles_binned; the
+    two-batch pytest asserts the final snapshot equals the batch
+    query exactly. 100 TB shape: per batch one map-side-combined
+    shuffle down to ≤ 1000·|types| rows; the ledger grows by KBs per
+    batch and compaction is a groupBy away.
+    """
+    from chess_pipeline_spark.plans.profiling import _QBIN_N, _QBIN_W
+    from chess_pipeline_spark.sinks import upsert_partition_overwrite
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        b = F.least(
+            F.greatest(F.floor(F.col("value") / F.lit(_QBIN_W)), F.lit(0)),
+            F.lit(_QBIN_N - 1),
+        ).cast("long")
+        hist = (
+            batch.filter(F.col("value").isNotNull())
+            .select("event_type", b.alias("bin"))
+            .groupBy("event_type", "bin")
+            .agg(F.count("*").alias("cnt"))
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        upsert_partition_overwrite(hist, ledger_path, ["batch_id"])
+
+        from pyspark.sql import Window
+
+        merged = (
+            spark.read.parquet(ledger_path)
+            .groupBy("event_type", "bin")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        wcum = (
+            Window.partitionBy("event_type")
+            .orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wtot = Window.partitionBy("event_type")
+        cum = merged.select(
+            "event_type",
+            "bin",
+            F.sum("cnt").over(wcum).alias("cum"),
+            F.sum("cnt").over(wtot).alias("n"),
+        )
+
+        def edge(q: float):
+            need = F.ceil(F.lit(q) * F.col("n"))
+            return F.min(F.when(F.col("cum") >= need, F.col("bin"))) * F.lit(_QBIN_W)
+
+        snap = cum.groupBy("event_type").agg(
+            F.max("n").alias("n"),
+            edge(0.5).alias("p50_binned"),
+            edge(0.9).alias("p90_binned"),
+            edge(0.99).alias("p99_binned"),
+        ).withColumn("batch_id", F.lit(batch_id))
+        snap.write.mode("append").parquet(quantiles_path)
+
+    return events.writeStream.foreachBatch(_process)

@@ -454,3 +454,66 @@ def test_stream_hll_matches_batch_exactly(spark, sf_dir, tmp_path):
         .collect()
     }
     assert final == {k: round(v, 4) for k, v in ((k, v) for k, v in batch.items())}
+
+
+def test_stream_value_histogram_matches_batch_exactly(spark, sf_dir, tmp_path):
+    """Two-batch replay: the merged histogram ledger must reproduce
+    the batch query's binned quantiles EXACTLY (histogram addition is
+    associative), and re-running a batch id must not double-count
+    (partition overwrite idempotency)."""
+    import os
+    import time
+
+    import pyspark.sql.functions as F
+
+    from chess_pipeline_spark.plans.profiling import value_quantiles_binned
+    from chess_pipeline_spark.sources import load_table
+    from chess_pipeline_spark.streaming.jobs import (
+        read_events_stream,
+        stream_value_histogram,
+    )
+
+    raw_cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ev = load_table(spark, sf_dir, "events").select(*raw_cols)
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    mid = ev.agg(F.expr("percentile(event_id, 0.5)")).first()[0]
+    ev.filter(F.col("event_id") <= mid).toPandas().to_parquet(str(src / "b0.parquet"))
+    ev.filter(F.col("event_id") > mid).toPandas().to_parquet(str(src / "b1.parquet"))
+    now = time.time()
+    os.utime(src / "b0.parquet", (now - 60, now - 60))
+    os.utime(src / "b1.parquet", (now, now))
+
+    ledger = tmp_path / "ledger"
+    stream = read_events_stream(spark, str(src), glob="*.parquet", max_files_per_trigger=1)
+    q = (
+        stream_value_histogram(stream, str(ledger), str(tmp_path / "quant"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        r.event_type: (r.n, r.p50_binned, r.p90_binned, r.p99_binned)
+        for r in spark.read.parquet(str(tmp_path / "quant"))
+        .filter(F.col("batch_id") == 1)
+        .collect()
+    }
+    want = {
+        r.event_type: (r.n, r.p50_binned, r.p90_binned, r.p99_binned)
+        for r in value_quantiles_binned(spark, sf_dir).collect()
+    }
+    assert got == want
+
+    # replay idempotency: rewriting batch 0's partition with the same
+    # content leaves the merged ledger unchanged
+    before = sorted(
+        map(tuple, spark.read.parquet(str(ledger)).collect())
+    )
+    from chess_pipeline_spark.sinks import upsert_partition_overwrite
+
+    b0 = spark.read.parquet(str(ledger)).filter(F.col("batch_id") == 0)
+    upsert_partition_overwrite(b0, str(ledger), ["batch_id"])
+    after = sorted(map(tuple, spark.read.parquet(str(ledger)).collect()))
+    assert before == after
