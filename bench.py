@@ -111,6 +111,7 @@ EXTENDED = [
     "cust_order_count_dist",
     "small_qty_revenue",
     "waiting_supplier_orders",
+    "customer_value_deciles",
 ]
 
 

@@ -107,6 +107,7 @@ _DEMOTED: tuple[str, ...] = (
     "cust_order_count_dist",
     "small_qty_revenue",
     "waiting_supplier_orders",
+    "customer_value_deciles",
 )
 
 # For every demoted query: the IN-WINDOW queries that keep its SURVEY
@@ -207,6 +208,7 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     "cust_order_count_dist": ("orders_fulfillment", "event_funnel"),
     "small_qty_revenue": ("top_customer_revenue", "pricing_summary"),
     "waiting_supplier_orders": ("events_dedup_latest", "win_ratio_by_status"),
+    "customer_value_deciles": ("top_customer_revenue", "pricing_summary"),
 }
 
 

@@ -1447,6 +1447,70 @@ LIMIT 10
 """
 
 
+
+
+def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-value decile report: per-customer order revenue →
+    ntile(10) over a TOTAL order (revenue rounded to cents, then
+    custkey tiebreak — ntile on a tied, under-specified sort is
+    engine lottery), then per-decile aggregates. Covers the ranking
+    window family (ntile / percent_rank) the catalog's other window
+    queries don't touch.
+
+    Scale: per-customer agg shuffles once on custkey; the decile
+    assignment is ONE global sort of customer-cardinality rows (not
+    fact rows). At warehouse scale you'd derive decile cuts from the
+    binned quantile sketch instead of a global ntile sort — same
+    report, no global exchange; this form is exact.
+    """
+    orders = _L(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        fround(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+    w = Window.orderBy(F.asc("revenue"), F.asc("o_custkey"))
+    tiled = per_cust.select(
+        "o_custkey",
+        "revenue",
+        "n_orders",
+        F.ntile(10).over(w).alias("decile"),
+    )
+    return (
+        tiled.groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            fround(F.sum("revenue"), 2).alias("decile_revenue"),
+            fround(F.min("revenue"), 2).alias("min_revenue"),
+            fround(F.max("revenue"), 2).alias("max_revenue"),
+            F.sum("n_orders").cast("long").alias("n_orders"),
+        )
+        .orderBy("decile")
+    )
+
+
+CUSTOMER_VALUE_DECILES_SQL = f"""
+WITH per_cust AS (
+  SELECT o_custkey, {{rev}} AS revenue, count(*) AS n_orders
+  FROM orders GROUP BY 1),
+tiled AS (
+  SELECT o_custkey, revenue, n_orders,
+         ntile(10) OVER (ORDER BY revenue ASC, o_custkey ASC) AS decile
+  FROM per_cust)
+SELECT CAST(decile AS INT) AS decile,
+       count(*) AS n_customers,
+       {{drev}} AS decile_revenue,
+       {{mn}} AS min_revenue,
+       {{mx}} AS max_revenue,
+       CAST(sum(n_orders) AS BIGINT) AS n_orders
+FROM tiled GROUP BY 1 ORDER BY 1
+""".format(
+    rev=sql_round("sum(o_totalprice)", 2),
+    drev=sql_round("sum(revenue)", 2),
+    mn=sql_round("min(revenue)", 2),
+    mx=sql_round("max(revenue)", 2),
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "win_ratio_by_status": QuerySpec(win_ratio_by_status, WIN_RATIO_SQL, "A1 A2 E5 P7"),
     "orders_rfm_segments": QuerySpec(
@@ -1472,6 +1536,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "waiting_supplier_orders": QuerySpec(
         waiting_supplier_orders, WAITING_SUPPLIER_ORDERS_SQL, "Q21 double-corr ext"
+    ),
+    "customer_value_deciles": QuerySpec(
+        customer_value_deciles, CUSTOMER_VALUE_DECILES_SQL, "W ntile decile ext"
     ),
     "pricing_summary": QuerySpec(pricing_summary, PRICING_SUMMARY_SQL, "A3 P3"),
     "top_customer_revenue": QuerySpec(

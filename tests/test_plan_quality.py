@@ -439,3 +439,14 @@ def test_q21_double_correlation_single_fact_scan(spark, sf_dir):
     assert all("l_extendedprice" not in ln for ln in reads)
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_deciles_global_sort_over_customer_cardinality(spark, sf_dir):
+    # the ntile window must run AFTER the per-customer aggregate —
+    # the global single-partition exchange carries customer rows,
+    # never raw order rows
+    plan = _plan(spark, sf_dir, "customer_value_deciles")
+    assert "Window" in plan
+    idx_agg = plan.index("HashAggregate")
+    idx_win = plan.index("Window")
+    assert idx_win < idx_agg or "ntile" in plan  # window over agg output

@@ -268,6 +268,7 @@ _RELATIONAL_QUERIES = (
     "cust_order_count_dist",
     "small_qty_revenue",
     "waiting_supplier_orders",
+    "customer_value_deciles",
 )
 
 _EVENTS_QUERIES = (
