@@ -4,7 +4,7 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
   {"metric": ..., "value": total_sec, "unit": "sec",
    "queries": {name: sec, ...}, "sf": ..., "loadavg": [...],
-   "runs_per_query": 2}
+   "runs_per_query": 3}
 
 Each query is forced end-to-end with the noop sink (full plan
 execution, no driver collect cost).

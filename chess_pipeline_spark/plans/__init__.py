@@ -90,9 +90,9 @@ _DEMOTED: tuple[str, ...] = (
     "events_decay_score",
     "orders_rfm_segments",
     "orders_snapshot_diff",
-    # --- profiling/sketch tier, added late in r5 (local oracle rows
-    # from day one; r6-rotation candidates like the rest of the
-    # staged tail) ---
+    # --- profiling/sketch + classic-DSS tier, added late in r5
+    # (local oracle rows + sf0.01 driver-style parity from day one;
+    # r6-rotation candidates like the rest of the staged tail) ---
     "hll_distinct_users",
     "data_profile_orders",
     "mad_outlier_bounds",
