@@ -112,6 +112,7 @@ EXTENDED = [
     "small_qty_revenue",
     "waiting_supplier_orders",
     "customer_value_deciles",
+    "hll_cumulative_daily",
 ]
 
 

@@ -108,6 +108,7 @@ _DEMOTED: tuple[str, ...] = (
     "small_qty_revenue",
     "waiting_supplier_orders",
     "customer_value_deciles",
+    "hll_cumulative_daily",
 )
 
 # For every demoted query: the IN-WINDOW queries that keep its SURVEY
@@ -209,6 +210,7 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     "small_qty_revenue": ("top_customer_revenue", "pricing_summary"),
     "waiting_supplier_orders": ("events_dedup_latest", "win_ratio_by_status"),
     "customer_value_deciles": ("top_customer_revenue", "pricing_summary"),
+    "hll_cumulative_daily": ("events_ohlc_hourly", "dedup_incremental_simhash"),
 }
 
 

@@ -762,6 +762,163 @@ ORDER BY event_type
 """
 
 
+
+
+def hll_cumulative_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct-users-to-date per (event_type, day),
+    computed the way a 100 TB warehouse actually does it: each day
+    contributes a 256-register HLL table, and the to-date estimate is
+    a forward-filled max-merge over the day axis — day N's answer
+    never rescans days 1..N-1, it merges N tiny register tables (the
+    incremental-sketch-column pattern; contrast exact cumulative
+    count-distinct, whose state grows with the user population).
+    The exact cumulative count rides along (first-appearance day +
+    running sum — itself incremental) so every row quantifies the
+    sketch's error.
+
+    Determinism: the day key is integer epoch-days from the exact
+    ts_sec (no date/timezone semantics in play), the forward fill is
+    a max window over integers, and the estimate reuses the shared
+    dyadic-sum register algebra.
+    """
+    ev = _L(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("ts_sec") / F.lit(86400)).cast("long").alias("day"),
+        F.col("user_id"),
+        F.md5(F.col("user_id").cast("string")).alias("h"),
+    )
+    reg, rank = hll_rank_cols(F.col("h"))
+    daily = (
+        ev.select("event_type", "day", reg, rank)
+        .groupBy("event_type", "day", "reg")
+        .agg(F.max("rank").alias("m_day"))
+    )
+    days = ev.select("event_type", "day").distinct()
+    regs = daily.select("event_type", "reg").distinct()
+    grid = days.join(regs, "event_type")
+    g = grid.join(daily, ["event_type", "day", "reg"], "left")
+    wff = (
+        Window.partitionBy("event_type", "reg")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = g.select(
+        "event_type", "day", "reg", F.max("m_day").over(wff).alias("m_cum")
+    )
+    per_day = filled.filter(F.col("m_cum").isNotNull()).groupBy(
+        "event_type", "day"
+    ).agg(
+        F.count("*").alias("regs_used"),
+        F.sum(F.pow(F.lit(2.0), -F.col("m_cum"))).alias("z_used"),
+    )
+    est = per_day.select(
+        "event_type", "day", "regs_used", hll_estimate_col().alias("e")
+    )
+
+    firsts = ev.groupBy("event_type", "user_id").agg(F.min("day").alias("d0"))
+    newu = firsts.groupBy("event_type", F.col("d0").alias("day")).agg(
+        F.count("*").alias("n_new")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    exact = (
+        days.join(newu, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.sum(F.coalesce("n_new", F.lit(0))).over(wcum).cast("long").alias("n_exact_cum"),
+        )
+    )
+    return (
+        est.join(exact, ["event_type", "day"])
+        .select(
+            "event_type",
+            "day",
+            "n_exact_cum",
+            "regs_used",
+            fround(F.col("e"), 4).alias("hll_estimate_cum"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+_HLL_RANK_SQL = f"""
+  CASE WHEN length(regexp_extract(substring(hx, 3, 6), '^0*')) = 6
+       THEN 25
+       ELSE length(regexp_extract(substring(hx, 3, 6), '^0*')) * 4 + 5
+            - (CASE substring(substring(hx, 3, 6) || '1',
+                    length(regexp_extract(substring(hx, 3, 6), '^0*')) + 1, 1)
+               WHEN '1' THEN 1 WHEN '2' THEN 2 WHEN '3' THEN 2
+               ELSE CASE WHEN substring(substring(hx, 3, 6) || '1',
+                         length(regexp_extract(substring(hx, 3, 6), '^0*')) + 1, 1)
+                         IN ('4','5','6','7') THEN 3 ELSE 4 END END)
+  END"""
+
+HLL_CUMULATIVE_DAILY_SQL = f"""
+WITH h AS (
+  SELECT event_type,
+         CAST(floor((epoch_ns(ts) // 1000000000) / 86400.0) AS BIGINT) AS day,
+         user_id,
+         md5(CAST(user_id AS VARCHAR)) AS hx
+  FROM events
+), rr AS (
+  SELECT event_type, day, user_id,
+         (instr('{_HEX}', substring(hx, 1, 1)) - 1) * 16
+           + (instr('{_HEX}', substring(hx, 2, 1)) - 1) AS reg,
+         {_HLL_RANK_SQL} AS rank
+  FROM h
+), daily AS (
+  SELECT event_type, day, reg, max(rank) AS m_day
+  FROM rr GROUP BY 1, 2, 3
+), days AS (SELECT DISTINCT event_type, day FROM rr),
+regs AS (SELECT DISTINCT event_type, reg FROM daily),
+grid AS (SELECT d.event_type, d.day, r.reg
+         FROM days d JOIN regs r USING (event_type)),
+filled AS (
+  SELECT g.event_type, g.day, g.reg,
+         max(dl.m_day) OVER (PARTITION BY g.event_type, g.reg
+                             ORDER BY g.day
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS m_cum
+  FROM grid g LEFT JOIN daily dl
+    ON g.event_type = dl.event_type AND g.day = dl.day AND g.reg = dl.reg
+), per_day AS (
+  SELECT event_type, day, count(*) AS regs_used,
+         sum(power(2.0, -m_cum)) AS z_used
+  FROM filled WHERE m_cum IS NOT NULL GROUP BY 1, 2
+), est AS (
+  SELECT event_type, day, regs_used,
+         CASE WHEN ({_HLL_ALPHA * _HLL_M * _HLL_M!r}
+                    / (z_used + ({_HLL_M} - regs_used))) <= {2.5 * _HLL_M!r}
+                   AND ({_HLL_M} - regs_used) > 0
+              THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r}
+                   / CAST({_HLL_M} - regs_used AS DOUBLE))
+              ELSE {_HLL_ALPHA * _HLL_M * _HLL_M!r}
+                   / (z_used + ({_HLL_M} - regs_used))
+         END AS e
+  FROM per_day
+), firsts AS (
+  SELECT event_type, user_id, min(day) AS d0 FROM h GROUP BY 1, 2
+), newu AS (
+  SELECT event_type, d0 AS day, count(*) AS n_new FROM firsts GROUP BY 1, 2
+), exact AS (
+  SELECT d.event_type, d.day,
+         CAST(sum(coalesce(n.n_new, 0)) OVER (
+           PARTITION BY d.event_type ORDER BY d.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS n_exact_cum
+  FROM days d LEFT JOIN newu n USING (event_type, day)
+)
+SELECT e.event_type, e.day, x.n_exact_cum, e.regs_used,
+       {sql_round('e.e', 4)} AS hll_estimate_cum
+FROM est e JOIN exact x USING (event_type, day)
+ORDER BY event_type, day
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "hll_distinct_users": QuerySpec(
         hll_distinct_users, HLL_DISTINCT_USERS_SQL, "ext: cardinality sketch"
@@ -786,5 +943,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "value_quantiles_binned": QuerySpec(
         value_quantiles_binned, VALUE_QUANTILES_BINNED_SQL, "ext: quantile sketch"
+    ),
+    "hll_cumulative_daily": QuerySpec(
+        hll_cumulative_daily, HLL_CUMULATIVE_DAILY_SQL, "ext: incremental sketch column"
     ),
 }

@@ -98,3 +98,24 @@ def test_binned_quantile_contains_order_statistic(spark, sf_dir):
                 edge,
                 x_k,
             )
+
+
+def test_hll_cumulative_final_day_equals_whole_stream(spark, sf_dir):
+    """The last day's cumulative estimate must equal the whole-stream
+    hll_distinct_users estimate exactly — forward-filled max-merge
+    over days is the same register table as one pass over everything."""
+    cum = _CATALOG["hll_cumulative_daily"].spark(spark, sf_dir).collect()
+    last = {}
+    for r in cum:
+        cur = last.get(r.event_type)
+        if cur is None or r.day > cur.day:
+            last[r.event_type] = r
+    whole = {
+        r.event_type: (r.n_exact, r.hll_estimate)
+        for r in _CATALOG["hll_distinct_users"].spark(spark, sf_dir).collect()
+    }
+    assert set(last) == set(whole)
+    for t, r in last.items():
+        n_exact, est = whole[t]
+        assert r.n_exact_cum == n_exact, t
+        assert abs(r.hll_estimate_cum - est) < 1e-9, t
