@@ -121,6 +121,43 @@ def run_corpus(args: argparse.Namespace, spark=None) -> int:
     return 0
 
 
+# the data-card bundle: the reports a corpus owner publishes next to
+# a dataset release. Keys are stable output table names.
+_PROFILE_QUERIES = (
+    ("composition", "corpus_composition"),
+    ("length_histogram", "seq_length_histogram"),
+    ("dup_clusters", "dup_cluster_size_hist"),
+    ("quality_verdicts", "quality_filter_verdicts"),
+    ("top_terms", "tfidf_top_terms"),
+    ("lm_quality", "unigram_logprob_score"),
+    ("heavy_hitters", "cms_heavy_hitters"),
+)
+
+
+def run_profile(args: argparse.Namespace, spark=None) -> int:
+    """Materialize the corpus data card: one parquet per report plus
+    a summary.json of row counts — all reports are catalog queries,
+    so each is oracle-verified elsewhere; this CLI only arranges
+    them. One Spark session, lazy plans, no driver-side compute
+    beyond the count summary."""
+    from chess_pipeline_spark.plans import catalog
+    from chess_pipeline_spark.session import get_spark
+
+    spark = spark or get_spark(app_name="chess-pipeline-profile")
+    cat = catalog()
+    os.makedirs(args.out, exist_ok=True)
+    summary = {}
+    for out_name, qname in _PROFILE_QUERIES:
+        df = cat[qname].spark(spark, args.sf_dir)
+        path = os.path.join(args.out, out_name)
+        df.write.mode("overwrite").parquet(path)
+        summary[out_name] = spark.read.parquet(path).count()
+    with open(os.path.join(args.out, "summary.json"), "w") as f:
+        json.dump({"sf_dir": args.sf_dir, "rows": summary}, f, indent=2)
+    print(f"wrote {len(_PROFILE_QUERIES)} reports + summary.json under {args.out}")
+    return 0
+
+
 def main(argv: list[str] | None = None, spark=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -152,8 +189,16 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         "drop fully-boilerplate docs",
     )
 
+    pr = sub.add_parser("profile", help="documents parquet -> data-card reports")
+    pr.add_argument("--sf-dir", required=True, help="dir holding documents.parquet")
+    pr.add_argument("--out", required=True, help="output dir")
+
     args = p.parse_args(argv)
-    return run_games(args, spark) if args.cmd == "games" else run_corpus(args, spark)
+    if args.cmd == "games":
+        return run_games(args, spark)
+    if args.cmd == "profile":
+        return run_profile(args, spark)
+    return run_corpus(args, spark)
 
 
 if __name__ == "__main__":

@@ -108,3 +108,29 @@ def test_cli_ann_index_build_probe(spark, sf_dir, tmp_path, capsys):
     assert lines and {r["qid"] for r in lines} <= {0, 1, 2}
     for r in lines:
         assert 1 <= r["rank"] <= 3 and r["neighbor_id"] != r["qid"]
+
+
+def test_cli_profile_data_card(spark, sf_dir, tmp_path):
+    import json
+
+    out = tmp_path / "card"
+    rc = run_etl.main(
+        ["profile", "--sf-dir", sf_dir, "--out", str(out)], spark=spark
+    )
+    assert rc == 0
+    summary = json.loads((out / "summary.json").read_text())
+    assert set(summary["rows"]) == {
+        "composition",
+        "length_histogram",
+        "dup_clusters",
+        "quality_verdicts",
+        "top_terms",
+        "lm_quality",
+        "heavy_hitters",
+    }
+    # every report materialized and readable; per-doc reports cover
+    # the corpus
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert summary["rows"]["quality_verdicts"] == n_docs
+    assert summary["rows"]["lm_quality"] == n_docs
+    assert spark.read.parquet(str(out / "heavy_hitters")).count() == 20
