@@ -89,3 +89,21 @@ def test_maintenance_composes_with_snapshot_diff_output(spark, sf_dir):
     incr = maintain_sum_count(prev, diff, "grp")
     recomputed = aggregate_sum_count(new, "grp", "cents")
     assert _rows(incr) == _rows(recomputed)
+
+
+def test_min_is_not_self_maintainable(spark):
+    """The boundary claim: min/max cannot be folded from deltas alone
+    — deleting the current minimum forces a rescan. Demonstrate the
+    naive fold (min of prev_min and surviving values' min) diverging
+    from recompute, which is WHY maintain_sum_count only offers
+    additive aggregates."""
+    base = spark.createDataFrame(
+        [(1, "A", 10), (2, "A", 50)], "id long, grp string, cents long"
+    )
+    prev_min = base.groupBy("grp").agg(F.min("cents").alias("mn"))
+    # delete id1 (the minimum). Naive delta fold has no way to learn
+    # the new min (50) from (prev_min=10, deleted=10) alone:
+    naive = prev_min.select("grp", "mn")  # no information to update
+    after = spark.createDataFrame([(2, "A", 50)], "id long, grp string, cents long")
+    recomputed = after.groupBy("grp").agg(F.min("cents").alias("mn"))
+    assert _rows(naive) != _rows(recomputed)
