@@ -152,6 +152,30 @@ def build_ivf_index(
         "nrm",
         F.expr(_NORM.format(v="embedding")),
     )
+    # int8 affine codes (per-vector min/max, 256 levels): the
+    # memory-side layout a billion-vector deployment actually scans —
+    # 1 byte/dim in the page cache vs 4 — persisted next to the float
+    # embedding so probes choose exact or coded per query batch. The
+    # flat-vector guard (mx == mn) pins scale to 1 so the transform
+    # stays total.
+    assigned = (
+        assigned.withColumn("q_mn", F.expr("CAST(array_min(embedding) AS DOUBLE)"))
+        .withColumn(
+            "q_scale",
+            F.expr(
+                "CAST(CASE WHEN array_max(embedding) = array_min(embedding) THEN 1.0 "
+                "ELSE (CAST(array_max(embedding) AS DOUBLE) - array_min(embedding)) / 255.0 "
+                "END AS DOUBLE)"
+            ),
+        )
+        .withColumn(
+            "code",
+            F.expr(
+                "transform(embedding, x -> CAST(floor((CAST(x AS DOUBLE) - q_mn) "
+                "/ q_scale + 0.5) AS INT))"
+            ),
+        )
+    )
     assigned.write.partitionBy("list_id").mode("overwrite").parquet(
         os.path.join(out_path, "lists")
     )
@@ -165,6 +189,7 @@ def probe_ivf_index(
     k: int = 5,
     nprobe: int = 1,
     id_col: str = "qid",
+    coded: bool = False,
 ) -> DataFrame:
     """Exact top-k cosine inside the nprobe nearest lists per query.
 
@@ -182,6 +207,18 @@ def probe_ivf_index(
     lists = spark.read.parquet(os.path.join(index_path, "lists"))
     if "nrm" not in lists.columns:  # pre-r5 index layout
         lists = lists.withColumn("nrm", F.expr(_NORM.format(v="embedding")))
+    if coded:
+        # score against the dequantized int8 codes — the float
+        # embedding column is never read (check ReadSchema), which is
+        # the 4x page-cache win at scale; reconstruction error is
+        # bounded by scale/2 per dimension (recall pinned in tests)
+        lists = lists.select(
+            "vec_id",
+            "list_id",
+            F.expr(
+                "transform(code, c -> CAST(c AS DOUBLE) * q_scale + q_mn)"
+            ).alias("embedding"),
+        ).withColumn("nrm", F.expr(_NORM.format(v="embedding")))
     cos = F.expr(_DOT.format(u="qe", v="embedding")) / (
         F.col("qnorm") * F.col("nrm")
     )

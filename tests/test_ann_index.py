@@ -167,3 +167,49 @@ def test_ivf_lloyd_refinement(spark, sf_dir, tmp_path):
         if "PartitionFilters" in ln
     )
     assert probe.count() > 0
+
+
+def test_ivf_coded_probe_matches_exact_within_quantization(spark, sf_dir, tmp_path):
+    """int8-coded probes: (1) the float embedding column is absent
+    from the coded scan (the 4x memory win is real, not aspirational),
+    (2) recall@5 vs the exact probe >= 0.8 on the same probed lists,
+    (3) per-pair cosine reconstruction error < 0.02."""
+    import pyspark.sql.functions as F
+
+    from chess_pipeline_spark.ann_index import build_ivf_index, probe_ivf_index
+    from chess_pipeline_spark.sources import load_table
+
+    idx = str(tmp_path / "ivf_coded")
+    corpus = load_table(spark, sf_dir, "embeddings")
+    build_ivf_index(corpus, idx, n_lists=8)
+    queries = corpus.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    exact = probe_ivf_index(spark, idx, queries, k=5, nprobe=2)
+    coded = probe_ivf_index(spark, idx, queries, k=5, nprobe=2, coded=True)
+
+    # (1) coded plan never reads the float embedding from the lists
+    explain = coded._jdf.queryExecution().toString()
+    reads = [ln for ln in explain.splitlines() if "ReadSchema" in ln]
+    list_reads = [ln for ln in reads if "code" in ln]
+    assert list_reads and all("embedding" not in ln for ln in list_reads)
+
+    e = {(r.qid, r.neighbor_id): r.cos_sim for r in exact.collect()}
+    c = {(r.qid, r.neighbor_id): r.cos_sim for r in coded.collect()}
+    # (2) recall of the exact top-5 sets under coded scoring
+    from collections import defaultdict
+
+    e_top, c_top = defaultdict(set), defaultdict(set)
+    for (q, n) in e:
+        e_top[q].add(n)
+    for (q, n) in c:
+        c_top[q].add(n)
+    recalls = [
+        len(e_top[q] & c_top[q]) / len(e_top[q]) for q in e_top
+    ]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+    # (3) where both scored the same pair, cosines agree closely
+    both = set(e) & set(c)
+    assert both
+    for pair in both:
+        assert abs(e[pair] - c[pair]) < 0.02, (pair, e[pair], c[pair])
