@@ -113,6 +113,7 @@ EXTENDED = [
     "waiting_supplier_orders",
     "customer_value_deciles",
     "hll_cumulative_daily",
+    "bm25_doc_search",
 ]
 
 

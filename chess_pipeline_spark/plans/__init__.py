@@ -109,6 +109,7 @@ _DEMOTED: tuple[str, ...] = (
     "waiting_supplier_orders",
     "customer_value_deciles",
     "hll_cumulative_daily",
+    "bm25_doc_search",
 )
 
 # For every demoted query: the IN-WINDOW queries that keep its SURVEY
@@ -211,6 +212,7 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     "waiting_supplier_orders": ("events_dedup_latest", "win_ratio_by_status"),
     "customer_value_deciles": ("top_customer_revenue", "pricing_summary"),
     "hll_cumulative_daily": ("events_ohlc_hourly", "dedup_incremental_simhash"),
+    "bm25_doc_search": ("bm25_top_terms", "tfidf_top_terms"),
 }
 
 

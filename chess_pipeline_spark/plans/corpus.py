@@ -43,7 +43,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from chess_pipeline_spark.functions.rounding import fround
+from chess_pipeline_spark.functions.rounding import fround, sql_round
 from chess_pipeline_spark.plans.llm import (
     BPE_TOKEN_PATTERN,
     COMPONENT_LABELS_CTES,
@@ -1234,6 +1234,108 @@ FROM agg
 """
 
 
+
+
+# the fixed retrieval query for bm25_doc_search: mid-frequency terms
+# so idf is informative and hits are plentiful at every SF
+_BM25_QUERY_TERMS = ("shuffle", "broadcast", "partition")
+
+
+def bm25_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document retrieval: rank documents against a fixed keyword
+    query by summed BM25 (per-DOCUMENT granularity — the user-facing
+    search op; bm25_top_terms ranks terms per source stratum). Top-20
+    by (score desc, doc_id) for a stable driver hash.
+
+    100 TB shape: the query-term df/idf frame is 3 rows (broadcast);
+    candidate docs come from an inverted probe — only documents
+    containing >= 1 query term are scored (the semi-join prunes the
+    corpus before any scoring math); per-doc lengths ride the same
+    token pass. Same determinism discipline as bm25_top_terms: both
+    ln factors floor-rounded at 1e-6 pre-multiply, avg length as one
+    exact integer division.
+    """
+    d = spread(_L(spark, sf_dir, "documents"), "doc_id")
+    tokens = d.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    dlen = tokens.groupBy("doc_id").agg(F.count("*").cast("long").alias("len_d"))
+    glob = dlen.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("len_d").cast("long").alias("total_len"),
+    )
+    qt = F.array(*[F.lit(t) for t in _BM25_QUERY_TERMS])
+    hits = tokens.filter(F.array_contains(qt, F.col("word")))
+    tf = hits.groupBy("doc_id", "word").agg(F.count("*").cast("long").alias("tf"))
+    df_ = tf.groupBy("word").agg(F.count("*").cast("long").alias("df_docs"))
+    idf = fround(
+        F.log(
+            (F.col("n_docs") - F.col("df_docs") + F.lit(0.5))
+            / (F.col("df_docs") + F.lit(0.5))
+            + F.lit(1.0)
+        ),
+        6,
+    )
+    avg_len = F.col("total_len").cast("double") / F.col("n_docs")
+    tf_norm = fround(
+        F.col("tf")
+        / (
+            F.col("tf")
+            + F.lit(_BM25_K1)
+            * (F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("len_d") / avg_len)
+        ),
+        6,
+    )
+    scored = (
+        tf.join(F.broadcast(df_.crossJoin(glob)), "word")
+        .join(dlen, "doc_id")
+        .select("doc_id", (idf * tf_norm).alias("term_score"))
+        .groupBy("doc_id")
+        .agg(fround(F.sum("term_score"), 6).alias("bm25"))
+    )
+    return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(20)
+
+
+def _bm25_search_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_QUERY_TERMS)
+    return f"""
+WITH tokens AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+  FROM documents WHERE text IS NOT NULL),
+dlen AS (
+  SELECT doc_id, count(*) AS len_d FROM tokens GROUP BY 1),
+gstats AS (
+  SELECT count(*) AS n_docs, CAST(sum(len_d) AS BIGINT) AS total_len FROM dlen),
+tf AS (
+  SELECT doc_id, word, count(*) AS tf FROM tokens
+  WHERE word IN ({{terms}}) GROUP BY 1, 2),
+dfreq AS (
+  SELECT word, count(*) AS df_docs FROM tf GROUP BY 1),
+scored AS (
+  SELECT t.doc_id,
+         {{idf}} * {{tfn}} AS term_score
+  FROM tf t JOIN dfreq f USING (word) JOIN dlen l USING (doc_id), gstats g)
+SELECT doc_id, {{total}} AS bm25
+FROM scored GROUP BY 1
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT 20
+""".format(
+        terms=terms,
+        idf=sql_round(
+            "ln((g.n_docs - f.df_docs + 0.5) / (f.df_docs + 0.5) + 1.0)", 6
+        ),
+        tfn=sql_round(
+            f"t.tf / (t.tf + {_BM25_K1!r} * ((1.0 - {_BM25_B!r}) "
+            f"+ {_BM25_B!r} * l.len_d / (CAST(g.total_len AS DOUBLE) / g.n_docs)))",
+            6,
+        ),
+        total=sql_round("sum(term_score)", 6),
+    )
+
+
+BM25_DOC_SEARCH_SQL = _bm25_search_sql()
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_keep_best": QuerySpec(
         dedup_keep_best, DEDUP_KEEP_BEST_SQL, "corpus-keep-best"
@@ -1275,5 +1377,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "unigram_logprob_score": QuerySpec(
         unigram_logprob_score, UNIGRAM_LOGPROB_SCORE_SQL, "corpus-lm-quality"
+    ),
+    "bm25_doc_search": QuerySpec(
+        bm25_doc_search, BM25_DOC_SEARCH_SQL, "corpus-retrieval"
     ),
 }

@@ -89,6 +89,7 @@ _RANDOMIZED_QUERIES = (
     "seq_length_histogram",
     "dup_cluster_size_hist",
     "cms_heavy_hitters",
+    "bm25_doc_search",
 )
 
 

@@ -450,3 +450,13 @@ def test_deciles_global_sort_over_customer_cardinality(spark, sf_dir):
     idx_agg = plan.index("HashAggregate")
     idx_win = plan.index("Window")
     assert idx_win < idx_agg or "ntile" in plan  # window over agg output
+
+
+def test_bm25_search_prunes_corpus_before_scoring(spark, sf_dir):
+    # only documents containing a query term reach the scoring math
+    # (the array_contains filter runs in the token explode stage) and
+    # the 3-row idf frame broadcasts
+    plan = _plan(spark, sf_dir, "bm25_doc_search")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
