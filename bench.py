@@ -114,6 +114,7 @@ EXTENDED = [
     "customer_value_deciles",
     "hll_cumulative_daily",
     "bm25_doc_search",
+    "hybrid_search_rrf",
 ]
 
 

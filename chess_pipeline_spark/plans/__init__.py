@@ -110,6 +110,7 @@ _DEMOTED: tuple[str, ...] = (
     "customer_value_deciles",
     "hll_cumulative_daily",
     "bm25_doc_search",
+    "hybrid_search_rrf",
 )
 
 # For every demoted query: the IN-WINDOW queries that keep its SURVEY
@@ -213,6 +214,7 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     "customer_value_deciles": ("top_customer_revenue", "pricing_summary"),
     "hll_cumulative_daily": ("events_ohlc_hourly", "dedup_incremental_simhash"),
     "bm25_doc_search": ("bm25_top_terms", "tfidf_top_terms"),
+    "hybrid_search_rrf": ("bm25_top_terms", "knn_cosine_ivf"),
 }
 
 

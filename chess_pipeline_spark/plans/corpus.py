@@ -1336,6 +1336,112 @@ LIMIT 20
 BM25_DOC_SEARCH_SQL = _bm25_search_sql()
 
 
+
+
+_RRF_K = 60  # standard reciprocal-rank-fusion damping
+
+
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: fuse the BM25 keyword ranking with an
+    embedding-cosine ranking by reciprocal-rank fusion —
+    score = Σ floor(1e6 / (60 + rank)) over the lists that ranked the
+    doc. RRF is the standard no-tuning fusion for lexical+semantic
+    search; expressing it over INTEGER micro-units makes the fused
+    score exact on any engine (rank arithmetic only — no float
+    summation anywhere, the strongest determinism class in the
+    catalog).
+
+    The semantic side scores documents against the corpus's own
+    vec_id-0 embedding (a fixed query vector); ids are shared between
+    documents and embeddings in the synthetic lake, and docs ranked
+    by only one list still fuse (outer union semantics). Top-10 by
+    (fused score desc, doc_id).
+
+    100 TB shape: both input rankings are already top-20 frames
+    (KB-sized), so the fusion is driver-trivial regardless of corpus
+    size; the heavy lifting lives in the two underlying retrievers,
+    each already plan-gated.
+    """
+    lex = bm25_doc_search(spark, sf_dir)
+    wl = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lex_r = lex.select("doc_id", F.row_number().over(wl).alias("rank_lex"))
+
+    e = spread(_L(spark, sf_dir, "embeddings"), "vec_id")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    dot = (
+        "aggregate(zip_with(embedding, qe, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " CAST(0 AS DOUBLE), (a, b) -> a + b)"
+    )
+    nrm = (
+        "sqrt(aggregate({v}, CAST(0 AS DOUBLE),"
+        " (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    )
+    cos = F.expr(dot) / (F.expr(nrm.format(v="embedding")) * F.expr(nrm.format(v="qe")))
+    sem = (
+        e.crossJoin(F.broadcast(q))
+        .select("vec_id", fround(cos, 6).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(20)
+    )
+    ws = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
+    sem_r = sem.select(
+        F.col("vec_id").alias("doc_id"), F.row_number().over(ws).alias("rank_sem")
+    )
+
+    fused = lex_r.join(sem_r, "doc_id", "full_outer").select(
+        "doc_id",
+        "rank_lex",
+        "rank_sem",
+        (
+            F.coalesce(
+                F.floor(F.lit(1000000) / (F.lit(_RRF_K) + F.col("rank_lex"))),
+                F.lit(0),
+            )
+            + F.coalesce(
+                F.floor(F.lit(1000000) / (F.lit(_RRF_K) + F.col("rank_sem"))),
+                F.lit(0),
+            )
+        )
+        .cast("long")
+        .alias("rrf_micro"),
+    )
+    return fused.orderBy(F.desc("rrf_micro"), F.asc("doc_id")).limit(10)
+
+
+HYBRID_SEARCH_RRF_SQL = f"""
+WITH lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank_lex
+  FROM ({BM25_DOC_SEARCH_SQL.strip()})
+), ue AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+), qv AS (
+  SELECT i, x AS qx FROM ue WHERE vec_id = 0
+), qn AS (SELECT sqrt(sum(qx * qx)) AS qnrm FROM qv),
+cosines AS (
+  SELECT u.vec_id,
+         floor((sum(u.x * q.qx) / (sqrt(sum(u.x * u.x)) * any_value(n.qnrm)))
+               * 1000000.0 + 0.5) / 1000000.0 AS cos
+  FROM ue u JOIN qv q USING (i), qn n
+  GROUP BY u.vec_id
+), sem AS (
+  SELECT vec_id AS doc_id,
+         row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank_sem
+  FROM (SELECT * FROM cosines ORDER BY cos DESC, vec_id ASC LIMIT 20)
+)
+SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+       CAST(l.rank_lex AS INT) AS rank_lex,
+       CAST(s.rank_sem AS INT) AS rank_sem,
+       CAST(coalesce(CAST(floor(1000000 / ({_RRF_K} + l.rank_lex)) AS BIGINT), 0)
+            + coalesce(CAST(floor(1000000 / ({_RRF_K} + s.rank_sem)) AS BIGINT), 0)
+            AS BIGINT) AS rrf_micro
+FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+ORDER BY rrf_micro DESC, doc_id ASC
+LIMIT 10
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_keep_best": QuerySpec(
         dedup_keep_best, DEDUP_KEEP_BEST_SQL, "corpus-keep-best"
@@ -1380,5 +1486,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "bm25_doc_search": QuerySpec(
         bm25_doc_search, BM25_DOC_SEARCH_SQL, "corpus-retrieval"
+    ),
+    "hybrid_search_rrf": QuerySpec(
+        hybrid_search_rrf, HYBRID_SEARCH_RRF_SQL, "corpus-hybrid-retrieval"
     ),
 }

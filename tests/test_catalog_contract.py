@@ -146,6 +146,7 @@ FROZEN_ORDER: tuple[str, ...] = (
     "customer_value_deciles",
     "hll_cumulative_daily",
     "bm25_doc_search",
+    "hybrid_search_rrf",
 )
 
 
@@ -158,7 +159,7 @@ def test_driver_window_r5_rotation():
     # additions are IN, as are the three operators built new in r5;
     # everything rotated out is r4 AND r2-or-r3 green (verified
     # against the CORRECTNESS files at rotation time)
-    assert len(FROZEN_ORDER) - DRIVER_WINDOW == 57
+    assert len(FROZEN_ORDER) - DRIVER_WINDOW == 58
     in_window = set(FROZEN_ORDER[:DRIVER_WINDOW])
     for newcomer in (
         "decontaminate_ngram_overlap",

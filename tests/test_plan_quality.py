@@ -460,3 +460,12 @@ def test_bm25_search_prunes_corpus_before_scoring(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hybrid_rrf_fuses_topk_frames_only(spark, sf_dir):
+    # both retriever outputs are top-20 frames before the fusion join
+    # (GlobalLimit above the join inputs), the query vector broadcasts,
+    # and no cartesian sneaks in via the 1-row cross join
+    plan = _plan(spark, sf_dir, "hybrid_search_rrf")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
