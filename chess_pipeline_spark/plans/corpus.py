@@ -1236,9 +1236,10 @@ FROM agg
 
 
 
-# the fixed retrieval query for bm25_doc_search: mid-frequency terms
-# so idf is informative and hits are plentiful at every SF
-_BM25_QUERY_TERMS = ("shuffle", "broadcast", "partition")
+# the fixed retrieval query for bm25_doc_search: two common terms and
+# one rare ("dup" — high idf) from the synthetic vocabulary, so the
+# ranking exercises both ends of the idf spectrum at every SF
+_BM25_QUERY_TERMS = ("merge", "hash", "dup")
 
 
 def bm25_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -158,6 +158,22 @@ def run_profile(args: argparse.Namespace, spark=None) -> int:
     return 0
 
 
+def run_search(args: argparse.Namespace, spark=None) -> int:
+    """Print the top documents for the built-in retrieval demos:
+    lexical BM25, or the BM25+cosine reciprocal-rank fusion. The
+    rankings are the oracle-verified catalog queries; this CLI only
+    formats them."""
+    from chess_pipeline_spark.plans import catalog
+    from chess_pipeline_spark.session import get_spark
+
+    spark = spark or get_spark(app_name="chess-pipeline-search")
+    qname = "hybrid_search_rrf" if args.hybrid else "bm25_doc_search"
+    rows = catalog()[qname].spark(spark, args.sf_dir).collect()
+    for r in rows:
+        print(json.dumps(r.asDict()))
+    return 0
+
+
 def main(argv: list[str] | None = None, spark=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -193,11 +209,17 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     pr.add_argument("--sf-dir", required=True, help="dir holding documents.parquet")
     pr.add_argument("--out", required=True, help="output dir")
 
+    se = sub.add_parser("search", help="retrieval demo: top docs as JSON lines")
+    se.add_argument("--sf-dir", required=True, help="dir holding documents.parquet")
+    se.add_argument("--hybrid", action="store_true", help="BM25+cosine RRF fusion")
+
     args = p.parse_args(argv)
     if args.cmd == "games":
         return run_games(args, spark)
     if args.cmd == "profile":
         return run_profile(args, spark)
+    if args.cmd == "search":
+        return run_search(args, spark)
     return run_corpus(args, spark)
 
 

@@ -134,3 +134,16 @@ def test_cli_profile_data_card(spark, sf_dir, tmp_path):
     assert summary["rows"]["quality_verdicts"] == n_docs
     assert summary["rows"]["lm_quality"] == n_docs
     assert spark.read.parquet(str(out / "heavy_hitters")).count() == 20
+
+
+def test_cli_search(spark, sf_dir, capsys):
+    import json
+
+    rc = run_etl.main(["search", "--sf-dir", sf_dir], spark=spark)
+    assert rc == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert 0 < len(lines) <= 20 and "bm25" in lines[0]
+    rc = run_etl.main(["search", "--sf-dir", sf_dir, "--hybrid"], spark=spark)
+    assert rc == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert 0 < len(lines) <= 10 and "rrf_micro" in lines[0]
