@@ -115,6 +115,7 @@ EXTENDED = [
     "hll_cumulative_daily",
     "bm25_doc_search",
     "hybrid_search_rrf",
+    "attribution_last_touch",
 ]
 
 

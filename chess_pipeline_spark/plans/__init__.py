@@ -111,6 +111,7 @@ _DEMOTED: tuple[str, ...] = (
     "hll_cumulative_daily",
     "bm25_doc_search",
     "hybrid_search_rrf",
+    "attribution_last_touch",
 )
 
 # For every demoted query: the IN-WINDOW queries that keep its SURVEY
@@ -215,6 +216,7 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     "hll_cumulative_daily": ("events_ohlc_hourly", "dedup_incremental_simhash"),
     "bm25_doc_search": ("bm25_top_terms", "tfidf_top_terms"),
     "hybrid_search_rrf": ("bm25_top_terms", "knn_cosine_ivf"),
+    "attribution_last_touch": ("events_asof_last_purchase", "event_funnel"),
 }
 
 

@@ -20,7 +20,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from chess_pipeline_spark.functions.rounding import fround
+from chess_pipeline_spark.functions.rounding import fround, sql_round
 from chess_pipeline_spark.plans.spec import QuerySpec
 from chess_pipeline_spark.sources import load_table as _L
 
@@ -690,7 +690,84 @@ FROM k GROUP BY 1
 """
 
 
+
+
+_ATTR_WINDOW_S = 1800  # last-touch lookback
+
+
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: each purchase credits the
+    user's most recent non-purchase event within the preceding 30
+    minutes (strictly earlier second); purchases with no touch in
+    the window are 'direct'. Revenue and conversion counts per
+    attributed channel — the marketing-analytics companion to the
+    as-of family, done with ONE user-keyed shuffle and a time-RANGE
+    window frame (no self-join).
+
+    Determinism: the frame is integer ts_sec RANGE [-1800, -1]; the
+    in-frame argmax is a zero-padded (ts_sec, event_id) string so
+    lexicographic max == numeric recency with a total tiebreak — the
+    same encoding trick on both engines.
+    """
+    ev = _L(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts_sec", "event_type", "value"
+    )
+    enc = F.when(
+        F.col("event_type") != "purchase",
+        F.concat(
+            F.lpad(F.col("ts_sec").cast("string"), 12, "0"),
+            F.lpad(F.col("event_id").cast("string"), 12, "0"),
+            F.col("event_type"),
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec")
+        .rangeBetween(-_ATTR_WINDOW_S, -1)
+    )
+    touched = ev.withColumn("touch", F.max(enc).over(w))
+    purchases = touched.filter(F.col("event_type") == "purchase").select(
+        F.coalesce(F.expr("substring(touch, 25)"), F.lit("direct")).alias(
+            "channel"
+        ),
+        "value",
+    )
+    return (
+        purchases.groupBy("channel")
+        .agg(
+            F.count("*").alias("n_conversions"),
+            fround(F.sum("value"), 2).alias("attributed_value"),
+        )
+        .orderBy("channel")
+    )
+
+
+ATTRIBUTION_LAST_TOUCH_SQL = f"""
+WITH e AS (
+  SELECT event_id, user_id, {_TS_SEC} AS ts_sec, event_type, value
+  FROM events),
+t AS (
+  SELECT event_type, value,
+         max(CASE WHEN event_type <> 'purchase'
+                  THEN lpad(CAST(ts_sec AS VARCHAR), 12, '0')
+                       || lpad(CAST(event_id AS VARCHAR), 12, '0')
+                       || event_type END)
+           OVER (PARTITION BY user_id ORDER BY ts_sec
+                 RANGE BETWEEN {_ATTR_WINDOW_S} PRECEDING AND 1 PRECEDING)
+           AS touch
+  FROM e)
+SELECT coalesce(substring(touch, 25), 'direct') AS channel,
+       count(*) AS n_conversions,
+       {sql_round("sum(value)", 2)} AS attributed_value
+FROM t WHERE event_type = 'purchase'
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "attribution_last_touch": QuerySpec(
+        attribution_last_touch, ATTRIBUTION_LAST_TOUCH_SQL, "asof ext: attribution"
+    ),
     "value_stats_by_weekday": QuerySpec(
         value_stats_by_weekday, VALUE_STATS_BY_WEEKDAY_SQL, "A3 F9"
     ),

@@ -147,6 +147,7 @@ FROZEN_ORDER: tuple[str, ...] = (
     "hll_cumulative_daily",
     "bm25_doc_search",
     "hybrid_search_rrf",
+    "attribution_last_touch",
 )
 
 
@@ -159,7 +160,7 @@ def test_driver_window_r5_rotation():
     # additions are IN, as are the three operators built new in r5;
     # everything rotated out is r4 AND r2-or-r3 green (verified
     # against the CORRECTNESS files at rotation time)
-    assert len(FROZEN_ORDER) - DRIVER_WINDOW == 58
+    assert len(FROZEN_ORDER) - DRIVER_WINDOW == 59
     in_window = set(FROZEN_ORDER[:DRIVER_WINDOW])
     for newcomer in (
         "decontaminate_ngram_overlap",

@@ -469,3 +469,12 @@ def test_hybrid_rrf_fuses_topk_frames_only(spark, sf_dir):
     plan = _plan(spark, sf_dir, "hybrid_search_rrf")
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_attribution_single_user_shuffle_no_join(spark, sf_dir):
+    # last-touch attribution is one user-keyed window over a RANGE
+    # frame plus the final channel agg — never a purchases x touches
+    # self-join
+    plan = _plan(spark, sf_dir, "attribution_last_touch")
+    assert "Window" in plan
+    assert "Join" not in plan

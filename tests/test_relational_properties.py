@@ -284,6 +284,7 @@ _EVENTS_QUERIES = (
     "events_time_weighted_avg",
     "events_gap_detection",
     "events_decay_score",
+    "attribution_last_touch",
 )
 
 
