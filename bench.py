@@ -116,6 +116,7 @@ EXTENDED = [
     "bm25_doc_search",
     "hybrid_search_rrf",
     "attribution_last_touch",
+    "funnel_latency_percentiles",
 ]
 
 

@@ -112,6 +112,7 @@ _DEMOTED: tuple[str, ...] = (
     "bm25_doc_search",
     "hybrid_search_rrf",
     "attribution_last_touch",
+    "funnel_latency_percentiles",
 )
 
 # For every demoted query: the IN-WINDOW queries that keep its SURVEY
@@ -217,6 +218,7 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     "bm25_doc_search": ("bm25_top_terms", "tfidf_top_terms"),
     "hybrid_search_rrf": ("bm25_top_terms", "knn_cosine_ivf"),
     "attribution_last_touch": ("events_asof_last_purchase", "event_funnel"),
+    "funnel_latency_percentiles": ("event_funnel", "price_percentiles"),
 }
 
 

@@ -764,9 +764,79 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+
+
+def funnel_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: for users who complete the
+    view -> purchase funnel, the view->purchase delay in seconds,
+    summarized as exact interpolated percentiles — the latency
+    companion to event_funnel's stage counts. Delays are integer
+    second differences, so only the final interpolation touches
+    floats (grid-rounded).
+
+    Same shuffle budget as the funnel: per-user conditional min
+    aggregation (one user_id exchange), then one global percentile
+    over |converting users| rows.
+    """
+    ev = _L(spark, sf_dir, "events").select("user_id", "event_type", "ts_sec")
+    t_view = F.min(F.when(F.col("event_type") == "view", F.col("ts_sec")))
+    per_user = ev.groupBy("user_id").agg(t_view.alias("t_view"))
+    with_view = ev.join(per_user, "user_id")
+    t_buy = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts_sec") >= F.col("t_view")),
+            F.col("ts_sec"),
+        )
+    )
+    funnel = with_view.groupBy("user_id", "t_view").agg(t_buy.alias("t_buy"))
+    delays = funnel.filter(
+        F.col("t_view").isNotNull() & F.col("t_buy").isNotNull()
+    ).select((F.col("t_buy") - F.col("t_view")).cast("long").alias("delay_s"))
+    return delays.agg(
+        F.count("*").alias("n_converted"),
+        fround(F.expr("percentile(delay_s, 0.5)"), 4).alias("p50_s"),
+        fround(F.expr("percentile(delay_s, 0.9)"), 4).alias("p90_s"),
+        F.min("delay_s").alias("min_s"),
+        F.max("delay_s").alias("max_s"),
+    )
+
+
+FUNNEL_LATENCY_PERCENTILES_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_type, {_TS_SEC} AS ts_sec FROM events),
+pv AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts_sec END) AS t_view
+  FROM e GROUP BY 1),
+f AS (
+  SELECT e.user_id, pv.t_view,
+         min(CASE WHEN e.event_type = 'purchase' AND e.ts_sec >= pv.t_view
+                  THEN e.ts_sec END) AS t_buy
+  FROM e JOIN pv USING (user_id)
+  GROUP BY 1, 2),
+d AS (
+  SELECT CAST(t_buy - t_view AS BIGINT) AS delay_s
+  FROM f WHERE t_view IS NOT NULL AND t_buy IS NOT NULL)
+SELECT count(*) AS n_converted,
+       {{p50}} AS p50_s,
+       {{p90}} AS p90_s,
+       min(delay_s) AS min_s,
+       max(delay_s) AS max_s
+FROM d
+""".format(
+    p50=sql_round("quantile_cont(delay_s, 0.5)", 4),
+    p90=sql_round("quantile_cont(delay_s, 0.9)", 4),
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "attribution_last_touch": QuerySpec(
         attribution_last_touch, ATTRIBUTION_LAST_TOUCH_SQL, "asof ext: attribution"
+    ),
+    "funnel_latency_percentiles": QuerySpec(
+        funnel_latency_percentiles,
+        FUNNEL_LATENCY_PERCENTILES_SQL,
+        "funnel ext: latency",
     ),
     "value_stats_by_weekday": QuerySpec(
         value_stats_by_weekday, VALUE_STATS_BY_WEEKDAY_SQL, "A3 F9"

@@ -148,6 +148,7 @@ FROZEN_ORDER: tuple[str, ...] = (
     "bm25_doc_search",
     "hybrid_search_rrf",
     "attribution_last_touch",
+    "funnel_latency_percentiles",
 )
 
 
@@ -160,7 +161,7 @@ def test_driver_window_r5_rotation():
     # additions are IN, as are the three operators built new in r5;
     # everything rotated out is r4 AND r2-or-r3 green (verified
     # against the CORRECTNESS files at rotation time)
-    assert len(FROZEN_ORDER) - DRIVER_WINDOW == 59
+    assert len(FROZEN_ORDER) - DRIVER_WINDOW == 60
     in_window = set(FROZEN_ORDER[:DRIVER_WINDOW])
     for newcomer in (
         "decontaminate_ngram_overlap",

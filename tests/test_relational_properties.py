@@ -285,6 +285,7 @@ _EVENTS_QUERIES = (
     "events_gap_detection",
     "events_decay_score",
     "attribution_last_touch",
+    "funnel_latency_percentiles",
 )
 
 
