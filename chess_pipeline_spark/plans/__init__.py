@@ -90,9 +90,14 @@ _DEMOTED: tuple[str, ...] = (
     "events_decay_score",
     "orders_rfm_segments",
     "orders_snapshot_diff",
-    # --- profiling/sketch + classic-DSS tier, added late in r5
-    # (local oracle rows + sf0.01 driver-style parity from day one;
-    # r6-rotation candidates like the rest of the staged tail) ---
+    # --- profiling/sketch + classic-DSS + retrieval tier, added
+    # late in r5 (local oracle rows + sf0.01 driver-style parity from
+    # day one). r6 ROTATION CHECKLIST — never-driver-verified names
+    # staged for promotion, in priority order: the nine r5-staged
+    # event/orders queries above (events_gap_detection …
+    # orders_snapshot_diff) plus everything from here down; demote
+    # only doubly-proven window members whose DEMOTION_COVERAGE rows
+    # already exist ---
     "hll_distinct_users",
     "data_profile_orders",
     "mad_outlier_bounds",
