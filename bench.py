@@ -117,6 +117,8 @@ EXTENDED = [
     "hybrid_search_rrf",
     "attribution_last_touch",
     "funnel_latency_percentiles",
+    "large_quantity_orders",
+    "idle_customer_balance",
 ]
 
 

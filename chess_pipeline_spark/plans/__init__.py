@@ -118,6 +118,8 @@ _DEMOTED: tuple[str, ...] = (
     "hybrid_search_rrf",
     "attribution_last_touch",
     "funnel_latency_percentiles",
+    "large_quantity_orders",
+    "idle_customer_balance",
 )
 
 # For every demoted query: the IN-WINDOW queries that keep its SURVEY
@@ -224,6 +226,8 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     "hybrid_search_rrf": ("bm25_top_terms", "knn_cosine_ivf"),
     "attribution_last_touch": ("events_asof_last_purchase", "event_funnel"),
     "funnel_latency_percentiles": ("event_funnel", "price_percentiles"),
+    "large_quantity_orders": ("top_customer_revenue", "customers_with_orders"),
+    "idle_customer_balance": ("parts_never_ordered", "pricing_summary"),
 }
 
 

@@ -1511,6 +1511,111 @@ FROM tiled GROUP BY 1 ORDER BY 1
 )
 
 
+
+
+_Q18_MIN_QTY = 150  # large-order threshold (sized to the synthetic data)
+
+
+def large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds
+    a threshold — the IN-(SELECT … GROUP BY … HAVING) pattern, which
+    decorrelates to an aggregate + semi join. Joined back to customer
+    for the report; top-20 by (total_qty desc, orderkey).
+
+    The aggregate runs BEFORE any join (map-side partials on the
+    fact), the qualifying key set is tiny and broadcasts; customer
+    broadcasts as usual.
+    """
+    li = _L(spark, sf_dir, "lineitem")
+    orders = _L(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    cust = _L(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > _Q18_MIN_QTY)
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            fround("o_totalprice", 2).alias("o_totalprice"),
+            fround("total_qty", 2).alias("total_qty"),
+        )
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+LARGE_QUANTITY_ORDERS_SQL = f"""
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > {_Q18_MIN_QTY}
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       {sql_round('o.o_totalprice', 2)} AS o_totalprice,
+       {sql_round('b.total_qty', 2)} AS total_qty
+FROM orders o
+JOIN big b ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY total_qty DESC, o.o_orderkey ASC
+LIMIT 20
+"""
+
+
+_Q22_IDLE_SINCE = "2000-06-01"  # ~recent-18-months idleness cutoff
+
+
+def idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: per market segment, customers holding an
+    above-average positive balance with NO RECENT orders (none since
+    the cutoff) — the scalar-subquery filter (global avg broadcasts)
+    composed with a date-filtered NOT EXISTS (left-anti join whose
+    probe side is pre-filtered at the scan). Grid-rounded scalar
+    keeps the balance filter engine-stable.
+    """
+    cust = _L(spark, sf_dir, "customer")
+    recent = (
+        _L(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= _Q22_IDLE_SINCE)
+        .select("o_custkey")
+    )
+    avg_pos = cust.filter(F.col("c_acctbal") > 0).agg(
+        fround(F.avg("c_acctbal"), 6).alias("avg_bal")
+    )
+    idle = (
+        cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .crossJoin(F.broadcast(avg_pos))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+    )
+    return (
+        idle.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            fround(F.sum("c_acctbal"), 2).alias("total_balance"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+IDLE_CUSTOMER_BALANCE_SQL = f"""
+WITH avg_pos AS (
+  SELECT {sql_round('avg(c_acctbal)', 6)} AS avg_bal
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c.c_mktsegment, count(*) AS n_customers,
+       {sql_round('sum(c.c_acctbal)', 2)} AS total_balance
+FROM customer c, avg_pos a
+WHERE c.c_acctbal > a.avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '{_Q22_IDLE_SINCE} 00:00:00')
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "win_ratio_by_status": QuerySpec(win_ratio_by_status, WIN_RATIO_SQL, "A1 A2 E5 P7"),
     "orders_rfm_segments": QuerySpec(
@@ -1539,6 +1644,12 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "customer_value_deciles": QuerySpec(
         customer_value_deciles, CUSTOMER_VALUE_DECILES_SQL, "W ntile decile ext"
+    ),
+    "large_quantity_orders": QuerySpec(
+        large_quantity_orders, LARGE_QUANTITY_ORDERS_SQL, "Q18 having-in ext"
+    ),
+    "idle_customer_balance": QuerySpec(
+        idle_customer_balance, IDLE_CUSTOMER_BALANCE_SQL, "Q22 scalar+anti ext"
     ),
     "pricing_summary": QuerySpec(pricing_summary, PRICING_SUMMARY_SQL, "A3 P3"),
     "top_customer_revenue": QuerySpec(

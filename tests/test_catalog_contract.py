@@ -149,6 +149,8 @@ FROZEN_ORDER: tuple[str, ...] = (
     "hybrid_search_rrf",
     "attribution_last_touch",
     "funnel_latency_percentiles",
+    "large_quantity_orders",
+    "idle_customer_balance",
 )
 
 
@@ -161,7 +163,7 @@ def test_driver_window_r5_rotation():
     # additions are IN, as are the three operators built new in r5;
     # everything rotated out is r4 AND r2-or-r3 green (verified
     # against the CORRECTNESS files at rotation time)
-    assert len(FROZEN_ORDER) - DRIVER_WINDOW == 60
+    assert len(FROZEN_ORDER) - DRIVER_WINDOW == 62
     in_window = set(FROZEN_ORDER[:DRIVER_WINDOW])
     for newcomer in (
         "decontaminate_ngram_overlap",

@@ -478,3 +478,20 @@ def test_attribution_single_user_shuffle_no_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "attribution_last_touch")
     assert "Window" in plan
     assert "Join" not in plan
+
+
+def test_q18_aggregates_before_joins(spark, sf_dir):
+    # the HAVING-IN decorrelation: lineitem aggregates FIRST (partial
+    # sum on the fact), the tiny qualifying set + customer broadcast
+    plan = _plan(spark, sf_dir, "large_quantity_orders")
+    assert "partial_sum" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q22_date_filter_pushed_anti_join(spark, sf_dir):
+    # the NOT EXISTS probe side is pre-filtered at the scan and the
+    # join is a LeftAnti — never a full orders scan into an SMJ
+    plan = _plan(spark, sf_dir, "idle_customer_balance")
+    assert "LeftAnti" in plan
+    assert "IsNotNull(o_orderdate)" in plan or "GreaterThanOrEqual(o_orderdate" in plan

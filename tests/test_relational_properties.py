@@ -269,6 +269,8 @@ _RELATIONAL_QUERIES = (
     "small_qty_revenue",
     "waiting_supplier_orders",
     "customer_value_deciles",
+    "large_quantity_orders",
+    "idle_customer_balance",
 )
 
 _EVENTS_QUERIES = (
