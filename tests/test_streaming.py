@@ -517,3 +517,68 @@ def test_stream_value_histogram_matches_batch_exactly(spark, sf_dir, tmp_path):
     upsert_partition_overwrite(b0, str(ledger), ["batch_id"])
     after = sorted(map(tuple, spark.read.parquet(str(ledger)).collect()))
     assert before == after
+
+
+def test_watermark_drops_late_events_across_batches(spark, tmp_path):
+    """Semantics pin for the watermark contract: a second micro-batch
+    carrying an event OLDER than (max event time seen - watermark)
+    must not resurrect its already-finalized window — the append-mode
+    tumbling count for that window stays at the batch-1 value."""
+    import os
+    import time
+    import uuid
+
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from chess_pipeline_spark.streaming.jobs import (
+        read_events_stream,
+        stream_tumbling_counts,
+    )
+
+    t0 = 1_700_000_000 - (1_700_000_000 % 3600)  # hour boundary
+
+    def mk(rows, path):
+        pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": pd.to_datetime([r[1] for r in rows], unit="s"),
+                "user_id": [1] * len(rows),
+                "event_type": ["click"] * len(rows),
+                "value": [1.0] * len(rows),
+                "props": ["{}"] * len(rows),
+            }
+        ).to_parquet(path)
+
+    src = tmp_path / "late_arrivals"
+    src.mkdir()
+    # Micro-batch semantics pinned here (empirically verified): a row
+    # arriving while its window's STATE is still alive merges even if
+    # it is behind the watermark, and the late-row filter uses the
+    # watermark with a ONE-BATCH lag — so the unambiguous drop needs
+    # the late row TWO batches after the watermark passed its window:
+    mk([(1, t0 + 60)], str(src / "b0.parquet"))          # W0 state born
+    mk([(2, t0 + 4 * 3600)], str(src / "b1.parquet"))     # wm -> t0+2h
+    mk([(4, t0 + 5 * 3600)], str(src / "b2.parquet"))     # W0 evicted+emitted (n=1)
+    mk([(3, t0 + 120)], str(src / "b3.parquet"))          # too late: dropped
+    now = time.time()
+    for i, f in enumerate(("b0", "b1", "b2", "b3")):
+        os.utime(src / f"{f}.parquet", (now - 120 + i * 30, now - 120 + i * 30))
+
+    ev = read_events_stream(spark, str(src), glob="*.parquet", max_files_per_trigger=1)
+    out = stream_tumbling_counts(ev, watermark="2 hours")
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.table(name).select("window_start", "n").collect()
+    w0 = [int(r.n) for r in rows if int(r.window_start) == t0]
+    # W0 was finalized (and emitted exactly once) before the too-late
+    # event arrived; the late row neither re-emits nor re-counts
+    assert w0 == [1], rows
