@@ -21,6 +21,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import subprocess
 import sys
 import time
 from pathlib import Path
@@ -122,6 +123,22 @@ EXTENDED = [
 ]
 
 
+def _git_sha() -> str:
+    try:
+        return (
+            subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                cwd=_REPO,
+                capture_output=True,
+                text=True,
+                timeout=10,
+            ).stdout.strip()
+            or "unknown"
+        )
+    except Exception:
+        return "unknown"
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -189,6 +206,7 @@ def main() -> None:
                 "extended_queries": extended,
                 "extended_total": round(sum(extended.values()), 3),
                 "sf": sf,
+                "git": _git_sha(),
                 "loadavg": loadavg_start,
                 "loadavg_end": [round(x, 2) for x in os.getloadavg()],
                 "runs_per_query": runs,
