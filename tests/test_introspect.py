@@ -1,0 +1,27 @@
+"""plan_metrics mirrors what the plan gates assert — pin it on known
+catalog plans so the utility can't silently drift from the plans."""
+
+from __future__ import annotations
+
+from chess_pipeline_spark.introspect import plan_metrics
+from chess_pipeline_spark.plans import catalog
+
+_CATALOG = catalog()
+
+
+def test_metrics_on_known_plans(spark, sf_dir):
+    m = plan_metrics(_CATALOG["pricing_summary"].spark(spark, sf_dir))
+    assert m["scans"] == 1 and m["cartesian"] == 0
+    assert m["keyed_exchanges"] == 1  # one agg shuffle, nothing else
+
+    m = plan_metrics(_CATALOG["returned_items_report"].spark(spark, sf_dir))
+    assert m["pushed_filters"] >= 1  # returnflag filter reaches the scan
+
+    m = plan_metrics(_CATALOG["top_customer_revenue"].spark(spark, sf_dir))
+    assert m["broadcast_joins"] >= 1 and m["sort_merge_joins"] == 0
+
+    m = plan_metrics(_CATALOG["pii_redact_stats"].spark(spark, sf_dir))
+    assert m["keyed_exchanges"] == 0  # row-local scrub never shuffles
+
+    m = plan_metrics(_CATALOG["multimodal_features"].spark(spark, sf_dir))
+    assert m["arrow_udf"] >= 1 and m["python_eval"] == 0
