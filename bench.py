@@ -120,6 +120,7 @@ EXTENDED = [
     "funnel_latency_percentiles",
     "large_quantity_orders",
     "idle_customer_balance",
+    "session_path_trigrams",
 ]
 
 

@@ -120,6 +120,7 @@ _DEMOTED: tuple[str, ...] = (
     "funnel_latency_percentiles",
     "large_quantity_orders",
     "idle_customer_balance",
+    "session_path_trigrams",
 )
 
 # For every demoted query: the IN-WINDOW queries that keep its SURVEY
@@ -228,6 +229,7 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     "funnel_latency_percentiles": ("event_funnel", "price_percentiles"),
     "large_quantity_orders": ("top_customer_revenue", "customers_with_orders"),
     "idle_customer_balance": ("parts_never_ordered", "pricing_summary"),
+    "session_path_trigrams": ("events_sessionized", "clock_lead_fill"),
 }
 
 

@@ -829,6 +829,78 @@ FROM d
 )
 
 
+
+
+def session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path mining: the most common 3-step event-type
+    sequences WITHIN a session (same 30-min-gap sessionization as
+    events_sessionized), top-10 with counts — the "what do users do
+    next" query a product-analytics warehouse serves constantly.
+
+    One user-keyed window pass builds session ids and the two leads;
+    trigrams crossing a session boundary are discarded by comparing
+    the lead session ids (cheaper than re-partitioning by session).
+    Total tiebreak (ts_sec, event_id) everywhere, so both engines
+    walk identical paths.
+    """
+    ev = _L(spark, sf_dir, "events").select("user_id", "event_id", "ts_sec", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    gap = F.when(
+        (F.col("ts_sec") - F.lag("ts_sec", 1).over(w)) > 1800, 1
+    ).otherwise(0)
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(gap).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    tri = sess.select(
+        "session_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+        F.lead("session_id", 1).over(w).alias("s1"),
+        F.lead("session_id", 2).over(w).alias("s2"),
+    ).filter(
+        F.col("t2").isNotNull()
+        & (F.col("s1") == F.col("session_id"))
+        & (F.col("s2") == F.col("session_id"))
+    )
+    path = F.concat_ws(">", "event_type", "t1", "t2")
+    return (
+        tri.select(path.alias("path"))
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(10)
+    )
+
+
+SESSION_PATH_TRIGRAMS_SQL = f"""
+WITH t AS (
+  SELECT user_id, event_id, {_TS_SEC} AS ts_sec, event_type FROM events),
+flagged AS (
+  SELECT user_id, event_id, ts_sec, event_type,
+         CASE WHEN ts_sec - lag(ts_sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_session
+  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)),
+sessions AS (
+  SELECT user_id, event_id, ts_sec, event_type,
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM flagged),
+tri AS (
+  SELECT session_id, event_type,
+         lead(event_type, 1) OVER w AS t1,
+         lead(event_type, 2) OVER w AS t2,
+         lead(session_id, 1) OVER w AS s1,
+         lead(session_id, 2) OVER w AS s2
+  FROM sessions WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id))
+SELECT event_type || '>' || t1 || '>' || t2 AS path, count(*) AS n
+FROM tri
+WHERE t2 IS NOT NULL AND s1 = session_id AND s2 = session_id
+GROUP BY 1 ORDER BY n DESC, path ASC
+LIMIT 10
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "attribution_last_touch": QuerySpec(
         attribution_last_touch, ATTRIBUTION_LAST_TOUCH_SQL, "asof ext: attribution"
@@ -837,6 +909,9 @@ QUERIES: dict[str, QuerySpec] = {
         funnel_latency_percentiles,
         FUNNEL_LATENCY_PERCENTILES_SQL,
         "funnel ext: latency",
+    ),
+    "session_path_trigrams": QuerySpec(
+        session_path_trigrams, SESSION_PATH_TRIGRAMS_SQL, "path-mining ext"
     ),
     "value_stats_by_weekday": QuerySpec(
         value_stats_by_weekday, VALUE_STATS_BY_WEEKDAY_SQL, "A3 F9"

@@ -151,6 +151,7 @@ FROZEN_ORDER: tuple[str, ...] = (
     "funnel_latency_percentiles",
     "large_quantity_orders",
     "idle_customer_balance",
+    "session_path_trigrams",
 )
 
 
@@ -163,7 +164,7 @@ def test_driver_window_r5_rotation():
     # additions are IN, as are the three operators built new in r5;
     # everything rotated out is r4 AND r2-or-r3 green (verified
     # against the CORRECTNESS files at rotation time)
-    assert len(FROZEN_ORDER) - DRIVER_WINDOW == 62
+    assert len(FROZEN_ORDER) - DRIVER_WINDOW == 63
     in_window = set(FROZEN_ORDER[:DRIVER_WINDOW])
     for newcomer in (
         "decontaminate_ngram_overlap",

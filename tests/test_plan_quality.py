@@ -495,3 +495,12 @@ def test_q22_date_filter_pushed_anti_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "idle_customer_balance")
     assert "LeftAnti" in plan
     assert "IsNotNull(o_orderdate)" in plan or "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_path_trigrams_single_user_window_pass(spark, sf_dir):
+    # one user-keyed window builds sessions AND both leads; the
+    # boundary filter avoids a session re-partition; no join at all
+    plan = _plan(spark, sf_dir, "session_path_trigrams")
+    assert "Window" in plan
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan

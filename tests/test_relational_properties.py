@@ -288,6 +288,7 @@ _EVENTS_QUERIES = (
     "events_decay_score",
     "attribution_last_touch",
     "funnel_latency_percentiles",
+    "session_path_trigrams",
 )
 
 
