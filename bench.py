@@ -121,6 +121,8 @@ EXTENDED = [
     "large_quantity_orders",
     "idle_customer_balance",
     "session_path_trigrams",
+    "referential_integrity_audit",
+    "dedup_embedding_agreement",
 ]
 
 

@@ -121,6 +121,8 @@ _DEMOTED: tuple[str, ...] = (
     "large_quantity_orders",
     "idle_customer_balance",
     "session_path_trigrams",
+    "referential_integrity_audit",
+    "dedup_embedding_agreement",
 )
 
 # For every demoted query: the IN-WINDOW queries that keep its SURVEY
@@ -230,6 +232,8 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     "large_quantity_orders": ("top_customer_revenue", "customers_with_orders"),
     "idle_customer_balance": ("parts_never_ordered", "pricing_summary"),
     "session_path_trigrams": ("events_sessionized", "clock_lead_fill"),
+    "referential_integrity_audit": ("orders_fulfillment", "parts_never_ordered"),
+    "dedup_embedding_agreement": ("dedup_groups", "knn_cosine_ivf"),
 }
 
 

@@ -1966,6 +1966,133 @@ GROUP BY doc_id, fidx, fn
 """
 
 
+
+def dedup_embedding_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-family consistency audit: do the MinHash-LSH text
+    near-dup candidates actually look similar in EMBEDDING space?
+    Reports, for candidate pairs where both docs have an embedding
+    (shared id space), the count and mean cosine next to a matched
+    count of deterministic pseudo-random baseline pairs — the sanity
+    report that catches a broken signature pipeline (candidates ≈
+    baseline) or an embedding/text drift before a 100 TB dedup run
+    trusts either family.
+
+    Baseline pair selection is md5-hash based (no RNG to seed), and
+    the mean cosine is fround'd after an ordered per-pair dot (the
+    JL sum-order discipline is not needed: each pair's dot is one
+    fold; only the cross-pair AVG would be order-sensitive, so it is
+    computed from grid-rounded per-pair cosines).
+
+    On the synthetic lake both sets score ≈ 0 — the embeddings table
+    is label-clustered noise, NOT derived from the document text, and
+    the audit correctly reports that the two families measure
+    different things here. On a real corpus with text-derived
+    embeddings the candidate mean should sit far above baseline; the
+    query is the detector either way.
+    """
+    cand = minhash_lsh_candidates(spark, sf_dir).select("doc_a", "doc_b")
+    e = spread(_L(spark, sf_dir, "embeddings"), "vec_id").select(
+        "vec_id",
+        "embedding",
+        F.expr(_NORM.format(v="embedding")).alias("nrm"),
+    )
+    ea = e.select(
+        F.col("vec_id").alias("doc_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    eb = e.select(
+        F.col("vec_id").alias("doc_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    cos = F.expr(_DOT.format(u="emb_a", v="emb_b")) / (
+        F.col("nrm_a") * F.col("nrm_b")
+    )
+
+    def scored(pairs):
+        return (
+            pairs.join(ea, "doc_a").join(eb, "doc_b")
+            .select(fround(cos, 6).alias("cos"))
+        )
+
+    cand_scored = scored(cand)
+    # deterministic baseline: ONE hash-derived partner per embedded
+    # doc (6 hex chars of md5(id), parsed with the same instr
+    # arithmetic on both engines, mod corpus size); self-pairs drop
+    hx = "0123456789abcdef"
+    h6 = " + ".join(
+        f"(instr('{hx}', substring(md5(CAST(doc_a AS STRING)), {i + 1}, 1)) - 1)"
+        f" * {16 ** (5 - i)}"
+        for i in range(6)
+    )
+    base = (
+        e.select(F.col("vec_id").alias("doc_a"))
+        .crossJoin(
+            F.broadcast(
+                e.agg((F.max("vec_id") + 1).cast("long").alias("n_vecs"))
+            )
+        )
+        .select(
+            "doc_a",
+            (F.expr(f"CAST({h6} AS BIGINT)") % F.col("n_vecs")).alias("doc_b"),
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
+    )
+    base_scored = scored(base)
+    return (
+        cand_scored.agg(
+            F.count("*").cast("long").alias("n"),
+            fround(F.avg("cos"), 6).alias("mean_cos"),
+        ).select(F.lit("lsh_candidates").alias("pair_set"), "n", "mean_cos")
+    ).unionByName(
+        base_scored.agg(
+            F.count("*").cast("long").alias("n"),
+            fround(F.avg("cos"), 6).alias("mean_cos"),
+        ).select(F.lit("hash_baseline").alias("pair_set"), "n", "mean_cos")
+    )
+
+
+DEDUP_EMBEDDING_AGREEMENT_SQL = f"""
+WITH {_LSH_CAND_CTES},
+ue AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings),
+norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ue GROUP BY 1),
+cand_pairs AS (SELECT doc_a, doc_b FROM cand),
+nv AS (SELECT max(vec_id) + 1 AS n_vecs FROM embeddings),
+base_pairs AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT e.vec_id AS doc_a,
+           CAST(((instr('0123456789abcdef', substring(md5(CAST(doc_a AS VARCHAR)), 1, 1)) - 1) * 1048576 + (instr('0123456789abcdef', substring(md5(CAST(doc_a AS VARCHAR)), 2, 1)) - 1) * 65536 + (instr('0123456789abcdef', substring(md5(CAST(doc_a AS VARCHAR)), 3, 1)) - 1) * 4096 + (instr('0123456789abcdef', substring(md5(CAST(doc_a AS VARCHAR)), 4, 1)) - 1) * 256 + (instr('0123456789abcdef', substring(md5(CAST(doc_a AS VARCHAR)), 5, 1)) - 1) * 16 + (instr('0123456789abcdef', substring(md5(CAST(doc_a AS VARCHAR)), 6, 1)) - 1) * 1) AS BIGINT) % n.n_vecs AS doc_b
+    FROM (SELECT DISTINCT vec_id FROM embeddings) e, nv n)
+  WHERE doc_a <> doc_b),
+score_cand AS (
+  SELECT floor((sum(a.x * b.x) / (na.nrm * nb.nrm)) * 1000000.0 + 0.5) / 1000000.0 AS cos
+  FROM cand_pairs p
+  JOIN ue a ON a.vec_id = p.doc_a
+  JOIN ue b ON b.vec_id = p.doc_b AND b.i = a.i
+  JOIN norms na ON na.vec_id = p.doc_a
+  JOIN norms nb ON nb.vec_id = p.doc_b
+  GROUP BY p.doc_a, p.doc_b, na.nrm, nb.nrm),
+score_base AS (
+  SELECT floor((sum(a.x * b.x) / (na.nrm * nb.nrm)) * 1000000.0 + 0.5) / 1000000.0 AS cos
+  FROM base_pairs p
+  JOIN ue a ON a.vec_id = p.doc_a
+  JOIN ue b ON b.vec_id = p.doc_b AND b.i = a.i
+  JOIN norms na ON na.vec_id = p.doc_a
+  JOIN norms nb ON nb.vec_id = p.doc_b
+  GROUP BY p.doc_a, p.doc_b, na.nrm, nb.nrm)
+SELECT 'lsh_candidates' AS pair_set, CAST(count(*) AS BIGINT) AS n,
+       floor((avg(cos)) * 1000000.0 + 0.5) / 1000000.0 AS mean_cos
+FROM score_cand
+UNION ALL
+SELECT 'hash_baseline' AS pair_set, CAST(count(*) AS BIGINT) AS n,
+       floor((avg(cos)) * 1000000.0 + 0.5) / 1000000.0 AS mean_cos
+FROM score_base
+"""
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL, "llm-dedup F16"),
     "text_quality_stats": QuerySpec(text_quality_stats, TEXT_QUALITY_STATS_SQL, "llm-textstats"),
@@ -1982,6 +2109,11 @@ QUERIES: dict[str, QuerySpec] = {
         ngram_jaccard_near_dup, NGRAM_JACCARD_NEAR_DUP_SQL, "llm-neardup ngram"
     ),
     "minhash_signatures": QuerySpec(minhash_signatures, MINHASH_SIGNATURES_SQL, "llm-minhash"),
+    "dedup_embedding_agreement": QuerySpec(
+        dedup_embedding_agreement,
+        DEDUP_EMBEDDING_AGREEMENT_SQL,
+        "ext: cross-family audit",
+    ),
     "minhash_lsh_candidates": QuerySpec(
         minhash_lsh_candidates, MINHASH_LSH_CANDIDATES_SQL, "llm-minhash-lsh"
     ),

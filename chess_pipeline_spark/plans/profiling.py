@@ -919,6 +919,60 @@ ORDER BY event_type, day
 """
 
 
+
+
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table consistency audit: orphaned lineitems (no parent
+    order), childless orders (no lineitems), and the healthy overlap
+    — the referential-integrity report an ingest gate runs before
+    promoting a batch (deequ/constraint-suite shape; the reference
+    trusts its loader, a 100 TB lake cannot).
+
+    One full-outer join on the key, classified with conditional
+    counts — same single-join shape as the CDC snapshot diff; both
+    sides pre-aggregate to key cardinality before joining, so the
+    join never carries fact-row width.
+    """
+    o = _L(spark, sf_dir, "orders").groupBy("o_orderkey").agg(
+        F.count("*").alias("n_o")
+    )
+    li = _L(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.count("*").alias("n_l")
+    )
+    j = o.join(li, o.o_orderkey == li.l_orderkey, "full_outer")
+    return j.agg(
+        F.sum(F.when(F.col("n_l").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("childless_orders"),
+        F.sum(F.when(F.col("n_o").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("orphaned_lineitem_keys"),
+        F.sum(F.when(F.col("n_o").isNotNull() & F.col("n_l").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("matched_keys"),
+        F.coalesce(F.sum(F.when(F.col("n_o").isNull(), F.col("n_l"))), F.lit(0))
+        .cast("long")
+        .alias("orphaned_lineitem_rows"),
+    )
+
+
+REFERENTIAL_INTEGRITY_AUDIT_SQL = """
+WITH o AS (SELECT o_orderkey, count(*) AS n_o FROM orders GROUP BY 1),
+l AS (SELECT l_orderkey, count(*) AS n_l FROM lineitem GROUP BY 1),
+j AS (SELECT o.o_orderkey, o.n_o, l.n_l
+      FROM o FULL OUTER JOIN l ON o.o_orderkey = l.l_orderkey)
+SELECT CAST(sum(CASE WHEN n_l IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS childless_orders,
+       CAST(sum(CASE WHEN n_o IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS orphaned_lineitem_keys,
+       CAST(sum(CASE WHEN n_o IS NOT NULL AND n_l IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS matched_keys,
+       CAST(coalesce(sum(CASE WHEN n_o IS NULL THEN n_l END), 0) AS BIGINT)
+         AS orphaned_lineitem_rows
+FROM j
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "hll_distinct_users": QuerySpec(
         hll_distinct_users, HLL_DISTINCT_USERS_SQL, "ext: cardinality sketch"
@@ -946,5 +1000,10 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "hll_cumulative_daily": QuerySpec(
         hll_cumulative_daily, HLL_CUMULATIVE_DAILY_SQL, "ext: incremental sketch column"
+    ),
+    "referential_integrity_audit": QuerySpec(
+        referential_integrity_audit,
+        REFERENTIAL_INTEGRITY_AUDIT_SQL,
+        "ext: constraint audit",
     ),
 }

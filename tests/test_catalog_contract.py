@@ -152,6 +152,8 @@ FROZEN_ORDER: tuple[str, ...] = (
     "large_quantity_orders",
     "idle_customer_balance",
     "session_path_trigrams",
+    "referential_integrity_audit",
+    "dedup_embedding_agreement",
 )
 
 
@@ -164,7 +166,7 @@ def test_driver_window_r5_rotation():
     # additions are IN, as are the three operators built new in r5;
     # everything rotated out is r4 AND r2-or-r3 green (verified
     # against the CORRECTNESS files at rotation time)
-    assert len(FROZEN_ORDER) - DRIVER_WINDOW == 63
+    assert len(FROZEN_ORDER) - DRIVER_WINDOW == 65
     in_window = set(FROZEN_ORDER[:DRIVER_WINDOW])
     for newcomer in (
         "decontaminate_ngram_overlap",

@@ -271,6 +271,7 @@ _RELATIONAL_QUERIES = (
     "customer_value_deciles",
     "large_quantity_orders",
     "idle_customer_balance",
+    "referential_integrity_audit",
 )
 
 _EVENTS_QUERIES = (
