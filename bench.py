@@ -123,6 +123,7 @@ EXTENDED = [
     "session_path_trigrams",
     "referential_integrity_audit",
     "dedup_embedding_agreement",
+    "event_transition_matrix",
 ]
 
 

@@ -123,6 +123,7 @@ _DEMOTED: tuple[str, ...] = (
     "session_path_trigrams",
     "referential_integrity_audit",
     "dedup_embedding_agreement",
+    "event_transition_matrix",
 )
 
 # For every demoted query: the IN-WINDOW queries that keep its SURVEY
@@ -234,6 +235,7 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     "session_path_trigrams": ("events_sessionized", "clock_lead_fill"),
     "referential_integrity_audit": ("orders_fulfillment", "parts_never_ordered"),
     "dedup_embedding_agreement": ("dedup_groups", "knn_cosine_ivf"),
+    "event_transition_matrix": ("events_sessionized", "win_ratio_by_status"),
 }
 
 

@@ -901,6 +901,68 @@ LIMIT 10
 """
 
 
+
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over within-session event
+    types: P(next | current) with counts — the one-step companion to
+    session_path_trigrams (same single window pass, same boundary
+    discard via lead session id). Probabilities are per-row divisions
+    of two exact counts, grid-rounded — no float aggregation.
+    """
+    ev = _L(spark, sf_dir, "events").select("user_id", "event_id", "ts_sec", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    gap = F.when(
+        (F.col("ts_sec") - F.lag("ts_sec", 1).over(w)) > 1800, 1
+    ).otherwise(0)
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(gap).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    bi = sess.select(
+        "session_id",
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type", 1).over(w).alias("to_type"),
+        F.lead("session_id", 1).over(w).alias("s1"),
+    ).filter(F.col("to_type").isNotNull() & (F.col("s1") == F.col("session_id")))
+    counts = bi.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    wtot = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        fround(F.col("n") / F.sum("n").over(wtot).cast("double"), 6).alias("p"),
+    ).orderBy("from_type", "to_type")
+
+
+EVENT_TRANSITION_MATRIX_SQL = f"""
+WITH t AS (
+  SELECT user_id, event_id, {_TS_SEC} AS ts_sec, event_type FROM events),
+flagged AS (
+  SELECT user_id, event_id, ts_sec, event_type,
+         CASE WHEN ts_sec - lag(ts_sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_session
+  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)),
+sessions AS (
+  SELECT user_id, event_id, ts_sec, event_type,
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM flagged),
+bi AS (
+  SELECT session_id, event_type AS from_type,
+         lead(event_type, 1) OVER w AS to_type,
+         lead(session_id, 1) OVER w AS s1
+  FROM sessions WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)),
+counts AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM bi WHERE to_type IS NOT NULL AND s1 = session_id
+  GROUP BY 1, 2)
+SELECT from_type, to_type, n,
+       floor((n / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS p
+FROM counts ORDER BY from_type, to_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "attribution_last_touch": QuerySpec(
         attribution_last_touch, ATTRIBUTION_LAST_TOUCH_SQL, "asof ext: attribution"
@@ -912,6 +974,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "session_path_trigrams": QuerySpec(
         session_path_trigrams, SESSION_PATH_TRIGRAMS_SQL, "path-mining ext"
+    ),
+    "event_transition_matrix": QuerySpec(
+        event_transition_matrix, EVENT_TRANSITION_MATRIX_SQL, "markov ext"
     ),
     "value_stats_by_weekday": QuerySpec(
         value_stats_by_weekday, VALUE_STATS_BY_WEEKDAY_SQL, "A3 F9"

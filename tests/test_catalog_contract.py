@@ -154,6 +154,7 @@ FROZEN_ORDER: tuple[str, ...] = (
     "session_path_trigrams",
     "referential_integrity_audit",
     "dedup_embedding_agreement",
+    "event_transition_matrix",
 )
 
 
@@ -166,7 +167,7 @@ def test_driver_window_r5_rotation():
     # additions are IN, as are the three operators built new in r5;
     # everything rotated out is r4 AND r2-or-r3 green (verified
     # against the CORRECTNESS files at rotation time)
-    assert len(FROZEN_ORDER) - DRIVER_WINDOW == 65
+    assert len(FROZEN_ORDER) - DRIVER_WINDOW == 66
     in_window = set(FROZEN_ORDER[:DRIVER_WINDOW])
     for newcomer in (
         "decontaminate_ngram_overlap",

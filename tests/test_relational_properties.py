@@ -290,6 +290,7 @@ _EVENTS_QUERIES = (
     "attribution_last_touch",
     "funnel_latency_percentiles",
     "session_path_trigrams",
+    "event_transition_matrix",
 )
 
 
