@@ -155,7 +155,10 @@ def build_ivf_index(
     # int8 affine codes (per-vector min/max, 256 levels): the
     # memory-side layout a billion-vector deployment actually scans —
     # 1 byte/dim in the page cache vs 4 — persisted next to the float
-    # embedding so probes choose exact or coded per query batch. The
+    # embedding so probes choose exact or coded per query batch.
+    # Levels are zero-centered (level - 128) so they genuinely fit
+    # TINYINT and parquet stores 1 byte/dim as advertised (an
+    # unsigned 0..255 level does not fit a signed byte). The
     # flat-vector guard (mx == mn) pins scale to 1 so the transform
     # stays total.
     assigned = (
@@ -172,7 +175,7 @@ def build_ivf_index(
             "code",
             F.expr(
                 "transform(embedding, x -> CAST(floor((CAST(x AS DOUBLE) - q_mn) "
-                "/ q_scale + 0.5) AS INT))"
+                "/ q_scale + 0.5) - 128 AS TINYINT))"
             ),
         )
     )
@@ -212,11 +215,24 @@ def probe_ivf_index(
         # embedding column is never read (check ReadSchema), which is
         # the 4x page-cache win at scale; reconstruction error is
         # bounded by scale/2 per dimension (recall pinned in tests)
+        if "code" not in lists.columns:
+            raise ValueError(
+                f"probe_ivf_index(coded=True): index at {index_path!r} has "
+                "no 'code' column (built before int8 codes existed); "
+                "rebuild with build_ivf_index or probe with coded=False"
+            )
+        from pyspark.sql.types import ByteType
+
+        code_elem = lists.schema["code"].dataType.elementType
+        # current layout stores zero-centered tinyint levels
+        # (level-128); a pre-r6 index stored raw 0..255 ints — decode
+        # each with its own affine so both layouts stay probe-able
+        offset = "+ 128.0" if isinstance(code_elem, ByteType) else ""
         lists = lists.select(
             "vec_id",
             "list_id",
             F.expr(
-                "transform(code, c -> CAST(c AS DOUBLE) * q_scale + q_mn)"
+                f"transform(code, c -> (CAST(c AS DOUBLE) {offset}) * q_scale + q_mn)"
             ).alias("embedding"),
         ).withColumn("nrm", F.expr(_NORM.format(v="embedding")))
     cos = F.expr(_DOT.format(u="qe", v="embedding")) / (

@@ -276,51 +276,79 @@ def ngram_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character n-gram (5-gram shingle) Jaccard near-dup pairs —
     the tokenization-free flavor: robust to word-boundary edits
     (hyphenation, spacing, punctuation) that fragment word-set
-    Jaccard. Same blocked inverted-index plan as
-    near_dup_pairs_jaccard, but posting lists key on
-    (source, shingle). The threshold is far below the word-set 0.9:
-    every word substitution destroys ~k shingles around it, so true
-    near-dups (word-level edits) land near 1/3 shingle overlap —
-    0.25 sits between that cluster and the topical background
-    (measured on the driver corpus; brute-force ground truth in
+    Jaccard. The threshold is far below the word-set 0.9: every word
+    substitution destroys ~k shingles around it, so true near-dups
+    (word-level edits) land near 1/3 shingle overlap — 0.25 sits
+    between that cluster and the topical background (measured on the
+    driver corpus; brute-force ground truth in
     tests/test_corpus_properties.py). Docs shorter than the shingle
-    width
-    contribute their whole text as one shingle."""
+    width contribute their whole text as one shingle.
+
+    Plan: PREFIX-FILTERED inverted index + exact verify (AllPairs /
+    PPJoin, same machinery as near_dup_pairs_jaccard_prefix, here on
+    shingles). Each doc indexes only its |d| - ceil(t·|d|) + 1
+    RAREST shingles under the block-global (df asc, shingle asc)
+    order — if J(a,b) >= t their prefixes must share a shingle, so
+    candidate generation is exact. This is the 100 TB lever for a
+    zipfian corpus: the head shingles (whose posting lists would
+    square inside a full-inverted-index pair join) rank LAST in every
+    doc's frequency order and never enter the index, so no posting
+    list is dominated by ultra-common grams. At t=0.25 the prefix
+    keeps ~75% of each doc's shingles — a weak volume cut, but the
+    dangerous head lists are exactly the ones removed. Candidates are
+    verified EXACTLY on the full shingle arrays (array_intersect), so
+    results equal the naive all-pairs definition the DuckDB oracle
+    computes. Shuffles: shingle-df agg, per-doc rank window, prefix
+    join, pair dedup, verify join — all bounded by prefix posting
+    lists, never corpus².
+    """
     d = spread(_L(spark, sf_dir, "documents"), "doc_id")
     sh = (
         f"array_distinct(transform(sequence(1, greatest(length(text) - {_SHINGLE_K - 1}, 1)), "
         f"i -> substring(text, i, {_SHINGLE_K})))"
     )
-    ws = d.select(
-        "doc_id", "source", F.expr(sh).alias("s")
-    ).select(
-        "doc_id", "source", F.size("s").alias("n"), F.explode("s").alias("shingle")
+    ws = d.select("doc_id", "source", F.expr(sh).alias("s")).select(
+        "doc_id", "source", "s", F.size("s").alias("n")
     )
-    a, b = ws.alias("a"), ws.alias("b")
-    inter = (
+    shingles = ws.select("doc_id", "source", "n", F.explode("s").alias("shingle"))
+    freq = shingles.groupBy("source", "shingle").agg(F.count("*").alias("df"))
+    rank_w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("shingle"))
+    prefix_len = (F.col("n") - F.ceil(F.lit(_NGRAM_T) * F.col("n")) + 1).cast("int")
+    prefix = (
+        shingles.join(freq, ["source", "shingle"])
+        .withColumn("rnk", F.row_number().over(rank_w))
+        .filter(F.col("rnk") <= prefix_len)
+        .select("doc_id", "source", "n", "shingle")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
         a.join(
             b,
             (F.col("a.source") == F.col("b.source"))
             & (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            # same exactness-preserving size filter as the word-set
-            # variant (weaker at t=0.25 — factor-4 size band — but
-            # still prunes cross-length pairs pre-shuffle)
+            # exactness-preserving size filter: J >= t forces
+            # t <= min(na,nb)/max(na,nb), pruned before the pair dedup
             & (F.col("a.n") * F.lit(_NGRAM_T) <= F.col("b.n"))
             & (F.col("b.n") * F.lit(_NGRAM_T) <= F.col("a.n")),
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n").alias("na"),
-            F.col("b.n").alias("nb"),
-        )
-        .agg(F.count("*").alias("inter"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
     )
-    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
-    return inter.select(
-        "doc_a", "doc_b", fround(jac, 6).alias("jaccard")
-    ).filter(jac >= _NGRAM_T)
+    wa = ws.select(
+        F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"), F.col("n").alias("na")
+    )
+    wb = ws.select(
+        F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"), F.col("n").alias("nb")
+    )
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    jac = inter / (F.col("na") + F.col("nb") - inter).cast("double")
+    return (
+        cand.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .select("doc_a", "doc_b", fround(jac, 6).alias("jaccard"))
+        .filter(jac >= _NGRAM_T)
+    )
 
 
 NGRAM_JACCARD_NEAR_DUP_SQL = f"""

@@ -339,12 +339,15 @@ def seq_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     BPE-ish token split as pack_sequences).
 
     Fixed CASE edges (not float log2) keep bucketing integer-exact on
-    both engines; one scan, one partial-aggregated groupBy.
+    both engines; one scan, one partial-aggregated groupBy. NULL-text
+    documents are filtered out (matching the rest of the corpus tier);
+    without the filter a NULL n_tokens would fall through every CASE
+    arm into the top bucket and report null docs as the longest ones.
     """
     from chess_pipeline_spark.plans.llm import BPE_TOKEN_PATTERN
 
     d = spread(_L(spark, sf_dir, "documents"), "doc_id")
-    toks = d.select(
+    toks = d.filter(F.col("text").isNotNull()).select(
         "source",
         F.regexp_count("text", F.lit(BPE_TOKEN_PATTERN)).cast("long").alias("n_tokens"),
     )
@@ -368,6 +371,7 @@ _TOKENS_SQL = (
 SEQ_LENGTH_HISTOGRAM_SQL = f"""
 WITH toks AS (
   SELECT source, {_TOKENS_SQL} AS n_tokens FROM documents
+  WHERE text IS NOT NULL
 ), b AS (
   SELECT source, n_tokens,
          CASE WHEN n_tokens < {_LEN_EDGES[0]} THEN '00_lt_{_LEN_EDGES[0]}'

@@ -466,7 +466,17 @@ def stream_hll_distinct(events: DataFrame, registers_path: str, estimates_path: 
     grows with users, register state does not). The ledger rewrite is
     driver-side-tiny by construction; an append-only band/bucket
     layout is unnecessary at any scale because the state is bounded.
+
+    Crash safety: the snapshot lands in a temp dir and is renamed over
+    registers_path (same tmp-swap as sinks.upsert_parquet), so a crash
+    mid-rewrite leaves the prior ledger intact and checkpoint replay of
+    the failed batch max-merges into REAL state, never an empty one —
+    the replay-idempotency claim above covers the overwrite window too.
     """
+    import os
+    import shutil
+    import uuid
+
     from pyspark.errors import AnalysisException
 
     from chess_pipeline_spark.plans.profiling import (
@@ -493,10 +503,16 @@ def stream_hll_distinct(events: DataFrame, registers_path: str, estimates_path: 
         # the register table is bounded (≤ 256 per type): collect and
         # rewrite — reading and overwriting the same parquet path in
         # one lazy plan is not safe, and a KB-scale driver hop is the
-        # honest cost model at every scale
+        # honest cost model at every scale. Atomic swap: write the
+        # snapshot beside the ledger, then rename over it, so a crash
+        # between batches can never destroy accumulated registers.
         rows = merged.collect()
         snap = spark.createDataFrame(rows, merged.schema)
-        snap.write.mode("overwrite").parquet(registers_path)
+        tmp = f"{registers_path}.__tmp__{uuid.uuid4().hex[:8]}"
+        snap.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(registers_path):
+            shutil.rmtree(registers_path)
+        os.rename(tmp, registers_path)
         est = (
             snap.groupBy("event_type")
             .agg(

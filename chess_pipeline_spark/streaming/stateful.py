@@ -54,21 +54,30 @@ def _update_user_stats(
             ]
         )
         return
-    n, s, mn, mx, last = state.get if state.exists else (0, 0.0, None, None, None)
+    n, s, mn, mx, last = state.get if state.exists else (0, None, None, None, None)
     for pdf in pdfs:
-        # rows with NULL value/ts_sec are skipped (NaN would poison
-        # min/max state permanently and int(NaN) would kill the task)
-        pdf = pdf.dropna(subset=["value", "ts_sec"])
         if pdf.empty:
             continue
+        # Mirror the batch twin's per-column NULL semantics exactly
+        # (the r5 advice: dropna(subset=[value, ts_sec]) diverged on
+        # NULL-bearing rows): count(*) counts EVERY row, while
+        # sum/min/max(value) and max(ts_sec) each skip only their own
+        # column's NULLs — a row may contribute to one aggregate and
+        # not another. NaN never enters state (aggregates run on the
+        # dropna'd series), so min/max stay well-defined.
         n += len(pdf)
-        s += float(pdf["value"].sum())
-        bmn = float(pdf["value"].min())
-        bmx = float(pdf["value"].max())
-        bts = int(pdf["ts_sec"].max())
-        mn = bmn if mn is None else min(mn, bmn)
-        mx = bmx if mx is None else max(mx, bmx)
-        last = bts if last is None else max(last, bts)
+        vals = pdf["value"].dropna()
+        if len(vals):
+            bs = float(vals.sum())
+            bmn = float(vals.min())
+            bmx = float(vals.max())
+            s = bs if s is None else s + bs
+            mn = bmn if mn is None else min(mn, bmn)
+            mx = bmx if mx is None else max(mx, bmx)
+        ts = pdf["ts_sec"].dropna()
+        if len(ts):
+            bts = int(ts.max())
+            last = bts if last is None else max(last, bts)
     state.update((n, s, mn, mx, last))
     if timeout_ms:
         state.setTimeoutDuration(timeout_ms)  # processing-time state GC

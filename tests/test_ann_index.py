@@ -213,3 +213,52 @@ def test_ivf_coded_probe_matches_exact_within_quantization(spark, sf_dir, tmp_pa
     assert both
     for pair in both:
         assert abs(e[pair] - c[pair]) < 0.02, (pair, e[pair], c[pair])
+
+    # (4) the persisted codes are genuinely 1 byte/dim: array<tinyint>
+    from pyspark.sql.types import ByteType
+
+    lists = spark.read.parquet(idx + "/lists")
+    assert isinstance(lists.schema["code"].dataType.elementType, ByteType)
+
+
+def test_ivf_coded_probe_layout_guards(spark, sf_dir, tmp_path):
+    """coded=True against an index without a 'code' column raises a
+    clear ValueError (not an opaque AnalysisException); a legacy index
+    whose codes are raw 0..255 ints decodes with the unshifted affine
+    and matches the tinyint layout's cosines."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from chess_pipeline_spark.ann_index import build_ivf_index, probe_ivf_index
+    from chess_pipeline_spark.sources import load_table
+
+    idx = str(tmp_path / "ivf_guard")
+    corpus = load_table(spark, sf_dir, "embeddings")
+    build_ivf_index(corpus, idx, n_lists=4)
+    queries = corpus.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    tinyint_rows = {
+        (r.qid, r.neighbor_id): r.cos_sim
+        for r in probe_ivf_index(spark, idx, queries, k=3, coded=True).collect()
+    }
+
+    # strip the code column -> pre-code layout -> clear error
+    lists = spark.read.parquet(idx + "/lists")
+    legacy_dir = str(tmp_path / "ivf_precode")
+    lists.drop("code").write.partitionBy("list_id").parquet(legacy_dir + "/lists")
+    spark.read.parquet(idx + "/centroids").write.parquet(legacy_dir + "/centroids")
+    with pytest.raises(ValueError, match="no 'code' column"):
+        probe_ivf_index(spark, legacy_dir, queries, k=3, coded=True)
+
+    # re-encode as the r5 raw-int 0..255 layout -> same cosines
+    int_dir = str(tmp_path / "ivf_intcode")
+    lists.withColumn(
+        "code", F.expr("transform(code, c -> CAST(c AS INT) + 128)")
+    ).write.partitionBy("list_id").parquet(int_dir + "/lists")
+    spark.read.parquet(idx + "/centroids").write.parquet(int_dir + "/centroids")
+    int_rows = {
+        (r.qid, r.neighbor_id): r.cos_sim
+        for r in probe_ivf_index(spark, int_dir, queries, k=3, coded=True).collect()
+    }
+    assert int_rows == tinyint_rows

@@ -13,6 +13,15 @@ def test_metrics_on_known_plans(spark, sf_dir):
     m = plan_metrics(_CATALOG["pricing_summary"].spark(spark, sf_dir))
     assert m["scans"] == 1 and m["cartesian"] == 0
     assert m["keyed_exchanges"] == 1  # one agg shuffle, nothing else
+    # site counts, not substring counts: one real shuffle exchange
+    # (formatted explain lists each operator twice; the old substring
+    # count reported 2 here) and no BroadcastExchange folded in
+    assert m["exchanges"] == 1
+    assert m["broadcast_exchanges"] == 0
+
+    m = plan_metrics(_CATALOG["top_customer_revenue"].spark(spark, sf_dir))
+    # broadcast exchanges are segregated from shuffle exchanges
+    assert m["broadcast_exchanges"] >= 1
 
     m = plan_metrics(_CATALOG["returned_items_report"].spark(spark, sf_dir))
     assert m["pushed_filters"] >= 1  # returnflag filter reaches the scan

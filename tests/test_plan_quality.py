@@ -444,12 +444,23 @@ def test_q21_double_correlation_single_fact_scan(spark, sf_dir):
 def test_deciles_global_sort_over_customer_cardinality(spark, sf_dir):
     # the ntile window must run AFTER the per-customer aggregate —
     # the global single-partition exchange carries customer rows,
-    # never raw order rows
+    # never raw order rows. Formatted explain numbers operators
+    # leaf-first, so "window consumes the aggregate's output" means
+    # the Window detail header carries a HIGHER number than the
+    # per-customer HashAggregate's.
+    import re
+
     plan = _plan(spark, sf_dir, "customer_value_deciles")
-    assert "Window" in plan
-    idx_agg = plan.index("HashAggregate")
-    idx_win = plan.index("Window")
-    assert idx_win < idx_agg or "ntile" in plan  # window over agg output
+    win_ns = [
+        int(m.group(1))
+        for m in re.finditer(r"^\((\d+)\) Window\b", plan, re.MULTILINE)
+    ]
+    agg_ns = [
+        int(m.group(1))
+        for m in re.finditer(r"^\((\d+)\) HashAggregate\b", plan, re.MULTILINE)
+    ]
+    assert win_ns and agg_ns
+    assert max(win_ns) > min(agg_ns)  # window sits above the customer agg
 
 
 def test_bm25_search_prunes_corpus_before_scoring(spark, sf_dir):

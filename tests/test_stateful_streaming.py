@@ -59,6 +59,83 @@ def test_stateful_running_stats_match_batch(spark, sf_dir, tmp_path):
     assert (merged["last_ts_sec_s"] == merged["last_ts_sec_b"]).all()
 
 
+def test_stateful_running_stats_null_rows_match_batch(spark, tmp_path):
+    # the r5 advice finding, one op over from the z-score fix: the
+    # running-stats stream kept dropna(subset=[value, ts_sec]) while
+    # the batch twin counts every row in count(*) and skips NULLs
+    # per-column in sum/min/max(value) / max(ts_sec). This fixture has
+    # value-only NULLs, ts-only NULLs, and one all-NULL user; the
+    # twins must agree per column.
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    n = 0
+    for u in range(4):
+        for i in range(12):
+            n += 1
+            ts = (
+                None
+                if (u == 3 or i % 5 == 2)  # user 3: all ts NULL
+                else base + dt.timedelta(minutes=10 * i + u)
+            )
+            val = (
+                None
+                if (u == 3 or i % 4 == 1)  # user 3: all values NULL too
+                else float((i * 13 + u * 7) % 50) / 2.0
+            )
+            rows.append((n, u, ts, val))
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )
+    d = tmp_path / "data_rs"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "events.parquet"))
+
+    out = stream_user_running_stats(read_events_stream(spark, str(d)))
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_rsn"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.table(name).toPandas().groupby("user_id").last()
+
+    batch = (
+        spark.read.parquet(str(d / "events.parquet"))
+        .withColumn("ts_sec", F.unix_timestamp("ts"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.max("ts_sec").alias("last_ts_sec"),
+        )
+        .toPandas()
+        .set_index("user_id")
+    )
+    assert len(got) == len(batch) == 4  # the all-NULL user is emitted too
+    merged = got.join(batch, lsuffix="_s", rsuffix="_b")
+    assert (merged["n_s"] == merged["n_b"]).all()
+    for col in ("sum_value", "min_value", "max_value", "last_ts_sec"):
+        g, b = merged[f"{col}_s"], merged[f"{col}_b"]
+        assert (g.isna() == b.isna()).all(), col
+        assert ((g - b).abs().fillna(0.0) <= 1e-6).all(), col
+
+
 def test_stateful_rolling_zscore_null_rows_match_batch(spark, tmp_path):
     # the r4 advice finding: the stream used dropna() while the batch
     # twin emits NULL-value rows and lets the ROWS frame count them as
