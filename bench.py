@@ -14,6 +14,13 @@ queries (a recorded 59s round was really 25s idle), so each query
 reports min-of-3 runs and the 1/5/15-min load averages are emitted
 alongside — a result with loadavg >> 1 at start should be re-run
 before it drives decisions.
+
+The full result JSON is ALSO written to BENCHLOCAL_r{ROUND}.json in
+the repo (committed per round): the driver's BENCH_r{N}.json records
+only a 2000-char tail of stdout, which clipped r5's headline total —
+round-over-round comparison must never depend on that window. Scalar
+totals are ordered LAST in the stdout JSON so a tail-truncated
+capture still shows them.
 """
 
 from __future__ import annotations
@@ -124,7 +131,12 @@ EXTENDED = [
     "referential_integrity_audit",
     "dedup_embedding_agreement",
     "event_transition_matrix",
+    # round-6 additions: pointer-jumping CC, sketch-cut deciles
+    "dedup_groups_logstep",
+    "customer_value_deciles_sketch",
 ]
+
+ROUND = 6  # bump per round; names the committed BENCHLOCAL file
 
 
 def _git_sha() -> str:
@@ -196,27 +208,30 @@ def main() -> None:
     extended = time_set(EXTENDED)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "added_in_r5": ADDED_IN_R5,
-                "comparable_total_r4": round(
-                    sum(v for k, v in timings.items() if k not in ADDED_IN_R5), 3
-                ),
-                "extended_queries": extended,
-                "extended_total": round(sum(extended.values()), 3),
-                "sf": sf,
-                "git": _git_sha(),
-                "loadavg": loadavg_start,
-                "loadavg_end": [round(x, 2) for x in os.getloadavg()],
-                "runs_per_query": runs,
-            }
-        )
-    )
+    # bulky per-query maps FIRST, scalar totals LAST: the driver keeps
+    # only a 2000-char stdout tail, so the tail must carry the numbers
+    # that drive round-over-round comparison
+    result = {
+        "queries": timings,
+        "extended_queries": extended,
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "added_in_r5": ADDED_IN_R5,
+        "comparable_total_r4": round(
+            sum(v for k, v in timings.items() if k not in ADDED_IN_R5), 3
+        ),
+        "extended_total": round(sum(extended.values()), 3),
+        "sf": sf,
+        "git": _git_sha(),
+        "loadavg": loadavg_start,
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        "runs_per_query": runs,
+    }
+    # committed full-fidelity copy (survives any stdout truncation)
+    local = Path(_REPO) / f"BENCHLOCAL_r{ROUND:02d}.json"
+    local.write_text(json.dumps(result, indent=1) + "\n")
+    print(json.dumps(result))
     spark.stop()
 
 

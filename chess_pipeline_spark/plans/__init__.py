@@ -31,16 +31,27 @@ DRIVER_WINDOW = 50
 # Rotation history:
 #   r3→r4: promoted the seven late-r3 queries; demoted seven r2+r3
 #          green (orders_per_priority … token_count).
-#   r4→r5: promoted the eleven late-r4 queries
-#          (decontaminate_ngram_overlap, events_interval_join,
-#          repetition_stats, quality_filter_verdicts, bm25_top_terms,
-#          events_rolling_zscore, mixture_sample,
-#          dedup_incremental_simhash, events_ohlc_hourly,
-#          events_time_weighted_avg, embedding_random_projection —
-#          all with local DuckDB-oracle parity rows before first
-#          driver contact); demoted eleven doubly-proven queries
-#          (dedup_exact … revenue_by_nation below, each green in r4
-#          AND r2-or-r3).
+#   r4→r5: promoted the eleven late-r4 queries; demoted eleven
+#          doubly-proven queries (each green in r4 AND r2-or-r3);
+#          mid-r5, three more swaps for the new r5 operators.
+#   r5→r6: executed the r6 ROTATION CHECKLIST — promoted ALL 35
+#          never-driver-verified late-r5 queries (the nine staged
+#          event/orders queries, the profiling/sketch tier, the
+#          classic-DSS shapes, BM25 retrieval + RRF, and the
+#          audit/analytics tier); demoted 35 window members that are
+#          green in r5 AND at least one earlier round (verified
+#          programmatically against CORRECTNESS_r01..r05 at rotation
+#          time). The 14 single-green r5 newcomers stay in-window, as
+#          does multimodal_features (multi-green, but the ONLY
+#          mapInPandas/binary-media query family member — demoting
+#          both it and frame_sample_features would leave the family
+#          with no driver contact). The two operators built new in r6
+#          (dedup_groups_logstep, customer_value_deciles_sketch)
+#          start demoted with local oracle rows and are staged for
+#          the r7 promotion, alongside re-promoting json_props_extract
+#          (the one family whose in-window coverage is now indirect:
+#          JSON-path extraction keeps pytest coverage via sources/rest
+#          but no driver row this round).
 _DEMOTED: tuple[str, ...] = (
     "distinct_flag_status",
     "global_minmax",
@@ -59,7 +70,6 @@ _DEMOTED: tuple[str, ...] = (
     "empty_relation_guard",
     "struct_pack_fields",
     "token_count",
-    # --- demoted in the r4→r5 rotation (green r4 AND r2-or-r3) ---
     "dedup_exact",
     "text_quality_stats",
     "doc_fingerprint",
@@ -71,171 +81,204 @@ _DEMOTED: tuple[str, ...] = (
     "top_terms_per_source",
     "running_revenue",
     "revenue_by_nation",
-    # --- demoted mid-r5 (green r4 AND r2-or-r3) to open window slots
-    # for the three NEW r5 operators (semdedup_embedding,
-    # paragraph_dedup, pii_redact_stats — local oracle parity +
-    # canonicalization tests before first driver contact, same gate
-    # the r4 promotions passed) ---
     "embedding_near_dup_cosine",
     "eval_comment_parse",
     "top3_orders_per_customer",
-    # --- added late in r5 (start demoted with local oracle rows;
-    # rotate into the window in r6 per the established cadence) ---
-    "events_gap_detection",
-    "orders_retention_cohort",
-    "oov_rate_top1k",
-    "cross_source_leakage",
-    "boilerplate_chunk_removal",
-    "corpus_composition",
-    "events_decay_score",
-    "orders_rfm_segments",
-    "orders_snapshot_diff",
-    # --- profiling/sketch + classic-DSS + retrieval tier, added
-    # late in r5 (local oracle rows + sf0.01 driver-style parity from
-    # day one). r6 ROTATION CHECKLIST — never-driver-verified names
-    # staged for promotion, in priority order: the nine r5-staged
-    # event/orders queries above (events_gap_detection …
-    # orders_snapshot_diff) plus everything from here down; demote
-    # only doubly-proven window members whose DEMOTION_COVERAGE rows
-    # already exist ---
-    "hll_distinct_users",
-    "data_profile_orders",
-    "mad_outlier_bounds",
-    "seq_length_histogram",
-    "returned_items_report",
-    "dup_cluster_size_hist",
-    "unigram_logprob_score",
-    "cms_heavy_hitters",
-    "value_quantiles_binned",
-    "order_priority_pending",
-    "returnflag_priority_casesum",
-    "cust_order_count_dist",
-    "small_qty_revenue",
-    "waiting_supplier_orders",
-    "customer_value_deciles",
-    "hll_cumulative_daily",
-    "bm25_doc_search",
-    "hybrid_search_rrf",
-    "attribution_last_touch",
-    "funnel_latency_percentiles",
-    "large_quantity_orders",
-    "idle_customer_balance",
-    "session_path_trigrams",
-    "referential_integrity_audit",
-    "dedup_embedding_agreement",
-    "event_transition_matrix",
+    # --- demoted in the r5→r6 rotation (green r5 AND >=1 earlier
+    # round; every name below has >=2 green driver rounds) ---
+    "win_ratio_by_status",
+    "pricing_summary",
+    "top_customer_revenue",
+    "order_priority_clean",
+    "parts_never_ordered",
+    "customers_with_orders",
+    "orders_fulfillment",
+    "order_lines_enriched",
+    "clock_lead_fill",
+    "zip_explode_lockstep",
+    "material_map_expand",
+    "union_by_name",
+    "scalar_feature_sampler",
+    "array_predicate_filter",
+    "rollup_priority_status",
+    "price_percentiles",
+    "events_tumbling_1h",
+    "events_sessionized",
+    "events_dedup_latest",
+    "json_props_extract",
+    "events_asof_last_purchase",
+    "event_funnel",
+    "win_prob_lr",
+    "lang_id_heuristic",
+    "ngram_jaccard_near_dup",
+    "knn_cosine_ivf",
+    "knn_cosine_lsh",
+    "embedding_quantize_int8",
+    "frame_sample_features",
+    "dedup_normalized",
+    "dedup_groups",
+    "dedup_keep_best",
+    "stratified_sample",
+    "pack_sequences",
+    "tfidf_top_terms",
+    # --- added new in r6 (start demoted with local oracle rows;
+    # r7 ROTATION CHECKLIST: promote these two plus
+    # json_props_extract) ---
+    "dedup_groups_logstep",
+    "customer_value_deciles_sketch",
 )
 
 # For every demoted query: the IN-WINDOW queries that keep its SURVEY
 # §2 operator ids (or extension-component family) exercised by the
 # driver. Contract-tested: keys == _DEMOTED, every cited name exists
-# in the catalog and is NOT itself demoted.
+# in the catalog and is NOT itself demoted. Rewritten wholesale for
+# the r5→r6 rotation (most previous coverers are themselves demoted
+# now; every row below cites r6-window members only).
 DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
-    # P9 distinct → window-dedup distinct semantics
-    "distinct_flag_status": ("events_dedup_latest",),
-    # A7 global min/max → per-group min/max aggregates (high/low)
+    # ---- pre-r6 demotions, re-cited against the r6 window ----
+    # P9 distinct → digest-distinct clustering + distinct-key audits
+    "distinct_flag_status": ("dup_cluster_size_hist", "referential_integrity_audit"),
+    # A7 global min/max → per-group OHLC min/max aggregates
     "global_minmax": ("events_ohlc_hourly",),
-    # F9,P8 value recode → CASE/when chains in the scalar sampler
-    "weekday_recode": ("scalar_feature_sampler", "order_priority_clean"),
-    # A5,F15 binned mean → funnel bins + width_bucket-style scalars
-    "binned_mean": ("event_funnel", "scalar_feature_sampler"),
-    # A3,F9 multi-agg stats → Q1-shaped 8-agg groupBy
-    "value_stats_by_weekday": ("pricing_summary", "scalar_feature_sampler"),
+    # F9,P8 value recode → CASE/when scoring + CASE-folded sums
+    "weekday_recode": ("orders_rfm_segments", "returnflag_priority_casesum"),
+    # A5,F15 binned mean → fixed-width bin histograms + length buckets
+    "binned_mean": ("value_quantiles_binned", "seq_length_histogram"),
+    # A3,F9 multi-agg stats → per-column profile aggregates
+    "value_stats_by_weekday": ("data_profile_orders",),
     # J8,S3 SQL view over joins → the same join graph as a DataFrame
-    "sql_view_game_evals": ("order_lines_enriched",),
-    # E1,W1 explode+index → lockstep zip explode, chunk posexplode
-    "explode_quantities": ("zip_explode_lockstep", "paragraph_dedup"),
-    # prefix-filtered Jaccard → same inverted-index + size-filter plan
-    "near_dup_pairs_jaccard_prefix": ("ngram_jaccard_near_dup",),
-    # §2.11 sliding window → tumbling + session batch twins
-    "events_sliding_1h_30m": ("events_tumbling_1h", "events_sessionized"),
-    # MinHash signature projection → embedded in the LSH+CC dedup DAG
-    "minhash_signatures": ("dedup_groups", "dedup_keep_best"),
-    # A1 count-distinct pivot → pivoted win-ratio counts
-    "orders_per_priority": ("win_ratio_by_status",),
-    # F10 regexp parse chain → scalar CASE/parse chains + PII regexps
-    "clock_seconds_parse": ("scalar_feature_sampler", "pii_redact_stats"),
-    # W4,A4 first-in-group → window first-row dedup
-    "initial_clock_per_group": ("events_dedup_latest",),
-    # P4 isin filter → projection filters + array predicates
-    "lineitem_filter_isin": ("order_priority_clean", "array_predicate_filter"),
-    # P10 0-row guard → anti-join that legitimately returns 0 rows
-    "empty_relation_guard": ("parts_never_ordered",),
-    # E4 struct pack → JSON→struct extraction
-    "struct_pack_fields": ("json_props_extract",),
-    # tokenizer → same split-tokenize core feeds packing and TF-IDF
-    "token_count": ("pack_sequences", "tfidf_top_terms"),
-    # exact md5-groupBy dedup → same digest-groupBy with normalization
-    "dedup_exact": ("dedup_normalized", "events_dedup_latest"),
+    "sql_view_game_evals": ("returned_items_report",),
+    # E1,W1 explode+index → chunk posexplode + struct-array explode
+    "explode_quantities": ("boilerplate_chunk_removal", "cms_heavy_hitters"),
+    # prefix/inverted-index near-dup → banding + chunk-digest joins
+    "near_dup_pairs_jaccard_prefix": ("cross_source_leakage", "boilerplate_chunk_removal"),
+    # §2.11 sliding window → hourly/daily window batch twins
+    "events_sliding_1h_30m": ("events_ohlc_hourly", "events_interval_join"),
+    # MinHash signature projection → embedded in the LSH audit DAG
+    "minhash_signatures": ("dedup_embedding_agreement",),
+    # A1 count-distinct pivot → transition matrix + HLL distincts
+    "orders_per_priority": ("event_transition_matrix", "hll_distinct_users"),
+    # F10 regexp parse chain → PII regexp scrub chain
+    "clock_seconds_parse": ("pii_redact_stats",),
+    # W4,A4 first-in-group → last-touch-per-key window
+    "initial_clock_per_group": ("attribution_last_touch",),
+    # P4 isin filter → date/priority filters + correlated-filter scans
+    "lineitem_filter_isin": ("order_priority_pending", "small_qty_revenue"),
+    # P10 0-row guard → audits/anti-joins that legitimately return 0
+    "empty_relation_guard": ("idle_customer_balance", "referential_integrity_audit"),
+    # E4 struct pack/project → struct-array build + field projection
+    "struct_pack_fields": ("cms_heavy_hitters", "boilerplate_chunk_removal"),
+    # tokenizer → same split-tokenize core feeds lengths and LM score
+    "token_count": ("seq_length_histogram", "unigram_logprob_score"),
+    # exact md5-groupBy dedup → digest clustering + paragraph ledger
+    "dedup_exact": ("dup_cluster_size_hist", "paragraph_dedup"),
     # quality signal columns → same signals + keep/drop verdicts
     "text_quality_stats": ("quality_filter_verdicts",),
     # rolling-hash fingerprint → row-local hashing/gram folds
     "doc_fingerprint": ("dedup_incremental_simhash", "repetition_stats"),
-    # word-set Jaccard inverted index → 5-gram variant, same plan shape
-    "near_dup_pairs_jaccard": ("ngram_jaccard_near_dup",),
-    # MinHash+LSH band join → embedded in the CC dedup pipeline
-    "minhash_lsh_candidates": ("dedup_groups", "dedup_keep_best"),
+    # word-set Jaccard inverted index → banding + chunk-digest joins
+    "near_dup_pairs_jaccard": ("cross_source_leakage", "boilerplate_chunk_removal"),
+    # MinHash+LSH band join → embedded in the cross-family audit
+    "minhash_lsh_candidates": ("dedup_embedding_agreement",),
     # SimHash banding → incremental variant computes the same signature
     "simhash_near_dup": ("dedup_incremental_simhash",),
-    # brute-force cosine top-k → same scoring core inside IVF/LSH
-    "knn_cosine_topk": ("knn_cosine_ivf", "knn_cosine_lsh"),
-    # row-local embedding stats → row-local quantize + JL projection
-    "embedding_stats": ("embedding_quantize_int8", "embedding_random_projection"),
-    # per-source term ranking → TF-IDF and BM25 rankers, same shape
-    "top_terms_per_source": ("tfidf_top_terms", "bm25_top_terms"),
+    # brute-force cosine top-k → same scoring core inside RRF/semdedup
+    "knn_cosine_topk": ("hybrid_search_rrf", "semdedup_embedding"),
+    # row-local embedding stats → row-local JL projection
+    "embedding_stats": ("embedding_random_projection",),
+    # per-source term ranking → BM25 ranker, same shape
+    "top_terms_per_source": ("bm25_top_terms",),
     # W5 cumulative window frame → rolling frame + ordered integration
     "running_revenue": ("events_rolling_zscore", "events_time_weighted_avg"),
     # J4/J5 dim-join + agg chain → broadcast dim joins + revenue aggs
-    "revenue_by_nation": ("top_customer_revenue", "order_lines_enriched"),
-    # label-blocked cosine pair list → same join core, per-item form
-    "embedding_near_dup_cosine": ("knn_cosine_ivf", "semdedup_embedding"),
-    # F regexp extraction chain → scalar sampler + PII regexp chain
-    "eval_comment_parse": ("scalar_feature_sampler", "pii_redact_stats"),
-    # W1/O2-O3 posexplode rank + top-k → chunk posexplode, ranked terms
-    "top3_orders_per_customer": ("zip_explode_lockstep", "tfidf_top_terms"),
-    # staged r5 additions, not rotations: their op families are
-    # meanwhile represented in-window by these relatives
-    "events_gap_detection": ("clock_lead_fill", "events_sessionized"),
-    "orders_retention_cohort": ("event_funnel", "win_ratio_by_status"),
-    "oov_rate_top1k": ("quality_filter_verdicts", "tfidf_top_terms"),
-    "cross_source_leakage": ("dedup_incremental_simhash", "decontaminate_ngram_overlap"),
-    "boilerplate_chunk_removal": ("paragraph_dedup", "ngram_jaccard_near_dup"),
-    "corpus_composition": ("quality_filter_verdicts", "mixture_sample"),
-    # integer-exact weighted aggregate family + per-user window agg
-    "events_decay_score": ("events_time_weighted_avg", "events_ohlc_hourly"),
-    # per-key agg + CASE scoring + broadcast global scalar
-    "orders_rfm_segments": ("pricing_summary", "scalar_feature_sampler"),
-    # keyed outer-join classify → left-join 0-fill + anti-join classes
-    "orders_snapshot_diff": ("orders_fulfillment", "parts_never_ordered"),
-    # staged r5 profiling tier: op families represented in-window by
-    # these relatives until the r6 rotation
-    "hll_distinct_users": ("win_ratio_by_status", "dedup_incremental_simhash"),
-    "data_profile_orders": ("pricing_summary", "order_priority_clean"),
-    "mad_outlier_bounds": ("events_rolling_zscore", "price_percentiles"),
-    "seq_length_histogram": ("quality_filter_verdicts", "pack_sequences"),
-    "returned_items_report": ("top_customer_revenue", "order_lines_enriched"),
-    "dup_cluster_size_hist": ("dedup_normalized", "dedup_groups"),
-    "unigram_logprob_score": ("quality_filter_verdicts", "tfidf_top_terms"),
-    "cms_heavy_hitters": ("tfidf_top_terms", "dedup_incremental_simhash"),
-    "value_quantiles_binned": ("price_percentiles", "event_funnel"),
-    # classic DSS shapes: families in-window via these relatives
-    "order_priority_pending": ("customers_with_orders", "parts_never_ordered"),
-    "returnflag_priority_casesum": ("win_ratio_by_status", "pricing_summary"),
-    "cust_order_count_dist": ("orders_fulfillment", "event_funnel"),
-    "small_qty_revenue": ("top_customer_revenue", "pricing_summary"),
-    "waiting_supplier_orders": ("events_dedup_latest", "win_ratio_by_status"),
-    "customer_value_deciles": ("top_customer_revenue", "pricing_summary"),
-    "hll_cumulative_daily": ("events_ohlc_hourly", "dedup_incremental_simhash"),
-    "bm25_doc_search": ("bm25_top_terms", "tfidf_top_terms"),
-    "hybrid_search_rrf": ("bm25_top_terms", "knn_cosine_ivf"),
-    "attribution_last_touch": ("events_asof_last_purchase", "event_funnel"),
-    "funnel_latency_percentiles": ("event_funnel", "price_percentiles"),
-    "large_quantity_orders": ("top_customer_revenue", "customers_with_orders"),
-    "idle_customer_balance": ("parts_never_ordered", "pricing_summary"),
-    "session_path_trigrams": ("events_sessionized", "clock_lead_fill"),
-    "referential_integrity_audit": ("orders_fulfillment", "parts_never_ordered"),
-    "dedup_embedding_agreement": ("dedup_groups", "knn_cosine_ivf"),
-    "event_transition_matrix": ("events_sessionized", "win_ratio_by_status"),
+    "revenue_by_nation": ("returned_items_report", "large_quantity_orders"),
+    # label-blocked cosine pair list → same join core, cluster form
+    "embedding_near_dup_cosine": ("semdedup_embedding",),
+    # F regexp extraction chain → PII regexp chain
+    "eval_comment_parse": ("pii_redact_stats",),
+    # W1/O2-O3 rank + top-k per key → ranked doc search + top-20 report
+    "top3_orders_per_customer": ("bm25_doc_search", "returned_items_report"),
+    # ---- r5→r6 demotions (each green r5 + >=1 earlier round) ----
+    # A1/A2/E5 pivot + row-normalize → row-normalized transition matrix
+    "win_ratio_by_status": ("event_transition_matrix", "orders_retention_cohort"),
+    # A3 Q1-shaped multi-agg → per-column profile + CASE-folded sums
+    "pricing_summary": ("data_profile_orders", "returnflag_priority_casesum"),
+    # J5/A1/O1/O3 dim join + revenue top-k → Q10/Q18 report shapes
+    "top_customer_revenue": ("returned_items_report", "large_quantity_orders"),
+    # P1/P2/P8 projection + recode → priority filters + CASE scoring
+    "order_priority_clean": ("order_priority_pending", "orders_rfm_segments"),
+    # J7/P6 anti join → Q22 anti join + integrity audit
+    "parts_never_ordered": ("idle_customer_balance", "referential_integrity_audit"),
+    # J10 semi join → Q4 EXISTS-decorrelated semi join
+    "customers_with_orders": ("order_priority_pending",),
+    # J3/P7 left join + 0-fill → Q13 outer-join count distribution
+    "orders_fulfillment": ("cust_order_count_dist",),
+    # J4/J9 chained joins → multi-join report shapes
+    "order_lines_enriched": ("returned_items_report", "waiting_supplier_orders"),
+    # W2/W3/W5 lead/lag chains → gap detection + path trigrams
+    "clock_lead_fill": ("events_gap_detection", "session_path_trigrams"),
+    # E1/E3/U2 lockstep explode → chunk posexplode + token explode
+    "zip_explode_lockstep": ("boilerplate_chunk_removal", "unigram_logprob_score"),
+    # E2/A6 map→rows symbol counters → hash-row explode + composition
+    "material_map_expand": ("cms_heavy_hitters", "corpus_composition"),
+    # U1/U3 union by name → retriever-frame fusion + snapshot classes
+    "union_by_name": ("hybrid_search_rrf", "orders_snapshot_diff"),
+    # F1-F15 scalar chains → CASE scoring + CASE-folded aggregates
+    "scalar_feature_sampler": ("orders_rfm_segments", "returnflag_priority_casesum"),
+    # P5/F18/F19 array predicates → vocab array ops + array_contains
+    "array_predicate_filter": ("oov_rate_top1k", "bm25_doc_search"),
+    # ROLLUP grouping sets → the profile's Expand-based grouping
+    "rollup_priority_status": ("data_profile_orders",),
+    # percentile aggregates → latency percentiles + MAD medians
+    "price_percentiles": ("funnel_latency_percentiles", "mad_outlier_bounds"),
+    # §2.11 tumbling batch twin → hourly OHLC + daily HLL windows
+    "events_tumbling_1h": ("events_ohlc_hourly", "hll_cumulative_daily"),
+    # §2.11 session batch twin → session-gap machinery
+    "events_sessionized": ("session_path_trigrams", "events_gap_detection"),
+    # P9/A4/A8/W4 latest-row dedup → last-touch window + digest groups
+    "events_dedup_latest": ("attribution_last_touch", "dup_cluster_size_hist"),
+    # S1/E6 JSON flatten: no in-window JSON-path query this round —
+    # struct build/project mechanics covered by these; JSON-path
+    # extraction itself keeps pytest coverage (tests/test_sources.py,
+    # sources/rest.py) and is staged for r7 re-promotion
+    "json_props_extract": ("cms_heavy_hitters", "boilerplate_chunk_removal"),
+    # as-of join → last-touch RANGE window + interval join
+    "events_asof_last_purchase": ("attribution_last_touch", "events_interval_join"),
+    # A5 funnel bins → funnel latency + retention cohort
+    "event_funnel": ("funnel_latency_percentiles", "orders_retention_cohort"),
+    # U3 broadcast-model inference → broadcast unigram-LM scoring
+    # (same shape: tiny model broadcast, row-local score; the LR
+    # math itself keeps pytest coverage in tests/test_winprob_pipeline.py)
+    "win_prob_lr": ("unigram_logprob_score",),
+    # n-gram heuristic classify → vocab-based + LM-based text scoring
+    "lang_id_heuristic": ("oov_rate_top1k", "unigram_logprob_score"),
+    # shingle inverted index + prefix filter → banding + chunk joins
+    "ngram_jaccard_near_dup": ("cross_source_leakage", "boilerplate_chunk_removal"),
+    # IVF-blocked knn → same cosine core inside RRF + semdedup
+    "knn_cosine_ivf": ("hybrid_search_rrf", "semdedup_embedding"),
+    # LSH-bucketed knn → same cosine core inside RRF + semdedup
+    "knn_cosine_lsh": ("hybrid_search_rrf", "semdedup_embedding"),
+    # row-local int8 quantize → row-local JL projection
+    "embedding_quantize_int8": ("embedding_random_projection",),
+    # mapInPandas frame sampling → the media-features family anchor
+    "frame_sample_features": ("multimodal_features",),
+    # normalized digest dedup → digest clustering + paragraph ledger
+    "dedup_normalized": ("dup_cluster_size_hist", "paragraph_dedup"),
+    # LSH+CC dedup groups → LSH candidates in the audit + cluster hist
+    "dedup_groups": ("dedup_embedding_agreement", "dup_cluster_size_hist"),
+    # CC + keep-best representative → LSH audit + quality verdicts
+    "dedup_keep_best": ("dedup_embedding_agreement", "quality_filter_verdicts"),
+    # salted hash-fold sampling → mixture variant, same fold
+    "stratified_sample": ("mixture_sample",),
+    # BPE-ish tokenize + packing window → token-length histogram
+    "pack_sequences": ("seq_length_histogram",),
+    # tf-idf ranking → BM25 ranking, same inverted shape
+    "tfidf_top_terms": ("bm25_top_terms",),
+    # ---- staged r6 additions (r7 promotion checklist) ----
+    # pointer-jumping CC → plain-CC family coverage via LSH audit
+    "dedup_groups_logstep": ("dedup_embedding_agreement", "dup_cluster_size_hist"),
+    # sketch-cut deciles → exact decile + binned-quantile machinery
+    "customer_value_deciles_sketch": ("customer_value_deciles", "value_quantiles_binned"),
 }
 
 

@@ -1850,6 +1850,30 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_groups_logstep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_groups computed through the O(log diameter)
+    pointer-jumping path (component_labels_logstep) instead of plain
+    min-label propagation — identical fixpoint, identical output,
+    same DEDUP_GROUPS_SQL oracle, so the large-diameter escape hatch
+    carries driver evidence and not just the union-find property
+    tests. See component_labels_logstep for when each path wins (the
+    measured crossover discussion lives in SCALING.md)."""
+    edges = minhash_lsh_candidates(spark, sf_dir).select("doc_a", "doc_b")
+    labels = component_labels_logstep(edges)
+    return (
+        labels.groupBy("label")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").cast("long").alias("group_size"),
+            F.concat_ws(
+                ",",
+                F.sort_array(F.collect_list("doc_id")).cast("array<string>"),
+            ).alias("members"),
+        )
+        .select("keep_doc_id", "group_size", "members")
+    )
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload media pipeline: documents → opaque binary
     payload + typed metadata → Arrow-batched mapInPandas feature
@@ -2184,6 +2208,9 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_normalized": QuerySpec(dedup_normalized, DEDUP_NORMALIZED_SQL, "llm-dedup F16"),
     "dedup_groups": QuerySpec(
         dedup_groups, DEDUP_GROUPS_SQL, "llm-dedup-groups iterative"
+    ),
+    "dedup_groups_logstep": QuerySpec(
+        dedup_groups_logstep, DEDUP_GROUPS_SQL, "llm-dedup-groups logstep"
     ),
 }
 

@@ -1511,6 +1511,127 @@ FROM tiled GROUP BY 1 ORDER BY 1
 )
 
 
+_DECILE_BIN_W = 1000.0  # revenue bin width (cents-rounded revenue / 1000)
+_DECILE_BIN_N = 4096  # covers per-customer revenue to ~4.1M; top clamps
+
+
+def customer_value_deciles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer_value_deciles WITHOUT the global ntile sort — the
+    documented 100 TB swap: decile cuts derived from a fixed-width
+    revenue histogram (the value_quantiles_binned machinery), then
+    each customer classified against the broadcast 9-cut array.
+
+    Exactness trade: deciles are bin-granular (customers sharing a
+    revenue bin share a decile, so decile populations are equal only
+    up to bin ties) — deterministic on both engines because the cuts
+    are integer bin arithmetic, not engine quantile estimation.
+
+    Plan shape at 100 TB: per-customer agg shuffles once on custkey;
+    the histogram is a second map-side-combined shuffle down to
+    ≤ {_DECILE_BIN_N} rows; the only window/sort runs over that
+    ≤ {_DECILE_BIN_N}-row frame (plan-gated: the Window sits ABOVE the
+    bin aggregate, and no ntile / no customer-cardinality global sort
+    appears); the cut array broadcasts back. No single-partition
+    exchange ever carries customer rows.
+    """
+    orders = _L(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        fround(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+    binned = per_cust.withColumn(
+        "bin",
+        F.least(
+            F.greatest(F.floor(F.col("revenue") / F.lit(_DECILE_BIN_W)), F.lit(0)),
+            F.lit(_DECILE_BIN_N - 1),
+        ).cast("long"),
+    )
+    hist = binned.groupBy("bin").agg(F.count("*").alias("cnt"))
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wtot = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "bin",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wtot).alias("n"),
+    )
+    cuts = cum.agg(
+        F.array(
+            *[
+                F.min(
+                    F.when(
+                        F.col("cum") >= F.ceil(F.lit(k) * F.col("n") / F.lit(10.0)),
+                        F.col("bin"),
+                    )
+                )
+                for k in range(1, 10)
+            ]
+        ).alias("cuts")
+    )
+    assigned = binned.crossJoin(F.broadcast(cuts)).withColumn(
+        "decile",
+        # cuts are nondecreasing, so the satisfied set is a suffix:
+        # decile = 10 - |{k : bin <= cut_k}| lands bin <= cut_1 in
+        # decile 1 and bin above every cut in decile 10
+        (
+            F.lit(10)
+            - F.size(F.filter("cuts", lambda c: F.col("bin") <= c))
+        ).cast("int"),
+    )
+    return (
+        assigned.groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            fround(F.sum("revenue"), 2).alias("decile_revenue"),
+            fround(F.min("revenue"), 2).alias("min_revenue"),
+            fround(F.max("revenue"), 2).alias("max_revenue"),
+            F.sum("n_orders").cast("long").alias("n_orders"),
+        )
+        .orderBy("decile")
+    )
+
+
+CUSTOMER_VALUE_DECILES_SKETCH_SQL = f"""
+WITH per_cust AS (
+  SELECT o_custkey, {{rev}} AS revenue, count(*) AS n_orders
+  FROM orders GROUP BY 1),
+binned AS (
+  SELECT o_custkey, revenue, n_orders,
+         CAST(least(greatest(floor(revenue / {_DECILE_BIN_W!r}), 0),
+                    {_DECILE_BIN_N - 1}) AS BIGINT) AS bin
+  FROM per_cust),
+hist AS (SELECT bin, count(*) AS cnt FROM binned GROUP BY 1),
+cum AS (
+  SELECT bin,
+         sum(cnt) OVER (ORDER BY bin) AS cum,
+         sum(cnt) OVER () AS n
+  FROM hist),
+cutrows AS (
+  SELECT k.k, min(c.bin) AS cut
+  FROM (SELECT unnest(range(1, 10)) AS k) k, cum c
+  WHERE c.cum >= ceil(k.k * c.n / 10.0)
+  GROUP BY 1),
+cuts AS (SELECT list(cut ORDER BY k) AS cuts FROM cutrows),
+assigned AS (
+  SELECT b.*,
+         10 - len(list_filter(cuts.cuts, c -> b.bin <= c)) AS decile
+  FROM binned b, cuts)
+SELECT CAST(decile AS INT) AS decile,
+       count(*) AS n_customers,
+       {{drev}} AS decile_revenue,
+       {{mn}} AS min_revenue,
+       {{mx}} AS max_revenue,
+       CAST(sum(n_orders) AS BIGINT) AS n_orders
+FROM assigned GROUP BY 1 ORDER BY 1
+""".format(
+    rev=sql_round("sum(o_totalprice)", 2),
+    drev=sql_round("sum(revenue)", 2),
+    mn=sql_round("min(revenue)", 2),
+    mx=sql_round("max(revenue)", 2),
+)
+
+
 
 
 _Q18_MIN_QTY = 150  # large-order threshold (sized to the synthetic data)
@@ -1644,6 +1765,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "customer_value_deciles": QuerySpec(
         customer_value_deciles, CUSTOMER_VALUE_DECILES_SQL, "W ntile decile ext"
+    ),
+    "customer_value_deciles_sketch": QuerySpec(
+        customer_value_deciles_sketch,
+        CUSTOMER_VALUE_DECILES_SKETCH_SQL,
+        "W decile sketch-cut ext",
     ),
     "large_quantity_orders": QuerySpec(
         large_quantity_orders, LARGE_QUANTITY_ORDERS_SQL, "Q18 having-in ext"
