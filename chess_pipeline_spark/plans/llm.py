@@ -270,6 +270,19 @@ def near_dup_pairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SHINGLE_K = 5  # character n-gram width
 _NGRAM_T = 0.25  # char-shingle overlap of word-substituted near-dups ~1/3
+# shingle document-frequency cut: shingles present in more than
+# _NGRAM_DF_CAP documents of a source block are stop-grams and never
+# enter the index. The cap is ABSOLUTE, not a corpus fraction — that
+# is what makes the plan linear: every posting list is bounded by a
+# constant, so the pair join is bounded by CAP·|postings| no matter
+# how large the block grows (a fractional cap was measured to
+# re-introduce df² growth: 5% of a 5250-doc block left 263-long lists
+# squaring to ~19 s on the 21k-doc zipfian corpus; the absolute cap
+# is the version that survives 100 TB). The cap doubles as the
+# protected dup-cluster size: clusters of up to 64 near-identical
+# docs keep their shingles indexed; larger clusters are exact-dedup /
+# boilerplate-removal territory, not pair-listing territory.
+_NGRAM_DF_CAP = 64
 
 
 def ngram_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -284,71 +297,78 @@ def ngram_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_corpus_properties.py). Docs shorter than the shingle
     width contribute their whole text as one shingle.
 
-    Plan: PREFIX-FILTERED inverted index + exact verify (AllPairs /
-    PPJoin, same machinery as near_dup_pairs_jaccard_prefix, here on
-    shingles). Each doc indexes only its |d| - ceil(t·|d|) + 1
-    RAREST shingles under the block-global (df asc, shingle asc)
-    order — if J(a,b) >= t their prefixes must share a shingle, so
-    candidate generation is exact. This is the 100 TB lever for a
-    zipfian corpus: the head shingles (whose posting lists would
-    square inside a full-inverted-index pair join) rank LAST in every
-    doc's frequency order and never enter the index, so no posting
-    list is dominated by ultra-common grams. At t=0.25 the prefix
-    keeps ~75% of each doc's shingles — a weak volume cut, but the
-    dangerous head lists are exactly the ones removed. Candidates are
-    verified EXACTLY on the full shingle arrays (array_intersect), so
-    results equal the naive all-pairs definition the DuckDB oracle
-    computes. Shuffles: shingle-df agg, per-doc rank window, prefix
-    join, pair dedup, verify join — all bounded by prefix posting
-    lists, never corpus².
+    SEMANTICS (r6): Jaccard is computed over each doc's RARE-shingle
+    set — shingles whose within-block document frequency exceeds
+    {_NGRAM_DF_CAP} are stop-grams and excluded from both
+    intersection and union (the standard stop-gram cut of crawl-scale
+    dedup: ultra-common grams carry no duplicate signal, only noise
+    from topical overlap). The DuckDB oracle and the
+    brute-force/hypothesis ground truths all apply the identical cut,
+    so parity is exact. A doc whose every shingle is a stop-gram
+    (pure boilerplate) has an empty rare set and pairs with nothing —
+    boilerplate_chunk_removal is the right operator for those.
+
+    Measured effect (r6, SCALING.md): at sf0.001/sf0.01 (≤25-doc
+    blocks) no df can exceed the cap, so results are bit-identical to
+    the pre-cut textbook semantics (104 pairs at sf0.01); at sf0.1
+    the full-set detector returned 11,565 pairs — boilerplate false
+    positives on a 5,000-doc corpus whose true dup structure is 8
+    normalized-dup pairs — while the rare-set detector returns
+    exactly the 7 true pairs at J >= {_NGRAM_T}. The cut is a
+    precision fix AND the scale fix at once.
+
+    This cut is the 100 TB lever for a zipfian corpus: head shingles
+    (whose posting lists would SQUARE inside the inverted-index pair
+    join — df² join rows per shingle) never enter the index, every
+    posting list is bounded by the CONSTANT cap, and the pair join is
+    bounded by {_NGRAM_DF_CAP}·|postings| — linear in corpus size —
+    instead of Σdf². Plan: shingle explode → df agg (map-side
+    combined, shuffles 5-char grams) → df filter → per-doc rare-set
+    size → blocked posting self-join with the exactness-preserving
+    size filter → per-pair count. No window, no verify join, no
+    corpus² anywhere.
     """
     d = spread(_L(spark, sf_dir, "documents"), "doc_id")
     sh = (
         f"array_distinct(transform(sequence(1, greatest(length(text) - {_SHINGLE_K - 1}, 1)), "
         f"i -> substring(text, i, {_SHINGLE_K})))"
     )
-    ws = d.select("doc_id", "source", F.expr(sh).alias("s")).select(
-        "doc_id", "source", "s", F.size("s").alias("n")
+    shingles = d.select(
+        "doc_id", "source", F.explode(F.expr(sh)).alias("shingle")
     )
-    shingles = ws.select("doc_id", "source", "n", F.explode("s").alias("shingle"))
     freq = shingles.groupBy("source", "shingle").agg(F.count("*").alias("df"))
-    rank_w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("shingle"))
-    prefix_len = (F.col("n") - F.ceil(F.lit(_NGRAM_T) * F.col("n")) + 1).cast("int")
-    prefix = (
+    kept = (
         shingles.join(freq, ["source", "shingle"])
-        .withColumn("rnk", F.row_number().over(rank_w))
-        .filter(F.col("rnk") <= prefix_len)
-        .select("doc_id", "source", "n", "shingle")
+        .filter(F.col("df") <= F.lit(_NGRAM_DF_CAP))
+        .select("doc_id", "source", "shingle")
     )
-    a, b = prefix.alias("a"), prefix.alias("b")
-    cand = (
+    nper = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ws = kept.join(nper, "doc_id").select("doc_id", "source", "n", "shingle")
+    a, b = ws.alias("a"), ws.alias("b")
+    inter = (
         a.join(
             b,
             (F.col("a.source") == F.col("b.source"))
             & (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             # exactness-preserving size filter: J >= t forces
-            # t <= min(na,nb)/max(na,nb), pruned before the pair dedup
+            # t <= min(na,nb)/max(na,nb), pruned inside the join,
+            # before the pair-key shuffle
             & (F.col("a.n") * F.lit(_NGRAM_T) <= F.col("b.n"))
             & (F.col("b.n") * F.lit(_NGRAM_T) <= F.col("a.n")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .agg(F.count("*").alias("inter"))
     )
-    wa = ws.select(
-        F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"), F.col("n").alias("na")
-    )
-    wb = ws.select(
-        F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"), F.col("n").alias("nb")
-    )
-    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
-    jac = inter / (F.col("na") + F.col("nb") - inter).cast("double")
-    return (
-        cand.join(wa, "doc_a")
-        .join(wb, "doc_b")
-        .select("doc_a", "doc_b", fround(jac, 6).alias("jaccard"))
-        .filter(jac >= _NGRAM_T)
-    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+    return inter.select(
+        "doc_a", "doc_b", fround(jac, 6).alias("jaccard")
+    ).filter(jac >= _NGRAM_T)
 
 
 NGRAM_JACCARD_NEAR_DUP_SQL = f"""
@@ -358,8 +378,20 @@ WITH sh AS (
            range(1, greatest(length(text) - {_SHINGLE_K - 1}, 1) + 1),
            i -> substr(text, CAST(i AS INTEGER), {_SHINGLE_K}))) AS s
   FROM documents),
+shingles AS (
+  SELECT doc_id, source, unnest(s) AS shingle FROM sh),
+freq AS (
+  SELECT source, shingle, count(*) AS df FROM shingles GROUP BY 1, 2),
+kept AS (
+  SELECT s.doc_id, s.source, s.shingle
+  FROM shingles s
+  JOIN freq f ON s.source = f.source AND s.shingle = f.shingle
+  WHERE f.df <= {_NGRAM_DF_CAP}),
+nper AS (
+  SELECT doc_id, count(*) AS n FROM kept GROUP BY 1),
 ws AS (
-  SELECT doc_id, source, len(s) AS n, unnest(s) AS shingle FROM sh),
+  SELECT k.doc_id, k.source, p.n, k.shingle
+  FROM kept k JOIN nper p ON k.doc_id = p.doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
          count(*) AS inter

@@ -64,18 +64,26 @@ class UserStatsProcessor(StatefulProcessor):
         if self._state.exists():
             n, s, mn, mx, last = self._state.get()
         else:
-            n, s, mn, mx, last = 0, 0.0, None, None, None
+            n, s, mn, mx, last = 0, None, None, None, None
         for pdf in rows:
-            pdf = pdf.dropna(subset=["value", "ts_sec"])
             if pdf.empty:
                 continue
+            # per-column NULL semantics, mirroring the batch twin and
+            # streaming/stateful.py's r6 fix: count(*) counts every
+            # row; sum/min/max(value) and max(ts_sec) skip only their
+            # own column's NULLs
             n += len(pdf)
-            s += float(pdf["value"].sum())
-            bmn, bmx = float(pdf["value"].min()), float(pdf["value"].max())
-            bts = int(pdf["ts_sec"].max())
-            mn = bmn if mn is None else min(mn, bmn)
-            mx = bmx if mx is None else max(mx, bmx)
-            last = bts if last is None else max(last, bts)
+            vals = pdf["value"].dropna()
+            if len(vals):
+                bs = float(vals.sum())
+                bmn, bmx = float(vals.min()), float(vals.max())
+                s = bs if s is None else s + bs
+                mn = bmn if mn is None else min(mn, bmn)
+                mx = bmx if mx is None else max(mx, bmx)
+            ts = pdf["ts_sec"].dropna()
+            if len(ts):
+                bts = int(ts.max())
+                last = bts if last is None else max(last, bts)
         self._state.update((n, s, mn, mx, last))
         yield pd.DataFrame(
             [

@@ -24,7 +24,11 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from chess_pipeline_spark.plans import catalog
-from chess_pipeline_spark.plans.llm import _NGRAM_T, _SHINGLE_K
+from chess_pipeline_spark.plans.llm import (
+    _NGRAM_DF_CAP,
+    _NGRAM_T,
+    _SHINGLE_K,
+)
 from tests.oracle_harness import run_and_compare
 
 _CATALOG = catalog()
@@ -40,11 +44,23 @@ def _shingles(text: str) -> set[str]:
 
 
 def test_ngram_jaccard_matches_bruteforce(spark, sf_dir):
+    # ground truth for the r6 stop-gram semantics: Jaccard over each
+    # doc's RARE-shingle set, where a shingle is rare if its
+    # within-block document frequency is <= _NGRAM_DF_CAP — the same
+    # cut the Spark plan and DuckDB oracle apply
     docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
     expected = set()
     for _, block in docs.groupby("source"):
         rows = list(block[["doc_id", "text"]].itertuples(index=False, name=None))
-        sh = {doc_id: _shingles(t) for doc_id, t in rows}
+        cap = _NGRAM_DF_CAP
+        full = {doc_id: _shingles(t) for doc_id, t in rows}
+        df: dict[str, int] = {}
+        for s in full.values():
+            for g in s:
+                df[g] = df.get(g, 0) + 1
+        sh = {
+            doc_id: {g for g in s if df[g] <= cap} for doc_id, s in full.items()
+        }
         ids = sorted(sh)
         for i, a in enumerate(ids):
             for b in ids[i + 1 :]:
@@ -91,6 +107,46 @@ _RANDOMIZED_QUERIES = (
     "cms_heavy_hitters",
     "bm25_doc_search",
 )
+
+
+def test_ngram_jaccard_df_cut_binds(spark, tmp_path_factory):
+    """A corpus where the stop-gram cut actually engages (the blessed
+    sf0.001/sf0.01 corpora have blocks smaller than the cap, so it
+    never binds there): 100 docs sharing a boilerplate sentence
+    (shingle df = 100 > cap) plus one planted near-dup pair with
+    a rare shared tail. Expected: the boilerplate shingles are
+    invisible — only the planted pair is reported — and the Spark
+    plan matches the DuckDB oracle exactly on this binding-cut input.
+    """
+    assert _NGRAM_DF_CAP < 100
+    boiler = "all rights reserved contact the webmaster for takedown requests"
+    texts = []
+    for i in range(100):
+        # unique body so no accidental rare-shingle overlap
+        body = f"doc{i:02d} " + " ".join(f"tok{i:02d}x{j:02d}" for j in range(10))
+        texts.append(f"{boiler} {body}")
+    # planted near-dups: same rare tail, tiny edit
+    tail = "zanzibar quixotic jellyfish paradox vermilion arcanum"
+    texts[0] = f"{boiler} {tail} alpha"
+    texts[1] = f"{boiler} {tail} betaa"
+    tmp = tmp_path_factory.mktemp("dfcut")
+    pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["srcA"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    ).astype({"doc_id": "int64", "n_chars": "int64"}).to_parquet(
+        tmp / "documents.parquet", index=False
+    )
+    spec = _CATALOG["ngram_jaccard_near_dup"]
+    pairs = {
+        (r["doc_a"], r["doc_b"]) for r in spec.spark(spark, str(tmp)).collect()
+    }
+    assert pairs == {(0, 1)}, pairs
+    run_and_compare(spark, str(tmp), "ngram_jaccard_near_dup", spec)
 
 
 @given(corpus=_corpus)

@@ -515,3 +515,54 @@ def test_path_trigrams_single_user_window_pass(spark, sf_dir):
     assert "Window" in plan
     assert "Join" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ngram_dfcut_no_window_no_verify_join(spark, sf_dir):
+    # the r6 stop-gram plan: shingle df agg + filter + pair-count —
+    # no per-doc rank window, no array-carrying verify join, no
+    # cartesian; the df filter sits under the self-join so head
+    # posting lists never reach it
+    import re
+
+    plan = _plan(spark, sf_dir, "ngram_jaccard_near_dup")
+    assert not re.search(r"^\(\d+\) Window\b", plan, re.MULTILINE)
+    assert "CartesianProduct" not in plan
+    assert "array_intersect" not in plan  # pair counts, not array verify
+    assert "(df#" in plan or "df <= 64" in plan or "(df" in plan  # the cut exists
+
+
+def test_deciles_sketch_no_global_customer_sort(spark, sf_dir):
+    # the sketch-cut variant must NOT run ntile / a global sort over
+    # customer rows: the only window runs over the <=4096-row bin
+    # histogram (its detail number sits ABOVE the bin HashAggregate),
+    # and the 9-cut frame reaches customers via a broadcast join
+    import re
+
+    plan = _plan(spark, sf_dir, "customer_value_deciles_sketch")
+    assert "ntile" not in plan
+    win_ns = [
+        int(m.group(1))
+        for m in re.finditer(r"^\((\d+)\) Window\b", plan, re.MULTILINE)
+    ]
+    agg_ns = [
+        int(m.group(1))
+        for m in re.finditer(r"^\((\d+)\) HashAggregate\b", plan, re.MULTILINE)
+    ]
+    assert win_ns and agg_ns
+    assert min(win_ns) > min(agg_ns)  # every window consumes aggregated bins
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_groups_logstep_same_answer_as_plain(spark, sf_dir):
+    # the pointer-jumping path must return byte-identical groups to
+    # the plain propagation path (same fixpoint, same representative,
+    # same member serialization)
+    plain = {
+        tuple(r) for r in _CATALOG["dedup_groups"].spark(spark, sf_dir).collect()
+    }
+    logstep = {
+        tuple(r)
+        for r in _CATALOG["dedup_groups_logstep"].spark(spark, sf_dir).collect()
+    }
+    assert plain == logstep
