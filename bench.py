@@ -131,9 +131,12 @@ EXTENDED = [
     "referential_integrity_audit",
     "dedup_embedding_agreement",
     "event_transition_matrix",
-    # round-6 additions: pointer-jumping CC, sketch-cut deciles
+    # round-6 additions: pointer-jumping CC, sketch-cut deciles,
+    # BPE merge counting, product-quantization codes
     "dedup_groups_logstep",
     "customer_value_deciles_sketch",
+    "bpe_merge_candidates",
+    "embedding_pq_codes",
 ]
 
 ROUND = 6  # bump per round; names the committed BENCHLOCAL file

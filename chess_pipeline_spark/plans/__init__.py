@@ -134,10 +134,12 @@ _DEMOTED: tuple[str, ...] = (
     "pack_sequences",
     "tfidf_top_terms",
     # --- added new in r6 (start demoted with local oracle rows;
-    # r7 ROTATION CHECKLIST: promote these two plus
+    # r7 ROTATION CHECKLIST: promote these four plus
     # json_props_extract) ---
     "dedup_groups_logstep",
     "customer_value_deciles_sketch",
+    "bpe_merge_candidates",
+    "embedding_pq_codes",
 )
 
 # For every demoted query: the IN-WINDOW queries that keep its SURVEY
@@ -291,6 +293,10 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     "dedup_groups_logstep": ("dedup_embedding_agreement", "dup_cluster_size_hist"),
     # sketch-cut deciles → exact decile + binned-quantile machinery
     "customer_value_deciles_sketch": ("customer_value_deciles", "value_quantiles_binned"),
+    # vocab-weighted pair counting → vocab-scale term counting family
+    "bpe_merge_candidates": ("cms_heavy_hitters", "unigram_logprob_score"),
+    # broadcast-codebook subvector argmin → embedding transform + ANN
+    "embedding_pq_codes": ("embedding_random_projection", "semdedup_embedding"),
 }
 
 

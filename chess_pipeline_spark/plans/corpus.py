@@ -1466,9 +1466,82 @@ LIMIT 10
 """
 
 
+# ------------------------------------------------------------------
+# BPE merge candidates (tokenizer induction, first merge iteration)
+# ------------------------------------------------------------------
+
+_BPE_TOP_MERGES = 50
+
+
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First iteration of byte-pair-encoding vocabulary induction:
+    the adjacent-character-pair frequencies a BPE trainer would use
+    to pick its first merges (Sennrich et al.'s word-frequency
+    formulation). Top {_BPE_TOP_MERGES} pairs by corpus count, ties
+    broken by pair text — the report that seeds tokenizer training
+    over a curated corpus (extension tier; no reference analogue).
+
+    The classic scale trick IS the plan: pair counting runs over the
+    DISTINCT-WORD frame weighted by word frequency, never over the
+    corpus. Corpus-scale work is one tokenize + map-side-combined
+    groupBy(word) (shuffles bare words); the per-position pair
+    explode then touches |vocab| rows — millions, not billions —
+    and the final pair aggregate is vocab-scale too. The top-k is
+    orderBy+limit = TakeOrdered (per-partition heaps, no global
+    sort). Words are lowercased alpha runs; 1-char words contribute
+    no pairs and are filtered before the explode.
+    """
+    d = spread(_L(spark, sf_dir, "documents"), "doc_id")
+    words = d.select(
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("word")
+    )
+    vocab = words.groupBy("word").agg(F.count("*").cast("long").alias("wfreq"))
+    pairs = (
+        vocab.filter(F.length("word") >= 2)
+        .select(
+            "wfreq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(word) - 1), "
+                    "i -> substring(word, i, 2))"
+                )
+            ).alias("pair"),
+        )
+        .groupBy("pair")
+        .agg(F.sum("wfreq").alias("merge_count"))
+    )
+    return (
+        pairs.select("pair", "merge_count")
+        .orderBy(F.desc("merge_count"), F.asc("pair"))
+        .limit(_BPE_TOP_MERGES)
+    )
+
+
+BPE_MERGE_CANDIDATES_SQL = f"""
+WITH words AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+  FROM documents),
+vocab AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS wfreq FROM words GROUP BY 1),
+pairs AS (
+  SELECT substr(word, CAST(t.i AS INTEGER), 2) AS pair, wfreq
+  FROM vocab, LATERAL unnest(range(1, length(word))) AS t(i)
+  WHERE length(word) >= 2)
+SELECT pair, CAST(sum(wfreq) AS BIGINT) AS merge_count
+FROM pairs GROUP BY 1
+ORDER BY merge_count DESC, pair ASC
+LIMIT {_BPE_TOP_MERGES}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_keep_best": QuerySpec(
         dedup_keep_best, DEDUP_KEEP_BEST_SQL, "corpus-keep-best"
+    ),
+    "bpe_merge_candidates": QuerySpec(
+        bpe_merge_candidates, BPE_MERGE_CANDIDATES_SQL, "corpus-bpe-induction"
     ),
     "stratified_sample": QuerySpec(
         stratified_sample, STRATIFIED_SAMPLE_SQL, "corpus-sample"

@@ -1882,6 +1882,109 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_M = 4  # subspaces
+_PQ_SUB = 16  # dims per subspace (embeddings are 64-dim)
+_PQ_K = 16  # centroids per subspace (seeded, deterministic)
+
+
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization codes — the layout billion-scale ANN
+    actually serves from (Jégou et al., IVFADC): each 64-dim vector
+    splits into {_PQ_M} subvectors of {_PQ_SUB} dims; each subvector
+    is assigned to its nearest of {_PQ_K} per-subspace centroids, so
+    a vector compresses to {_PQ_M} bytes (+ the shared codebook)
+    instead of 256. Output: (vec_id, code_0..code_{_PQ_M - 1},
+    sq_err) with sq_err the total squared reconstruction error — the
+    quantization-quality report.
+
+    Determinism (no RNG to ship or reproduce): the codebook is the
+    subvectors of the {_PQ_K} lowest-id vectors (same seeding rule as
+    build_ivf_index); distances grid-round at 1e-9 before the argmin
+    so ties break identically on both engines, then lowest centroid
+    id. A Lloyd refinement of the codebook is the same iteration
+    build_ivf_index already implements.
+
+    100 TB shape: the codebook is {_PQ_K} rows and BROADCASTS (the
+    crossJoin is a BroadcastNestedLoopJoin against {_PQ_K} rows —
+    bounded by construction); per-vector work is row-local expression
+    math inside codegen; one groupBy(vec_id) argmin aggregate whose
+    map-side partials reduce the {_PQ_K}-way scored rows before the
+    shuffle. No corpus-side wide exchange anywhere.
+    """
+    e = spread(_L(spark, sf_dir, "embeddings"), "vec_id").select(
+        "vec_id", "embedding"
+    )
+    w = Window.orderBy("vec_id")
+    cent = (
+        e.orderBy("vec_id")
+        .limit(_PQ_K)
+        .select(F.row_number().over(w).alias("cid"), F.col("embedding").alias("c"))
+    )
+
+    def dist(j: int):
+        lo = j * _PQ_SUB + 1
+        return fround(
+            F.expr(
+                f"aggregate(zip_with(slice(embedding, {lo}, {_PQ_SUB}), "
+                f"slice(c, {lo}, {_PQ_SUB}), "
+                f"(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) "
+                f"* (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+                f"CAST(0 AS DOUBLE), (a, b) -> a + b)"
+            ),
+            9,
+        ).alias(f"d{j}")
+
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cid", *[dist(j) for j in range(_PQ_M)]
+    )
+    agg = scored.groupBy("vec_id").agg(
+        *[
+            F.min(
+                F.struct(F.col(f"d{j}").alias("d"), F.col("cid").alias("cc"))
+            ).alias(f"m{j}")
+            for j in range(_PQ_M)
+        ]
+    )
+    total = F.col("m0.d")
+    for j in range(1, _PQ_M):
+        total = total + F.col(f"m{j}.d")
+    return agg.select(
+        "vec_id",
+        *[F.col(f"m{j}.cc").cast("int").alias(f"code_{j}") for j in range(_PQ_M)],
+        fround(total, 6).alias("sq_err"),
+    )
+
+
+def _pq_dist_sql(j: int) -> str:
+    lo = j * _PQ_SUB
+    return (
+        f"floor(list_sum(list_transform(range(1, {_PQ_SUB + 1}), "
+        f"i -> (CAST(e.embedding[{lo} + i] AS DOUBLE) - CAST(c.c[{lo} + i] AS DOUBLE))"
+        f" * (CAST(e.embedding[{lo} + i] AS DOUBLE) - CAST(c.c[{lo} + i] AS DOUBLE))))"
+        f" * 1000000000.0 + 0.5) / 1000000000.0"
+    )
+
+
+EMBEDDING_PQ_CODES_SQL = f"""
+WITH cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS cid, embedding AS c
+  FROM embeddings ORDER BY vec_id LIMIT {_PQ_K}),
+scored AS (
+  SELECT e.vec_id, c.cid,
+         {', '.join(f'{_pq_dist_sql(j)} AS d{j}' for j in range(_PQ_M))}
+  FROM embeddings e, cent c),
+agg AS (
+  SELECT vec_id, {', '.join(f'min(d{j}) AS md{j}' for j in range(_PQ_M))}
+  FROM scored GROUP BY 1)
+SELECT a.vec_id,
+       {', '.join(f'CAST(min(CASE WHEN s.d{j} = a.md{j} THEN s.cid END) AS INT) AS code_{j}' for j in range(_PQ_M))},
+       floor(({' + '.join(f'any_value(a.md{j})' for j in range(_PQ_M))}) * 1000000.0 + 0.5)
+         / 1000000.0 AS sq_err
+FROM agg a JOIN scored s USING (vec_id)
+GROUP BY a.vec_id
+"""
+
+
 def dedup_groups_logstep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dedup_groups computed through the O(log diameter)
     pointer-jumping path (component_labels_logstep) instead of plain
@@ -2227,6 +2330,9 @@ QUERIES: dict[str, QuerySpec] = {
         embedding_random_projection,
         EMBEDDING_RANDOM_PROJECTION_SQL,
         "llm-embed-jl",
+    ),
+    "embedding_pq_codes": QuerySpec(
+        embedding_pq_codes, EMBEDDING_PQ_CODES_SQL, "llm-embed-pq"
     ),
     "multimodal_features": QuerySpec(
         multimodal_features, MULTIMODAL_FEATURES_SQL, "llm-multimodal"

@@ -106,6 +106,7 @@ _RANDOMIZED_QUERIES = (
     "dup_cluster_size_hist",
     "cms_heavy_hitters",
     "bm25_doc_search",
+    "bpe_merge_candidates",
 )
 
 

@@ -566,3 +566,38 @@ def test_dedup_groups_logstep_same_answer_as_plain(spark, sf_dir):
         for r in _CATALOG["dedup_groups_logstep"].spark(spark, sf_dir).collect()
     }
     assert plain == logstep
+
+
+def test_bpe_merges_count_over_vocab_not_corpus(spark, sf_dir):
+    # the Sennrich trick in the plan: pair explosion runs on the
+    # distinct-word frame (after the word groupBy), never on raw
+    # corpus tokens; partial agg before both shuffles; top-k is a
+    # TakeOrdered, no join anywhere
+    import re
+
+    plan = _plan(spark, sf_dir, "bpe_merge_candidates")
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+    # the pair explode (Generate) must sit ABOVE the word aggregate:
+    # its detail number is higher than the first HashAggregate's
+    gen_ns = [
+        int(m.group(1))
+        for m in re.finditer(r"^\((\d+)\) Generate\b", plan, re.MULTILINE)
+    ]
+    agg_ns = [
+        int(m.group(1))
+        for m in re.finditer(r"^\((\d+)\) HashAggregate\b", plan, re.MULTILINE)
+    ]
+    assert gen_ns and agg_ns
+    assert max(gen_ns) > min(agg_ns)
+
+
+def test_pq_codebook_broadcasts(spark, sf_dir):
+    # the 16-row codebook reaches vectors via a broadcast nested-loop
+    # (bounded by construction); the only keyed exchange is the
+    # vec_id argmin aggregate with map-side partial_min
+    plan = _plan(spark, sf_dir, "embedding_pq_codes")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_min" in plan
