@@ -555,14 +555,21 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     argument; the exact branch exists only to quantify sketch error
     and is the piece you drop at scale. Deterministic cross-engine:
     md5 + integer hex parsing, integer counters, no floats anywhere.
+
+    r6 rewrite (same counters, measured ~2x at sf0.1): the corpus
+    folds to the word-frequency VOCAB first (one map-side-combined
+    groupBy over bare words), and the 4 md5 hashes + hash-row explode
+    run per DISTINCT word weighted by its count — md5 cost scales
+    with |vocab|, not corpus occurrences (the Sennrich weighting
+    trick bpe_merge_candidates uses). sum(weight) per (row, bucket)
+    equals the per-occurrence count(*) exactly, so the sketch is
+    bit-identical.
     """
     d = spread(_L(spark, sf_dir, "documents"), "doc_id")
     words = d.filter(F.col("text").isNotNull()).select(
         F.explode(F.split("text", " ")).alias("word")
     )
-    # ONE pass over the word stream: the 4 hash rows explode from an
-    # inline array per word (not a 4-way union of 4 re-scans — that
-    # variant measured ~2x slower at sf0.1)
+    vocab = words.groupBy("word").agg(F.count("*").alias("n_exact"))
     rb = F.array(
         *[
             F.struct(
@@ -578,18 +585,15 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     sketch = (
-        words.select(F.explode(rb).alias("rb"))
-        .select("rb.row_i", "rb.bucket")
+        vocab.select("n_exact", F.explode(rb).alias("rb"))
+        .select("rb.row_i", "rb.bucket", "n_exact")
         .groupBy("row_i", "bucket")
-        .agg(F.count("*").alias("cnt"))
+        .agg(F.sum("n_exact").alias("cnt"))
     )
 
     wtop = Window.orderBy(F.desc("n_exact"), F.asc("word"))
-    top = (
-        words.groupBy("word")
-        .agg(F.count("*").alias("n_exact"))
-        .withColumn("rk", F.row_number().over(wtop))
-        .filter(F.col("rk") <= 20)
+    top = vocab.withColumn("rk", F.row_number().over(wtop)).filter(
+        F.col("rk") <= 20
     )
     probes = []
     for i in range(_CMS_D):
@@ -620,10 +624,12 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cms_sql() -> str:
+    # mirrors the r6 vocab-weighted plan: hash per DISTINCT word,
+    # weight by its count — counters identical to per-occurrence
     rows = "\nUNION ALL\n".join(
         f"SELECT {i} AS row_i, "
         + _hex3_to_int_sql(f"md5('{i}:' || word)")
-        + f" % {_CMS_W} AS bucket FROM words"
+        + f" % {_CMS_W} AS bucket, n_exact FROM vocab"
         for i in range(_CMS_D)
     )
     probe_rows = "\nUNION ALL\n".join(
@@ -636,14 +642,16 @@ def _cms_sql() -> str:
 WITH words AS (
   SELECT unnest(string_split(text, ' ')) AS word
   FROM documents WHERE text IS NOT NULL),
+vocab AS (
+  SELECT word, count(*) AS n_exact FROM words GROUP BY 1),
 hashed AS ({rows}),
 sketch AS (
-  SELECT row_i, bucket, count(*) AS cnt FROM hashed GROUP BY 1, 2),
+  SELECT row_i, bucket, sum(n_exact) AS cnt FROM hashed GROUP BY 1, 2),
 top AS (
   SELECT word, n_exact FROM (
-    SELECT word, count(*) AS n_exact,
-           row_number() OVER (ORDER BY count(*) DESC, word ASC) AS rk
-    FROM words GROUP BY 1)
+    SELECT word, n_exact,
+           row_number() OVER (ORDER BY n_exact DESC, word ASC) AS rk
+    FROM vocab)
   WHERE rk <= 20),
 probes AS ({probe_rows}),
 est AS (
