@@ -137,6 +137,7 @@ EXTENDED = [
     "customer_value_deciles_sketch",
     "bpe_merge_candidates",
     "embedding_pq_codes",
+    "knn_pq_adc",
 ]
 
 ROUND = 6  # bump per round; names the committed BENCHLOCAL file

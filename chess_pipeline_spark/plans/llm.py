@@ -1882,9 +1882,13 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PQ_M = 4  # subspaces
-_PQ_SUB = 16  # dims per subspace (embeddings are 64-dim)
-_PQ_K = 16  # centroids per subspace (seeded, deterministic)
+_PQ_M = 8  # subspaces
+_PQ_SUB = 8  # dims per subspace (embeddings are 64-dim)
+_PQ_K = 32  # centroids per subspace (seeded, deterministic)
+# M/K sweep on the sf0.001 embeddings (numpy, r6): (4,16) recall@5
+# 0.225, (8,16) 0.250, (8,32) 0.325, (16,64) 0.500 — these synthetic
+# embeddings are label-clustered noise (COVERAGE.md), so ADC recall
+# saturates early; 8x32 is the knee where codes are still 8 bytes.
 
 
 def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1955,33 +1959,172 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_dist_sql(j: int) -> str:
+def _pq_dist_sql(j: int, vec: str = "e.embedding") -> str:
     lo = j * _PQ_SUB
     return (
         f"floor(list_sum(list_transform(range(1, {_PQ_SUB + 1}), "
-        f"i -> (CAST(e.embedding[{lo} + i] AS DOUBLE) - CAST(c.c[{lo} + i] AS DOUBLE))"
-        f" * (CAST(e.embedding[{lo} + i] AS DOUBLE) - CAST(c.c[{lo} + i] AS DOUBLE))))"
+        f"i -> (CAST({vec}[{lo} + i] AS DOUBLE) - CAST(c.c[{lo} + i] AS DOUBLE))"
+        f" * (CAST({vec}[{lo} + i] AS DOUBLE) - CAST(c.c[{lo} + i] AS DOUBLE))))"
         f" * 1000000000.0 + 0.5) / 1000000000.0"
     )
 
 
-EMBEDDING_PQ_CODES_SQL = f"""
-WITH cent AS (
+# CTE block shared by EMBEDDING_PQ_CODES_SQL and KNN_PQ_ADC_SQL:
+# `codes` ends as (vec_id, code_0.., md0.. per-subspace min distances)
+_PQ_CODES_CTES = f"""cent AS (
   SELECT row_number() OVER (ORDER BY vec_id) AS cid, embedding AS c
   FROM embeddings ORDER BY vec_id LIMIT {_PQ_K}),
-scored AS (
+pq_scored AS (
   SELECT e.vec_id, c.cid,
          {', '.join(f'{_pq_dist_sql(j)} AS d{j}' for j in range(_PQ_M))}
   FROM embeddings e, cent c),
-agg AS (
+pq_agg AS (
   SELECT vec_id, {', '.join(f'min(d{j}) AS md{j}' for j in range(_PQ_M))}
-  FROM scored GROUP BY 1)
-SELECT a.vec_id,
-       {', '.join(f'CAST(min(CASE WHEN s.d{j} = a.md{j} THEN s.cid END) AS INT) AS code_{j}' for j in range(_PQ_M))},
-       floor(({' + '.join(f'any_value(a.md{j})' for j in range(_PQ_M))}) * 1000000.0 + 0.5)
+  FROM pq_scored GROUP BY 1),
+codes AS (
+  SELECT a.vec_id,
+         {', '.join(f'CAST(min(CASE WHEN s.d{j} = a.md{j} THEN s.cid END) AS INT) AS code_{j}' for j in range(_PQ_M))},
+         {', '.join(f'any_value(a.md{j}) AS md{j}' for j in range(_PQ_M))}
+  FROM pq_agg a JOIN pq_scored s USING (vec_id)
+  GROUP BY a.vec_id)"""
+
+EMBEDDING_PQ_CODES_SQL = f"""
+WITH {_PQ_CODES_CTES}
+SELECT vec_id,
+       {', '.join(f'code_{j}' for j in range(_PQ_M))},
+       floor(({' + '.join(f'md{j}' for j in range(_PQ_M))}) * 1000000.0 + 0.5)
          / 1000000.0 AS sq_err
-FROM agg a JOIN scored s USING (vec_id)
-GROUP BY a.vec_id
+FROM codes
+"""
+
+
+_ADC_NQ = 8  # query vectors (vec_id < _ADC_NQ), matching the knn tier
+_ADC_K = 5
+
+
+def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance k-NN over the PQ codes (the ADC half of
+    IVFADC, Jégou et al.): each query precomputes a distance TABLE —
+    its L2² to all {_PQ_K} centroids per subspace, {_PQ_M}·{_PQ_K}
+    numbers — and every corpus vector is then scored by {_PQ_M} table
+    LOOKUPS on its codes instead of a {_PQ_M * _PQ_SUB}-dim float
+    computation. Top-{_ADC_K} per query by ADC distance; the
+    approximation error vs exact L2 is exactly the quantization error
+    embedding_pq_codes reports.
+
+    Cross-engine determinism: per-(query, subspace, centroid) table
+    entries round to integer MICRO-units, so the ADC sum is an
+    INTEGER sum — associative and order-free, immune to the
+    float-summation-order hazards the JL oracle hit in r4 — and the
+    ranking's (adc_micro, vec_id) order is total.
+
+    100 TB shape: the distance tables are |queries|·{_PQ_M}·{_PQ_K}
+    rows and BROADCAST; the corpus side is row-local until one
+    map-side-combined (qid, vec_id) integer-sum shuffle of
+    |queries|·|corpus| compact rows (the same scoring geometry as
+    knn_cosine_topk, but each scored row is 3 ints instead of a
+    float-vector dot); the per-query top-{_ADC_K} is a bounded
+    window. On a real deployment the codes come from the persisted
+    IVF index (ann_index.py stores them) and the probe prunes lists
+    first — this catalog form scores the whole corpus so the oracle
+    can too.
+    """
+    e = spread(_L(spark, sf_dir, "embeddings"), "vec_id").select(
+        "vec_id", "embedding"
+    )
+    w = Window.orderBy("vec_id")
+    cent = (
+        e.orderBy("vec_id")
+        .limit(_PQ_K)
+        .select(F.row_number().over(w).alias("cid"), F.col("embedding").alias("c"))
+    )
+
+    def dist_micro(j: int):
+        lo = j * _PQ_SUB + 1
+        d = F.expr(
+            f"aggregate(zip_with(slice(embedding, {lo}, {_PQ_SUB}), "
+            f"slice(c, {lo}, {_PQ_SUB}), "
+            f"(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) "
+            f"* (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+            f"CAST(0 AS DOUBLE), (a, b) -> a + b)"
+        )
+        return F.floor(fround(d, 9) * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
+
+    queries = e.filter(F.col("vec_id") < _ADC_NQ).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    td = queries.crossJoin(F.broadcast(cent)).select(
+        "qid", "cid", *[dist_micro(j).alias(f"dm{j}") for j in range(_PQ_M)]
+    )
+    td_melt = td.select(
+        "qid",
+        "cid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), F.col(f"dm{j}").alias("dm"))
+                    for j in range(_PQ_M)
+                ]
+            )
+        ).alias("m"),
+    ).select("qid", "cid", "m.j", "m.dm")
+
+    codes = embedding_pq_codes(spark, sf_dir)
+    code_melt = codes.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), F.col(f"code_{j}").alias("cid"))
+                    for j in range(_PQ_M)
+                ]
+            )
+        ).alias("m"),
+    ).select("vec_id", "m.j", "m.cid")
+
+    scored = (
+        code_melt.join(F.broadcast(td_melt), ["j", "cid"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("dm").alias("adc_micro"))
+    )
+    wr = Window.partitionBy("qid").orderBy(F.asc("adc_micro"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= _ADC_K)
+        .select("qid", F.col("vec_id").alias("neighbor_id"), "adc_micro", "rank")
+    )
+
+
+def _adc_td_sql(j: int) -> str:
+    return (
+        f"CAST(floor({_pq_dist_sql(j, 'q.embedding')} * 1000000.0 + 0.5) AS BIGINT)"
+    )
+
+
+KNN_PQ_ADC_SQL = f"""
+WITH {_PQ_CODES_CTES},
+code_melt AS (
+  {' UNION ALL '.join(f'SELECT vec_id, {j} AS j, code_{j} AS cid FROM codes' for j in range(_PQ_M))}),
+q AS (
+  SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < {_ADC_NQ}),
+td AS (
+  SELECT q.qid, c.cid,
+         {', '.join(f'{_adc_td_sql(j)} AS dm{j}' for j in range(_PQ_M))}
+  FROM q, cent c),
+td_melt AS (
+  {' UNION ALL '.join(f'SELECT qid, cid, {j} AS j, dm{j} AS dm FROM td' for j in range(_PQ_M))}),
+scored AS (
+  SELECT t.qid, m.vec_id, CAST(sum(t.dm) AS BIGINT) AS adc_micro
+  FROM code_melt m JOIN td_melt t ON m.j = t.j AND m.cid = t.cid
+  WHERE m.vec_id != t.qid
+  GROUP BY 1, 2)
+SELECT qid, vec_id AS neighbor_id, adc_micro, rank FROM (
+  SELECT qid, vec_id, adc_micro,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY adc_micro ASC, vec_id ASC) AS BIGINT) AS rank
+  FROM scored)
+WHERE rank <= {_ADC_K}
 """
 
 
@@ -2334,6 +2477,7 @@ QUERIES: dict[str, QuerySpec] = {
     "embedding_pq_codes": QuerySpec(
         embedding_pq_codes, EMBEDDING_PQ_CODES_SQL, "llm-embed-pq"
     ),
+    "knn_pq_adc": QuerySpec(knn_pq_adc, KNN_PQ_ADC_SQL, "llm-knn-pq-adc"),
     "multimodal_features": QuerySpec(
         multimodal_features, MULTIMODAL_FEATURES_SQL, "llm-multimodal"
     ),

@@ -162,6 +162,7 @@ FROZEN_ORDER: tuple[str, ...] = (
     "customer_value_deciles_sketch",
     "bpe_merge_candidates",
     "embedding_pq_codes",
+    "knn_pq_adc",
 )
 
 
@@ -176,7 +177,7 @@ def test_driver_window_r6_rotation():
     # out is green in r5 AND at least one earlier round (verified
     # against the CORRECTNESS files at rotation time); the two r6
     # additions start demoted and are staged for r7.
-    assert len(FROZEN_ORDER) - DRIVER_WINDOW == 70
+    assert len(FROZEN_ORDER) - DRIVER_WINDOW == 71
     in_window = set(FROZEN_ORDER[:DRIVER_WINDOW])
     promoted_r6 = (
         "events_gap_detection",

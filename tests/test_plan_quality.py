@@ -601,3 +601,13 @@ def test_pq_codebook_broadcasts(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
     assert "partial_min" in plan
+
+
+def test_adc_tables_broadcast_and_integer_sum(spark, sf_dir):
+    # the per-query distance tables broadcast (512 rows by
+    # construction); the ADC aggregate is an integer partial_sum with
+    # map-side combine before the (qid, vec_id) shuffle; no cartesian
+    plan = _plan(spark, sf_dir, "knn_pq_adc")
+    assert "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
