@@ -132,12 +132,15 @@ EXTENDED = [
     "dedup_embedding_agreement",
     "event_transition_matrix",
     # round-6 additions: pointer-jumping CC, sketch-cut deciles,
-    # BPE merge counting, product-quantization codes
+    # BPE merge counting, PQ codes + ADC search, Q19/Q15/Q7 shapes
     "dedup_groups_logstep",
     "customer_value_deciles_sketch",
     "bpe_merge_candidates",
     "embedding_pq_codes",
     "knn_pq_adc",
+    "disjunctive_brand_revenue",
+    "top_supplier_revenue",
+    "nation_trade_volume",
 ]
 
 ROUND = 6  # bump per round; names the committed BENCHLOCAL file

@@ -16,7 +16,7 @@ __all__ = ["QuerySpec", "catalog", "DRIVER_WINDOW", "DEMOTION_COVERAGE"]
 # The external verifier hash-checks only the first DRIVER_WINDOW catalog
 # entries per round, so ordering is part of the verification contract.
 #
-# PROPOSAL (r6, to the driver/judge): the catalog (121 queries) is now
+# PROPOSAL (r6, to the driver/judge): the catalog (124 queries) is now
 # 2.4x the window, so any single round leaves >half the catalog on
 # local-oracle evidence only and rotation is hand-curated. Two
 # structural fixes, either welcome: (a) raise the window to cover the
@@ -134,13 +134,16 @@ _DEMOTED: tuple[str, ...] = (
     "pack_sequences",
     "tfidf_top_terms",
     # --- added new in r6 (start demoted with local oracle rows;
-    # r7 ROTATION CHECKLIST: promote these five plus
+    # r7 ROTATION CHECKLIST: promote these eight plus
     # json_props_extract) ---
     "dedup_groups_logstep",
     "customer_value_deciles_sketch",
     "bpe_merge_candidates",
     "embedding_pq_codes",
     "knn_pq_adc",
+    "disjunctive_brand_revenue",
+    "top_supplier_revenue",
+    "nation_trade_volume",
 )
 
 # For every demoted query: the IN-WINDOW queries that keep its SURVEY
@@ -300,6 +303,12 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     "embedding_pq_codes": ("embedding_random_projection", "semdedup_embedding"),
     # table-lookup ADC scoring → same knn geometry as the RRF retriever
     "knn_pq_adc": ("hybrid_search_rrf", "semdedup_embedding"),
+    # OR-of-ANDs dim-join predicate → the in-window DSS filter shapes
+    "disjunctive_brand_revenue": ("small_qty_revenue", "returned_items_report"),
+    # view + broadcast scalar-max equality → per-key agg + global-scalar shapes
+    "top_supplier_revenue": ("returned_items_report", "orders_rfm_segments"),
+    # bilateral dim-snowflake trade volume → Q10/Q21 join graphs
+    "nation_trade_volume": ("returned_items_report", "waiting_supplier_orders"),
 }
 
 

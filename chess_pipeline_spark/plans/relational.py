@@ -1388,6 +1388,193 @@ WHERE l.l_quantity < p.half_avg_qty
 
 
 
+def disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate across
+    the lineitem⋈part join — three (brand, size-range, qty-range)
+    arms. The shape is interesting for the optimizer, not the math:
+    the disjunction itself can't push down whole, but the arm-wise
+    bounds union into coarse pushable ranges, and the predicate
+    evaluates inside the join's codegen stage.
+
+    Plan: part is the dim side and BROADCASTS with its own pushable
+    bounds (p_size <= 35 covers all arms, pushed to the part scan);
+    the lineitem scan pushes l_quantity <= 30; one broadcast join,
+    one final 1-row aggregate — no shuffle beyond the partial-agg
+    reduce at any scale.
+    """
+    li = _L(spark, sf_dir, "lineitem").filter(F.col("l_quantity") <= 30)
+    part = _L(spark, sf_dir, "part").filter(F.col("p_size") <= 35).select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    arm = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return j.filter(arm).agg(
+        fround(rev, 2).alias("revenue"),
+        F.count("*").cast("long").alias("n_lines"),
+    )
+
+
+DISJUNCTIVE_BRAND_REVENUE_SQL = f"""
+SELECT {sql_round('sum(l.l_extendedprice * (1 - l.l_discount))', 2)} AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+_Q15_SHIP_FROM = "1996-01-01"
+_Q15_SHIP_TO = "1996-04-01"  # one quarter, as in Q15
+
+
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the revenue VIEW + scalar-max pattern —
+    per-supplier revenue over one ship quarter, returning the
+    supplier(s) whose revenue EQUALS the global max (ties all
+    surface, as in the spec). The correlated `= (SELECT max(...))`
+    decorrelates to: aggregate once, reduce to a 1-row max, broadcast
+    it back as an equality filter.
+
+    Determinism: revenue is cents-rounded BEFORE both the max and the
+    equality (float equality against an engine-ordered sum is a
+    coin flip; against grid-rounded sums it is exact). Plan: the
+    quarter filter pushes to the lineitem scan; one suppkey
+    partial-agg shuffle; the 1-row max broadcasts; supplier dim
+    broadcasts for the name.
+    """
+    li = _L(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _Q15_SHIP_FROM)
+        & (F.col("l_shipdate") < _Q15_SHIP_TO)
+    )
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            fround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    sup = _L(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == mx.max_revenue)
+        .join(F.broadcast(sup), rev.l_suppkey == sup.s_suppkey)
+        .select(
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            "s_name",
+            "total_revenue",
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+TOP_SUPPLIER_REVENUE_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey,
+         {sql_round('sum(l_extendedprice * (1 - l_discount))', 2)} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{_Q15_SHIP_FROM}'
+    AND l_shipdate < TIMESTAMP '{_Q15_SHIP_TO}'
+  GROUP BY 1)
+SELECT CAST(s.s_suppkey AS BIGINT) AS s_suppkey, s.s_name, r.total_revenue
+FROM revenue r
+JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+_Q7_NATION_A = "NATION_1"
+_Q7_NATION_B = "NATION_2"
+
+
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume — revenue shipped
+    between two specific nations (supplier nation x customer nation,
+    both directions), grouped by (supp_nation, cust_nation,
+    ship year). The classic two-branch dimension snowflake: lineitem
+    ⋈ orders ⋈ customer ⋈ nation on one side, lineitem ⋈ supplier ⋈
+    nation on the other.
+
+    Plan: both nation-restricted dim chains (supplier⋈nation,
+    customer⋈nation — each pre-filtered to the two nations, so a
+    fraction of the dim) BROADCAST; the only fact-fact work is
+    lineitem⋈orders on orderkey; the cross-pair filter
+    (supp != cust nation) applies post-join on broadcast columns; one
+    final partial-agg shuffle over ≤ 2·|years| rows.
+    """
+    nations = _L(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(_Q7_NATION_A, _Q7_NATION_B)
+    )
+    sup = (
+        _L(spark, sf_dir, "supplier")
+        .join(F.broadcast(nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        _L(spark, sf_dir, "customer")
+        .join(F.broadcast(nations), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = _L(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _L(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"
+    )
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(fround(rev, 2).alias("revenue"), F.count("*").cast("long").alias("n_lines"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+NATION_TRADE_VOLUME_SQL = f"""
+SELECT sn.n_name AS supp_nation,
+       cn.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INT) AS l_year,
+       {sql_round('sum(l.l_extendedprice * (1 - l.l_discount))', 2)} AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+WHERE sn.n_name IN ('{_Q7_NATION_A}', '{_Q7_NATION_B}')
+  AND cn.n_name IN ('{_Q7_NATION_A}', '{_Q7_NATION_B}')
+  AND sn.n_name != cn.n_name
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
 def waiting_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: double-correlated EXISTS + NOT EXISTS — per
     supplier, count multi-supplier orders where THIS supplier left a
@@ -1762,6 +1949,15 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "waiting_supplier_orders": QuerySpec(
         waiting_supplier_orders, WAITING_SUPPLIER_ORDERS_SQL, "Q21 double-corr ext"
+    ),
+    "disjunctive_brand_revenue": QuerySpec(
+        disjunctive_brand_revenue, DISJUNCTIVE_BRAND_REVENUE_SQL, "Q19 or-of-ands ext"
+    ),
+    "top_supplier_revenue": QuerySpec(
+        top_supplier_revenue, TOP_SUPPLIER_REVENUE_SQL, "Q15 view+scalar-max ext"
+    ),
+    "nation_trade_volume": QuerySpec(
+        nation_trade_volume, NATION_TRADE_VOLUME_SQL, "Q7 bilateral snowflake ext"
     ),
     "customer_value_deciles": QuerySpec(
         customer_value_deciles, CUSTOMER_VALUE_DECILES_SQL, "W ntile decile ext"

@@ -163,6 +163,9 @@ FROZEN_ORDER: tuple[str, ...] = (
     "bpe_merge_candidates",
     "embedding_pq_codes",
     "knn_pq_adc",
+    "disjunctive_brand_revenue",
+    "top_supplier_revenue",
+    "nation_trade_volume",
 )
 
 
@@ -177,7 +180,7 @@ def test_driver_window_r6_rotation():
     # out is green in r5 AND at least one earlier round (verified
     # against the CORRECTNESS files at rotation time); the two r6
     # additions start demoted and are staged for r7.
-    assert len(FROZEN_ORDER) - DRIVER_WINDOW == 71
+    assert len(FROZEN_ORDER) - DRIVER_WINDOW == 74
     in_window = set(FROZEN_ORDER[:DRIVER_WINDOW])
     promoted_r6 = (
         "events_gap_detection",

@@ -611,3 +611,34 @@ def test_adc_tables_broadcast_and_integer_sum(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "partial_sum" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q19_bounds_push_and_part_broadcasts(spark, sf_dir):
+    # the disjunction itself can't push down whole, but the arm-union
+    # bounds must reach both scans, and part is the broadcast side
+    plan = _plan(spark, sf_dir, "disjunctive_brand_revenue")
+    assert "BroadcastHashJoin" in plan
+    reads = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("l_quantity" in ln for ln in reads)
+    assert any("p_size" in ln for ln in reads)
+    assert "CartesianProduct" not in plan
+
+
+def test_q15_quarter_pushed_and_max_broadcasts(spark, sf_dir):
+    # the ship-quarter filter reaches the lineitem scan; the 1-row
+    # max and the supplier dim both arrive via broadcast joins; only
+    # the suppkey agg requires a keyed exchange
+    plan = _plan(spark, sf_dir, "top_supplier_revenue")
+    assert any(
+        "l_shipdate" in ln for ln in plan.splitlines() if "PushedFilters" in ln
+    )
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_q7_dim_chains_broadcast(spark, sf_dir):
+    # both nation-restricted dim chains broadcast; the only
+    # SortMergeJoin candidate is the fact-fact orderkey join
+    plan = _plan(spark, sf_dir, "nation_trade_volume")
+    assert plan.count("BroadcastHashJoin") >= 3  # sup, cust chains + nations
+    assert "CartesianProduct" not in plan
