@@ -540,6 +540,39 @@ def _hex3_to_int_sql(h: str) -> str:
     )
 
 
+def cms_sketch_counters(words: DataFrame) -> DataFrame:
+    """(row_i, bucket, cnt) Count-Min counters for a `word` column —
+    the mergeable core shared by the cms_heavy_hitters catalog query
+    and the streaming CMS ledger (streaming/jobs.py). Vocab-weighted
+    (r6): the {_CMS_D} md5 hashes run per DISTINCT word and the
+    counters sum the word frequencies, which equals the
+    per-occurrence count exactly while hashing |vocab| strings
+    instead of every occurrence. Counter addition is associative and
+    commutative, so counters built per micro-batch/partition merge by
+    plain summation."""
+    vocab = words.groupBy("word").agg(F.count("*").alias("wf"))
+    rb = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row_i"),
+                (
+                    _hex3_to_int_spark(
+                        F.md5(F.concat(F.lit(f"{i}:"), F.col("word")))
+                    )
+                    % _CMS_W
+                ).alias("bucket"),
+            )
+            for i in range(_CMS_D)
+        ]
+    )
+    return (
+        vocab.select("wf", F.explode(rb).alias("rb"))
+        .select("rb.row_i", "rb.bucket", "wf")
+        .groupBy("row_i", "bucket")
+        .agg(F.sum("wf").alias("cnt"))
+    )
+
+
 def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch word-frequency estimation validated against
     the exact heavy hitters: the corpus word stream folds into a
@@ -570,26 +603,7 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split("text", " ")).alias("word")
     )
     vocab = words.groupBy("word").agg(F.count("*").alias("n_exact"))
-    rb = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("row_i"),
-                (
-                    _hex3_to_int_spark(
-                        F.md5(F.concat(F.lit(f"{i}:"), F.col("word")))
-                    )
-                    % _CMS_W
-                ).alias("bucket"),
-            )
-            for i in range(_CMS_D)
-        ]
-    )
-    sketch = (
-        vocab.select("n_exact", F.explode(rb).alias("rb"))
-        .select("rb.row_i", "rb.bucket", "n_exact")
-        .groupBy("row_i", "bucket")
-        .agg(F.sum("n_exact").alias("cnt"))
-    )
+    sketch = cms_sketch_counters(words)
 
     wtop = Window.orderBy(F.desc("n_exact"), F.asc("word"))
     top = vocab.withColumn("rk", F.row_number().over(wtop)).filter(

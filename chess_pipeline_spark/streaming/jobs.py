@@ -531,6 +531,52 @@ def stream_hll_distinct(events: DataFrame, registers_path: str, estimates_path: 
     return events.writeStream.foreachBatch(_process)
 
 
+def stream_cms_sketch(docs: DataFrame, ledger_path: str, snapshot_path: str):
+    """Continuous Count-Min word-frequency sketch over a document
+    stream: each micro-batch reduces to its own (row_i, bucket)
+    counter grid via plans.profiling.cms_sketch_counters and lands in
+    a ledger PARTITIONED BY batch_id with dynamic partition overwrite
+    — counter addition is associative but NOT idempotent, so (like
+    the value-histogram ledger and unlike the max-merge HLL ledger)
+    exactly-once comes from the layout: a replayed batch rewrites
+    exactly its own partition. The merged sketch = plain sum over the
+    ledger; a per-batch snapshot records its summary.
+
+    Streaming twin of the cms_heavy_hitters sketch: pytest asserts
+    the replayed-merged counters equal the single-batch counters over
+    the same documents EXACTLY (the sketch half; the exact-top-20
+    half of the batch query needs exact counts and is inherently a
+    batch report). 100 TB shape: per batch one map-side-combined
+    shuffle down to <= 4x1024 counter rows; the ledger
+    grows by KBs per batch and compacts with one groupBy.
+    """
+    from chess_pipeline_spark.plans.profiling import cms_sketch_counters
+    from chess_pipeline_spark.sinks import upsert_partition_overwrite
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        words = batch.filter(F.col("text").isNotNull()).select(
+            F.explode(F.split("text", " ")).alias("word")
+        )
+        counters = cms_sketch_counters(words).withColumn(
+            "batch_id", F.lit(batch_id)
+        )
+        upsert_partition_overwrite(counters, ledger_path, ["batch_id"])
+        merged = (
+            spark.read.parquet(ledger_path)
+            .groupBy("row_i", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        snap = merged.agg(
+            F.count("*").cast("long").alias("buckets_used"),
+            F.sum("cnt").cast("long").alias("total_count"),
+            F.max("cnt").cast("long").alias("max_count"),
+        ).withColumn("batch_id", F.lit(batch_id))
+        snap.write.mode("append").parquet(snapshot_path)
+
+    return docs.writeStream.foreachBatch(_process)
+
+
 def stream_value_histogram(events: DataFrame, ledger_path: str, quantiles_path: str):
     """Continuous binned-quantile tracking: each micro-batch reduces
     to its (event_type, bin) counts and lands in a ledger PARTITIONED

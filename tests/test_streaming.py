@@ -582,3 +582,77 @@ def test_watermark_drops_late_events_across_batches(spark, tmp_path):
     # W0 was finalized (and emitted exactly once) before the too-late
     # event arrived; the late row neither re-emits nor re-counts
     assert w0 == [1], rows
+
+
+def test_stream_cms_sketch_matches_batch_exactly(spark, sf_dir, tmp_path):
+    """Two-batch document replay: the merged CMS ledger must equal
+    the single-pass batch counters over the same documents EXACTLY
+    (counter addition is associative), and rewriting a batch's
+    partition with the same content must not double-count."""
+    import os
+    import time
+
+    import pyspark.sql.functions as F
+
+    from chess_pipeline_spark.plans.profiling import cms_sketch_counters
+    from chess_pipeline_spark.sources import load_table
+    from chess_pipeline_spark.streaming.jobs import (
+        read_documents_stream,
+        stream_cms_sketch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.select("doc_id", "text", "lang", "source", "n_chars")
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    mid = raw.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    raw.filter(F.col("doc_id") <= mid).toPandas().to_parquet(str(src / "b0.parquet"))
+    raw.filter(F.col("doc_id") > mid).toPandas().to_parquet(str(src / "b1.parquet"))
+    now = time.time()
+    os.utime(src / "b0.parquet", (now - 60, now - 60))
+    os.utime(src / "b1.parquet", (now, now))
+
+    ledger = tmp_path / "cms_ledger"
+    stream = read_documents_stream(
+        spark, str(src), glob="*.parquet", max_files_per_trigger=1
+    )
+    q = (
+        stream_cms_sketch(stream, str(ledger), str(tmp_path / "cms_snap"))
+        .option("checkpointLocation", str(tmp_path / "ckpt_cms"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r.row_i, r.bucket): r.cnt
+        for r in spark.read.parquet(str(ledger))
+        .groupBy("row_i", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    words = docs.filter(F.col("text").isNotNull()).select(
+        F.explode(F.split("text", " ")).alias("word")
+    )
+    want = {
+        (r.row_i, r.bucket): r.cnt for r in cms_sketch_counters(words).collect()
+    }
+    assert got == want
+
+    # the final snapshot's totals agree with the merged grid
+    snap = (
+        spark.read.parquet(str(tmp_path / "cms_snap"))
+        .orderBy(F.desc("batch_id"))
+        .first()
+    )
+    assert snap.buckets_used == len(want)
+    assert snap.total_count == sum(want.values())
+
+    # replay idempotency: rewriting batch 0's partition is a no-op
+    from chess_pipeline_spark.sinks import upsert_partition_overwrite
+
+    before = sorted(map(tuple, spark.read.parquet(str(ledger)).collect()))
+    b0 = spark.read.parquet(str(ledger)).filter(F.col("batch_id") == 0)
+    upsert_partition_overwrite(b0, str(ledger), ["batch_id"])
+    after = sorted(map(tuple, spark.read.parquet(str(ledger)).collect()))
+    assert before == after
