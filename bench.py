@@ -141,6 +141,9 @@ EXTENDED = [
     "disjunctive_brand_revenue",
     "top_supplier_revenue",
     "nation_trade_volume",
+    "shipping_priority_topk",
+    "forecast_revenue_change",
+    "promo_revenue_share",
 ]
 
 ROUND = 6  # bump per round; names the committed BENCHLOCAL file

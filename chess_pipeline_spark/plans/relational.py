@@ -1388,6 +1388,143 @@ WHERE l.l_quantity < p.half_avg_qty
 
 
 
+_Q3_SEGMENT = "BUILDING"
+_Q3_CUTOFF = "1998-01-01"
+
+
+def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: unshipped-revenue shipping-priority report —
+    top-10 orders by revenue among a customer segment's orders whose
+    lineitems shipped after a cutoff. customer(segment) ⋈ orders ⋈
+    lineitem, group by order, top-k.
+
+    Plan: the segment filter pushes to the customer scan and that dim
+    BROADCASTS; the date filter pushes to the lineitem scan; one
+    orderkey fact join + one order-grain agg shuffle; top-10 is
+    orderBy+limit = TakeOrdered. Ties broken by orderkey for a total
+    order (the grid-rounded revenue makes the cutoff engine-stable).
+    """
+    cust = _L(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == _Q3_SEGMENT
+    ).select("c_custkey")
+    orders = _L(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    li = _L(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > _Q3_CUTOFF
+    )
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(fround(rev, 2).alias("revenue"))
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+SHIPPING_PRIORITY_TOPK_SQL = f"""
+SELECT o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o.o_orderpriority,
+       {sql_round('sum(l.l_extendedprice * (1 - l.l_discount))', 2)} AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE c.c_mktsegment = '{_Q3_SEGMENT}'
+  AND l.l_shipdate > TIMESTAMP '{_Q3_CUTOFF}'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the pure scan-filter aggregate — revenue
+    delta from discounted small-quantity lineitems in one ship year.
+    The simplest plan in the DSS family and the purest pushdown
+    check: EVERY predicate (date range, discount band, quantity cap)
+    must reach the parquet scan, the projection must read only the 4
+    touched columns, and the whole query is one partial-agg reduce —
+    zero joins, zero keyed shuffles (plan-gated).
+    """
+    li = _L(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & (F.col("l_discount").between(0.02, 0.04))
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        fround(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue_delta"
+        ),
+        F.count("*").cast("long").alias("n_lines"),
+    )
+
+
+FORECAST_REVENUE_CHANGE_SQL = f"""
+SELECT {sql_round('sum(l_extendedprice * l_discount)', 2)} AS revenue_delta,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.04
+  AND l_quantity < 24
+"""
+
+
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share — the CASE-inside-
+    aggregate ratio (promo-typed parts' revenue over all revenue) for
+    one ship month. The conditional-aggregation idiom: ONE pass
+    computes both numerator and denominator (a CASE folded into the
+    partial sum), never two filtered scans.
+
+    Plan: date range pushes to the lineitem scan; part broadcasts;
+    the ratio is computed from grid-rounded cent sums so the division
+    is engine-stable. Output: promo share in percent plus both sums.
+    """
+    li = _L(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-03-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    part = _L(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    agg = j.agg(
+        fround(F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0.0)), 2).alias(
+            "promo_revenue"
+        ),
+        fround(F.sum(rev), 2).alias("total_revenue"),
+    )
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        fround(
+            F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue"), 6
+        ).alias("promo_share_pct"),
+    )
+
+
+PROMO_REVENUE_SHARE_SQL = f"""
+WITH agg AS (
+  SELECT {sql_round("sum(CASE WHEN p.p_type LIKE 'PROMO%' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END)", 2)} AS promo_revenue,
+         {sql_round('sum(l.l_extendedprice * (1 - l.l_discount))', 2)} AS total_revenue
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
+    AND l.l_shipdate < TIMESTAMP '1997-04-01')
+SELECT promo_revenue, total_revenue,
+       {sql_round('100.0 * promo_revenue / total_revenue', 6)} AS promo_share_pct
+FROM agg
+"""
+
+
 def disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate across
     the lineitem⋈part join — three (brand, size-range, qty-range)
@@ -1952,6 +2089,15 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "disjunctive_brand_revenue": QuerySpec(
         disjunctive_brand_revenue, DISJUNCTIVE_BRAND_REVENUE_SQL, "Q19 or-of-ands ext"
+    ),
+    "shipping_priority_topk": QuerySpec(
+        shipping_priority_topk, SHIPPING_PRIORITY_TOPK_SQL, "Q3 segment topk ext"
+    ),
+    "forecast_revenue_change": QuerySpec(
+        forecast_revenue_change, FORECAST_REVENUE_CHANGE_SQL, "Q6 pure-pushdown ext"
+    ),
+    "promo_revenue_share": QuerySpec(
+        promo_revenue_share, PROMO_REVENUE_SHARE_SQL, "Q14 case-ratio ext"
     ),
     "top_supplier_revenue": QuerySpec(
         top_supplier_revenue, TOP_SUPPLIER_REVENUE_SQL, "Q15 view+scalar-max ext"

@@ -166,6 +166,9 @@ FROZEN_ORDER: tuple[str, ...] = (
     "disjunctive_brand_revenue",
     "top_supplier_revenue",
     "nation_trade_volume",
+    "shipping_priority_topk",
+    "forecast_revenue_change",
+    "promo_revenue_share",
 )
 
 
@@ -180,7 +183,7 @@ def test_driver_window_r6_rotation():
     # out is green in r5 AND at least one earlier round (verified
     # against the CORRECTNESS files at rotation time); the two r6
     # additions start demoted and are staged for r7.
-    assert len(FROZEN_ORDER) - DRIVER_WINDOW == 74
+    assert len(FROZEN_ORDER) - DRIVER_WINDOW == 77
     in_window = set(FROZEN_ORDER[:DRIVER_WINDOW])
     promoted_r6 = (
         "events_gap_detection",

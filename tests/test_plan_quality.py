@@ -642,3 +642,36 @@ def test_q7_dim_chains_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "nation_trade_volume")
     assert plan.count("BroadcastHashJoin") >= 3  # sup, cust chains + nations
     assert "CartesianProduct" not in plan
+
+
+def test_q3_segment_broadcast_and_date_pushdown(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "shipping_priority_topk")
+    assert "BroadcastHashJoin" in plan
+    assert any(
+        "l_shipdate" in ln for ln in plan.splitlines() if "PushedFilters" in ln
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q6_every_predicate_pushed_zero_shuffles(spark, sf_dir):
+    # the purest pushdown check in the catalog: all three predicates
+    # reach the scan, only 4 columns are read, no join, no keyed
+    # exchange — the whole query is one partial-agg reduce
+    plan = _plan(spark, sf_dir, "forecast_revenue_change")
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert any(col in ln for ln in pushed), col
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_returnflag" not in read and "l_tax" not in read
+    assert "Join" not in plan
+    assert _required_shuffles(plan) == 0
+
+
+def test_q14_single_pass_case_ratio(spark, sf_dir):
+    # numerator and denominator come from ONE scan with the CASE
+    # folded into the partial agg — not two filtered scans unioned
+    plan = _plan(spark, sf_dir, "promo_revenue_share")
+    assert plan.count("Location: InMemoryFileIndex") == 2  # lineitem + part once each
+    assert "partial_sum" in plan
+    assert "BroadcastHashJoin" in plan
