@@ -24,6 +24,13 @@ scan's PartitionFilters actually contain list_id (the pruning is in
 the plan, not just hoped for), and (3) measured recall vs global
 brute force at nprobe=1 and nprobe=2.
 
+r6 adds the ADC half of IVFADC: build stores per-vector PQ codes
+(8 tinyint subspace codes against a deterministic 32-centroid
+codebook) next to the int8 affine codes, and `probe_ivf_adc` scores
+candidates entirely from lookup tables — the lists scan reads only
+(vec_id, list_id, pq_code), so the probe I/O is ~9 bytes/vector
+instead of 256 float bytes, on top of the partition pruning.
+
 Reference semantics anchor: the reference has no ANN surface; this
 extends the training-data extension family (COVERAGE.md) with the
 standard IVF-Flat layout (Johnson et al., billion-scale similarity
@@ -93,6 +100,27 @@ def _nearest_lists(
             F.explode(F.expr("transform(top, t -> -t.nl)")).alias("list_id"),
         )
     )
+
+
+# product-quantization geometry for the stored codes (kept in sync
+# with plans/llm.py's catalog demonstration: 8 subspaces, 32 seeded
+# centroids — the measured recall knee on the synthetic embeddings)
+_PQ_M = 8
+_PQ_K = 32
+
+
+def _pq_subdist(j: int, sub: int):
+    """Squared L2 between `embedding`'s and `c`'s j-th subvector,
+    grid-rounded at 1e-9 so argmin ties break identically anywhere."""
+    lo = j * sub + 1
+    d = F.expr(
+        f"aggregate(zip_with(slice(embedding, {lo}, {sub}), "
+        f"slice(c, {lo}, {sub}), "
+        f"(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) "
+        f"* (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        f"CAST(0 AS DOUBLE), (a, b) -> a + b)"
+    )
+    return F.floor(d * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
 
 
 def build_ivf_index(
@@ -179,10 +207,51 @@ def build_ivf_index(
             ),
         )
     )
-    assigned.write.partitionBy("list_id").mode("overwrite").parquet(
-        os.path.join(out_path, "lists")
+    # product-quantization codes (r6): per-subspace argmin against a
+    # deterministic codebook (the _PQ_K lowest-id vectors, same
+    # seeding rule as the coarse centroids), stored as m tinyint
+    # codes per vector — the IVFADC layout: an ADC probe reads ONLY
+    # (vec_id, list_id, pq_code), m bytes of payload per vector.
+    dim = corpus.select(F.size("embedding").alias("d")).first()["d"]
+    sub = dim // _PQ_M
+    codebook = (
+        corpus.orderBy(id_col)
+        .limit(_PQ_K)
+        .select(
+            F.row_number().over(Window.orderBy(id_col)).alias("cid"),
+            F.col("embedding").alias("c"),
+        )
+        .localCheckpoint()
     )
+    scored = assigned.select(id_col, "embedding").crossJoin(
+        F.broadcast(codebook)
+    ).select(
+        id_col,
+        "cid",
+        *[_pq_subdist(j, sub).alias(f"pd{j}") for j in range(_PQ_M)],
+    )
+    pq = (
+        scored.groupBy(id_col)
+        .agg(
+            *[
+                F.min(
+                    F.struct(F.col(f"pd{j}").alias("d"), F.col("cid").alias("cc"))
+                ).alias(f"m{j}")
+                for j in range(_PQ_M)
+            ]
+        )
+        .select(
+            id_col,
+            F.array(
+                *[F.col(f"m{j}.cc").cast("tinyint") for j in range(_PQ_M)]
+            ).alias("pq_code"),
+        )
+    )
+    assigned.join(pq, id_col).write.partitionBy("list_id").mode(
+        "overwrite"
+    ).parquet(os.path.join(out_path, "lists"))
     seeds.write.mode("overwrite").parquet(os.path.join(out_path, "centroids"))
+    codebook.write.mode("overwrite").parquet(os.path.join(out_path, "pq_codebook"))
 
 
 def probe_ivf_index(
@@ -253,6 +322,103 @@ def probe_ivf_index(
         # queries, each corpus vector lives in exactly one list)
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= k)
+
+
+def probe_ivf_adc(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 1,
+    id_col: str = "qid",
+) -> DataFrame:
+    """IVFADC probe: approximate top-k by SMALLEST squared L2 inside
+    the nprobe nearest lists, scored entirely from the stored PQ
+    codes — the billion-scale serving path (Jégou et al.).
+
+    Per query: one tiny job against the broadcast codebook builds a
+    FLAT lookup table (its L2² to every per-subspace centroid,
+    _PQ_M·_PQ_K integer micro-units); each probed candidate is then
+    scored by _PQ_M `element_at` lookups folded over its code array —
+    row-local, zero per-candidate joins, and the lists scan reads
+    ONLY (vec_id, list_id, pq_code): neither the float embedding nor
+    the int8 affine codes are touched (asserted on ReadSchema in
+    tests). Dynamic partition pruning from the broadcast probe side
+    still applies, so non-probed directories are never read. The
+    integer micro-unit tables make the ADC sum order-free, so results
+    are deterministic and engine-stable.
+    """
+    lists_schema = spark.read.parquet(os.path.join(index_path, "lists")).schema
+    if "pq_code" not in [f.name for f in lists_schema.fields]:
+        raise ValueError(
+            f"probe_ivf_adc: index at {index_path!r} has no 'pq_code' "
+            "column (built before PQ codes existed); rebuild with "
+            "build_ivf_index or use probe_ivf_index"
+        )
+    centroids = spark.read.parquet(os.path.join(index_path, "centroids"))
+    codebook = spark.read.parquet(os.path.join(index_path, "pq_codebook"))
+    dim = codebook.select(F.size("c").alias("d")).first()["d"]
+    sub = dim // _PQ_M
+
+    probed = _nearest_lists(queries, centroids, nprobe, id_col).select(
+        F.col(id_col).alias("q_id"),
+        F.col("embedding"),
+        F.col("list_id").alias("probe_list"),
+    )
+    # flat per-query table: entry (j*K + cid) = micro(L2²(q_j, c_j))
+    td = probed.crossJoin(F.broadcast(codebook)).select(
+        "q_id",
+        "probe_list",
+        "cid",
+        *[
+            F.floor(_pq_subdist(j, sub) * F.lit(1_000_000.0) + F.lit(0.5))
+            .cast("long")
+            .alias(f"dm{j}")
+            for j in range(_PQ_M)
+        ],
+    )
+    tbl = (
+        td.select(
+            "q_id",
+            "probe_list",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            (F.lit(j * _PQ_K) + F.col("cid")).alias("pos"),
+                            F.col(f"dm{j}").alias("dm"),
+                        )
+                        for j in range(_PQ_M)
+                    ]
+                )
+            ).alias("e"),
+        )
+        .groupBy("q_id", "probe_list")
+        .agg(
+            F.expr("transform(array_sort(collect_list(e)), x -> x.dm)").alias("tbl")
+        )
+    )
+    lists = spark.read.parquet(os.path.join(index_path, "lists")).select(
+        "vec_id", "list_id", "pq_code"
+    )
+    adc = F.expr(
+        f"aggregate(zip_with(pq_code, sequence(0, {_PQ_M - 1}), "
+        f"(c, j) -> element_at(tbl, j * {_PQ_K} + CAST(c AS INT))), "
+        f"CAST(0 AS BIGINT), (a, b) -> a + b)"
+    )
+    scored = (
+        lists.join(F.broadcast(tbl), lists.list_id == F.col("probe_list"))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            F.col("q_id").alias("qid"),
+            F.col("vec_id").alias("neighbor_id"),
+            adc.alias("adc_micro"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("adc_micro"), F.asc("neighbor_id"))
     return scored.withColumn(
         "rank", F.row_number().over(w).cast("long")
     ).filter(F.col("rank") <= k)

