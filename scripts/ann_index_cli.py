@@ -7,12 +7,17 @@
          refinement of the deterministic lowest-id seeds.
   probe: top-k cosine neighbors for a set of query vector ids,
          printed as JSON lines (qid, neighbor_id, cos_sim, rank).
+         --mode exact scans the float embeddings, --mode int8 the
+         dequantized affine codes, --mode adc scores purely from the
+         stored PQ codes via per-query lookup tables (IVFADC — the
+         lists scan reads ~9 bytes/vector; emits adc_micro instead of
+         cos_sim).
 
 Usage:
   python scripts/ann_index_cli.py build --sf-dir /root/testdata/sf0.01 \
       --out /data/ivf --n-lists 8 --lloyd 2
   python scripts/ann_index_cli.py probe --sf-dir /root/testdata/sf0.01 \
-      --index /data/ivf --query-ids 0,1,2 --k 5 --nprobe 2
+      --index /data/ivf --query-ids 0,1,2 --k 5 --nprobe 2 --mode adc
 """
 
 from __future__ import annotations
@@ -46,7 +51,7 @@ def run_build(args: argparse.Namespace, spark=None) -> int:
 def run_probe(args: argparse.Namespace, spark=None) -> int:
     import pyspark.sql.functions as F
 
-    from chess_pipeline_spark.ann_index import probe_ivf_index
+    from chess_pipeline_spark.ann_index import probe_ivf_adc, probe_ivf_index
     from chess_pipeline_spark.session import get_spark
     from chess_pipeline_spark.sources import load_table
 
@@ -57,16 +62,30 @@ def run_probe(args: argparse.Namespace, spark=None) -> int:
         .filter(F.col("vec_id").isin(qids))
         .select(F.col("vec_id").alias("qid"), "embedding")
     )
-    out = probe_ivf_index(
-        spark, args.index, queries, k=args.k, nprobe=args.nprobe, id_col="qid"
-    )
+    mode = getattr(args, "mode", "exact")
+    if mode == "adc":
+        out = probe_ivf_adc(
+            spark, args.index, queries, k=args.k, nprobe=args.nprobe, id_col="qid"
+        )
+        score_field = "adc_micro"
+    else:
+        out = probe_ivf_index(
+            spark,
+            args.index,
+            queries,
+            k=args.k,
+            nprobe=args.nprobe,
+            id_col="qid",
+            coded=(mode == "int8"),
+        )
+        score_field = "cos_sim"
     for r in out.orderBy("qid", "rank").collect():
         print(
             json.dumps(
                 {
                     "qid": r.qid,
                     "neighbor_id": r.neighbor_id,
-                    "cos_sim": r.cos_sim,
+                    score_field: getattr(r, score_field),
                     "rank": r.rank,
                 }
             )
@@ -90,6 +109,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     q.add_argument("--query-ids", required=True, help="comma-separated vec_ids")
     q.add_argument("--k", type=int, default=5)
     q.add_argument("--nprobe", type=int, default=1)
+    q.add_argument(
+        "--mode",
+        choices=["exact", "int8", "adc"],
+        default="exact",
+        help="exact floats, dequantized int8 codes, or PQ lookup-table ADC",
+    )
 
     args = p.parse_args(argv)
     return run_build(args, spark) if args.cmd == "build" else run_probe(args, spark)

@@ -109,6 +109,22 @@ def test_cli_ann_index_build_probe(spark, sf_dir, tmp_path, capsys):
     for r in lines:
         assert 1 <= r["rank"] <= 3 and r["neighbor_id"] != r["qid"]
 
+    # ADC mode: scores come from the stored PQ codes (adc_micro ints)
+    rc = ann_index_cli.main(
+        ["probe", "--sf-dir", sf_dir, "--index", idx,
+         "--query-ids", "0,1", "--k", "3", "--mode", "adc"],
+        spark=spark,
+    )
+    assert rc == 0
+    adc_lines = [
+        _json.loads(ln)
+        for ln in capsys.readouterr().out.splitlines()
+        if ln.startswith("{")
+    ]
+    assert adc_lines and all(
+        isinstance(r["adc_micro"], int) and r["adc_micro"] >= 0 for r in adc_lines
+    )
+
 
 def test_cli_profile_data_card(spark, sf_dir, tmp_path):
     import json
