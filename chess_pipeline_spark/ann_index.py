@@ -31,6 +31,14 @@ candidates entirely from lookup tables — the lists scan reads only
 (vec_id, list_id, pq_code), so the probe I/O is ~9 bytes/vector
 instead of 256 float bytes, on top of the partition pruning.
 
+r6 also adds incremental maintenance: `stream_ingest_ivf` lands new
+vectors in a (list_id, ingest_batch)-partitioned delta (exactly-once
+by partition overwrite; encoded with the same _encode_rows as the
+build, against the frozen centroids/codebook), probes union base +
+delta transparently, and `compact_ivf_index` folds the delta back in
+— maintenance cost is delta-proportional, the base is immutable
+between compactions.
+
 Reference semantics anchor: the reference has no ANN surface; this
 extends the training-data extension family (COVERAGE.md) with the
 standard IVF-Flat layout (Johnson et al., billion-scale similarity
@@ -174,23 +182,43 @@ def build_ivf_index(
             .withColumn("c_nrm", F.expr(_NORM.format(v="centroid")))
             .localCheckpoint()
         )
-    assigned = _nearest_lists(vecs, seeds, 1, id_col).withColumn(
-        # norms are an index-build artifact: probes divide by them on
-        # every scored pair, so compute once here, never at query time
-        "nrm",
-        F.expr(_NORM.format(v="embedding")),
+    assigned = _nearest_lists(vecs, seeds, 1, id_col)
+    # product-quantization codebook (r6): the _PQ_K lowest-id
+    # vectors, same seeding rule as the coarse centroids.
+    dim = corpus.select(F.size("embedding").alias("d")).first()["d"]
+    codebook = (
+        corpus.orderBy(id_col)
+        .limit(_PQ_K)
+        .select(
+            F.row_number().over(Window.orderBy(id_col)).alias("cid"),
+            F.col("embedding").alias("c"),
+        )
+        .localCheckpoint()
     )
-    # int8 affine codes (per-vector min/max, 256 levels): the
-    # memory-side layout a billion-vector deployment actually scans —
-    # 1 byte/dim in the page cache vs 4 — persisted next to the float
-    # embedding so probes choose exact or coded per query batch.
-    # Levels are zero-centered (level - 128) so they genuinely fit
-    # TINYINT and parquet stores 1 byte/dim as advertised (an
-    # unsigned 0..255 level does not fit a signed byte). The
-    # flat-vector guard (mx == mn) pins scale to 1 so the transform
-    # stays total.
-    assigned = (
-        assigned.withColumn("q_mn", F.expr("CAST(array_min(embedding) AS DOUBLE)"))
+    _encode_rows(assigned, codebook, dim // _PQ_M, id_col).write.partitionBy(
+        "list_id"
+    ).mode("overwrite").parquet(os.path.join(out_path, "lists"))
+    seeds.write.mode("overwrite").parquet(os.path.join(out_path, "centroids"))
+    codebook.write.mode("overwrite").parquet(os.path.join(out_path, "pq_codebook"))
+
+
+def _encode_rows(
+    assigned: DataFrame, codebook: DataFrame, sub: int, id_col: str
+) -> DataFrame:
+    """Full index-row payload for an assigned (id, embedding, list_id)
+    frame — shared by the initial build and the streaming ingest so a
+    delta row is byte-identical to a built row:
+
+    * nrm — precomputed vector norm (probes divide by it per pair);
+    * int8 affine codes (per-vector min/max, 256 zero-centered
+      TINYINT levels — genuinely 1 byte/dim in parquet; the
+      flat-vector guard pins scale to 1 so the transform is total);
+    * pq_code — per-subspace argmin against the broadcast codebook
+      (the IVFADC layout: an ADC probe reads only these m bytes).
+    """
+    rows = (
+        assigned.withColumn("nrm", F.expr(_NORM.format(v="embedding")))
+        .withColumn("q_mn", F.expr("CAST(array_min(embedding) AS DOUBLE)"))
         .withColumn(
             "q_scale",
             F.expr(
@@ -207,23 +235,7 @@ def build_ivf_index(
             ),
         )
     )
-    # product-quantization codes (r6): per-subspace argmin against a
-    # deterministic codebook (the _PQ_K lowest-id vectors, same
-    # seeding rule as the coarse centroids), stored as m tinyint
-    # codes per vector — the IVFADC layout: an ADC probe reads ONLY
-    # (vec_id, list_id, pq_code), m bytes of payload per vector.
-    dim = corpus.select(F.size("embedding").alias("d")).first()["d"]
-    sub = dim // _PQ_M
-    codebook = (
-        corpus.orderBy(id_col)
-        .limit(_PQ_K)
-        .select(
-            F.row_number().over(Window.orderBy(id_col)).alias("cid"),
-            F.col("embedding").alias("c"),
-        )
-        .localCheckpoint()
-    )
-    scored = assigned.select(id_col, "embedding").crossJoin(
+    scored = rows.select(id_col, "embedding").crossJoin(
         F.broadcast(codebook)
     ).select(
         id_col,
@@ -247,11 +259,85 @@ def build_ivf_index(
             ).alias("pq_code"),
         )
     )
-    assigned.join(pq, id_col).write.partitionBy("list_id").mode(
-        "overwrite"
-    ).parquet(os.path.join(out_path, "lists"))
-    seeds.write.mode("overwrite").parquet(os.path.join(out_path, "centroids"))
-    codebook.write.mode("overwrite").parquet(os.path.join(out_path, "pq_codebook"))
+    return rows.join(pq, id_col)
+
+
+def stream_ingest_ivf(vectors: DataFrame, index_path: str, id_col: str = "vec_id"):
+    """Incremental IVF/IVFADC maintenance: continuously ingest new
+    vectors into an EXISTING index without touching the base lists.
+
+    Per micro-batch: assign each new vector to its nearest persisted
+    coarse centroid (broadcast — the centroids never change during
+    ingest, so assignments are consistent with the base build),
+    encode the full row payload with the SAME _encode_rows the build
+    uses (norm, int8 affine codes, PQ codes against the persisted
+    codebook), and land it under lists_delta/ PARTITIONED BY
+    (list_id, ingest_batch) with dynamic partition overwrite — a
+    replayed batch rewrites exactly its own partitions, so
+    at-least-once foreachBatch yields exactly-once rows. Probes union
+    base + delta transparently (see _read_lists); maintenance cost is
+    delta-proportional — the base is never rewritten until
+    compact_ivf_index folds the delta in.
+
+    Returns an unstarted writeStream (caller picks trigger +
+    checkpoint), like the other foreachBatch jobs.
+    """
+    from chess_pipeline_spark.sinks import upsert_partition_overwrite
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        seeds = spark.read.parquet(os.path.join(index_path, "centroids"))
+        codebook = spark.read.parquet(os.path.join(index_path, "pq_codebook"))
+        dim = codebook.select(F.size("c").alias("d")).first()["d"]
+        assigned = _nearest_lists(
+            batch.select(id_col, "embedding"), seeds, 1, id_col
+        )
+        rows = _encode_rows(assigned, codebook, dim // _PQ_M, id_col).withColumn(
+            "ingest_batch", F.lit(batch_id)
+        )
+        upsert_partition_overwrite(
+            rows,
+            os.path.join(index_path, "lists_delta"),
+            ["list_id", "ingest_batch"],
+        )
+
+    return vectors.writeStream.foreachBatch(_process)
+
+
+def compact_ivf_index(spark: SparkSession, index_path: str) -> None:
+    """Fold lists_delta into the base lists (tmp-write + atomic rename
+    protects the base itself; run in a maintenance window — probes
+    between the rename and the delta removal would double-read the
+    folded rows, the standard non-transactional-filesystem caveat a
+    lakehouse table format removes)."""
+    import shutil
+    import uuid
+
+    delta_path = os.path.join(index_path, "lists_delta")
+    lists_path = os.path.join(index_path, "lists")
+    if not os.path.exists(delta_path):
+        return
+    base = spark.read.parquet(lists_path)
+    delta = spark.read.parquet(delta_path).drop("ingest_batch")
+    merged = base.unionByName(delta)
+    tmp = f"{lists_path}.__tmp__{uuid.uuid4().hex[:8]}"
+    merged.write.partitionBy("list_id").mode("overwrite").parquet(tmp)
+    shutil.rmtree(lists_path)
+    os.rename(tmp, lists_path)
+    shutil.rmtree(delta_path)
+
+
+def _read_lists(spark: SparkSession, index_path: str) -> DataFrame:
+    """Base lists plus any un-compacted ingest delta (same schema by
+    construction — _encode_rows built both). Partition pruning on
+    list_id applies to each scan; the delta is delta-sized by
+    definition, so an unpruned delta scan is bounded anyway."""
+    lists = spark.read.parquet(os.path.join(index_path, "lists"))
+    delta_path = os.path.join(index_path, "lists_delta")
+    if os.path.exists(delta_path):
+        delta = spark.read.parquet(delta_path).drop("ingest_batch")
+        lists = lists.unionByName(delta, allowMissingColumns=True)
+    return lists
 
 
 def probe_ivf_index(
@@ -276,7 +362,7 @@ def probe_ivf_index(
         F.col("embedding").alias("qe"),
         F.col("list_id").alias("probe_list"),
     ).withColumn("qnorm", F.expr(_NORM.format(v="qe")))
-    lists = spark.read.parquet(os.path.join(index_path, "lists"))
+    lists = _read_lists(spark, index_path)
     if "nrm" not in lists.columns:  # pre-r5 index layout
         lists = lists.withColumn("nrm", F.expr(_NORM.format(v="embedding")))
     if coded:
@@ -351,7 +437,7 @@ def probe_ivf_adc(
     integer micro-unit tables make the ADC sum order-free, so results
     are deterministic and engine-stable.
     """
-    lists_schema = spark.read.parquet(os.path.join(index_path, "lists")).schema
+    lists_schema = _read_lists(spark, index_path).schema
     if "pq_code" not in [f.name for f in lists_schema.fields]:
         raise ValueError(
             f"probe_ivf_adc: index at {index_path!r} has no 'pq_code' "
@@ -401,9 +487,7 @@ def probe_ivf_adc(
             F.expr("transform(array_sort(collect_list(e)), x -> x.dm)").alias("tbl")
         )
     )
-    lists = spark.read.parquet(os.path.join(index_path, "lists")).select(
-        "vec_id", "list_id", "pq_code"
-    )
+    lists = _read_lists(spark, index_path).select("vec_id", "list_id", "pq_code")
     adc = F.expr(
         f"aggregate(zip_with(pq_code, sequence(0, {_PQ_M - 1}), "
         f"(c, j) -> element_at(tbl, j * {_PQ_K} + CAST(c AS INT))), "

@@ -24,8 +24,8 @@ __all__ = ["QuerySpec", "catalog", "DRIVER_WINDOW", "DEMOTION_COVERAGE"]
 # sample seeded by round number (e.g. sort names by
 # md5(f"{round}:{name}") and take 50) so every query gets periodic
 # driver contact without bespoke rotation plans. Until then the
-# checklist discipline below continues (r7: promote
-# dedup_groups_logstep, customer_value_deciles_sketch,
+# checklist discipline below continues (r7: promote the eleven
+# r6-new operators listed at the end of _DEMOTED plus
 # json_props_extract).
 DRIVER_WINDOW = 50
 
@@ -57,11 +57,13 @@ DRIVER_WINDOW = 50
 #          does multimodal_features (multi-green, but the ONLY
 #          mapInPandas/binary-media query family member — demoting
 #          both it and frame_sample_features would leave the family
-#          with no driver contact). The two operators built new in r6
-#          (dedup_groups_logstep, customer_value_deciles_sketch)
-#          start demoted with local oracle rows and are staged for
-#          the r7 promotion, alongside re-promoting json_props_extract
-#          (the one family whose in-window coverage is now indirect:
+#          with no driver contact). The ELEVEN operators built new in
+#          r6 (dedup_groups_logstep, customer_value_deciles_sketch,
+#          bpe_merge_candidates, embedding_pq_codes, knn_pq_adc, and
+#          the Q19/Q15/Q7/Q3/Q6/Q14 DSS shapes) start demoted with
+#          local sf0.001+sf0.01 oracle rows and are staged for the r7
+#          promotion, alongside re-promoting json_props_extract (the
+#          one family whose in-window coverage is now indirect:
 #          JSON-path extraction keeps pytest coverage via sources/rest
 #          but no driver row this round).
 _DEMOTED: tuple[str, ...] = (
@@ -133,8 +135,8 @@ _DEMOTED: tuple[str, ...] = (
     "stratified_sample",
     "pack_sequences",
     "tfidf_top_terms",
-    # --- added new in r6 (start demoted with local oracle rows;
-    # r7 ROTATION CHECKLIST: promote these eleven plus
+    # --- added new in r6 (start demoted with local sf0.001+sf0.01
+    # oracle rows; r7 ROTATION CHECKLIST: promote these eleven plus
     # json_props_extract) ---
     "dedup_groups_logstep",
     "customer_value_deciles_sketch",

@@ -330,3 +330,91 @@ def test_ivfadc_probe_codes_only_and_matches_numpy(spark, sf_dir, tmp_path):
             d9 = np.floor(d * 1e9 + 0.5) / 1e9
             total += int(np.floor(d9 * 1e6 + 0.5))
         assert abs(total - adc_micro) <= 2, (qid, nid, total, adc_micro)
+
+
+def test_stream_ingest_ivf_and_compaction(spark, sf_dir, tmp_path):
+    """Incremental index maintenance: build on the first half of the
+    corpus, stream-ingest the second half in two micro-batches, and
+    the probe over base+delta must EQUAL the probe over an index
+    built on the full corpus in one shot (the coarse seeds and PQ
+    codebook are the lowest-id vectors, which live in the first half,
+    so assignments and codes are identical by construction). Then:
+    replaying an ingest batch is a no-op (partition overwrite), and
+    compaction folds the delta into the base without changing any
+    probe result."""
+    import os
+    import time
+
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from chess_pipeline_spark.ann_index import (
+        build_ivf_index,
+        compact_ivf_index,
+        probe_ivf_adc,
+        probe_ivf_index,
+        stream_ingest_ivf,
+    )
+    from chess_pipeline_spark.sinks import upsert_partition_overwrite
+    from chess_pipeline_spark.sources import load_table
+
+    corpus = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    mid = corpus.agg(F.expr("percentile(vec_id, 0.5)")).first()[0]
+
+    full_idx = str(tmp_path / "ivf_full")
+    build_ivf_index(corpus, full_idx, n_lists=8)
+    inc_idx = str(tmp_path / "ivf_inc")
+    build_ivf_index(corpus.filter(F.col("vec_id") <= mid), inc_idx, n_lists=8)
+
+    # second half arrives as two files -> two micro-batches
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    rest = corpus.filter(F.col("vec_id") > mid)
+    q3 = rest.agg(F.expr("percentile(vec_id, 0.5)")).first()[0]
+    rest.filter(F.col("vec_id") <= q3).toPandas().to_parquet(str(src / "b0.parquet"))
+    rest.filter(F.col("vec_id") > q3).toPandas().to_parquet(str(src / "b1.parquet"))
+    now = time.time()
+    os.utime(src / "b0.parquet", (now - 60, now - 60))
+    os.utime(src / "b1.parquet", (now, now))
+
+    schema = spark.read.parquet(str(src / "b0.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        stream_ingest_ivf(stream, inc_idx)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ivf"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    queries = corpus.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    for probe, kw in ((probe_ivf_index, {"nprobe": 2}), (probe_ivf_adc, {"nprobe": 2})):
+        got = rows(probe(spark, inc_idx, queries, k=5, **kw))
+        want = rows(probe(spark, full_idx, queries, k=5, **kw))
+        assert got == want, probe.__name__
+
+    # replay idempotency: rewriting ingest batch 0's partitions with
+    # the same rows leaves the delta unchanged
+    delta = str(tmp_path / "ivf_inc" / "lists_delta")
+    before = rows(spark.read.parquet(delta))
+    b0 = spark.read.parquet(delta).filter(F.col("ingest_batch") == 0)
+    upsert_partition_overwrite(b0, delta, ["list_id", "ingest_batch"])
+    assert rows(spark.read.parquet(delta)) == before
+
+    # compaction: delta folds into base, results identical, delta gone
+    compact_ivf_index(spark, inc_idx)
+    assert not os.path.exists(delta)
+    for probe, kw in ((probe_ivf_index, {"nprobe": 2}), (probe_ivf_adc, {"nprobe": 2})):
+        got = rows(probe(spark, inc_idx, queries, k=5, **kw))
+        want = rows(probe(spark, full_idx, queries, k=5, **kw))
+        assert got == want, probe.__name__
