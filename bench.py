@@ -144,6 +144,7 @@ EXTENDED = [
     "shipping_priority_topk",
     "forecast_revenue_change",
     "promo_revenue_share",
+    "local_supplier_volume",
 ]
 
 ROUND = 6  # bump per round; names the committed BENCHLOCAL file

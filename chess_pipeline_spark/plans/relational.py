@@ -1388,6 +1388,83 @@ WHERE l.l_quantity < p.half_avg_qty
 
 
 
+_Q5_REGION = "ASIA"
+_Q5_YEAR_FROM = "1997-01-01"
+_Q5_YEAR_TO = "1998-01-01"
+
+
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue per nation from LOCAL trade — lineitems
+    of one region's customers supplied by a supplier in the SAME
+    nation, over one order year. The six-table snowflake whose
+    distinguishing feature is the c_nationkey = s_nationkey equality
+    BETWEEN two dimension branches.
+
+    Plan: nation⋈region collapses to the region's five nations
+    (broadcast); customer and supplier each pre-join that tiny frame
+    and BROADCAST; the locality equality is evaluated on broadcast
+    columns after the fact joins, so the only wide work is
+    lineitem⋈orders on orderkey (orders pre-filtered to the year at
+    the scan); one ≤5-row final agg.
+    """
+    nations = (
+        _L(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                _L(spark, sf_dir, "region").filter(F.col("r_name") == _Q5_REGION)
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    cust = (
+        _L(spark, sf_dir, "customer")
+        .join(F.broadcast(nations), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("c_nationkey").alias("cust_nk"))
+    )
+    sup = (
+        _L(spark, sf_dir, "supplier")
+        .join(F.broadcast(nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("s_nationkey").alias("supp_nk"), "n_name")
+    )
+    orders = _L(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _Q5_YEAR_FROM)
+        & (F.col("o_orderdate") < _Q5_YEAR_TO)
+    ).select("o_orderkey", "o_custkey")
+    li = _L(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .filter(F.col("cust_nk") == F.col("supp_nk"))
+        .groupBy("n_name")
+        .agg(fround(rev, 2).alias("revenue"), F.count("*").cast("long").alias("n_lines"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+LOCAL_SUPPLIER_VOLUME_SQL = f"""
+SELECT n.n_name,
+       {sql_round('sum(l.l_extendedprice * (1 - l.l_discount))', 2)} AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE c.c_nationkey = s.s_nationkey
+  AND r.r_name = '{_Q5_REGION}'
+  AND o.o_orderdate >= TIMESTAMP '{_Q5_YEAR_FROM}'
+  AND o.o_orderdate < TIMESTAMP '{_Q5_YEAR_TO}'
+GROUP BY 1
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
 _Q3_SEGMENT = "BUILDING"
 _Q3_CUTOFF = "1998-01-01"
 
@@ -2092,6 +2169,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "shipping_priority_topk": QuerySpec(
         shipping_priority_topk, SHIPPING_PRIORITY_TOPK_SQL, "Q3 segment topk ext"
+    ),
+    "local_supplier_volume": QuerySpec(
+        local_supplier_volume, LOCAL_SUPPLIER_VOLUME_SQL, "Q5 local-trade snowflake ext"
     ),
     "forecast_revenue_change": QuerySpec(
         forecast_revenue_change, FORECAST_REVENUE_CHANGE_SQL, "Q6 pure-pushdown ext"

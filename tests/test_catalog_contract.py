@@ -169,6 +169,7 @@ FROZEN_ORDER: tuple[str, ...] = (
     "shipping_priority_topk",
     "forecast_revenue_change",
     "promo_revenue_share",
+    "local_supplier_volume",
 )
 
 
@@ -183,7 +184,7 @@ def test_driver_window_r6_rotation():
     # out is green in r5 AND at least one earlier round (verified
     # against the CORRECTNESS files at rotation time); the two r6
     # additions start demoted and are staged for r7.
-    assert len(FROZEN_ORDER) - DRIVER_WINDOW == 77
+    assert len(FROZEN_ORDER) - DRIVER_WINDOW == 78
     in_window = set(FROZEN_ORDER[:DRIVER_WINDOW])
     promoted_r6 = (
         "events_gap_detection",

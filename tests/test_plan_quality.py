@@ -675,3 +675,15 @@ def test_q14_single_pass_case_ratio(spark, sf_dir):
     assert plan.count("Location: InMemoryFileIndex") == 2  # lineitem + part once each
     assert "partial_sum" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_q5_local_trade_dims_broadcast_single_fact_join(spark, sf_dir):
+    # all four dimension branches broadcast; the only SortMergeJoin
+    # candidate is lineitem x orders; the year filter reaches the
+    # orders scan
+    plan = _plan(spark, sf_dir, "local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert any(
+        "o_orderdate" in ln for ln in plan.splitlines() if "PushedFilters" in ln
+    )
+    assert "CartesianProduct" not in plan
