@@ -145,6 +145,8 @@ EXTENDED = [
     "forecast_revenue_change",
     "promo_revenue_share",
     "local_supplier_volume",
+    "nation_market_share",
+    "cube_status_priority",
 ]
 
 ROUND = 6  # bump per round; names the committed BENCHLOCAL file

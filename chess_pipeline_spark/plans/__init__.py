@@ -16,7 +16,7 @@ __all__ = ["QuerySpec", "catalog", "DRIVER_WINDOW", "DEMOTION_COVERAGE"]
 # The external verifier hash-checks only the first DRIVER_WINDOW catalog
 # entries per round, so ordering is part of the verification contract.
 #
-# PROPOSAL (r6, to the driver/judge): the catalog (128 queries) is now
+# PROPOSAL (r6, to the driver/judge): the catalog (130 queries) is now
 # 2.4x the window, so any single round leaves >half the catalog on
 # local-oracle evidence only and rotation is hand-curated. Two
 # structural fixes, either welcome: (a) raise the window to cover the
@@ -24,7 +24,7 @@ __all__ = ["QuerySpec", "catalog", "DRIVER_WINDOW", "DEMOTION_COVERAGE"]
 # sample seeded by round number (e.g. sort names by
 # md5(f"{round}:{name}") and take 50) so every query gets periodic
 # driver contact without bespoke rotation plans. Until then the
-# checklist discipline below continues (r7: promote the twelve
+# checklist discipline below continues (r7: promote the fourteen
 # r6-new operators listed at the end of _DEMOTED plus
 # json_props_extract).
 DRIVER_WINDOW = 50
@@ -60,7 +60,7 @@ DRIVER_WINDOW = 50
 #          with no driver contact). The ELEVEN operators built new in
 #          r6 (dedup_groups_logstep, customer_value_deciles_sketch,
 #          bpe_merge_candidates, embedding_pq_codes, knn_pq_adc, and
-#          the Q19/Q15/Q7/Q3/Q5/Q6/Q14 DSS shapes) start demoted with
+#          the Q19/Q15/Q8/Q7/Q3/Q5/Q6/Q14 + CUBE DSS shapes) start demoted with
 #          local sf0.001+sf0.01 oracle rows and are staged for the r7
 #          promotion, alongside re-promoting json_props_extract (the
 #          one family whose in-window coverage is now indirect:
@@ -136,7 +136,7 @@ _DEMOTED: tuple[str, ...] = (
     "pack_sequences",
     "tfidf_top_terms",
     # --- added new in r6 (start demoted with local sf0.001+sf0.01
-    # oracle rows; r7 ROTATION CHECKLIST: promote these twelve plus
+    # oracle rows; r7 ROTATION CHECKLIST: promote these fourteen plus
     # json_props_extract) ---
     "dedup_groups_logstep",
     "customer_value_deciles_sketch",
@@ -150,6 +150,8 @@ _DEMOTED: tuple[str, ...] = (
     "forecast_revenue_change",
     "promo_revenue_share",
     "local_supplier_volume",
+    "nation_market_share",
+    "cube_status_priority",
 )
 
 # For every demoted query: the IN-WINDOW queries that keep its SURVEY
@@ -323,6 +325,10 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     "promo_revenue_share": ("returnflag_priority_casesum", "small_qty_revenue"),
     # six-table local-trade snowflake → Q10/Q21 join graphs in-window
     "local_supplier_volume": ("returned_items_report", "waiting_supplier_orders"),
+    # widest-snowflake CASE ratio → Q12 case-sums + Q10 join graph
+    "nation_market_share": ("returnflag_priority_casesum", "returned_items_report"),
+    # CUBE grouping sets → the profile's Expand-based grouping
+    "cube_status_priority": ("data_profile_orders",),
 }
 
 

@@ -1465,6 +1465,150 @@ ORDER BY revenue DESC, n_name ASC
 """
 
 
+_Q8_REGION = "ASIA"
+_Q8_NATION = "NATION_2"  # an ASIA nation (regionkey 2) at every SF
+_Q8_TYPE = "STANDARD"
+
+
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: market share — the fraction of one region's
+    customers' spend on one part type that was supplied by ONE
+    nation, per order year. The two-level conditional-aggregate ratio
+    over the widest dim snowflake in the catalog (part + supplier
+    nation + customer nation/region).
+
+    Plan: the type-filtered part dim, the supplier⋈nation branch, and
+    the region-restricted customer branch all BROADCAST; lineitem ⋈
+    orders is the only fact-fact join; numerator and denominator come
+    from ONE pass (CASE folded into the partial agg, the
+    promo_revenue_share idiom) and divide after cent-grid rounding.
+    """
+    part = _L(spark, sf_dir, "part").filter(F.col("p_type") == _Q8_TYPE).select(
+        "p_partkey"
+    )
+    nations = _L(spark, sf_dir, "nation")
+    region = _L(spark, sf_dir, "region").filter(F.col("r_name") == _Q8_REGION)
+    cust = (
+        _L(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                nations.join(
+                    F.broadcast(region),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                ).select("n_nationkey")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    sup = (
+        _L(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nations.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    orders = _L(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year")
+    )
+    li = _L(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agg = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy("o_year")
+        .agg(
+            fround(
+                F.sum(
+                    F.when(F.col("supp_nation") == _Q8_NATION, rev).otherwise(0.0)
+                ),
+                2,
+            ).alias("nation_revenue"),
+            fround(F.sum(rev), 2).alias("total_revenue"),
+        )
+    )
+    return (
+        agg.select(
+            F.col("o_year").cast("int").alias("o_year"),
+            "nation_revenue",
+            "total_revenue",
+            fround(
+                F.col("nation_revenue") / F.col("total_revenue"), 6
+            ).alias("market_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+NATION_MARKET_SHARE_SQL = f"""
+WITH agg AS (
+  SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+         {sql_round(f"sum(CASE WHEN sn.n_name = '{_Q8_NATION}' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END)", 2)} AS nation_revenue,
+         {sql_round('sum(l.l_extendedprice * (1 - l.l_discount))', 2)} AS total_revenue
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+  JOIN region r ON cn.n_regionkey = r.r_regionkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+  WHERE p.p_type = '{_Q8_TYPE}' AND r.r_name = '{_Q8_REGION}'
+  GROUP BY 1)
+SELECT o_year, nation_revenue, total_revenue,
+       {sql_round('nation_revenue / total_revenue', 6)} AS market_share
+FROM agg ORDER BY o_year
+"""
+
+
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping-sets report: order counts and revenue over every
+    combination of (o_orderstatus, o_orderpriority) including both
+    marginals and the grand total, with an explicit grouping_id so
+    subtotal rows are distinguishable from genuine NULL groups —
+    the full-cube complement to rollup_priority_status's hierarchy.
+
+    Plan: Spark expands the cube via one Expand (4 grouping sets x
+    input rows) feeding a single partial-aggregated shuffle — the
+    same shape a k-dimensional OLAP rollup keeps at any scale
+    (output is |status| x |priority| level cardinality, never rows).
+    """
+    orders = _L(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count("*").alias("n_orders"),
+            fround(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("o_orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("o_orderpriority"),
+            "gid",
+            "n_orders",
+            "revenue",
+        )
+        .orderBy("gid", "o_orderstatus", "o_orderpriority")
+    )
+
+
+CUBE_STATUS_PRIORITY_SQL = f"""
+SELECT coalesce(o_orderstatus, '<all>') AS o_orderstatus,
+       coalesce(o_orderpriority, '<all>') AS o_orderpriority,
+       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INT) AS gid,
+       count(*) AS n_orders,
+       {sql_round('sum(o_totalprice)', 2)} AS revenue
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY gid, o_orderstatus, o_orderpriority
+"""
+
+
 _Q3_SEGMENT = "BUILDING"
 _Q3_CUTOFF = "1998-01-01"
 
@@ -2172,6 +2316,12 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "local_supplier_volume": QuerySpec(
         local_supplier_volume, LOCAL_SUPPLIER_VOLUME_SQL, "Q5 local-trade snowflake ext"
+    ),
+    "nation_market_share": QuerySpec(
+        nation_market_share, NATION_MARKET_SHARE_SQL, "Q8 market-share ratio ext"
+    ),
+    "cube_status_priority": QuerySpec(
+        cube_status_priority, CUBE_STATUS_PRIORITY_SQL, "CUBE grouping-sets ext"
     ),
     "forecast_revenue_change": QuerySpec(
         forecast_revenue_change, FORECAST_REVENUE_CHANGE_SQL, "Q6 pure-pushdown ext"

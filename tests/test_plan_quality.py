@@ -687,3 +687,29 @@ def test_q5_local_trade_dims_broadcast_single_fact_join(spark, sf_dir):
         "o_orderdate" in ln for ln in plan.splitlines() if "PushedFilters" in ln
     )
     assert "CartesianProduct" not in plan
+
+
+def test_q8_single_pass_ratio_widest_snowflake(spark, sf_dir):
+    # numerator and denominator come from ONE fact pass (CASE in the
+    # partial agg); every dim branch broadcasts; no cartesian
+    plan = _plan(spark, sf_dir, "nation_market_share")
+    # 8 scans: six tables once each + nation twice (customer branch
+    # and supplier branch probe different keys) — crucially the FACT
+    # tables (lineitem, orders) are scanned exactly once
+    assert plan.count("Location: InMemoryFileIndex") == 8
+    assert plan.count("lineitem.parquet") == 1
+    assert plan.count("orders.parquet") == 1
+    assert "partial_sum" in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_cube_is_one_expand_one_shuffle(spark, sf_dir):
+    # the cube expands 4 grouping sets in ONE Expand feeding a single
+    # partial-aggregated exchange — not a union of 4 scans
+    import re
+
+    plan = _plan(spark, sf_dir, "cube_status_priority")
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert len(re.findall(r"^\(\d+\) Expand", plan, re.MULTILINE)) == 1
+    assert "partial_count" in plan or "partial_sum" in plan
