@@ -713,3 +713,33 @@ def test_cube_is_one_expand_one_shuffle(spark, sf_dir):
     assert plan.count("Location: InMemoryFileIndex") == 1
     assert len(re.findall(r"^\(\d+\) Expand", plan, re.MULTILINE)) == 1
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_deciles_sketch_agrees_with_exact_within_bin_ties(spark, sf_dir):
+    # the sketch-cut report must reproduce the exact ntile report up
+    # to revenue-bin granularity: identical totals, all ten deciles,
+    # per-decile populations within bin-tie slack, boundary revenues
+    # within one bin width (at sf0.001 the two are byte-identical;
+    # the tolerances keep the test valid at SFs where bins tie)
+    from chess_pipeline_spark.plans.relational import _DECILE_BIN_W
+
+    exact = {
+        r.decile: r
+        for r in _CATALOG["customer_value_deciles"].spark(spark, sf_dir).collect()
+    }
+    sketch = {
+        r.decile: r
+        for r in _CATALOG["customer_value_deciles_sketch"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert sorted(exact) == sorted(sketch) == list(range(1, 11))
+    assert sum(r.n_customers for r in exact.values()) == sum(
+        r.n_customers for r in sketch.values()
+    )
+    for d in exact:
+        e, s = exact[d], sketch[d]
+        slack = max(2, int(0.1 * e.n_customers))
+        assert abs(e.n_customers - s.n_customers) <= slack, d
+        assert abs(e.min_revenue - s.min_revenue) <= _DECILE_BIN_W, d
+        assert abs(e.max_revenue - s.max_revenue) <= _DECILE_BIN_W, d
