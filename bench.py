@@ -147,6 +147,7 @@ EXTENDED = [
     "local_supplier_volume",
     "nation_market_share",
     "cube_status_priority",
+    "segment_top_value_orders",
 ]
 
 ROUND = 6  # bump per round; names the committed BENCHLOCAL file

@@ -1465,6 +1465,59 @@ ORDER BY revenue DESC, n_name ASC
 """
 
 
+def segment_top_value_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-rank window report: within each market segment, the
+    top-1%-by-value orders with their percent_rank and cume_dist,
+    plus the segment's maximum order value via nth_value — the three
+    ranking-window functions (percent_rank / cume_dist / nth_value)
+    the catalog's other window queries don't touch (ntile lives in
+    customer_value_deciles, row_number/lead/lag elsewhere).
+
+    Determinism: the window orders by (o_totalprice, o_orderkey) — a
+    total order — so rank positions are engine-stable; percent_rank
+    and cume_dist are exact rationals of row counts and compare
+    bit-equal after the 1e-6 grid round. Plan: one segment-keyed
+    window pass over the customer⋈orders join (customer broadcasts),
+    then the cume_dist filter — no self-join, no global sort.
+    """
+    cust = _L(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = _L(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    wall = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.desc("o_orderkey")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = j.select(
+        "c_mktsegment",
+        "o_orderkey",
+        "o_totalprice",
+        fround(F.percent_rank().over(w), 6).alias("pct_rank"),
+        fround(F.cume_dist().over(w), 6).alias("cum_dist"),
+        fround(F.nth_value("o_totalprice", 1).over(wall), 2).alias("segment_max"),
+    )
+    return ranked.filter(F.col("cum_dist") >= 0.99).orderBy(
+        "c_mktsegment", F.desc("o_totalprice"), "o_orderkey"
+    )
+
+
+SEGMENT_TOP_VALUE_ORDERS_SQL = f"""
+WITH ranked AS (
+  SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+         {sql_round('percent_rank() OVER (PARTITION BY c.c_mktsegment ORDER BY o.o_totalprice ASC, o.o_orderkey ASC)', 6)} AS pct_rank,
+         {sql_round('cume_dist() OVER (PARTITION BY c.c_mktsegment ORDER BY o.o_totalprice ASC, o.o_orderkey ASC)', 6)} AS cum_dist,
+         {sql_round('nth_value(o.o_totalprice, 1) OVER (PARTITION BY c.c_mktsegment ORDER BY o.o_totalprice DESC, o.o_orderkey DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)', 2)} AS segment_max
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+SELECT c_mktsegment, o_orderkey, o_totalprice, pct_rank, cum_dist, segment_max
+FROM ranked
+WHERE cum_dist >= 0.99
+ORDER BY c_mktsegment, o_totalprice DESC, o_orderkey
+"""
+
+
 _Q8_REGION = "ASIA"
 _Q8_NATION = "NATION_2"  # an ASIA nation (regionkey 2) at every SF
 _Q8_TYPE = "STANDARD"
@@ -2322,6 +2375,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "cube_status_priority": QuerySpec(
         cube_status_priority, CUBE_STATUS_PRIORITY_SQL, "CUBE grouping-sets ext"
+    ),
+    "segment_top_value_orders": QuerySpec(
+        segment_top_value_orders,
+        SEGMENT_TOP_VALUE_ORDERS_SQL,
+        "W percent_rank/cume_dist/nth_value ext",
     ),
     "forecast_revenue_change": QuerySpec(
         forecast_revenue_change, FORECAST_REVENUE_CHANGE_SQL, "Q6 pure-pushdown ext"

@@ -172,6 +172,7 @@ FROZEN_ORDER: tuple[str, ...] = (
     "local_supplier_volume",
     "nation_market_share",
     "cube_status_priority",
+    "segment_top_value_orders",
 )
 
 
@@ -186,7 +187,7 @@ def test_driver_window_r6_rotation():
     # out is green in r5 AND at least one earlier round (verified
     # against the CORRECTNESS files at rotation time); the two r6
     # additions start demoted and are staged for r7.
-    assert len(FROZEN_ORDER) - DRIVER_WINDOW == 80
+    assert len(FROZEN_ORDER) - DRIVER_WINDOW == 81
     in_window = set(FROZEN_ORDER[:DRIVER_WINDOW])
     promoted_r6 = (
         "events_gap_detection",

@@ -743,3 +743,17 @@ def test_deciles_sketch_agrees_with_exact_within_bin_ties(spark, sf_dir):
         assert abs(e.n_customers - s.n_customers) <= slack, d
         assert abs(e.min_revenue - s.min_revenue) <= _DECILE_BIN_W, d
         assert abs(e.max_revenue - s.max_revenue) <= _DECILE_BIN_W, d
+
+
+def test_relative_rank_windows_single_pass(spark, sf_dir):
+    # percent_rank + cume_dist + nth_value ride segment-keyed window
+    # passes over one customer-broadcast join — no self-join, no
+    # global (empty-partitionBy) sort
+    import re
+
+    plan = _plan(spark, sf_dir, "segment_top_value_orders")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    win_ns = re.findall(r"^\(\d+\) Window\b", plan, re.MULTILINE)
+    assert win_ns  # windows present, and every Sort below them is keyed
+    assert "CartesianProduct" not in plan
