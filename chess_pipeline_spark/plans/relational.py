@@ -1465,6 +1465,101 @@ ORDER BY revenue DESC, n_name ASC
 """
 
 
+_SCD2_TS = 1000
+
+
+def scd2_customer_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 merge under ORACLE verification: drives the PRODUCTION
+    `sinks.scd2_apply` (not a reimplementation) on a deterministic
+    scenario derived purely from the customer table, so the
+    Type-2 dimension semantics — close-and-version on change, append
+    new keys, keep untouched keys open — get a DuckDB row-for-row
+    check on top of their pytest coverage.
+
+    Scenario (modular arithmetic picks every code path):
+    * current dim = customers with custkey % 3 != 0, open since t=0;
+    * batch snapshot = customers with custkey % 2 == 0, where
+      custkey % 4 == 0 rows carry a changed balance (+100, cents-
+      rounded) and % 4 == 2 rows are unchanged;
+    * so: %4==0 & %3!=0 → close + reopen; %4==2 & %3!=0 → survivor;
+      %2==0 & %3==0 → brand-new open row; odd non-batch keys → kept
+      open untouched.
+
+    Plan shape is scd2_apply's: keyed joins touch only open rows and
+    the batch; closed history (empty here) unions through untouched.
+    """
+    from chess_pipeline_spark.sinks import scd2_apply
+
+    cust = _L(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    current = cust.filter(F.col("c_custkey") % 3 != 0).select(
+        "c_custkey",
+        "c_acctbal",
+        F.lit(0).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    batch = cust.filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 4 == 0, fround(F.col("c_acctbal") + 100.0, 2)
+        )
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+    )
+    dim = scd2_apply(
+        current, batch, keys=["c_custkey"], attrs=["c_acctbal"], batch_ts=_SCD2_TS
+    )
+    return dim.orderBy("c_custkey", "valid_from")
+
+
+SCD2_CUSTOMER_SNAPSHOT_SQL = f"""
+WITH cur AS (
+  SELECT c_custkey, c_acctbal,
+         CAST(0 AS BIGINT) AS valid_from,
+         CAST(NULL AS BIGINT) AS valid_to,
+         TRUE AS is_current
+  FROM customer WHERE c_custkey % 3 != 0),
+batch AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 4 = 0
+              THEN {sql_round('c_acctbal + 100.0', 2)}
+              ELSE c_acctbal END AS c_acctbal
+  FROM customer WHERE c_custkey % 2 = 0),
+matched AS (
+  SELECT c.c_custkey, c.c_acctbal AS old_bal, b.c_acctbal AS new_bal
+  FROM cur c JOIN batch b USING (c_custkey)),
+keep_open AS (
+  SELECT * FROM cur
+  WHERE c_custkey NOT IN (SELECT c_custkey FROM batch)),
+survivors AS (
+  SELECT c_custkey, old_bal AS c_acctbal,
+         CAST(0 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to,
+         TRUE AS is_current
+  FROM matched WHERE old_bal IS NOT DISTINCT FROM new_bal),
+closed_now AS (
+  SELECT c_custkey, old_bal AS c_acctbal,
+         CAST(0 AS BIGINT) AS valid_from,
+         CAST({_SCD2_TS} AS BIGINT) AS valid_to,
+         FALSE AS is_current
+  FROM matched WHERE old_bal IS DISTINCT FROM new_bal),
+openers AS (
+  SELECT b.c_custkey, b.c_acctbal,
+         CAST({_SCD2_TS} AS BIGINT) AS valid_from,
+         CAST(NULL AS BIGINT) AS valid_to,
+         TRUE AS is_current
+  FROM batch b LEFT JOIN cur c USING (c_custkey)
+  WHERE c.c_custkey IS NULL
+     OR EXISTS (SELECT 1 FROM matched m
+                WHERE m.c_custkey = b.c_custkey
+                  AND m.old_bal IS DISTINCT FROM m.new_bal))
+SELECT * FROM keep_open
+UNION ALL SELECT * FROM survivors
+UNION ALL SELECT * FROM closed_now
+UNION ALL SELECT * FROM openers
+ORDER BY c_custkey, valid_from
+"""
+
+
 def segment_top_value_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relative-rank window report: within each market segment, the
     top-1%-by-value orders with their percent_rank and cume_dist,
@@ -2380,6 +2475,11 @@ QUERIES: dict[str, QuerySpec] = {
         segment_top_value_orders,
         SEGMENT_TOP_VALUE_ORDERS_SQL,
         "W percent_rank/cume_dist/nth_value ext",
+    ),
+    "scd2_customer_snapshot": QuerySpec(
+        scd2_customer_snapshot,
+        SCD2_CUSTOMER_SNAPSHOT_SQL,
+        "S5-SCD2 ext (sinks.scd2_apply under oracle)",
     ),
     "forecast_revenue_change": QuerySpec(
         forecast_revenue_change, FORECAST_REVENUE_CHANGE_SQL, "Q6 pure-pushdown ext"

@@ -173,6 +173,7 @@ FROZEN_ORDER: tuple[str, ...] = (
     "nation_market_share",
     "cube_status_priority",
     "segment_top_value_orders",
+    "scd2_customer_snapshot",
 )
 
 
@@ -187,7 +188,7 @@ def test_driver_window_r6_rotation():
     # out is green in r5 AND at least one earlier round (verified
     # against the CORRECTNESS files at rotation time); the two r6
     # additions start demoted and are staged for r7.
-    assert len(FROZEN_ORDER) - DRIVER_WINDOW == 81
+    assert len(FROZEN_ORDER) - DRIVER_WINDOW == 82
     in_window = set(FROZEN_ORDER[:DRIVER_WINDOW])
     promoted_r6 = (
         "events_gap_detection",
