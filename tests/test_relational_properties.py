@@ -272,6 +272,22 @@ _RELATIONAL_QUERIES = (
     "large_quantity_orders",
     "idle_customer_balance",
     "referential_integrity_audit",
+    # r6 additions (several intentionally hit empty/degenerate results
+    # on these random tables — the date windows and nation constants
+    # don't always exist here, and 0-row/NULL-aggregate parity is a
+    # real cross-engine check in its own right)
+    "customer_value_deciles_sketch",
+    "disjunctive_brand_revenue",
+    "shipping_priority_topk",
+    "forecast_revenue_change",
+    "promo_revenue_share",
+    "local_supplier_volume",
+    "nation_trade_volume",
+    "nation_market_share",
+    "top_supplier_revenue",
+    "cube_status_priority",
+    "segment_top_value_orders",
+    "scd2_customer_snapshot",
 )
 
 _EVENTS_QUERIES = (
