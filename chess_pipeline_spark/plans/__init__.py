@@ -23,10 +23,13 @@ __all__ = ["QuerySpec", "catalog", "DRIVER_WINDOW", "DEMOTION_COVERAGE"]
 # catalog, or (b) let the verifier select a deterministic per-round
 # sample seeded by round number (e.g. sort names by
 # md5(f"{round}:{name}") and take 50) so every query gets periodic
-# driver contact without bespoke rotation plans. Until then the
-# checklist discipline below continues (r7: promote the sixteen
-# r6-new operators listed at the end of _DEMOTED plus
-# json_props_extract).
+# driver contact without bespoke rotation plans. Supporting data
+# (r7): the catalog is >2.6x the window, so a full pass needs 3
+# rounds of hand-curated rotation; the md5-seeded sample is
+# reproducible by both sides with ten lines of code and retires that
+# bookkeeping. Until adopted, the checklist discipline below
+# continues (executed r6 and r7; r8: promote the operators staged at
+# the end of _DEMOTED).
 DRIVER_WINDOW = 50
 
 # Queries pushed past the driver window — exactly
@@ -47,25 +50,36 @@ DRIVER_WINDOW = 50
 #          doubly-proven queries (each green in r4 AND r2-or-r3);
 #          mid-r5, three more swaps for the new r5 operators.
 #   r5→r6: executed the r6 ROTATION CHECKLIST — promoted ALL 35
-#          never-driver-verified late-r5 queries (the nine staged
-#          event/orders queries, the profiling/sketch tier, the
-#          classic-DSS shapes, BM25 retrieval + RRF, and the
-#          audit/analytics tier); demoted 35 window members that are
-#          green in r5 AND at least one earlier round (verified
-#          programmatically against CORRECTNESS_r01..r05 at rotation
-#          time). The 14 single-green r5 newcomers stay in-window, as
-#          does multimodal_features (multi-green, but the ONLY
-#          mapInPandas/binary-media query family member — demoting
-#          both it and frame_sample_features would leave the family
-#          with no driver contact). The ELEVEN operators built new in
-#          r6 (dedup_groups_logstep, customer_value_deciles_sketch,
-#          bpe_merge_candidates, embedding_pq_codes, knn_pq_adc, and
-#          the Q19/Q15/Q8/Q7/Q3/Q5/Q6/Q14 + CUBE DSS shapes) start demoted with
-#          local sf0.001+sf0.01 oracle rows and are staged for the r7
-#          promotion, alongside re-promoting json_props_extract (the
-#          one family whose in-window coverage is now indirect:
-#          JSON-path extraction keeps pytest coverage via sources/rest
-#          but no driver row this round).
+#          never-driver-verified late-r5 queries; demoted 35 window
+#          members green in r5 AND at least one earlier round. The 14
+#          single-green r5 newcomers stayed, as did
+#          multimodal_features (sole mapInPandas/binary-media family
+#          anchor). The sixteen r6-new operators started demoted,
+#          staged for r7 promotion alongside json_props_extract.
+#   r6→r7: executed the r7 ROTATION CHECKLIST — promoted all sixteen
+#          r6-new operators (IVFADC/PQ family, dedup_groups_logstep,
+#          sketch-cut deciles, BPE merge candidates, the eight DSS
+#          shapes, segment_top_value_orders, scd2_customer_snapshot)
+#          plus json_props_extract, emptying the never-driver-green
+#          backlog. Demoted 17: the 12 names green in BOTH r5 and r6
+#          (bm25_top_terms, decontaminate_ngram_overlap,
+#          dedup_incremental_simhash, embedding_random_projection,
+#          events_interval_join, events_ohlc_hourly,
+#          events_rolling_zscore, events_time_weighted_avg,
+#          paragraph_dedup, quality_filter_verdicts,
+#          repetition_stats, semdedup_embedding — verified against
+#          CORRECTNESS_r01..r06 at rotation time) plus 5 r6-green
+#          members whose operator families are redundantly covered by
+#          the post-rotation window (hll_cumulative_daily ⊂
+#          hll_distinct_users; waiting_supplier_orders ⊂ the promoted
+#          six-table snowflakes; customer_value_deciles ⊂ the
+#          promoted sketch + relative-rank twins;
+#          funnel_latency_percentiles ⊂ mad_outlier_bounds + the
+#          percentile sketch; corpus_composition ⊂ mixture_sample).
+#          mixture_sample and multimodal_features stay in-window as
+#          the sole driver anchors of the sampling and media
+#          families. Operators built new in r7 start demoted with
+#          local oracle rows, staged for the r8 promotion.
 _DEMOTED: tuple[str, ...] = (
     "distinct_flag_status",
     "global_minmax",
@@ -119,7 +133,6 @@ _DEMOTED: tuple[str, ...] = (
     "events_tumbling_1h",
     "events_sessionized",
     "events_dedup_latest",
-    "json_props_extract",
     "events_asof_last_purchase",
     "event_funnel",
     "win_prob_lr",
@@ -135,25 +148,26 @@ _DEMOTED: tuple[str, ...] = (
     "stratified_sample",
     "pack_sequences",
     "tfidf_top_terms",
-    # --- added new in r6 (start demoted with local sf0.001+sf0.01
-    # oracle rows; r7 ROTATION CHECKLIST: promote these sixteen plus
-    # json_props_extract) ---
-    "dedup_groups_logstep",
-    "customer_value_deciles_sketch",
-    "bpe_merge_candidates",
-    "embedding_pq_codes",
-    "knn_pq_adc",
-    "disjunctive_brand_revenue",
-    "top_supplier_revenue",
-    "nation_trade_volume",
-    "shipping_priority_topk",
-    "forecast_revenue_change",
-    "promo_revenue_share",
-    "local_supplier_volume",
-    "nation_market_share",
-    "cube_status_priority",
-    "segment_top_value_orders",
-    "scd2_customer_snapshot",
+    # --- demoted in the r6→r7 rotation: green in r5 AND r6 (first
+    # twelve) or r6-green with redundant in-window family coverage
+    # (last five) ---
+    "bm25_top_terms",
+    "decontaminate_ngram_overlap",
+    "dedup_incremental_simhash",
+    "embedding_random_projection",
+    "events_interval_join",
+    "events_ohlc_hourly",
+    "events_rolling_zscore",
+    "events_time_weighted_avg",
+    "paragraph_dedup",
+    "quality_filter_verdicts",
+    "repetition_stats",
+    "semdedup_embedding",
+    "hll_cumulative_daily",
+    "waiting_supplier_orders",
+    "customer_value_deciles",
+    "funnel_latency_percentiles",
+    "corpus_composition",
 )
 
 # For every demoted query: the IN-WINDOW queries that keep its SURVEY
@@ -166,8 +180,8 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     # ---- pre-r6 demotions, re-cited against the r6 window ----
     # P9 distinct → digest-distinct clustering + distinct-key audits
     "distinct_flag_status": ("dup_cluster_size_hist", "referential_integrity_audit"),
-    # A7 global min/max → per-group OHLC min/max aggregates
-    "global_minmax": ("events_ohlc_hourly",),
+    # A7 global min/max → per-column profile min/max aggregates
+    "global_minmax": ("data_profile_orders",),
     # F9,P8 value recode → CASE/when scoring + CASE-folded sums
     "weekday_recode": ("orders_rfm_segments", "returnflag_priority_casesum"),
     # A5,F15 binned mean → fixed-width bin histograms + length buckets
@@ -180,8 +194,8 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     "explode_quantities": ("boilerplate_chunk_removal", "cms_heavy_hitters"),
     # prefix/inverted-index near-dup → banding + chunk-digest joins
     "near_dup_pairs_jaccard_prefix": ("cross_source_leakage", "boilerplate_chunk_removal"),
-    # §2.11 sliding window → hourly/daily window batch twins
-    "events_sliding_1h_30m": ("events_ohlc_hourly", "events_interval_join"),
+    # §2.11 sliding window → time-bucket grouping + ordered decay
+    "events_sliding_1h_30m": ("orders_retention_cohort", "events_decay_score"),
     # MinHash signature projection → embedded in the LSH audit DAG
     "minhash_signatures": ("dedup_embedding_agreement",),
     # A1 count-distinct pivot → transition matrix + HLL distincts
@@ -199,29 +213,29 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     # tokenizer → same split-tokenize core feeds lengths and LM score
     "token_count": ("seq_length_histogram", "unigram_logprob_score"),
     # exact md5-groupBy dedup → digest clustering + paragraph ledger
-    "dedup_exact": ("dup_cluster_size_hist", "paragraph_dedup"),
-    # quality signal columns → same signals + keep/drop verdicts
-    "text_quality_stats": ("quality_filter_verdicts",),
+    "dedup_exact": ("dup_cluster_size_hist", "boilerplate_chunk_removal"),
+    # quality signal columns → OOV/length signal queries in-window
+    "text_quality_stats": ("oov_rate_top1k", "seq_length_histogram"),
     # rolling-hash fingerprint → row-local hashing/gram folds
-    "doc_fingerprint": ("dedup_incremental_simhash", "repetition_stats"),
+    "doc_fingerprint": ("dup_cluster_size_hist", "session_path_trigrams"),
     # word-set Jaccard inverted index → banding + chunk-digest joins
     "near_dup_pairs_jaccard": ("cross_source_leakage", "boilerplate_chunk_removal"),
     # MinHash+LSH band join → embedded in the cross-family audit
     "minhash_lsh_candidates": ("dedup_embedding_agreement",),
-    # SimHash banding → incremental variant computes the same signature
-    "simhash_near_dup": ("dedup_incremental_simhash",),
-    # brute-force cosine top-k → same scoring core inside RRF/semdedup
-    "knn_cosine_topk": ("hybrid_search_rrf", "semdedup_embedding"),
-    # row-local embedding stats → row-local JL projection
-    "embedding_stats": ("embedding_random_projection",),
-    # per-source term ranking → BM25 ranker, same shape
-    "top_terms_per_source": ("bm25_top_terms",),
-    # W5 cumulative window frame → rolling frame + ordered integration
-    "running_revenue": ("events_rolling_zscore", "events_time_weighted_avg"),
+    # SimHash banding → band-join machinery + banded-candidate audit
+    "simhash_near_dup": ("cross_source_leakage", "dedup_embedding_agreement"),
+    # brute-force cosine top-k → same scoring core, RRF + ADC forms
+    "knn_cosine_topk": ("hybrid_search_rrf", "knn_pq_adc"),
+    # row-local embedding stats → row-local PQ subvector encoding
+    "embedding_stats": ("embedding_pq_codes",),
+    # per-source term ranking → BM25 scorer + vocab-scale pair aggs
+    "top_terms_per_source": ("bm25_doc_search", "bpe_merge_candidates"),
+    # W5 cumulative window frame → relative-rank windows + ordered decay
+    "running_revenue": ("segment_top_value_orders", "events_decay_score"),
     # J4/J5 dim-join + agg chain → broadcast dim joins + revenue aggs
     "revenue_by_nation": ("returned_items_report", "large_quantity_orders"),
-    # label-blocked cosine pair list → same join core, cluster form
-    "embedding_near_dup_cosine": ("semdedup_embedding",),
+    # label-blocked cosine pair list → same join core, audit + ADC forms
+    "embedding_near_dup_cosine": ("dedup_embedding_agreement", "knn_pq_adc"),
     # F regexp extraction chain → PII regexp chain
     "eval_comment_parse": ("pii_redact_stats",),
     # W1/O2-O3 rank + top-k per key → ranked doc search + top-20 report
@@ -242,13 +256,13 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     # J3/P7 left join + 0-fill → Q13 outer-join count distribution
     "orders_fulfillment": ("cust_order_count_dist",),
     # J4/J9 chained joins → multi-join report shapes
-    "order_lines_enriched": ("returned_items_report", "waiting_supplier_orders"),
+    "order_lines_enriched": ("returned_items_report", "local_supplier_volume"),
     # W2/W3/W5 lead/lag chains → gap detection + path trigrams
     "clock_lead_fill": ("events_gap_detection", "session_path_trigrams"),
     # E1/E3/U2 lockstep explode → chunk posexplode + token explode
     "zip_explode_lockstep": ("boilerplate_chunk_removal", "unigram_logprob_score"),
-    # E2/A6 map→rows symbol counters → hash-row explode + composition
-    "material_map_expand": ("cms_heavy_hitters", "corpus_composition"),
+    # E2/A6 map→rows symbol counters → hash-row explode + strata shares
+    "material_map_expand": ("cms_heavy_hitters", "mixture_sample"),
     # U1/U3 union by name → retriever-frame fusion + snapshot classes
     "union_by_name": ("hybrid_search_rrf", "orders_snapshot_diff"),
     # F1-F15 scalar chains → CASE scoring + CASE-folded aggregates
@@ -257,23 +271,18 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     "array_predicate_filter": ("oov_rate_top1k", "bm25_doc_search"),
     # ROLLUP grouping sets → the profile's Expand-based grouping
     "rollup_priority_status": ("data_profile_orders",),
-    # percentile aggregates → latency percentiles + MAD medians
-    "price_percentiles": ("funnel_latency_percentiles", "mad_outlier_bounds"),
-    # §2.11 tumbling batch twin → hourly OHLC + daily HLL windows
-    "events_tumbling_1h": ("events_ohlc_hourly", "hll_cumulative_daily"),
+    # percentile aggregates → MAD medians + the percentile-sketch cut
+    "price_percentiles": ("mad_outlier_bounds", "customer_value_deciles_sketch"),
+    # §2.11 tumbling batch twin → time-bucket grouping + HLL distincts
+    "events_tumbling_1h": ("orders_retention_cohort", "hll_distinct_users"),
     # §2.11 session batch twin → session-gap machinery
     "events_sessionized": ("session_path_trigrams", "events_gap_detection"),
     # P9/A4/A8/W4 latest-row dedup → last-touch window + digest groups
     "events_dedup_latest": ("attribution_last_touch", "dup_cluster_size_hist"),
-    # S1/E6 JSON flatten: no in-window JSON-path query this round —
-    # struct build/project mechanics covered by these; JSON-path
-    # extraction itself keeps pytest coverage (tests/test_sources.py,
-    # sources/rest.py) and is staged for r7 re-promotion
-    "json_props_extract": ("cms_heavy_hitters", "boilerplate_chunk_removal"),
-    # as-of join → last-touch RANGE window + interval join
-    "events_asof_last_purchase": ("attribution_last_touch", "events_interval_join"),
-    # A5 funnel bins → funnel latency + retention cohort
-    "event_funnel": ("funnel_latency_percentiles", "orders_retention_cohort"),
+    # as-of join → last-touch RANGE window + lag-gap range semantics
+    "events_asof_last_purchase": ("attribution_last_touch", "events_gap_detection"),
+    # A5 funnel bins → retention cohort + stage-transition matrix
+    "event_funnel": ("orders_retention_cohort", "event_transition_matrix"),
     # U3 broadcast-model inference → broadcast unigram-LM scoring
     # (same shape: tiny model broadcast, row-local score; the LR
     # math itself keeps pytest coverage in tests/test_winprob_pipeline.py)
@@ -282,59 +291,69 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     "lang_id_heuristic": ("oov_rate_top1k", "unigram_logprob_score"),
     # shingle inverted index + prefix filter → banding + chunk joins
     "ngram_jaccard_near_dup": ("cross_source_leakage", "boilerplate_chunk_removal"),
-    # IVF-blocked knn → same cosine core inside RRF + semdedup
-    "knn_cosine_ivf": ("hybrid_search_rrf", "semdedup_embedding"),
-    # LSH-bucketed knn → same cosine core inside RRF + semdedup
-    "knn_cosine_lsh": ("hybrid_search_rrf", "semdedup_embedding"),
-    # row-local int8 quantize → row-local JL projection
-    "embedding_quantize_int8": ("embedding_random_projection",),
+    # IVF-blocked knn → same cosine core, RRF + ADC probe forms
+    "knn_cosine_ivf": ("hybrid_search_rrf", "knn_pq_adc"),
+    # LSH-bucketed knn → same cosine core, RRF + ADC probe forms
+    "knn_cosine_lsh": ("hybrid_search_rrf", "knn_pq_adc"),
+    # row-local int8 quantize → row-local PQ code quantization
+    "embedding_quantize_int8": ("embedding_pq_codes",),
     # mapInPandas frame sampling → the media-features family anchor
     "frame_sample_features": ("multimodal_features",),
     # normalized digest dedup → digest clustering + paragraph ledger
-    "dedup_normalized": ("dup_cluster_size_hist", "paragraph_dedup"),
+    "dedup_normalized": ("dup_cluster_size_hist", "boilerplate_chunk_removal"),
     # LSH+CC dedup groups → LSH candidates in the audit + cluster hist
     "dedup_groups": ("dedup_embedding_agreement", "dup_cluster_size_hist"),
-    # CC + keep-best representative → LSH audit + quality verdicts
-    "dedup_keep_best": ("dedup_embedding_agreement", "quality_filter_verdicts"),
+    # CC + keep-best representative → LSH audit + quality signals
+    "dedup_keep_best": ("dedup_embedding_agreement", "oov_rate_top1k"),
     # salted hash-fold sampling → mixture variant, same fold
     "stratified_sample": ("mixture_sample",),
     # BPE-ish tokenize + packing window → token-length histogram
     "pack_sequences": ("seq_length_histogram",),
-    # tf-idf ranking → BM25 ranking, same inverted shape
-    "tfidf_top_terms": ("bm25_top_terms",),
-    # ---- staged r6 additions (r7 promotion checklist) ----
-    # pointer-jumping CC → plain-CC family coverage via LSH audit
-    "dedup_groups_logstep": ("dedup_embedding_agreement", "dup_cluster_size_hist"),
-    # sketch-cut deciles → exact decile + binned-quantile machinery
-    "customer_value_deciles_sketch": ("customer_value_deciles", "value_quantiles_binned"),
-    # vocab-weighted pair counting → vocab-scale term counting family
-    "bpe_merge_candidates": ("cms_heavy_hitters", "unigram_logprob_score"),
-    # broadcast-codebook subvector argmin → embedding transform + ANN
-    "embedding_pq_codes": ("embedding_random_projection", "semdedup_embedding"),
-    # table-lookup ADC scoring → same knn geometry as the RRF retriever
-    "knn_pq_adc": ("hybrid_search_rrf", "semdedup_embedding"),
-    # OR-of-ANDs dim-join predicate → the in-window DSS filter shapes
-    "disjunctive_brand_revenue": ("small_qty_revenue", "returned_items_report"),
-    # view + broadcast scalar-max equality → per-key agg + global-scalar shapes
-    "top_supplier_revenue": ("returned_items_report", "orders_rfm_segments"),
-    # bilateral dim-snowflake trade volume → Q10/Q21 join graphs
-    "nation_trade_volume": ("returned_items_report", "waiting_supplier_orders"),
-    # segment-filtered 3-way join top-k → the Q10-shaped top-k report
-    "shipping_priority_topk": ("returned_items_report", "large_quantity_orders"),
-    # pure scan-filter aggregate → pushed-filter DSS scans in-window
-    "forecast_revenue_change": ("small_qty_revenue", "order_priority_pending"),
-    # CASE-inside-aggregate ratio → the Q12 case-sum shape
-    "promo_revenue_share": ("returnflag_priority_casesum", "small_qty_revenue"),
-    # six-table local-trade snowflake → Q10/Q21 join graphs in-window
-    "local_supplier_volume": ("returned_items_report", "waiting_supplier_orders"),
-    # widest-snowflake CASE ratio → Q12 case-sums + Q10 join graph
-    "nation_market_share": ("returnflag_priority_casesum", "returned_items_report"),
-    # CUBE grouping sets → the profile's Expand-based grouping
-    "cube_status_priority": ("data_profile_orders",),
-    # relative-rank windows → decile/last-touch window families
-    "segment_top_value_orders": ("customer_value_deciles", "attribution_last_touch"),
-    # SCD2 keyed merge → the snapshot-diff classify + dedup-latest keys
-    "scd2_customer_snapshot": ("orders_snapshot_diff", "attribution_last_touch"),
+    # tf-idf ranking → BM25 scoring, same inverted shape
+    "tfidf_top_terms": ("bm25_doc_search",),
+    # ---- demoted in the r6→r7 rotation ----
+    # vocab-scale DF/IDF term ranking → the BM25 doc scorer runs the
+    # same tf/df/idf core; BPE pair counting is the same vocab-scale
+    # aggregate shape
+    "bm25_top_terms": ("bm25_doc_search", "bpe_merge_candidates"),
+    # benchmark-gram broadcast anti-overlap → gram/digest joins against
+    # a broadcast reference set
+    "decontaminate_ngram_overlap": ("cross_source_leakage", "boilerplate_chunk_removal"),
+    # simhash banding (batch-vs-corpus) → band-join machinery + the
+    # banded-candidate audit reuse the same signature/banding core
+    "dedup_incremental_simhash": ("cross_source_leakage", "dedup_embedding_agreement"),
+    # row-local JL projection → row-local subvector argmin encoding
+    "embedding_random_projection": ("embedding_pq_codes",),
+    # stream-stream interval join batch twin → lag-gap detection +
+    # SCD2 validity-interval construction cover range semantics
+    "events_interval_join": ("events_gap_detection", "scd2_customer_snapshot"),
+    # hourly OHLC tumbling agg → time-bucket grouping + ordered
+    # first/last picks
+    "events_ohlc_hourly": ("orders_retention_cohort", "events_decay_score"),
+    # rolling frame stats → relative-rank windows + ordered decay
+    # integration
+    "events_rolling_zscore": ("segment_top_value_orders", "events_decay_score"),
+    # time-weighted avg (lead deltas) → ordered decay + lag gaps
+    "events_time_weighted_avg": ("events_decay_score", "events_gap_detection"),
+    # paragraph-level digest dedup → digest clustering + chunk ledger
+    "paragraph_dedup": ("dup_cluster_size_hist", "boilerplate_chunk_removal"),
+    # keep/drop quality verdicts → the same quality signal columns
+    "quality_filter_verdicts": ("oov_rate_top1k", "seq_length_histogram"),
+    # row-local gram folds / repetition ratios → trigram folds + token
+    # scoring
+    "repetition_stats": ("session_path_trigrams", "unigram_logprob_score"),
+    # cluster-blocked cosine → same knn geometry, RRF + ADC forms
+    "semdedup_embedding": ("hybrid_search_rrf", "knn_pq_adc"),
+    # cumulative daily HLL → same register algebra, global form
+    "hll_cumulative_daily": ("hll_distinct_users",),
+    # Q21-shaped multi-join → the promoted six-table snowflakes
+    "waiting_supplier_orders": ("local_supplier_volume", "nation_trade_volume"),
+    # exact ntile deciles → sketch-cut deciles + relative-rank windows
+    "customer_value_deciles": ("customer_value_deciles_sketch", "segment_top_value_orders"),
+    # funnel percentiles → MAD medians + the percentile-sketch cut
+    "funnel_latency_percentiles": ("mad_outlier_bounds", "customer_value_deciles_sketch"),
+    # corpus share-by-source → mixture strata shares + cohort shares
+    "corpus_composition": ("mixture_sample", "orders_retention_cohort"),
 }
 
 

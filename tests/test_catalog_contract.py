@@ -28,16 +28,17 @@ from chess_pipeline_spark.plans import (
     catalog,
 )
 
-# The byte-stable order for the round-6 driver run: the deliberate
-# r5->r6 rotation executes the r6 ROTATION CHECKLIST wholesale — all
-# 35 never-driver-verified late-r5 queries enter the window; 35
-# doubly-proven members (green r5 AND >=1 earlier round, verified
-# against CORRECTNESS_r01..r05 at rotation time) rotate out; the 14
-# single-green r5 newcomers and multimodal_features (sole in-window
-# anchor of the mapInPandas media family) stay. The subsumption table
-# is DEMOTION_COVERAGE in plans/__init__.py, machine-validated below.
-# Any edit here is a deliberate contract change and must re-justify
-# the window contents.
+# The byte-stable order for the round-7 driver run: the deliberate
+# r6->r7 rotation executes the r7 ROTATION CHECKLIST wholesale — all
+# sixteen r6-new operators plus json_props_extract enter the window
+# (emptying the never-driver-green backlog); 12 members green in BOTH
+# r5 and r6 (verified against CORRECTNESS_r01..r06 at rotation time)
+# plus 5 r6-green members with redundant in-window family coverage
+# rotate out. mixture_sample and multimodal_features stay as the sole
+# driver anchors of the sampling and mapInPandas-media families. The
+# subsumption table is DEMOTION_COVERAGE in plans/__init__.py,
+# machine-validated below. Any edit here is a deliberate contract
+# change and must re-justify the window contents.
 FROZEN_ORDER: tuple[str, ...] = (
     "orders_rfm_segments",
     "orders_snapshot_diff",
@@ -46,36 +47,37 @@ FROZEN_ORDER: tuple[str, ...] = (
     "returnflag_priority_casesum",
     "cust_order_count_dist",
     "small_qty_revenue",
-    "waiting_supplier_orders",
-    "customer_value_deciles",
+    "disjunctive_brand_revenue",
+    "shipping_priority_topk",
+    "local_supplier_volume",
+    "nation_market_share",
+    "cube_status_priority",
+    "segment_top_value_orders",
+    "scd2_customer_snapshot",
+    "forecast_revenue_change",
+    "promo_revenue_share",
+    "top_supplier_revenue",
+    "nation_trade_volume",
+    "customer_value_deciles_sketch",
     "large_quantity_orders",
     "idle_customer_balance",
     "attribution_last_touch",
-    "funnel_latency_percentiles",
     "session_path_trigrams",
     "event_transition_matrix",
     "events_gap_detection",
-    "events_interval_join",
-    "events_rolling_zscore",
-    "events_ohlc_hourly",
-    "events_time_weighted_avg",
+    "json_props_extract",
     "events_decay_score",
     "dedup_embedding_agreement",
     "cross_source_leakage",
-    "dedup_incremental_simhash",
-    "semdedup_embedding",
-    "embedding_random_projection",
+    "embedding_pq_codes",
+    "knn_pq_adc",
     "multimodal_features",
+    "dedup_groups_logstep",
+    "bpe_merge_candidates",
     "mixture_sample",
-    "decontaminate_ngram_overlap",
-    "bm25_top_terms",
-    "repetition_stats",
-    "quality_filter_verdicts",
-    "paragraph_dedup",
     "pii_redact_stats",
     "oov_rate_top1k",
     "boilerplate_chunk_removal",
-    "corpus_composition",
     "unigram_logprob_score",
     "bm25_doc_search",
     "hybrid_search_rrf",
@@ -87,11 +89,9 @@ FROZEN_ORDER: tuple[str, ...] = (
     "dup_cluster_size_hist",
     "cms_heavy_hitters",
     "value_quantiles_binned",
-    "hll_cumulative_daily",
     "referential_integrity_audit",
-    # --- past the driver window (demoted; every demoted query except
-    # the brand-new r6 ones has two rounds of green driver history
-    # plus a local oracle row) ---
+    # --- past the driver window (demoted; every demoted query has
+    # green driver history and/or a local oracle row) ---
     "distinct_flag_status",
     "global_minmax",
     "weekday_recode",
@@ -142,7 +142,6 @@ FROZEN_ORDER: tuple[str, ...] = (
     "events_tumbling_1h",
     "events_sessionized",
     "events_dedup_latest",
-    "json_props_extract",
     "events_asof_last_purchase",
     "event_funnel",
     "win_prob_lr",
@@ -158,22 +157,23 @@ FROZEN_ORDER: tuple[str, ...] = (
     "stratified_sample",
     "pack_sequences",
     "tfidf_top_terms",
-    "dedup_groups_logstep",
-    "customer_value_deciles_sketch",
-    "bpe_merge_candidates",
-    "embedding_pq_codes",
-    "knn_pq_adc",
-    "disjunctive_brand_revenue",
-    "top_supplier_revenue",
-    "nation_trade_volume",
-    "shipping_priority_topk",
-    "forecast_revenue_change",
-    "promo_revenue_share",
-    "local_supplier_volume",
-    "nation_market_share",
-    "cube_status_priority",
-    "segment_top_value_orders",
-    "scd2_customer_snapshot",
+    "bm25_top_terms",
+    "decontaminate_ngram_overlap",
+    "dedup_incremental_simhash",
+    "embedding_random_projection",
+    "events_interval_join",
+    "events_ohlc_hourly",
+    "events_rolling_zscore",
+    "events_time_weighted_avg",
+    "paragraph_dedup",
+    "quality_filter_verdicts",
+    "repetition_stats",
+    "semdedup_embedding",
+    "hll_cumulative_daily",
+    "waiting_supplier_orders",
+    "customer_value_deciles",
+    "funnel_latency_percentiles",
+    "corpus_composition",
 )
 
 
@@ -181,72 +181,59 @@ def test_catalog_order_frozen():
     assert tuple(catalog()) == FROZEN_ORDER
 
 
-def test_driver_window_r6_rotation():
-    # round 6's window: ALL 35 never-driver-verified late-r5 queries
-    # are IN (the r6 rotation checklist, executed); the 14 single-green
-    # r5 newcomers and the multimodal anchor stay; everything rotated
-    # out is green in r5 AND at least one earlier round (verified
-    # against the CORRECTNESS files at rotation time); the two r6
-    # additions start demoted and are staged for r7.
-    assert len(FROZEN_ORDER) - DRIVER_WINDOW == 82
+def test_driver_window_r7_rotation():
+    # round 7's window: the full r7 rotation checklist executed — all
+    # sixteen r6-new operators plus json_props_extract are IN (the
+    # never-driver-green backlog is empty); everything rotated out is
+    # either green in r5 AND r6 (12 names, verified against the
+    # CORRECTNESS files at rotation time) or r6-green with redundant
+    # in-window family coverage (5 names); mixture_sample and
+    # multimodal_features stay as sole family anchors.
+    assert len(FROZEN_ORDER) - DRIVER_WINDOW == len(_DEMOTED)
     in_window = set(FROZEN_ORDER[:DRIVER_WINDOW])
-    promoted_r6 = (
-        "events_gap_detection",
-        "orders_retention_cohort",
-        "oov_rate_top1k",
-        "cross_source_leakage",
-        "boilerplate_chunk_removal",
-        "corpus_composition",
-        "events_decay_score",
-        "orders_rfm_segments",
-        "orders_snapshot_diff",
-        "hll_distinct_users",
-        "data_profile_orders",
-        "mad_outlier_bounds",
-        "seq_length_histogram",
-        "returned_items_report",
-        "dup_cluster_size_hist",
-        "unigram_logprob_score",
-        "cms_heavy_hitters",
-        "value_quantiles_binned",
-        "order_priority_pending",
-        "returnflag_priority_casesum",
-        "cust_order_count_dist",
-        "small_qty_revenue",
+    promoted_r7 = (
+        "json_props_extract",
+        "dedup_groups_logstep",
+        "customer_value_deciles_sketch",
+        "bpe_merge_candidates",
+        "embedding_pq_codes",
+        "knn_pq_adc",
+        "disjunctive_brand_revenue",
+        "top_supplier_revenue",
+        "nation_trade_volume",
+        "shipping_priority_topk",
+        "forecast_revenue_change",
+        "promo_revenue_share",
+        "local_supplier_volume",
+        "nation_market_share",
+        "cube_status_priority",
+        "segment_top_value_orders",
+        "scd2_customer_snapshot",
+    )
+    assert len(promoted_r7) == 17
+    demoted_r7 = (
+        "bm25_top_terms",
+        "decontaminate_ngram_overlap",
+        "dedup_incremental_simhash",
+        "embedding_random_projection",
+        "events_interval_join",
+        "events_ohlc_hourly",
+        "events_rolling_zscore",
+        "events_time_weighted_avg",
+        "paragraph_dedup",
+        "quality_filter_verdicts",
+        "repetition_stats",
+        "semdedup_embedding",
+        "hll_cumulative_daily",
         "waiting_supplier_orders",
         "customer_value_deciles",
-        "hll_cumulative_daily",
-        "bm25_doc_search",
-        "hybrid_search_rrf",
-        "attribution_last_touch",
         "funnel_latency_percentiles",
-        "large_quantity_orders",
-        "idle_customer_balance",
-        "session_path_trigrams",
-        "referential_integrity_audit",
-        "dedup_embedding_agreement",
-        "event_transition_matrix",
+        "corpus_composition",
     )
-    assert len(promoted_r6) == 35
-    single_green_keepers = (
-        "events_interval_join",
-        "events_rolling_zscore",
-        "events_ohlc_hourly",
-        "events_time_weighted_avg",
-        "dedup_incremental_simhash",
-        "semdedup_embedding",
-        "embedding_random_projection",
-        "mixture_sample",
-        "decontaminate_ngram_overlap",
-        "bm25_top_terms",
-        "repetition_stats",
-        "quality_filter_verdicts",
-        "paragraph_dedup",
-        "pii_redact_stats",
-    )
-    for name in promoted_r6 + single_green_keepers + ("multimodal_features",):
+    for name in promoted_r7 + ("mixture_sample", "multimodal_features", "pii_redact_stats"):
         assert name in in_window, name
-    assert len(promoted_r6) + len(single_green_keepers) + 1 == DRIVER_WINDOW
+    for name in demoted_r7:
+        assert name in _DEMOTED and name not in in_window, name
 
 
 def test_coverage_md_totals_match_catalog():
