@@ -305,16 +305,21 @@ def stream_ingest_ivf(vectors: DataFrame, index_path: str, id_col: str = "vec_id
 
 
 def compact_ivf_index(spark: SparkSession, index_path: str) -> None:
-    """Fold lists_delta into the base lists (tmp-write + atomic rename
-    protects the base itself; run in a maintenance window — probes
-    between the rename and the delta removal would double-read the
-    folded rows, the standard non-transactional-filesystem caveat a
-    lakehouse table format removes)."""
+    """Fold lists_delta into the base lists. The swap renames the live
+    base to a .bak sibling before renaming the merged tmp into place
+    (and only then drops .bak + delta), so a crash at any instant
+    leaves either the target or the .bak holding a full base —
+    _read_lists falls back to the .bak. Run in a maintenance window —
+    probes between the final rename and the delta removal would
+    double-read the folded rows, the standard
+    non-transactional-filesystem caveat a lakehouse table format
+    removes."""
     import shutil
     import uuid
 
     delta_path = os.path.join(index_path, "lists_delta")
     lists_path = os.path.join(index_path, "lists")
+    bak_path = f"{lists_path}.__bak__"
     if not os.path.exists(delta_path):
         return
     base = spark.read.parquet(lists_path)
@@ -322,8 +327,11 @@ def compact_ivf_index(spark: SparkSession, index_path: str) -> None:
     merged = base.unionByName(delta)
     tmp = f"{lists_path}.__tmp__{uuid.uuid4().hex[:8]}"
     merged.write.partitionBy("list_id").mode("overwrite").parquet(tmp)
-    shutil.rmtree(lists_path)
+    if os.path.exists(bak_path):
+        shutil.rmtree(bak_path)
+    os.rename(lists_path, bak_path)
     os.rename(tmp, lists_path)
+    shutil.rmtree(bak_path)
     shutil.rmtree(delta_path)
 
 
@@ -331,8 +339,13 @@ def _read_lists(spark: SparkSession, index_path: str) -> DataFrame:
     """Base lists plus any un-compacted ingest delta (same schema by
     construction — _encode_rows built both). Partition pruning on
     list_id applies to each scan; the delta is delta-sized by
-    definition, so an unpruned delta scan is bounded anyway."""
-    lists = spark.read.parquet(os.path.join(index_path, "lists"))
+    definition, so an unpruned delta scan is bounded anyway. If a
+    compaction crashed mid-swap the base lives in the .bak sibling —
+    fall back to it rather than failing the probe."""
+    lists_path = os.path.join(index_path, "lists")
+    if not os.path.exists(lists_path) and os.path.exists(f"{lists_path}.__bak__"):
+        lists_path = f"{lists_path}.__bak__"
+    lists = spark.read.parquet(lists_path)
     delta_path = os.path.join(index_path, "lists_delta")
     if os.path.exists(delta_path):
         delta = spark.read.parquet(delta_path).drop("ingest_batch")
@@ -448,6 +461,13 @@ def probe_ivf_adc(
     codebook = spark.read.parquet(os.path.join(index_path, "pq_codebook"))
     dim = codebook.select(F.size("c").alias("d")).first()["d"]
     sub = dim // _PQ_M
+    # The flat-table stride is the PERSISTED codebook's cardinality,
+    # not _PQ_K: build_ivf_index writes min(corpus, _PQ_K) rows, and a
+    # hardcoded 32 against a shorter codebook would make element_at
+    # index past the table — NULL under non-ANSI semantics, which
+    # sorts first under asc and silently corrupts the top-k (r6
+    # advice). Stored cids are 1..k_cb, so positions stay dense.
+    k_cb = codebook.count()
 
     probed = _nearest_lists(queries, centroids, nprobe, id_col).select(
         F.col(id_col).alias("q_id"),
@@ -474,7 +494,7 @@ def probe_ivf_adc(
                 F.array(
                     *[
                         F.struct(
-                            (F.lit(j * _PQ_K) + F.col("cid")).alias("pos"),
+                            (F.lit(j * k_cb) + F.col("cid")).alias("pos"),
                             F.col(f"dm{j}").alias("dm"),
                         )
                         for j in range(_PQ_M)
@@ -490,7 +510,7 @@ def probe_ivf_adc(
     lists = _read_lists(spark, index_path).select("vec_id", "list_id", "pq_code")
     adc = F.expr(
         f"aggregate(zip_with(pq_code, sequence(0, {_PQ_M - 1}), "
-        f"(c, j) -> element_at(tbl, j * {_PQ_K} + CAST(c AS INT))), "
+        f"(c, j) -> element_at(tbl, j * {k_cb} + CAST(c AS INT))), "
         f"CAST(0 AS BIGINT), (a, b) -> a + b)"
     )
     scored = (

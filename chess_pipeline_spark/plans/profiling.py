@@ -540,7 +540,7 @@ def _hex3_to_int_sql(h: str) -> str:
     )
 
 
-def cms_sketch_counters(words: DataFrame) -> DataFrame:
+def cms_sketch_counters(words: DataFrame, *, weighted: bool = False) -> DataFrame:
     """(row_i, bucket, cnt) Count-Min counters for a `word` column —
     the mergeable core shared by the cms_heavy_hitters catalog query
     and the streaming CMS ledger (streaming/jobs.py). Vocab-weighted
@@ -549,8 +549,13 @@ def cms_sketch_counters(words: DataFrame) -> DataFrame:
     per-occurrence count exactly while hashing |vocab| strings
     instead of every occurrence. Counter addition is associative and
     commutative, so counters built per micro-batch/partition merge by
-    plain summation."""
-    vocab = words.groupBy("word").agg(F.count("*").alias("wf"))
+    plain summation.
+
+    Pass weighted=True when the input is ALREADY the aggregated
+    (word, wf) vocabulary: cms_heavy_hitters computes that frame for
+    its exact branch anyway, and re-aggregating it here would run the
+    corpus-scale word shuffle twice (r6 advice)."""
+    vocab = words if weighted else words.groupBy("word").agg(F.count("*").alias("wf"))
     rb = F.array(
         *[
             F.struct(
@@ -603,7 +608,11 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split("text", " ")).alias("word")
     )
     vocab = words.groupBy("word").agg(F.count("*").alias("n_exact"))
-    sketch = cms_sketch_counters(words)
+    # feed the already-aggregated vocab to the sketch: one corpus-scale
+    # word shuffle total, not two (r7 fix; counters bit-identical)
+    sketch = cms_sketch_counters(
+        vocab.select("word", F.col("n_exact").alias("wf")), weighted=True
+    )
 
     wtop = Window.orderBy(F.desc("n_exact"), F.asc("word"))
     top = vocab.withColumn("rk", F.row_number().over(wtop)).filter(

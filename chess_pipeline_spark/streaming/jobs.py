@@ -467,12 +467,28 @@ def stream_hll_distinct(events: DataFrame, registers_path: str, estimates_path: 
     driver-side-tiny by construction; an append-only band/bucket
     layout is unnecessary at any scale because the state is bounded.
 
-    Crash safety: the snapshot lands in a temp dir and is renamed over
-    registers_path (same tmp-swap as sinks.upsert_parquet), so a crash
-    mid-rewrite leaves the prior ledger intact and checkpoint replay of
-    the failed batch max-merges into REAL state, never an empty one —
-    the replay-idempotency claim above covers the overwrite window too.
+    Crash safety: the snapshot lands in a temp dir, the live ledger is
+    renamed to a .bak sibling, the temp dir is renamed into place, and
+    only then is the .bak removed — at every instant either the target
+    or the .bak holds the full accumulated registers (HLL registers are
+    NOT reconstructible from checkpoint replay of one batch, so a
+    window with neither would lose state permanently). The reader
+    falls back to the .bak when the target is missing, so checkpoint
+    replay of a batch that crashed mid-swap max-merges into REAL
+    state, never an empty one.
     """
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        _hll_process_batch(batch, batch_id, registers_path, estimates_path)
+
+    return events.writeStream.foreachBatch(_process)
+
+
+def _hll_process_batch(
+    batch: DataFrame, batch_id: int, registers_path: str, estimates_path: str
+) -> None:
+    """One stream_hll_distinct micro-batch — module-level so the
+    crash-window test can drive it without a running stream."""
     import os
     import shutil
     import uuid
@@ -483,52 +499,67 @@ def stream_hll_distinct(events: DataFrame, registers_path: str, estimates_path: 
         hll_estimate_col,
         hll_registers_for,
     )
+    from chess_pipeline_spark.sinks import upsert_partition_overwrite
 
-    def _process(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        regs = hll_registers_for(
-            batch.select(
-                "event_type", F.md5(F.col("user_id").cast("string")).alias("h")
-            )
+    spark = batch.sparkSession
+    regs = hll_registers_for(
+        batch.select(
+            "event_type", F.md5(F.col("user_id").cast("string")).alias("h")
         )
+    )
+    bak = f"{registers_path}.__bak__"
+    try:
+        prior = spark.read.parquet(registers_path)
+    except AnalysisException:
+        # mid-swap crash window: the live dir was renamed to .bak
+        # but the tmp dir never made it into place — the .bak IS
+        # the accumulated state, not an empty ledger
         try:
-            prior = spark.read.parquet(registers_path)
+            prior = spark.read.parquet(bak)
         except AnalysisException:
-            prior = spark.createDataFrame([], "event_type string, reg int, m_j int")
-        merged = (
-            regs.unionByName(prior.select("event_type", "reg", "m_j"))
-            .groupBy("event_type", "reg")
-            .agg(F.max("m_j").alias("m_j"))
-        )
-        # the register table is bounded (≤ 256 per type): collect and
-        # rewrite — reading and overwriting the same parquet path in
-        # one lazy plan is not safe, and a KB-scale driver hop is the
-        # honest cost model at every scale. Atomic swap: write the
-        # snapshot beside the ledger, then rename over it, so a crash
-        # between batches can never destroy accumulated registers.
-        rows = merged.collect()
-        snap = spark.createDataFrame(rows, merged.schema)
-        tmp = f"{registers_path}.__tmp__{uuid.uuid4().hex[:8]}"
-        snap.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(registers_path):
-            shutil.rmtree(registers_path)
-        os.rename(tmp, registers_path)
-        est = (
-            snap.groupBy("event_type")
-            .agg(
-                F.count("*").alias("regs_used"),
-                F.sum(F.pow(F.lit(2.0), -F.col("m_j"))).alias("z_used"),
+            prior = spark.createDataFrame(
+                [], "event_type string, reg int, m_j int"
             )
-            .select(
-                "event_type",
-                "regs_used",
-                hll_estimate_col().alias("hll_estimate"),
-                F.lit(batch_id).alias("batch_id"),
-            )
+    merged = (
+        regs.unionByName(prior.select("event_type", "reg", "m_j"))
+        .groupBy("event_type", "reg")
+        .agg(F.max("m_j").alias("m_j"))
+    )
+    # the register table is bounded (≤ 256 per type): collect and
+    # rewrite — reading and overwriting the same parquet path in
+    # one lazy plan is not safe, and a KB-scale driver hop is the
+    # honest cost model at every scale. Swap via .bak: write the
+    # snapshot beside the ledger, rename live → .bak, rename tmp
+    # into place, then drop the .bak — there is no instant where
+    # neither dir holds the accumulated registers (the r6-advice
+    # gap: rmtree-then-rename had such a window).
+    rows = merged.collect()
+    snap = spark.createDataFrame(rows, merged.schema)
+    tmp = f"{registers_path}.__tmp__{uuid.uuid4().hex[:8]}"
+    snap.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(bak):
+        shutil.rmtree(bak)
+    if os.path.exists(registers_path):
+        os.rename(registers_path, bak)
+    os.rename(tmp, registers_path)
+    if os.path.exists(bak):
+        shutil.rmtree(bak)
+    est = (
+        snap.groupBy("event_type")
+        .agg(
+            F.count("*").alias("regs_used"),
+            F.sum(F.pow(F.lit(2.0), -F.col("m_j"))).alias("z_used"),
         )
-        est.write.mode("append").parquet(estimates_path)
-
-    return events.writeStream.foreachBatch(_process)
+        .select(
+            "event_type",
+            "regs_used",
+            hll_estimate_col().alias("hll_estimate"),
+            F.lit(batch_id).alias("batch_id"),
+        )
+    )
+    # batch_id-keyed overwrite so a replayed batch rewrites its
+    # own estimate row instead of appending a duplicate
+    upsert_partition_overwrite(est, estimates_path, ["batch_id"])
 
 
 def stream_cms_sketch(docs: DataFrame, ledger_path: str, snapshot_path: str):
@@ -572,7 +603,11 @@ def stream_cms_sketch(docs: DataFrame, ledger_path: str, snapshot_path: str):
             F.sum("cnt").cast("long").alias("total_count"),
             F.max("cnt").cast("long").alias("max_count"),
         ).withColumn("batch_id", F.lit(batch_id))
-        snap.write.mode("append").parquet(snapshot_path)
+        # batch_id-partitioned overwrite, like the ledger: an
+        # at-least-once replayed batch rewrites its own snapshot row
+        # instead of appending a duplicate (r6 advice — plain append
+        # made only the ledger exactly-once, not the snapshot)
+        upsert_partition_overwrite(snap, snapshot_path, ["batch_id"])
 
     return docs.writeStream.foreachBatch(_process)
 
@@ -643,6 +678,8 @@ def stream_value_histogram(events: DataFrame, ledger_path: str, quantiles_path: 
             edge(0.9).alias("p90_binned"),
             edge(0.99).alias("p99_binned"),
         ).withColumn("batch_id", F.lit(batch_id))
-        snap.write.mode("append").parquet(quantiles_path)
+        # batch_id-keyed overwrite: replayed batches rewrite their own
+        # snapshot partition rather than appending duplicates
+        upsert_partition_overwrite(snap, quantiles_path, ["batch_id"])
 
     return events.writeStream.foreachBatch(_process)

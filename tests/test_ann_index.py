@@ -332,6 +332,63 @@ def test_ivfadc_probe_codes_only_and_matches_numpy(spark, sf_dir, tmp_path):
         assert abs(total - adc_micro) <= 2, (qid, nid, total, adc_micro)
 
 
+def test_ivfadc_probe_short_codebook(spark, sf_dir, tmp_path):
+    """A corpus smaller than _PQ_K yields a SHORT codebook; the flat
+    ADC table stride must follow the persisted codebook's cardinality,
+    not the constant — with the old hardcoded stride, element_at
+    indexed past the table, adc_micro went NULL, and NULLs sorted
+    first, silently corrupting the top-k (r6 advice). Pin: every
+    adc_micro is non-null and matches numpy on the short codebook."""
+    import numpy as np
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from chess_pipeline_spark.ann_index import (
+        _PQ_M,
+        build_ivf_index,
+        probe_ivf_adc,
+    )
+    from chess_pipeline_spark.sources import load_table
+
+    idx = str(tmp_path / "ivfadc_short")
+    corpus = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 12
+    )
+    build_ivf_index(corpus, idx, n_lists=3)
+    cb = pd.read_parquet(idx + "/pq_codebook").sort_values("cid")
+    assert len(cb) == 12  # genuinely short — the scenario under test
+
+    queries = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    got = probe_ivf_adc(spark, idx, queries, k=4, nprobe=2).toPandas()
+    assert len(got) > 0
+    assert got["adc_micro"].notna().all(), "short codebook produced NULL ADC"
+
+    C = np.stack(cb["c"].to_numpy()).astype(np.float64)
+    lists = pd.read_parquet(idx + "/lists")
+    emb = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in corpus.collect()
+    }
+    dim = C.shape[1]
+    sub = dim // _PQ_M
+    for (qid, nid, adc_micro) in got[["qid", "neighbor_id", "adc_micro"]].itertuples(
+        index=False, name=None
+    ):
+        qv = emb[qid]
+        code = np.asarray(
+            lists.loc[lists.vec_id == nid, "pq_code"].iloc[0], dtype=np.int64
+        )
+        total = 0
+        for j in range(_PQ_M):
+            cvec = C[code[j] - 1, j * sub : (j + 1) * sub]
+            d = float(((qv[j * sub : (j + 1) * sub] - cvec) ** 2).sum())
+            d9 = np.floor(d * 1e9 + 0.5) / 1e9
+            total += int(np.floor(d9 * 1e6 + 0.5))
+        assert abs(total - adc_micro) <= 2, (qid, nid, total, adc_micro)
+
+
 def test_stream_ingest_ivf_and_compaction(spark, sf_dir, tmp_path):
     """Incremental index maintenance: build on the first half of the
     corpus, stream-ingest the second half in two micro-batches, and

@@ -456,6 +456,52 @@ def test_stream_hll_matches_batch_exactly(spark, sf_dir, tmp_path):
     assert final == {k: round(v, 4) for k, v in ((k, v) for k, v in batch.items())}
 
 
+def test_stream_hll_bak_fallback_survives_mid_swap_crash(spark, sf_dir, tmp_path):
+    """Simulate the mid-swap crash window (live ledger renamed to
+    .bak, tmp never renamed into place): the next batch's reader must
+    fall back to the .bak and max-merge into the ACCUMULATED state,
+    not an empty ledger — HLL registers are not reconstructible from
+    replaying one batch, so losing them would be permanent (r6
+    advice)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from chess_pipeline_spark.sources import load_table
+    from chess_pipeline_spark.streaming.jobs import _hll_process_batch
+
+    raw_cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ev = load_table(spark, sf_dir, "events").select(*raw_cols)
+    mid = ev.agg(F.expr("percentile(event_id, 0.5)")).first()[0]
+    regs = str(tmp_path / "registers")
+    est_path = str(tmp_path / "estimates")
+
+    # drive the per-batch function directly — batch 0, then "crash"
+    _hll_process_batch(ev.filter(F.col("event_id") <= mid), 0, regs, est_path)
+    assert os.path.exists(regs)
+    os.rename(regs, regs + ".__bak__")  # crashed between the renames
+
+    _hll_process_batch(ev.filter(F.col("event_id") > mid), 1, regs, est_path)
+    # batch 1 must have merged ON TOP of batch 0's registers: its
+    # estimate equals the full-data single-batch estimate exactly
+    regs2 = str(tmp_path / "registers_full")
+    _hll_process_batch(ev, 0, regs2, str(tmp_path / "estimates_full"))
+    merged = spark.read.parquet(regs).groupBy("event_type", "reg").agg(
+        F.max("m_j").alias("m_j")
+    )
+    full = spark.read.parquet(regs2)
+    diff = merged.alias("a").join(
+        full.alias("b"), ["event_type", "reg"], "full"
+    ).filter(
+        (F.col("a.m_j").isNull())
+        | (F.col("b.m_j").isNull())
+        | (F.col("a.m_j") != F.col("b.m_j"))
+    )
+    assert diff.count() == 0
+    # and the swap cleaned the .bak up after the successful batch
+    assert not os.path.exists(regs + ".__bak__")
+
+
 def test_stream_value_histogram_matches_batch_exactly(spark, sf_dir, tmp_path):
     """Two-batch replay: the merged histogram ledger must reproduce
     the batch query's binned quantiles EXACTLY (histogram addition is
