@@ -143,3 +143,85 @@ def test_pandas_udf_matches_native_expression(spark):
         assert abs(r.nw - r.u.win_probability_white) < 2e-6
         assert abs(r.nd - r.u.draw_probability) < 2e-6
         assert abs(r.nb - r.u.win_probability_black) < 2e-6
+
+
+def test_training_twin_recovers_frozen_coefficients(spark):
+    """The in-engine Spark-ML training pipeline (r7; mirrors the
+    reference's model_training.py:55-75 shape: seed-13 split, IQR
+    fence, multinomial LR) must RECOVER the frozen inference
+    coefficients from a fixture soft-labeled by that very model —
+    the MLE of a multinomial logit on its own soft labels is the
+    generating model. Comparison is mean-centered across classes
+    (softmax shift-invariance); the bound is loose enough for L-BFGS
+    convergence, tight enough that a wrong feature order, dropped
+    feature, or sign flip fails loudly."""
+    from chess_pipeline_spark.functions.winprob import FEATURES, WINPROB_COEF
+    from chess_pipeline_spark.functions.winprob_training import (
+        center_coefs,
+        training_pipeline,
+    )
+
+    trained = center_coefs(training_pipeline(spark, n=4000, reg_param=0.0))
+    frozen = center_coefs(WINPROB_COEF)
+    # per-coefficient scale varies by orders of magnitude (elo_diff
+    # ~2e-3 vs clock ~0.8): bound the ABSOLUTE error against the
+    # feature's dynamic range contribution instead of one global eps
+    ranges = {"elo_diff": 200.0, "evaluation": 4.0, "white_sig_clock_pct": 1.0,
+              "black_sig_clock_pct": 1.0, "has_increment": 1.0}
+    for cls in WINPROB_COEF:
+        t, f = trained[cls], frozen[cls]
+        assert abs(t[0] - f[0]) < 2e-3, (cls, "bias", t[0], f[0])
+        for j, feat in enumerate(FEATURES, start=1):
+            # error in LOGIT units over the feature's span
+            err_logit = abs(t[j] - f[j]) * ranges[feat]
+            assert err_logit < 5e-3, (cls, feat, t[j], f[j], err_logit)
+
+
+def test_training_twin_inference_unchanged(spark):
+    """win_prob_lr's catalog output must be BYTE-identical before and
+    after the training work landed — training reads the frozen
+    coefficients, it must never mutate them — and re-running
+    inference with the TRAINED coefficients reproduces the frozen
+    probabilities within rounding."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from chess_pipeline_spark.functions.winprob import (
+        FEATURES,
+        WINPROB_COEF,
+        lr_probabilities,
+    )
+    from chess_pipeline_spark.functions.winprob_training import (
+        training_pipeline,
+        winprob_training_frame,
+    )
+
+    trained = training_pipeline(spark, n=4000, reg_param=0.0)
+
+    feats = (
+        winprob_training_frame(spark, 200)
+        .filter(F.col("label") == 0.0)
+        .select(*FEATURES)
+    )
+    frozen_rows = feats.select(
+        *FEATURES, *[c.alias(n) for n, c in lr_probabilities(
+            {f: F.col(f) for f in FEATURES}, decimals=6
+        ).items()]
+    ).collect()
+
+    def softmax(coefs, row):
+        zs = []
+        for cls in ("white_win", "draw", "black_win"):
+            b, *w = coefs[cls]
+            zs.append(b + sum(wi * row[f] for wi, f in zip(w, FEATURES)))
+        m = max(zs)
+        es = [math.exp(z - m) for z in zs]
+        tot = sum(es)
+        return [e / tot for e in es]
+
+    for r in frozen_rows:
+        p = softmax(trained, r)
+        assert abs(p[0] - r["win_probability_white"]) < 1e-3
+        assert abs(p[1] - r["draw_probability"]) < 1e-3
+        assert abs(p[2] - r["win_probability_black"]) < 1e-3
