@@ -282,26 +282,35 @@ def stream_ingest_ivf(vectors: DataFrame, index_path: str, id_col: str = "vec_id
     Returns an unstarted writeStream (caller picks trigger +
     checkpoint), like the other foreachBatch jobs.
     """
-    from chess_pipeline_spark.sinks import upsert_partition_overwrite
-
     def _process(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        seeds = spark.read.parquet(os.path.join(index_path, "centroids"))
-        codebook = spark.read.parquet(os.path.join(index_path, "pq_codebook"))
-        dim = codebook.select(F.size("c").alias("d")).first()["d"]
-        assigned = _nearest_lists(
-            batch.select(id_col, "embedding"), seeds, 1, id_col
-        )
-        rows = _encode_rows(assigned, codebook, dim // _PQ_M, id_col).withColumn(
-            "ingest_batch", F.lit(batch_id)
-        )
-        upsert_partition_overwrite(
-            rows,
-            os.path.join(index_path, "lists_delta"),
-            ["list_id", "ingest_batch"],
-        )
+        ingest_ivf_batch(batch, batch_id, index_path, id_col)
 
     return vectors.writeStream.foreachBatch(_process)
+
+
+def ingest_ivf_batch(
+    batch: DataFrame, batch_id: int, index_path: str, id_col: str = "vec_id"
+) -> None:
+    """One stream_ingest_ivf micro-batch — module-level so batch-mode
+    callers (the ivf_ingest_audit catalog query, tests) can drive the
+    exact ingest path without a running stream."""
+    from chess_pipeline_spark.sinks import upsert_partition_overwrite
+
+    spark = batch.sparkSession
+    seeds = spark.read.parquet(os.path.join(index_path, "centroids"))
+    codebook = spark.read.parquet(os.path.join(index_path, "pq_codebook"))
+    dim = codebook.select(F.size("c").alias("d")).first()["d"]
+    assigned = _nearest_lists(
+        batch.select(id_col, "embedding"), seeds, 1, id_col
+    )
+    rows = _encode_rows(assigned, codebook, dim // _PQ_M, id_col).withColumn(
+        "ingest_batch", F.lit(batch_id)
+    )
+    upsert_partition_overwrite(
+        rows,
+        os.path.join(index_path, "lists_delta"),
+        ["list_id", "ingest_batch"],
+    )
 
 
 def compact_ivf_index(spark: SparkSession, index_path: str) -> None:

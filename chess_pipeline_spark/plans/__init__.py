@@ -168,6 +168,10 @@ _DEMOTED: tuple[str, ...] = (
     "customer_value_deciles",
     "funnel_latency_percentiles",
     "corpus_composition",
+    # --- added new in r7 (start demoted with local oracle rows; r8
+    # ROTATION CHECKLIST: promote these) ---
+    "ivf_adc_recall",
+    "ivf_ingest_audit",
 )
 
 # For every demoted query: the IN-WINDOW queries that keep its SURVEY
@@ -354,6 +358,13 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     "funnel_latency_percentiles": ("mad_outlier_bounds", "customer_value_deciles_sketch"),
     # corpus share-by-source → mixture strata shares + cohort shares
     "corpus_composition": ("mixture_sample", "orders_retention_cohort"),
+    # ---- staged r7 additions (r8 promotion checklist) ----
+    # persisted-IVFADC recall report → same ADC geometry as the
+    # in-window whole-corpus twin + PQ encoding
+    "ivf_adc_recall": ("knn_pq_adc", "embedding_pq_codes"),
+    # IVF ingest/compaction audit → the ADC probe consumes the same
+    # persisted layout; count audits in-window via the RI audit
+    "ivf_ingest_audit": ("knn_pq_adc", "referential_integrity_audit"),
 }
 
 

@@ -2423,6 +2423,306 @@ SELECT 'hash_baseline' AS pair_set, CAST(count(*) AS BIGINT) AS n,
 FROM score_base
 """
 
+
+
+# ---------------------------------------------------------------------------
+# Persisted-index ANN evidence (r7): drive the PRODUCTION IVFADC path
+# (ann_index.build → probe with dynamic partition pruning, and the
+# streaming ingest/compaction maintenance cycle) under the oracle, not
+# just the whole-corpus catalog twins.
+# ---------------------------------------------------------------------------
+
+_RECALL_NQ = 8  # query vectors (vec_id < _RECALL_NQ)
+_RECALL_K = 5
+_RECALL_NPROBE = 2
+_IVF_NLISTS = 8
+
+
+def _scratch_index_dir(tag: str) -> str:
+    """A unique scratch directory for a per-run index build. Unique per
+    call (concurrent runs never collide); the index is rebuilt per run
+    because catalog queries must be self-contained functions of
+    (spark, sf_dir) — a production deployment builds once and
+    amortizes (see ann_index module docstring)."""
+    import os
+    import tempfile
+    import uuid
+
+    return os.path.join(
+        tempfile.gettempdir(), f"spark_graft_{tag}_{uuid.uuid4().hex[:12]}"
+    )
+
+
+def ivf_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end recall report for the PERSISTED IVFADC serving path:
+    build the real index (ann_index.build_ivf_index — coarse lists +
+    int8 codes + PQ codes on disk), probe it with probe_ivf_adc
+    (nprobe={_RECALL_NPROBE}, the pruned production path whose lists
+    scan reads only pq_code and prunes non-probed partitions), and
+    score the approximate top-{_RECALL_K} against the exact
+    L2² top-{_RECALL_K} per query. All recall arithmetic is integer
+    (hit counts, basis points), so the report is engine-exact even
+    though the path it certifies is approximate.
+
+    Output per query: probed_candidates (how many vectors the pruned
+    probe actually scored — the oracle recomputes it from the same
+    deterministic assignment, certifying the pruning bound), hits
+    (|approx ∩ exact|), recall_bp (hits·10000/{_RECALL_K}).
+
+    100 TB shape: the build is the one wide shuffle (partitioned
+    write); the probe reads nprobe/n_lists of the corpus and only 3
+    columns of it; exact top-k here exists to MEASURE recall and is
+    the piece you subsample at scale (8 probe queries, not a
+    workload).
+    """
+    from chess_pipeline_spark.ann_index import (
+        _nearest_lists,
+        build_ivf_index,
+        probe_ivf_adc,
+    )
+
+    e = spread(_L(spark, sf_dir, "embeddings"), "vec_id").select(
+        "vec_id", "embedding"
+    )
+    idx = _scratch_index_dir("ivfadc_recall")
+    build_ivf_index(e, idx, n_lists=_IVF_NLISTS)
+
+    queries = e.filter(F.col("vec_id") < _RECALL_NQ).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    approx = probe_ivf_adc(
+        spark, idx, queries, k=_RECALL_K, nprobe=_RECALL_NPROBE, id_col="qid"
+    ).select("qid", "neighbor_id")
+
+    # probed-candidate count: the persisted assignment joined to the
+    # probe lists (same _nearest_lists math the probe itself runs)
+    centroids = spark.read.parquet(idx + "/centroids")
+    probe_lists = _nearest_lists(queries, centroids, _RECALL_NPROBE, "qid").select(
+        F.col("qid").alias("p_qid"), "list_id"
+    )
+    assignment = spark.read.parquet(idx + "/lists").select("vec_id", "list_id")
+    pc = (
+        probe_lists.join(assignment, "list_id")
+        .filter(F.col("vec_id") != F.col("p_qid"))
+        .groupBy("p_qid")
+        .agg(F.count("*").cast("long").alias("probed_candidates"))
+    )
+
+    # exact L2² top-k over the full corpus (micro-grid so the ranking
+    # is integer-total on both engines)
+    d2 = F.expr(
+        "aggregate(zip_with(qe, embedding, "
+        "(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) "
+        "* (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        "CAST(0 AS DOUBLE), (a, b) -> a + b)"
+    )
+    ex_micro = F.floor(fround(d2, 9) * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
+    wr = Window.partitionBy("qid").orderBy(F.asc("ex_micro"), F.asc("vec_id"))
+    exact = (
+        e.crossJoin(
+            F.broadcast(
+                queries.select(F.col("qid"), F.col("embedding").alias("qe"))
+            )
+        )
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", ex_micro.alias("ex_micro"))
+        .withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= _RECALL_K)
+        .select("qid", F.col("vec_id").alias("neighbor_id"))
+    )
+
+    hits = (
+        approx.join(exact, ["qid", "neighbor_id"])
+        .groupBy("qid")
+        .agg(F.count("*").cast("long").alias("hits"))
+    )
+    return (
+        queries.select("qid")
+        .join(pc, queries.qid == pc.p_qid, "left")
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("probed_candidates", F.lit(0)).alias("probed_candidates"),
+            F.coalesce("hits", F.lit(0)).alias("hits"),
+            (F.coalesce("hits", F.lit(0)) * F.lit(10000) / F.lit(_RECALL_K))
+            .cast("long")
+            .alias("recall_bp"),
+        )
+        .orderBy("qid")
+    )
+
+
+# shared coarse-IVF CTEs: unnested embeddings, norms, the 8 lowest-id
+# seed centroids, and the rounded-cosine scores of every vector
+# against every seed (the same 1e-9 grid + lowest-list tie rule as
+# ann_index._nearest_lists)
+_COARSE_IVF_CTES = f"""ue AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings),
+norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ue GROUP BY 1),
+seed_ids AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS list_id
+  FROM embeddings ORDER BY vec_id LIMIT {_IVF_NLISTS}),
+coarse AS (
+  SELECT s.list_id, u.i, u.x AS c FROM seed_ids s JOIN ue u USING (vec_id)),
+cnorms AS (SELECT list_id, sqrt(sum(c * c)) AS nrm FROM coarse GROUP BY 1),
+ascored AS (
+  SELECT a.vec_id, a.list_id,
+         floor((a.dot / (nv.nrm * nc.nrm)) * 1000000000.0 + 0.5) AS c_cos9
+  FROM (SELECT u.vec_id, c.list_id, sum(u.x * c.c) AS dot
+        FROM ue u JOIN coarse c ON u.i = c.i GROUP BY 1, 2) a
+  JOIN norms nv ON nv.vec_id = a.vec_id
+  JOIN cnorms nc ON nc.list_id = a.list_id),
+asg AS (
+  SELECT vec_id, list_id FROM (
+    SELECT vec_id, list_id, row_number() OVER (
+      PARTITION BY vec_id ORDER BY c_cos9 DESC, list_id ASC) AS rn
+    FROM ascored) WHERE rn = 1)"""
+
+IVF_ADC_RECALL_SQL = f"""
+WITH {_COARSE_IVF_CTES},
+{_PQ_CODES_CTES},
+qprobe AS (
+  SELECT vec_id AS qid, list_id FROM (
+    SELECT vec_id, list_id, row_number() OVER (
+      PARTITION BY vec_id ORDER BY c_cos9 DESC, list_id ASC) AS rn
+    FROM ascored WHERE vec_id < {_RECALL_NQ}) WHERE rn <= {_RECALL_NPROBE}),
+cand AS (
+  SELECT p.qid, a.vec_id FROM qprobe p JOIN asg a USING (list_id)
+  WHERE a.vec_id <> p.qid),
+code_melt AS (
+  {' UNION ALL '.join(f'SELECT vec_id, {j} AS j, code_{j} AS cid FROM codes' for j in range(_PQ_M))}),
+q AS (
+  SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < {_RECALL_NQ}),
+td AS (
+  SELECT q.qid, c.cid,
+         {', '.join(f'{_adc_td_sql(j)} AS dm{j}' for j in range(_PQ_M))}
+  FROM q, cent c),
+td_melt AS (
+  {' UNION ALL '.join(f'SELECT qid, cid, {j} AS j, dm{j} AS dm FROM td' for j in range(_PQ_M))}),
+adc_scored AS (
+  SELECT t.qid, m.vec_id, CAST(sum(t.dm) AS BIGINT) AS adc_micro
+  FROM code_melt m
+  JOIN td_melt t ON m.j = t.j AND m.cid = t.cid
+  JOIN cand x ON x.qid = t.qid AND x.vec_id = m.vec_id
+  GROUP BY 1, 2),
+approx AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id, row_number() OVER (
+      PARTITION BY qid ORDER BY adc_micro ASC, vec_id ASC) AS rk
+    FROM adc_scored) WHERE rk <= {_RECALL_K}),
+exd AS (
+  SELECT qu.vec_id AS qid, u.vec_id,
+         CAST(floor(floor(sum((qu.x - u.x) * (qu.x - u.x)) * 1000000000.0 + 0.5)
+           / 1000000000.0 * 1000000.0 + 0.5) AS BIGINT) AS ex_micro
+  FROM ue qu JOIN ue u ON qu.i = u.i
+  WHERE qu.vec_id < {_RECALL_NQ} AND u.vec_id <> qu.vec_id
+  GROUP BY 1, 2),
+exact AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id, row_number() OVER (
+      PARTITION BY qid ORDER BY ex_micro ASC, vec_id ASC) AS rk
+    FROM exd) WHERE rk <= {_RECALL_K}),
+pc AS (SELECT qid, count(*) AS probed_candidates FROM cand GROUP BY 1),
+hits AS (
+  SELECT a.qid, count(*) AS hits
+  FROM approx a JOIN exact e ON e.qid = a.qid AND e.vec_id = a.vec_id
+  GROUP BY 1)
+SELECT q.qid,
+       CAST(coalesce(pc.probed_candidates, 0) AS BIGINT) AS probed_candidates,
+       CAST(coalesce(hits.hits, 0) AS BIGINT) AS hits,
+       CAST(coalesce(hits.hits, 0) * 10000 / {_RECALL_K} AS BIGINT) AS recall_bp
+FROM q
+LEFT JOIN pc ON pc.qid = q.qid
+LEFT JOIN hits ON hits.qid = q.qid
+ORDER BY q.qid
+"""
+
+
+def ivf_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-maintenance audit for the persisted IVF index, batch
+    form: build the base index from the EVEN vec_ids, drive the real
+    ingest path (ann_index.ingest_ivf_batch — the exact function
+    stream_ingest_ivf's foreachBatch runs) over the odd vec_ids in
+    two batches, compact, and report per-list (n_base, n_delta,
+    n_total). Because the coarse centroids are frozen at build time,
+    incremental assignments are consistent with a full rebuild — the
+    oracle recomputes every count from the raw parquet with the same
+    deterministic assignment rule, so a drifting centroid, a dropped
+    delta row, or a compaction that loses/duplicates rows all
+    hash-mismatch.
+
+    100 TB shape: ingest cost is delta-proportional (the base is
+    never rewritten between compactions); the audit itself is two
+    KB-scale groupBys over (list_id).
+    """
+    from chess_pipeline_spark.ann_index import (
+        build_ivf_index,
+        compact_ivf_index,
+        ingest_ivf_batch,
+    )
+
+    e = spread(_L(spark, sf_dir, "embeddings"), "vec_id").select(
+        "vec_id", "embedding"
+    )
+    idx = _scratch_index_dir("ivf_ingest")
+    base = e.filter(F.col("vec_id") % 2 == 0)
+    build_ivf_index(base, idx, n_lists=_IVF_NLISTS)
+    ingest_ivf_batch(e.filter(F.col("vec_id") % 4 == 1), 0, idx)
+    ingest_ivf_batch(e.filter(F.col("vec_id") % 4 == 3), 1, idx)
+
+    # the pre-compaction counts must materialize BEFORE compaction
+    # rewrites the files under them (the returned plan is lazy);
+    # localCheckpoint pins the ≤ n_lists-row frames eagerly
+    n_base = (
+        spark.read.parquet(idx + "/lists")
+        .groupBy("list_id")
+        .agg(F.count("*").cast("long").alias("n_base"))
+        .localCheckpoint()
+    )
+    n_delta = (
+        spark.read.parquet(idx + "/lists_delta")
+        .groupBy("list_id")
+        .agg(F.count("*").cast("long").alias("n_delta"))
+        .localCheckpoint()
+    )
+    compact_ivf_index(spark, idx)
+    n_total = (
+        spark.read.parquet(idx + "/lists")
+        .groupBy("list_id")
+        .agg(F.count("*").cast("long").alias("n_total"))
+    )
+    return (
+        n_total.join(n_base, "list_id", "left")
+        .join(n_delta, "list_id", "left")
+        .select(
+            F.col("list_id").cast("long").alias("list_id"),
+            F.coalesce("n_base", F.lit(0)).alias("n_base"),
+            F.coalesce("n_delta", F.lit(0)).alias("n_delta"),
+            "n_total",
+        )
+        .orderBy("list_id")
+    )
+
+
+# same coarse CTEs, but the SEEDS come from the base (even-vec_id)
+# corpus only — assignment still covers every vector
+IVF_INGEST_AUDIT_SQL = f"""
+WITH {_COARSE_IVF_CTES.replace(
+    "FROM embeddings ORDER BY vec_id LIMIT",
+    "FROM embeddings WHERE vec_id % 2 = 0 ORDER BY vec_id LIMIT",
+)}
+SELECT CAST(a.list_id AS BIGINT) AS list_id,
+       CAST(sum(CASE WHEN e.vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+       CAST(sum(CASE WHEN e.vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_delta,
+       CAST(count(*) AS BIGINT) AS n_total
+FROM asg a JOIN embeddings e USING (vec_id)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL, "llm-dedup F16"),
     "text_quality_stats": QuerySpec(text_quality_stats, TEXT_QUALITY_STATS_SQL, "llm-textstats"),
@@ -2493,6 +2793,12 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "dedup_groups_logstep": QuerySpec(
         dedup_groups_logstep, DEDUP_GROUPS_SQL, "llm-dedup-groups logstep"
+    ),
+    "ivf_adc_recall": QuerySpec(
+        ivf_adc_recall, IVF_ADC_RECALL_SQL, "ext: persisted-IVFADC recall"
+    ),
+    "ivf_ingest_audit": QuerySpec(
+        ivf_ingest_audit, IVF_INGEST_AUDIT_SQL, "ext: IVF ingest/compaction audit"
     ),
 }
 

@@ -174,6 +174,8 @@ FROZEN_ORDER: tuple[str, ...] = (
     "customer_value_deciles",
     "funnel_latency_percentiles",
     "corpus_composition",
+    "ivf_adc_recall",
+    "ivf_ingest_audit",
 )
 
 
