@@ -155,6 +155,7 @@ EXTENDED = [
     # production those amortize across query batches — see SCALING.md
     "ivf_adc_recall",
     "ivf_ingest_audit",
+    "pgn_moves_table",
 ]
 
 ROUND = 7  # bump per round; names the committed BENCHLOCAL file

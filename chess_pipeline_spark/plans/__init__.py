@@ -172,6 +172,7 @@ _DEMOTED: tuple[str, ...] = (
     # ROTATION CHECKLIST: promote these) ---
     "ivf_adc_recall",
     "ivf_ingest_audit",
+    "pgn_moves_table",
 )
 
 # For every demoted query: the IN-WINDOW queries that keep its SURVEY
@@ -365,6 +366,9 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     # IVF ingest/compaction audit → the ADC probe consumes the same
     # persisted layout; count audits in-window via the RI audit
     "ivf_ingest_audit": ("knn_pq_adc", "referential_integrity_audit"),
+    # PGN UDTF derived table → mapInPandas family anchor + the E1
+    # posexplode machinery; per-visitor assertions stay in pytest
+    "pgn_moves_table": ("multimodal_features", "boilerplate_chunk_removal"),
 }
 
 

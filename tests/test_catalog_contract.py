@@ -176,6 +176,7 @@ FROZEN_ORDER: tuple[str, ...] = (
     "corpus_composition",
     "ivf_adc_recall",
     "ivf_ingest_audit",
+    "pgn_moves_table",
 )
 
 
