@@ -82,3 +82,59 @@ def test_bucketed_groupby_has_no_exchange(spark, sf_dir):
     )
     assert "Exchange" not in _explain(agg)
     spark.sql("DROP TABLE b_li2")
+
+
+# ---------------------------------------------------------------------------
+# r7: hypothesis property over DELIBERATELY SKEWED generated tables —
+# one hot key owning the bulk of the fact side (the exact shape
+# salted_join exists for), adversarial key/value choices from
+# hypothesis, inner AND left join parity against the plain join.
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _skewed_tables(draw):
+    hot_key = draw(st.integers(min_value=0, max_value=5))
+    cold_keys = draw(
+        st.lists(
+            st.integers(min_value=0, max_value=20),
+            min_size=0,
+            max_size=6,
+            unique=True,
+        )
+    )
+    n_hot = draw(st.integers(min_value=20, max_value=60))
+    # ~90% of fact rows share hot_key; cold keys get 0-3 rows each
+    fact = [(hot_key, i) for i in range(n_hot)]
+    for k in cold_keys:
+        for i in range(draw(st.integers(min_value=0, max_value=3))):
+            fact.append((k, 1000 + k * 10 + i))
+    # dim may MISS some fact keys (exercises the left-join NULL path)
+    dim_keys = draw(
+        st.lists(
+            st.sampled_from([hot_key, *cold_keys, 99]),
+            min_size=1,
+            max_size=8,
+            unique=True,
+        )
+    )
+    dim = [(k, f"dim_{k}") for k in dim_keys]
+    return fact, dim
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(data=_skewed_tables(), how=st.sampled_from(["inner", "left"]))
+def test_salted_join_parity_on_skewed_tables(spark, data, how):
+    fact_rows, dim_rows = data
+    fact = spark.createDataFrame(fact_rows, "k long, v long")
+    dim = spark.createDataFrame(dim_rows, "k long, name string")
+    plain = _rows(fact.join(dim, ["k"], how).select("k", "v", "name"))
+    salted = _rows(salted_join(fact, dim, ["k"], n_salt=4, how=how))
+    assert salted == plain
