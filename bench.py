@@ -156,6 +156,8 @@ EXTENDED = [
     "ivf_adc_recall",
     "ivf_ingest_audit",
     "pgn_moves_table",
+    "hll_set_algebra",
+    "fuzzy_part_matches",
 ]
 
 ROUND = 7  # bump per round; names the committed BENCHLOCAL file

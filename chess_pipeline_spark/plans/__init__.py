@@ -173,6 +173,8 @@ _DEMOTED: tuple[str, ...] = (
     "ivf_adc_recall",
     "ivf_ingest_audit",
     "pgn_moves_table",
+    "hll_set_algebra",
+    "fuzzy_part_matches",
 )
 
 # For every demoted query: the IN-WINDOW queries that keep its SURVEY
@@ -369,6 +371,12 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     # PGN UDTF derived table → mapInPandas family anchor + the E1
     # posexplode machinery; per-visitor assertions stay in pytest
     "pgn_moves_table": ("multimodal_features", "boilerplate_chunk_removal"),
+    # sketch set algebra → the same register max-merge the in-window
+    # HLL query drives
+    "hll_set_algebra": ("hll_distinct_users",),
+    # blocked fuzzy entity match → blocked self-join + per-key top-1
+    # window families in-window
+    "fuzzy_part_matches": ("attribution_last_touch", "dup_cluster_size_hist"),
 }
 
 

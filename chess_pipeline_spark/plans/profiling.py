@@ -1008,6 +1008,249 @@ FROM j
 """
 
 
+
+
+# ------------------------------------------------------------------
+# HLL set algebra (r7): mergeable-sketch UNION via register max-merge
+# and INTERSECTION via inclusion-exclusion — the set-operation layer
+# a segment-overlap / audience-sizing workload runs on top of the
+# per-key sketches, validated against exact intersections.
+# ------------------------------------------------------------------
+
+# (set_name, membership predicate) — three partially-overlapping sets
+# over event ids: two disjoint type slices plus a value band that
+# cuts across both, so the report exercises near-zero AND substantial
+# intersections in one result
+_HLL_SETS: tuple[tuple[str, str], ...] = (
+    ("error_events", "event_type = 'error'"),
+    ("high_value_events", "value > 34.0"),
+    ("purchase_events", "event_type = 'purchase'"),
+)
+_HLL_SET_PAIRS: tuple[tuple[str, str], ...] = (
+    ("error_events", "high_value_events"),
+    ("error_events", "purchase_events"),
+    ("high_value_events", "purchase_events"),
+)
+
+
+def _hll_rank_sql(src_cte: str) -> str:
+    """rr/regs CTE chain over a (set_name, hx) CTE named `src_cte` —
+    the DuckDB mirror of hll_rank_cols, keyed by set_name."""
+    z = f"length(regexp_extract(substring(hx, 3, 6), '^0*'))"
+    d = f"substring(substring(hx, 3, 6) || '1', {z} + 1, 1)"
+    return f"""rr AS (
+  SELECT set_name,
+         (instr('{_HEX}', substring(hx, 1, 1)) - 1) * 16
+           + (instr('{_HEX}', substring(hx, 2, 1)) - 1) AS reg,
+         CASE WHEN {z} = 6 THEN 25
+              ELSE {z} * 4 + 5
+                   - (CASE {d}
+                      WHEN '1' THEN 1 WHEN '2' THEN 2 WHEN '3' THEN 2
+                      ELSE CASE WHEN {d} IN ('4','5','6','7')
+                                THEN 3 ELSE 4 END END)
+         END AS rank
+  FROM {src_cte}),
+regs AS (
+  SELECT set_name, reg, max(rank) AS m_j FROM rr GROUP BY 1, 2)"""
+
+
+_HLL_EST_E4_SQL = (
+    f"CAST(floor((CASE WHEN ({_HLL_ALPHA * _HLL_M * _HLL_M!r}"
+    f" / (z_used + ({_HLL_M} - regs_used))) <= {2.5 * _HLL_M!r}"
+    f" AND ({_HLL_M} - regs_used) > 0"
+    f" THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r}"
+    f" / CAST({_HLL_M} - regs_used AS DOUBLE))"
+    f" ELSE {_HLL_ALPHA * _HLL_M * _HLL_M!r}"
+    f" / (z_used + ({_HLL_M} - regs_used)) END) * 10000.0 + 0.5) AS BIGINT)"
+)
+
+
+def hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch set algebra over three event-id sets (two disjoint
+    event-type slices + a value band overlapping both): per-pair
+    UNION cardinality from max-merged registers — the only set
+    operation HLL registers support natively, and the reason the
+    sketch composes across partitions/days/segments for free — and
+    INTERSECTION via inclusion-exclusion est(A)+est(B)-est(A∪B),
+    next to exact counts for error measurement. Estimates are
+    integer 1e-4 units so the arithmetic (including the possibly
+    NEGATIVE inclusion-exclusion estimate on near-disjoint pairs —
+    the textbook caveat, reported as-is) is engine-exact.
+
+    100 TB shape: set membership is one scan (a 3-way CASE explode,
+    no per-set passes); registers are ≤ {_HLL_M} rows per set and
+    every downstream op (pair tagging, union max-merge, estimates)
+    is over KB-scale frames. The exact branch (distinct ids +
+    pair self-join) exists to measure sketch error and is the piece
+    you drop at scale — the same split hll_distinct_users documents.
+    """
+    ev = _L(spark, sf_dir, "events")
+    tagged = ev.select(
+        F.explode(
+            F.array(
+                *[F.when(F.expr(cond), F.lit(name)) for name, cond in _HLL_SETS]
+            )
+        ).alias("set_name"),
+        F.col("event_id"),
+    ).filter(F.col("set_name").isNotNull())
+    regs = hll_registers_for(
+        tagged.select(
+            "set_name", F.md5(F.col("event_id").cast("string")).alias("h")
+        ),
+        key="set_name",
+    ).localCheckpoint()  # ≤ 3·256 rows; reused by 3 downstream branches
+
+    est_e4 = F.floor(hll_estimate_col() * F.lit(10000.0) + F.lit(0.5)).cast("long")
+
+    def estimates(reg_df: DataFrame, keys: list[str]) -> DataFrame:
+        return (
+            reg_df.groupBy(*keys)
+            .agg(
+                F.count("*").alias("regs_used"),
+                F.sum(F.pow(F.lit(2.0), -F.col("m_j"))).alias("z_used"),
+            )
+            .select(*keys, est_e4.alias("est_e4"))
+        )
+
+    per_set = estimates(regs, ["set_name"])
+    pair_df = spark.createDataFrame(
+        list(_HLL_SET_PAIRS), "set_a string, set_b string"
+    )
+    both_sides = (
+        F.broadcast(pair_df)
+        .join(regs, regs.set_name == pair_df.set_a)
+        .select("set_a", "set_b", "reg", "m_j")
+        .unionByName(
+            F.broadcast(pair_df)
+            .join(regs, regs.set_name == pair_df.set_b)
+            .select("set_a", "set_b", "reg", "m_j")
+        )
+    )
+    union_regs = both_sides.groupBy("set_a", "set_b", "reg").agg(
+        F.max("m_j").alias("m_j")
+    )
+    union_est = estimates(union_regs, ["set_a", "set_b"]).withColumnRenamed(
+        "est_e4", "est_union_e4"
+    )
+
+    members = tagged.select("set_name", "event_id").distinct()
+    exact_sets = members.groupBy("set_name").agg(
+        F.count("*").cast("long").alias("n_exact")
+    )
+    a = members.select(
+        F.col("set_name").alias("ia"), F.col("event_id").alias("eid")
+    )
+    b = members.select(
+        F.col("set_name").alias("ib"), F.col("event_id").alias("eid")
+    )
+    exact_inter = (
+        a.join(b, "eid")
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count("*").cast("long").alias("n_exact_inter"))
+    )
+
+    out = (
+        pair_df.join(
+            F.broadcast(per_set.select(F.col("set_name").alias("set_a"),
+                                       F.col("est_e4").alias("est_a_e4"))),
+            "set_a",
+        )
+        .join(
+            F.broadcast(per_set.select(F.col("set_name").alias("set_b"),
+                                       F.col("est_e4").alias("est_b_e4"))),
+            "set_b",
+        )
+        .join(F.broadcast(union_est), ["set_a", "set_b"])
+        .join(
+            F.broadcast(exact_sets.select(F.col("set_name").alias("set_a"),
+                                          F.col("n_exact").alias("n_exact_a"))),
+            "set_a",
+        )
+        .join(
+            F.broadcast(exact_sets.select(F.col("set_name").alias("set_b"),
+                                          F.col("n_exact").alias("n_exact_b"))),
+            "set_b",
+        )
+        .join(
+            exact_inter,
+            (F.col("set_a") == F.col("ia")) & (F.col("set_b") == F.col("ib")),
+            "left",
+        )
+    )
+    return out.select(
+        "set_a",
+        "set_b",
+        "n_exact_a",
+        "n_exact_b",
+        F.coalesce("n_exact_inter", F.lit(0)).alias("n_exact_inter"),
+        "est_a_e4",
+        "est_b_e4",
+        "est_union_e4",
+        (F.col("est_a_e4") + F.col("est_b_e4") - F.col("est_union_e4")).alias(
+            "est_inter_e4"
+        ),
+    ).orderBy("set_a", "set_b")
+
+
+_HLL_SETS_SRC_SQL = "\nUNION ALL\n".join(
+    f"SELECT '{name}' AS set_name, md5(CAST(event_id AS VARCHAR)) AS hx, event_id "
+    f"FROM events WHERE {cond}"
+    for name, cond in _HLL_SETS
+)
+_HLL_PAIRS_SQL = ",\n  ".join(f"('{a}', '{b}')" for a, b in _HLL_SET_PAIRS)
+
+HLL_SET_ALGEBRA_SQL = f"""
+WITH src AS ({_HLL_SETS_SRC_SQL}),
+{_hll_rank_sql("src")},
+pairs AS (SELECT * FROM (VALUES
+  {_HLL_PAIRS_SQL}) AS t(set_a, set_b)),
+per_set_agg AS (
+  SELECT set_name, count(*) AS regs_used,
+         sum(power(2.0, -m_j)) AS z_used
+  FROM regs GROUP BY 1),
+per_set AS (
+  SELECT set_name, {_HLL_EST_E4_SQL} AS est_e4 FROM per_set_agg),
+union_regs AS (
+  SELECT set_a, set_b, reg, max(m_j) AS m_j FROM (
+    SELECT p.set_a, p.set_b, r.reg, r.m_j
+    FROM pairs p JOIN regs r ON r.set_name = p.set_a
+    UNION ALL
+    SELECT p.set_a, p.set_b, r.reg, r.m_j
+    FROM pairs p JOIN regs r ON r.set_name = p.set_b)
+  GROUP BY 1, 2, 3),
+union_agg AS (
+  SELECT set_a, set_b, count(*) AS regs_used,
+         sum(power(2.0, -m_j)) AS z_used
+  FROM union_regs GROUP BY 1, 2),
+union_est AS (
+  SELECT set_a, set_b, {_HLL_EST_E4_SQL} AS est_union_e4 FROM union_agg),
+members AS (SELECT DISTINCT set_name, event_id FROM src),
+exact_sets AS (
+  SELECT set_name, CAST(count(*) AS BIGINT) AS n_exact FROM members GROUP BY 1),
+exact_inter AS (
+  SELECT a.set_name AS set_a, b.set_name AS set_b,
+         CAST(count(*) AS BIGINT) AS n_exact_inter
+  FROM members a JOIN members b ON a.event_id = b.event_id
+  WHERE a.set_name < b.set_name
+  GROUP BY 1, 2)
+SELECT p.set_a, p.set_b,
+       ea.n_exact AS n_exact_a, eb.n_exact AS n_exact_b,
+       CAST(coalesce(i.n_exact_inter, 0) AS BIGINT) AS n_exact_inter,
+       sa.est_e4 AS est_a_e4, sb.est_e4 AS est_b_e4,
+       u.est_union_e4,
+       sa.est_e4 + sb.est_e4 - u.est_union_e4 AS est_inter_e4
+FROM pairs p
+JOIN per_set sa ON sa.set_name = p.set_a
+JOIN per_set sb ON sb.set_name = p.set_b
+JOIN union_est u USING (set_a, set_b)
+JOIN exact_sets ea ON ea.set_name = p.set_a
+JOIN exact_sets eb ON eb.set_name = p.set_b
+LEFT JOIN exact_inter i ON i.set_a = p.set_a AND i.set_b = p.set_b
+ORDER BY p.set_a, p.set_b
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "hll_distinct_users": QuerySpec(
         hll_distinct_users, HLL_DISTINCT_USERS_SQL, "ext: cardinality sketch"
@@ -1035,6 +1278,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "hll_cumulative_daily": QuerySpec(
         hll_cumulative_daily, HLL_CUMULATIVE_DAILY_SQL, "ext: incremental sketch column"
+    ),
+    "hll_set_algebra": QuerySpec(
+        hll_set_algebra, HLL_SET_ALGEBRA_SQL, "ext: sketch set algebra"
     ),
     "referential_integrity_audit": QuerySpec(
         referential_integrity_audit,

@@ -2430,6 +2430,80 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+
+
+_FUZZY_MAX_DIST = 4
+
+
+def fuzzy_part_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy self-match: for every part, its closest
+    OTHER part name (Levenshtein ≤ {_FUZZY_MAX_DIST}) inside the
+    (p_brand, p_size) block — the record-linkage primitive behind
+    catalog dedup / product matching, with the candidate space bounded
+    by BLOCKING, never all-pairs.
+
+    Three-stage funnel, each stage provably containing the next:
+    (1) blocking equi-join on (brand, size) — the pair space is
+    Σ block² ≈ N²/|blocks|, and block keys are chosen so blocks stay
+    bounded (at 100 TB you block on higher-cardinality keys or add a
+    sorted-neighborhood pass, same funnel); (2) the |len(a)-len(b)| ≤
+    {_FUZZY_MAX_DIST} length prefilter — a provable lower bound of
+    edit distance, one subtraction per pair, cuts pairs before the
+    O(len²) stage; (3) exact Levenshtein (JVM codegen, both engines'
+    standard DP). Best match per part by (dist, lowest key) window —
+    a bounded per-key top-1, not a global sort.
+    """
+    part = _L(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_partkey").alias("p_partkey"),
+        F.col("p_name").alias("name_a"),
+        "p_brand",
+        "p_size",
+    )
+    b = part.select(
+        F.col("p_partkey").alias("match_key"),
+        F.col("p_name").alias("name_b"),
+        "p_brand",
+        "p_size",
+    )
+    cand = (
+        a.join(b, ["p_brand", "p_size"])
+        .filter(F.col("p_partkey") != F.col("match_key"))
+        .filter(
+            F.abs(F.length("name_a") - F.length("name_b")) <= _FUZZY_MAX_DIST
+        )
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("dist") <= _FUZZY_MAX_DIST)
+    )
+    w = Window.partitionBy("p_partkey").orderBy(F.asc("dist"), F.asc("match_key"))
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("p_partkey", "match_key", "dist", "p_brand")
+        .orderBy("p_partkey")
+    )
+
+
+FUZZY_PART_MATCHES_SQL = f"""
+WITH cand AS (
+  SELECT a.p_partkey, b.p_partkey AS match_key,
+         CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+         a.p_brand
+  FROM part a JOIN part b
+    ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+   AND a.p_partkey <> b.p_partkey
+   AND abs(length(a.p_name) - length(b.p_name)) <= {_FUZZY_MAX_DIST}
+  WHERE levenshtein(a.p_name, b.p_name) <= {_FUZZY_MAX_DIST})
+SELECT p_partkey, match_key, dist, p_brand FROM (
+  SELECT p_partkey, match_key, dist, p_brand,
+         row_number() OVER (
+           PARTITION BY p_partkey ORDER BY dist ASC, match_key ASC) AS rk
+  FROM cand)
+WHERE rk = 1
+ORDER BY p_partkey
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "win_ratio_by_status": QuerySpec(win_ratio_by_status, WIN_RATIO_SQL, "A1 A2 E5 P7"),
     "orders_rfm_segments": QuerySpec(
@@ -2556,4 +2630,7 @@ QUERIES: dict[str, QuerySpec] = {
     "revenue_by_nation": QuerySpec(revenue_by_nation, REVENUE_BY_NATION_SQL, "J5 A1 O1"),
     "price_percentiles": QuerySpec(price_percentiles, PRICE_PERCENTILES_SQL, "A3+ percentile"),
     "running_revenue": QuerySpec(running_revenue, RUNNING_REVENUE_SQL, "W5+ frame-spec"),
+    "fuzzy_part_matches": QuerySpec(
+        fuzzy_part_matches, FUZZY_PART_MATCHES_SQL, "ext: blocked fuzzy entity match"
+    ),
 }

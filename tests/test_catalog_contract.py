@@ -177,6 +177,8 @@ FROZEN_ORDER: tuple[str, ...] = (
     "ivf_adc_recall",
     "ivf_ingest_audit",
     "pgn_moves_table",
+    "hll_set_algebra",
+    "fuzzy_part_matches",
 )
 
 

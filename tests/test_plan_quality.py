@@ -757,3 +757,34 @@ def test_relative_rank_windows_single_pass(spark, sf_dir):
     win_ns = re.findall(r"^\(\d+\) Window\b", plan, re.MULTILINE)
     assert win_ns  # windows present, and every Sort below them is keyed
     assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_match_blocked_join_no_cartesian(spark, sf_dir):
+    # the candidate space must come from the (brand, size) blocking
+    # equi-join — a cartesian/nested-loop self-join would be the
+    # all-pairs plan the blocking exists to avoid; and the length
+    # prefilter + distance cut must sit in the join stage, not after
+    # a window
+    plan = _plan(spark, sf_dir, "fuzzy_part_matches")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the O(len^2) levenshtein AND the O(1) length lower bound both
+    # live in the JOIN CONDITION (applied during the blocked join,
+    # before any window), short-circuit ordered length-first
+    join_lines = [ln for ln in plan.splitlines() if "Join condition" in ln]
+    assert any(
+        "abs((length(name_a" in ln and "levenshtein" in ln for ln in join_lines
+    ), join_lines
+
+
+def test_hll_set_algebra_single_tag_scan_and_broadcasts(spark, sf_dir):
+    # set membership is ONE events scan feeding the CASE-explode (the
+    # register branch); every KB-scale frame (pairs, per-set
+    # estimates, union estimates, exact set counts) joins by
+    # broadcast — no shuffle join over sketch-sized data
+    plan = _plan(spark, sf_dir, "hll_set_algebra")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # register aggregation is map-side combined (partial_max before
+    # the exchange)
+    assert "partial_max" in plan or "HashAggregate" in plan
