@@ -158,6 +158,7 @@ EXTENDED = [
     "pgn_moves_table",
     "hll_set_algebra",
     "fuzzy_part_matches",
+    "bpe_train_merges",
 ]
 
 ROUND = 7  # bump per round; names the committed BENCHLOCAL file

@@ -175,6 +175,7 @@ _DEMOTED: tuple[str, ...] = (
     "pgn_moves_table",
     "hll_set_algebra",
     "fuzzy_part_matches",
+    "bpe_train_merges",
 )
 
 # For every demoted query: the IN-WINDOW queries that keep its SURVEY
@@ -377,6 +378,9 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     # blocked fuzzy entity match → blocked self-join + per-key top-1
     # window families in-window
     "fuzzy_part_matches": ("attribution_last_touch", "dup_cluster_size_hist"),
+    # iterative BPE training → step-1 candidate counting in-window;
+    # the iterative-plan pattern also drives dedup_groups_logstep
+    "bpe_train_merges": ("bpe_merge_candidates", "dedup_groups_logstep"),
 }
 
 

@@ -1536,12 +1536,163 @@ LIMIT {_BPE_TOP_MERGES}
 """
 
 
+
+
+_BPE_TRAIN_STEPS = 3
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL byte-pair-encoding training, {_BPE_TRAIN_STEPS} merge
+    steps, entirely in-plan (Sennrich et al.'s word-frequency
+    formulation — bpe_merge_candidates reports step 1's candidate
+    table; this runs the actual loop: count pairs → pick the best →
+    MERGE it into every word → recount on the merged vocabulary).
+
+    Representation trick that keeps both engines exact and UDF-free:
+    each word's symbol sequence is one string of '<sym>' wrapped
+    tokens ('<'/'>' cannot occur in the lowercase-alpha vocabulary),
+    so applying a merge is plain `replace('<a><b>' → '<ab>')` —
+    left-to-right, non-overlapping, token-aligned by construction
+    (a prefix like '<a><bc>' cannot match because the pattern's
+    closing '>' misses), which IS greedy BPE application. The chosen
+    pair never leaves the cluster: the 1-row argmax broadcast-joins
+    onto the vocabulary and the replace pattern is built from its
+    COLUMNS — no driver collect, no Python.
+
+    100 TB shape: corpus-scale work is the single tokenize +
+    map-side-combined groupBy(word); every training step after that
+    is vocab-scale (pair explode ≈ Σ|word| over DISTINCT words,
+    weighted by precomputed frequency — the same Sennrich trick the
+    candidate report uses), and each argmax is a 1-row TakeOrdered.
+    Steps are unrolled, so the whole train is ONE Catalyst plan; a
+    1000-merge production run wraps the same step in a driver loop
+    with localCheckpoint every ~30 steps, the documented CC-iteration
+    pattern.
+
+    Output: one row per merge step — (step, left_sym, right_sym,
+    merged, merge_count), the merge table a tokenizer ships.
+    """
+    d = spread(_L(spark, sf_dir, "documents"), "doc_id")
+    words = d.select(
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("word")
+    )
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count("*").cast("long").alias("wfreq"))
+        .select(
+            "wfreq",
+            F.concat(
+                F.lit("<"),
+                F.array_join(F.expr("regexp_extract_all(word, '.', 0)"), "><"),
+                F.lit(">"),
+            ).alias("v"),
+        )
+    )
+
+    def pair_counts(voc: DataFrame) -> DataFrame:
+        syms = voc.select(
+            "wfreq", F.expr("regexp_extract_all(v, '<([^>]+)>', 1)").alias("ss")
+        )
+        return (
+            syms.filter(F.size("ss") >= 2)
+            .select(
+                "wfreq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(ss) - 1), "
+                        "i -> struct(element_at(ss, i) AS a, "
+                        "element_at(ss, i + 1) AS b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("wfreq").alias("c"))
+        )
+
+    def best_of(pairs: DataFrame, step: int) -> DataFrame:
+        return (
+            pairs.orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .select(
+                F.lit(step).cast("long").alias("step"),
+                F.col("a").alias("left_sym"),
+                F.col("b").alias("right_sym"),
+                F.concat("a", "b").alias("merged"),
+                F.col("c").alias("merge_count"),
+            )
+        )
+
+    outs = []
+    voc = vocab
+    for step in range(1, _BPE_TRAIN_STEPS + 1):
+        best = best_of(pair_counts(voc), step).localCheckpoint()
+        outs.append(best)
+        voc = voc.crossJoin(F.broadcast(best)).select(
+            "wfreq",
+            F.replace(
+                F.col("v"),
+                F.concat(F.lit("<"), "left_sym", F.lit("><"), "right_sym", F.lit(">")),
+                F.concat(F.lit("<"), "merged", F.lit(">")),
+            ).alias("v"),
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("step")
+
+
+def _bpe_step_sql(k: int) -> str:
+    return f"""syms_{k} AS (
+  SELECT wfreq, regexp_extract_all(v, '<([^>]+)>', 1) AS ss FROM vocab_{k}),
+pairs_{k} AS (
+  SELECT ss[CAST(t.i AS INTEGER)] AS a, ss[CAST(t.i AS INTEGER) + 1] AS b,
+         CAST(sum(wfreq) AS BIGINT) AS c
+  FROM syms_{k}, LATERAL unnest(range(1, len(ss))) AS t(i)
+  WHERE len(ss) >= 2
+  GROUP BY 1, 2),
+best_{k} AS (
+  SELECT CAST({k} AS BIGINT) AS step, a AS left_sym, b AS right_sym,
+         a || b AS merged, c AS merge_count
+  FROM pairs_{k} ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+vocab_{k + 1} AS (
+  SELECT wfreq,
+         replace(v, '<' || left_sym || '><' || right_sym || '>',
+                 '<' || merged || '>') AS v
+  FROM vocab_{k}, best_{k})"""
+
+
+_NL_JOIN = ",\n"
+
+BPE_TRAIN_MERGES_SQL = f"""
+WITH words AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+  FROM documents),
+vocab_1 AS (
+  SELECT CAST(count(*) AS BIGINT) AS wfreq,
+         '<' || list_aggregate(
+           list_transform(range(1, length(word) + 1),
+                          i -> substr(word, CAST(i AS INTEGER), 1)),
+           'string_agg', '><') || '>' AS v
+  FROM words GROUP BY word),
+{_NL_JOIN.join(_bpe_step_sql(k) for k in range(1, _BPE_TRAIN_STEPS + 1))}
+SELECT step, left_sym, right_sym, merged, merge_count FROM best_1
+UNION ALL SELECT step, left_sym, right_sym, merged, merge_count FROM best_2
+UNION ALL SELECT step, left_sym, right_sym, merged, merge_count FROM best_3
+ORDER BY step
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_keep_best": QuerySpec(
         dedup_keep_best, DEDUP_KEEP_BEST_SQL, "corpus-keep-best"
     ),
     "bpe_merge_candidates": QuerySpec(
         bpe_merge_candidates, BPE_MERGE_CANDIDATES_SQL, "corpus-bpe-induction"
+    ),
+    "bpe_train_merges": QuerySpec(
+        bpe_train_merges, BPE_TRAIN_MERGES_SQL, "corpus-bpe-train iterative"
     ),
     "stratified_sample": QuerySpec(
         stratified_sample, STRATIFIED_SAMPLE_SQL, "corpus-sample"

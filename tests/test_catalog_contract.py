@@ -179,6 +179,7 @@ FROZEN_ORDER: tuple[str, ...] = (
     "pgn_moves_table",
     "hll_set_algebra",
     "fuzzy_part_matches",
+    "bpe_train_merges",
 )
 
 

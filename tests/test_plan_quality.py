@@ -62,7 +62,13 @@ def test_partial_aggregation_before_shuffle(spark, sf_dir):
 # Oracle-checked queries that are Arrow-batched-UDF-backed BY DESIGN:
 # the media decode must run in Python, but the deterministic fake
 # decoder still admits a byte-arithmetic SQL oracle.
-_UDF_BY_NECESSITY = {"multimodal_features", "frame_sample_features"}
+_UDF_BY_NECESSITY = {
+    "multimodal_features",
+    "frame_sample_features",
+    # the PGN parse UDTF is the U1 operator itself — an Arrow-batched
+    # mapInPandas by design (its oracle is the golden derived table)
+    "pgn_moves_table",
+}
 
 
 def test_no_python_eval_in_jvm_paths(spark, sf_dir):
