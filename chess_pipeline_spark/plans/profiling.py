@@ -607,9 +607,16 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = d.filter(F.col("text").isNotNull()).select(
         F.explode(F.split("text", " ")).alias("word")
     )
-    vocab = words.groupBy("word").agg(F.count("*").alias("n_exact"))
-    # feed the already-aggregated vocab to the sketch: one corpus-scale
-    # word shuffle total, not two (r7 fix; counters bit-identical)
+    # ONE corpus-scale word aggregation, materialized: both consumers
+    # (exact top-20 branch, weighted sketch branch) read the pinned
+    # vocab-scale frame instead of re-running the corpus shuffle —
+    # Catalyst's ReuseExchange does not fire across these two AQE
+    # subtrees (verified empirically r7), so the reuse is made
+    # explicit. localCheckpoint cost is vocab-scale, bounded by
+    # language, at any corpus size.
+    vocab = (
+        words.groupBy("word").agg(F.count("*").alias("n_exact")).localCheckpoint()
+    )
     sketch = cms_sketch_counters(
         vocab.select("word", F.col("n_exact").alias("wf")), weighted=True
     )

