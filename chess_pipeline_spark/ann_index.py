@@ -69,43 +69,39 @@ def _nearest_lists(
 ) -> DataFrame:
     """(id, embedding) x broadcast centroids -> the n nearest list ids
     per vector (cosine, rounded at 1e-9 before ranking so ties break
-    identically everywhere; then lowest list_id)."""
-    cos = F.expr(_DOT.format(u="embedding", v="centroid")) / (
-        F.col("nrm") * F.col("c_nrm")
+    identically everywhere; then lowest list_id).
+
+    ZERO-shuffle form (r7): the centroid table folds into a single
+    1-row array that broadcasts, and the per-vector top-n is a
+    row-local sort of the (cos, -list_id) structs — the previous
+    crossJoin + groupBy(id) shape paid a corpus-scale shuffle for an
+    argmin that never needed one. Same 1e-9 grid + lowest-list tie
+    rule, byte-identical assignments (pinned by the numpy parity
+    tests)."""
+    cba = centroids.agg(
+        F.array_sort(
+            F.collect_list(F.struct("list_id", "centroid", "c_nrm"))
+        ).alias("cbl")
     )
-    scored = (
-        vecs.withColumn("nrm", F.expr(_NORM.format(v="embedding")))
-        .crossJoin(F.broadcast(centroids))
-        .select(
-            id_col,
-            "embedding",
-            "list_id",
-            fround(cos, 9).alias("c_cos"),
-        )
+    cos = (
+        f"aggregate(zip_with(embedding, e.centroid, "
+        f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0 AS DOUBLE), (a, b) -> a + b) / (nrm * e.c_nrm)"
     )
-    # top-n lists per vector via max_by-style struct sort: collect the
-    # (cos, -list_id) pairs and slice — centroid count is small by
-    # construction, so the per-row array is bounded
+    top = (
+        f"slice(reverse(array_sort(transform(cbl, e -> named_struct("
+        f"'c_cos', floor(({cos}) * 1000000000.0 + 0.5) / 1000000000.0, "
+        f"'nl', -e.list_id)))), 1, {{n}})"
+    )
     return (
-        scored.groupBy(id_col)
-        .agg(
-            F.first("embedding").alias("embedding"),
-            F.slice(
-                F.reverse(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct("c_cos", (-F.col("list_id")).alias("nl"))
-                        )
-                    )
-                ),
-                1,
-                n,
-            ).alias("top"),
-        )
+        vecs.withColumn("nrm", F.expr(_NORM.format(v="embedding")))
+        .crossJoin(F.broadcast(cba))
         .select(
             id_col,
             "embedding",
-            F.explode(F.expr("transform(top, t -> -t.nl)")).alias("list_id"),
+            F.explode(
+                F.expr(f"transform({top.format(n=n)}, t -> -t.nl)")
+            ).alias("list_id"),
         )
     )
 
@@ -235,31 +231,34 @@ def _encode_rows(
             ),
         )
     )
-    scored = rows.select(id_col, "embedding").crossJoin(
-        F.broadcast(codebook)
-    ).select(
-        id_col,
-        "cid",
-        *[_pq_subdist(j, sub).alias(f"pd{j}") for j in range(_PQ_M)],
+    # PQ codes as a ROW-LOCAL fold (r7): the codebook collapses to a
+    # broadcast 1-row array and each subspace argmin is
+    # array_min(transform(...)) over it — struct ordering gives the
+    # identical (distance, lowest-cid) tie rule the old
+    # crossJoin + groupBy(id) argmin used, without its corpus-scale
+    # shuffle. Byte-identical codes (numpy parity + oracle tests).
+    cba = codebook.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "c"))).alias("cbk")
     )
-    pq = (
-        scored.groupBy(id_col)
-        .agg(
-            *[
-                F.min(
-                    F.struct(F.col(f"pd{j}").alias("d"), F.col("cid").alias("cc"))
-                ).alias(f"m{j}")
-                for j in range(_PQ_M)
-            ]
+
+    def pq_j(j: int) -> str:
+        lo = j * sub + 1
+        d = (
+            f"aggregate(zip_with(slice(embedding, {lo}, {sub}), "
+            f"slice(e.c, {lo}, {sub}), "
+            f"(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) "
+            f"* (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+            f"CAST(0 AS DOUBLE), (a, b) -> a + b)"
         )
-        .select(
-            id_col,
-            F.array(
-                *[F.col(f"m{j}.cc").cast("tinyint") for j in range(_PQ_M)]
-            ).alias("pq_code"),
+        return (
+            f"CAST(array_min(transform(cbk, e -> named_struct("
+            f"'d', floor(({d}) * 1000000000.0 + 0.5) / 1000000000.0, "
+            f"'cc', e.cid))).cc AS TINYINT)"
         )
-    )
-    return rows.join(pq, id_col)
+
+    return rows.crossJoin(F.broadcast(cba)).withColumn(
+        "pq_code", F.expr(f"array({', '.join(pq_j(j) for j in range(_PQ_M))})")
+    ).drop("cbk")
 
 
 def stream_ingest_ivf(vectors: DataFrame, index_path: str, id_col: str = "vec_id"):
