@@ -159,6 +159,7 @@ EXTENDED = [
     "hll_set_algebra",
     "fuzzy_part_matches",
     "bpe_train_merges",
+    "cms_join_size_estimate",
 ]
 
 ROUND = 7  # bump per round; names the committed BENCHLOCAL file

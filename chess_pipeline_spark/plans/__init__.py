@@ -176,6 +176,7 @@ _DEMOTED: tuple[str, ...] = (
     "hll_set_algebra",
     "fuzzy_part_matches",
     "bpe_train_merges",
+    "cms_join_size_estimate",
 )
 
 # For every demoted query: the IN-WINDOW queries that keep its SURVEY
@@ -381,6 +382,9 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     # iterative BPE training → step-1 candidate counting in-window;
     # the iterative-plan pattern also drives dedup_groups_logstep
     "bpe_train_merges": ("bpe_merge_candidates", "dedup_groups_logstep"),
+    # AMS join-size inner product → the same counter grid the
+    # in-window CMS query drives
+    "cms_join_size_estimate": ("cms_heavy_hitters",),
 }
 
 

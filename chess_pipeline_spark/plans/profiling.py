@@ -1258,6 +1258,137 @@ ORDER BY p.set_a, p.set_b
 """
 
 
+
+
+def cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based JOIN-SIZE estimation (the AMS/Count-Min inner
+    product, Alon-Matias-Szegedy / Cormode-Muthukrishnan): the join
+    cardinality |A ⋈_k B| = Σ_k f_A(k)·f_B(k) is estimated as
+    min over the {_CMS_D} hash rows of Σ_buckets cntA·cntB — each
+    side sketched INDEPENDENTLY into its 4×{_CMS_W} counter grid,
+    which is what makes this the join-planning primitive for a
+    distributed optimizer: sides sketched where they live, only
+    8 KB of counters meet. Estimate ≥ exact always (collision terms
+    only add), overcount bounded by ‖A‖₁‖B‖₁/{_CMS_W}.
+
+    Two join shapes over the same machinery:
+    * orders ⋈ lineitem ON orderkey — FK join with real multiplicity
+      on the lineitem side;
+    * lineitem ⋈ lineitem ON suppkey — the SELF-join size, i.e. the
+      second frequency moment F₂, the classic AMS target and the
+      skew statistic a planner reads before choosing a salted join
+      (operators/skew.py).
+
+    All-integer math end to end. 100 TB shape: each side's counters
+    are one map-side-combined aggregate over DISTINCT keys weighted
+    by frequency (the cms_heavy_hitters trick); the inner product
+    joins two ≤4096-row frames. The exact branch (key-cardinality
+    join of per-key counts) exists to measure error and is the piece
+    you drop at scale.
+    """
+    orders_keys = (
+        _L(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderkey").cast("string").alias("word"))
+        .agg(F.count("*").cast("long").alias("wf"))
+    )
+    li = _L(spark, sf_dir, "lineitem")
+    li_orderkeys = (
+        li.groupBy(F.col("l_orderkey").cast("string").alias("word"))
+        .agg(F.count("*").cast("long").alias("wf"))
+    )
+    li_suppkeys = (
+        li.groupBy(F.col("l_suppkey").cast("string").alias("word"))
+        .agg(F.count("*").cast("long").alias("wf"))
+    )
+
+    def inner_product(a: DataFrame, b: DataFrame, name: str) -> DataFrame:
+        ca = cms_sketch_counters(a, weighted=True).withColumnRenamed("cnt", "ca")
+        cb = cms_sketch_counters(b, weighted=True).withColumnRenamed("cnt", "cb")
+        return (
+            ca.join(cb, ["row_i", "bucket"])
+            .groupBy("row_i")
+            .agg(F.sum(F.col("ca") * F.col("cb")).alias("ip"))
+            .agg(F.min("ip").cast("long").alias("cms_estimate"))
+            .select(F.lit(name).alias("join_name"), "cms_estimate")
+        )
+
+    def exact(a: DataFrame, b: DataFrame, name: str) -> DataFrame:
+        return (
+            a.join(b.withColumnRenamed("wf", "wfb"), "word")
+            .agg(F.sum(F.col("wf") * F.col("wfb")).cast("long").alias("exact_size"))
+            .select(F.lit(name).alias("join_name"), "exact_size")
+        )
+
+    est = inner_product(orders_keys, li_orderkeys, "orders_x_lineitem").unionByName(
+        inner_product(li_suppkeys, li_suppkeys, "lineitem_selfjoin_suppkey")
+    )
+    ex = exact(orders_keys, li_orderkeys, "orders_x_lineitem").unionByName(
+        exact(li_suppkeys, li_suppkeys, "lineitem_selfjoin_suppkey")
+    )
+    return (
+        est.join(ex, "join_name")
+        .select(
+            "join_name",
+            F.coalesce("exact_size", F.lit(0)).alias("exact_size"),
+            "cms_estimate",
+            (F.col("cms_estimate") - F.coalesce("exact_size", F.lit(0))).alias(
+                "overcount"
+            ),
+        )
+        .orderBy("join_name")
+    )
+
+
+def _cms_counters_sql(src: str) -> str:
+    rows = "\nUNION ALL\n".join(
+        f"SELECT {i} AS row_i, "
+        + _hex3_to_int_sql(f"md5('{i}:' || word)")
+        + f" % {_CMS_W} AS bucket, wf FROM {src}"
+        for i in range(_CMS_D)
+    )
+    return f"SELECT row_i, bucket, CAST(sum(wf) AS BIGINT) AS cnt FROM ({rows}) GROUP BY 1, 2"
+
+
+CMS_JOIN_SIZE_ESTIMATE_SQL = f"""
+WITH ok AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS word, CAST(count(*) AS BIGINT) AS wf
+  FROM orders GROUP BY 1),
+lk AS (
+  SELECT CAST(l_orderkey AS VARCHAR) AS word, CAST(count(*) AS BIGINT) AS wf
+  FROM lineitem GROUP BY 1),
+sk AS (
+  SELECT CAST(l_suppkey AS VARCHAR) AS word, CAST(count(*) AS BIGINT) AS wf
+  FROM lineitem GROUP BY 1),
+c_ok AS ({_cms_counters_sql("ok")}),
+c_lk AS ({_cms_counters_sql("lk")}),
+c_sk AS ({_cms_counters_sql("sk")}),
+est1 AS (
+  SELECT 'orders_x_lineitem' AS join_name,
+         CAST(min(ip) AS BIGINT) AS cms_estimate
+  FROM (SELECT a.row_i, sum(a.cnt * b.cnt) AS ip
+        FROM c_ok a JOIN c_lk b USING (row_i, bucket) GROUP BY 1)),
+est2 AS (
+  SELECT 'lineitem_selfjoin_suppkey' AS join_name,
+         CAST(min(ip) AS BIGINT) AS cms_estimate
+  FROM (SELECT a.row_i, sum(a.cnt * b.cnt) AS ip
+        FROM c_sk a JOIN c_sk b USING (row_i, bucket) GROUP BY 1)),
+ex1 AS (
+  SELECT 'orders_x_lineitem' AS join_name,
+         CAST(coalesce(sum(a.wf * b.wf), 0) AS BIGINT) AS exact_size
+  FROM ok a JOIN lk b USING (word)),
+ex2 AS (
+  SELECT 'lineitem_selfjoin_suppkey' AS join_name,
+         CAST(coalesce(sum(a.wf * b.wf), 0) AS BIGINT) AS exact_size
+  FROM sk a JOIN sk b USING (word)),
+est AS (SELECT * FROM est1 UNION ALL SELECT * FROM est2),
+ex AS (SELECT * FROM ex1 UNION ALL SELECT * FROM ex2)
+SELECT est.join_name, ex.exact_size, est.cms_estimate,
+       est.cms_estimate - ex.exact_size AS overcount
+FROM est JOIN ex USING (join_name)
+ORDER BY join_name
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "hll_distinct_users": QuerySpec(
         hll_distinct_users, HLL_DISTINCT_USERS_SQL, "ext: cardinality sketch"
@@ -1288,6 +1419,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "hll_set_algebra": QuerySpec(
         hll_set_algebra, HLL_SET_ALGEBRA_SQL, "ext: sketch set algebra"
+    ),
+    "cms_join_size_estimate": QuerySpec(
+        cms_join_size_estimate, CMS_JOIN_SIZE_ESTIMATE_SQL, "ext: AMS join-size sketch"
     ),
     "referential_integrity_audit": QuerySpec(
         referential_integrity_audit,

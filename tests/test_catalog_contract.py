@@ -180,6 +180,7 @@ FROZEN_ORDER: tuple[str, ...] = (
     "hll_set_algebra",
     "fuzzy_part_matches",
     "bpe_train_merges",
+    "cms_join_size_estimate",
 )
 
 
