@@ -160,6 +160,7 @@ EXTENDED = [
     "fuzzy_part_matches",
     "bpe_train_merges",
     "cms_join_size_estimate",
+    "join_key_skew_profile",
 ]
 
 ROUND = 7  # bump per round; names the committed BENCHLOCAL file

@@ -177,6 +177,7 @@ _DEMOTED: tuple[str, ...] = (
     "fuzzy_part_matches",
     "bpe_train_merges",
     "cms_join_size_estimate",
+    "join_key_skew_profile",
 )
 
 # For every demoted query: the IN-WINDOW queries that keep its SURVEY
@@ -385,6 +386,9 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     # AMS join-size inner product → the same counter grid the
     # in-window CMS query drives
     "cms_join_size_estimate": ("cms_heavy_hitters",),
+    # key-skew planner statistic → key-cardinality count profiles
+    # in-window via the count-distribution and profile queries
+    "join_key_skew_profile": ("cust_order_count_dist", "data_profile_orders"),
 }
 
 

@@ -1389,6 +1389,80 @@ ORDER BY join_name
 """
 
 
+
+
+_SKEW_KEYS = ("l_orderkey", "l_partkey", "l_suppkey")
+
+
+def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution skew report for the fact table's three join
+    keys — the statistic that decides between a plain shuffle join,
+    AQE skew splitting, and an explicit salted join
+    (operators/skew.py; the measured decision table lives in
+    SCALING.md). Per key: distinct-key count, max/median per-key row
+    counts, the integer skew ratio max/median, and the share of rows
+    owned by the single heaviest key in basis points.
+
+    100 TB shape: one scan, three map-side-combined groupBys at key
+    cardinality (a planner would sample; the full pass IS the oracle
+    semantics here), then per-key-column aggregates over
+    key-cardinality frames. Median via percentile on the count column
+    — integer counts, so cross-engine exact.
+    """
+    li = _L(spark, sf_dir, "lineitem")
+    outs = []
+    for key in _SKEW_KEYS:
+        counts = li.groupBy(F.col(key).alias("k")).agg(
+            F.count("*").cast("long").alias("n")
+        )
+        outs.append(
+            counts.agg(
+                F.lit(key).alias("join_key"),
+                F.count("*").cast("long").alias("n_keys"),
+                F.sum("n").cast("long").alias("n_rows"),
+                F.max("n").cast("long").alias("max_rows"),
+                F.expr("CAST(percentile(n, 0.5) AS DOUBLE)").alias("median_rows"),
+            ).select(
+                "join_key",
+                "n_keys",
+                "n_rows",
+                "max_rows",
+                "median_rows",
+                F.floor(
+                    F.col("max_rows") / F.col("median_rows") * F.lit(100.0)
+                    + F.lit(0.5)
+                ).cast("long").alias("skew_ratio_pct"),
+                F.floor(
+                    F.col("max_rows") / F.col("n_rows") * F.lit(10000.0) + F.lit(0.5)
+                ).cast("long").alias("top_key_share_bp"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("join_key")
+
+
+def _skew_key_sql(key: str) -> str:
+    return f"""SELECT '{key}' AS join_key,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(max(n) AS BIGINT) AS max_rows,
+       CAST(median(n) AS DOUBLE) AS median_rows,
+       CAST(floor(max(n) / CAST(median(n) AS DOUBLE) * 100.0 + 0.5) AS BIGINT)
+         AS skew_ratio_pct,
+       CAST(floor(max(n) / CAST(sum(n) AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)
+         AS top_key_share_bp
+FROM (SELECT {key}, CAST(count(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY 1)"""
+
+
+JOIN_KEY_SKEW_PROFILE_SQL = (
+    "\nUNION ALL\n".join(_skew_key_sql(k) for k in _SKEW_KEYS)
+    + "\nORDER BY join_key"
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "hll_distinct_users": QuerySpec(
         hll_distinct_users, HLL_DISTINCT_USERS_SQL, "ext: cardinality sketch"
@@ -1422,6 +1496,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "cms_join_size_estimate": QuerySpec(
         cms_join_size_estimate, CMS_JOIN_SIZE_ESTIMATE_SQL, "ext: AMS join-size sketch"
+    ),
+    "join_key_skew_profile": QuerySpec(
+        join_key_skew_profile, JOIN_KEY_SKEW_PROFILE_SQL, "ext: skew planner statistic"
     ),
     "referential_integrity_audit": QuerySpec(
         referential_integrity_audit,

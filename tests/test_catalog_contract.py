@@ -181,6 +181,7 @@ FROZEN_ORDER: tuple[str, ...] = (
     "fuzzy_part_matches",
     "bpe_train_merges",
     "cms_join_size_estimate",
+    "join_key_skew_profile",
 )
 
 
