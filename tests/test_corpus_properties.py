@@ -107,6 +107,11 @@ _RANDOMIZED_QUERIES = (
     "cms_heavy_hitters",
     "bm25_doc_search",
     "bpe_merge_candidates",
+    # r7: the iterative BPE trainer — its replace-based merge
+    # application and argmax tie rules must agree cross-engine on
+    # adversarial corpora (repeated chars, shared prefixes, empty
+    # texts), not just the blessed ones
+    "bpe_train_merges",
 )
 
 

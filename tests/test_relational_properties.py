@@ -288,6 +288,10 @@ _RELATIONAL_QUERIES = (
     "cube_status_priority",
     "segment_top_value_orders",
     "scd2_customer_snapshot",
+    # r7 additions: the sketch-based planner statistics must agree on
+    # adversarial fact tables (0-line orders, repeated keys, ties)
+    "cms_join_size_estimate",
+    "join_key_skew_profile",
 )
 
 _EVENTS_QUERIES = (
@@ -368,3 +372,50 @@ def test_profiling_queries_match_oracle_on_random_inputs(
     _write_all(tmp, orders, lineitem, events)
     for name in _PROFILING_QUERIES:
         run_and_compare(spark, str(tmp), name, _CATALOG[name])
+
+
+# ---------------------------------------------------------------------------
+# r7: randomized fuzzy-match parity — part names from a tiny alphabet
+# so near-matches, exact duplicates, and length-prefilter edge cases
+# (|len a - len b| exactly 4) arise naturally; blocks randomized too.
+# ---------------------------------------------------------------------------
+
+_fuzzy_name = st.text(alphabet="abcde ", min_size=0, max_size=12)
+
+
+@st.composite
+def _fuzzy_parts(draw):
+    n = draw(st.integers(min_value=1, max_value=12))
+    return pd.DataFrame(
+        {
+            "p_partkey": np.arange(n, dtype="int64"),
+            "p_name": draw(
+                st.lists(_fuzzy_name, min_size=n, max_size=n)
+            ),
+            "p_brand": draw(
+                st.lists(
+                    st.sampled_from(["Brand#1", "Brand#2"]), min_size=n, max_size=n
+                )
+            ),
+            "p_type": ["STANDARD"] * n,
+            "p_size": np.array(
+                draw(st.lists(st.integers(1, 2), min_size=n, max_size=n)),
+                dtype="int32",
+            ),
+            "p_retailprice": [100.0] * n,
+        }
+    )
+
+
+@given(parts=_fuzzy_parts())
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzzy_part_matches_oracle_on_random_inputs(
+    spark, tmp_path_factory, parts
+):
+    tmp = tmp_path_factory.mktemp("fuzzyparts")
+    parts.to_parquet(tmp / "part.parquet", index=False)
+    run_and_compare(spark, str(tmp), "fuzzy_part_matches", _CATALOG["fuzzy_part_matches"])
