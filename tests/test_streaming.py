@@ -702,3 +702,68 @@ def test_stream_cms_sketch_matches_batch_exactly(spark, sf_dir, tmp_path):
     upsert_partition_overwrite(b0, str(ledger), ["batch_id"])
     after = sorted(map(tuple, spark.read.parquet(str(ledger)).collect()))
     assert before == after
+
+
+def test_stream_scd2_replay_idempotent_and_matches_batch(spark, sf_dir, tmp_path):
+    """Three-way SCD2 law (r7): driving the streaming per-batch
+    function over two snapshot batches, WITH batch 1 replayed
+    (at-least-once delivery), must equal applying sinks.scd2_apply
+    sequentially in batch mode — replay is a no-op by algebra because
+    an identical snapshot changes no attribute. Crash window covered:
+    the dimension is renamed to .bak mid-run and the next batch must
+    merge real state."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from chess_pipeline_spark.sinks import scd2_apply
+    from chess_pipeline_spark.sources import load_table
+    from chess_pipeline_spark.streaming.jobs import scd2_process_batch
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    keys, attrs = ["c_custkey"], ["c_mktsegment", "c_acctbal"]
+    snap0 = cust.limit(40).localCheckpoint()
+    # batch 1: half the keys change segment, plus new keys
+    snap1 = (
+        cust.limit(60)
+        .withColumn(
+            "c_mktsegment",
+            F.when(F.col("c_custkey") % 2 == 0, F.lit("CHANGED")).otherwise(
+                F.col("c_mktsegment")
+            ),
+        )
+        .localCheckpoint()
+    )
+
+    dim = str(tmp_path / "dim")
+    scd2_process_batch(snap0, 0, dim, keys, attrs)
+    # simulate the mid-swap crash window before batch 1
+    os.rename(dim, dim + ".__bak__")
+    scd2_process_batch(snap1, 1, dim, keys, attrs)
+    # at-least-once: batch 1 delivered again
+    scd2_process_batch(snap1, 1, dim, keys, attrs)
+    streamed = spark.read.parquet(dim)
+
+    empty = spark.createDataFrame(
+        [],
+        "c_custkey long, c_mktsegment string, c_acctbal double, "
+        "valid_from long, valid_to long, is_current boolean",
+    )
+    expected = scd2_apply(
+        scd2_apply(empty, snap0, keys, attrs, batch_ts=0),
+        snap1,
+        keys,
+        attrs,
+        batch_ts=1,
+    )
+
+    cols = sorted(streamed.columns)
+    got = sorted(tuple(r) for r in streamed.select(*cols).collect())
+    want = sorted(tuple(r) for r in expected.select(*cols).collect())
+    assert got == want
+    assert not os.path.exists(dim + ".__bak__")
+    # versioning actually happened: changed keys carry a closed row
+    closed = streamed.filter(~F.col("is_current")).count()
+    assert closed > 0
