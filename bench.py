@@ -187,6 +187,10 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
+    # capture ambient load BEFORE the JVM/session spin-up: the guard
+    # must gate on the BOX's state, not on bench's own warmup load
+    loadavg_start = [round(x, 2) for x in os.getloadavg()]
+
     spark = get_spark(app_name="chess-pipeline-spark-bench")
     cat = catalog()
 
@@ -212,7 +216,6 @@ def main() -> None:
     )
     extract_media_features(attach_binary_payload(tiny)).count()
 
-    loadavg_start = [round(x, 2) for x in os.getloadavg()]
     # min-of-3: the first execution of each query pays whole-stage
     # codegen compilation (measured 3.8s -> 0.5s steady-state on the
     # minhash signature expressions), so min-of-2 can still record a
