@@ -161,6 +161,7 @@ EXTENDED = [
     "bpe_train_merges",
     "cms_join_size_estimate",
     "join_key_skew_profile",
+    "sliding_window_chunks",
 ]
 
 ROUND = 7  # bump per round; names the committed BENCHLOCAL file

@@ -181,6 +181,7 @@ _DEMOTED: tuple[str, ...] = (
     "bpe_train_merges",
     "cms_join_size_estimate",
     "join_key_skew_profile",
+    "sliding_window_chunks",
 )
 
 # For every demoted query: the IN-WINDOW queries that keep its SURVEY
@@ -392,6 +393,8 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     # key-skew planner statistic → key-cardinality count profiles
     # in-window via the count-distribution and profile queries
     "join_key_skew_profile": ("cust_order_count_dist", "data_profile_orders"),
+    # sliding-window chunker → the chunk-digest explode machinery
+    "sliding_window_chunks": ("boilerplate_chunk_removal", "seq_length_histogram"),
 }
 
 

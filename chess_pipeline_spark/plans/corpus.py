@@ -1684,6 +1684,81 @@ ORDER BY step
 """
 
 
+
+
+_CHUNK_W = 200  # chars per chunk
+_CHUNK_STRIDE = 150  # 50-char overlap between consecutive chunks
+
+
+def sliding_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the step that fans documents
+    out into overlapping {_CHUNK_W}-char windows (stride
+    {_CHUNK_STRIDE}) before embedding/indexing. Emits per chunk:
+    (doc_id, chunk_idx, chunk_start, chunk_len, chunk_md5, n_chunks)
+    — the DIGEST, not the text, so the report is driver-hashable and
+    the chunk table is join-key material for the dedup/ANN tiers
+    without moving bodies.
+
+    Chunk-count law: ceil(max(len - overlap, 1) / stride), min 1 — an
+    empty or NULL-text doc still yields exactly one (empty) chunk so
+    downstream joins never silently drop documents.
+
+    100 TB shape: pure narrow explode (sequence + substring + md5
+    inside codegen) — zero shuffles, output partitioning inherits the
+    scan; the overlap factor (w/stride = {_CHUNK_W}/{_CHUNK_STRIDE})
+    bounds the data amplification at 1.34x.
+    """
+    d = spread(_L(spark, sf_dir, "documents"), "doc_id")
+    n_expr = (
+        f"greatest(CAST(ceil(greatest(length(t) - {_CHUNK_W - _CHUNK_STRIDE}, 1)"
+        f" / {float(_CHUNK_STRIDE)}) AS BIGINT), CAST(1 AS BIGINT))"
+    )
+    chunks = (
+        d.select(
+            "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("t")
+        )
+        .withColumn("n_chunks", F.expr(n_expr))
+        .select(
+            "doc_id",
+            "t",
+            "n_chunks",
+            F.explode(F.expr("sequence(0, n_chunks - 1)")).alias("chunk_idx"),
+        )
+    )
+    piece = F.expr(
+        f"substring(t, CAST(chunk_idx * {_CHUNK_STRIDE} + 1 AS INT), {_CHUNK_W})"
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        (F.col("chunk_idx") * _CHUNK_STRIDE).cast("long").alias("chunk_start"),
+        F.length(piece).cast("long").alias("chunk_len"),
+        F.md5(piece).alias("chunk_md5"),
+        "n_chunks",
+    ).orderBy("doc_id", "chunk_idx")
+
+
+SLIDING_WINDOW_CHUNKS_SQL = f"""
+WITH d AS (
+  SELECT doc_id, coalesce(text, '') AS t FROM documents),
+n AS (
+  SELECT doc_id, t,
+         greatest(CAST(ceil(greatest(length(t) - {_CHUNK_W - _CHUNK_STRIDE}, 1)
+           / {float(_CHUNK_STRIDE)}) AS BIGINT), 1) AS n_chunks
+  FROM d),
+c AS (
+  SELECT doc_id, t, n_chunks, CAST(u.i AS BIGINT) AS chunk_idx
+  FROM n, LATERAL unnest(range(0, n_chunks)) AS u(i))
+SELECT doc_id, chunk_idx,
+       CAST(chunk_idx * {_CHUNK_STRIDE} AS BIGINT) AS chunk_start,
+       CAST(length(substr(t, CAST(chunk_idx * {_CHUNK_STRIDE} + 1 AS INTEGER), {_CHUNK_W})) AS BIGINT) AS chunk_len,
+       md5(substr(t, CAST(chunk_idx * {_CHUNK_STRIDE} + 1 AS INTEGER), {_CHUNK_W})) AS chunk_md5,
+       n_chunks
+FROM c
+ORDER BY doc_id, chunk_idx
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_keep_best": QuerySpec(
         dedup_keep_best, DEDUP_KEEP_BEST_SQL, "corpus-keep-best"
@@ -1693,6 +1768,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "bpe_train_merges": QuerySpec(
         bpe_train_merges, BPE_TRAIN_MERGES_SQL, "corpus-bpe-train iterative"
+    ),
+    "sliding_window_chunks": QuerySpec(
+        sliding_window_chunks, SLIDING_WINDOW_CHUNKS_SQL, "corpus-chunking E1"
     ),
     "stratified_sample": QuerySpec(
         stratified_sample, STRATIFIED_SAMPLE_SQL, "corpus-sample"

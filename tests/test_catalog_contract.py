@@ -182,6 +182,7 @@ FROZEN_ORDER: tuple[str, ...] = (
     "bpe_train_merges",
     "cms_join_size_estimate",
     "join_key_skew_profile",
+    "sliding_window_chunks",
 )
 
 

@@ -112,6 +112,9 @@ _RANDOMIZED_QUERIES = (
     # adversarial corpora (repeated chars, shared prefixes, empty
     # texts), not just the blessed ones
     "bpe_train_merges",
+    # r7: chunker — empty texts, 1-char docs, and exact
+    # window-boundary lengths must chunk identically cross-engine
+    "sliding_window_chunks",
 )
 
 
