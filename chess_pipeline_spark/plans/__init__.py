@@ -170,7 +170,7 @@ _DEMOTED: tuple[str, ...] = (
     "corpus_composition",
     # --- added new in r7 (start demoted with local sf0.001+sf0.01
     # oracle rows AND randomized hypothesis parity; r8 ROTATION
-    # CHECKLIST: promote these eight, demoting >=2-green window
+    # CHECKLIST: promote these nine, demoting >=2-green window
     # members per DEMOTION_COVERAGE discipline — verified against
     # CORRECTNESS_r01..r07 at rotation time) ---
     "ivf_adc_recall",
