@@ -162,6 +162,7 @@ EXTENDED = [
     "cms_join_size_estimate",
     "join_key_skew_profile",
     "sliding_window_chunks",
+    "bpe_encode_tokens",
 ]
 
 ROUND = 7  # bump per round; names the committed BENCHLOCAL file

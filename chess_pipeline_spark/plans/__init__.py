@@ -170,7 +170,7 @@ _DEMOTED: tuple[str, ...] = (
     "corpus_composition",
     # --- added new in r7 (start demoted with local sf0.001+sf0.01
     # oracle rows AND randomized hypothesis parity; r8 ROTATION
-    # CHECKLIST: promote these nine, demoting >=2-green window
+    # CHECKLIST: promote these ten, demoting >=2-green window
     # members per DEMOTION_COVERAGE discipline — verified against
     # CORRECTNESS_r01..r07 at rotation time) ---
     "ivf_adc_recall",
@@ -182,6 +182,7 @@ _DEMOTED: tuple[str, ...] = (
     "cms_join_size_estimate",
     "join_key_skew_profile",
     "sliding_window_chunks",
+    "bpe_encode_tokens",
 )
 
 # For every demoted query: the IN-WINDOW queries that keep its SURVEY
@@ -395,6 +396,9 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     "join_key_skew_profile": ("cust_order_count_dist", "data_profile_orders"),
     # sliding-window chunker → the chunk-digest explode machinery
     "sliding_window_chunks": ("boilerplate_chunk_removal", "seq_length_histogram"),
+    # BPE application report → step-1 counting in-window; the learned
+    # chain itself is the staged bpe_train_merges
+    "bpe_encode_tokens": ("bpe_merge_candidates", "unigram_logprob_score"),
 }
 
 

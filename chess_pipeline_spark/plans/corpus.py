@@ -1582,6 +1582,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         words.groupBy("word")
         .agg(F.count("*").cast("long").alias("wfreq"))
         .select(
+            "word",
             "wfreq",
             F.concat(
                 F.lit("<"),
@@ -1624,12 +1625,24 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
+    outs, _final = _bpe_merge_chain(vocab, pair_counts, best_of)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("step")
+
+
+def _bpe_merge_chain(vocab: DataFrame, pair_counts, best_of):
+    """Run the {_BPE_TRAIN_STEPS}-step merge loop; return (the merge
+    frames, the post-merge vocabulary with its `word` key intact) —
+    shared by the train report and the encode report."""
     outs = []
     voc = vocab
     for step in range(1, _BPE_TRAIN_STEPS + 1):
         best = best_of(pair_counts(voc), step).localCheckpoint()
         outs.append(best)
         voc = voc.crossJoin(F.broadcast(best)).select(
+            "word",
             "wfreq",
             F.replace(
                 F.col("v"),
@@ -1637,10 +1650,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.concat(F.lit("<"), "merged", F.lit(">")),
             ).alias("v"),
         )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out.orderBy("step")
+    return outs, voc
 
 
 def _bpe_step_sql(k: int) -> str:
@@ -1657,7 +1667,7 @@ best_{k} AS (
          a || b AS merged, c AS merge_count
   FROM pairs_{k} ORDER BY c DESC, a ASC, b ASC LIMIT 1),
 vocab_{k + 1} AS (
-  SELECT wfreq,
+  SELECT word, wfreq,
          replace(v, '<' || left_sym || '><' || right_sym || '>',
                  '<' || merged || '>') AS v
   FROM vocab_{k}, best_{k})"""
@@ -1670,7 +1680,7 @@ WITH words AS (
   SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
   FROM documents),
 vocab_1 AS (
-  SELECT CAST(count(*) AS BIGINT) AS wfreq,
+  SELECT word, CAST(count(*) AS BIGINT) AS wfreq,
          '<' || list_aggregate(
            list_transform(range(1, length(word) + 1),
                           i -> substr(word, CAST(i AS INTEGER), 1)),
@@ -1684,6 +1694,146 @@ ORDER BY step
 """
 
 
+
+
+def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER APPLICATION — the other half of the BPE lifecycle:
+    learn the {_BPE_TRAIN_STEPS} merges on the whole corpus
+    (identical chain to bpe_train_merges), APPLY them, and report
+    per-source what the tokenizer bought: word occurrences,
+    character-level token count before, merged token count after,
+    and the saving in basis points.
+
+    Scale decomposition: merges are learned and applied at VOCAB
+    scale (each word's post-merge symbol count is computed once), and
+    the per-source report is a word-key join of per-source
+    frequencies against that vocabulary — corpus-scale work is the
+    one tokenize + two map-side-combined word counts; nothing
+    corpus-scale ever meets the merge machinery. Integer arithmetic
+    throughout (counts, floored basis points).
+    """
+    d = spread(_L(spark, sf_dir, "documents"), "doc_id")
+    words_src = d.select(
+        "source",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("word"),
+    )
+    vocab = (
+        words_src.groupBy("word")
+        .agg(F.count("*").cast("long").alias("wfreq"))
+        .select(
+            "word",
+            "wfreq",
+            F.concat(
+                F.lit("<"),
+                F.array_join(F.expr("regexp_extract_all(word, '.', 0)"), "><"),
+                F.lit(">"),
+            ).alias("v"),
+        )
+    )
+
+    def pair_counts(voc: DataFrame) -> DataFrame:
+        syms = voc.select(
+            "wfreq", F.expr("regexp_extract_all(v, '<([^>]+)>', 1)").alias("ss")
+        )
+        return (
+            syms.filter(F.size("ss") >= 2)
+            .select(
+                "wfreq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(ss) - 1), "
+                        "i -> struct(element_at(ss, i) AS a, "
+                        "element_at(ss, i + 1) AS b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("wfreq").alias("c"))
+        )
+
+    def best_of(pairs: DataFrame, step: int) -> DataFrame:
+        return (
+            pairs.orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .select(
+                F.lit(step).cast("long").alias("step"),
+                F.col("a").alias("left_sym"),
+                F.col("b").alias("right_sym"),
+                F.concat("a", "b").alias("merged"),
+                F.col("c").alias("merge_count"),
+            )
+        )
+
+    _outs, final_voc = _bpe_merge_chain(vocab, pair_counts, best_of)
+    syms_per_word = final_voc.select(
+        "word",
+        F.length("word").cast("long").alias("chars"),
+        F.size(F.expr("regexp_extract_all(v, '<([^>]+)>', 1)"))
+        .cast("long")
+        .alias("n_syms"),
+    )
+    src_freq = words_src.groupBy("source", "word").agg(
+        F.count("*").cast("long").alias("f")
+    )
+    joined = src_freq.join(syms_per_word, "word")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.sum("f").cast("long").alias("n_words"),
+            F.sum(F.col("f") * F.col("chars")).cast("long").alias("tokens_char"),
+            F.sum(F.col("f") * F.col("n_syms")).cast("long").alias("tokens_bpe"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "tokens_char",
+            "tokens_bpe",
+            F.floor(
+                (F.col("tokens_char") - F.col("tokens_bpe"))
+                / F.col("tokens_char")
+                * F.lit(10000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("saved_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+BPE_ENCODE_TOKENS_SQL = f"""
+WITH words_src AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+  FROM documents),
+words AS (SELECT word FROM words_src),
+vocab_1 AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS wfreq,
+         '<' || list_aggregate(
+           list_transform(range(1, length(word) + 1),
+                          i -> substr(word, CAST(i AS INTEGER), 1)),
+           'string_agg', '><') || '>' AS v
+  FROM words GROUP BY word),
+{_NL_JOIN.join(_bpe_step_sql(k) for k in range(1, _BPE_TRAIN_STEPS + 1))},
+spw AS (
+  SELECT word, CAST(length(word) AS BIGINT) AS chars,
+         CAST(len(regexp_extract_all(v, '<([^>]+)>', 1)) AS BIGINT) AS n_syms
+  FROM vocab_{_BPE_TRAIN_STEPS + 1}),
+sf AS (
+  SELECT source, word, CAST(count(*) AS BIGINT) AS f
+  FROM words_src GROUP BY 1, 2)
+SELECT sf.source,
+       CAST(sum(sf.f) AS BIGINT) AS n_words,
+       CAST(sum(sf.f * spw.chars) AS BIGINT) AS tokens_char,
+       CAST(sum(sf.f * spw.n_syms) AS BIGINT) AS tokens_bpe,
+       CAST(floor((sum(sf.f * spw.chars) - sum(sf.f * spw.n_syms))
+         / CAST(sum(sf.f * spw.chars) AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)
+         AS saved_bp
+FROM sf JOIN spw USING (word)
+GROUP BY 1
+ORDER BY 1
+"""
 
 
 _CHUNK_W = 200  # chars per chunk
@@ -1771,6 +1921,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "sliding_window_chunks": QuerySpec(
         sliding_window_chunks, SLIDING_WINDOW_CHUNKS_SQL, "corpus-chunking E1"
+    ),
+    "bpe_encode_tokens": QuerySpec(
+        bpe_encode_tokens, BPE_ENCODE_TOKENS_SQL, "corpus-bpe-apply"
     ),
     "stratified_sample": QuerySpec(
         stratified_sample, STRATIFIED_SAMPLE_SQL, "corpus-sample"

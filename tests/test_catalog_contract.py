@@ -183,6 +183,7 @@ FROZEN_ORDER: tuple[str, ...] = (
     "cms_join_size_estimate",
     "join_key_skew_profile",
     "sliding_window_chunks",
+    "bpe_encode_tokens",
 )
 
 

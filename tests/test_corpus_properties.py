@@ -115,6 +115,9 @@ _RANDOMIZED_QUERIES = (
     # r7: chunker — empty texts, 1-char docs, and exact
     # window-boundary lengths must chunk identically cross-engine
     "sliding_window_chunks",
+    # r7: tokenizer application — learned merges applied to the same
+    # adversarial corpora the trainer is checked on
+    "bpe_encode_tokens",
 )
 
 
