@@ -266,7 +266,11 @@ def main() -> None:
     # smoke run): the canonical per-round file only ever holds runs
     # started at loadavg < 1.5 AT THE DEFAULT SCALE FACTOR; anything
     # else lands in a stamped sibling that can't shadow it.
-    if loadavg_start[0] < 1.5 and sf == 0.1:
+    # the 15-min average is the better contention predictor: today's
+    # same-SHA spread (10.99 idle vs 13.5 at loadavg15=2.6) was
+    # entirely ambient — require BOTH windows quiet for the canonical
+    # artifact
+    if loadavg_start[0] < 1.5 and loadavg_start[2] < 2.0 and sf == 0.1:
         local = Path(_REPO) / f"BENCHLOCAL_r{ROUND:02d}.json"
     else:
         local = Path(_REPO) / (
