@@ -183,6 +183,9 @@ _DEMOTED: tuple[str, ...] = (
     "join_key_skew_profile",
     "sliding_window_chunks",
     "bpe_encode_tokens",
+    "containment_near_dup",
+    "source_kl_divergence",
+    "zorder_layout_audit",
 )
 
 # For every demoted query: the IN-WINDOW queries that keep its SURVEY
@@ -399,6 +402,15 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     # BPE application report → step-1 counting in-window; the learned
     # chain itself is the staged bpe_train_merges
     "bpe_encode_tokens": ("bpe_merge_candidates", "unigram_logprob_score"),
+    # shingle containment (asymmetric near-subset) → the same
+    # inverted-index gram machinery as the in-window gram joins
+    "containment_near_dup": ("cross_source_leakage", "boilerplate_chunk_removal"),
+    # per-source unigram KL drift → the same broadcast-LM word
+    # scoring core and vocab-cap policy in-window
+    "source_kl_divergence": ("unigram_logprob_score", "oov_rate_top1k"),
+    # zone-map layout audit → min/max column profiling + the binned
+    # sketch-cut machinery in-window
+    "zorder_layout_audit": ("data_profile_orders", "customer_value_deciles_sketch"),
 }
 
 

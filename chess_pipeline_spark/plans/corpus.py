@@ -1234,6 +1234,104 @@ FROM agg
 """
 
 
+# ------------------------------------------------------------------
+# Per-source distribution drift: unigram KL divergence vs the corpus
+# ------------------------------------------------------------------
+
+
+def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-drift report: KL(P_source ‖ Q_corpus) over unigram
+    distributions, per source stratum — the dashboard number a
+    mixture curator watches to see which source's language is
+    diverging from the blend (a spiking KL means that source's next
+    refresh shifted vocabulary: spam flood, language drift, template
+    churn). Q is the add-one-smoothed whole-corpus distribution;
+    P_source needs no smoothing because source words are a subset of
+    corpus words, so every ratio is finite.
+
+    Determinism (the unigram-LM lesson): each word's log-ratio
+    ln(c_sw·(N+V) / (n_s·(c_w+1))) is computed from identical
+    rationals on both engines and quantized to integer micro-nats
+    BEFORE the c_sw-weighted sum, so the per-source rollup is exact
+    integer arithmetic — no float summation order anywhere.
+
+    100 TB shape: ONE corpus-scale map-side-combined shuffle (the
+    (source, word) count); everything after is vocabulary-scale —
+    corpus counts re-aggregate the per-source counts (never a second
+    pass over the corpus), the (N, V) scalars and per-source totals
+    broadcast, and the final rollup groups ≤|sources| keys. A real
+    corpus caps the vocab at top-K + OOV bucket exactly like
+    oov_rate_top1k (documented swap).
+    """
+    d = spread(_L(spark, sf_dir, "documents"), "doc_id")
+    words = d.filter(F.col("text").isNotNull()).select(
+        "source", F.explode(F.split("text", " ")).alias("word")
+    )
+    sw = words.groupBy("source", "word").agg(F.count("*").alias("c_sw"))
+    cw = sw.groupBy("word").agg(F.sum("c_sw").alias("c_w"))
+    scal = cw.agg(
+        F.sum("c_w").alias("n_corpus"), F.count("*").alias("v_corpus")
+    )
+    ns = sw.groupBy("source").agg(
+        F.sum("c_sw").alias("n_src"), F.count("*").alias("v_src")
+    )
+    contrib = (
+        sw.join(F.broadcast(cw), "word")
+        .join(F.broadcast(ns.select("source", "n_src")), "source")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "source",
+            (
+                F.col("c_sw")
+                * F.floor(
+                    F.log(
+                        (F.col("c_sw") * (F.col("n_corpus") + F.col("v_corpus")))
+                        .cast("double")
+                        / (F.col("n_src") * (F.col("c_w") + 1)).cast("double")
+                    )
+                    * 1e6
+                    + F.lit(0.5)
+                ).cast("long")
+            ).alias("contrib"),
+        )
+    )
+    agg = contrib.groupBy("source").agg(F.sum("contrib").alias("kl_sum"))
+    return agg.join(ns, "source").select(
+        "source",
+        F.col("n_src").cast("long").alias("n_words"),
+        F.col("v_src").cast("long").alias("src_vocab"),
+        fround(F.col("kl_sum") / F.lit(1e6) / F.col("n_src").cast("double"), 6).alias(
+            "kl_nats"
+        ),
+    )
+
+
+SOURCE_KL_DIVERGENCE_SQL = """
+WITH words AS (
+  SELECT source, unnest(string_split(text, ' ')) AS word
+  FROM documents WHERE text IS NOT NULL),
+sw AS (SELECT source, word, count(*) AS c_sw FROM words GROUP BY 1, 2),
+cw AS (SELECT word, sum(c_sw) AS c_w FROM sw GROUP BY 1),
+scal AS (SELECT sum(c_w) AS n_corpus, count(*) AS v_corpus FROM cw),
+ns AS (
+  SELECT source, sum(c_sw) AS n_src, count(*) AS v_src FROM sw GROUP BY 1),
+contrib AS (
+  SELECT s.source,
+         s.c_sw * CAST(floor(ln(
+             CAST(s.c_sw * (sc.n_corpus + sc.v_corpus) AS DOUBLE)
+             / CAST(n.n_src * (c.c_w + 1) AS DOUBLE)) * 1000000.0 + 0.5)
+           AS BIGINT) AS contrib
+  FROM sw s
+  JOIN cw c ON s.word = c.word
+  JOIN ns n ON s.source = n.source, scal sc),
+agg AS (SELECT source, sum(contrib) AS kl_sum FROM contrib GROUP BY 1)
+SELECT a.source,
+       CAST(n.n_src AS BIGINT) AS n_words,
+       CAST(n.v_src AS BIGINT) AS src_vocab,
+       floor((kl_sum / 1000000.0 / CAST(n.n_src AS DOUBLE)) * 1000000.0 + 0.5)
+         / 1000000.0 AS kl_nats
+FROM agg a JOIN ns n ON a.source = n.source
+"""
 
 
 # the fixed retrieval query for bm25_doc_search: two common terms and
@@ -1962,6 +2060,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "unigram_logprob_score": QuerySpec(
         unigram_logprob_score, UNIGRAM_LOGPROB_SCORE_SQL, "corpus-lm-quality"
+    ),
+    "source_kl_divergence": QuerySpec(
+        source_kl_divergence, SOURCE_KL_DIVERGENCE_SQL, "corpus-drift-kl"
     ),
     "bm25_doc_search": QuerySpec(
         bm25_doc_search, BM25_DOC_SEARCH_SQL, "corpus-retrieval"

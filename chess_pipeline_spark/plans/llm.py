@@ -406,6 +406,116 @@ WHERE inter / CAST(na + nb - inter AS DOUBLE) >= {_NGRAM_T}
 """
 
 
+# containment threshold: a truncation keeping >= 60% of the shorter
+# doc's rare shingles is a near-subset; Jaccard on the same pair can
+# sit far below its threshold because the LONGER doc's size inflates
+# the union (a 3x-longer host halves the Jaccard of a perfect subset)
+_CONT_T = 0.6
+
+
+def containment_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle CONTAINMENT near-dup pairs: C(A,B) = |A∩B| /
+    min(|A|,|B|) over each doc's rare 5-char shingle set — the
+    asymmetric cousin of ngram_jaccard_near_dup that catches
+    truncations, quote-embeddings, and template hosts (doc A pasted
+    inside a longer doc B). Jaccard structurally misses these: a
+    perfect subset inside a 3x-longer host has J ≈ 1/3 but C = 1.
+
+    Same stop-gram document-frequency cut as the Jaccard detector
+    (df <= {_NGRAM_DF_CAP} within the source block), same inverted
+    posting-list join — but deliberately NO length-ratio prune: the
+    ratio filter is exactly the optimization containment semantics
+    forbids (it would re-hide every truncation pair). Scale safety
+    comes from the df cap alone: every posting list is bounded by a
+    constant, so pair-join rows are bounded by CAP·|postings| —
+    linear in corpus size, same bound as the Jaccard plan.
+
+    Output: (doc_a, doc_b, n_small, containment) for pairs with
+    C >= {_CONT_T}; n_small is the shorter doc's rare-set size so a
+    consumer can gate on evidence mass.
+
+    100 TB shape: shingle explode → df agg (map-side combined) → df
+    filter → posting self-join → per-pair count. One corpus-scale
+    gram shuffle + one pair-keyed count shuffle, both map-side
+    combined; no window, no corpus².
+    """
+    d = spread(_L(spark, sf_dir, "documents"), "doc_id")
+    sh = (
+        f"array_distinct(transform(sequence(1, greatest(length(text) - {_SHINGLE_K - 1}, 1)), "
+        f"i -> substring(text, i, {_SHINGLE_K})))"
+    )
+    shingles = d.select(
+        "doc_id", "source", F.explode(F.expr(sh)).alias("shingle")
+    )
+    freq = shingles.groupBy("source", "shingle").agg(F.count("*").alias("df"))
+    kept = (
+        shingles.join(freq, ["source", "shingle"])
+        .filter(F.col("df") <= F.lit(_NGRAM_DF_CAP))
+        .select("doc_id", "source", "shingle")
+    )
+    nper = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ws = kept.join(nper, "doc_id").select("doc_id", "source", "n", "shingle")
+    a, b = ws.alias("a"), ws.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    cont = F.col("inter") / F.least("na", "nb").cast("double")
+    return inter.select(
+        "doc_a",
+        "doc_b",
+        F.least("na", "nb").cast("long").alias("n_small"),
+        fround(cont, 6).alias("containment"),
+    ).filter(cont >= _CONT_T)
+
+
+CONTAINMENT_NEAR_DUP_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(
+           range(1, greatest(length(text) - {_SHINGLE_K - 1}, 1) + 1),
+           i -> substr(text, CAST(i AS INTEGER), {_SHINGLE_K}))) AS s
+  FROM documents),
+shingles AS (
+  SELECT doc_id, source, unnest(s) AS shingle FROM sh),
+freq AS (
+  SELECT source, shingle, count(*) AS df FROM shingles GROUP BY 1, 2),
+kept AS (
+  SELECT s.doc_id, s.source, s.shingle
+  FROM shingles s
+  JOIN freq f ON s.source = f.source AND s.shingle = f.shingle
+  WHERE f.df <= {_NGRAM_DF_CAP}),
+nper AS (
+  SELECT doc_id, count(*) AS n FROM kept GROUP BY 1),
+ws AS (
+  SELECT k.doc_id, k.source, p.n, k.shingle
+  FROM kept k JOIN nper p ON k.doc_id = p.doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+         count(*) AS inter
+  FROM ws a JOIN ws b ON a.source = b.source AND a.shingle = b.shingle
+                      AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4)
+SELECT doc_a, doc_b,
+       CAST(least(na, nb) AS BIGINT) AS n_small,
+       floor((inter / CAST(least(na, nb) AS DOUBLE)) * 1000000.0 + 0.5)
+         / 1000000.0 AS containment
+FROM inter
+WHERE inter / CAST(least(na, nb) AS DOUBLE) >= {_CONT_T}
+"""
+
+
 def near_dup_pairs_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same semantics via PREFIX-FILTERED inverted index + exact
     verify — the AllPairs/PPJoin strategy for zipfian corpora.
@@ -2737,6 +2847,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "ngram_jaccard_near_dup": QuerySpec(
         ngram_jaccard_near_dup, NGRAM_JACCARD_NEAR_DUP_SQL, "llm-neardup ngram"
+    ),
+    "containment_near_dup": QuerySpec(
+        containment_near_dup, CONTAINMENT_NEAR_DUP_SQL, "llm-neardup containment"
     ),
     "minhash_signatures": QuerySpec(minhash_signatures, MINHASH_SIGNATURES_SQL, "llm-minhash"),
     "dedup_embedding_agreement": QuerySpec(

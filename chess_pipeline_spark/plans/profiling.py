@@ -1463,6 +1463,175 @@ JOIN_KEY_SKEW_PROFILE_SQL = (
 )
 
 
+# ------------------------------------------------------------------
+# Z-order data-layout audit: min/max zone maps + file skipping
+# ------------------------------------------------------------------
+
+_Z_BITS = 16  # per-dimension bits; z fits 32 bits, stays in BIGINT
+_Z_NFILES = 64
+# sample predicates: one per dimension, so the report shows the
+# layout trade-off — the time-append layout prunes date queries
+# perfectly and customer queries not at all; Z-order prunes BOTH
+_Z_CUST_LO, _Z_CUST_HI = 100, 199
+_Z_DAY_LO, _Z_DAY_HI = 731, 820  # 1997-01-01 .. 1997-03-31
+_Z_EPOCH = "1995-01-01"
+
+
+def _z_interleave(xc: str, yc: str, duck: bool) -> str:
+    """Bit-interleave expression (x gets odd bit positions): identical
+    integer arithmetic on both engines, unrolled over _Z_BITS."""
+    shr = (lambda c, k: f"({c} >> {k})") if duck else (
+        lambda c, k: f"shiftright({c}, {k})"
+    )
+    terms = []
+    for k in range(_Z_BITS):
+        terms.append(f"({shr(xc, k)} & 1) * {1 << (2 * k + 1)}")
+        terms.append(f"({shr(yc, k)} & 1) * {1 << (2 * k)}")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-layout engineering audit: lay `orders` out twice — the
+    naive time-append layout (files in o_orderdate order) and a
+    Z-ORDER layout (files in interleaved-bit order over (o_custkey,
+    day)) — build each file's min/max zone map, and report how many
+    files a single-dimension predicate can SKIP under each layout.
+    This is the min/max-pruning story every lakehouse engine
+    (Delta/Iceberg data skipping, Parquet row-group stats) lives on:
+    the time-append layout answers date predicates with ~4% of files
+    but must read EVERY file for a customer predicate, while the
+    Z-order layout bounds both dimensions per file and prunes both
+    predicate families.
+
+    Output: one row per (layout, predicate) with files_total,
+    files_scanned (zone-map overlap count), rows_scanned (sum of
+    scanned files' rows) and rows_matching (true selectivity — layout
+    invariant, so it doubles as a cross-layout consistency check).
+
+    Determinism: file assignment is ntile({_Z_NFILES}) over a total
+    order with a unique tiebreak (z, o_orderkey) — identical on both
+    engines. On a cluster the global-order window is the one
+    non-scalable piece; the production write path is
+    `repartitionByRange({_Z_NFILES}, z).sortWithinPartitions(z)`
+    (same file boundaries up to range-sampling), where the zone map
+    comes from parquet footer stats instead of an explicit groupBy —
+    the audit keeps the ntile form so the DuckDB oracle can replay
+    the exact same layout.
+
+    100 TB shape: the z-value is a row-local integer projection; the
+    per-file zone map is a {_Z_NFILES}-group aggregate; the report is
+    arithmetic over a {_Z_NFILES}-row frame. Nothing here is
+    corpus-scale except the one layout sort every real table write
+    pays anyway.
+    """
+    o = spread(_L(spark, sf_dir, "orders"), "o_orderkey")
+    day = f"datediff(CAST(o_orderdate AS DATE), DATE '{_Z_EPOCH}')"
+    base = o.select(
+        "o_orderkey",
+        F.expr("o_custkey & 65535").alias("x"),
+        F.expr(f"{day} & 65535").alias("y"),
+        F.expr(
+            _z_interleave("(o_custkey & 65535)", f"({day} & 65535)", duck=False)
+        ).alias("z"),
+    )
+    wz = Window.orderBy("z", "o_orderkey")
+    wl = Window.orderBy("y", "o_orderkey")
+    melted = base.select(
+        F.lit("zorder").alias("layout"),
+        F.ntile(_Z_NFILES).over(wz).alias("file_id"),
+        "x",
+        "y",
+    ).unionByName(
+        base.select(
+            F.lit("linear").alias("layout"),
+            F.ntile(_Z_NFILES).over(wl).alias("file_id"),
+            "x",
+            "y",
+        )
+    )
+    cust_hit = (F.col("x") >= _Z_CUST_LO) & (F.col("x") <= _Z_CUST_HI)
+    date_hit = (F.col("y") >= _Z_DAY_LO) & (F.col("y") <= _Z_DAY_HI)
+    zones = melted.groupBy("layout", "file_id").agg(
+        F.min("x").alias("x_min"),
+        F.max("x").alias("x_max"),
+        F.min("y").alias("y_min"),
+        F.max("y").alias("y_max"),
+        F.count("*").alias("rows"),
+        F.sum(cust_hit.cast("long")).alias("m_cust"),
+        F.sum(date_hit.cast("long")).alias("m_date"),
+    )
+    reports = []
+    for pred, lo, hi, dim, mcol in (
+        ("custkey", _Z_CUST_LO, _Z_CUST_HI, "x", "m_cust"),
+        ("orderdate", _Z_DAY_LO, _Z_DAY_HI, "y", "m_date"),
+    ):
+        scan = (F.col(f"{dim}_max") >= lo) & (F.col(f"{dim}_min") <= hi)
+        reports.append(
+            zones.groupBy("layout").agg(
+                F.lit(pred).alias("predicate"),
+                F.count("*").cast("long").alias("files_total"),
+                F.sum(scan.cast("long")).cast("long").alias("files_scanned"),
+                F.sum(F.when(scan, F.col("rows")).otherwise(0))
+                .cast("long")
+                .alias("rows_scanned"),
+                F.sum(mcol).cast("long").alias("rows_matching"),
+            )
+        )
+    out = reports[0].unionByName(reports[1])
+    return out.select(
+        "layout", "predicate", "files_total", "files_scanned",
+        "rows_scanned", "rows_matching",
+    ).orderBy("layout", "predicate")
+
+
+_Z_DUCK_DAY = f"date_diff('day', DATE '{_Z_EPOCH}', CAST(o_orderdate AS DATE))"
+
+ZORDER_LAYOUT_AUDIT_SQL = f"""
+WITH base AS (
+  SELECT o_orderkey,
+         (o_custkey & 65535) AS x,
+         ({_Z_DUCK_DAY} & 65535) AS y,
+         {_z_interleave("(o_custkey & 65535)", f"({_Z_DUCK_DAY} & 65535)", duck=True)} AS z
+  FROM orders),
+melted AS (
+  SELECT 'zorder' AS layout,
+         ntile({_Z_NFILES}) OVER (ORDER BY z, o_orderkey) AS file_id, x, y
+  FROM base
+  UNION ALL
+  SELECT 'linear' AS layout,
+         ntile({_Z_NFILES}) OVER (ORDER BY y, o_orderkey) AS file_id, x, y
+  FROM base),
+zones AS (
+  SELECT layout, file_id,
+         min(x) AS x_min, max(x) AS x_max,
+         min(y) AS y_min, max(y) AS y_max,
+         count(*) AS n_rows,
+         sum(CASE WHEN x BETWEEN {_Z_CUST_LO} AND {_Z_CUST_HI}
+                  THEN 1 ELSE 0 END) AS m_cust,
+         sum(CASE WHEN y BETWEEN {_Z_DAY_LO} AND {_Z_DAY_HI}
+                  THEN 1 ELSE 0 END) AS m_date
+  FROM melted GROUP BY 1, 2)
+SELECT layout, 'custkey' AS predicate,
+       CAST(count(*) AS BIGINT) AS files_total,
+       CAST(sum(CASE WHEN x_max >= {_Z_CUST_LO} AND x_min <= {_Z_CUST_HI}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+       CAST(sum(CASE WHEN x_max >= {_Z_CUST_LO} AND x_min <= {_Z_CUST_HI}
+                     THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+       CAST(sum(m_cust) AS BIGINT) AS rows_matching
+FROM zones GROUP BY 1
+UNION ALL
+SELECT layout, 'orderdate' AS predicate,
+       CAST(count(*) AS BIGINT) AS files_total,
+       CAST(sum(CASE WHEN y_max >= {_Z_DAY_LO} AND y_min <= {_Z_DAY_HI}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+       CAST(sum(CASE WHEN y_max >= {_Z_DAY_LO} AND y_min <= {_Z_DAY_HI}
+                     THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+       CAST(sum(m_date) AS BIGINT) AS rows_matching
+FROM zones GROUP BY 1
+ORDER BY layout, predicate
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "hll_distinct_users": QuerySpec(
         hll_distinct_users, HLL_DISTINCT_USERS_SQL, "ext: cardinality sketch"
@@ -1499,6 +1668,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "join_key_skew_profile": QuerySpec(
         join_key_skew_profile, JOIN_KEY_SKEW_PROFILE_SQL, "ext: skew planner statistic"
+    ),
+    "zorder_layout_audit": QuerySpec(
+        zorder_layout_audit, ZORDER_LAYOUT_AUDIT_SQL, "ext: zone-map layout audit"
     ),
     "referential_integrity_audit": QuerySpec(
         referential_integrity_audit,

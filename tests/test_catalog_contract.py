@@ -184,6 +184,9 @@ FROZEN_ORDER: tuple[str, ...] = (
     "join_key_skew_profile",
     "sliding_window_chunks",
     "bpe_encode_tokens",
+    "containment_near_dup",
+    "source_kl_divergence",
+    "zorder_layout_audit",
 )
 
 

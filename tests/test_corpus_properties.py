@@ -75,6 +75,85 @@ def test_ngram_jaccard_matches_bruteforce(spark, sf_dir):
     assert got == expected
 
 
+def test_containment_matches_bruteforce(spark, sf_dir):
+    # ground truth for the asymmetric detector: C = |A∩B|/min(|A|,|B|)
+    # over the same rare-shingle sets (df <= cap within the source
+    # block); every Jaccard near-dup pair is necessarily a containment
+    # pair (C >= J always), and truncation pairs appear here only
+    from chess_pipeline_spark.plans.llm import _CONT_T
+
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    expected = set()
+    for _, block in docs.groupby("source"):
+        rows = list(block[["doc_id", "text"]].itertuples(index=False, name=None))
+        full = {doc_id: _shingles(t) for doc_id, t in rows}
+        df: dict[str, int] = {}
+        for s in full.values():
+            for g in s:
+                df[g] = df.get(g, 0) + 1
+        sh = {
+            doc_id: {g for g in s if df[g] <= _NGRAM_DF_CAP}
+            for doc_id, s in full.items()
+        }
+        ids = sorted(sh)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                small = min(len(sh[a]), len(sh[b]))
+                if small and len(sh[a] & sh[b]) / small >= _CONT_T:
+                    expected.add((a, b))
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in _CATALOG["containment_near_dup"].spark(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_containment_catches_truncation_jaccard_misses(spark, tmp_path_factory):
+    """The semantic reason containment exists: a document embedded
+    verbatim inside a 4x-longer host is C = 1.0 but J ≈ 0.25 — below
+    even the lenient char-shingle Jaccard threshold at play. Plant
+    exactly that pair and assert the containment detector reports it
+    while the Jaccard detector (threshold {_NGRAM_T}) does not
+    dominate it away; then cross-engine-check the same corpus.
+    """
+    short = "the quarterly revenue figures exceeded expectations this term"
+    host = (
+        "unrelated preamble about logistics and warehouse throughput pads "
+        "this host document considerably before quoting. " * 3
+        + short
+        + " and a trailing analysis section continues with further "
+        "commentary about margins, churn, and forecast adjustments."
+    )
+    filler = [
+        f"filler document {i} with its own distinct vocabulary item{i}"
+        for i in range(6)
+    ]
+    texts = [short, host, *filler]
+    tmp = tmp_path_factory.mktemp("truncpair")
+    pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["srcA"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    ).astype({"doc_id": "int64", "n_chars": "int64"}).to_parquet(
+        tmp / "documents.parquet", index=False
+    )
+    cont = {
+        (r["doc_a"], r["doc_b"], r["containment"])
+        for r in _CATALOG["containment_near_dup"].spark(spark, str(tmp)).collect()
+    }
+    assert any(a == 0 and b == 1 and c >= 0.99 for a, b, c in cont), cont
+    jac = {
+        (r["doc_a"], r["doc_b"])
+        for r in _CATALOG["ngram_jaccard_near_dup"].spark(spark, str(tmp)).collect()
+    }
+    assert (0, 1) not in jac, "host is long enough that Jaccard must miss it"
+    run_and_compare(spark, str(tmp), "containment_near_dup", _CATALOG["containment_near_dup"])
+
+
 # corpora: up to 12 docs over up to 3 sources; duplicate and
 # near-duplicate texts arise naturally from the small alphabet
 _corpus = st.lists(
@@ -118,6 +197,12 @@ _RANDOMIZED_QUERIES = (
     # r7: tokenizer application — learned merges applied to the same
     # adversarial corpora the trainer is checked on
     "bpe_encode_tokens",
+    # r7: asymmetric containment — subset/truncation pairs on
+    # adversarial corpora (shared prefixes make near-subsets common)
+    "containment_near_dup",
+    # r7: KL drift — integer micro-nat quantization must agree
+    # cross-engine on single-source and empty-text corpora
+    "source_kl_divergence",
 )
 
 

@@ -807,3 +807,48 @@ def test_hll_set_algebra_single_tag_scan_and_broadcasts(spark, sf_dir):
     # register aggregation is map-side combined (partial_max before
     # the exchange)
     assert "partial_max" in plan or "HashAggregate" in plan
+
+
+def test_containment_same_bounded_index_shape_as_jaccard(spark, sf_dir):
+    # the asymmetric detector must keep the Jaccard plan's bounds: df
+    # cut before the pair join (posting lists constant-bounded), the
+    # pair count map-side combined, no window, no cartesian — the
+    # ONLY intended difference is the dropped length-ratio prune
+    plan = _plan(spark, sf_dir, "containment_near_dup")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "partial_count" in plan
+    # the df filter must run BEFORE the self-join: the cap condition
+    # appears as a Filter on BOTH posting-list sides (4 subtree
+    # copies in the unreused plan), never as a join-output filter
+    import re
+
+    assert len(re.findall(r"\(df#\d+L? <= 64\)", plan)) >= 2, plan[:2000]
+
+
+def test_source_kl_single_corpus_shuffle_rest_broadcast(spark, sf_dir):
+    # ONE corpus-scale exchange (the (source, word) count, map-side
+    # combined); corpus totals re-aggregate per-source counts; the
+    # vocab/scalar joins broadcast — no SMJ, no cartesian beyond the
+    # 1-row broadcast scalars
+    plan = _plan(spark, sf_dir, "source_kl_divergence")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
+    # text never moves: no exchange line carries the text column
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert exchanges and all("text" not in ln for ln in exchanges)
+
+
+def test_zorder_audit_row_local_z_and_bounded_aggs(spark, sf_dir):
+    # the z-value is a scan-stage integer projection (no Python, no
+    # join); the only wide operations are the two layout windows the
+    # audit exists to replay and the 64-group zone-map aggregate
+    plan = _plan(spark, sf_dir, "zorder_layout_audit")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" in plan
+    # the orders scan reads only the three columns the audit needs
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read and all("o_totalprice" not in ln for ln in read)
