@@ -186,6 +186,7 @@ _DEMOTED: tuple[str, ...] = (
     "containment_near_dup",
     "source_kl_divergence",
     "zorder_layout_audit",
+    "bloom_join_prune",
 )
 
 # For every demoted query: the IN-WINDOW queries that keep its SURVEY
@@ -411,6 +412,9 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     # zone-map layout audit → min/max column profiling + the binned
     # sketch-cut machinery in-window
     "zorder_layout_audit": ("data_profile_orders", "customer_value_deciles_sketch"),
+    # bloom membership pruning → the md5-register sketch core and the
+    # membership/anti-join semantics in-window
+    "bloom_join_prune": ("hll_distinct_users", "idle_customer_balance"),
 }
 
 

@@ -1632,6 +1632,200 @@ ORDER BY layout, predicate
 """
 
 
+# ------------------------------------------------------------------
+# Bloom-filter join pruning: semi-join membership without shuffling
+# the fact table
+# ------------------------------------------------------------------
+
+_BLOOM_M = 4096  # bits; 128 x 32-bit words (32-bit masks avoid any
+# BIGINT sign-bit divergence between engines)
+_BLOOM_W = 32
+_BLOOM_K = 3  # hash functions; md5('j:' || key) -> 12-bit position
+_BLOOM_SEG = "BUILDING"
+
+
+def _bloom_pos_spark(key, j: int):
+    """Hash position 0..4095 for hash function j — the CMS md5-hex
+    idiom, identical arithmetic on both engines."""
+    return _hex3_to_int_spark(F.md5(F.concat(F.lit(f"{j}:"), key.cast("string"))))
+
+
+def _bloom_pos_sql(key: str, j: int) -> str:
+    return _hex3_to_int_sql(f"md5('{j}:' || CAST({key} AS VARCHAR))")
+
+
+def bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning audit: build a {_BLOOM_M}-bit
+    Bloom filter over the custkeys of one market segment
+    ('{_BLOOM_SEG}'), probe every order against it with ZERO shuffle
+    of the orders side, and report — per order priority — how many
+    orders the filter passes vs how many truly belong to the
+    segment, i.e. the false-positive rate the filter actually
+    achieves vs its m/n design point.
+
+    This is the join-pruning pattern every distributed engine leans
+    on (Spark's runtime bloom-filter join, Parquet bloom indexes,
+    semi-join pushdown): membership of a big fact table in a small
+    dim subset tested by K broadcast lookups into a <=128-row bitmap
+    instead of a corpus-scale shuffle-hash semi join. A Bloom pass is
+    a superset of true membership (no false negatives — asserted by
+    construction here since every build key sets exactly the bits the
+    probe checks), so the filter can PRE-prune a shuffle join's input
+    down to pass-rate x |facts| rows.
+
+    Determinism: positions are the CMS 3-hex-digit md5 parse (0..4095)
+    with 32-bit words, so register contents are identical integer
+    algebra on both engines; the bitmap is built by bit_or — an
+    associative, commutative, mergeable aggregate (a per-partition /
+    per-batch bloom ORs into the global one, the same algebra the
+    streaming ledgers use).
+
+    100 TB shape: the build side aggregates a dim subset into <=128
+    (word, bits) rows — broadcast; the probe side is {_BLOOM_K}
+    broadcast hash joins plus one broadcast join for ground truth, so
+    the orders scan never shuffles; the per-priority rollup is a
+    <=5-key map-side-combined aggregate. At scale the ground-truth
+    join disappears (it exists here to measure the fp rate) and the
+    bloom test becomes a scan-stage filter ahead of the real join.
+    """
+    cust = _L(spark, sf_dir, "customer")
+    orders = spread(_L(spark, sf_dir, "orders"), "o_orderkey")
+    keys = (
+        cust.filter(F.col("c_mktsegment") == _BLOOM_SEG)
+        .select(F.col("c_custkey").alias("k"))
+        .distinct()
+    )
+    # bitmap: explode each key into K positions, fold into word-bit
+    # masks, OR per word -> <=128 rows
+    pos = keys.select(
+        F.explode(
+            F.array(*[_bloom_pos_spark(F.col("k"), j) for j in range(_BLOOM_K)])
+        ).alias("pos")
+    )
+    bloom = (
+        pos.select(
+            (F.col("pos") / _BLOOM_W).cast("long").alias("word"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {_BLOOM_W} AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+        # pinned: the <=128-row bitmap is probed by _BLOOM_K separate
+        # broadcast joins; without the checkpoint each join re-runs
+        # the dim scan + bitmap fold (alias renames defeat
+        # ReuseExchange) — the CMS-vocab lesson (r7)
+        .localCheckpoint()
+    )
+    probe = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderpriority",
+        *[
+            _bloom_pos_spark(F.col("o_custkey"), j).alias(f"p{j}")
+            for j in range(_BLOOM_K)
+        ],
+    )
+    for j in range(_BLOOM_K):
+        bj = F.broadcast(
+            bloom.select(
+                F.col("word").alias(f"w{j}"), F.col("bits").alias(f"b{j}")
+            )
+        )
+        probe = probe.join(
+            bj, (F.col(f"p{j}") / _BLOOM_W).cast("long") == F.col(f"w{j}"), "left"
+        )
+    hit = [
+        F.expr(
+            f"(b{j} & shiftleft(CAST(1 AS BIGINT),"
+            f" CAST(p{j} % {_BLOOM_W} AS INT))) != 0"
+        )
+        for j in range(_BLOOM_K)
+    ]
+    flags = probe.join(
+        F.broadcast(keys.withColumn("is_member", F.lit(1))),
+        F.col("o_custkey") == F.col("k"),
+        "left",
+    ).select(
+        "o_orderpriority",
+        F.when(hit[0] & hit[1] & hit[2], 1).otherwise(0).alias("bloom_pass"),
+        F.coalesce("is_member", F.lit(0)).alias("member"),
+    )
+    agg = flags.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("bloom_pass").cast("long").alias("bloom_pass"),
+        F.sum("member").cast("long").alias("true_match"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        "n_orders",
+        "bloom_pass",
+        "true_match",
+        (F.col("bloom_pass") - F.col("true_match")).alias("false_pos"),
+        fround(
+            (F.col("bloom_pass") - F.col("true_match"))
+            / F.nullif(
+                (F.col("n_orders") - F.col("true_match")).cast("double"), F.lit(0.0)
+            ),
+            6,
+        ).alias("fp_rate"),
+    )
+
+
+_BLOOM_PROBE_COLS = ",\n         ".join(
+    f"{_bloom_pos_sql('o_custkey', j)} AS p{j}" for j in range(_BLOOM_K)
+)
+_BLOOM_HIT = " AND ".join(
+    f"((b{j}.bits & (CAST(1 AS BIGINT) << CAST(p{j} % {_BLOOM_W} AS INTEGER))) != 0"
+    f" AND b{j}.bits IS NOT NULL)"
+    for j in range(_BLOOM_K)
+)
+_BLOOM_PROBE_JOINS = "\n  ".join(
+    f"LEFT JOIN bloom b{j} ON CAST(floor(p.p{j} / {_BLOOM_W}) AS BIGINT) = b{j}.word"
+    for j in range(_BLOOM_K)
+)
+
+BLOOM_JOIN_PRUNE_SQL = f"""
+WITH keys AS (
+  SELECT DISTINCT c_custkey AS k FROM customer
+  WHERE c_mktsegment = '{_BLOOM_SEG}'),
+pos AS (
+  SELECT unnest([{", ".join(_bloom_pos_sql("k", j) for j in range(_BLOOM_K))}])
+           AS pos
+  FROM keys),
+bloom AS (
+  SELECT CAST(floor(pos / {_BLOOM_W}) AS BIGINT) AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % {_BLOOM_W} AS INTEGER)) AS bits
+  FROM pos GROUP BY 1),
+probe AS (
+  SELECT o_orderkey, o_custkey, o_orderpriority,
+         {_BLOOM_PROBE_COLS}
+  FROM orders),
+flags AS (
+  SELECT p.o_orderpriority,
+         CASE WHEN {_BLOOM_HIT} THEN 1 ELSE 0 END AS bloom_pass,
+         CASE WHEN m.k IS NOT NULL THEN 1 ELSE 0 END AS member
+  FROM probe p
+  {_BLOOM_PROBE_JOINS}
+  LEFT JOIN keys m ON p.o_custkey = m.k),
+agg AS (
+  SELECT o_orderpriority,
+         count(*) AS n_orders,
+         sum(bloom_pass) AS bloom_pass,
+         sum(member) AS true_match
+  FROM flags GROUP BY 1)
+SELECT o_orderpriority,
+       CAST(n_orders AS BIGINT) AS n_orders,
+       CAST(bloom_pass AS BIGINT) AS bloom_pass,
+       CAST(true_match AS BIGINT) AS true_match,
+       CAST(bloom_pass - true_match AS BIGINT) AS false_pos,
+       floor((bloom_pass - true_match)
+             / nullif(CAST(n_orders - true_match AS DOUBLE), 0.0)
+             * 1000000.0 + 0.5) / 1000000.0 AS fp_rate
+FROM agg
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "hll_distinct_users": QuerySpec(
         hll_distinct_users, HLL_DISTINCT_USERS_SQL, "ext: cardinality sketch"
@@ -1665,6 +1859,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "cms_join_size_estimate": QuerySpec(
         cms_join_size_estimate, CMS_JOIN_SIZE_ESTIMATE_SQL, "ext: AMS join-size sketch"
+    ),
+    "bloom_join_prune": QuerySpec(
+        bloom_join_prune, BLOOM_JOIN_PRUNE_SQL, "sketch-join-prune"
     ),
     "join_key_skew_profile": QuerySpec(
         join_key_skew_profile, JOIN_KEY_SKEW_PROFILE_SQL, "ext: skew planner statistic"

@@ -187,6 +187,7 @@ FROZEN_ORDER: tuple[str, ...] = (
     "containment_near_dup",
     "source_kl_divergence",
     "zorder_layout_audit",
+    "bloom_join_prune",
 )
 
 

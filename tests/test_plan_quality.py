@@ -852,3 +852,33 @@ def test_zorder_audit_row_local_z_and_bounded_aggs(spark, sf_dir):
     # the orders scan reads only the three columns the audit needs
     read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert read and all("o_totalprice" not in ln for ln in read)
+
+
+def test_bloom_probe_never_shuffles_orders(spark, sf_dir):
+    # the whole point of the bloom pattern: the fact side is tested
+    # by broadcast lookups only — every join is a BroadcastHashJoin,
+    # no SMJ/shuffle-hash join, no cartesian, and the single
+    # non-broadcast shuffle feeding the result is the <=5-key
+    # priority rollup (map-side combined)
+    plan = _plan(spark, sf_dir, "bloom_join_prune")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    # no exchange line carries the probe-side row id: orders rows
+    # reach the rollup without ever being redistributed
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert exchanges and all("o_orderkey" not in ln for ln in exchanges)
+
+
+def test_bloom_has_no_false_negatives(spark, sf_dir):
+    # Bloom's contract: a true member ALWAYS passes (the build sets
+    # exactly the bits the probe checks), so bloom_pass >= true_match
+    # row-by-row; and the filter must actually prune (pass < total)
+    rows = _CATALOG["bloom_join_prune"].spark(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["bloom_pass"] >= r["true_match"], r
+        assert r["false_pos"] == r["bloom_pass"] - r["true_match"]
+        assert r["bloom_pass"] < r["n_orders"], "filter pruned nothing"
