@@ -266,3 +266,65 @@ def frame_features(
     return media.mapInPandas(
         run, "doc_id long, frame_idx long, n_bytes long, checksum long"
     )
+
+
+PHASH_SCHEMA = "doc_id long, kind string, n_bytes long, bands array<long>"
+
+_PHASH_BITS = 64  # aHash grid: 64 byte-blocks -> 64 bits
+_PHASH_BANDS = 8  # 8 bands x 8 bits for LSH banding (pigeonhole:
+# hamming <= 7 guarantees at least one clean band)
+
+
+def _phash_bands(payload: bytes) -> list[int]:
+    """64-bit average-hash over the byte buffer, packed as 8 x 8-bit
+    band integers: split bytes into 64 equal blocks (block of byte i =
+    i*64//n), bit b = 1 iff block b's mean byte value exceeds the
+    whole-buffer mean. The comparison is the integer cross-product
+    sum_b * n > total * cnt_b — no division, exact on any engine.
+    Blocks left empty by short buffers contribute 0-bits. A real
+    image aHash (resize to 8x8, threshold on mean luma) plugs into
+    the same signature."""
+    import numpy as np
+
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+    n = len(arr)
+    bits = np.zeros(_PHASH_BITS, dtype=np.int64)
+    if n:
+        blocks = (np.arange(n, dtype=np.int64) * _PHASH_BITS) // n
+        sums = np.bincount(blocks, weights=arr, minlength=_PHASH_BITS).astype(
+            np.int64
+        )
+        cnts = np.bincount(blocks, minlength=_PHASH_BITS).astype(np.int64)
+        total = int(arr.sum())
+        bits = (sums * n > total * cnts).astype(np.int64)
+    shifts = 1 << np.arange(8, dtype=np.int64)
+    return [int((bits[8 * j : 8 * j + 8] * shifts).sum()) for j in range(_PHASH_BANDS)]
+
+
+def extract_phash(media: DataFrame) -> DataFrame:
+    """mapInPandas perceptual-hash extraction: MEDIA_SCHEMA in,
+    (doc_id, kind, n_bytes, bands[8]) out. Payloads never leave the
+    stage — only the 8 small band integers shuffle downstream, which
+    is what makes banded media dedup viable at 100 TB."""
+    import pandas as pd
+
+    from chess_pipeline_spark.deploy import ensure_package_on_executors
+
+    ensure_package_on_executors(media.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "kind": [], "n_bytes": [], "bands": []}
+            for doc_id, kind, payload in zip(
+                pdf["doc_id"], pdf["kind"], pdf["payload"]
+            ):
+                if payload is None:
+                    continue
+                _check_decodable(kind)
+                out["doc_id"].append(doc_id)
+                out["kind"].append(kind)
+                out["n_bytes"].append(len(payload))
+                out["bands"].append(_phash_bands(bytes(payload)))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, PHASH_SCHEMA)

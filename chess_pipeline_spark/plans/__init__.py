@@ -187,6 +187,7 @@ _DEMOTED: tuple[str, ...] = (
     "source_kl_divergence",
     "zorder_layout_audit",
     "bloom_join_prune",
+    "media_phash_near_dup",
 )
 
 # For every demoted query: the IN-WINDOW queries that keep its SURVEY
@@ -415,6 +416,9 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     # bloom membership pruning → the md5-register sketch core and the
     # membership/anti-join semantics in-window
     "bloom_join_prune": ("hll_distinct_users", "idle_customer_balance"),
+    # media perceptual-hash near-dup → the binary/mapInPandas anchor
+    # and the banded near-dup machinery in-window
+    "media_phash_near_dup": ("multimodal_features", "cross_source_leakage"),
 }
 
 

@@ -2406,6 +2406,141 @@ GROUP BY doc_id, fidx, fn
 """
 
 
+# ------------------------------------------------------------------
+# Media perceptual-hash near-dup: aHash + banded Hamming join
+# ------------------------------------------------------------------
+
+_PHASH_T = 6  # max Hamming distance (of 64 bits) to call a near-dup
+_PHASH_CAP = 256  # band-bucket frequency cap bounding the pair join
+_PHASH_MIN_BYTES = 64  # below one byte per block the grid is noise
+
+
+def media_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate detection for MEDIA payloads: a 64-bit
+    average-hash (64 byte-block grid, bit = block mean > global mean
+    — integer cross-product, multimodal.py::_phash_bands) per binary
+    payload, then LSH banding over 8x8-bit bands and an exact Hamming
+    verify at <= {_PHASH_T}. This is image-dedup's aHash/pHash
+    pipeline run on the deterministic fake-decode path: swap a real
+    8x8-luma aHash into extract_phash and the plan is unchanged —
+    which is the point; the dedup families extend past text.
+
+    Pigeonhole recall: hamming <= {_PHASH_T} < 8 bands forces at
+    least one identical band, so banding loses nothing the verify
+    would keep (same law as simhash_near_dup, tested there). The
+    band-bucket cap ({_PHASH_CAP}) bounds the candidate join exactly
+    like the shingle df cap: degenerate buckets (e.g. the all-zero
+    band of near-constant payloads) are dropped rather than squared.
+
+    100 TB shape: ONE Arrow-batched decode pass (pinned with
+    localCheckpoint — payloads never leave their scan stage, only 8
+    small band ints per doc move); banding shuffles (band, value)
+    ints with map-side combine; the pair space is CAP-bounded; the
+    Hamming verify joins the 8-int wide frame, never payloads.
+    Oracle: bands re-derived from hex(blob) byte arithmetic in SQL
+    (the MULTIMODAL_FEATURES_SQL discipline).
+    """
+    from chess_pipeline_spark.multimodal import (
+        attach_binary_payload,
+        extract_phash,
+    )
+
+    d = spread(_L(spark, sf_dir, "documents"), "doc_id").filter(
+        F.col("text").isNotNull()
+    )
+    ph = (
+        extract_phash(attach_binary_payload(d))
+        .filter(F.col("n_bytes") >= _PHASH_MIN_BYTES)
+        .select("doc_id", "bands")
+        # pinned: banding + both sides of the Hamming verify reuse
+        # this frame; without the checkpoint the decode pass runs 4x
+        .localCheckpoint()
+    )
+    wide = ph.select(
+        "doc_id", *[F.col("bands")[j].alias(f"b{j}") for j in range(8)]
+    )
+    lng = ph.select("doc_id", F.posexplode("bands").alias("j", "v"))
+    freq = lng.groupBy("j", "v").agg(F.count("*").alias("bf"))
+    kept = lng.join(freq, ["j", "v"]).filter(F.col("bf") <= _PHASH_CAP)
+    cands = (
+        kept.alias("a")
+        .join(
+            kept.alias("b"),
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    wa = wide.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"b{j}").alias(f"ab{j}") for j in range(8)],
+    )
+    wb = wide.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"b{j}").alias(f"bb{j}") for j in range(8)],
+    )
+    hamming = sum(
+        F.expr(f"bit_count(ab{j} ^ bb{j})") for j in range(8)
+    ).cast("long")
+    return (
+        cands.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= _PHASH_T)
+    )
+
+
+MEDIA_PHASH_NEAR_DUP_SQL = f"""
+WITH d AS (SELECT doc_id, encode(text) AS payload
+           FROM documents WHERE text IS NOT NULL),
+b AS (SELECT doc_id, CAST(octet_length(payload) AS BIGINT) AS n,
+             hex(payload) AS h
+      FROM d WHERE octet_length(payload) >= {_PHASH_MIN_BYTES}),
+x AS (SELECT doc_id, n, h, unnest(range(1, n + 1)) AS i FROM b),
+bytes AS (
+  SELECT doc_id, n, ((i - 1) * 64) // n AS blk,
+         (strpos('0123456789ABCDEF', substr(h, CAST(2 * i - 1 AS INT), 1)) - 1) * 16
+         + (strpos('0123456789ABCDEF', substr(h, CAST(2 * i AS INT), 1)) - 1) AS bv
+  FROM x),
+bsum AS (
+  SELECT doc_id, n, blk, sum(bv) AS s_b, count(*) AS c_b
+  FROM bytes GROUP BY 1, 2, 3),
+tot AS (SELECT doc_id, sum(s_b) AS s_tot FROM bsum GROUP BY 1),
+bits AS (
+  SELECT s.doc_id, s.blk,
+         CASE WHEN s.s_b * s.n > t.s_tot * s.c_b THEN 1 ELSE 0 END AS bit
+  FROM bsum s JOIN tot t ON s.doc_id = t.doc_id),
+bands AS (
+  SELECT doc_id, CAST(blk // 8 AS BIGINT) AS j,
+         CAST(sum(bit << CAST(blk % 8 AS INTEGER)) AS BIGINT) AS v
+  FROM bits GROUP BY 1, 2),
+freq AS (SELECT j, v, count(*) AS bf FROM bands GROUP BY 1, 2),
+kept AS (
+  SELECT b.doc_id, b.j, b.v
+  FROM bands b JOIN freq f ON b.j = f.j AND b.v = f.v
+  WHERE f.bf <= {_PHASH_CAP}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM kept a JOIN kept b ON a.j = b.j AND a.v = b.v
+                          AND a.doc_id < b.doc_id),
+wide AS (
+  SELECT doc_id,
+         {", ".join(f"max(CASE WHEN j = {j} THEN v END) AS b{j}" for j in range(8))}
+  FROM bands GROUP BY 1),
+ham AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST({" + ".join(f"bit_count(xor(wa.b{j}, wb.b{j}))" for j in range(8))}
+           AS BIGINT) AS hamming
+  FROM cands c
+  JOIN wide wa ON c.doc_a = wa.doc_id
+  JOIN wide wb ON c.doc_b = wb.doc_id)
+SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= {_PHASH_T}
+"""
+
 
 def dedup_embedding_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-family consistency audit: do the MinHash-LSH text
@@ -2893,6 +3028,9 @@ QUERIES: dict[str, QuerySpec] = {
     "knn_pq_adc": QuerySpec(knn_pq_adc, KNN_PQ_ADC_SQL, "llm-knn-pq-adc"),
     "multimodal_features": QuerySpec(
         multimodal_features, MULTIMODAL_FEATURES_SQL, "llm-multimodal"
+    ),
+    "media_phash_near_dup": QuerySpec(
+        media_phash_near_dup, MEDIA_PHASH_NEAR_DUP_SQL, "llm-multimodal-dedup"
     ),
     "frame_sample_features": QuerySpec(
         frame_sample_features, FRAME_SAMPLE_FEATURES_SQL, "llm-multimodal frames"

@@ -188,6 +188,7 @@ FROZEN_ORDER: tuple[str, ...] = (
     "source_kl_divergence",
     "zorder_layout_audit",
     "bloom_join_prune",
+    "media_phash_near_dup",
 )
 
 

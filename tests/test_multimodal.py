@@ -112,3 +112,65 @@ def test_extract_media_features_unsupported_kind_raises(spark, sf_dir):
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
+
+
+def _write_docs(tmp_path_factory, texts, name="phash"):
+    import pandas as pd
+
+    tmp = tmp_path_factory.mktemp(name)
+    pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["srcA"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    ).astype({"doc_id": "int64", "n_chars": "int64"}).to_parquet(
+        tmp / "documents.parquet", index=False
+    )
+    return str(tmp)
+
+
+def test_phash_bands_pure_function_laws():
+    from chess_pipeline_spark.multimodal import _phash_bands
+
+    a = _phash_bands(b"x" * 200)  # constant buffer: no block exceeds
+    assert a == [0] * 8  # the global mean -> all bits 0
+    b = _phash_bands(bytes(range(200)))
+    assert any(v for v in b) and all(0 <= v < 256 for v in b)
+    # determinism + locality: a small edit flips few bits
+    base = bytes((i * 37) % 251 for i in range(640))
+    edited = bytearray(base)
+    edited[5] = 0
+    ham = sum(
+        bin(x ^ y).count("1")
+        for x, y in zip(_phash_bands(base), _phash_bands(bytes(edited)))
+    )
+    assert ham <= 3
+
+
+def test_media_phash_near_dup_planted_pair(spark, tmp_path_factory):
+    """The detector's reason to exist: a payload and a lightly
+    corrupted copy (a re-encode artifact) land within Hamming 6 and
+    are reported; unrelated payloads are not. Cross-engine-checked on
+    the same planted corpus through the driver harness."""
+    from chess_pipeline_spark.plans import catalog
+    from tests.oracle_harness import run_and_compare
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    near = base[:100] + "X" + base[101:]  # one-byte corruption
+    import hashlib
+
+    others = [  # md5-hex noise: uniform bytes, pairwise ~32-bit hamming
+        "".join(
+            hashlib.md5(f"{i}:{j}".encode()).hexdigest() for j in range(12)
+        )
+        for i in range(5)
+    ]
+    tmp = _write_docs(tmp_path_factory, [base, near, *others])
+    spec = catalog()["media_phash_near_dup"]
+    rows = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in spec.spark(spark, tmp).collect()}
+    assert (0, 1) in rows and rows[(0, 1)] <= 6, rows
+    assert all({a, b} <= {0, 1} for a, b in rows), rows
+    run_and_compare(spark, tmp, "media_phash_near_dup", spec)

@@ -882,3 +882,16 @@ def test_bloom_has_no_false_negatives(spark, sf_dir):
         assert r["bloom_pass"] >= r["true_match"], r
         assert r["false_pos"] == r["bloom_pass"] - r["true_match"]
         assert r["bloom_pass"] < r["n_orders"], "filter pruned nothing"
+
+
+def test_media_phash_payloads_never_shuffle(spark, sf_dir):
+    # the decode pass is ONE Arrow-batched python stage pinned by
+    # localCheckpoint; every exchange downstream moves only doc_id +
+    # 8 band ints — no payload/text bytes, no cartesian, no window
+    plan = _plan(spark, sf_dir, "media_phash_near_dup")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert exchanges and all(
+        "payload" not in ln and "text" not in ln for ln in exchanges
+    )
