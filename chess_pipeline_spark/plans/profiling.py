@@ -1654,6 +1654,31 @@ def _bloom_pos_sql(key: str, j: int) -> str:
     return _hex3_to_int_sql(f"md5('{j}:' || CAST({key} AS VARCHAR))")
 
 
+def bloom_bitmap(keys: DataFrame) -> DataFrame:
+    """(k) -> (word, bits): the {_BLOOM_M}-bit Bloom bitmap as <=
+    {_BLOOM_M // _BLOOM_W} register rows — the mergeable core shared
+    by the bloom_join_prune catalog query and the streaming Bloom
+    ledger (streaming/jobs.py). bit_or is associative, commutative,
+    AND idempotent, so per-batch/per-partition bitmaps merge by
+    OR-ing registers and replayed batches cannot corrupt the ledger
+    (the HLL max-merge property, bit algebra edition)."""
+    pos = keys.select(
+        F.explode(
+            F.array(*[_bloom_pos_spark(F.col("k"), j) for j in range(_BLOOM_K)])
+        ).alias("pos")
+    )
+    return (
+        pos.select(
+            (F.col("pos") / _BLOOM_W).cast("long").alias("word"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {_BLOOM_W} AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
 def bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter semi-join pruning audit: build a {_BLOOM_M}-bit
     Bloom filter over the custkeys of one market segment
@@ -1695,28 +1720,11 @@ def bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("c_custkey").alias("k"))
         .distinct()
     )
-    # bitmap: explode each key into K positions, fold into word-bit
-    # masks, OR per word -> <=128 rows
-    pos = keys.select(
-        F.explode(
-            F.array(*[_bloom_pos_spark(F.col("k"), j) for j in range(_BLOOM_K)])
-        ).alias("pos")
-    )
-    bloom = (
-        pos.select(
-            (F.col("pos") / _BLOOM_W).cast("long").alias("word"),
-            F.expr(
-                f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {_BLOOM_W} AS INT))"
-            ).alias("mask"),
-        )
-        .groupBy("word")
-        .agg(F.bit_or("mask").alias("bits"))
-        # pinned: the <=128-row bitmap is probed by _BLOOM_K separate
-        # broadcast joins; without the checkpoint each join re-runs
-        # the dim scan + bitmap fold (alias renames defeat
-        # ReuseExchange) — the CMS-vocab lesson (r7)
-        .localCheckpoint()
-    )
+    # pinned: the <=128-row bitmap is probed by _BLOOM_K separate
+    # broadcast joins; without the checkpoint each join re-runs
+    # the dim scan + bitmap fold (alias renames defeat
+    # ReuseExchange) — the CMS-vocab lesson (r7)
+    bloom = bloom_bitmap(keys).localCheckpoint()
     probe = orders.select(
         "o_orderkey",
         "o_custkey",

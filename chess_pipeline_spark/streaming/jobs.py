@@ -568,17 +568,53 @@ def stream_hll_distinct(events: DataFrame, registers_path: str, estimates_path: 
     return events.writeStream.foreachBatch(_process)
 
 
+def _read_bounded_ledger(spark, registers_path: str, empty_schema: str):
+    """Read a bak-swap bounded register ledger, falling back to the
+    .bak sibling when a mid-swap crash left the live dir renamed away
+    (at every instant one of the two holds the accumulated state)."""
+    from pyspark.errors import AnalysisException
+
+    bak = f"{registers_path}.__bak__"
+    try:
+        return spark.read.parquet(registers_path)
+    except AnalysisException:
+        try:
+            return spark.read.parquet(bak)
+        except AnalysisException:
+            return spark.createDataFrame([], empty_schema)
+
+
+def _bak_swap_write(spark, merged: DataFrame, registers_path: str) -> DataFrame:
+    """Atomically replace a BOUNDED register ledger: collect the
+    merged rows (KB-scale by construction — the sketch's point),
+    write to a tmp dir, rename live → .bak, rename tmp into place,
+    drop the .bak. There is no instant where neither dir holds the
+    accumulated registers (the r6-advice gap: rmtree-then-rename had
+    such a window). Returns the materialized snapshot frame."""
+    import os
+    import shutil
+    import uuid
+
+    bak = f"{registers_path}.__bak__"
+    rows = merged.collect()
+    snap = spark.createDataFrame(rows, merged.schema)
+    tmp = f"{registers_path}.__tmp__{uuid.uuid4().hex[:8]}"
+    snap.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(bak):
+        shutil.rmtree(bak)
+    if os.path.exists(registers_path):
+        os.rename(registers_path, bak)
+    os.rename(tmp, registers_path)
+    if os.path.exists(bak):
+        shutil.rmtree(bak)
+    return snap
+
+
 def _hll_process_batch(
     batch: DataFrame, batch_id: int, registers_path: str, estimates_path: str
 ) -> None:
     """One stream_hll_distinct micro-batch — module-level so the
     crash-window test can drive it without a running stream."""
-    import os
-    import shutil
-    import uuid
-
-    from pyspark.errors import AnalysisException
-
     from chess_pipeline_spark.plans.profiling import (
         hll_estimate_col,
         hll_registers_for,
@@ -591,19 +627,9 @@ def _hll_process_batch(
             "event_type", F.md5(F.col("user_id").cast("string")).alias("h")
         )
     )
-    bak = f"{registers_path}.__bak__"
-    try:
-        prior = spark.read.parquet(registers_path)
-    except AnalysisException:
-        # mid-swap crash window: the live dir was renamed to .bak
-        # but the tmp dir never made it into place — the .bak IS
-        # the accumulated state, not an empty ledger
-        try:
-            prior = spark.read.parquet(bak)
-        except AnalysisException:
-            prior = spark.createDataFrame(
-                [], "event_type string, reg int, m_j int"
-            )
+    prior = _read_bounded_ledger(
+        spark, registers_path, "event_type string, reg int, m_j int"
+    )
     merged = (
         regs.unionByName(prior.select("event_type", "reg", "m_j"))
         .groupBy("event_type", "reg")
@@ -612,22 +638,8 @@ def _hll_process_batch(
     # the register table is bounded (≤ 256 per type): collect and
     # rewrite — reading and overwriting the same parquet path in
     # one lazy plan is not safe, and a KB-scale driver hop is the
-    # honest cost model at every scale. Swap via .bak: write the
-    # snapshot beside the ledger, rename live → .bak, rename tmp
-    # into place, then drop the .bak — there is no instant where
-    # neither dir holds the accumulated registers (the r6-advice
-    # gap: rmtree-then-rename had such a window).
-    rows = merged.collect()
-    snap = spark.createDataFrame(rows, merged.schema)
-    tmp = f"{registers_path}.__tmp__{uuid.uuid4().hex[:8]}"
-    snap.write.mode("overwrite").parquet(tmp)
-    if os.path.exists(bak):
-        shutil.rmtree(bak)
-    if os.path.exists(registers_path):
-        os.rename(registers_path, bak)
-    os.rename(tmp, registers_path)
-    if os.path.exists(bak):
-        shutil.rmtree(bak)
+    # honest cost model at every scale.
+    snap = _bak_swap_write(spark, merged, registers_path)
     est = (
         snap.groupBy("event_type")
         .agg(
@@ -767,3 +779,57 @@ def stream_value_histogram(events: DataFrame, ledger_path: str, quantiles_path: 
         upsert_partition_overwrite(snap, quantiles_path, ["batch_id"])
 
     return events.writeStream.foreachBatch(_process)
+
+
+def stream_bloom_filter(events: DataFrame, registers_path: str, snapshot_path: str):
+    """Continuous Bloom membership filter over a user-id stream: each
+    micro-batch folds its distinct keys into the persisted
+    (word, bits) register ledger by OR-merge. bit_or is associative,
+    commutative, AND idempotent — the HLL max-merge property in bit
+    algebra — so an at-least-once replayed batch cannot corrupt the
+    ledger; exactly-once needs no partition layout here, only the
+    bak-swap rewrite. Streaming twin of bloom_join_prune's bitmap:
+    pytest asserts the replay-merged registers are BIT-IDENTICAL to
+    the batch bitmap over the same keys, so a serving layer can probe
+    the streamed ledger with the exact semantics of the batch filter
+    (no false negatives ever, fp rate set by fill).
+
+    100 TB shape: per batch one map-side-combined shuffle down to
+    <= 128 register rows; the ledger is KB-sized forever. The
+    snapshot records per-batch fill (bits_set) so operators can see
+    saturation — a Bloom past its design fill lies more, and the
+    fix (a wider rebuild) is a batch job, not a ledger mutation.
+    """
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        _bloom_process_batch(batch, batch_id, registers_path, snapshot_path)
+
+    return events.writeStream.foreachBatch(_process)
+
+
+def _bloom_process_batch(
+    batch: DataFrame, batch_id: int, registers_path: str, snapshot_path: str
+) -> None:
+    """One stream_bloom_filter micro-batch — module-level so the
+    crash-window test can drive it without a running stream."""
+    from chess_pipeline_spark.plans.profiling import bloom_bitmap
+    from chess_pipeline_spark.sinks import upsert_partition_overwrite
+
+    spark = batch.sparkSession
+    regs = bloom_bitmap(
+        batch.select(F.col("user_id").cast("string").alias("k")).distinct()
+    )
+    prior = _read_bounded_ledger(spark, registers_path, "word long, bits long")
+    merged = (
+        regs.unionByName(prior.select("word", "bits"))
+        .groupBy("word")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    snap = _bak_swap_write(spark, merged, registers_path)
+    summary = snap.agg(
+        F.sum(F.expr("bit_count(bits)")).cast("long").alias("bits_set"),
+        F.count("*").cast("long").alias("words_used"),
+    ).withColumn("batch_id", F.lit(batch_id))
+    # batch_id-keyed overwrite: replayed batches rewrite their own
+    # snapshot row rather than appending a duplicate
+    upsert_partition_overwrite(summary, snapshot_path, ["batch_id"])

@@ -767,3 +767,97 @@ def test_stream_scd2_replay_idempotent_and_matches_batch(spark, sf_dir, tmp_path
     # versioning actually happened: changed keys carry a closed row
     closed = streamed.filter(~F.col("is_current")).count()
     assert closed > 0
+
+
+def test_stream_bloom_bit_identical_to_batch_and_replay_safe(
+    spark, sf_dir, tmp_path
+):
+    """Replay events in two micro-batches, then REPLAY batch 0 again
+    (at-least-once delivery): the merged Bloom register ledger must be
+    BIT-IDENTICAL to the batch bitmap over all user ids — bit_or is
+    idempotent, so the duplicate delivery changes nothing — and the
+    ledger must carry no false negatives (every seen key passes)."""
+    import os
+    import time
+
+    import pyspark.sql.functions as F
+
+    from chess_pipeline_spark.plans.profiling import bloom_bitmap
+    from chess_pipeline_spark.sources import load_table
+    from chess_pipeline_spark.streaming.jobs import (
+        _bloom_process_batch,
+        read_events_stream,
+        stream_bloom_filter,
+    )
+
+    raw_cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ev = load_table(spark, sf_dir, "events").select(*raw_cols)
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    mid = ev.agg(F.expr("percentile(event_id, 0.5)")).first()[0]
+    ev.filter(F.col("event_id") <= mid).toPandas().to_parquet(
+        str(src / "b0.parquet")
+    )
+    ev.filter(F.col("event_id") > mid).toPandas().to_parquet(
+        str(src / "b1.parquet")
+    )
+    now = time.time()
+    os.utime(src / "b0.parquet", (now - 60, now - 60))
+    os.utime(src / "b1.parquet", (now, now))
+
+    regs_path = str(tmp_path / "registers")
+    snap_path = str(tmp_path / "snapshots")
+    stream = read_events_stream(
+        spark, str(src), glob="*.parquet", max_files_per_trigger=1
+    )
+    q = (
+        stream_bloom_filter(stream, regs_path, snap_path)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    # at-least-once: re-deliver batch 0 through the same batch fn
+    replay = spark.read.parquet(str(src / "b0.parquet"))
+    _bloom_process_batch(replay, 0, regs_path, snap_path)
+
+    ledger = {
+        (r["word"], r["bits"])
+        for r in spark.read.parquet(regs_path).collect()
+    }
+    batch_bitmap = {
+        (r["word"], r["bits"])
+        for r in bloom_bitmap(
+            ev.select(F.col("user_id").cast("string").alias("k")).distinct()
+        ).collect()
+    }
+    assert ledger == batch_bitmap  # bit-identical, replay included
+
+    # snapshots: one row per batch_id (the replay rewrote, not
+    # appended), fill monotone across batches 0 -> 1
+    snaps = spark.read.parquet(snap_path).toPandas()
+    assert sorted(snaps["batch_id"].tolist()) == [0, 1]
+    by_id = snaps.set_index("batch_id")["bits_set"]
+    # the replayed batch-0 row reflects the FULL merged ledger at
+    # replay time, so it is >= the original batch-1 fill; both are
+    # positive and bounded by the bitmap size
+    assert 0 < by_id[1] <= 4096 and 0 < by_id[0] <= 4096
+
+    # no false negatives: every user key probes to all-bits-set
+    bloom = {w: b for w, b in ledger}
+    from chess_pipeline_spark.plans.profiling import (
+        _BLOOM_K,
+        _BLOOM_W,
+        _bloom_pos_spark,
+    )
+
+    probe = ev.select(F.col("user_id").cast("string").alias("k")).distinct()
+    pos = probe.select(
+        "k",
+        *[_bloom_pos_spark(F.col("k"), j).alias(f"p{j}") for j in range(_BLOOM_K)],
+    ).collect()
+    for r in pos:
+        for j in range(_BLOOM_K):
+            p = r[f"p{j}"]
+            assert bloom[p // _BLOOM_W] & (1 << (p % _BLOOM_W)), r["k"]
