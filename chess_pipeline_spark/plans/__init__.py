@@ -188,6 +188,7 @@ _DEMOTED: tuple[str, ...] = (
     "zorder_layout_audit",
     "bloom_join_prune",
     "media_phash_near_dup",
+    "weighted_sample_es",
 )
 
 # For every demoted query: the IN-WINDOW queries that keep its SURVEY
@@ -419,6 +420,9 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     # media perceptual-hash near-dup → the binary/mapInPandas anchor
     # and the banded near-dup machinery in-window
     "media_phash_near_dup": ("multimodal_features", "cross_source_leakage"),
+    # weighted ES sampling → the in-window sampling anchor plus the
+    # deterministic-hash top-k machinery
+    "weighted_sample_es": ("mixture_sample", "bm25_doc_search"),
 }
 
 

@@ -229,6 +229,74 @@ def curate_documents(docs: DataFrame) -> DataFrame:
 
 
 # ------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis–Spirakis)
+# ------------------------------------------------------------------
+
+_ES_K = 100  # sample size
+# 6-hex-digit uniform from md5: u6 in 0..16^6-1; u = (u6+1)/16^6 in
+# (0, 1] (the +1 keeps ln(u) finite)
+_ES_KEY = "concat('es:', source, ':', CAST(doc_id AS STRING))"
+_ES_U6 = (
+    "("
+    + " + ".join(
+        f"(instr('{_HEX}', substr(md5({_ES_KEY}), {k}, 1)) - 1) * {16 ** (6 - k)}"
+        for k in range(1, 7)
+    )
+    + ")"
+)
+
+
+def weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k={_ES_K}, by the
+    Efraimidis–Spirakis exponential race: each doc draws a
+    deterministic uniform u from md5 and gets priority u^(1/w) with
+    weight w = its length (a stand-in for any curation quality
+    score); the sample is the global top-k by priority. One pass, no
+    rejection loop, exactly k rows, and P(doc in sample) increases
+    with w — the weighted complement of the rate-based
+    stratified/mixture samplers, for "spend the token budget on the
+    best documents" curation.
+
+    Determinism (the micro-nat lesson): ranking uses
+    floor(ln(u)/w * 1e6 + 0.5) — u is an exact dyadic rational, the
+    quantized key is integer, and (key, doc_id) is a total order, so
+    both engines pick the identical k rows.
+
+    100 TB shape: the key is a scan-stage projection (zero shuffles);
+    top-k runs as per-partition heaps + a single k-row driver merge
+    (TakeOrderedAndProject — plan-gated), never a global sort. The
+    sample size is a constant, so the final hop is k rows regardless
+    of corpus size.
+    """
+    d = spread(_L(spark, sf_dir, "documents"), "doc_id")
+    w = F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    u = (F.expr(_ES_U6).cast("double") + 1.0) / F.lit(float(16**6))
+    key = F.floor(F.log(u) / w * 1e6 + F.lit(0.5)).cast("long")
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("weight"),
+            key.alias("priority_micro"),
+        )
+        .orderBy(F.col("priority_micro").desc(), F.col("doc_id").asc())
+        .limit(_ES_K)
+    )
+
+
+WEIGHTED_SAMPLE_ES_SQL = f"""
+SELECT doc_id, source,
+       CAST(n_chars AS BIGINT) AS weight,
+       CAST(floor(ln(({_ES_U6} + 1.0) / {float(16**6)})
+                  / CAST(greatest(n_chars, 1) AS DOUBLE) * 1000000.0 + 0.5)
+         AS BIGINT) AS priority_micro
+FROM documents
+ORDER BY priority_micro DESC, doc_id ASC
+LIMIT {_ES_K}
+"""
+
+
+# ------------------------------------------------------------------
 # Token-budget sequence packing
 # ------------------------------------------------------------------
 
@@ -2027,6 +2095,9 @@ QUERIES: dict[str, QuerySpec] = {
         stratified_sample, STRATIFIED_SAMPLE_SQL, "corpus-sample"
     ),
     "mixture_sample": QuerySpec(mixture_sample, MIXTURE_SAMPLE_SQL, "corpus-mixture"),
+    "weighted_sample_es": QuerySpec(
+        weighted_sample_es, WEIGHTED_SAMPLE_ES_SQL, "corpus-weighted-sample"
+    ),
     "pack_sequences": QuerySpec(pack_sequences, PACK_SEQUENCES_SQL, "corpus-pack"),
     "tfidf_top_terms": QuerySpec(
         tfidf_top_terms, TFIDF_TOP_TERMS_SQL, "corpus-tfidf"

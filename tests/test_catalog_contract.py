@@ -189,6 +189,7 @@ FROZEN_ORDER: tuple[str, ...] = (
     "zorder_layout_audit",
     "bloom_join_prune",
     "media_phash_near_dup",
+    "weighted_sample_es",
 )
 
 

@@ -203,6 +203,9 @@ _RANDOMIZED_QUERIES = (
     # r7: KL drift — integer micro-nat quantization must agree
     # cross-engine on single-source and empty-text corpora
     "source_kl_divergence",
+    # r7: ES weighted sampling — the quantized ln(u)/w ranking and
+    # (key, doc_id) tiebreak must pick identical rows cross-engine
+    "weighted_sample_es",
 )
 
 

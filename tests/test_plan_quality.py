@@ -895,3 +895,34 @@ def test_media_phash_payloads_never_shuffle(spark, sf_dir):
     assert exchanges and all(
         "payload" not in ln and "text" not in ln for ln in exchanges
     )
+
+
+def test_weighted_sample_topk_not_global_sort(spark, sf_dir):
+    # the ES race must run as per-partition heaps + k-row merge
+    # (TakeOrderedAndProject), never a full Sort + Exchange of the
+    # corpus; the priority key is a scan-stage projection
+    plan = _plan(spark, sf_dir, "weighted_sample_es")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan and "Window" not in plan
+    # no corpus-wide exchange: TakeOrdered's own final gather is not
+    # an Exchange node, so the plan should have none carrying text
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert all("text" not in ln for ln in exchanges)
+
+
+def test_weighted_sample_es_law(spark, sf_dir):
+    # exactly k distinct docs, and the sample is weight-biased:
+    # mean sampled weight exceeds the corpus mean (the reason the
+    # operator exists); priorities are valid (ln(u)/w <= 0)
+    import pyspark.sql.functions as F
+
+    from chess_pipeline_spark.sources import load_table
+
+    rows = _CATALOG["weighted_sample_es"].spark(spark, sf_dir).collect()
+    assert len(rows) == 100 == len({r["doc_id"] for r in rows})
+    assert all(r["priority_micro"] <= 0 for r in rows)
+    corpus_mean = (
+        load_table(spark, sf_dir, "documents").agg(F.avg("n_chars")).first()[0]
+    )
+    sample_mean = sum(r["weight"] for r in rows) / len(rows)
+    assert sample_mean > corpus_mean
