@@ -189,6 +189,7 @@ _DEMOTED: tuple[str, ...] = (
     "bloom_join_prune",
     "media_phash_near_dup",
     "weighted_sample_es",
+    "psi_value_drift",
 )
 
 # For every demoted query: the IN-WINDOW queries that keep its SURVEY
@@ -423,6 +424,9 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     # weighted ES sampling → the in-window sampling anchor plus the
     # deterministic-hash top-k machinery
     "weighted_sample_es": ("mixture_sample", "bm25_doc_search"),
+    # PSI numeric drift → the binned-histogram sketch tier and the
+    # period-split aggregation machinery in-window
+    "psi_value_drift": ("value_quantiles_binned", "data_profile_orders"),
 }
 
 

@@ -1467,6 +1467,116 @@ JOIN_KEY_SKEW_PROFILE_SQL = (
 # Z-order data-layout audit: min/max zone maps + file skipping
 # ------------------------------------------------------------------
 
+# ------------------------------------------------------------------
+# PSI drift: numeric-feature distribution shift across time periods
+# ------------------------------------------------------------------
+
+_PSI_BIN_W = 25_000  # o_totalprice bin width (~20 bins over the range)
+_PSI_SPLIT = "1998-01-01"  # reference period < split <= current
+
+
+def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the order-value distribution,
+    reference period (o_orderdate < {_PSI_SPLIT}) vs current, per
+    order priority — the model-monitoring dashboard number for "has
+    this numeric feature drifted since training": PSI =
+    Σ_bins (p_i - q_i)·ln(p_i/q_i), with the usual thresholds (<0.1
+    stable, 0.1–0.25 shifting, >0.25 retrain). The numeric-feature
+    twin of source_kl_divergence's vocabulary drift.
+
+    Laplace +1 smoothing over each priority's OBSERVED bin set keeps
+    every ratio finite; both proportions are IEEE divisions of the
+    same integers on both engines, and each bin's term is quantized
+    to integer nano-nats BEFORE the per-priority sum (the micro-nat
+    lesson, with 1e9 because PSI terms are O(1e-4)).
+
+    100 TB shape: ONE map-side-combined shuffle to (priority, bin)
+    counters — the histogram sketch tier's shape; periods fold in the
+    same pass via conditional sums (no second scan, no join between
+    period scans); everything after is ≤ |priorities|·|bins| rows.
+    The fixed-width grid makes period histograms mergeable, so a
+    daily PSI against a frozen reference is counter addition, not a
+    rescan of the reference.
+    """
+    o = spread(_L(spark, sf_dir, "orders"), "o_orderkey")
+    binned = o.select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") / _PSI_BIN_W).cast("long").alias("bin"),
+        (F.col("o_orderdate") < F.lit(_PSI_SPLIT)).cast("int").alias("is_ref"),
+    )
+    cnt = binned.groupBy("o_orderpriority", "bin").agg(
+        F.sum("is_ref").alias("c_ref"),
+        F.sum(1 - F.col("is_ref")).alias("c_cur"),
+    )
+    # per-priority totals via a window over the COUNTER frame (≤
+    # |priorities|·|bins| rows) — not a second scan or a self-join of
+    # the aggregation subtree (the value_quantiles_binned discipline)
+    wp = Window.partitionBy("o_orderpriority")
+    j = cnt.select(
+        "o_orderpriority",
+        "bin",
+        "c_ref",
+        "c_cur",
+        F.sum("c_ref").over(wp).alias("n_ref"),
+        F.sum("c_cur").over(wp).alias("n_cur"),
+        F.count("*").over(wp).alias("b"),
+    )
+    p = (F.col("c_ref") + 1).cast("double") / (F.col("n_ref") + F.col("b")).cast(
+        "double"
+    )
+    q = (F.col("c_cur") + 1).cast("double") / (F.col("n_cur") + F.col("b")).cast(
+        "double"
+    )
+    term = F.floor((p - q) * F.log(p / q) * 1e9 + F.lit(0.5)).cast("long")
+    agg = j.select("o_orderpriority", "n_ref", "n_cur", "b", term.alias("t")).groupBy(
+        "o_orderpriority"
+    ).agg(
+        F.max("n_ref").cast("long").alias("n_ref"),
+        F.max("n_cur").cast("long").alias("n_cur"),
+        F.max("b").cast("long").alias("bins_used"),
+        F.sum("t").alias("psi_nano"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        "n_ref",
+        "n_cur",
+        "bins_used",
+        fround(F.col("psi_nano") / F.lit(1e9), 6).alias("psi"),
+    )
+
+
+PSI_VALUE_DRIFT_SQL = f"""
+WITH binned AS (
+  SELECT o_orderpriority,
+         CAST(floor(o_totalprice / {_PSI_BIN_W}) AS BIGINT) AS bin,
+         CASE WHEN o_orderdate < DATE '{_PSI_SPLIT}' THEN 1 ELSE 0 END AS is_ref
+  FROM orders),
+cnt AS (
+  SELECT o_orderpriority, bin,
+         sum(is_ref) AS c_ref, sum(1 - is_ref) AS c_cur
+  FROM binned GROUP BY 1, 2),
+tot AS (
+  SELECT o_orderpriority, sum(c_ref) AS n_ref, sum(c_cur) AS n_cur,
+         count(*) AS b
+  FROM cnt GROUP BY 1),
+terms AS (
+  SELECT c.o_orderpriority, t.n_ref, t.n_cur, t.b,
+         CAST(floor(
+           (CAST(c.c_ref + 1 AS DOUBLE) / CAST(t.n_ref + t.b AS DOUBLE)
+            - CAST(c.c_cur + 1 AS DOUBLE) / CAST(t.n_cur + t.b AS DOUBLE))
+           * ln((CAST(c.c_ref + 1 AS DOUBLE) / CAST(t.n_ref + t.b AS DOUBLE))
+                / (CAST(c.c_cur + 1 AS DOUBLE) / CAST(t.n_cur + t.b AS DOUBLE)))
+           * 1000000000.0 + 0.5) AS BIGINT) AS t
+  FROM cnt c JOIN tot t ON c.o_orderpriority = t.o_orderpriority)
+SELECT o_orderpriority,
+       CAST(max(n_ref) AS BIGINT) AS n_ref,
+       CAST(max(n_cur) AS BIGINT) AS n_cur,
+       CAST(max(b) AS BIGINT) AS bins_used,
+       floor((sum(t) / 1000000000.0) * 1000000.0 + 0.5) / 1000000.0 AS psi
+FROM terms GROUP BY 1
+"""
+
+
 _Z_BITS = 16  # per-dimension bits; z fits 32 bits, stays in BIGINT
 _Z_NFILES = 64
 # sample predicates: one per dimension, so the report shows the
@@ -1867,6 +1977,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "cms_join_size_estimate": QuerySpec(
         cms_join_size_estimate, CMS_JOIN_SIZE_ESTIMATE_SQL, "ext: AMS join-size sketch"
+    ),
+    "psi_value_drift": QuerySpec(
+        psi_value_drift, PSI_VALUE_DRIFT_SQL, "drift-psi"
     ),
     "bloom_join_prune": QuerySpec(
         bloom_join_prune, BLOOM_JOIN_PRUNE_SQL, "sketch-join-prune"

@@ -190,6 +190,7 @@ FROZEN_ORDER: tuple[str, ...] = (
     "bloom_join_prune",
     "media_phash_near_dup",
     "weighted_sample_es",
+    "psi_value_drift",
 )
 
 

@@ -926,3 +926,19 @@ def test_weighted_sample_es_law(spark, sf_dir):
     )
     sample_mean = sum(r["weight"] for r in rows) / len(rows)
     assert sample_mean > corpus_mean
+
+
+def test_psi_single_histogram_shuffle(spark, sf_dir):
+    # both periods fold into ONE (priority, bin) counter pass via
+    # conditional sums — a single orders scan, no join between
+    # period scans; totals come from a window over the counter frame
+    plan = _plan(spark, sf_dir, "psi_value_drift")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    # formatted mode prints each node twice (tree + detail): one scan
+    assert plan.count("Scan parquet") == 2
+    # the totals window runs over the counter frame, after the agg
+    assert "Window" in plan
+    # the orders scan reads only the three columns PSI needs
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read and all("o_custkey" not in ln for ln in read)
