@@ -190,6 +190,7 @@ _DEMOTED: tuple[str, ...] = (
     "media_phash_near_dup",
     "weighted_sample_es",
     "psi_value_drift",
+    "pca_top_component",
 )
 
 # For every demoted query: the IN-WINDOW queries that keep its SURVEY
@@ -427,6 +428,9 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     # PSI numeric drift → the binned-histogram sketch tier and the
     # period-split aggregation machinery in-window
     "psi_value_drift": ("value_quantiles_binned", "data_profile_orders"),
+    # PCA power iteration → the embedding-vector fold machinery and
+    # the iterative-algorithm family anchors in-window
+    "pca_top_component": ("knn_pq_adc", "dedup_groups_logstep"),
 }
 
 

@@ -1664,6 +1664,227 @@ _JL_SIGN_DUCK = (
 )
 
 
+# ------------------------------------------------------------------
+# PCA top component: integer-exact Gram + unrolled power iteration
+# ------------------------------------------------------------------
+
+_PCA_D = 64  # embedding dim
+_PCA_Q = 1e6  # element quantization (micro-units); at corpora past
+# ~9M rows the int64 product-sum headroom needs 1e3 units instead —
+# a constant swap, documented, not a plan change
+_PCA_ITERS = 24
+
+
+def _pca_gram_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-scale half of pca_top_component: quantize, fold the
+    d² outer products + per-dimension sums in map-side-combined
+    passes, center algebraically — one row out, holding the centered
+    Gram as an ordered d²-double array. Separate so the plan gate can
+    explain THIS stage (the catalog query checkpoints it before the
+    iterate loop, which hides it from the final explain)."""
+    e = spread(_L(spark, sf_dir, "embeddings"), "vec_id").filter(
+        F.size("embedding") == _PCA_D
+    )
+    q = e.select(
+        F.expr(
+            f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {_PCA_Q} + 0.5) AS BIGINT))"
+        ).alias("xq")
+    )
+    cells = q.select(
+        F.posexplode(
+            F.expr("flatten(transform(xq, x -> transform(xq, y -> x * y)))")
+        ).alias("k", "v"),
+        F.col("xq"),
+    )
+    gram = (
+        cells.groupBy("k")
+        .agg(F.sum("v").alias("g"))
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(k, g))), p -> p.g)"
+            ).alias("gq")
+        )
+    )
+    sums = (
+        q.select(F.posexplode("xq").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.sum("x").alias("s"), F.count("*").alias("cnt"))
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(i, s))), p -> p.s)"
+            ).alias("sq"),
+            F.max("cnt").alias("n"),
+        )
+    )
+    return gram.crossJoin(F.broadcast(sums)).select(
+        F.expr(
+            f"transform(sequence(0, {_PCA_D * _PCA_D - 1}), k -> "
+            f"(CAST(element_at(gq, CAST(k + 1 AS INT)) AS DOUBLE) "
+            f" - CAST(element_at(sq, CAST(k DIV {_PCA_D} + 1 AS INT)) AS DOUBLE) "
+            f"   * CAST(element_at(sq, CAST(k % {_PCA_D} + 1 AS INT)) AS DOUBLE) / CAST(n AS DOUBLE)) "
+            f"/ {_PCA_Q * _PCA_Q})"
+        ).alias("gc")
+    )
+
+
+def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by power
+    iteration — PCA as a Catalyst plan, no MLlib, no driver-side
+    linear algebra. Three stages:
+
+    1. GRAM: one pass folds every vector's d² outer product into the
+       4096-cell integer Gram matrix (_pca_gram_frame). Elements are
+       quantized to integer micro-units first, so the corpus-scale
+       sum is exact integer algebra (order-free — the TWA lesson
+       applied to linear algebra); map-side partials reduce every
+       partition to ≤ d² rows before the exchange, so shuffle volume
+       is partitions·d², not corpus·d².
+    2. CENTER algebraically: Gc = (G - s·sᵀ/n)/Q² from the same
+       pass's per-dimension sums s — no second scan to subtract a
+       mean vector.
+    3. ITERATE on one row: {_PCA_ITERS} unrolled power steps over the
+       4096-double array, each a sequence()/aggregate() lambda fold.
+       Every float op is a left fold in declared order from identical
+       integers, so Spark and DuckDB walk bit-identical doubles (the
+       fold starts at 0.0 and IEEE 0.0+x == x, so Spark's
+       init-accumulator fold equals DuckDB's first-element
+       list_reduce).
+
+    Output: (dim_idx, loading, eigenvalue, explained_var_ratio) — the
+    eigenvalue is the final iterate's norm (‖Gc·b‖ with ‖b‖=1 — its
+    Rayleigh quotient, a certified LOWER bound on λ1 that is tight
+    exactly as fast as the eigengap allows), the ratio λ/trace(Gc).
+    Iteration count is fixed (no data-dependent convergence probe):
+    the iterate is the exact T-step power polynomial Gcᵀ…b₀/‖·‖,
+    which numpy replicates bit-for-bit from the same quantized Gram
+    (pytest), and the oracle asserts cross-engine equality of the
+    whole pipeline. On a corpus whose embedding spectrum has a real
+    dominant direction — the practical case PCA is run for —
+    T={_PCA_ITERS} converges geometrically; on near-isotropic noise
+    (this synthetic lake: λ2/λ1 ≈ 0.99) the iterate still reports its
+    honest lower bound (pytest asserts ≥ 0.9·λ1 here). d and T are
+    constants, so the iterate stage is O(1) work on a 1-row frame at
+    any corpus size.
+    """
+    one = _pca_gram_frame(spark, sf_dir)
+    # chain per-step columns with a localCheckpoint barrier after each
+    # iteration: without the barrier CollapseProject substitutes nb
+    # back into b and the expression tree grows 4^T (measured: OOM at
+    # T=12). Every checkpoint is a 1-row, (d²+2d)-double frame — the
+    # Gram pass runs ONCE (first checkpoint) and each later step is a
+    # millisecond job on that row.
+    it = one.withColumn(
+        "b", F.expr(f"transform(sequence(0, {_PCA_D - 1}), i -> 0.125D)")
+    ).localCheckpoint()
+    nb_expr = (
+        f"transform(sequence(0, {_PCA_D - 1}), i -> "
+        f"aggregate(sequence(0, {_PCA_D - 1}), 0D, (acc, j) -> "
+        f"acc + element_at(gc, CAST(i * {_PCA_D} + j + 1 AS INT)) "
+        f"* element_at(b, CAST(j + 1 AS INT))))"
+    )
+    for _ in range(_PCA_ITERS):
+        it = (
+            it.withColumn("nb", F.expr(nb_expr))
+            .withColumn(
+                "b",
+                F.expr(
+                    "transform(nb, x -> x / sqrt(aggregate(nb, 0D, (acc, y) -> acc + y * y)))"
+                ),
+            )
+            .localCheckpoint()
+        )
+    final = it.select(
+        "b",
+        F.expr("sqrt(aggregate(nb, 0D, (acc, y) -> acc + y * y))").alias(
+            "eigenvalue"
+        ),
+        F.expr(
+            f"aggregate(sequence(0, {_PCA_D - 1}), 0D, (acc, i) -> "
+            f"acc + element_at(gc, CAST(i * {_PCA_D} + i + 1 AS INT)))"
+        ).alias("trace"),
+    )
+    return final.select(
+        F.posexplode("b").alias("dim_idx", "loading_raw"),
+        "eigenvalue",
+        "trace",
+    ).select(
+        F.col("dim_idx").cast("long").alias("dim_idx"),
+        fround(F.col("loading_raw"), 6).alias("loading"),
+        fround(F.col("eigenvalue"), 4).alias("eigenvalue"),
+        fround(F.col("eigenvalue") / F.col("trace"), 6).alias(
+            "explained_var_ratio"
+        ),
+    )
+
+
+def _pca_sql() -> str:
+    d = _PCA_D
+    # chained CTEs (it0 -> n1/it1 -> ...) so each step names the
+    # previous column — no textual 4^T expression blowup
+    steps = ["it0 AS (SELECT gc, list_transform(range(0, %d), i -> 0.125) AS b FROM one)" % d]
+    for t in range(1, _PCA_ITERS + 1):
+        steps.append(
+            f"n{t} AS (SELECT gc, "
+            f"list_transform(range(0, {d}), i -> "
+            f"list_reduce(list_transform(range(0, {d}), j -> "
+            f"gc[CAST(i * {d} + j + 1 AS INT)] * b[CAST(j + 1 AS INT)]), "
+            f"(a, x) -> a + x)) AS nb FROM it{t - 1})"
+        )
+        steps.append(
+            f"it{t} AS (SELECT gc, nb, "
+            f"list_transform(nb, x -> x / sqrt(list_reduce("
+            f"list_transform(nb, y -> y * y), (a, x) -> a + x))) AS b "
+            f"FROM n{t})"
+        )
+    chain = ",\n".join(steps)
+    last = f"it{_PCA_ITERS}"
+    return f"""
+WITH q AS (
+  SELECT list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {_PCA_Q} + 0.5) AS BIGINT)) AS xq
+  FROM embeddings WHERE len(embedding) = {d}),
+flat AS (
+  SELECT flatten(list_transform(xq, x -> list_transform(xq, y -> x * y))) AS f,
+         xq
+  FROM q),
+cells AS (
+  SELECT unnest(range(0, {d * d})) AS k, f FROM flat),
+gram AS (
+  SELECT k, sum(f[CAST(k + 1 AS INT)]) AS g FROM cells GROUP BY k),
+gq AS (SELECT list(g ORDER BY k) AS gq FROM gram),
+dims AS (
+  SELECT unnest(range(0, {d})) AS i, xq FROM q),
+sums AS (
+  SELECT i, sum(xq[CAST(i + 1 AS INT)]) AS s, count(*) AS cnt
+  FROM dims GROUP BY i),
+sq AS (SELECT list(s ORDER BY i) AS sq, max(cnt) AS n FROM sums),
+one AS (
+  SELECT list_transform(range(0, {d * d}), k ->
+           (CAST(gq[CAST(k + 1 AS INT)] AS DOUBLE)
+            - CAST(sq[CAST(k // {d} + 1 AS INT)] AS DOUBLE)
+              * CAST(sq[CAST(k % {d} + 1 AS INT)] AS DOUBLE) / CAST(n AS DOUBLE))
+           / {_PCA_Q * _PCA_Q}) AS gc
+  FROM gq, sq),
+{chain},
+final AS (
+  SELECT b,
+         sqrt(list_reduce(list_transform(nb, y -> y * y), (a, x) -> a + x))
+           AS eigenvalue,
+         list_reduce(list_transform(range(0, {d}),
+           i -> gc[CAST(i * {d} + i + 1 AS INT)]), (a, x) -> a + x) AS trace
+  FROM {last})
+SELECT CAST(i AS BIGINT) AS dim_idx,
+       floor(b[CAST(i + 1 AS INT)] * 1000000.0 + 0.5) / 1000000.0 AS loading,
+       floor(eigenvalue * 10000.0 + 0.5) / 10000.0 AS eigenvalue,
+       floor(eigenvalue / trace * 1000000.0 + 0.5) / 1000000.0
+         AS explained_var_ratio
+FROM final, (SELECT unnest(range(0, {d})) AS i) ix
+"""
+
+
+PCA_TOP_COMPONENT_SQL = _pca_sql()
+
+
 def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss random projection 64 -> 16 dims with a
     deterministic ±1 sign matrix — the dimensionality-reduction step
@@ -3016,6 +3237,9 @@ QUERIES: dict[str, QuerySpec] = {
     "embedding_stats": QuerySpec(embedding_stats, EMBEDDING_STATS_SQL, "llm-embed"),
     "embedding_quantize_int8": QuerySpec(
         embedding_quantize_int8, EMBEDDING_QUANTIZE_INT8_SQL, "llm-embed-quant"
+    ),
+    "pca_top_component": QuerySpec(
+        pca_top_component, PCA_TOP_COMPONENT_SQL, "llm-embed-pca"
     ),
     "embedding_random_projection": QuerySpec(
         embedding_random_projection,

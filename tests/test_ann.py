@@ -272,3 +272,47 @@ def test_pq_adc_recall_and_code_ground_truth(spark, sf_dir):
         assert len(got) == 5
         recalls.append(len(got & exact) / 5)
     assert sum(recalls) / len(recalls) >= 0.15, recalls
+
+
+def test_pca_top_component_replicates_numpy_power_iteration(spark, sf_dir):
+    """The iterate is the exact T-step power polynomial from the same
+    quantized Gram: numpy replicating the identical arithmetic must
+    land on the same loadings (tiny float drift only), the reported
+    eigenvalue must be a valid Rayleigh lower bound on the true λ1,
+    and here (near-isotropic synthetic spectrum, λ2/λ1 ≈ 0.93–0.99)
+    it must still reach ≥ 0.9·λ1."""
+    import numpy as np
+    import pandas as pd
+    import os
+
+    from chess_pipeline_spark.plans import catalog
+    from chess_pipeline_spark.plans.llm import _PCA_ITERS, _PCA_Q
+
+    rows = (
+        catalog()["pca_top_component"]
+        .spark(spark, sf_dir)
+        .orderBy("dim_idx")
+        .collect()
+    )
+    b_spark = np.array([r["loading"] for r in rows])
+    lam = rows[0]["eigenvalue"]
+
+    emb = pd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in emb.embedding])
+    Xq = np.floor(X * _PCA_Q + 0.5)
+    n = len(Xq)
+    G = Xq.T @ Xq
+    s = Xq.sum(axis=0)
+    Gc = (G - np.outer(s, s) / n) / (_PCA_Q * _PCA_Q)
+    b = np.full(64, 0.125)
+    for _ in range(_PCA_ITERS):
+        nb = Gc @ b
+        b = nb / np.sqrt((nb * nb).sum())
+    lam_np = float(np.sqrt((nb * nb).sum()))
+    assert np.abs(b_spark - b).max() < 1e-5
+    w = np.linalg.eigvalsh(Gc)
+    assert lam <= w[-1] + 1e-6  # Rayleigh never exceeds λ1
+    assert lam >= 0.9 * w[-1]
+    assert abs(lam - lam_np) < 1e-3
+    # unit vector out, explained ratio consistent
+    assert abs(float((b_spark * b_spark).sum()) - 1.0) < 1e-4

@@ -191,6 +191,7 @@ FROZEN_ORDER: tuple[str, ...] = (
     "media_phash_near_dup",
     "weighted_sample_es",
     "psi_value_drift",
+    "pca_top_component",
 )
 
 

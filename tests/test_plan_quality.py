@@ -942,3 +942,20 @@ def test_psi_single_histogram_shuffle(spark, sf_dir):
     # the orders scan reads only the three columns PSI needs
     read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert read and all("o_custkey" not in ln for ln in read)
+
+
+def test_pca_gram_map_side_combined_single_pass(spark, sf_dir):
+    # the corpus-scale work is ONE scan folding d^2 outer-product
+    # cells with map-side partials (partition-local reduce to <= d^2
+    # rows before the exchange); the iterate stage rides on pinned
+    # 1-row frames, so no join touches the corpus
+    from chess_pipeline_spark.plans.llm import _pca_gram_frame
+
+    plan = _explain(_pca_gram_frame(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_sum" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the catalog query's post-checkpoint remainder is join-free too
+    tail = _plan(spark, sf_dir, "pca_top_component")
+    assert "SortMergeJoin" not in tail and "BatchEvalPython" not in tail
