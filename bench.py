@@ -163,6 +163,17 @@ EXTENDED = [
     "join_key_skew_profile",
     "sliding_window_chunks",
     "bpe_encode_tokens",
+    # late-r7 additions: asymmetric containment, source KL drift,
+    # zone-map layout audit, bloom pruning, media phash dedup,
+    # ES weighted sampling, PSI drift, PCA power iteration
+    "containment_near_dup",
+    "source_kl_divergence",
+    "zorder_layout_audit",
+    "bloom_join_prune",
+    "media_phash_near_dup",
+    "weighted_sample_es",
+    "psi_value_drift",
+    "pca_top_component",
 ]
 
 ROUND = 7  # bump per round; names the committed BENCHLOCAL file
