@@ -1675,56 +1675,66 @@ _PCA_Q = 1e6  # element quantization (micro-units); at corpora past
 _PCA_ITERS = 24
 
 
-def _pca_gram_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The corpus-scale half of pca_top_component: quantize, fold the
-    d² outer products + per-dimension sums in map-side-combined
-    passes, center algebraically — one row out, holding the centered
-    Gram as an ordered d²-double array. Separate so the plan gate can
-    explain THIS stage (the catalog query checkpoints it before the
-    iterate loop, which hides it from the final explain)."""
-    e = spread(_L(spark, sf_dir, "embeddings"), "vec_id").filter(
-        F.size("embedding") == _PCA_D
-    )
-    q = e.select(
+def pca_cells(vecs: DataFrame) -> DataFrame:
+    """(embedding) -> the MERGEABLE integer PCA state as a single
+    (idx, val) cell frame: idx 0..d²-1 the outer-product cells, idx
+    d²..d²+d-1 the per-dimension sums, idx d²+d the vector count —
+    one posexplode of one concatenated array, folded by plain SUM
+    (associative + commutative, so per-partition / per-micro-batch
+    cell frames merge by addition; the streaming Gram ledger rides on
+    exactly this). One corpus pass, map-side combined to ≤ d²+d+1
+    rows per partition before the exchange."""
+    q = vecs.filter(F.size("embedding") == _PCA_D).select(
         F.expr(
             f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {_PCA_Q} + 0.5) AS BIGINT))"
         ).alias("xq")
     )
-    cells = q.select(
-        F.posexplode(
-            F.expr("flatten(transform(xq, x -> transform(xq, y -> x * y)))")
-        ).alias("k", "v"),
-        F.col("xq"),
-    )
-    gram = (
-        cells.groupBy("k")
-        .agg(F.sum("v").alias("g"))
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(k, g))), p -> p.g)"
-            ).alias("gq")
+    return (
+        q.select(
+            F.posexplode(
+                F.expr(
+                    "concat(flatten(transform(xq, x -> transform(xq, y -> x * y))), "
+                    "xq, array(CAST(1 AS BIGINT)))"
+                )
+            ).alias("idx", "v")
         )
+        .groupBy("idx")
+        .agg(F.sum("v").alias("val"))
     )
-    sums = (
-        q.select(F.posexplode("xq").alias("i", "x"))
-        .groupBy("i")
-        .agg(F.sum("x").alias("s"), F.count("*").alias("cnt"))
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(i, s))), p -> p.s)"
-            ).alias("sq"),
-            F.max("cnt").alias("n"),
-        )
-    )
-    return gram.crossJoin(F.broadcast(sums)).select(
+
+
+def pca_cells_to_one(cells: DataFrame) -> DataFrame:
+    """(idx, val) cell frame -> the 1-row centered-Gram frame
+    (gc: array<double>) that pca_iterate consumes: Gc =
+    (G - s·sᵀ/n)/Q², assembled from the ordered cell array."""
+    d = _PCA_D
+    arr = cells.agg(
         F.expr(
-            f"transform(sequence(0, {_PCA_D * _PCA_D - 1}), k -> "
-            f"(CAST(element_at(gq, CAST(k + 1 AS INT)) AS DOUBLE) "
-            f" - CAST(element_at(sq, CAST(k DIV {_PCA_D} + 1 AS INT)) AS DOUBLE) "
-            f"   * CAST(element_at(sq, CAST(k % {_PCA_D} + 1 AS INT)) AS DOUBLE) / CAST(n AS DOUBLE)) "
+            "transform(array_sort(collect_list(struct(idx, val))), p -> p.val)"
+        ).alias("a")
+    )
+    return arr.select(
+        F.expr(
+            f"transform(sequence(0, {d * d - 1}), k -> "
+            f"(CAST(element_at(a, CAST(k + 1 AS INT)) AS DOUBLE) "
+            f" - CAST(element_at(a, CAST({d * d} + k DIV {d} + 1 AS INT)) AS DOUBLE) "
+            f"   * CAST(element_at(a, CAST({d * d} + k % {d} + 1 AS INT)) AS DOUBLE) "
+            f"   / CAST(element_at(a, {d * d + d + 1}) AS DOUBLE)) "
             f"/ {_PCA_Q * _PCA_Q})"
         ).alias("gc")
     )
+
+
+def _pca_gram_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-scale half of pca_top_component: one pass folding
+    outer products + dimension sums + count into the mergeable cell
+    frame, then algebraic centering — one row out, holding the
+    centered Gram as an ordered d²-double array. Separate so the plan
+    gate can explain THIS stage (the catalog query checkpoints it
+    before the iterate loop, which hides it from the final
+    explain)."""
+    e = spread(_L(spark, sf_dir, "embeddings"), "vec_id")
+    return pca_cells_to_one(pca_cells(e))
 
 
 def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1766,7 +1776,14 @@ def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     constants, so the iterate stage is O(1) work on a 1-row frame at
     any corpus size.
     """
-    one = _pca_gram_frame(spark, sf_dir)
+    return pca_iterate(_pca_gram_frame(spark, sf_dir))
+
+
+def pca_iterate(one: DataFrame) -> DataFrame:
+    """The iterate half of pca_top_component: power-iterate a 1-row
+    (gc: array<double>) centered-Gram frame to the top component.
+    Shared with the streaming Gram ledger (streaming/jobs.py), which
+    feeds a sum-merged ledger Gram through the identical steps."""
     # chain per-step columns with a localCheckpoint barrier after each
     # iteration: without the barrier CollapseProject substitutes nb
     # back into b and the expression tree grows 4^T (measured: OOM at

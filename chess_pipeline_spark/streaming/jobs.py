@@ -833,3 +833,55 @@ def _bloom_process_batch(
     # batch_id-keyed overwrite: replayed batches rewrite their own
     # snapshot row rather than appending a duplicate
     upsert_partition_overwrite(summary, snapshot_path, ["batch_id"])
+
+
+def stream_pca_gram(embs: DataFrame, ledger_path: str, snapshot_path: str):
+    """Continuous PCA state over an embedding stream: each micro-batch
+    folds its vectors into the mergeable integer Gram cell frame
+    (plans.llm.pca_cells — d² outer-product cells + d sums + count)
+    and lands it in a batch_id-PARTITIONED ledger with dynamic
+    partition overwrite. Cell addition is associative/commutative but
+    NOT idempotent, so (like the Count-Min ledger and unlike the
+    max/OR ledgers) exactly-once comes from the layout: a replayed
+    batch rewrites exactly its own partition. The merged state —
+    plain SUM over the ledger — is BYTE-IDENTICAL to the batch cells
+    over the same rows (exact integer algebra, pytest-asserted), so
+    `pca_cells_to_one` + `pca_iterate` over the ledger reproduce the
+    batch pca_top_component output EXACTLY: incremental PCA without
+    ever rescanning history.
+
+    100 TB shape: per batch one map-side-combined shuffle down to
+    ≤ d²+d+1 cell rows; the ledger grows ~33 KB per batch and
+    compacts with one groupBy; the expensive iterate runs on demand
+    against the merged 1-row frame, not per arriving batch.
+    """
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        _pca_gram_process_batch(batch, batch_id, ledger_path, snapshot_path)
+
+    return embs.writeStream.foreachBatch(_process)
+
+
+def _pca_gram_process_batch(
+    batch: DataFrame, batch_id: int, ledger_path: str, snapshot_path: str
+) -> None:
+    """One stream_pca_gram micro-batch — module-level so replay tests
+    can drive it without a running stream."""
+    from chess_pipeline_spark.plans.llm import _PCA_D, pca_cells
+    from chess_pipeline_spark.sinks import upsert_partition_overwrite
+
+    cells = pca_cells(batch).withColumn("batch_id", F.lit(batch_id))
+    upsert_partition_overwrite(cells, ledger_path, ["batch_id"])
+    spark = batch.sparkSession
+    merged = (
+        spark.read.parquet(ledger_path).groupBy("idx").agg(F.sum("val").alias("val"))
+    )
+    summary = merged.agg(
+        F.max(
+            F.when(F.col("idx") == _PCA_D * _PCA_D + _PCA_D, F.col("val"))
+        ).alias("n_vecs"),
+        F.count("*").cast("long").alias("cells"),
+    ).withColumn("batch_id", F.lit(batch_id))
+    # batch_id-keyed overwrite: replayed batches rewrite their own
+    # snapshot row rather than appending a duplicate
+    upsert_partition_overwrite(summary, snapshot_path, ["batch_id"])

@@ -861,3 +861,67 @@ def test_stream_bloom_bit_identical_to_batch_and_replay_safe(
         for j in range(_BLOOM_K):
             p = r[f"p{j}"]
             assert bloom[p // _BLOOM_W] & (1 << (p % _BLOOM_W)), r["k"]
+
+
+def test_stream_pca_gram_ledger_reproduces_batch_pca_exactly(
+    spark, sf_dir, tmp_path
+):
+    """Split the embeddings into two micro-batches, fold each through
+    the Gram cell ledger, then REPLAY batch 0 (at-least-once): the
+    partition overwrite makes the replay a no-op, the merged integer
+    cells equal the single-pass batch cells EXACTLY, and running the
+    shared iterate over the ledger reproduces pca_top_component's
+    driver output row-for-row — incremental PCA with no history
+    rescan."""
+    import pyspark.sql.functions as F
+
+    from chess_pipeline_spark.plans import catalog
+    from chess_pipeline_spark.plans.llm import (
+        pca_cells,
+        pca_cells_to_one,
+        pca_iterate,
+    )
+    from chess_pipeline_spark.sources import load_table
+    from chess_pipeline_spark.streaming.jobs import _pca_gram_process_batch
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    mid = embs.agg(F.expr("percentile(vec_id, 0.5)")).first()[0]
+    b0 = embs.filter(F.col("vec_id") <= mid)
+    b1 = embs.filter(F.col("vec_id") > mid)
+    ledger = str(tmp_path / "gram_ledger")
+    snaps = str(tmp_path / "gram_snaps")
+
+    _pca_gram_process_batch(b0, 0, ledger, snaps)
+    _pca_gram_process_batch(b1, 1, ledger, snaps)
+    _pca_gram_process_batch(b0, 0, ledger, snaps)  # at-least-once replay
+
+    merged = {
+        (r["idx"], r["val"])
+        for r in spark.read.parquet(ledger)
+        .groupBy("idx")
+        .agg(F.sum("val").alias("val"))
+        .collect()
+    }
+    batch_cells = {(r["idx"], r["val"]) for r in pca_cells(embs).collect()}
+    assert merged == batch_cells  # exact integer state, replay included
+
+    merged_df = (
+        spark.read.parquet(ledger)
+        .groupBy("idx")
+        .agg(F.sum("val").alias("val"))
+    )
+    streamed_pca = {
+        r["dim_idx"]: (r["loading"], r["eigenvalue"], r["explained_var_ratio"])
+        for r in pca_iterate(pca_cells_to_one(merged_df)).collect()
+    }
+    batch_pca = {
+        r["dim_idx"]: (r["loading"], r["eigenvalue"], r["explained_var_ratio"])
+        for r in catalog()["pca_top_component"].spark(spark, sf_dir).collect()
+    }
+    assert streamed_pca == batch_pca
+
+    # snapshots: one row per batch_id; the final n_vecs equals the
+    # corpus count
+    sn = spark.read.parquet(snaps).toPandas()
+    assert sorted(sn["batch_id"].tolist()) == [0, 1]
+    assert int(sn.sort_values("batch_id").iloc[-1]["n_vecs"]) == embs.count()
