@@ -164,3 +164,31 @@ def test_scd2_apply_versions_changes(spark):
     # exactly one open row per key
     opens = out.filter(F.col("is_current")).groupBy("k").count().collect()
     assert all(r["count"] == 1 for r in opens)
+
+
+def test_orc_and_jsonl_round_trip_parity(spark, sf_dir, tmp_path):
+    """Format-breadth check for the scan/sink matrix: the documents
+    table written as ORC and as JSON-lines and read back must equal
+    the parquet source row-for-row (ORC is the second columnar
+    format Spark ships natively; JSONL is the interchange format
+    ingest pipelines hand us). Schema note: JSON round-trips longs
+    and strings losslessly but not binary — which is why the media
+    path normalizes payloads INTO parquet/ORC, never JSON."""
+    import pyspark.sql.functions as F
+
+    from chess_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    canon = lambda df: sorted(  # noqa: E731
+        map(repr, map(tuple, df.select(sorted(df.columns)).collect()))
+    )
+    want = canon(docs)
+
+    orc_path = str(tmp_path / "docs_orc")
+    docs.write.mode("overwrite").orc(orc_path)
+    assert canon(spark.read.orc(orc_path)) == want
+
+    jl_path = str(tmp_path / "docs_jsonl")
+    docs.write.mode("overwrite").json(jl_path)
+    back = spark.read.schema(docs.schema).json(jl_path)
+    assert canon(back) == want
