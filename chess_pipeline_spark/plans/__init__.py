@@ -206,6 +206,7 @@ _DEMOTED: tuple[str, ...] = (
     "weighted_sample_es",
     "psi_value_drift",
     "pca_top_component",
+    "concurrency_peak_daily",
 )
 
 # For every demoted query: the IN-WINDOW queries that keep its SURVEY
@@ -446,6 +447,9 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     # PCA power iteration → the embedding-vector fold machinery and
     # the iterative-algorithm family anchors in-window
     "pca_top_component": ("knn_pq_adc", "dedup_groups_logstep"),
+    # sweep-line concurrency → the sessionization + running-sum
+    # window machinery in-window
+    "concurrency_peak_daily": ("session_path_trigrams", "events_gap_detection"),
 }
 
 

@@ -137,12 +137,10 @@ FROM e GROUP BY 1, 2
 """
 
 
-def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sessionization with a 30-minute inactivity gap per user
-    (streaming session_window analog), expressed as the classic
-    lag+cumsum composition so both engines agree exactly. Works on
-    integer seconds with event_id as total tiebreak. Emits
-    per-session start/end/count/sum."""
+def _session_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, session_id, session_start, session_end, n_events,
+    value sum pre-round) — the lag+cumsum sessionization core shared
+    by events_sessionized and the sweep-line concurrency query."""
     ev = _L(spark, sf_dir, "events").select("user_id", "event_id", "ts_sec", "value")
     w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
     gap = F.when(
@@ -156,7 +154,23 @@ def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts_sec").alias("session_start"),
         F.max("ts_sec").alias("session_end"),
         F.count("*").alias("n_events"),
-        fround(F.sum("value"), 2).alias("sum_value"),
+        F.sum("value").alias("raw_sum_value"),
+    )
+
+
+def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap per user
+    (streaming session_window analog), expressed as the classic
+    lag+cumsum composition so both engines agree exactly. Works on
+    integer seconds with event_id as total tiebreak. Emits
+    per-session start/end/count/sum."""
+    return _session_frame(spark, sf_dir).select(
+        "user_id",
+        "session_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        fround(F.col("raw_sum_value"), 2).alias("sum_value"),
     )
 
 
@@ -178,6 +192,127 @@ SELECT user_id, session_id,
        count(*) AS n_events,
        floor((sum(value)) * 100.0 + 0.5) / 100.0 AS sum_value
 FROM sessions GROUP BY user_id, session_id
+"""
+
+
+# ------------------------------------------------------------------
+# Sweep-line peak concurrency via bucketed prefix sums
+# ------------------------------------------------------------------
+
+_CONC_BUCKET_S = 3600  # sweep buckets: one hour
+
+
+def concurrency_peak_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the capacity-planning
+    number ("how many users were on at once") — computed by the
+    sweep line: every session contributes +1 at its start and -1 one
+    second after its inclusive end; concurrency at any instant is the
+    running sum of deltas; the day's peak is the max of that running
+    sum over the day.
+
+    The scalable decomposition (and the reason this query exists):
+    the textbook form is ONE global-order running-sum window — the
+    anti-pattern that serializes the corpus through a single
+    partition. Instead the prefix sum splits two-level, exactly like
+    a parallel scan: (1) per-hour delta totals (map-side-combined
+    shuffle to ≤ #hours rows), (2) an unbounded window over THAT
+    bounded bucket frame for each hour's carry-in offset, (3) a
+    within-hour running sum partitioned by hour (state bounded by
+    events-per-hour), (4) concurrency = carry-in + within-hour sum.
+    Deltas order (-1 before +1) at equal timestamps is made total
+    with (t, d, user_id, session_id), so both engines walk the same
+    sweep. All-integer arithmetic.
+    """
+    sess = _session_frame(spark, sf_dir)
+    deltas = sess.select(
+        F.col("session_start").alias("t"),
+        F.lit(1).alias("d"),
+        "user_id",
+        "session_id",
+    ).unionByName(
+        sess.select(
+            (F.col("session_end") + 1).alias("t"),
+            F.lit(-1).alias("d"),
+            "user_id",
+            "session_id",
+        )
+    )
+    deltas = deltas.withColumn(
+        "bucket", F.floor(F.col("t") / _CONC_BUCKET_S).cast("long")
+    )
+    carry = (
+        deltas.groupBy("bucket")
+        .agg(F.sum("d").alias("bucket_delta"))
+        .withColumn(
+            "carry_in",
+            F.sum("bucket_delta").over(
+                Window.orderBy("bucket").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+        )
+        .select("bucket", F.coalesce("carry_in", F.lit(0)).alias("carry_in"))
+    )
+    wb = Window.partitionBy("bucket").orderBy(
+        "t", "d", "user_id", "session_id"
+    )
+    swept = (
+        deltas.join(carry, "bucket")
+        .withColumn(
+            "conc",
+            F.col("carry_in")
+            + F.sum("d").over(wb.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn("day", F.floor(F.col("t") / 86400).cast("long"))
+    )
+    return swept.groupBy("day").agg(
+        F.max("conc").cast("long").alias("peak_concurrency"),
+        F.sum(F.when(F.col("d") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("sessions_started"),
+    )
+
+
+CONCURRENCY_PEAK_DAILY_SQL = f"""
+WITH t AS (
+  SELECT user_id, event_id, {_TS_SEC} AS ts_sec FROM events),
+flagged AS (
+  SELECT user_id, event_id, ts_sec,
+         CASE WHEN ts_sec - lag(ts_sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_session
+  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)),
+sessions_raw AS (
+  SELECT user_id, ts_sec,
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM flagged),
+sess AS (
+  SELECT user_id, session_id,
+         min(ts_sec) AS session_start, max(ts_sec) AS session_end
+  FROM sessions_raw GROUP BY 1, 2),
+deltas AS (
+  SELECT session_start AS t, 1 AS d, user_id, session_id FROM sess
+  UNION ALL
+  SELECT session_end + 1 AS t, -1 AS d, user_id, session_id FROM sess),
+bucketed AS (
+  SELECT *, CAST(floor(t / {_CONC_BUCKET_S}) AS BIGINT) AS bucket FROM deltas),
+carry AS (
+  SELECT bucket,
+         coalesce(sum(bucket_delta) OVER (ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS carry_in
+  FROM (SELECT bucket, sum(d) AS bucket_delta FROM bucketed GROUP BY 1)),
+swept AS (
+  SELECT b.t, b.d,
+         c.carry_in + sum(b.d) OVER (PARTITION BY b.bucket
+             ORDER BY b.t, b.d, b.user_id, b.session_id
+             ROWS UNBOUNDED PRECEDING) AS conc,
+         CAST(floor(b.t / 86400) AS BIGINT) AS day
+  FROM bucketed b JOIN carry c ON b.bucket = c.bucket)
+SELECT day,
+       CAST(max(conc) AS BIGINT) AS peak_concurrency,
+       CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS sessions_started
+FROM swept GROUP BY 1
 """
 
 
@@ -992,6 +1127,9 @@ QUERIES: dict[str, QuerySpec] = {
         events_sliding_1h_30m, EVENTS_SLIDING_1H_30M_SQL, "§2.11 streaming-batch"
     ),
     "events_sessionized": QuerySpec(events_sessionized, EVENTS_SESSIONIZED_SQL, "§2.11 W2"),
+    "concurrency_peak_daily": QuerySpec(
+        concurrency_peak_daily, CONCURRENCY_PEAK_DAILY_SQL, "tsdb-sweepline"
+    ),
     "events_dedup_latest": QuerySpec(
         events_dedup_latest, EVENTS_DEDUP_LATEST_SQL, "S5 W1 P9 A8"
     ),

@@ -192,6 +192,7 @@ FROZEN_ORDER: tuple[str, ...] = (
     "weighted_sample_es",
     "psi_value_drift",
     "pca_top_component",
+    "concurrency_peak_daily",
 )
 
 

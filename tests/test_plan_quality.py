@@ -959,3 +959,17 @@ def test_pca_gram_map_side_combined_single_pass(spark, sf_dir):
     # the catalog query's post-checkpoint remainder is join-free too
     tail = _plan(spark, sf_dir, "pca_top_component")
     assert "SortMergeJoin" not in tail and "BatchEvalPython" not in tail
+
+
+def test_concurrency_global_window_only_over_bucket_frame(spark, sf_dir):
+    # the carry-in prefix is the ONLY unpartitioned window and it
+    # runs over the aggregated per-hour frame: any single-partition
+    # exchange must carry only bucket-level columns, never the delta
+    # stream's user/session ids
+    plan = _plan(spark, sf_dir, "concurrency_peak_daily")
+    assert "CartesianProduct" not in plan
+    singles = [ln for ln in plan.splitlines() if "SinglePartition" in ln]
+    assert singles, "expected the bucket-frame prefix window"
+    assert all(
+        "user_id" not in ln and "session_id" not in ln for ln in singles
+    )

@@ -78,3 +78,38 @@ def test_opponent_and_initial_clock_match_pandas(_spark, games):
             got[["game_link", "half_move", "clock", col]].to_dict("records"),
             exp[["game_link", "half_move", "clock", col]].to_dict("records"),
         )
+
+
+def test_concurrency_sweepline_matches_bruteforce(spark, sf_dir):
+    """The two-level prefix-sum sweep must equal the naive global
+    sweep: rebuild sessions in pandas, walk every delta in one
+    global (t, d, user, session) order, track the running count, and
+    compare per-day peaks and session starts exactly."""
+    import collections
+
+    from chess_pipeline_spark.plans import catalog
+
+    sess = {
+        (r["user_id"], r["session_id"]): (r["session_start"], r["session_end"])
+        for r in catalog()["events_sessionized"].spark(spark, sf_dir).collect()
+    }
+    deltas = []
+    for (uid, sid), (s, e) in sess.items():
+        deltas.append((s, 1, uid, sid))
+        deltas.append((e + 1, -1, uid, sid))
+    deltas.sort()
+    conc = 0
+    peak = collections.defaultdict(int)
+    started = collections.Counter()
+    for t, d, uid, sid in deltas:
+        conc += d
+        day = t // 86400
+        peak[day] = max(peak[day], conc)
+        if d == 1:
+            started[day] += 1
+    got = {
+        r["day"]: (r["peak_concurrency"], r["sessions_started"])
+        for r in catalog()["concurrency_peak_daily"].spark(spark, sf_dir).collect()
+    }
+    want = {day: (peak[day], started[day]) for day in peak}
+    assert got == want
