@@ -174,6 +174,7 @@ EXTENDED = [
     "weighted_sample_es",
     "psi_value_drift",
     "pca_top_component",
+    "concurrency_peak_daily",
 ]
 
 ROUND = 7  # bump per round; names the committed BENCHLOCAL file
