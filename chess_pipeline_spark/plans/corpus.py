@@ -269,19 +269,34 @@ def weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
     of corpus size.
     """
     d = spread(_L(spark, sf_dir, "documents"), "doc_id")
+    return es_top_k(es_scored(d))
+
+
+def es_scored(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, n_chars) -> + weight, priority_micro: the
+    deterministic ES race key (scan-stage projection). Shared by the
+    catalog query and the streaming sample ledger — the key depends
+    only on the document, so re-scoring a replayed batch yields the
+    identical priorities."""
     w = F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
     u = (F.expr(_ES_U6).cast("double") + 1.0) / F.lit(float(16**6))
     key = F.floor(F.log(u) / w * 1e6 + F.lit(0.5)).cast("long")
-    return (
-        d.select(
-            "doc_id",
-            "source",
-            F.col("n_chars").cast("long").alias("weight"),
-            key.alias("priority_micro"),
-        )
-        .orderBy(F.col("priority_micro").desc(), F.col("doc_id").asc())
-        .limit(_ES_K)
+    return docs.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("weight"),
+        key.alias("priority_micro"),
     )
+
+
+def es_top_k(scored: DataFrame, k: int = _ES_K) -> DataFrame:
+    """Global top-k of the ES race — TakeOrdered partial heaps, total
+    (priority, doc_id) order. top-k is a MERGEABLE, IDEMPOTENT fold:
+    top_k(A ∪ B) = top_k(top_k(A) ∪ B), which is what lets the
+    streaming ledger keep only k rows of state."""
+    return scored.orderBy(
+        F.col("priority_micro").desc(), F.col("doc_id").asc()
+    ).limit(k)
 
 
 WEIGHTED_SAMPLE_ES_SQL = f"""

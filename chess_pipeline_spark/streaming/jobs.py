@@ -885,3 +885,57 @@ def _pca_gram_process_batch(
     # batch_id-keyed overwrite: replayed batches rewrite their own
     # snapshot row rather than appending a duplicate
     upsert_partition_overwrite(summary, snapshot_path, ["batch_id"])
+
+
+def stream_weighted_sample(docs: DataFrame, sample_path: str, snapshot_path: str):
+    """Continuous Efraimidis–Spirakis weighted sample over a document
+    stream: the persisted state IS the current top-k sample (k rows,
+    the minimum possible state for exact sampling-without-replacement
+    over everything seen). Each micro-batch scores its documents with
+    the deterministic ES key (plans.corpus.es_scored — priority
+    depends only on the document) and folds top_k(prior ∪ batch).
+    Because top-k over a fixed key is an idempotent, mergeable fold
+    (top_k(A ∪ B) = top_k(top_k(A) ∪ B)), an at-least-once replayed
+    batch re-contributes identical rows and changes nothing; the
+    bak-swap rewrite provides the crash-safe state replacement.
+    After any prefix of batches the ledger EQUALS the batch
+    weighted_sample_es over the same documents (pytest-asserted).
+
+    100 TB shape: per batch one scan-stage scoring projection + a
+    TakeOrdered k-row reduce; state is k rows forever.
+    """
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        _es_sample_process_batch(batch, batch_id, sample_path, snapshot_path)
+
+    return docs.writeStream.foreachBatch(_process)
+
+
+def _es_sample_process_batch(
+    batch: DataFrame, batch_id: int, sample_path: str, snapshot_path: str
+) -> None:
+    """One stream_weighted_sample micro-batch — module-level so
+    replay tests can drive it without a running stream."""
+    from chess_pipeline_spark.plans.corpus import es_scored, es_top_k
+    from chess_pipeline_spark.sinks import upsert_partition_overwrite
+
+    spark = batch.sparkSession
+    scored = es_scored(batch)
+    prior = _read_bounded_ledger(
+        spark,
+        sample_path,
+        "doc_id long, source string, weight long, priority_micro long",
+    )
+    # SET union, not multiset: a replayed batch re-contributes rows
+    # already in the ledger, and limit(k) over duplicates would evict
+    # genuine tail members — distinct() restores the idempotent
+    # top_k(A ∪ B) algebra (rows for the same doc are identical, so
+    # exact dedup suffices)
+    merged = es_top_k(scored.unionByName(prior).distinct())
+    snap = _bak_swap_write(spark, merged, sample_path)
+    summary = snap.agg(
+        F.count("*").cast("long").alias("sample_size"),
+        F.min("priority_micro").alias("cut_priority_micro"),
+        F.sum("weight").cast("long").alias("sample_weight"),
+    ).withColumn("batch_id", F.lit(batch_id))
+    upsert_partition_overwrite(summary, snapshot_path, ["batch_id"])

@@ -925,3 +925,50 @@ def test_stream_pca_gram_ledger_reproduces_batch_pca_exactly(
     sn = spark.read.parquet(snaps).toPandas()
     assert sorted(sn["batch_id"].tolist()) == [0, 1]
     assert int(sn.sort_values("batch_id").iloc[-1]["n_vecs"]) == embs.count()
+
+
+def test_stream_weighted_sample_equals_batch_after_any_prefix(
+    spark, sf_dir, tmp_path
+):
+    """Fold the documents through the ES sample ledger in two
+    batches, then REPLAY batch 1 (at-least-once): after every prefix
+    the ledger must equal the batch weighted_sample_es over the same
+    documents — top-k over a deterministic key is an idempotent
+    mergeable fold, so the duplicate delivery changes nothing."""
+    import pyspark.sql.functions as F
+
+    from chess_pipeline_spark.plans.corpus import es_scored, es_top_k
+    from chess_pipeline_spark.sources import load_table
+    from chess_pipeline_spark.streaming.jobs import _es_sample_process_batch
+
+    docs = load_table(spark, sf_dir, "documents")
+    mid = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    b0 = docs.filter(F.col("doc_id") <= mid)
+    b1 = docs.filter(F.col("doc_id") > mid)
+    sample = str(tmp_path / "es_sample")
+    snaps = str(tmp_path / "es_snaps")
+
+    canon = lambda df: sorted(map(repr, map(tuple, df.collect())))  # noqa: E731
+
+    _es_sample_process_batch(b0, 0, sample, snaps)
+    assert canon(spark.read.parquet(sample).select(
+        "doc_id", "source", "weight", "priority_micro"
+    )) == canon(es_top_k(es_scored(b0)))
+
+    _es_sample_process_batch(b1, 1, sample, snaps)
+    _es_sample_process_batch(b1, 1, sample, snaps)  # at-least-once replay
+
+    want = canon(es_top_k(es_scored(docs)))
+    got = canon(
+        spark.read.parquet(sample).select(
+            "doc_id", "source", "weight", "priority_micro"
+        )
+    )
+    assert got == want
+
+    # snapshots keyed by batch_id; cut priority is monotone
+    # non-decreasing as the race sees more contenders
+    sn = spark.read.parquet(snaps).toPandas().sort_values("batch_id")
+    assert sorted(sn["batch_id"].tolist()) == [0, 1]
+    cuts = sn["cut_priority_micro"].tolist()
+    assert cuts[-1] >= cuts[0]
