@@ -207,6 +207,7 @@ _DEMOTED: tuple[str, ...] = (
     "psi_value_drift",
     "pca_top_component",
     "concurrency_peak_daily",
+    "bm25_index_probe",
 )
 
 # For every demoted query: the IN-WINDOW queries that keep its SURVEY
@@ -450,6 +451,9 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     # sweep-line concurrency → the sessionization + running-sum
     # window machinery in-window
     "concurrency_peak_daily": ("session_path_trigrams", "events_gap_detection"),
+    # persisted BM25 serving path → the in-plan retrieval twin and
+    # the persisted-index family anchor in-window
+    "bm25_index_probe": ("bm25_doc_search", "hybrid_search_rrf"),
 }
 
 

@@ -1541,6 +1541,29 @@ LIMIT 20
 BM25_DOC_SEARCH_SQL = _bm25_search_sql()
 
 
+def bm25_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVING path of bm25_doc_search: build the persisted
+    inverted index (text_index.build_text_index — bucket-partitioned
+    postings + doc lengths + stats ledger on disk) and answer the
+    same fixed query through text_index.probe_bm25, whose postings
+    scan reads ONLY the buckets the query terms hash to (partition
+    pruning, plan-asserted in tests/test_text_index.py). Scoring is
+    expression-identical to the in-plan query, so this shares its
+    oracle — the driver hash certifies that the index round-trip
+    (tokenize → partitioned write → pruned read → score) loses
+    nothing. Index rebuilt per run for catalog self-containment; a
+    production deployment builds once and serves thousands of
+    queries off the amortized layout (module docstring)."""
+    from chess_pipeline_spark.plans.llm import _scratch_index_dir
+    from chess_pipeline_spark.text_index import build_text_index, probe_bm25
+
+    idx = _scratch_index_dir("bm25_text")
+    build_text_index(
+        spread(_L(spark, sf_dir, "documents"), "doc_id"), idx
+    )
+    return probe_bm25(spark, idx, _BM25_QUERY_TERMS)
+
+
 
 
 _RRF_K = 60  # standard reciprocal-rank-fusion damping
@@ -2152,6 +2175,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "bm25_doc_search": QuerySpec(
         bm25_doc_search, BM25_DOC_SEARCH_SQL, "corpus-retrieval"
+    ),
+    "bm25_index_probe": QuerySpec(
+        bm25_index_probe, BM25_DOC_SEARCH_SQL, "corpus-retrieval-serving"
     ),
     "hybrid_search_rrf": QuerySpec(
         hybrid_search_rrf, HYBRID_SEARCH_RRF_SQL, "corpus-hybrid-retrieval"

@@ -568,46 +568,11 @@ def stream_hll_distinct(events: DataFrame, registers_path: str, estimates_path: 
     return events.writeStream.foreachBatch(_process)
 
 
-def _read_bounded_ledger(spark, registers_path: str, empty_schema: str):
-    """Read a bak-swap bounded register ledger, falling back to the
-    .bak sibling when a mid-swap crash left the live dir renamed away
-    (at every instant one of the two holds the accumulated state)."""
-    from pyspark.errors import AnalysisException
-
-    bak = f"{registers_path}.__bak__"
-    try:
-        return spark.read.parquet(registers_path)
-    except AnalysisException:
-        try:
-            return spark.read.parquet(bak)
-        except AnalysisException:
-            return spark.createDataFrame([], empty_schema)
-
-
-def _bak_swap_write(spark, merged: DataFrame, registers_path: str) -> DataFrame:
-    """Atomically replace a BOUNDED register ledger: collect the
-    merged rows (KB-scale by construction — the sketch's point),
-    write to a tmp dir, rename live → .bak, rename tmp into place,
-    drop the .bak. There is no instant where neither dir holds the
-    accumulated registers (the r6-advice gap: rmtree-then-rename had
-    such a window). Returns the materialized snapshot frame."""
-    import os
-    import shutil
-    import uuid
-
-    bak = f"{registers_path}.__bak__"
-    rows = merged.collect()
-    snap = spark.createDataFrame(rows, merged.schema)
-    tmp = f"{registers_path}.__tmp__{uuid.uuid4().hex[:8]}"
-    snap.write.mode("overwrite").parquet(tmp)
-    if os.path.exists(bak):
-        shutil.rmtree(bak)
-    if os.path.exists(registers_path):
-        os.rename(registers_path, bak)
-    os.rename(tmp, registers_path)
-    if os.path.exists(bak):
-        shutil.rmtree(bak)
-    return snap
+# bak-swap bounded-ledger helpers live in sinks.py (shared with the
+# persisted text index's stats ledger); aliased here for the jobs
+# that predate the move
+from chess_pipeline_spark.sinks import bak_swap_write as _bak_swap_write
+from chess_pipeline_spark.sinks import read_bounded_ledger as _read_bounded_ledger
 
 
 def _hll_process_batch(

@@ -1,0 +1,186 @@
+"""Persisted inverted text index: build-once postings, bucket-pruned
+BM25 serving — the text-retrieval sibling of ann_index.py.
+
+The catalog's `bm25_doc_search` scores straight off the corpus (the
+right shape for a one-off analytical query); a SERVING workload asks
+the same query shape thousands of times, where rescanning 100 TB per
+query is absurd. The index trades one corpus-scale build for
+per-query work proportional to the query terms' posting lists:
+
+  build  — tokenize once, aggregate (term, doc_id) -> tf alongside
+           per-doc length, write postings PARTITIONED BY term-hash
+           bucket, plus a doc-lengths table and a 1-row stats ledger
+           (n_docs, total_len — the BM25 globals);
+  probe  — read ONLY the buckets the query terms hash to (dynamic
+           partition pruning does the directory-level skip;
+           plan-asserted), filter to the exact terms, join the tiny
+           per-term df/idf frame broadcast, score, top-k.
+
+Scoring is expression-for-expression the catalog query's (same
+fround grid, same idf/tf_norm forms), so `probe_bm25` over the
+persisted index returns BIT-IDENTICAL rows to `bm25_doc_search` —
+pytest-asserted, which is the index's correctness contract.
+
+Incremental ingest mirrors ann_index: new docs only ADD posting
+rows, so a delta append into the same bucket layout is exact;
+the stats ledger merges by integer addition through the bak-swap
+rewrite (sinks.bak_swap_write — crash-safe, and reconstructible
+from the doc-lengths table if ever lost). df/idf are NOT stored —
+they are query-time aggregates of the probed postings, so ingest
+never has to rewrite global statistics.
+
+100 TB shape: the build is one tokenize pass + one map-side-combined
+(term, doc) shuffle + the partitioned write; probe reads
+|query-term buckets| / n_buckets of the postings and shuffles only
+matched rows; stats are 1 row. Reference scope anchor: the reference
+engine has no serving index at all — this is north-star extension
+surface, same tier as the IVFADC index.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from chess_pipeline_spark.functions.rounding import fround
+from chess_pipeline_spark.sinks import bak_swap_write, read_bounded_ledger
+
+_TI_BUCKETS = 16
+_HEX = "0123456789abcdef"
+_K1 = 1.2  # = plans.corpus._BM25_K1 (kept literal: this module must
+_B = 0.75  # not import the plans tier; parity is pytest-enforced)
+
+
+def _bucket_col(term):
+    """term -> 0..{_TI_BUCKETS-1}: first hex digit of md5 % buckets —
+    the same engine-portable hex parse as the sketch tier."""
+    d0 = F.instr(F.lit(_HEX), F.substring(F.md5(term), 1, 1)) - 1
+    return (d0 % _TI_BUCKETS).cast("long")
+
+
+def _paths(index_path: str) -> tuple[str, str, str]:
+    return (
+        os.path.join(index_path, "postings"),
+        os.path.join(index_path, "doclens"),
+        os.path.join(index_path, "stats"),
+    )
+
+
+def _tokenized(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(postings rows, doc lengths) from a documents frame — length
+    semantics identical to bm25_doc_search (size of the raw split,
+    empty tokens counted)."""
+    base = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.split("text", " ").alias("toks"),
+    )
+    lens = base.select(
+        "doc_id", F.size("toks").cast("long").alias("len_d")
+    )
+    postings = (
+        base.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .withColumn("bucket", _bucket_col(F.col("term")))
+    )
+    return postings, lens
+
+
+def build_text_index(docs: DataFrame, index_path: str) -> None:
+    """Tokenize once, write bucket-partitioned postings + doc lengths
+    + the 1-row stats ledger. Overwrites any existing index."""
+    spark = docs.sparkSession
+    postings_p, doclens_p, stats_p = _paths(index_path)
+    postings, lens = _tokenized(docs)
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(postings_p)
+    lens.write.mode("overwrite").parquet(doclens_p)
+    stats = lens.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("len_d").cast("long").alias("total_len"),
+    )
+    bak_swap_write(spark, stats, stats_p)
+
+
+def ingest_text_delta(delta_docs: DataFrame, index_path: str) -> None:
+    """Append a document delta: postings/doclens rows for NEW docs
+    only add (append into the same bucket layout is exact — no
+    existing row changes), and the stats ledger merges by integer
+    addition via the crash-safe bak-swap. Callers must not re-ingest
+    the same doc_id (the serving layer's upsert boundary; a replayed
+    ingest is made exact by batch-partitioned staging upstream)."""
+    spark = delta_docs.sparkSession
+    postings_p, doclens_p, stats_p = _paths(index_path)
+    postings, lens = _tokenized(delta_docs)
+    postings.write.mode("append").partitionBy("bucket").parquet(postings_p)
+    lens.write.mode("append").parquet(doclens_p)
+    delta_stats = lens.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("len_d").cast("long").alias("total_len"),
+    )
+    prior = read_bounded_ledger(
+        spark, stats_p, "n_docs long, total_len long"
+    )
+    merged = delta_stats.unionByName(prior).agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("total_len").cast("long").alias("total_len"),
+    )
+    bak_swap_write(spark, merged, stats_p)
+
+
+def probe_bm25(
+    spark: SparkSession,
+    index_path: str,
+    terms: tuple[str, ...],
+    k: int = 20,
+) -> DataFrame:
+    """Serve a BM25 query from the persisted index: bucket-pruned
+    postings scan -> query-time df/idf (tiny, broadcast) -> score ->
+    top-k by (score desc, doc_id). Bit-identical to bm25_doc_search
+    over the same corpus and terms (pytest contract)."""
+    postings_p, doclens_p, stats_p = _paths(index_path)
+    import hashlib
+
+    buckets = sorted(
+        {
+            _HEX.index(hashlib.md5(t.encode()).hexdigest()[0]) % _TI_BUCKETS
+            for t in terms
+        }
+    )
+    postings = (
+        spark.read.parquet(postings_p)
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(list(terms)))
+    )
+    lens = spark.read.parquet(doclens_p)
+    stats = read_bounded_ledger(spark, stats_p, "n_docs long, total_len long")
+    df_ = postings.groupBy("term").agg(
+        F.count("*").cast("long").alias("df_docs")
+    )
+    idf = fround(
+        F.log(
+            (F.col("n_docs") - F.col("df_docs") + F.lit(0.5))
+            / (F.col("df_docs") + F.lit(0.5))
+            + F.lit(1.0)
+        ),
+        6,
+    )
+    avg_len = F.col("total_len").cast("double") / F.col("n_docs")
+    tf_norm = fround(
+        F.col("tf")
+        / (
+            F.col("tf")
+            + F.lit(_K1)
+            * (F.lit(1.0 - _B) + F.lit(_B) * F.col("len_d") / avg_len)
+        ),
+        6,
+    )
+    scored = (
+        postings.join(lens, "doc_id")
+        .join(F.broadcast(df_.crossJoin(stats)), "term")
+        .select("doc_id", (idf * tf_norm).alias("term_score"))
+        .groupBy("doc_id")
+        .agg(fround(F.sum("term_score"), 6).alias("bm25"))
+    )
+    return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(k)

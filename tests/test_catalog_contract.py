@@ -193,6 +193,7 @@ FROZEN_ORDER: tuple[str, ...] = (
     "psi_value_drift",
     "pca_top_component",
     "concurrency_peak_daily",
+    "bm25_index_probe",
 )
 
 
