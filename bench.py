@@ -175,6 +175,7 @@ EXTENDED = [
     "psi_value_drift",
     "pca_top_component",
     "concurrency_peak_daily",
+    "bm25_index_probe",
 ]
 
 ROUND = 7  # bump per round; names the committed BENCHLOCAL file
