@@ -904,3 +904,22 @@ def _es_sample_process_batch(
         F.sum("weight").cast("long").alias("sample_weight"),
     ).withColumn("batch_id", F.lit(batch_id))
     upsert_partition_overwrite(summary, snapshot_path, ["batch_id"])
+
+
+def stream_text_index_ingest(docs: DataFrame, index_path: str):
+    """Continuous inverted-index maintenance: every micro-batch of
+    documents folds into the persisted BM25 index through
+    text_index.ingest_text_delta, whose (batch_id, bucket)-partition
+    overwrite makes an at-least-once replayed batch rewrite identical
+    bytes — exactly-once by layout, the Count-Min ledger discipline
+    applied to a serving index. probe_bm25 over the streamed index
+    equals the batch build over the same documents bit-for-bit
+    (pytest). Per batch: one tokenize pass + one map-side-combined
+    (term, doc) shuffle + the partition write; no global state is
+    rewritten (stats are per-batch rows summed at probe time)."""
+    from chess_pipeline_spark.text_index import ingest_text_delta
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        ingest_text_delta(batch, index_path, batch_id)
+
+    return docs.writeStream.foreachBatch(_process)

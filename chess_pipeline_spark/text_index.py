@@ -8,9 +8,9 @@ query is absurd. The index trades one corpus-scale build for
 per-query work proportional to the query terms' posting lists:
 
   build  — tokenize once, aggregate (term, doc_id) -> tf alongside
-           per-doc length, write postings PARTITIONED BY term-hash
-           bucket, plus a doc-lengths table and a 1-row stats ledger
-           (n_docs, total_len — the BM25 globals);
+           per-doc length, write postings PARTITIONED BY (batch_id,
+           term-hash bucket), plus a doc-lengths table and per-batch
+           stats rows (n_docs, total_len — the BM25 globals);
   probe  — read ONLY the buckets the query terms hash to (dynamic
            partition pruning does the directory-level skip;
            plan-asserted), filter to the exact terms, join the tiny
@@ -21,13 +21,15 @@ fround grid, same idf/tf_norm forms), so `probe_bm25` over the
 persisted index returns BIT-IDENTICAL rows to `bm25_doc_search` —
 pytest-asserted, which is the index's correctness contract.
 
-Incremental ingest mirrors ann_index: new docs only ADD posting
-rows, so a delta append into the same bucket layout is exact;
-the stats ledger merges by integer addition through the bak-swap
-rewrite (sinks.bak_swap_write — crash-safe, and reconstructible
-from the doc-lengths table if ever lost). df/idf are NOT stored —
-they are query-time aggregates of the probed postings, so ingest
-never has to rewrite global statistics.
+Incremental ingest mirrors the streaming-ledger discipline and is
+EXACTLY-ONCE under at-least-once delivery: every table is
+partitioned by batch_id (postings additionally by bucket), and an
+ingest overwrites precisely its own batch partitions
+(sinks.upsert_partition_overwrite), so a replayed batch rewrites
+identical bytes instead of appending duplicates. Stats rows are
+per-batch and summed at probe time (<= #batches rows); df/idf are
+NOT stored — they are query-time aggregates of the probed
+postings — so ingest never rewrites global state at all.
 
 100 TB shape: the build is one tokenize pass + one map-side-combined
 (term, doc) shuffle + the partitioned write; probe reads
@@ -45,7 +47,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from chess_pipeline_spark.functions.rounding import fround
-from chess_pipeline_spark.sinks import bak_swap_write, read_bounded_ledger
+from chess_pipeline_spark.sinks import upsert_partition_overwrite
 
 _TI_BUCKETS = 16
 _HEX = "0123456789abcdef"
@@ -89,44 +91,41 @@ def _tokenized(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 
 def build_text_index(docs: DataFrame, index_path: str) -> None:
-    """Tokenize once, write bucket-partitioned postings + doc lengths
-    + the 1-row stats ledger. Overwrites any existing index."""
-    spark = docs.sparkSession
-    postings_p, doclens_p, stats_p = _paths(index_path)
-    postings, lens = _tokenized(docs)
-    postings.write.mode("overwrite").partitionBy("bucket").parquet(postings_p)
-    lens.write.mode("overwrite").parquet(doclens_p)
-    stats = lens.agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum("len_d").cast("long").alias("total_len"),
-    )
-    bak_swap_write(spark, stats, stats_p)
+    """Tokenize once and write the full index as batch 0 (overwriting
+    any prior index). Identical layout to ingest, so a full build IS
+    an ingest of everything — one write path, no special cases."""
+    import shutil
+
+    shutil.rmtree(index_path, ignore_errors=True)
+    ingest_text_delta(docs, index_path, batch_id=0)
 
 
-def ingest_text_delta(delta_docs: DataFrame, index_path: str) -> None:
-    """Append a document delta: postings/doclens rows for NEW docs
-    only add (append into the same bucket layout is exact — no
-    existing row changes), and the stats ledger merges by integer
-    addition via the crash-safe bak-swap. Callers must not re-ingest
-    the same doc_id (the serving layer's upsert boundary; a replayed
-    ingest is made exact by batch-partitioned staging upstream)."""
-    spark = delta_docs.sparkSession
+def ingest_text_delta(
+    delta_docs: DataFrame, index_path: str, batch_id: int
+) -> None:
+    """Fold a document delta into the index, exactly-once: postings
+    land under (batch_id, bucket) partitions, doc lengths and the
+    per-batch stats row under batch_id, each via dynamic partition
+    overwrite — an at-least-once replayed batch rewrites exactly its
+    own partitions. New docs only ADD rows (no existing row changes),
+    so the probe-side semantics are unchanged by when a doc arrived.
+    Callers must not assign two different deltas the same batch_id
+    (the streaming wrapper gets this from the engine's epoch)."""
     postings_p, doclens_p, stats_p = _paths(index_path)
     postings, lens = _tokenized(delta_docs)
-    postings.write.mode("append").partitionBy("bucket").parquet(postings_p)
-    lens.write.mode("append").parquet(doclens_p)
+    upsert_partition_overwrite(
+        postings.withColumn("batch_id", F.lit(batch_id)),
+        postings_p,
+        ["batch_id", "bucket"],
+    )
+    upsert_partition_overwrite(
+        lens.withColumn("batch_id", F.lit(batch_id)), doclens_p, ["batch_id"]
+    )
     delta_stats = lens.agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("len_d").cast("long").alias("total_len"),
-    )
-    prior = read_bounded_ledger(
-        spark, stats_p, "n_docs long, total_len long"
-    )
-    merged = delta_stats.unionByName(prior).agg(
-        F.sum("n_docs").cast("long").alias("n_docs"),
-        F.sum("total_len").cast("long").alias("total_len"),
-    )
-    bak_swap_write(spark, merged, stats_p)
+    ).withColumn("batch_id", F.lit(batch_id))
+    upsert_partition_overwrite(delta_stats, stats_p, ["batch_id"])
 
 
 def probe_bm25(
@@ -153,8 +152,11 @@ def probe_bm25(
         .filter(F.col("bucket").isin(buckets))
         .filter(F.col("term").isin(list(terms)))
     )
-    lens = spark.read.parquet(doclens_p)
-    stats = read_bounded_ledger(spark, stats_p, "n_docs long, total_len long")
+    lens = spark.read.parquet(doclens_p).select("doc_id", "len_d")
+    stats = spark.read.parquet(stats_p).agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("total_len").cast("long").alias("total_len"),
+    )
     df_ = postings.groupBy("term").agg(
         F.count("*").cast("long").alias("df_docs")
     )

@@ -55,7 +55,8 @@ def test_incremental_ingest_equals_full_rebuild(spark, sf_dir, tmp_path):
 
     inc = str(tmp_path / "tix_inc")
     build_text_index(d0, inc)
-    ingest_text_delta(d1, inc)
+    ingest_text_delta(d1, inc, batch_id=1)
+    ingest_text_delta(d1, inc, batch_id=1)  # at-least-once replay: no-op
 
     full = str(tmp_path / "tix_full")
     build_text_index(docs, full)
@@ -63,9 +64,60 @@ def test_incremental_ingest_equals_full_rebuild(spark, sf_dir, tmp_path):
     assert _rows(probe_bm25(spark, inc, _BM25_QUERY_TERMS)) == _rows(
         probe_bm25(spark, full, _BM25_QUERY_TERMS)
     )
-    # stats ledger merged exactly
+    # per-batch stats rows sum to the full-build totals
     import os
 
-    si = spark.read.parquet(os.path.join(inc, "stats")).first()
-    sf_ = spark.read.parquet(os.path.join(full, "stats")).first()
-    assert (si["n_docs"], si["total_len"]) == (sf_["n_docs"], sf_["total_len"])
+    def totals(p):
+        r = (
+            spark.read.parquet(os.path.join(p, "stats"))
+            .agg(F.sum("n_docs"), F.sum("total_len"))
+            .first()
+        )
+        return (r[0], r[1])
+
+    assert totals(inc) == totals(full)
+
+
+def test_streamed_index_equals_batch_build(spark, sf_dir, tmp_path):
+    """Drive documents through stream_text_index_ingest in two
+    micro-batches via a real file-source stream: the streamed index
+    must answer the fixed BM25 query bit-identically to a one-shot
+    batch build over the same documents."""
+    import os
+    import time
+
+    from chess_pipeline_spark.streaming.jobs import stream_text_index_ingest
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = tmp_path / "doc_arrivals"
+    src.mkdir()
+    mid = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    docs.filter(F.col("doc_id") <= mid).toPandas().to_parquet(
+        str(src / "b0.parquet")
+    )
+    docs.filter(F.col("doc_id") > mid).toPandas().to_parquet(
+        str(src / "b1.parquet")
+    )
+    now = time.time()
+    os.utime(src / "b0.parquet", (now - 60, now - 60))
+    os.utime(src / "b1.parquet", (now, now))
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    idx = str(tmp_path / "tix_stream")
+    q = (
+        stream_text_index_ingest(stream, idx)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    full = str(tmp_path / "tix_batch")
+    build_text_index(docs, full)
+    assert _rows(probe_bm25(spark, idx, _BM25_QUERY_TERMS)) == _rows(
+        probe_bm25(spark, full, _BM25_QUERY_TERMS)
+    )
