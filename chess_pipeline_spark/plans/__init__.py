@@ -208,6 +208,7 @@ _DEMOTED: tuple[str, ...] = (
     "pca_top_component",
     "concurrency_peak_daily",
     "bm25_index_probe",
+    "temperature_mixture_sample",
 )
 
 # For every demoted query: the IN-WINDOW queries that keep its SURVEY
@@ -454,6 +455,9 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     # persisted BM25 serving path → the in-plan retrieval twin and
     # the persisted-index family anchor in-window
     "bm25_index_probe": ("bm25_doc_search", "hybrid_search_rrf"),
+    # temperature mixture → the in-window sampling anchor (same
+    # deterministic bucket rule, data-derived rates)
+    "temperature_mixture_sample": ("mixture_sample",),
 }
 
 

@@ -213,6 +213,109 @@ FROM r WHERE bucket < keep_permille
 """
 
 
+# ------------------------------------------------------------------
+# Temperature-scaled mixture sampling: p_s ∝ n_s^α
+# ------------------------------------------------------------------
+
+_TEMP_ALPHA = 0.7  # the multilingual-LM standard (mBERT/XLM lineage)
+_TEMP_BUDGET_PERMILLE = 200  # target sample ≈ 20% of the corpus
+
+
+def temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture report: per-source keep rates
+    derived FROM the observed source sizes as p_s ∝ n_s^{_TEMP_ALPHA}
+    — the standard low-resource-upweighting rule (α = 1 keeps natural
+    proportions, α → 0 approaches uniform-per-source). Unlike
+    mixture_sample's hand-pinned tiers, the rates here move with the
+    data: a source that shrinks next refresh automatically gets a
+    higher keep rate. The sample itself is the same deterministic
+    per-doc hash-bucket rule as every sampler in this repo, so
+    membership is stable across runs and backfills.
+
+    rate_s (permille) = min(1000, round(B · w_s / (Σw · n_s) · 1000))
+    with w_s = n_s^α and B = {_TEMP_BUDGET_PERMILLE}‰ of the corpus —
+    one rounded comparison per source, after which everything is
+    integer (bucket < rate).
+
+    Output per source: n_docs, rate_permille, n_sampled — the
+    curator's mixing table, aggregate so the driver hash is small.
+
+    100 TB shape: pass 1 aggregates (source) counts — a source-keyed
+    map-side-combined shuffle of the source column only; the ≤
+    |sources| rate frame broadcasts onto the scan-stage bucket filter
+    in pass 2; the rollup shuffles ≤ |sources| keys. No corpus-scale
+    exchange anywhere.
+    """
+    d = spread(_L(spark, sf_dir, "documents"), "doc_id")
+    sizes = d.groupBy("source").agg(F.count("*").cast("long").alias("n_s"))
+    w = F.pow(F.col("n_s").cast("double"), F.lit(_TEMP_ALPHA))
+    tot = sizes.agg(
+        F.sum(w).alias("sum_w"), F.sum("n_s").cast("long").alias("n_corpus")
+    )
+    rates = sizes.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_s",
+        F.least(
+            F.lit(1000),
+            F.floor(
+                F.lit(_TEMP_BUDGET_PERMILLE / 1000.0)
+                * F.col("n_corpus")
+                * w
+                / F.col("sum_w")
+                / F.col("n_s")
+                * 1000.0
+                + F.lit(0.5)
+            ),
+        )
+        .cast("long")
+        .alias("rate_permille"),
+    )
+    kept = (
+        d.select("doc_id", "source", F.expr(_BUCKET_EXPR).alias("bucket"))
+        .join(F.broadcast(rates), "source")
+        .filter(F.col("bucket") < F.col("rate_permille"))
+    )
+    return (
+        kept.groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_sampled"))
+        .join(F.broadcast(rates), "source")
+        .select(
+            "source",
+            F.col("n_s").alias("n_docs"),
+            "rate_permille",
+            "n_sampled",
+        )
+    )
+
+
+TEMPERATURE_MIXTURE_SAMPLE_SQL = f"""
+WITH sizes AS (
+  SELECT source, count(*) AS n_s FROM documents GROUP BY 1),
+tot AS (
+  SELECT sum(pow(CAST(n_s AS DOUBLE), {_TEMP_ALPHA})) AS sum_w,
+         sum(n_s) AS n_corpus
+  FROM sizes),
+rates AS (
+  SELECT source, n_s,
+         least(1000, CAST(floor(
+           {_TEMP_BUDGET_PERMILLE / 1000.0} * t.n_corpus
+           * pow(CAST(n_s AS DOUBLE), {_TEMP_ALPHA}) / t.sum_w
+           / n_s * 1000.0 + 0.5) AS BIGINT)) AS rate_permille
+  FROM sizes, tot t),
+kept AS (
+  SELECT d.source
+  FROM (SELECT doc_id, source, {_BUCKET_EXPR} AS bucket FROM documents) d
+  JOIN rates r ON d.source = r.source
+  WHERE d.bucket < r.rate_permille)
+SELECT k.source,
+       CAST(r.n_s AS BIGINT) AS n_docs,
+       r.rate_permille,
+       CAST(count(*) AS BIGINT) AS n_sampled
+FROM kept k JOIN rates r ON k.source = r.source
+GROUP BY 1, 2, 3
+"""
+
+
 def curate_documents(docs: DataFrame) -> DataFrame:
     """Mode-agnostic curation spec: deterministic per-stratum sample
     + minimal quality gate (non-empty tokenization). Every expression
@@ -2135,6 +2238,11 @@ QUERIES: dict[str, QuerySpec] = {
     "mixture_sample": QuerySpec(mixture_sample, MIXTURE_SAMPLE_SQL, "corpus-mixture"),
     "weighted_sample_es": QuerySpec(
         weighted_sample_es, WEIGHTED_SAMPLE_ES_SQL, "corpus-weighted-sample"
+    ),
+    "temperature_mixture_sample": QuerySpec(
+        temperature_mixture_sample,
+        TEMPERATURE_MIXTURE_SAMPLE_SQL,
+        "corpus-temperature-mixture",
     ),
     "pack_sequences": QuerySpec(pack_sequences, PACK_SEQUENCES_SQL, "corpus-pack"),
     "tfidf_top_terms": QuerySpec(

@@ -194,6 +194,7 @@ FROZEN_ORDER: tuple[str, ...] = (
     "pca_top_component",
     "concurrency_peak_daily",
     "bm25_index_probe",
+    "temperature_mixture_sample",
 )
 
 

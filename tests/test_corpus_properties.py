@@ -206,6 +206,9 @@ _RANDOMIZED_QUERIES = (
     # r7: ES weighted sampling — the quantized ln(u)/w ranking and
     # (key, doc_id) tiebreak must pick identical rows cross-engine
     "weighted_sample_es",
+    # r7: temperature mixture — pow/rounding of data-derived rates
+    # must agree cross-engine on skewed generated source sizes
+    "temperature_mixture_sample",
 )
 
 
@@ -270,3 +273,49 @@ def test_corpus_queries_match_oracle_on_random_inputs(spark, tmp_path_factory, c
     )
     for name in _RANDOMIZED_QUERIES:
         run_and_compare(spark, str(tmp), name, _CATALOG[name])
+
+
+def test_temperature_mixture_upweights_small_sources(spark, tmp_path_factory):
+    """The law the operator exists for: with alpha < 1, smaller
+    sources get HIGHER keep rates (monotone non-increasing rate in
+    source size), the natural-proportion alpha=1 bias is reduced, and
+    the realized sample lands near the budget."""
+    from chess_pipeline_spark.plans import catalog
+
+    sizes = {"big": 400, "mid": 100, "small": 25}
+    rows = []
+    i = 0
+    for src, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, f"document number {i} for {src}", "en", src, 20))
+            i += 1
+    tmp = tmp_path_factory.mktemp("tempmix")
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).astype({"doc_id": "int64", "n_chars": "int64"}).to_parquet(
+        tmp / "documents.parquet", index=False
+    )
+    out = {
+        r["source"]: (r["n_docs"], r["rate_permille"], r["n_sampled"])
+        for r in catalog()["temperature_mixture_sample"]
+        .spark(spark, str(tmp))
+        .collect()
+    }
+    assert set(out) == set(sizes)
+    r_big, r_mid, r_small = (
+        out["big"][1],
+        out["mid"][1],
+        out["small"][1],
+    )
+    assert r_small > r_mid > r_big  # alpha<1 upweights the tail
+    # budget sanity: expected keep = sum(n_s * rate_s/1000) == 20% of
+    # 525 docs (rates are exact by construction; the realized count
+    # fluctuates with the hash buckets)
+    expected = sum(out[s][0] * out[s][1] / 1000 for s in out)
+    assert abs(expected - 0.2 * 525) / (0.2 * 525) < 0.05
+    run_and_compare(
+        spark,
+        str(tmp),
+        "temperature_mixture_sample",
+        _CATALOG["temperature_mixture_sample"],
+    )
