@@ -176,6 +176,7 @@ EXTENDED = [
     "pca_top_component",
     "concurrency_peak_daily",
     "bm25_index_probe",
+    "temperature_mixture_sample",
 ]
 
 ROUND = 7  # bump per round; names the committed BENCHLOCAL file
