@@ -177,6 +177,7 @@ EXTENDED = [
     "concurrency_peak_daily",
     "bm25_index_probe",
     "temperature_mixture_sample",
+    "weighted_sample_per_source",
 ]
 
 ROUND = 7  # bump per round; names the committed BENCHLOCAL file

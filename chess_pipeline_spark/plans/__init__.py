@@ -210,6 +210,7 @@ _DEMOTED: tuple[str, ...] = (
     "concurrency_peak_daily",
     "bm25_index_probe",
     "temperature_mixture_sample",
+    "weighted_sample_per_source",
 )
 
 # For every demoted query: the IN-WINDOW queries that keep its SURVEY
@@ -459,6 +460,9 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     # temperature mixture → the in-window sampling anchor (same
     # deterministic bucket rule, data-derived rates)
     "temperature_mixture_sample": ("mixture_sample",),
+    # per-stratum ES reservoirs → the sampling anchor + in-window
+    # partitioned-rank machinery
+    "weighted_sample_per_source": ("mixture_sample", "segment_top_value_orders"),
 }
 
 

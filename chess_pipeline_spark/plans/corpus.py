@@ -414,6 +414,58 @@ LIMIT {_ES_K}
 """
 
 
+_ES_PER_SRC_K = 10  # per-stratum reservoir size
+
+
+def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum weighted reservoirs: the top-{_ES_PER_SRC_K} of the
+    SAME deterministic ES race, ranked WITHIN each source — exact
+    weighted sampling-without-replacement per stratum, the form a
+    mixture curator uses when every source must contribute a fixed
+    quota regardless of its size (the global race lets one huge
+    source crowd the sample; mixture targets usually forbid that).
+
+    100 TB shape: same scan-stage key as weighted_sample_es, then one
+    rank window PARTITIONED BY source — per-partition state is one
+    stratum's rows, no global order anywhere; the result is
+    |sources|·k rows. Same total (priority, doc_id) order within
+    strata, so both engines pick identical rows.
+    """
+    d = spread(_L(spark, sf_dir, "documents"), "doc_id")
+    w = Window.partitionBy("source").orderBy(
+        F.col("priority_micro").desc(), F.col("doc_id").asc()
+    )
+    return (
+        es_scored(d)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _ES_PER_SRC_K)
+        .select(
+            "source",
+            F.col("rk").cast("long").alias("rk"),
+            "doc_id",
+            "weight",
+            "priority_micro",
+        )
+    )
+
+
+WEIGHTED_SAMPLE_PER_SOURCE_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         CAST(n_chars AS BIGINT) AS weight,
+         CAST(floor(ln(({_ES_U6} + 1.0) / {float(16**6)})
+                    / CAST(greatest(n_chars, 1) AS DOUBLE) * 1000000.0 + 0.5)
+           AS BIGINT) AS priority_micro
+  FROM documents),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+              ORDER BY priority_micro DESC, doc_id ASC) AS rk
+  FROM scored)
+SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, weight, priority_micro
+FROM ranked WHERE rk <= {_ES_PER_SRC_K}
+"""
+
+
 # ------------------------------------------------------------------
 # Token-budget sequence packing
 # ------------------------------------------------------------------
@@ -2243,6 +2295,11 @@ QUERIES: dict[str, QuerySpec] = {
         temperature_mixture_sample,
         TEMPERATURE_MIXTURE_SAMPLE_SQL,
         "corpus-temperature-mixture",
+    ),
+    "weighted_sample_per_source": QuerySpec(
+        weighted_sample_per_source,
+        WEIGHTED_SAMPLE_PER_SOURCE_SQL,
+        "corpus-stratified-reservoir",
     ),
     "pack_sequences": QuerySpec(pack_sequences, PACK_SEQUENCES_SQL, "corpus-pack"),
     "tfidf_top_terms": QuerySpec(

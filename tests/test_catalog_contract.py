@@ -195,6 +195,7 @@ FROZEN_ORDER: tuple[str, ...] = (
     "concurrency_peak_daily",
     "bm25_index_probe",
     "temperature_mixture_sample",
+    "weighted_sample_per_source",
 )
 
 

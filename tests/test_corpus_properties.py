@@ -209,6 +209,9 @@ _RANDOMIZED_QUERIES = (
     # r7: temperature mixture — pow/rounding of data-derived rates
     # must agree cross-engine on skewed generated source sizes
     "temperature_mixture_sample",
+    # r7: per-stratum ES reservoirs — partitioned rank over the
+    # quantized race key on adversarial corpora
+    "weighted_sample_per_source",
 )
 
 

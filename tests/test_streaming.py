@@ -972,3 +972,38 @@ def test_stream_weighted_sample_equals_batch_after_any_prefix(
     assert sorted(sn["batch_id"].tolist()) == [0, 1]
     cuts = sn["cut_priority_micro"].tolist()
     assert cuts[-1] >= cuts[0]
+
+
+def test_stream_es_sample_bak_fallback_survives_mid_swap_crash(
+    spark, sf_dir, tmp_path
+):
+    """The bak-swap crash window, exercised through the shared
+    sinks helper on the ES sample ledger (the HLL twin test covers
+    the same helper's other call path): crash between the renames,
+    then fold the next batch — the reader must fall back to the
+    .bak so the final sample still equals the batch query."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from chess_pipeline_spark.plans.corpus import es_scored, es_top_k
+    from chess_pipeline_spark.sources import load_table
+    from chess_pipeline_spark.streaming.jobs import _es_sample_process_batch
+
+    docs = load_table(spark, sf_dir, "documents")
+    mid = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    sample = str(tmp_path / "es_sample")
+    snaps = str(tmp_path / "es_snaps")
+
+    _es_sample_process_batch(docs.filter(F.col("doc_id") <= mid), 0, sample, snaps)
+    assert os.path.exists(sample)
+    os.rename(sample, sample + ".__bak__")  # crashed between renames
+
+    _es_sample_process_batch(docs.filter(F.col("doc_id") > mid), 1, sample, snaps)
+    canon = lambda df: sorted(map(repr, map(tuple, df.collect())))  # noqa: E731
+    got = canon(
+        spark.read.parquet(sample).select(
+            "doc_id", "source", "weight", "priority_micro"
+        )
+    )
+    assert got == canon(es_top_k(es_scored(docs)))
