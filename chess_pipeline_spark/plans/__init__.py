@@ -81,7 +81,7 @@ DRIVER_WINDOW = 50
 #          families. Operators built new in r7 start demoted with
 #          local oracle rows, staged for the r8 promotion.
 #
-# r8 ROTATION CHECKLIST (execute at r8 start): promote the 21
+# r8 ROTATION CHECKLIST (execute at r8 start): promote the 22
 # never-driver-verified r7-new queries — ivf_adc_recall,
 # ivf_ingest_audit, pgn_moves_table, hll_set_algebra,
 # fuzzy_part_matches, bpe_train_merges, cms_join_size_estimate,
@@ -89,12 +89,13 @@ DRIVER_WINDOW = 50
 # containment_near_dup, source_kl_divergence, zorder_layout_audit,
 # bloom_join_prune, media_phash_near_dup, weighted_sample_es,
 # psi_value_drift, pca_top_component, concurrency_peak_daily,
-# bm25_index_probe, temperature_mixture_sample (they sit at the
-# tail of _DEMOTED below) — demoting 21 window members that are
+# bm25_index_probe, temperature_mixture_sample,
+# weighted_sample_per_source (they sit at the tail of _DEMOTED
+# below) — demoting 22 window members that are
 # green in BOTH r6 and r7 CORRECTNESS files, keeping the
 # single-green r7 promotions in place and multimodal_features/
 # mixture_sample as family anchors. Done = CORRECTNESS_r08.json
-# 50/50 green including all 21 names and the never-driver-green
+# 50/50 green including all 22 names and the never-driver-green
 # set shrinks to r8's own additions.
 _DEMOTED: tuple[str, ...] = (
     "distinct_flag_status",
