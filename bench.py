@@ -178,6 +178,13 @@ EXTENDED = [
     "bm25_index_probe",
     "temperature_mixture_sample",
     "weighted_sample_per_source",
+    # late-r7 DSS shapes: Q2 argmin, Q11 global-scalar HAVING,
+    # Q9 profit rollup, Q20 two-level agg, Q16 not-in anti
+    "cheapest_supplier_per_part",
+    "above_share_nations",
+    "profit_by_nation_year",
+    "dominant_supplier_parts",
+    "brand_supplier_counts",
 ]
 
 ROUND = 7  # bump per round; names the committed BENCHLOCAL file

@@ -81,7 +81,7 @@ DRIVER_WINDOW = 50
 #          families. Operators built new in r7 start demoted with
 #          local oracle rows, staged for the r8 promotion.
 #
-# r8 ROTATION CHECKLIST (execute at r8 start): promote the 22
+# r8 ROTATION CHECKLIST (execute at r8 start): promote the 27
 # never-driver-verified r7-new queries — ivf_adc_recall,
 # ivf_ingest_audit, pgn_moves_table, hll_set_algebra,
 # fuzzy_part_matches, bpe_train_merges, cms_join_size_estimate,
@@ -90,8 +90,10 @@ DRIVER_WINDOW = 50
 # bloom_join_prune, media_phash_near_dup, weighted_sample_es,
 # psi_value_drift, pca_top_component, concurrency_peak_daily,
 # bm25_index_probe, temperature_mixture_sample,
-# weighted_sample_per_source (they sit at the tail of _DEMOTED
-# below) — demoting 22 window members that are
+# weighted_sample_per_source, cheapest_supplier_per_part,
+# above_share_nations, profit_by_nation_year,
+# dominant_supplier_parts, brand_supplier_counts (they sit at the
+# tail of _DEMOTED below) — demoting 27 window members that are
 # green in BOTH r6 and r7 CORRECTNESS files, keeping the
 # single-green r7 promotions in place and multimodal_features/
 # mixture_sample as family anchors. Done = CORRECTNESS_r08.json
@@ -212,6 +214,11 @@ _DEMOTED: tuple[str, ...] = (
     "bm25_index_probe",
     "temperature_mixture_sample",
     "weighted_sample_per_source",
+    "cheapest_supplier_per_part",
+    "above_share_nations",
+    "profit_by_nation_year",
+    "dominant_supplier_parts",
+    "brand_supplier_counts",
 )
 
 # For every demoted query: the IN-WINDOW queries that keep its SURVEY
@@ -464,6 +471,22 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     # per-stratum ES reservoirs → the sampling anchor + in-window
     # partitioned-rank machinery
     "weighted_sample_per_source": ("mixture_sample", "segment_top_value_orders"),
+    # Q2 per-group argmin join-back → the same min(struct) argmin
+    # drives the in-window keep-best family; broadcast-dim report
+    # joins in-window via Q10
+    "cheapest_supplier_per_part": ("returned_items_report", "attribution_last_touch"),
+    # Q11 global-scalar HAVING → the in-window market-share ratio
+    # divides by the same broadcast global aggregate
+    "above_share_nations": ("nation_market_share", "promo_revenue_share"),
+    # Q9 profit rollup → the promoted six-table snowflakes carry the
+    # same dim-broadcast + year-keyed aggregate machinery
+    "profit_by_nation_year": ("local_supplier_volume", "nation_trade_volume"),
+    # Q20 two-level correlated aggregate → Q21's decorrelated
+    # two-level-agg form + Q17's per-group threshold compare
+    "dominant_supplier_parts": ("small_qty_revenue", "order_priority_pending"),
+    # Q16 NOT-IN anti join + count-distinct → Q22's anti join and the
+    # key-cardinality distinct counts in-window
+    "brand_supplier_counts": ("idle_customer_balance", "cust_order_count_dist"),
 }
 
 

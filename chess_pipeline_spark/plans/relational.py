@@ -2504,8 +2504,358 @@ ORDER BY p_partkey
 """
 
 
+_Q2_TYPE = "STANDARD"
+_Q2_MAX_SIZE = 10
+
+
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 core shape: per-group argmin with attribute join-back —
+    for each STANDARD part of size ≤ 10, the supplier offering the
+    lowest observed unit price (extendedprice/quantity), deterministic
+    suppkey tie-break.
+
+    Spark-first argmin: ``min(struct(unit_price, suppkey))`` in ONE
+    partial-aggregated pass — no window function over the fact, so at
+    100 TB this is a map-side-combined shuffle keyed on partkey with
+    no per-partition sort. The filtered part list and the supplier
+    dim both broadcast; the fact is scanned once with the 4-column
+    projection pushed down. The classic Q2 MIN-correlated subquery
+    decorrelates to exactly this aggregate-then-join plan.
+    """
+    parts = (
+        _L(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_type") == _Q2_TYPE) & (F.col("p_size") <= _Q2_MAX_SIZE)
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    li = _L(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        fround(F.col("l_extendedprice") / F.col("l_quantity"), 6).alias("unit"),
+    )
+    best = (
+        li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+        .groupBy("p_partkey", "p_brand", "p_size")
+        .agg(F.min(F.struct("unit", "l_suppkey")).alias("m"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            "p_size",
+            F.col("m.unit").alias("min_unit_price"),
+            F.col("m.l_suppkey").alias("best_suppkey"),
+        )
+    )
+    supp = _L(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey"), F.col("s_name").alias("supplier_name")
+    )
+    return (
+        best.join(F.broadcast(supp), best.best_suppkey == supp.s_suppkey)
+        .select(
+            "p_partkey",
+            "p_brand",
+            "p_size",
+            "min_unit_price",
+            "best_suppkey",
+            "supplier_name",
+        )
+        .orderBy("p_partkey")
+    )
+
+
+CHEAPEST_SUPPLIER_PER_PART_SQL = f"""
+WITH priced AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         {sql_round('l.l_extendedprice / l.l_quantity', 6)} AS unit
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_type = '{_Q2_TYPE}' AND p.p_size <= {_Q2_MAX_SIZE}),
+ranked AS (
+  SELECT l_partkey, l_suppkey, unit,
+         row_number() OVER (
+           PARTITION BY l_partkey ORDER BY unit ASC, l_suppkey ASC) AS rk
+  FROM priced)
+SELECT p.p_partkey, p.p_brand, p.p_size,
+       r.unit AS min_unit_price,
+       r.l_suppkey AS best_suppkey,
+       s.s_name AS supplier_name
+FROM ranked r
+JOIN part p ON r.l_partkey = p.p_partkey
+JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.rk = 1
+ORDER BY p.p_partkey
+"""
+
+
+_Q11_SHARE_CUT = 0.045
+
+
+def above_share_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: HAVING against a global scalar subquery —
+    supplier nations whose lineitem revenue exceeds 4.5% of GLOBAL
+    revenue.
+
+    The scalar subquery decorrelates to a one-row aggregate
+    cross-joined via broadcast (Catalyst's own plan for an
+    uncorrelated scalar): the fact is scanned twice, but both scans
+    carry the same 3-column pushdown and the second collapses to one
+    row before the exchange, so at 100 TB the added cost is one
+    map-side-combined pass, never a joined shuffle. Revenue sums are
+    grid-rounded before the share division so the HAVING boundary is
+    bit-identical on both engines.
+    """
+    li = _L(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("rev"),
+    )
+    supp = F.broadcast(
+        _L(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    )
+    nat = F.broadcast(_L(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    per_nation = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(nat, supp.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(fround(F.sum("rev"), 2).alias("revenue"))
+    )
+    total = li.agg(fround(F.sum("rev"), 2).alias("total_rev"))
+    return (
+        per_nation.crossJoin(F.broadcast(total))
+        .withColumn("share", fround(F.col("revenue") / F.col("total_rev"), 6))
+        .filter(F.col("share") > _Q11_SHARE_CUT)
+        .select("n_name", "revenue", "share")
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+ABOVE_SHARE_NATIONS_SQL = f"""
+WITH per_nation AS (
+  SELECT n.n_name,
+         {sql_round('sum(l.l_extendedprice * (1 - l.l_discount))', 2)} AS revenue
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY 1),
+total AS (
+  SELECT {sql_round('sum(l_extendedprice * (1 - l_discount))', 2)} AS total_rev
+  FROM lineitem)
+SELECT n_name, revenue, share FROM (
+  SELECT n_name, revenue,
+         {sql_round('revenue / total_rev', 6)} AS share
+  FROM per_nation, total)
+WHERE share > {_Q11_SHARE_CUT}
+ORDER BY revenue DESC, n_name
+"""
+
+
+_Q9_NAME_TOKEN = "gear"
+_Q9_COST_RATE = 0.1
+
+
+def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-line profit by supplier nation × order
+    year — lineitem joined to a name-filtered part list, its supplier's
+    nation, and orders (for the year), with a two-sided derived
+    measure (revenue minus a retail-price-proportional cost standing
+    in for ps_supplycost, which the synthetic schema omits).
+
+    All three dimension branches broadcast (part pre-filtered at the
+    scan, so its broadcast shrinks with the predicate); the only wide
+    work is lineitem⋈orders on orderkey. Profit folds row-local
+    before the ≤ nations×years aggregate.
+    """
+    parts = F.broadcast(
+        _L(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains(_Q9_NAME_TOKEN))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = F.broadcast(
+        _L(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    )
+    nat = F.broadcast(_L(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    orders = _L(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    li = _L(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+    profit = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * F.lit(_Q9_COST_RATE)
+    )
+    return (
+        li.join(parts, li.l_partkey == parts.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(nat, supp.s_nationkey == nat.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("n_name", "o_year")
+        .agg(
+            fround(F.sum(profit), 2).alias("profit"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+        .orderBy("n_name", F.desc("o_year"))
+    )
+
+
+_Q9_PROFIT_EXPR = (
+    "sum(l.l_extendedprice * (1 - l.l_discount)"
+    f" - p.p_retailprice * l.l_quantity * {_Q9_COST_RATE})"
+)
+
+PROFIT_BY_NATION_YEAR_SQL = f"""
+SELECT n.n_name, CAST(year(o.o_orderdate) AS INT) AS o_year,
+       {sql_round(_Q9_PROFIT_EXPR, 2)} AS profit,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE p.p_name LIKE '%{_Q9_NAME_TOKEN}%'
+GROUP BY 1, 2
+ORDER BY 1, 2 DESC
+"""
+
+
+def dominant_supplier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: two-level correlated aggregate — suppliers who
+    shipped MORE THAN DOUBLE a part's fair share (2 × total/n_suppliers),
+    counted over parts served by at least two distinct suppliers. The
+    fair-share form keeps the threshold correlated with BOTH per-part
+    aggregates (total qty and supplier count) and stays non-vacuous as
+    per-part line counts grow with scale (Q20's absolute >50% cut
+    empties out once parts average many suppliers).
+
+    The correlated `qty > 2 × (SELECT sum(qty)/count(*) … same part)`
+    decorrelates into per-(part, supplier) partials (ONE map-side
+    combined pass over the fact) with the per-part rollup expressed
+    as an unordered window over that pair frame — the pair frame is
+    |parts×suppliers-seen|, far below the fact, so the window's
+    partkey exchange is dimension-scale and the fact is scanned
+    exactly once (a groupBy-then-self-join rollup would duplicate the
+    fact subtree: Spark shares no subplans without caching). Quantity
+    sums are grid-rounded before the half-threshold compare.
+    """
+    li = _L(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+    pair = li.groupBy("l_partkey", "l_suppkey").agg(
+        fround(F.sum("l_quantity"), 4).alias("s_qty")
+    )
+    w = Window.partitionBy("l_partkey")
+    dominated = (
+        pair.withColumn("t_qty", fround(F.sum("s_qty").over(w), 4))
+        .withColumn("n_supp", F.count("*").over(w).cast("long"))
+        .filter(
+            (F.col("n_supp") >= 2)
+            & (
+                F.col("s_qty")
+                > fround(F.col("t_qty") * F.lit(2.0) / F.col("n_supp"), 4)
+            )
+        )
+    )
+    supp = F.broadcast(
+        _L(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    )
+    return (
+        dominated.groupBy("l_suppkey")
+        .agg(F.count("*").cast("long").alias("n_dominated"))
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .select(F.col("l_suppkey").alias("suppkey"), "s_name", "n_dominated")
+        .orderBy(F.desc("n_dominated"), "suppkey")
+    )
+
+
+DOMINANT_SUPPLIER_PARTS_SQL = f"""
+WITH pair AS (
+  SELECT l_partkey, l_suppkey, {sql_round('sum(l_quantity)', 4)} AS s_qty
+  FROM lineitem GROUP BY 1, 2),
+per_part AS (
+  SELECT l_partkey, {sql_round('sum(s_qty)', 4)} AS t_qty,
+         CAST(count(*) AS BIGINT) AS n_supp
+  FROM pair GROUP BY 1),
+dominated AS (
+  SELECT pr.l_suppkey
+  FROM pair pr JOIN per_part pp USING (l_partkey)
+  WHERE pp.n_supp >= 2
+    AND pr.s_qty > {sql_round('pp.t_qty * 2.0 / pp.n_supp', 4)})
+SELECT d.l_suppkey AS suppkey, s.s_name,
+       CAST(count(*) AS BIGINT) AS n_dominated
+FROM dominated d JOIN supplier s ON d.l_suppkey = s.s_suppkey
+GROUP BY 1, 2
+ORDER BY n_dominated DESC, suppkey
+"""
+
+
+_Q16_SIZES = (1, 5, 9, 13, 19, 23, 31, 45)
+
+
+def brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: supplier-variety report with a NOT-IN
+    exclusion subquery — per (brand, size) over a size shortlist,
+    the number of DISTINCT suppliers who shipped that part class,
+    excluding suppliers in arrears (negative account balance — the
+    synthetic stand-in for Q16's complaints predicate).
+
+    The NOT IN (SELECT s_suppkey …) decorrelates to a broadcast
+    left-anti join (the exclusion list is supplier-scale, i.e. tiny
+    against the fact); part joins broadcast after its isin pushdown.
+    countDistinct keys the shuffle on (brand, size) with the suppkey
+    carried as the distinct column — one exchange, no fact re-scan.
+    """
+    bad = (
+        _L(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    parts = F.broadcast(
+        _L(spark, sf_dir, "part")
+        .filter(F.col("p_size").isin(*_Q16_SIZES))
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    li = _L(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(parts, li.l_partkey == parts.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+    )
+
+
+BRAND_SUPPLIER_COUNTS_SQL = f"""
+SELECT p.p_brand, p.p_size,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_size IN {_Q16_SIZES!r}
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2
+ORDER BY supplier_cnt DESC, p_brand, p_size
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "win_ratio_by_status": QuerySpec(win_ratio_by_status, WIN_RATIO_SQL, "A1 A2 E5 P7"),
+    "cheapest_supplier_per_part": QuerySpec(
+        cheapest_supplier_per_part,
+        CHEAPEST_SUPPLIER_PER_PART_SQL,
+        "Q2 argmin min(struct) ext",
+    ),
+    "above_share_nations": QuerySpec(
+        above_share_nations, ABOVE_SHARE_NATIONS_SQL, "Q11 global-scalar HAVING ext"
+    ),
+    "profit_by_nation_year": QuerySpec(
+        profit_by_nation_year, PROFIT_BY_NATION_YEAR_SQL, "Q9 profit rollup ext"
+    ),
+    "dominant_supplier_parts": QuerySpec(
+        dominant_supplier_parts,
+        DOMINANT_SUPPLIER_PARTS_SQL,
+        "Q20 two-level correlated agg ext",
+    ),
+    "brand_supplier_counts": QuerySpec(
+        brand_supplier_counts, BRAND_SUPPLIER_COUNTS_SQL, "Q16 not-in anti ext"
+    ),
     "orders_rfm_segments": QuerySpec(
         orders_rfm_segments, ORDERS_RFM_SEGMENTS_SQL, "rfm ext A3 F6"
     ),

@@ -196,6 +196,11 @@ FROZEN_ORDER: tuple[str, ...] = (
     "bm25_index_probe",
     "temperature_mixture_sample",
     "weighted_sample_per_source",
+    "cheapest_supplier_per_part",
+    "above_share_nations",
+    "profit_by_nation_year",
+    "dominant_supplier_parts",
+    "brand_supplier_counts",
 )
 
 

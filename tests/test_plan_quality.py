@@ -973,3 +973,70 @@ def test_concurrency_global_window_only_over_bucket_frame(spark, sf_dir):
     assert all(
         "user_id" not in ln and "session_id" not in ln for ln in singles
     )
+
+
+def test_q2_argmin_no_window_over_fact(spark, sf_dir):
+    # cheapest_supplier_per_part resolves the per-part argmin with
+    # min(struct(unit, suppkey)) — a map-side-combined aggregate, NOT
+    # a row_number window over the fact; part shortlist and supplier
+    # dim broadcast; the size predicate reaches the part scan
+    plan = _plan(spark, sf_dir, "cheapest_supplier_per_part")
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "LessThanOrEqual(p_size,10)" in plan  # pushed to the part scan
+    # argmin aggregate is partial before the exchange
+    assert "partial_min" in plan
+
+
+def test_q11_scalar_subquery_broadcasts(spark, sf_dir):
+    # above_share_nations divides by a one-row global aggregate — the
+    # scalar side must arrive via broadcast (nested-loop over 1 row),
+    # never a cartesian or a sort-merge join
+    plan = _plan(spark, sf_dir, "above_share_nations")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastExchange" in plan
+    # both fact passes carry the 3-column projection only
+    reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln and "lineitem" not in ln]
+    assert all("l_shipdate" not in ln and "l_quantity" not in ln for ln in reads)
+
+
+def test_q9_dims_broadcast_profit_rolls_up(spark, sf_dir):
+    # profit_by_nation_year: part (name-filtered), supplier, nation
+    # all broadcast; the name LIKE predicate reaches the part scan;
+    # the final nations x years aggregate is map-side combined
+    plan = _plan(spark, sf_dir, "profit_by_nation_year")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "StringContains(p_name,gear)" in plan
+    assert "partial_sum" in plan
+
+
+def test_q20_single_fact_scan_window_on_pair_frame(spark, sf_dir):
+    # dominant_supplier_parts: the fact is scanned ONCE (the per-part
+    # rollup is a window over the pair frame, not a self-join that
+    # would duplicate the lineitem subtree); the only window runs
+    # after the pair aggregate
+    plan = _plan(spark, sf_dir, "dominant_supplier_parts")
+    # formatted mode prints each node twice (tree + detail):
+    # lineitem + supplier = 2 scans -> 4 mentions
+    scan_lines = [
+        ln for ln in plan.splitlines() if "Location: InMemoryFileIndex" in ln
+    ]
+    li_scans = [ln for ln in scan_lines if "lineitem" in ln]
+    assert len(li_scans) == 1, plan
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q16_exclusion_is_broadcast_anti_join(spark, sf_dir):
+    # brand_supplier_counts excludes in-arrears suppliers via a
+    # broadcast LEFT ANTI join (the NOT IN list is supplier-scale);
+    # the negative-balance predicate reaches the supplier scan and
+    # the size shortlist reaches the part scan
+    plan = _plan(spark, sf_dir, "brand_supplier_counts")
+    assert "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "LessThan(s_acctbal,0" in plan
+    assert "In(p_size, [1,5,9,13,19,23,31,45])" in plan or "In(p_size" in plan
