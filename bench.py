@@ -185,6 +185,11 @@ EXTENDED = [
     "profit_by_nation_year",
     "dominant_supplier_parts",
     "brand_supplier_counts",
+    # late-r7 training-pipeline ops: point-in-time feature lookup,
+    # deterministic contrastive negatives
+    "scd2_point_in_time_join",
+    "negative_sample_pairs",
+    "leakage_safe_split",
 ]
 
 ROUND = 7  # bump per round; names the committed BENCHLOCAL file

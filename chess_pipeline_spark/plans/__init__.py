@@ -81,7 +81,7 @@ DRIVER_WINDOW = 50
 #          families. Operators built new in r7 start demoted with
 #          local oracle rows, staged for the r8 promotion.
 #
-# r8 ROTATION CHECKLIST (execute at r8 start): promote the 27
+# r8 ROTATION CHECKLIST (execute at r8 start): promote the 30
 # never-driver-verified r7-new queries — ivf_adc_recall,
 # ivf_ingest_audit, pgn_moves_table, hll_set_algebra,
 # fuzzy_part_matches, bpe_train_merges, cms_join_size_estimate,
@@ -92,13 +92,14 @@ DRIVER_WINDOW = 50
 # bm25_index_probe, temperature_mixture_sample,
 # weighted_sample_per_source, cheapest_supplier_per_part,
 # above_share_nations, profit_by_nation_year,
-# dominant_supplier_parts, brand_supplier_counts (they sit at the
-# tail of _DEMOTED below) — demoting 27 window members that are
-# green in BOTH r6 and r7 CORRECTNESS files, keeping the
-# single-green r7 promotions in place and multimodal_features/
-# mixture_sample as family anchors. Done = CORRECTNESS_r08.json
-# 50/50 green including all 22 names and the never-driver-green
-# set shrinks to r8's own additions.
+# dominant_supplier_parts, brand_supplier_counts,
+# scd2_point_in_time_join, negative_sample_pairs,
+# leakage_safe_split (they sit at the tail of _DEMOTED below) —
+# demoting 30 window members that are green in BOTH r6 and r7
+# CORRECTNESS files, keeping the single-green r7 promotions in
+# place and multimodal_features/mixture_sample as family anchors.
+# Done = CORRECTNESS_r08.json 50/50 green including all 30 names
+# and the never-driver-green set shrinks to r8's own additions.
 _DEMOTED: tuple[str, ...] = (
     "distinct_flag_status",
     "global_minmax",
@@ -219,6 +220,9 @@ _DEMOTED: tuple[str, ...] = (
     "profit_by_nation_year",
     "dominant_supplier_parts",
     "brand_supplier_counts",
+    "scd2_point_in_time_join",
+    "negative_sample_pairs",
+    "leakage_safe_split",
 )
 
 # For every demoted query: the IN-WINDOW queries that keep its SURVEY
@@ -487,6 +491,15 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     # Q16 NOT-IN anti join + count-distinct → Q22's anti join and the
     # key-cardinality distinct counts in-window
     "brand_supplier_counts": ("idle_customer_balance", "cust_order_count_dist"),
+    # point-in-time SCD2 lookup → the SCD2 merge itself + keyed
+    # fact-dim join report shapes
+    "scd2_point_in_time_join": ("scd2_customer_snapshot", "returned_items_report"),
+    # deterministic contrastive negatives → hash-gated sampling +
+    # bucket-join candidate machinery
+    "negative_sample_pairs": ("mixture_sample", "dedup_embedding_agreement"),
+    # group-keyed split gate → digest-group clustering + hash-gated
+    # sampling
+    "leakage_safe_split": ("dup_cluster_size_hist", "mixture_sample"),
 }
 
 

@@ -467,6 +467,189 @@ FROM ranked WHERE rk <= {_ES_PER_SRC_K}
 
 
 # ------------------------------------------------------------------
+# Deterministic negative sampling for contrastive training
+# ------------------------------------------------------------------
+
+
+def _md5_u6(key_sql: str) -> str:
+    """Engine-portable uniform integer in [0, 16^6) from md5(key):
+    the same fold as _BUCKET_EXPR/_ES_U6, parameterized by the key
+    expression so each operator salts its own stream."""
+    return (
+        "("
+        + " + ".join(
+            f"(instr('{_HEX}', substr(md5({key_sql}), {k}, 1)) - 1) * {16 ** (6 - k)}"
+            for k in range(1, 7)
+        )
+        + ")"
+    )
+
+
+_NEG_B = 64   # candidate buckets (scale ~N/1000 in production)
+_NEG_K = 4    # negatives per anchor
+_NEG_ANCHOR_PERMILLE = 100  # anchor ~10% of the corpus
+
+_NEG_BUCKET_KEY = "concat('nb:', CAST(doc_id AS STRING))"
+_NEG_TIEBREAK_KEY = "concat('nr:', CAST(doc_id AS STRING))"
+_NEG_ANCHOR_KEY = "concat('na:', CAST(doc_id AS STRING))"
+_NEG_TARGET_KEY = "concat('nj:', CAST(anchor_id AS STRING), ':', CAST(j AS STRING))"
+_NEG_BUCKET = f"({_md5_u6(_NEG_BUCKET_KEY)} % {_NEG_B})"
+_NEG_TIEBREAK = _md5_u6(_NEG_TIEBREAK_KEY)
+_NEG_ANCHOR_GATE = f"({_md5_u6(_NEG_ANCHOR_KEY)} % 1000)"
+_NEG_TARGET = f"({_md5_u6(_NEG_TARGET_KEY)} % {_NEG_B})"
+
+
+def negative_sample_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic in-corpus negative sampling for contrastive
+    training: every anchor document gets {_NEG_K} pseudo-random but
+    REPRODUCIBLE negatives — rerunning on the same corpus (or a
+    backfill shard) emits identical (anchor, negative) pairs, so
+    training data is versionable without storing an RNG trace.
+
+    Scheme: hash every doc into one of {_NEG_B} buckets; per bucket
+    keep the two lowest-tiebreak representatives; each (anchor, j)
+    slot hashes to a target bucket and takes that bucket's first
+    representative, falling back to the second when the first IS the
+    anchor (so a pair never collides with its own anchor). Anchors
+    are a deterministic ~10% gate so the pair table is a bounded
+    multiple of the corpus.
+
+    100 TB shape: representative selection is ONE shuffle keyed on
+    bucket (row_number over buckets whose population is N/B — B
+    scales with the corpus, so partitions stay bounded) collapsed to
+    a B-row frame; the anchor→bucket lookup then BROADCASTS that
+    frame, so the pair join is shuffle-free on the corpus side. No
+    corpus×corpus anywhere; output ≤ anchors × {_NEG_K}.
+    """
+    d = spread(_L(spark, sf_dir, "documents"), "doc_id").select("doc_id")
+    base = d.select(
+        "doc_id",
+        F.expr(_NEG_BUCKET).alias("bucket"),
+        F.expr(_NEG_TIEBREAK).alias("tb"),
+    )
+    w = Window.partitionBy("bucket").orderBy("tb", "doc_id")
+    reps = (
+        base.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .groupBy("bucket")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("rep1"),
+            F.min(F.when(F.col("rn") == 2, F.col("doc_id"))).alias("rep2"),
+        )
+    )
+    anchors = d.filter(F.expr(_NEG_ANCHOR_GATE) < _NEG_ANCHOR_PERMILLE).select(
+        F.col("doc_id").alias("anchor_id")
+    )
+    pairs = anchors.select(
+        "anchor_id",
+        F.explode(F.array(*[F.lit(j) for j in range(_NEG_K)])).alias("j"),
+    ).withColumn("tgt", F.expr(_NEG_TARGET))
+    neg = F.when(F.col("rep1") != F.col("anchor_id"), F.col("rep1")).otherwise(
+        F.col("rep2")
+    )
+    return (
+        pairs.join(F.broadcast(reps), pairs["tgt"] == reps["bucket"], "inner")
+        .select(
+            "anchor_id",
+            F.col("j").cast("long").alias("j"),
+            neg.alias("neg_id"),
+        )
+        .filter(F.col("neg_id").isNotNull())
+        .orderBy("anchor_id", "j")
+    )
+
+
+NEGATIVE_SAMPLE_PAIRS_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {_NEG_BUCKET} AS bucket, {_NEG_TIEBREAK} AS tb
+  FROM documents),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY bucket
+              ORDER BY tb, doc_id) AS rn
+  FROM base),
+reps AS (
+  SELECT bucket,
+         min(CASE WHEN rn = 1 THEN doc_id END) AS rep1,
+         min(CASE WHEN rn = 2 THEN doc_id END) AS rep2
+  FROM ranked WHERE rn <= 2 GROUP BY bucket),
+anchors AS (
+  SELECT doc_id AS anchor_id FROM documents
+  WHERE {_NEG_ANCHOR_GATE} < {_NEG_ANCHOR_PERMILLE}),
+pairs AS (
+  SELECT anchor_id, j, {_NEG_TARGET} AS tgt
+  FROM anchors
+  CROSS JOIN (VALUES (0), (1), (2), (3)) AS js(j)),
+chosen AS (
+  SELECT p.anchor_id, CAST(p.j AS BIGINT) AS j,
+         CASE WHEN r.rep1 <> p.anchor_id THEN r.rep1 ELSE r.rep2 END AS neg_id
+  FROM pairs p JOIN reps r ON p.tgt = r.bucket)
+SELECT * FROM chosen WHERE neg_id IS NOT NULL
+ORDER BY anchor_id, j
+"""
+
+
+# ------------------------------------------------------------------
+# Leakage-safe train/valid/test split
+# ------------------------------------------------------------------
+
+_SPLIT_TRAIN_PERMILLE = 800   # [0, 800) → train
+_SPLIT_VALID_PERMILLE = 900   # [800, 900) → valid; rest → test
+_SPLIT_KEY = "concat('sp:', CAST(group_rep AS STRING))"
+_SPLIT_GATE = f"({_md5_u6(_SPLIT_KEY)} % 1000)"
+
+
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/valid/test assignment that can never leak a duplicate
+    across splits: the split hash is keyed on the document's exact-
+    dup GROUP REPRESENTATIVE (min doc_id per md5(text) digest), not
+    the document itself, so byte-identical copies land in the same
+    split by construction — the eval-contamination failure mode of
+    naive per-doc hashing (a test doc whose twin sits in train).
+
+    80/10/10 deterministic permille gates over the same engine-
+    portable md5 fold as the samplers; rerunning (or splitting a
+    late-arriving shard) reproduces the identical assignment.
+
+    100 TB shape: ONE digest-keyed shuffle — the group representative
+    is a window min over md5(text), no groupBy+join round trip — and
+    the gate itself is a row-local projection. Text never moves:
+    only (doc_id, 32-byte digest) enters the exchange.
+    """
+    d = spread(_L(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id", F.md5("text").alias("dg")
+    )
+    rep = F.min("doc_id").over(Window.partitionBy("dg"))
+    gated = d.select("doc_id", rep.alias("group_rep")).withColumn(
+        "gate", F.expr(_SPLIT_GATE)
+    )
+    split = (
+        F.when(F.col("gate") < _SPLIT_TRAIN_PERMILLE, F.lit("train"))
+        .when(F.col("gate") < _SPLIT_VALID_PERMILLE, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        gated.select("doc_id", "group_rep", split.alias("split"))
+        .orderBy("doc_id")
+    )
+
+
+LEAKAGE_SAFE_SPLIT_SQL = f"""
+WITH grouped AS (
+  SELECT doc_id,
+         min(doc_id) OVER (PARTITION BY md5(text)) AS group_rep
+  FROM documents),
+gated AS (
+  SELECT doc_id, group_rep, {_SPLIT_GATE} AS gate FROM grouped)
+SELECT doc_id, group_rep,
+       CASE WHEN gate < {_SPLIT_TRAIN_PERMILLE} THEN 'train'
+            WHEN gate < {_SPLIT_VALID_PERMILLE} THEN 'valid'
+            ELSE 'test' END AS split
+FROM gated
+ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------------------------
 # Token-budget sequence packing
 # ------------------------------------------------------------------
 
@@ -2300,6 +2483,16 @@ QUERIES: dict[str, QuerySpec] = {
         weighted_sample_per_source,
         WEIGHTED_SAMPLE_PER_SOURCE_SQL,
         "corpus-stratified-reservoir",
+    ),
+    "negative_sample_pairs": QuerySpec(
+        negative_sample_pairs,
+        NEGATIVE_SAMPLE_PAIRS_SQL,
+        "corpus-contrastive-negatives",
+    ),
+    "leakage_safe_split": QuerySpec(
+        leakage_safe_split,
+        LEAKAGE_SAFE_SPLIT_SQL,
+        "corpus-leakage-safe-split",
     ),
     "pack_sequences": QuerySpec(pack_sequences, PACK_SEQUENCES_SQL, "corpus-pack"),
     "tfidf_top_terms": QuerySpec(

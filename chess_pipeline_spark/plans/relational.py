@@ -1560,6 +1560,109 @@ ORDER BY c_custkey, valid_from
 """
 
 
+# Point-in-time join constants: version-2 epoch and the fact-clock
+# modulus (facts span both validity windows deterministically).
+_PIT_T = _SCD2_TS
+_PIT_MOD = 2 * _PIT_T
+
+
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal-validity) join — the feature-store
+    lookup every training pipeline needs: each fact row is enriched
+    with the dimension attributes AS OF the fact's own timestamp, so
+    features never leak values that postdate the label event.
+
+    Deterministic scenario from the base tables alone: the SCD2
+    customer dimension has two versions for custkey % 3 == 0 keys
+    (balance bumps +100 at t={_PIT_T}) and one open version
+    otherwise; each order carries fact_ts = (o_orderkey * 7) mod
+    {_PIT_MOD}, spanning both validity windows. Every fact matches
+    exactly one version.
+
+    100 TB shape: this is a plain keyed EQUI-join — never a range
+    join. The SCD2 invariant bounds versions-per-key by a small
+    constant, so joining on the key fans out by at most that
+    constant and the validity predicate (valid_from <= ts < valid_to)
+    then selects exactly one row as a post-join filter Catalyst
+    attaches to the hash join itself; output = |facts|. Contrast a
+    timestamp range join, which has no equi key and degrades to a
+    broadcast-nested-loop. Dimension exchanges hash on the same key
+    as the fact side, AQE broadcasts when the dim fits.
+    """
+    cust = _L(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    v1 = F.struct(
+        F.lit(0).cast("long").alias("valid_from"),
+        F.lit(_PIT_T).cast("long").alias("valid_to"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    v2 = F.struct(
+        F.lit(_PIT_T).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+        fround(F.col("c_acctbal") + 100.0, 2).alias("bal"),
+    )
+    single = F.struct(
+        F.lit(0).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    dim = (
+        cust.select(
+            "c_custkey",
+            F.explode(
+                F.when(F.col("c_custkey") % 3 == 0, F.array(v1, v2)).otherwise(
+                    F.array(single)
+                )
+            ).alias("v"),
+        )
+        .select("c_custkey", "v.valid_from", "v.valid_to", "v.bal")
+    )
+    facts = _L(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        ((F.col("o_orderkey") * 7) % _PIT_MOD).cast("long").alias("fact_ts"),
+    )
+    joined = facts.join(
+        dim,
+        (facts["o_custkey"] == dim["c_custkey"])
+        & (dim["valid_from"] <= facts["fact_ts"])
+        & (dim["valid_to"].isNull() | (facts["fact_ts"] < dim["valid_to"])),
+        "inner",
+    )
+    return joined.select(
+        "o_orderkey",
+        "o_custkey",
+        "fact_ts",
+        F.col("bal").alias("acctbal_asof"),
+        F.col("valid_to").isNull().alias("is_current_version"),
+    ).orderBy("o_orderkey")
+
+
+SCD2_POINT_IN_TIME_JOIN_SQL = f"""
+WITH dim AS (
+  SELECT c_custkey, CAST(0 AS BIGINT) AS valid_from,
+         CAST({_PIT_T} AS BIGINT) AS valid_to, c_acctbal AS bal
+  FROM customer WHERE c_custkey % 3 = 0
+  UNION ALL
+  SELECT c_custkey, CAST({_PIT_T} AS BIGINT),
+         CAST(NULL AS BIGINT), {sql_round('c_acctbal + 100.0', 2)}
+  FROM customer WHERE c_custkey % 3 = 0
+  UNION ALL
+  SELECT c_custkey, CAST(0 AS BIGINT), CAST(NULL AS BIGINT), c_acctbal
+  FROM customer WHERE c_custkey % 3 != 0),
+facts AS (
+  SELECT o_orderkey, o_custkey,
+         CAST((o_orderkey * 7) % {_PIT_MOD} AS BIGINT) AS fact_ts
+  FROM orders)
+SELECT f.o_orderkey, f.o_custkey, f.fact_ts,
+       d.bal AS acctbal_asof,
+       (d.valid_to IS NULL) AS is_current_version
+FROM facts f JOIN dim d ON f.o_custkey = d.c_custkey
+WHERE d.valid_from <= f.fact_ts
+  AND (d.valid_to IS NULL OR f.fact_ts < d.valid_to)
+ORDER BY o_orderkey
+"""
+
+
 def segment_top_value_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relative-rank window report: within each market segment, the
     top-1%-by-value orders with their percent_rank and cume_dist,
@@ -2904,6 +3007,11 @@ QUERIES: dict[str, QuerySpec] = {
         scd2_customer_snapshot,
         SCD2_CUSTOMER_SNAPSHOT_SQL,
         "S5-SCD2 ext (sinks.scd2_apply under oracle)",
+    ),
+    "scd2_point_in_time_join": QuerySpec(
+        scd2_point_in_time_join,
+        SCD2_POINT_IN_TIME_JOIN_SQL,
+        "J4 S5-SCD2 ext (point-in-time feature lookup)",
     ),
     "forecast_revenue_change": QuerySpec(
         forecast_revenue_change, FORECAST_REVENUE_CHANGE_SQL, "Q6 pure-pushdown ext"

@@ -201,6 +201,9 @@ FROZEN_ORDER: tuple[str, ...] = (
     "profit_by_nation_year",
     "dominant_supplier_parts",
     "brand_supplier_counts",
+    "scd2_point_in_time_join",
+    "negative_sample_pairs",
+    "leakage_safe_split",
 )
 
 

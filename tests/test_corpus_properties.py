@@ -212,6 +212,13 @@ _RANDOMIZED_QUERIES = (
     # r7: per-stratum ES reservoirs — partitioned rank over the
     # quantized race key on adversarial corpora
     "weighted_sample_per_source",
+    # r7: contrastive negatives — bucket/rep/target hashing and the
+    # rep1==anchor fallback must agree cross-engine, including on
+    # corpora small enough to leave buckets empty or single-doc
+    "negative_sample_pairs",
+    # r7: leakage-safe split — generated corpora contain duplicate
+    # texts, so the group-representative window actually binds
+    "leakage_safe_split",
 )
 
 
@@ -322,3 +329,57 @@ def test_temperature_mixture_upweights_small_sources(spark, tmp_path_factory):
         "temperature_mixture_sample",
         _CATALOG["temperature_mixture_sample"],
     )
+
+
+def test_leakage_safe_split_never_splits_a_dup_group(spark, tmp_path_factory):
+    """The law the operator exists for: byte-identical documents are
+    NEVER assigned to different splits (the eval-contamination bug of
+    per-doc hashing), and every doc lands in exactly one of the three
+    splits. Corpus: 60 unique texts each duplicated 3x under distinct
+    doc_ids — enough groups that a per-doc hash would all but surely
+    straddle at least one group across splits."""
+    from chess_pipeline_spark.plans import catalog
+
+    rows = []
+    i = 0
+    for g in range(60):
+        for _ in range(3):
+            rows.append((i, f"shared text body of group {g}", "en", "srcA", 28))
+            i += 1
+    tmp = tmp_path_factory.mktemp("leaksplit")
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).astype({"doc_id": "int64", "n_chars": "int64"}).to_parquet(
+        tmp / "documents.parquet", index=False
+    )
+    out = catalog()["leakage_safe_split"].spark(spark, str(tmp)).collect()
+    assert len(out) == 180
+    by_group: dict[int, set[str]] = {}
+    for r in out:
+        assert r["split"] in {"train", "valid", "test"}
+        by_group.setdefault(r["group_rep"], set()).add(r["split"])
+    assert len(by_group) == 60
+    for rep, splits in by_group.items():
+        assert len(splits) == 1, f"group {rep} straddles splits: {splits}"
+    # all three splits realized over 60 groups (P(miss) < 1e-2 only
+    # for test/valid at ~10% each; 60 draws make a miss astronomically
+    # unlikely for train and ~0.2% for each tail — accept that risk to
+    # keep the law sharp; the fixture is deterministic anyway)
+    assert {s for ss in by_group.values() for s in ss} == {"train", "valid", "test"}
+    run_and_compare(spark, str(tmp), "leakage_safe_split", _CATALOG["leakage_safe_split"])
+
+
+def test_negative_pairs_never_pair_anchor_with_itself(spark, sf_dir):
+    """Contract law: a contrastive pair never uses the anchor as its
+    own negative, j slots stay in [0, k), and reruns are
+    deterministic (identical pair sets)."""
+    from chess_pipeline_spark.plans import catalog
+    from chess_pipeline_spark.plans.corpus import _NEG_K
+
+    spec = catalog()["negative_sample_pairs"]
+    a = [(r["anchor_id"], r["j"], r["neg_id"]) for r in spec.spark(spark, sf_dir).collect()]
+    b = [(r["anchor_id"], r["j"], r["neg_id"]) for r in spec.spark(spark, sf_dir).collect()]
+    assert a == b and a
+    for anchor, j, neg in a:
+        assert neg is not None and neg != anchor
+        assert 0 <= j < _NEG_K
