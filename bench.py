@@ -190,6 +190,7 @@ EXTENDED = [
     "scd2_point_in_time_join",
     "negative_sample_pairs",
     "leakage_safe_split",
+    "oversample_balance_sources",
 ]
 
 ROUND = 7  # bump per round; names the committed BENCHLOCAL file

@@ -589,6 +589,88 @@ ORDER BY anchor_id, j
 
 
 # ------------------------------------------------------------------
+# Deterministic class-balancing oversampling (with replacement)
+# ------------------------------------------------------------------
+
+_OVS_CAP_PERMILLE = 4000  # replication capped at 4x the original
+_OVS_KEY = "concat('ov:', source, ':', CAST(doc_id AS STRING))"
+_OVS_GATE = f"({_md5_u6(_OVS_KEY)} % 1000)"
+
+
+def oversample_balance_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic oversampling WITH replacement that balances
+    strata toward the largest source: every document of source s is
+    replicated rate_s = min({_OVS_CAP_PERMILLE}‰, n_max/n_s) times —
+    the integer part unconditionally, the fractional part by the
+    same per-doc md5 permille gate as every sampler here — so a
+    minority stratum approaches the majority's row count without RNG
+    state, and a backfilled shard replicates exactly the same docs.
+    The 4x cap is the standard guard against a tiny stratum turning
+    into wall-to-wall repeats.
+
+    Output (doc_id, source, copy_idx): training-set rows, copy_idx
+    distinguishing replicas so downstream shuffles/packing treat
+    them as distinct examples.
+
+    100 TB shape: pass 1 is a source-keyed map-side-combined count;
+    the ≤|sources| rate frame broadcasts back onto the scan; the
+    replicate step is a row-local explode of sequence(1, copies) —
+    output bounded by cap x corpus, no corpus-scale keyed exchange.
+    """
+    d = spread(_L(spark, sf_dir, "documents"), "doc_id")
+    sizes = d.groupBy("source").agg(F.count("*").cast("long").alias("n_s"))
+    mx = sizes.agg(F.max("n_s").cast("double").alias("n_max"))
+    rates = sizes.crossJoin(F.broadcast(mx)).select(
+        "source",
+        F.least(
+            F.lit(_OVS_CAP_PERMILLE).cast("long"),
+            F.floor(F.col("n_max") * 1000.0 / F.col("n_s")).cast("long"),
+        ).alias("rate_permille"),
+    )
+    gated = d.select("doc_id", "source", F.expr(_OVS_GATE).alias("gate")).join(
+        F.broadcast(rates), "source"
+    )
+    base = F.floor(F.col("rate_permille") / 1000.0).cast("long")
+    extra = (
+        F.col("gate") < (F.col("rate_permille") - base * 1000)
+    ).cast("long")
+    return (
+        gated.withColumn("copies", base + extra)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.sequence(F.lit(1).cast("long"), F.col("copies"))
+            ).alias("copy_idx"),
+        )
+        .orderBy("doc_id", "copy_idx")
+    )
+
+
+OVERSAMPLE_BALANCE_SOURCES_SQL = f"""
+WITH sizes AS (
+  SELECT source, count(*) AS n_s FROM documents GROUP BY 1),
+mx AS (SELECT CAST(max(n_s) AS DOUBLE) AS n_max FROM sizes),
+rates AS (
+  SELECT source,
+         least(CAST({_OVS_CAP_PERMILLE} AS BIGINT),
+               CAST(floor(n_max * 1000.0 / n_s) AS BIGINT))
+           AS rate_permille
+  FROM sizes CROSS JOIN mx),
+gated AS (
+  SELECT d.doc_id, d.source, {_OVS_GATE} AS gate, r.rate_permille,
+         CAST(floor(r.rate_permille / 1000.0) AS BIGINT) AS base
+  FROM documents d JOIN rates r USING (source))
+SELECT * FROM (
+  SELECT doc_id, source,
+         unnest(range(1, base + CASE WHEN gate < rate_permille - base * 1000
+                                     THEN 1 ELSE 0 END + 1)) AS copy_idx
+  FROM gated)
+ORDER BY doc_id, copy_idx
+"""
+
+
+# ------------------------------------------------------------------
 # Leakage-safe train/valid/test split
 # ------------------------------------------------------------------
 
@@ -2493,6 +2575,11 @@ QUERIES: dict[str, QuerySpec] = {
         leakage_safe_split,
         LEAKAGE_SAFE_SPLIT_SQL,
         "corpus-leakage-safe-split",
+    ),
+    "oversample_balance_sources": QuerySpec(
+        oversample_balance_sources,
+        OVERSAMPLE_BALANCE_SOURCES_SQL,
+        "corpus-balancing-oversample",
     ),
     "pack_sequences": QuerySpec(pack_sequences, PACK_SEQUENCES_SQL, "corpus-pack"),
     "tfidf_top_terms": QuerySpec(

@@ -204,6 +204,7 @@ FROZEN_ORDER: tuple[str, ...] = (
     "scd2_point_in_time_join",
     "negative_sample_pairs",
     "leakage_safe_split",
+    "oversample_balance_sources",
 )
 
 

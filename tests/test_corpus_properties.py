@@ -219,6 +219,9 @@ _RANDOMIZED_QUERIES = (
     # r7: leakage-safe split — generated corpora contain duplicate
     # texts, so the group-representative window actually binds
     "leakage_safe_split",
+    # r7: balancing oversample — generated corpora have skewed
+    # source sizes, so replication rates > 1000‰ actually bind
+    "oversample_balance_sources",
 )
 
 
@@ -383,3 +386,44 @@ def test_negative_pairs_never_pair_anchor_with_itself(spark, sf_dir):
     for anchor, j, neg in a:
         assert neg is not None and neg != anchor
         assert 0 <= j < _NEG_K
+
+
+def test_oversample_balances_minority_toward_majority(spark, tmp_path_factory):
+    """The law the operator exists for: after oversampling, a
+    minority stratum's row count approaches min(cap, n_max/n_s) x its
+    original size (within hash-gate noise), the majority stratum is
+    NEVER replicated (rate exactly 1000 permille -> 1 copy each), and
+    rerunning yields the identical multiset."""
+    from chess_pipeline_spark.plans import catalog
+
+    sizes = {"big": 300, "mid": 120, "tiny": 30}
+    rows = []
+    i = 0
+    for src, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, f"doc {i} of {src}", "en", src, 12))
+            i += 1
+    tmp = tmp_path_factory.mktemp("oversamp")
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).astype({"doc_id": "int64", "n_chars": "int64"}).to_parquet(
+        tmp / "documents.parquet", index=False
+    )
+    spec = catalog()["oversample_balance_sources"]
+    out = [(r["doc_id"], r["source"], r["copy_idx"]) for r in spec.spark(spark, str(tmp)).collect()]
+    again = [(r["doc_id"], r["source"], r["copy_idx"]) for r in spec.spark(spark, str(tmp)).collect()]
+    assert out == again
+    by_src: dict[str, int] = {}
+    per_doc: dict[int, int] = {}
+    for doc_id, src, copy_idx in out:
+        by_src[src] = by_src.get(src, 0) + 1
+        per_doc[doc_id] = max(per_doc.get(doc_id, 0), copy_idx)
+    # majority: exactly one copy per doc
+    assert by_src["big"] == 300
+    # mid: rate = floor(300*1000/120) = 2500‰ -> expected 300 rows;
+    # the fractional gate adds binomial noise around 120*0.5
+    assert abs(by_src["mid"] - 300) <= 40, by_src
+    # tiny: rate capped at 4000‰ -> exactly 4 copies per doc, no noise
+    assert by_src["tiny"] == 120, by_src
+    assert all(per_doc[d] == 4 for d, s, _ in out if s == "tiny" for d in [d])
+    run_and_compare(spark, str(tmp), "oversample_balance_sources", _CATALOG["oversample_balance_sources"])

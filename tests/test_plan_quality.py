@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import pytest
 
+from chess_pipeline_spark.introspect import plan_metrics
 from chess_pipeline_spark.plans import catalog
 
 _CATALOG = catalog()
@@ -1040,3 +1041,64 @@ def test_q16_exclusion_is_broadcast_anti_join(spark, sf_dir):
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     assert "LessThan(s_acctbal,0" in plan
     assert "In(p_size, [1,5,9,13,19,23,31,45])" in plan or "In(p_size" in plan
+
+
+def test_pit_join_is_keyed_equi_never_range(spark, sf_dir):
+    # scd2_point_in_time_join: the validity window must ride the
+    # custkey HASH join as a join condition — a range-join plan
+    # (BroadcastNestedLoopJoin/CartesianProduct) would be the 100 TB
+    # scale-killer this operator exists to avoid
+    plan = _plan(spark, sf_dir, "scd2_point_in_time_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    # dimension build is a narrow explode: only the ORDER BY exchange
+    # plus (at most) the join's own requirement may shuffle
+    m = plan_metrics(_CATALOG["scd2_point_in_time_join"].spark(spark, sf_dir))
+    assert m["exchanges"] <= 2, m
+
+
+def test_negative_pairs_corpus_side_never_shuffles(spark, sf_dir):
+    # negative_sample_pairs: ONE bucket-keyed exchange builds the
+    # representative frame; the pair join must consume it as a
+    # BROADCAST (the corpus side stays shuffle-free), and only the
+    # deterministic ORDER BY may add a range exchange on top
+    df = _CATALOG["negative_sample_pairs"].spark(spark, sf_dir)
+    m = plan_metrics(df)
+    assert m["broadcast_joins"] >= 1, m
+    assert m["cartesian"] == 0 and m["sort_merge_joins"] == 0, m
+    plan = _explain(df)
+    hash_exchanges = [
+        ln for ln in plan.splitlines()
+        if "hashpartitioning" in ln and "Exchange" in ln
+    ]
+    assert len(hash_exchanges) <= 1, hash_exchanges
+    # the documents scan reads only doc_id — text never moves
+    reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert all("text" not in ln for ln in reads), reads
+
+
+def test_leakage_split_single_digest_shuffle_text_pruned(spark, sf_dir):
+    # leakage_safe_split: one digest-keyed exchange feeds the group
+    # window; text is consumed by md5() in the scan stage and must
+    # not survive into the exchange (only doc_id + 32-byte digest
+    # move)
+    df = _CATALOG["leakage_safe_split"].spark(spark, sf_dir)
+    m = plan_metrics(df)
+    assert m["keyed_exchanges"] <= 1, m
+    assert m["windows"] == 1, m
+    plan = _explain(df)
+    ex_lines = [ln for ln in plan.splitlines() if "hashpartitioning(dg" in ln]
+    assert ex_lines, plan  # the one shuffle keys on the digest
+
+
+def test_oversample_no_corpus_scale_keyed_exchange(spark, sf_dir):
+    # oversample_balance_sources: the rate frame must broadcast back
+    # onto the corpus (replication is a row-local explode); the only
+    # keyed exchanges aggregate the ≤|sources| counter frames
+    df = _CATALOG["oversample_balance_sources"].spark(spark, sf_dir)
+    m = plan_metrics(df)
+    assert m["broadcast_joins"] >= 1, m
+    assert m["cartesian"] == 0 and m["sort_merge_joins"] == 0, m
+    plan = _explain(df)
+    assert "Generate explode" in plan or "Generate" in plan, plan
