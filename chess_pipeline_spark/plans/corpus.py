@@ -499,6 +499,48 @@ _NEG_ANCHOR_GATE = f"({_md5_u6(_NEG_ANCHOR_KEY)} % 1000)"
 _NEG_TARGET = f"({_md5_u6(_NEG_TARGET_KEY)} % {_NEG_B})"
 
 
+def neg_scored(docs: DataFrame) -> DataFrame:
+    """(doc_id, ...) -> (doc_id, bucket, tb): the scan-stage hashing
+    that places every document in its candidate bucket with its
+    deterministic representative-race tiebreak. Shared by the catalog
+    query and the streaming representative ledger — both depend only
+    on the document, so replays re-derive identical rows."""
+    return docs.select(
+        "doc_id",
+        F.expr(_NEG_BUCKET).alias("bucket"),
+        F.expr(_NEG_TIEBREAK).alias("tb"),
+    )
+
+
+def neg_rep_rows(scored: DataFrame) -> DataFrame:
+    """Per-bucket TWO lowest-(tb, doc_id) rows — the mergeable,
+    idempotent fold the streaming ledger persists: reps(A ∪ B) =
+    reps(reps(A) ∪ B), and a replayed batch re-contributes identical
+    rows, so set-union + re-rank is exactly-once by algebra. State is
+    bounded at 2 rows per bucket forever."""
+    w = Window.partitionBy("bucket").orderBy("tb", "doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .drop("rn")
+    )
+
+
+def neg_rep_frame(scored: DataFrame) -> DataFrame:
+    """Collapse scored (or persisted rep) rows to the broadcastable
+    (bucket, rep1, rep2) lookup frame the pair join consumes."""
+    w = Window.partitionBy("bucket").orderBy("tb", "doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .groupBy("bucket")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("rep1"),
+            F.min(F.when(F.col("rn") == 2, F.col("doc_id"))).alias("rep2"),
+        )
+    )
+
+
 def negative_sample_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic in-corpus negative sampling for contrastive
     training: every anchor document gets {_NEG_K} pseudo-random but
@@ -522,21 +564,7 @@ def negative_sample_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus×corpus anywhere; output ≤ anchors × {_NEG_K}.
     """
     d = spread(_L(spark, sf_dir, "documents"), "doc_id").select("doc_id")
-    base = d.select(
-        "doc_id",
-        F.expr(_NEG_BUCKET).alias("bucket"),
-        F.expr(_NEG_TIEBREAK).alias("tb"),
-    )
-    w = Window.partitionBy("bucket").orderBy("tb", "doc_id")
-    reps = (
-        base.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 2)
-        .groupBy("bucket")
-        .agg(
-            F.min(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("rep1"),
-            F.min(F.when(F.col("rn") == 2, F.col("doc_id"))).alias("rep2"),
-        )
-    )
+    reps = neg_rep_frame(neg_scored(d))
     anchors = d.filter(F.expr(_NEG_ANCHOR_GATE) < _NEG_ANCHOR_PERMILLE).select(
         F.col("doc_id").alias("anchor_id")
     )

@@ -906,6 +906,58 @@ def _es_sample_process_batch(
     upsert_partition_overwrite(summary, snapshot_path, ["batch_id"])
 
 
+def stream_negative_reps(docs: DataFrame, reps_path: str, snapshot_path: str):
+    """Continuous maintenance of the contrastive-negative candidate
+    frame: the persisted state is the per-bucket two lowest-tiebreak
+    representatives (plans.corpus.neg_rep_rows — ≤ 2 rows per bucket
+    forever, the minimum state that lets negative_sample_pairs serve
+    its anchor→bucket lookups over everything seen). Each micro-batch
+    hashes its documents with the deterministic bucket/tiebreak keys
+    and folds reps(prior ∪ batch). Because per-bucket top-2 over a
+    fixed key is an idempotent mergeable fold (reps(A ∪ B) =
+    reps(reps(A) ∪ B)), an at-least-once replayed batch
+    re-contributes identical rows and changes nothing; bak-swap
+    provides the crash-safe state replacement. After any prefix of
+    batches the ledger EQUALS the batch neg_rep_rows over the same
+    documents (pytest-asserted).
+
+    100 TB shape: per batch one scan-stage hashing projection + one
+    bucket-keyed rank over (prior ∪ batch) — prior is 2B rows, batch
+    contributes its own docs once; state never grows past 2 rows per
+    bucket.
+    """
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        _neg_reps_process_batch(batch, batch_id, reps_path, snapshot_path)
+
+    return docs.writeStream.foreachBatch(_process)
+
+
+def _neg_reps_process_batch(
+    batch: DataFrame, batch_id: int, reps_path: str, snapshot_path: str
+) -> None:
+    """One stream_negative_reps micro-batch — module-level so replay
+    tests can drive it without a running stream."""
+    from chess_pipeline_spark.plans.corpus import neg_rep_rows, neg_scored
+    from chess_pipeline_spark.sinks import upsert_partition_overwrite
+
+    spark = batch.sparkSession
+    scored = neg_scored(batch.select("doc_id"))
+    prior = _read_bounded_ledger(
+        spark, reps_path, "doc_id long, bucket int, tb int"
+    )
+    # SET union (replay re-contributes identical rows; duplicates
+    # inside a bucket would otherwise occupy both rep slots)
+    merged = neg_rep_rows(scored.unionByName(prior).distinct())
+    snap = _bak_swap_write(spark, merged, reps_path)
+    summary = snap.agg(
+        F.count("*").cast("long").alias("n_reps"),
+        F.countDistinct("bucket").cast("long").alias("n_buckets"),
+        F.min("tb").cast("long").alias("min_tb"),
+    ).withColumn("batch_id", F.lit(batch_id))
+    upsert_partition_overwrite(summary, snapshot_path, ["batch_id"])
+
+
 def stream_text_index_ingest(docs: DataFrame, index_path: str):
     """Continuous inverted-index maintenance: every micro-batch of
     documents folds into the persisted BM25 index through

@@ -1007,3 +1007,54 @@ def test_stream_es_sample_bak_fallback_survives_mid_swap_crash(
         )
     )
     assert got == canon(es_top_k(es_scored(docs)))
+
+
+def test_stream_negative_reps_equals_batch_after_any_prefix(
+    spark, sf_dir, tmp_path
+):
+    """Fold the documents through the negative-representative ledger
+    in two batches, then REPLAY batch 1 (at-least-once): after every
+    prefix the ledger must equal the batch neg_rep_rows over the same
+    documents — per-bucket top-2 over a deterministic key is an
+    idempotent mergeable fold, so the duplicate delivery changes
+    nothing. Also: the pair frame SERVED from the ledger must equal
+    the catalog query's frame built from scratch."""
+    import pyspark.sql.functions as F
+
+    from chess_pipeline_spark.plans.corpus import (
+        neg_rep_frame,
+        neg_rep_rows,
+        neg_scored,
+    )
+    from chess_pipeline_spark.sources import load_table
+    from chess_pipeline_spark.streaming.jobs import _neg_reps_process_batch
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    mid = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    b0 = docs.filter(F.col("doc_id") <= mid)
+    b1 = docs.filter(F.col("doc_id") > mid)
+    reps = str(tmp_path / "neg_reps")
+    snaps = str(tmp_path / "neg_snaps")
+
+    canon = lambda df: sorted(map(repr, map(tuple, df.collect())))  # noqa: E731
+
+    _neg_reps_process_batch(b0, 0, reps, snaps)
+    assert canon(
+        spark.read.parquet(reps).select("doc_id", "bucket", "tb")
+    ) == canon(neg_rep_rows(neg_scored(b0)))
+
+    _neg_reps_process_batch(b1, 1, reps, snaps)
+    _neg_reps_process_batch(b1, 1, reps, snaps)  # at-least-once replay
+
+    ledger = spark.read.parquet(reps).select("doc_id", "bucket", "tb")
+    assert canon(ledger) == canon(neg_rep_rows(neg_scored(docs)))
+    # the served lookup frame is identical to the from-scratch build
+    assert canon(neg_rep_frame(ledger)) == canon(
+        neg_rep_frame(neg_scored(docs))
+    )
+
+    sn = spark.read.parquet(snaps).toPandas().sort_values("batch_id")
+    assert sorted(sn["batch_id"].tolist()) == [0, 1]
+    # reps only improve (tiebreaks are a race to the minimum)
+    assert sn["min_tb"].tolist()[-1] <= sn["min_tb"].tolist()[0]
+    assert (sn["n_reps"] <= 2 * sn["n_buckets"]).all()
