@@ -1567,7 +1567,9 @@ _PIT_MOD = 2 * _PIT_T
 
 
 def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Point-in-time (temporal-validity) join — the feature-store
+    """Point-in-time (temporal-validity) join under ORACLE
+    verification: drives the PRODUCTION `operators.temporal.
+    point_in_time_join` (not a reimplementation) — the feature-store
     lookup every training pipeline needs: each fact row is enriched
     with the dimension attributes AS OF the fact's own timestamp, so
     features never leak values that postdate the label event.
@@ -1616,24 +1618,23 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("c_custkey", "v.valid_from", "v.valid_to", "v.bal")
     )
+    from chess_pipeline_spark.operators.temporal import point_in_time_join
+
     facts = _L(spark, sf_dir, "orders").select(
         "o_orderkey",
-        "o_custkey",
+        F.col("o_custkey").alias("c_custkey"),
         ((F.col("o_orderkey") * 7) % _PIT_MOD).cast("long").alias("fact_ts"),
     )
-    joined = facts.join(
-        dim,
-        (facts["o_custkey"] == dim["c_custkey"])
-        & (dim["valid_from"] <= facts["fact_ts"])
-        & (dim["valid_to"].isNull() | (facts["fact_ts"] < dim["valid_to"])),
-        "inner",
+    dim = dim.withColumn("is_current_version", F.col("valid_to").isNull())
+    joined = point_in_time_join(
+        facts, dim, keys=["c_custkey"], fact_ts="fact_ts"
     )
     return joined.select(
         "o_orderkey",
-        "o_custkey",
+        F.col("c_custkey").alias("o_custkey"),
         "fact_ts",
         F.col("bal").alias("acctbal_asof"),
-        F.col("valid_to").isNull().alias("is_current_version"),
+        "is_current_version",
     ).orderBy("o_orderkey")
 
 
