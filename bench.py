@@ -191,6 +191,7 @@ EXTENDED = [
     "negative_sample_pairs",
     "leakage_safe_split",
     "oversample_balance_sources",
+    "token_balanced_shards",
 ]
 
 ROUND = 7  # bump per round; names the committed BENCHLOCAL file

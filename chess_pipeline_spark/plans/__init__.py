@@ -81,7 +81,7 @@ DRIVER_WINDOW = 50
 #          families. Operators built new in r7 start demoted with
 #          local oracle rows, staged for the r8 promotion.
 #
-# r8 ROTATION CHECKLIST (execute at r8 start): promote the 31
+# r8 ROTATION CHECKLIST (execute at r8 start): promote the 32
 # never-driver-verified r7-new queries — ivf_adc_recall,
 # ivf_ingest_audit, pgn_moves_table, hll_set_algebra,
 # fuzzy_part_matches, bpe_train_merges, cms_join_size_estimate,
@@ -94,13 +94,13 @@ DRIVER_WINDOW = 50
 # above_share_nations, profit_by_nation_year,
 # dominant_supplier_parts, brand_supplier_counts,
 # scd2_point_in_time_join, negative_sample_pairs,
-# leakage_safe_split, oversample_balance_sources (they sit at the
-# tail of _DEMOTED below) — demoting 31 window members that are
-# green in BOTH r6 and r7 CORRECTNESS files, keeping the
-# single-green r7 promotions in place and multimodal_features/
-# mixture_sample as family anchors. Done = CORRECTNESS_r08.json
-# 50/50 green including all 31 names and the never-driver-green
-# set shrinks to r8's own additions.
+# leakage_safe_split, oversample_balance_sources,
+# token_balanced_shards (they sit at the tail of _DEMOTED below) —
+# demoting 32 window members that are green in BOTH r6 and r7
+# CORRECTNESS files, keeping the single-green r7 promotions in
+# place and multimodal_features/mixture_sample as family anchors.
+# Done = CORRECTNESS_r08.json 50/50 green including all 32 names
+# and the never-driver-green set shrinks to r8's own additions.
 _DEMOTED: tuple[str, ...] = (
     "distinct_flag_status",
     "global_minmax",
@@ -225,6 +225,7 @@ _DEMOTED: tuple[str, ...] = (
     "negative_sample_pairs",
     "leakage_safe_split",
     "oversample_balance_sources",
+    "token_balanced_shards",
 )
 
 # For every demoted query: the IN-WINDOW queries that keep its SURVEY
@@ -505,6 +506,9 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     # data-derived replication rates + hash-gated fractional copies →
     # the same broadcast-rates/gate machinery, explode in-window
     "oversample_balance_sources": ("mixture_sample", "boilerplate_chunk_removal"),
+    # bin-decomposed global rank → the sketch-cut decile twin + the
+    # length-bin histogram
+    "token_balanced_shards": ("customer_value_deciles_sketch", "seq_length_histogram"),
 }
 
 

@@ -617,6 +617,76 @@ ORDER BY anchor_id, j
 
 
 # ------------------------------------------------------------------
+# Length-balanced shard assignment for distributed training
+# ------------------------------------------------------------------
+
+_SHARD_N = 8        # training shards
+_SHARD_BIN_W = 100  # length-bin width (chars)
+
+
+def token_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every document to one of {_SHARD_N} training shards so
+    the per-shard LENGTH totals come out near-equal — the data-loader
+    sharding step where random assignment leaves one worker with the
+    long-document tail and stalls every synchronous step. Round-robin
+    over the corpus in length order gives each shard every
+    {_SHARD_N}th document of any length region, which equalizes
+    totals to within one document per region.
+
+    The scale trick (same decomposition as the sketch-cut deciles):
+    a global length-ordered row_number would be a SINGLE-PARTITION
+    window — the 100 TB anti-pattern — so the total order
+    (length_bin, doc_id) is decomposed into (a) per-bin dense ranks
+    (a KEYED window: bins have bounded population) and (b) bin start
+    offsets from the ≤few-thousand-row bin-count frame (a window
+    over a bounded frame, then broadcast back). global_pos =
+    bin_offset + rank_in_bin - 1, shard = global_pos mod {_SHARD_N},
+    and the result equals the global-sort definition EXACTLY — the
+    DuckDB oracle computes it with the naive global row_number.
+    """
+    d = spread(_L(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    binned = d.withColumn(
+        "bin_idx",
+        F.floor(F.col("n_chars") / float(_SHARD_BIN_W)).cast("long"),
+    )
+    counts = binned.groupBy("bin_idx").agg(F.count("*").alias("n_bin"))
+    off_w = (
+        Window.orderBy("bin_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    )
+    offsets = counts.select(
+        "bin_idx",
+        F.coalesce(F.sum("n_bin").over(off_w), F.lit(0)).alias("bin_offset"),
+    )
+    rank_w = Window.partitionBy("bin_idx").orderBy("doc_id")
+    ranked = (
+        binned.withColumn("rn", F.row_number().over(rank_w))
+        .join(F.broadcast(offsets), "bin_idx")
+        .withColumn("pos", F.col("bin_offset") + F.col("rn") - 1)
+    )
+    return ranked.select(
+        "doc_id",
+        "n_chars",
+        (F.col("pos") % _SHARD_N).cast("long").alias("shard"),
+    ).orderBy("doc_id")
+
+
+TOKEN_BALANCED_SHARDS_SQL = f"""
+WITH ranked AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         row_number() OVER (
+           ORDER BY CAST(floor(n_chars / {float(_SHARD_BIN_W)}) AS BIGINT),
+                    doc_id) - 1 AS pos
+  FROM documents)
+SELECT doc_id, n_chars, CAST(pos % {_SHARD_N} AS BIGINT) AS shard
+FROM ranked
+ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------------------------
 # Deterministic class-balancing oversampling (with replacement)
 # ------------------------------------------------------------------
 
@@ -2608,6 +2678,11 @@ QUERIES: dict[str, QuerySpec] = {
         oversample_balance_sources,
         OVERSAMPLE_BALANCE_SOURCES_SQL,
         "corpus-balancing-oversample",
+    ),
+    "token_balanced_shards": QuerySpec(
+        token_balanced_shards,
+        TOKEN_BALANCED_SHARDS_SQL,
+        "corpus-balanced-sharding",
     ),
     "pack_sequences": QuerySpec(pack_sequences, PACK_SEQUENCES_SQL, "corpus-pack"),
     "tfidf_top_terms": QuerySpec(

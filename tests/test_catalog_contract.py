@@ -205,6 +205,7 @@ FROZEN_ORDER: tuple[str, ...] = (
     "negative_sample_pairs",
     "leakage_safe_split",
     "oversample_balance_sources",
+    "token_balanced_shards",
 )
 
 

@@ -222,6 +222,9 @@ _RANDOMIZED_QUERIES = (
     # r7: balancing oversample — generated corpora have skewed
     # source sizes, so replication rates > 1000‰ actually bind
     "oversample_balance_sources",
+    # r7: balanced sharding — the bin-decomposed rank must equal the
+    # oracle's naive global row_number on arbitrary length mixes
+    "token_balanced_shards",
 )
 
 
@@ -427,3 +430,39 @@ def test_oversample_balances_minority_toward_majority(spark, tmp_path_factory):
     assert by_src["tiny"] == 120, by_src
     assert all(per_doc[d] == 4 for d, s, _ in out if s == "tiny" for d in [d])
     run_and_compare(spark, str(tmp), "oversample_balance_sources", _CATALOG["oversample_balance_sources"])
+
+
+def test_token_balanced_shards_equalize_length_totals(spark, tmp_path_factory):
+    """The law the operator exists for: with a heavy-tailed length
+    distribution, per-shard n_chars totals stay near-equal (random
+    assignment would hand one shard the long tail), every doc gets
+    exactly one shard in [0, 8), and the bin-decomposed rank equals
+    the naive global definition (the oracle compare)."""
+    from chess_pipeline_spark.plans import catalog
+    from chess_pipeline_spark.plans.corpus import _SHARD_N
+
+    # heavy tail: 360 short docs, then 40 docs ~20x the median
+    rows = [
+        (i, "x" * 8, "en", "srcA", 2000 if i >= 360 else 50 + (i % 97))
+        for i in range(400)
+    ]
+    tmp = tmp_path_factory.mktemp("shards")
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).astype({"doc_id": "int64", "n_chars": "int64"}).to_parquet(
+        tmp / "documents.parquet", index=False
+    )
+    out = catalog()["token_balanced_shards"].spark(spark, str(tmp)).collect()
+    assert len(out) == 400
+    totals: dict[int, int] = {}
+    for r in out:
+        assert 0 <= r["shard"] < _SHARD_N
+        totals[r["shard"]] = totals.get(r["shard"], 0) + r["n_chars"]
+    assert set(totals) == set(range(_SHARD_N))
+    # round-robin in length order: every shard gets 5 of the 40 long
+    # docs and an equal share of each short-length region — totals
+    # within ~2% of each other (one doc per region of slack)
+    assert max(totals.values()) <= 1.02 * min(totals.values()), totals
+    run_and_compare(
+        spark, str(tmp), "token_balanced_shards", _CATALOG["token_balanced_shards"]
+    )

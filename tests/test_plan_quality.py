@@ -1102,3 +1102,23 @@ def test_oversample_no_corpus_scale_keyed_exchange(spark, sf_dir):
     assert m["cartesian"] == 0 and m["sort_merge_joins"] == 0, m
     plan = _explain(df)
     assert "Generate explode" in plan or "Generate" in plan, plan
+
+
+def test_balanced_shards_no_corpus_scale_global_window(spark, sf_dir):
+    # token_balanced_shards decomposes the global length rank into
+    # per-bin KEYED windows + a window over the bounded bin-count
+    # frame: the corpus-side window must be hash-partitioned by
+    # bin_idx, and the only unpartitioned (single-partition) exchange
+    # feeds the bin-count frame, never document rows
+    df = _CATALOG["token_balanced_shards"].spark(spark, sf_dir)
+    plan = _explain(df)
+    assert "hashpartitioning(bin_idx" in plan, plan
+    m = plan_metrics(df)
+    assert m["windows"] == 2, m  # per-bin rank + bin-frame offsets
+    assert m["cartesian"] == 0 and m["sort_merge_joins"] == 0, m
+    assert m["broadcast_joins"] >= 1, m  # offsets broadcast back
+    # SinglePartition exchanges may only carry the bin-count frame:
+    # they must sit ABOVE an aggregate of the binned counts, which
+    # the plan shows as a partial_count before that exchange
+    if "SinglePartition" in plan:
+        assert "partial_count" in plan, plan
