@@ -59,6 +59,25 @@ SECTIONS = {
         "directory-level skipping, 2 of 16 buckets read for the fixed "
         "query."
     ),
+    "scd2_point_in_time_join": (
+        "Point-in-time lookup as a keyed EQUI-join: the validity "
+        "interval (valid_from <= ts < valid_to) rides the custkey hash "
+        "join as its non-equi condition — no BroadcastNestedLoopJoin, no "
+        "range-join explosion; the SCD2 invariant bounds fan-out by the "
+        "versions-per-key constant."
+    ),
+    "negative_sample_pairs": (
+        "The corpus side never shuffles for the pair join: one "
+        "bucket-keyed exchange builds the representative frame, which "
+        "collapses to B rows and BROADCASTS onto the anchors; ReadSchema "
+        "shows the documents scan reads doc_id only — text never moves."
+    ),
+    "token_balanced_shards": (
+        "Global length rank without a global window: per-bin keyed "
+        "windows (hashpartitioning on bin_idx) plus bin offsets from the "
+        "bounded bin-count frame, broadcast back — the SinglePartition "
+        "exchange carries aggregated bin counts, never document rows."
+    ),
 }
 
 DETAIL_KEYS = ("PushedFilters", "ReadSchema", "PartitionFilters", "Location")
