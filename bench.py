@@ -192,6 +192,7 @@ EXTENDED = [
     "leakage_safe_split",
     "oversample_balance_sources",
     "token_balanced_shards",
+    "span_corruption_plan",
 ]
 
 ROUND = 7  # bump per round; names the committed BENCHLOCAL file

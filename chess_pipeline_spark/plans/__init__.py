@@ -81,7 +81,7 @@ DRIVER_WINDOW = 50
 #          families. Operators built new in r7 start demoted with
 #          local oracle rows, staged for the r8 promotion.
 #
-# r8 ROTATION CHECKLIST (execute at r8 start): promote the 32
+# r8 ROTATION CHECKLIST (execute at r8 start): promote the 33
 # never-driver-verified r7-new queries — ivf_adc_recall,
 # ivf_ingest_audit, pgn_moves_table, hll_set_algebra,
 # fuzzy_part_matches, bpe_train_merges, cms_join_size_estimate,
@@ -95,12 +95,13 @@ DRIVER_WINDOW = 50
 # dominant_supplier_parts, brand_supplier_counts,
 # scd2_point_in_time_join, negative_sample_pairs,
 # leakage_safe_split, oversample_balance_sources,
-# token_balanced_shards (they sit at the tail of _DEMOTED below) —
-# demoting 32 window members that are green in BOTH r6 and r7
-# CORRECTNESS files, keeping the single-green r7 promotions in
-# place and multimodal_features/mixture_sample as family anchors.
-# Done = CORRECTNESS_r08.json 50/50 green including all 32 names
-# and the never-driver-green set shrinks to r8's own additions.
+# token_balanced_shards, span_corruption_plan (they sit at the tail
+# of _DEMOTED below) — demoting 33 window members that are green in
+# BOTH r6 and r7 CORRECTNESS files, keeping the single-green r7
+# promotions in place and multimodal_features/mixture_sample as
+# family anchors. Done = CORRECTNESS_r08.json 50/50 green including
+# all 33 names and the never-driver-green set shrinks to r8's own
+# additions.
 _DEMOTED: tuple[str, ...] = (
     "distinct_flag_status",
     "global_minmax",
@@ -226,6 +227,7 @@ _DEMOTED: tuple[str, ...] = (
     "leakage_safe_split",
     "oversample_balance_sources",
     "token_balanced_shards",
+    "span_corruption_plan",
 )
 
 # For every demoted query: the IN-WINDOW queries that keep its SURVEY
@@ -509,6 +511,9 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     # bin-decomposed global rank → the sketch-cut decile twin + the
     # length-bin histogram
     "token_balanced_shards": ("customer_value_deciles_sketch", "seq_length_histogram"),
+    # row-local hash-planned explode → per-(key, idx) hash slots +
+    # bounded sequence explode, both in-window
+    "span_corruption_plan": ("boilerplate_chunk_removal", "mixture_sample"),
 }
 
 

@@ -617,6 +617,88 @@ ORDER BY anchor_id, j
 
 
 # ------------------------------------------------------------------
+# Deterministic span-corruption planning (T5-style masking)
+# ------------------------------------------------------------------
+
+_SPAN_BUDGET_PERMILLE = 50  # n_spans = floor(n_tok * 0.05) (~15% of
+#                             tokens at mean span length 3)
+_SPAN_MAX_LEN = 5
+_SPAN_START_KEY = "concat('ss:', CAST(doc_id AS STRING), ':', CAST(span_idx AS STRING))"
+_SPAN_LEN_KEY = "concat('sl:', CAST(doc_id AS STRING), ':', CAST(span_idx AS STRING))"
+
+
+def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic span-corruption schedule (the T5 denoising
+    objective's masking step, planned ahead of tokenization): for
+    every document, floor(n_tok · 5%) corruption spans, each with an
+    md5-derived start position in [1, n_tok] and length in
+    [1, {_SPAN_MAX_LEN}] (clipped at the document end). Masks are a
+    pure function of (doc_id, span_idx), so a re-run, a backfill, or
+    a different worker partitioning produces the identical masking
+    plan — the property RNG-based maskers lose the moment the data
+    order changes.
+
+    n_tok is the whitespace-word count (the repo's token-count
+    proxy); spans may overlap, as in the reference objective — the
+    consumer merges at application time.
+
+    100 TB shape: entirely row-local — token count, span count, and
+    both hashes are scan-stage projections; the explode fans out by
+    the bounded per-doc span count. ZERO keyed exchanges (the
+    deterministic ORDER BY is the only exchange in the plan).
+    """
+    d = spread(_L(spark, sf_dir, "documents"), "doc_id")
+    toks = F.size(F.split(F.trim("text"), "\\s+"))
+    n_tok = F.when(F.length(F.trim("text")) > 0, toks).otherwise(F.lit(0))
+    planned = d.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tok"),
+        F.floor(n_tok * _SPAN_BUDGET_PERMILLE / 1000.0).cast("long").alias("n_spans"),
+    ).filter(F.col("n_spans") >= 1)
+    spans = planned.select(
+        "doc_id",
+        "n_tok",
+        F.explode(
+            F.sequence(F.lit(1).cast("long"), F.col("n_spans"))
+        ).alias("span_idx"),
+    )
+    start = F.expr(_md5_u6(_SPAN_START_KEY)) % F.col("n_tok") + 1
+    raw_len = F.expr(_md5_u6(_SPAN_LEN_KEY)) % _SPAN_MAX_LEN + 1
+    return spans.select(
+        "doc_id",
+        "span_idx",
+        start.cast("long").alias("start_tok"),
+        F.least(
+            raw_len.cast("long"),
+            F.col("n_tok") - start.cast("long") + 1,
+        ).alias("span_len"),
+    ).orderBy("doc_id", "span_idx")
+
+
+SPAN_CORRUPTION_PLAN_SQL = f"""
+WITH planned AS (
+  SELECT doc_id,
+         CAST(CASE WHEN length(trim(text)) > 0
+                   THEN length(regexp_replace(trim(text), '\\S+\\s*', 'x', 'g'))
+                   ELSE 0 END AS BIGINT) AS n_tok
+  FROM documents),
+counted AS (
+  SELECT doc_id, n_tok,
+         CAST(floor(n_tok * {_SPAN_BUDGET_PERMILLE} / 1000.0) AS BIGINT) AS n_spans
+  FROM planned WHERE n_tok * {_SPAN_BUDGET_PERMILLE} >= 1000),
+spans AS (
+  SELECT doc_id, n_tok, unnest(range(1, n_spans + 1)) AS span_idx
+  FROM counted)
+SELECT doc_id, span_idx,
+       CAST({_md5_u6(_SPAN_START_KEY)} % n_tok + 1 AS BIGINT) AS start_tok,
+       least(CAST({_md5_u6(_SPAN_LEN_KEY)} % {_SPAN_MAX_LEN} + 1 AS BIGINT),
+             n_tok - ({_md5_u6(_SPAN_START_KEY)} % n_tok + 1) + 1) AS span_len
+FROM spans
+ORDER BY doc_id, span_idx
+"""
+
+
+# ------------------------------------------------------------------
 # Length-balanced shard assignment for distributed training
 # ------------------------------------------------------------------
 
@@ -2683,6 +2765,11 @@ QUERIES: dict[str, QuerySpec] = {
         token_balanced_shards,
         TOKEN_BALANCED_SHARDS_SQL,
         "corpus-balanced-sharding",
+    ),
+    "span_corruption_plan": QuerySpec(
+        span_corruption_plan,
+        SPAN_CORRUPTION_PLAN_SQL,
+        "corpus-span-corruption",
     ),
     "pack_sequences": QuerySpec(pack_sequences, PACK_SEQUENCES_SQL, "corpus-pack"),
     "tfidf_top_terms": QuerySpec(

@@ -258,3 +258,24 @@ def bak_swap_write(spark, merged: DataFrame, registers_path: str) -> DataFrame:
     if os.path.exists(bak):
         shutil.rmtree(bak)
     return snap
+
+
+def write_training_splits(
+    assigned: DataFrame, out_path: str, split_col: str = "split"
+) -> None:
+    """Materialize a training corpus partitioned by its split
+    assignment (the output of plans.corpus.leakage_safe_split joined
+    back onto the documents): one directory per split value, so a
+    training job reads ONLY its split via partition pruning — no
+    filter scan over the full corpus at every epoch.
+
+    100 TB shape: partitionBy on a 3-value column adds no keyed
+    exchange (each task writes its rows into per-split files);
+    readers hit directory-level pruning (`PartitionFilters:
+    [isnotnull(split), (split = train)]`).
+    """
+    (
+        assigned.write.mode("overwrite")
+        .partitionBy(split_col)
+        .parquet(out_path)
+    )

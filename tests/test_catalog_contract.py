@@ -206,6 +206,7 @@ FROZEN_ORDER: tuple[str, ...] = (
     "leakage_safe_split",
     "oversample_balance_sources",
     "token_balanced_shards",
+    "span_corruption_plan",
 )
 
 

@@ -225,6 +225,10 @@ _RANDOMIZED_QUERIES = (
     # r7: balanced sharding — the bin-decomposed rank must equal the
     # oracle's naive global row_number on arbitrary length mixes
     "token_balanced_shards",
+    # r7: span corruption — the cross-engine word count (split vs
+    # regexp_replace) and per-(doc, span) hash slots must agree on
+    # empty/whitespace-only/punctuation-heavy generated texts
+    "span_corruption_plan",
 )
 
 

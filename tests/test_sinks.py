@@ -192,3 +192,33 @@ def test_orc_and_jsonl_round_trip_parity(spark, sf_dir, tmp_path):
     docs.write.mode("overwrite").json(jl_path)
     back = spark.read.schema(docs.schema).json(jl_path)
     assert canon(back) == want
+
+
+def test_write_training_splits_prunes_partitions(spark, sf_dir, tmp_path):
+    """Split-partitioned export: write documents under their
+    leakage-safe split, read one split back — row-identical to
+    filtering the assignment frame, and the reader's plan prunes at
+    the DIRECTORY level (PartitionFilters on split, no split column
+    in the data files)."""
+    from chess_pipeline_spark.plans import catalog
+    from chess_pipeline_spark.sinks import write_training_splits
+    from chess_pipeline_spark.sources import load_table
+
+    assigned = catalog()["leakage_safe_split"].spark(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = str(tmp_path / "splits")
+    write_training_splits(docs.join(assigned, "doc_id"), out)
+
+    back = spark.read.parquet(out).filter("split = 'train'")
+    want = sorted(
+        r["doc_id"] for r in assigned.filter("split = 'train'").collect()
+    )
+    got = sorted(r["doc_id"] for r in back.collect())
+    assert got == want and got
+    import re
+
+    plan = back._sc._jvm.PythonSQLUtils.explainString(
+        back._jdf.queryExecution(), "formatted"
+    )
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and re.search(r"split#\d+ = train", pf[0]), pf
