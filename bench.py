@@ -193,6 +193,7 @@ EXTENDED = [
     "oversample_balance_sources",
     "token_balanced_shards",
     "span_corruption_plan",
+    "hard_negative_mining",
 ]
 
 ROUND = 7  # bump per round; names the committed BENCHLOCAL file

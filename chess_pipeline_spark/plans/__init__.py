@@ -81,7 +81,7 @@ DRIVER_WINDOW = 50
 #          families. Operators built new in r7 start demoted with
 #          local oracle rows, staged for the r8 promotion.
 #
-# r8 ROTATION CHECKLIST (execute at r8 start): promote the 33
+# r8 ROTATION CHECKLIST (execute at r8 start): promote the 34
 # never-driver-verified r7-new queries — ivf_adc_recall,
 # ivf_ingest_audit, pgn_moves_table, hll_set_algebra,
 # fuzzy_part_matches, bpe_train_merges, cms_join_size_estimate,
@@ -95,13 +95,13 @@ DRIVER_WINDOW = 50
 # dominant_supplier_parts, brand_supplier_counts,
 # scd2_point_in_time_join, negative_sample_pairs,
 # leakage_safe_split, oversample_balance_sources,
-# token_balanced_shards, span_corruption_plan (they sit at the tail
-# of _DEMOTED below) — demoting 33 window members that are green in
-# BOTH r6 and r7 CORRECTNESS files, keeping the single-green r7
-# promotions in place and multimodal_features/mixture_sample as
-# family anchors. Done = CORRECTNESS_r08.json 50/50 green including
-# all 33 names and the never-driver-green set shrinks to r8's own
-# additions.
+# token_balanced_shards, span_corruption_plan,
+# hard_negative_mining (they sit at the tail of _DEMOTED below) —
+# demoting 34 window members that are green in BOTH r6 and r7
+# CORRECTNESS files, keeping the single-green r7 promotions in
+# place and multimodal_features/mixture_sample as family anchors.
+# Done = CORRECTNESS_r08.json 50/50 green including all 34 names
+# and the never-driver-green set shrinks to r8's own additions.
 _DEMOTED: tuple[str, ...] = (
     "distinct_flag_status",
     "global_minmax",
@@ -228,6 +228,7 @@ _DEMOTED: tuple[str, ...] = (
     "oversample_balance_sources",
     "token_balanced_shards",
     "span_corruption_plan",
+    "hard_negative_mining",
 )
 
 # For every demoted query: the IN-WINDOW queries that keep its SURVEY
@@ -514,6 +515,9 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     # row-local hash-planned explode → per-(key, idx) hash slots +
     # bounded sequence explode, both in-window
     "span_corruption_plan": ("boilerplate_chunk_removal", "mixture_sample"),
+    # broadcast-anchor cosine scan + dup-band cut → the ADC scorer +
+    # the banded dup-agreement audit
+    "hard_negative_mining": ("knn_pq_adc", "dedup_embedding_agreement"),
 }
 
 

@@ -1155,6 +1155,83 @@ WHERE rank <= 5
 """
 
 
+_HARD_NEG_Q = 5        # anchor set (vec_id < Q), broadcast
+_HARD_NEG_K = 3        # hard negatives per anchor
+_HARD_NEG_DUP_T = 0.3  # >= this cosine = the repo's near-dup band
+#                        (synthetic embeddings are near-orthogonal;
+#                        on real embeddings this sits at ~0.95)
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    the top-{_HARD_NEG_K} MOST-similar candidates that are NOT
+    near-duplicates — the highest-loss negatives a trainer can use.
+    Random negatives (negative_sample_pairs) are easy at convergence;
+    the standard curriculum mines negatives just OUTSIDE the dup band
+    (cos < {_HARD_NEG_DUP_T}): similar enough to be confusable,
+    dissimilar enough to be genuinely negative. Mining INSIDE the
+    band would poison training with false negatives that are really
+    duplicates — the same band `embedding_near_dup_cosine` flags for
+    removal, so the two operators partition the similarity axis
+    consistently.
+
+    100 TB shape: identical to knn_cosine_topk's — anchors broadcast,
+    one corpus scan computes dot products JVM-side (zip_with +
+    aggregate, no Python), the dup cut is a row-local filter BEFORE
+    the per-anchor top-k window, ranking on the rounded cosine with
+    a vec_id tiebreak for engine-stable order. In production the
+    scan side swaps for the IVF/ADC probe (ann_index.py) unchanged.
+    """
+    e = spread(_L(spark, sf_dir, "embeddings"), "vec_id")
+    nrm = F.expr(_NORM.format(v="embedding"))
+    q = e.filter(F.col("vec_id") < _HARD_NEG_Q).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        nrm.alias("qnorm"),
+    )
+    cand = e.select("vec_id", "embedding", nrm.alias("cnorm"))
+    dot = F.expr(_DOT.format(u="qe", v="embedding"))
+    cos = fround(dot / (F.col("qnorm") * F.col("cnorm")), 6)
+    scored = (
+        cand.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("neg_id"), cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") < _HARD_NEG_DUP_T)
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("neg_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _HARD_NEG_K)
+    )
+
+
+HARD_NEGATIVE_MINING_SQL = f"""
+WITH ue AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings),
+norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ue GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS qid, b.vec_id AS neg_id, sum(a.x * b.x) AS dot
+  FROM ue a JOIN ue b ON a.i = b.i
+  WHERE a.vec_id < {_HARD_NEG_Q} AND b.vec_id <> a.vec_id
+  GROUP BY 1, 2),
+cosd AS (
+  SELECT qid, neg_id,
+         floor((dot / (na.nrm * nb.nrm)) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+  FROM dots
+  JOIN norms na ON na.vec_id = dots.qid
+  JOIN norms nb ON nb.vec_id = dots.neg_id
+  WHERE floor((dot / (na.nrm * nb.nrm)) * 1000000.0 + 0.5) / 1000000.0
+        < {_HARD_NEG_DUP_T})
+SELECT qid, neg_id, cos_sim, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY cos_sim DESC, neg_id ASC) AS rank
+      FROM cosd)
+WHERE rank <= {_HARD_NEG_K}
+"""
+
+
 def embedding_near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked on `label` (the
     cluster id ≙ an ANN bucket): pairs within a block with cosine
@@ -3249,6 +3326,11 @@ QUERIES: dict[str, QuerySpec] = {
         semdedup_embedding, SEMDEDUP_EMBEDDING_SQL, "llm-semdedup"
     ),
     "knn_cosine_topk": QuerySpec(knn_cosine_topk, KNN_COSINE_TOPK_SQL, "llm-knn F18"),
+    "hard_negative_mining": QuerySpec(
+        hard_negative_mining,
+        HARD_NEGATIVE_MINING_SQL,
+        "llm-hard-negatives",
+    ),
     "knn_cosine_ivf": QuerySpec(knn_cosine_ivf, KNN_COSINE_IVF_SQL, "llm-knn-ivf"),
     "knn_cosine_lsh": QuerySpec(knn_cosine_lsh, KNN_COSINE_LSH_SQL, "llm-knn-lsh"),
     "embedding_stats": QuerySpec(embedding_stats, EMBEDDING_STATS_SQL, "llm-embed"),

@@ -207,6 +207,7 @@ FROZEN_ORDER: tuple[str, ...] = (
     "oversample_balance_sources",
     "token_balanced_shards",
     "span_corruption_plan",
+    "hard_negative_mining",
 )
 
 
