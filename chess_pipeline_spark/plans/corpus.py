@@ -706,29 +706,11 @@ _SHARD_N = 8        # training shards
 _SHARD_BIN_W = 100  # length-bin width (chars)
 
 
-def token_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Assign every document to one of {_SHARD_N} training shards so
-    the per-shard LENGTH totals come out near-equal — the data-loader
-    sharding step where random assignment leaves one worker with the
-    long-document tail and stalls every synchronous step. Round-robin
-    over the corpus in length order gives each shard every
-    {_SHARD_N}th document of any length region, which equalizes
-    totals to within one document per region.
-
-    The scale trick (same decomposition as the sketch-cut deciles):
-    a global length-ordered row_number would be a SINGLE-PARTITION
-    window — the 100 TB anti-pattern — so the total order
-    (length_bin, doc_id) is decomposed into (a) per-bin dense ranks
-    (a KEYED window: bins have bounded population) and (b) bin start
-    offsets from the ≤few-thousand-row bin-count frame (a window
-    over a bounded frame, then broadcast back). global_pos =
-    bin_offset + rank_in_bin - 1, shard = global_pos mod {_SHARD_N},
-    and the result equals the global-sort definition EXACTLY — the
-    DuckDB oracle computes it with the naive global row_number.
-    """
-    d = spread(_L(spark, sf_dir, "documents"), "doc_id").select(
-        "doc_id", F.col("n_chars").cast("long").alias("n_chars")
-    )
+def shard_assign(docs: DataFrame) -> DataFrame:
+    """Frame-level core of token_balanced_shards: (doc_id, n_chars,
+    ...) -> (doc_id, n_chars, shard). Shared by the catalog query and
+    the training-export CLI."""
+    d = docs.select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
     binned = d.withColumn(
         "bin_idx",
         F.floor(F.col("n_chars") / float(_SHARD_BIN_W)).cast("long"),
@@ -752,6 +734,31 @@ def token_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_chars",
         (F.col("pos") % _SHARD_N).cast("long").alias("shard"),
+    )
+
+
+def token_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every document to one of {_SHARD_N} training shards so
+    the per-shard LENGTH totals come out near-equal — the data-loader
+    sharding step where random assignment leaves one worker with the
+    long-document tail and stalls every synchronous step. Round-robin
+    over the corpus in length order gives each shard every
+    {_SHARD_N}th document of any length region, which equalizes
+    totals to within one document per region.
+
+    The scale trick (same decomposition as the sketch-cut deciles):
+    a global length-ordered row_number would be a SINGLE-PARTITION
+    window — the 100 TB anti-pattern — so the total order
+    (length_bin, doc_id) is decomposed into (a) per-bin dense ranks
+    (a KEYED window: bins have bounded population) and (b) bin start
+    offsets from the ≤few-thousand-row bin-count frame (a window
+    over a bounded frame, then broadcast back). global_pos =
+    bin_offset + rank_in_bin - 1, shard = global_pos mod {_SHARD_N},
+    and the result equals the global-sort definition EXACTLY — the
+    DuckDB oracle computes it with the naive global row_number.
+    """
+    return shard_assign(
+        spread(_L(spark, sf_dir, "documents"), "doc_id")
     ).orderBy("doc_id")
 
 
@@ -860,6 +867,23 @@ _SPLIT_KEY = "concat('sp:', CAST(group_rep AS STRING))"
 _SPLIT_GATE = f"({_md5_u6(_SPLIT_KEY)} % 1000)"
 
 
+def split_assign(docs: DataFrame) -> DataFrame:
+    """Frame-level core of leakage_safe_split: (doc_id, text, ...) ->
+    (doc_id, group_rep, split). Shared by the catalog query and the
+    training-export CLI so both assign identical splits."""
+    d = docs.select("doc_id", F.md5("text").alias("dg"))
+    rep = F.min("doc_id").over(Window.partitionBy("dg"))
+    gated = d.select("doc_id", rep.alias("group_rep")).withColumn(
+        "gate", F.expr(_SPLIT_GATE)
+    )
+    split = (
+        F.when(F.col("gate") < _SPLIT_TRAIN_PERMILLE, F.lit("train"))
+        .when(F.col("gate") < _SPLIT_VALID_PERMILLE, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return gated.select("doc_id", "group_rep", split.alias("split"))
+
+
 def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/valid/test assignment that can never leak a duplicate
     across splits: the split hash is keyed on the document's exact-
@@ -877,22 +901,9 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     the gate itself is a row-local projection. Text never moves:
     only (doc_id, 32-byte digest) enters the exchange.
     """
-    d = spread(_L(spark, sf_dir, "documents"), "doc_id").select(
-        "doc_id", F.md5("text").alias("dg")
-    )
-    rep = F.min("doc_id").over(Window.partitionBy("dg"))
-    gated = d.select("doc_id", rep.alias("group_rep")).withColumn(
-        "gate", F.expr(_SPLIT_GATE)
-    )
-    split = (
-        F.when(F.col("gate") < _SPLIT_TRAIN_PERMILLE, F.lit("train"))
-        .when(F.col("gate") < _SPLIT_VALID_PERMILLE, F.lit("valid"))
-        .otherwise(F.lit("test"))
-    )
-    return (
-        gated.select("doc_id", "group_rep", split.alias("split"))
-        .orderBy("doc_id")
-    )
+    return split_assign(
+        spread(_L(spark, sf_dir, "documents"), "doc_id")
+    ).orderBy("doc_id")
 
 
 LEAKAGE_SAFE_SPLIT_SQL = f"""

@@ -121,6 +121,36 @@ def run_corpus(args: argparse.Namespace, spark=None) -> int:
     return 0
 
 
+def run_splits(args: argparse.Namespace, spark=None) -> int:
+    """Training-data export: every document with its leakage-safe
+    split (hashed on the exact-dup group representative) and its
+    length-balanced shard id, written partitioned by split so a
+    training job reads only its split via directory pruning."""
+    from chess_pipeline_spark.plans.corpus import shard_assign, split_assign
+    from chess_pipeline_spark.session import get_spark
+    from chess_pipeline_spark.sinks import write_training_splits
+    from chess_pipeline_spark.sources import load_table
+
+    import pyspark.sql.functions as F
+
+    spark = spark or get_spark(app_name="chess-pipeline-splits")
+    docs = load_table(spark, args.sf_dir, "documents")
+    assigned = (
+        docs.join(split_assign(docs).select("doc_id", "split"), "doc_id")
+        .join(shard_assign(docs).select("doc_id", "shard"), "doc_id")
+    )
+    write_training_splits(assigned, args.out)
+    counts = {
+        r["split"]: r["n"]
+        for r in spark.read.parquet(args.out)
+        .groupBy("split")
+        .agg(F.count("*").cast("long").alias("n"))
+        .collect()
+    }
+    print(f"wrote split-partitioned corpus under {args.out}: {counts}")
+    return 0
+
+
 # the data-card bundle: the reports a corpus owner publishes next to
 # a dataset release. Keys are stable output table names.
 _PROFILE_QUERIES = (
@@ -205,6 +235,14 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         "drop fully-boilerplate docs",
     )
 
+    sp = sub.add_parser(
+        "splits",
+        help="documents parquet -> leakage-safe split-partitioned "
+        "training export with balanced shard ids",
+    )
+    sp.add_argument("--sf-dir", required=True, help="dir holding documents.parquet")
+    sp.add_argument("--out", required=True, help="output dir (one subdir per split)")
+
     pr = sub.add_parser("profile", help="documents parquet -> data-card reports")
     pr.add_argument("--sf-dir", required=True, help="dir holding documents.parquet")
     pr.add_argument("--out", required=True, help="output dir")
@@ -220,6 +258,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         return run_profile(args, spark)
     if args.cmd == "search":
         return run_search(args, spark)
+    if args.cmd == "splits":
+        return run_splits(args, spark)
     return run_corpus(args, spark)
 
 

@@ -163,3 +163,33 @@ def test_cli_search(spark, sf_dir, capsys):
     assert rc == 0
     lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
     assert 0 < len(lines) <= 10 and "rrf_micro" in lines[0]
+
+
+def test_cli_splits_export(spark, sf_dir, tmp_path):
+    """splits subcommand: the export is partitioned by split, carries
+    a shard column, covers every document exactly once, and matches
+    the catalog assignments (same cores)."""
+    out = tmp_path / "splits"
+    rc = run_etl.main(
+        ["splits", "--sf-dir", sf_dir, "--out", str(out)], spark=spark
+    )
+    assert rc == 0
+    back = spark.read.parquet(str(out))
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert back.count() == n_docs
+    assert {"split", "shard", "doc_id", "text"} <= set(back.columns)
+    # partition directories exist per split value
+    import os
+
+    subdirs = {d for d in os.listdir(out) if d.startswith("split=")}
+    assert subdirs == {f"split={s}" for s in ("train", "valid", "test")} & subdirs
+    assert "split=train" in subdirs
+    # assignment parity with the catalog queries
+    from chess_pipeline_spark.plans import catalog
+
+    want = {
+        (r["doc_id"], r["split"])
+        for r in catalog()["leakage_safe_split"].spark(spark, sf_dir).collect()
+    }
+    got = {(r["doc_id"], r["split"]) for r in back.select("doc_id", "split").collect()}
+    assert got == want
