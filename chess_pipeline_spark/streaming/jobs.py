@@ -958,6 +958,74 @@ def _neg_reps_process_batch(
     upsert_partition_overwrite(summary, snapshot_path, ["batch_id"])
 
 
+def stream_split_ledger(docs: DataFrame, ledger_path: str, assignments_path: str):
+    """Continuous leakage-safe split assignment: the persisted state
+    maps each exact-dup digest to the split its group was given the
+    FIRST time any member arrived. New digests are assigned by the
+    same md5 permille gate as plans.corpus.split_assign (keyed on the
+    batch's min doc_id for the digest); digests already in the ledger
+    keep their assignment forever — FIRST-SEEN-WINS, the production
+    stability contract (a late-arriving copy with a smaller doc_id
+    must NOT flip its group's split and silently move training rows
+    into test). This is the one deliberate divergence from the batch
+    leakage_safe_split, whose rep is the GLOBAL min doc_id; the
+    replay test pins both the stability law and the divergence case.
+
+    Exactly-once: a replayed batch's digests are already in the
+    ledger, so the anti-join contributes nothing and the ledger is
+    byte-stable; per-batch assignments are (batch_id)-partition
+    overwrites. State is one row per distinct digest (the same
+    unbounded-but-minimal footprint as the ingestion dedup index);
+    bak-swap covers the crash window.
+    """
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        _split_ledger_process_batch(batch, batch_id, ledger_path, assignments_path)
+
+    return docs.writeStream.foreachBatch(_process)
+
+
+def _split_ledger_process_batch(
+    batch: DataFrame, batch_id: int, ledger_path: str, assignments_path: str
+) -> None:
+    """One stream_split_ledger micro-batch — module-level so replay
+    tests can drive it without a running stream."""
+    from chess_pipeline_spark.plans.corpus import (
+        _SPLIT_GATE,
+        _SPLIT_TRAIN_PERMILLE,
+        _SPLIT_VALID_PERMILLE,
+    )
+    from chess_pipeline_spark.sinks import upsert_partition_overwrite
+
+    spark = batch.sparkSession
+    scored = batch.select("doc_id", F.md5("text").alias("dg"))
+    prior = _read_bounded_ledger(
+        spark, ledger_path, "dg string, group_rep long, split string"
+    )
+    fresh = (
+        scored.groupBy("dg")
+        .agg(F.min("doc_id").cast("long").alias("group_rep"))
+        .join(prior.select("dg"), "dg", "left_anti")
+        .withColumn("gate", F.expr(_SPLIT_GATE))
+        .select(
+            "dg",
+            "group_rep",
+            F.when(F.col("gate") < _SPLIT_TRAIN_PERMILLE, F.lit("train"))
+            .when(F.col("gate") < _SPLIT_VALID_PERMILLE, F.lit("valid"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+    )
+    merged = prior.unionByName(fresh)
+    snap = _bak_swap_write(spark, merged, ledger_path)
+    assignments = (
+        scored.join(snap, "dg")
+        .select("doc_id", "group_rep", "split")
+        .withColumn("batch_id", F.lit(batch_id))
+    )
+    upsert_partition_overwrite(assignments, assignments_path, ["batch_id"])
+
+
 def stream_text_index_ingest(docs: DataFrame, index_path: str):
     """Continuous inverted-index maintenance: every micro-batch of
     documents folds into the persisted BM25 index through

@@ -1058,3 +1058,50 @@ def test_stream_negative_reps_equals_batch_after_any_prefix(
     # reps only improve (tiebreaks are a race to the minimum)
     assert sn["min_tb"].tolist()[-1] <= sn["min_tb"].tolist()[0]
     assert (sn["n_reps"] <= 2 * sn["n_buckets"]).all()
+
+
+def test_stream_split_ledger_first_seen_stability(spark, tmp_path):
+    """The production stability contract: a group's split is fixed
+    the FIRST time any member arrives. Batch 0 carries doc 100 of
+    group A; batch 1 carries doc 1 (SAME text, smaller id — the case
+    where the batch query's global-min rep would re-key the group)
+    plus a new group B. Laws: (a) every member of a group gets the
+    same split across all batches, (b) group A's split after batch 1
+    equals its batch-0 assignment (first-seen-wins), (c) replaying
+    batch 1 leaves the ledger byte-stable and rewrites identical
+    assignment rows."""
+    import pyspark.sql.functions as F
+
+    from chess_pipeline_spark.streaming.jobs import _split_ledger_process_batch
+
+    ledger = str(tmp_path / "split_ledger")
+    assigns = str(tmp_path / "split_assigns")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")  # noqa: E731
+
+    _split_ledger_process_batch(mk([(100, "group A text")]), 0, ledger, assigns)
+    led0 = {r["dg"]: (r["group_rep"], r["split"]) for r in spark.read.parquet(ledger).collect()}
+    assert len(led0) == 1
+    (rep_a0, split_a0), = led0.values()
+    assert rep_a0 == 100
+
+    b1 = mk([(1, "group A text"), (2, "group B text")])
+    _split_ledger_process_batch(b1, 1, ledger, assigns)
+    led1 = {r["dg"]: (r["group_rep"], r["split"]) for r in spark.read.parquet(ledger).collect()}
+    assert len(led1) == 2
+    # first-seen-wins: group A keeps rep 100 and its batch-0 split
+    assert (rep_a0, split_a0) in led1.values()
+
+    # replay batch 1: ledger unchanged, assignments identical
+    before = sorted(map(tuple, spark.read.parquet(ledger).collect()))
+    _split_ledger_process_batch(b1, 1, ledger, assigns)
+    after = sorted(map(tuple, spark.read.parquet(ledger).collect()))
+    assert before == after
+
+    a = spark.read.parquet(assigns)
+    rows = {(r["doc_id"], r["split"]) for r in a.collect()}
+    splits_by_doc = dict(rows)
+    assert len(rows) == len(splits_by_doc) == 3
+    # every group member shares its group's split
+    assert splits_by_doc[1] == splits_by_doc[100] == split_a0
+    # per-batch exactly-once: batch 1 partition holds exactly 2 rows
+    assert a.filter(F.col("batch_id") == 1).count() == 2

@@ -98,3 +98,51 @@ def test_pit_plan_is_keyed_equi_join(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pit_matches_bruteforce_on_random_histories(spark):
+    """Randomized ground truth: generate an SCD2 history (disjoint,
+    contiguous versions per key, last one open) and random facts;
+    point_in_time_join must equal the per-row python scan. Exercises
+    many-version keys, facts before the first version, and exact
+    boundary timestamps — shapes the fixture dim is too small to
+    cover."""
+    import random
+
+    rng = random.Random(13)
+    dim_rows, truth = [], {}
+    for k in range(1, 21):
+        n_versions = rng.randint(1, 4)
+        cuts = sorted(rng.sample(range(1, 100), n_versions - 1)) if n_versions > 1 else []
+        bounds = [0, *cuts, None]
+        spans = []
+        for v in range(n_versions):
+            lo, hi = bounds[v], bounds[v + 1]
+            spans.append((k, float(k * 100 + v), lo, hi, hi is None))
+        dim_rows.extend(spans)
+        truth[k] = spans
+    fact_rows = []
+    for f in range(300):
+        k = rng.randint(0, 22)  # includes keys with no dim rows
+        ts = rng.randint(0, 120)
+        fact_rows.append((f, k, ts))
+    dim = spark.createDataFrame(
+        dim_rows, "k int, bal double, valid_from long, valid_to long, is_current boolean"
+    )
+    facts = spark.createDataFrame(fact_rows, "fact_id int, k int, ts long")
+
+    def expect(k, ts):
+        for _, bal, lo, hi, _cur in truth.get(k, []):
+            if lo <= ts and (hi is None or ts < hi):
+                return bal
+        return None
+
+    got = {
+        r["fact_id"]: r["bal"]
+        for r in point_in_time_join(
+            facts, dim, keys=["k"], fact_ts="ts", how="left"
+        ).collect()
+    }
+    assert len(got) == 300
+    for f, k, ts in fact_rows:
+        assert got[f] == expect(k, ts), (f, k, ts, got[f], expect(k, ts))
