@@ -222,3 +222,46 @@ def test_write_training_splits_prunes_partitions(spark, sf_dir, tmp_path):
     )
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and re.search(r"split#\d+ = train", pf[0]), pf
+
+
+def test_manifest_round_trip_and_tamper_detection(spark, sf_dir, tmp_path):
+    """Reproducibility manifest: identical data verifies clean even
+    reordered/repartitioned (order-independent hash); a single
+    mutated row, a dropped row, and a novel key each surface exactly
+    their manifest key."""
+    import pyspark.sql.functions as F
+
+    from chess_pipeline_spark.sinks import verify_manifest, write_manifest
+    from chess_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    man = str(tmp_path / "manifest")
+    write_manifest(docs, man, ["source"])
+
+    # clean verify, even after a reshuffle/reorder
+    shuffled = docs.repartition(7).sortWithinPartitions("n_chars")
+    assert verify_manifest(shuffled, man, ["source"]).count() == 0
+
+    # mutate one row's text -> only that source flagged
+    victim = docs.orderBy("doc_id").first()
+    mutated = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == victim["doc_id"], F.lit("tampered")).otherwise(
+            F.col("text")
+        ),
+    )
+    bad = verify_manifest(mutated, man, ["source"]).collect()
+    assert [r["source"] for r in bad] == [victim["source"]]
+
+    # drop one row -> count mismatch on its source only
+    dropped = docs.filter(F.col("doc_id") != victim["doc_id"])
+    bad = verify_manifest(dropped, man, ["source"]).collect()
+    assert [r["source"] for r in bad] == [victim["source"]]
+    assert bad[0]["got_rows"] == bad[0]["want_rows"] - 1
+
+    # novel key on one side -> surfaces via the full outer join
+    extra = docs.unionByName(
+        docs.limit(1).withColumn("source", F.lit("srcNEW"))
+    )
+    bad = {r["source"] for r in verify_manifest(extra, man, ["source"]).collect()}
+    assert bad == {"srcNEW"}
