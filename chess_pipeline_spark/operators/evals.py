@@ -121,3 +121,44 @@ def fetch_missing(
             )
 
     return fens.mapInPandas(batch, "fen string, evaluation double, eval_depth int")
+
+
+def fetch_missing_with_quota(
+    fens: DataFrame,
+    fetch_fn: Callable[[str], tuple[float, int]],
+    counter_path: str,
+    period_key: str,
+    budget: int = 3000,
+) -> DataFrame:
+    """Quota-gated batch evaluation, mirroring the reference's Valkey
+    daily/monthly API counters (src/pipeline_import/transforms.py:
+    30-31,134-151: 3,000 cloud-eval calls/day, 900,000 remote
+    calls/month; positions beyond the quota stay un-evaluated and are
+    picked up by a later run's cache anti-join).
+
+    The counter is a tiny parquet ledger keyed by period_key (the
+    caller passes the day/month string — the reference's Valkey key
+    expiry, made explicit). remaining = budget - used; the FENs
+    actually sent are the first `remaining` in fen order, so a retry
+    of the same batch selects the same positions. The ledger update
+    is bak-swap crash-safe; like the reference's INCR, a replayed
+    batch over-counts rather than over-fetches — the quota errs on
+    the safe side of the API limit.
+    """
+    spark = fens.sparkSession
+    from chess_pipeline_spark.sinks import bak_swap_write, read_bounded_ledger
+
+    prior = read_bounded_ledger(spark, counter_path, "period_key string, used long")
+    used_row = prior.filter(F.col("period_key") == period_key).collect()
+    used = int(used_row[0]["used"]) if used_row else 0
+    remaining = max(0, budget - used)
+    pick = fens.select("fen").distinct().orderBy("fen").limit(remaining)
+    n_sent = pick.count()
+    fetched = fetch_missing(pick, fetch_fn)
+    merged = prior.filter(F.col("period_key") != period_key).unionByName(
+        spark.createDataFrame(
+            [(period_key, used + n_sent)], "period_key string, used long"
+        )
+    )
+    bak_swap_write(spark, merged, counter_path)
+    return fetched

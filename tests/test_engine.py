@@ -112,3 +112,38 @@ def test_engine_binary_from_env(fake_engine, monkeypatch):
     fetch = uci_fetch_fn(binary, depth=20)
     w = "rnbqkbnr/pppppppp/8/8/8/8/PPPPPPPP/RNBQKBNR w KQkq - 0"
     assert fetch(w) == (_expected_cp(w), 20)
+
+
+def test_fetch_missing_with_quota_respects_and_persists_budget(spark, tmp_path):
+    """Mirror of the reference's daily cloud-eval quota (Valkey INCR
+    counters, transforms.py:134-151): with budget 5, the first call
+    evaluates only the 5 lowest FENs, the second call the remaining
+    3, the third nothing; the counter survives across calls, is
+    keyed by period, and a fresh period starts a fresh budget."""
+    from chess_pipeline_spark.operators.evals import fetch_missing_with_quota
+
+    fens = spark.createDataFrame(
+        [(f"fen{i:02d}",) for i in range(8)], "fen string"
+    )
+    counter = str(tmp_path / "quota")
+    fake = lambda fen: (float(int(fen[3:])), 20)  # noqa: E731
+
+    first = fetch_missing_with_quota(fens, fake, counter, "2026-08-15", budget=5)
+    got1 = sorted(r["fen"] for r in first.collect())
+    assert got1 == [f"fen{i:02d}" for i in range(5)]
+
+    leftovers = fens.join(first.select("fen"), "fen", "left_anti")
+    second = fetch_missing_with_quota(leftovers, fake, counter, "2026-08-15", budget=5)
+    assert second.count() == 0  # budget exhausted
+
+    # bump the budget (the monthly tier): only the remaining headroom
+    third = fetch_missing_with_quota(leftovers, fake, counter, "2026-08-15", budget=7)
+    assert sorted(r["fen"] for r in third.collect()) == ["fen05", "fen06"]
+
+    # a new period resets the spend; old period's count is retained
+    fourth = fetch_missing_with_quota(fens, fake, counter, "2026-08-16", budget=2)
+    assert fourth.count() == 2
+    led = {r["period_key"]: r["used"] for r in spark.read.parquet(counter).collect()}
+    assert led == {"2026-08-15": 7, "2026-08-16": 2}
+    # eval payloads flow through the normal fetch path
+    assert {r["eval_depth"] for r in fourth.collect()} == {20}

@@ -292,6 +292,10 @@ _RELATIONAL_QUERIES = (
     # adversarial fact tables (0-line orders, repeated keys, ties)
     "cms_join_size_estimate",
     "join_key_skew_profile",
+    # r7: point-in-time lookup — generated orders carry custkeys the
+    # dim lacks (inner-join drops) and orderkey-derived timestamps on
+    # both sides of the version cut
+    "scd2_point_in_time_join",
 )
 
 _EVENTS_QUERIES = (
