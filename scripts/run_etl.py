@@ -151,6 +151,49 @@ def run_splits(args: argparse.Namespace, spark=None) -> int:
     return 0
 
 
+def run_reeval(args: argparse.Namespace, spark=None) -> int:
+    """Spark analog of the reference's multiprocessing re-eval
+    fan-out (scripts/rerun_stockfish.py:62-94): instead of a
+    cpu_count() worker pool draining a FEN queue into results.csv,
+    the shallow cache rows (eval_depth < --min-depth) flow through
+    the quota-gated mapInPandas engine adapter (one engine per
+    partition) and upsert back into the cache keyed by fen. The
+    engine binary is env-gated exactly like the operator tier: point
+    SPARK_GRAFT_STOCKFISH at a UCI binary, or tests inject a fixture
+    fetcher via the `fetch_fn` kwarg."""
+    import pyspark.sql.functions as F
+
+    from chess_pipeline_spark.operators.engine import uci_fetch_fn
+    from chess_pipeline_spark.operators.evals import fetch_missing_with_quota
+    from chess_pipeline_spark.session import get_spark
+    from chess_pipeline_spark.sinks import upsert_parquet
+
+    spark = spark or get_spark(app_name="chess-pipeline-reeval")
+    fetch_fn = getattr(args, "fetch_fn", None)
+    if fetch_fn is None:
+        binary = os.environ.get("SPARK_GRAFT_STOCKFISH")
+        if not binary:
+            print(
+                "reeval: no engine — set SPARK_GRAFT_STOCKFISH to a UCI "
+                "binary (tests inject fetch_fn)",
+                file=sys.stderr,
+            )
+            return 2
+        fetch_fn = uci_fetch_fn(binary, depth=args.min_depth)
+    cache = spark.read.parquet(args.cache)
+    shallow = cache.filter(
+        F.col("eval_depth").isNull() | (F.col("eval_depth") < args.min_depth)
+    ).select("fen")
+    fresh = fetch_missing_with_quota(
+        shallow, fetch_fn, args.counter, args.period, budget=args.budget
+    )
+    n = fresh.count()
+    if n:
+        upsert_parquet(fresh, args.cache, ["fen"])
+    print(f"re-evaluated {n} positions into {args.cache}")
+    return 0
+
+
 # the data-card bundle: the reports a corpus owner publishes next to
 # a dataset release. Keys are stable output table names.
 _PROFILE_QUERIES = (
@@ -243,6 +286,18 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     sp.add_argument("--sf-dir", required=True, help="dir holding documents.parquet")
     sp.add_argument("--out", required=True, help="output dir (one subdir per split)")
 
+    rv = sub.add_parser(
+        "reeval",
+        help="re-evaluate shallow cache entries (quota-gated engine fan-out)",
+    )
+    rv.add_argument("--cache", required=True, help="position_evals parquet dir")
+    rv.add_argument("--min-depth", type=int, default=20)
+    rv.add_argument("--budget", type=int, default=3000)
+    rv.add_argument("--period", required=True, help="quota period key (e.g. a date)")
+    rv.add_argument(
+        "--counter", required=True, help="quota counter ledger parquet dir"
+    )
+
     pr = sub.add_parser("profile", help="documents parquet -> data-card reports")
     pr.add_argument("--sf-dir", required=True, help="dir holding documents.parquet")
     pr.add_argument("--out", required=True, help="output dir")
@@ -260,6 +315,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         return run_search(args, spark)
     if args.cmd == "splits":
         return run_splits(args, spark)
+    if args.cmd == "reeval":
+        return run_reeval(args, spark)
     return run_corpus(args, spark)
 
 

@@ -193,3 +193,44 @@ def test_cli_splits_export(spark, sf_dir, tmp_path):
     }
     got = {(r["doc_id"], r["split"]) for r in back.select("doc_id", "split").collect()}
     assert got == want
+
+
+def test_cli_reeval_quota_gated(spark, tmp_path):
+    """reeval subcommand: shallow cache rows (depth < threshold) are
+    re-evaluated through the quota gate and upserted by fen; deep
+    rows untouched; without an engine or fixture the command refuses
+    with a clear exit code."""
+    import argparse
+
+    cache = str(tmp_path / "position_evals")
+    spark.createDataFrame(
+        [("fenA", 0.5, 10), ("fenB", -0.25, 25), ("fenC", 0.0, None)],
+        "fen string, evaluation double, eval_depth int",
+    ).write.parquet(cache)
+
+    rc = run_etl.main(
+        [
+            "reeval", "--cache", cache, "--min-depth", "20",
+            "--budget", "10", "--period", "2026-08-15",
+            "--counter", str(tmp_path / "quota"),
+        ],
+        spark=spark,
+    )
+    assert rc == 2  # no engine, no fixture -> refuse
+
+    args = argparse.Namespace(
+        cache=cache, min_depth=20, budget=10, period="2026-08-15",
+        counter=str(tmp_path / "quota"),
+        fetch_fn=lambda fen: (9.9, 20),
+    )
+    rc = run_etl.run_reeval(args, spark=spark)
+    assert rc == 0
+    got = {
+        r["fen"]: (r["evaluation"], r["eval_depth"])
+        for r in spark.read.parquet(cache).collect()
+    }
+    assert got["fenB"] == (-0.25, 25)        # deep row untouched
+    assert got["fenA"] == (9.9, 20)          # shallow re-evaluated
+    assert got["fenC"] == (9.9, 20)          # NULL-depth re-evaluated
+    led = spark.read.parquet(str(tmp_path / "quota")).collect()
+    assert led[0]["used"] == 2
