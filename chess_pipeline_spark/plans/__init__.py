@@ -24,12 +24,12 @@ __all__ = ["QuerySpec", "catalog", "DRIVER_WINDOW", "DEMOTION_COVERAGE"]
 # sample seeded by round number (e.g. sort names by
 # md5(f"{round}:{name}") and take 50) so every query gets periodic
 # driver contact without bespoke rotation plans. Supporting data
-# (r7): the catalog is >2.6x the window, so a full pass needs 3
-# rounds of hand-curated rotation; the md5-seeded sample is
-# reproducible by both sides with ten lines of code and retires that
-# bookkeeping. Until adopted, the checklist discipline below
-# continues (executed r6 and r7; r8: promote the operators staged at
-# the end of _DEMOTED).
+# (late r7): the catalog is 3.3x the window (166 / 50), so a full
+# pass needs 4 rounds of hand-curated rotation; the md5-seeded
+# sample is reproducible by both sides with ten lines of code and
+# retires that bookkeeping. Until adopted, the checklist discipline
+# below continues (executed r6 and r7; r8: promote the operators
+# staged at the end of _DEMOTED).
 DRIVER_WINDOW = 50
 
 # Queries pushed past the driver window — exactly

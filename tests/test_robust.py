@@ -1,0 +1,81 @@
+"""operators.robust.robust_centroid_per_label laws: single-point and
+symmetric exactness, outlier resistance vs the arithmetic mean,
+optimality against perturbations, determinism, and the plan shape
+(one grouped-map applyInPandas, one label-keyed exchange)."""
+
+from __future__ import annotations
+
+import math
+
+from chess_pipeline_spark.operators.robust import robust_centroid_per_label
+
+
+def _run(spark, rows):
+    df = spark.createDataFrame(rows, "label string, embedding array<double>")
+    return {
+        r["label"]: (list(r["centroid"]), r["n_vecs"])
+        for r in robust_centroid_per_label(df).collect()
+    }
+
+
+def _sumdist(points, c):
+    return sum(
+        math.sqrt(sum((x - y) ** 2 for x, y in zip(p, c))) for p in points
+    )
+
+
+def test_single_point_and_symmetric_groups_are_exact(spark):
+    out = _run(
+        spark,
+        [
+            ("solo", [3.0, 4.0]),
+            # square around (1, 1): geometric median = center
+            ("sq", [0.0, 0.0]),
+            ("sq", [2.0, 0.0]),
+            ("sq", [0.0, 2.0]),
+            ("sq", [2.0, 2.0]),
+        ],
+    )
+    assert out["solo"][0] == [3.0, 4.0] and out["solo"][1] == 1
+    assert all(abs(v - 1.0) < 1e-9 for v in out["sq"][0]) and out["sq"][1] == 4
+
+
+def test_outlier_resistance_beats_mean(spark):
+    # 9 points at the origin cluster + 1 far outlier: the mean is
+    # dragged ~10% of the way out; the geometric median stays at the
+    # cluster and strictly wins on total distance
+    pts = [[0.0, 0.0]] * 9 + [[1000.0, 0.0]]
+    out = _run(spark, [("g", p) for p in pts])
+    c = out["g"][0]
+    assert abs(c[0]) < 1.0 and abs(c[1]) < 1e-9, c
+    mean = [100.0, 0.0]
+    assert _sumdist(pts, c) < _sumdist(pts, mean)
+
+
+def test_weiszfeld_is_locally_optimal_and_deterministic(spark):
+    rows = [
+        ("g", [float(i % 7), float((i * 3) % 5), float(i % 2)])
+        for i in range(40)
+    ]
+    a = _run(spark, rows)["g"][0]
+    b = _run(spark, rows)["g"][0]
+    assert a == b  # fixed iters, fixed start, no RNG
+    pts = [r[1] for r in rows]
+    base = _sumdist(pts, a)
+    for dim in range(3):
+        for step in (0.05, -0.05):
+            c = list(a)
+            c[dim] += step
+            assert base <= _sumdist(pts, c) + 1e-9
+
+
+def test_plan_is_single_label_keyed_grouped_map(spark):
+    df = spark.createDataFrame(
+        [("a", [1.0]), ("b", [2.0])], "label string, embedding array<double>"
+    )
+    out = robust_centroid_per_label(df)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("Exchange") <= 2  # tree+detail of the ONE label exchange
