@@ -140,6 +140,11 @@ def run_splits(args: argparse.Namespace, spark=None) -> int:
         .join(shard_assign(docs).select("doc_id", "shard"), "doc_id")
     )
     write_training_splits(assigned, args.out)
+    # reproducibility manifest next to the export: a re-run or a
+    # migration is audited by comparing this tiny table, not bytes
+    from chess_pipeline_spark.sinks import write_manifest
+
+    write_manifest(assigned, args.out + "_manifest", ["split"])
     counts = {
         r["split"]: r["n"]
         for r in spark.read.parquet(args.out)

@@ -193,6 +193,15 @@ def test_cli_splits_export(spark, sf_dir, tmp_path):
     }
     got = {(r["doc_id"], r["split"]) for r in back.select("doc_id", "split").collect()}
     assert got == want
+    # the manifest written next to the export verifies the export
+    from chess_pipeline_spark.sinks import verify_manifest
+
+    assert (
+        verify_manifest(
+            back.select(sorted(back.columns)), str(out) + "_manifest", ["split"]
+        ).count()
+        == 0
+    )
 
 
 def test_cli_reeval_quota_gated(spark, tmp_path):
