@@ -43,7 +43,12 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from chess_pipeline_spark.functions.rounding import fround, sql_round
+from chess_pipeline_spark.functions.rounding import (
+    fround,
+    grid_sum,
+    sql_grid_sum,
+    sql_round,
+)
 from chess_pipeline_spark.plans.llm import (
     BPE_TOKEN_PATTERN,
     COMPONENT_LABELS_CTES,
@@ -2107,7 +2112,7 @@ def bm25_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf.join(F.broadcast(df_.crossJoin(glob)), "word")
         .select("doc_id", (idf * tf_norm).alias("term_score"))
         .groupBy("doc_id")
-        .agg(fround(F.sum("term_score"), 6).alias("bm25"))
+        .agg(fround(grid_sum("term_score", 12), 6).alias("bm25"))
     )
     return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(20)
 
@@ -2145,7 +2150,7 @@ LIMIT 20
             f"+ {_BM25_B!r} * l.len_d / (CAST(g.total_len AS DOUBLE) / g.n_docs)))",
             6,
         ),
-        total=sql_round("sum(term_score)", 6),
+        total=sql_round(sql_grid_sum("term_score", 12), 6),
     )
 
 

@@ -23,7 +23,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from chess_pipeline_spark.functions.rounding import fround
+from chess_pipeline_spark.functions.rounding import fround, grid_cents
 from chess_pipeline_spark.plans.spec import QuerySpec
 from chess_pipeline_spark.sources import load_table as _L
 from chess_pipeline_spark.sources import spread
@@ -2933,12 +2933,16 @@ def dedup_embedding_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand_scored.agg(
             F.count("*").cast("long").alias("n"),
-            fround(F.avg("cos"), 6).alias("mean_cos"),
+            fround(
+                F.sum(grid_cents("cos", 6)) / F.lit(1e6) / F.count("cos"), 6
+            ).alias("mean_cos"),
         ).select(F.lit("lsh_candidates").alias("pair_set"), "n", "mean_cos")
     ).unionByName(
         base_scored.agg(
             F.count("*").cast("long").alias("n"),
-            fround(F.avg("cos"), 6).alias("mean_cos"),
+            fround(
+                F.sum(grid_cents("cos", 6)) / F.lit(1e6) / F.count("cos"), 6
+            ).alias("mean_cos"),
         ).select(F.lit("hash_baseline").alias("pair_set"), "n", "mean_cos")
     )
 
@@ -2975,11 +2979,11 @@ score_base AS (
   JOIN norms nb ON nb.vec_id = p.doc_b
   GROUP BY p.doc_a, p.doc_b, na.nrm, nb.nrm)
 SELECT 'lsh_candidates' AS pair_set, CAST(count(*) AS BIGINT) AS n,
-       floor((avg(cos)) * 1000000.0 + 0.5) / 1000000.0 AS mean_cos
+       floor((sum(CAST(floor(cos * 1000000.0 + 0.5) AS BIGINT)) / 1000000.0 / count(cos)) * 1000000.0 + 0.5) / 1000000.0 AS mean_cos
 FROM score_cand
 UNION ALL
 SELECT 'hash_baseline' AS pair_set, CAST(count(*) AS BIGINT) AS n,
-       floor((avg(cos)) * 1000000.0 + 0.5) / 1000000.0 AS mean_cos
+       floor((sum(CAST(floor(cos * 1000000.0 + 0.5) AS BIGINT)) / 1000000.0 / count(cos)) * 1000000.0 + 0.5) / 1000000.0 AS mean_cos
 FROM score_base
 """
 

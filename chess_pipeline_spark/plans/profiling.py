@@ -27,7 +27,12 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from chess_pipeline_spark.functions.rounding import fround, sql_round
+from chess_pipeline_spark.functions.rounding import (
+    fround,
+    grid_sum,
+    sql_grid_sum,
+    sql_round,
+)
 from chess_pipeline_spark.plans.spec import QuerySpec
 from chess_pipeline_spark.sources import load_table as _L
 from chess_pipeline_spark.sources import spread
@@ -413,7 +418,7 @@ def returned_items_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims = cust.join(
         F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
     ).select("c_custkey", "c_name", "n_name")
-    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    rev = grid_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
     per_cust = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("o_custkey")
@@ -430,7 +435,7 @@ def returned_items_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 RETURNED_ITEMS_REPORT_SQL = f"""
 WITH per_cust AS (
   SELECT o.o_custkey,
-         {sql_round('sum(l.l_extendedprice * (1 - l.l_discount))', 2)} AS revenue,
+         {sql_round(sql_grid_sum('l.l_extendedprice * (1 - l.l_discount)', 4), 2)} AS revenue,
          count(*) AS n_lines
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
   WHERE l.l_returnflag = 'R'

@@ -21,7 +21,13 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from chess_pipeline_spark.functions.rounding import fround, sql_round
+from chess_pipeline_spark.functions.rounding import (
+    fround,
+    grid_cents,
+    grid_sum,
+    sql_grid_sum,
+    sql_round,
+)
 from chess_pipeline_spark.plans.spec import QuerySpec
 from chess_pipeline_spark.sources import load_table as _L
 
@@ -91,13 +97,23 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             fround(F.sum("l_quantity"), 2).alias("sum_qty"),
-            fround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            fround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "sum_disc_price"
-            ),
+            grid_sum("l_extendedprice", 2).alias("sum_base_price"),
+            fround(
+                grid_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4), 2
+            ).alias("sum_disc_price"),
             fround(F.avg("l_quantity"), 6).alias("avg_qty"),
-            fround(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            fround(F.avg("l_discount"), 6).alias("avg_disc"),
+            fround(
+                F.sum(grid_cents("l_extendedprice", 2))
+                / F.lit(100.0)
+                / F.count("l_extendedprice"),
+                6,
+            ).alias("avg_price"),
+            fround(
+                F.sum(grid_cents("l_discount", 2))
+                / F.lit(100.0)
+                / F.count("l_discount"),
+                6,
+            ).alias("avg_disc"),
             fround(F.coalesce(F.stddev_samp("l_quantity"), F.lit(0.0)), 6).alias("std_qty"),
             F.count("*").alias("count_order"),
         )
@@ -107,11 +123,11 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 PRICING_SUMMARY_SQL = """
 SELECT l_returnflag, l_linestatus,
        floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0                              AS sum_qty,
-       floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0                         AS sum_base_price,
-       floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0      AS sum_disc_price,
+       (sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) / 100.0)       AS sum_base_price,
+       floor((sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5) AS BIGINT)) / 10000.0) * 100.0 + 0.5) / 100.0 AS sum_disc_price,
        floor((avg(l_quantity)) * 1000000.0 + 0.5) / 1000000.0                              AS avg_qty,
-       floor((avg(l_extendedprice)) * 1000000.0 + 0.5) / 1000000.0                         AS avg_price,
-       floor((avg(l_discount)) * 1000000.0 + 0.5) / 1000000.0                              AS avg_disc,
+       floor((sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) / 100.0 / count(l_extendedprice)) * 1000000.0 + 0.5) / 1000000.0 AS avg_price,
+       floor((sum(CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)) / 100.0 / count(l_discount)) * 1000000.0 + 0.5) / 1000000.0 AS avg_disc,
        floor((coalesce(stddev_samp(l_quantity), 0)) * 1000000.0 + 0.5) / 1000000.0         AS std_qty,
        count(*)                                               AS count_order
 FROM lineitem
@@ -139,9 +155,9 @@ def top_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(
-            fround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            fround(
+                grid_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4), 2
+            ).alias("revenue")
         )
     )
     return rev.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(10)
@@ -149,7 +165,7 @@ def top_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TOP_CUSTOMER_REVENUE_SQL = """
 SELECT c_custkey, c_name,
-       floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS revenue
+       floor((sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5) AS BIGINT)) / 10000.0) * 100.0 + 0.5) / 100.0 AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -824,14 +840,19 @@ def binned_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _L(spark, sf_dir, "lineitem")
     bin_ = (F.floor(F.col("l_extendedprice") / 1000) * 1000).cast("long")
     return li.groupBy(bin_.alias("price_bin")).agg(
-        fround(F.avg("l_discount"), 6).alias("mean_discount"),
+        fround(
+            F.sum(grid_cents("l_discount", 2))
+            / F.lit(100.0)
+            / F.count("l_discount"),
+            6,
+        ).alias("mean_discount"),
         F.count("*").alias("n"),
     )
 
 
 BINNED_MEAN_SQL = """
 SELECT CAST(floor(l_extendedprice / 1000) * 1000 AS BIGINT) AS price_bin,
-       floor((avg(l_discount)) * 1000000.0 + 0.5) / 1000000.0 AS mean_discount,
+       floor((sum(CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)) / 100.0 / count(l_discount)) * 1000000.0 + 0.5) / 1000000.0 AS mean_discount,
        count(*) AS n
 FROM lineitem GROUP BY 1
 """
@@ -879,14 +900,14 @@ def empty_relation_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.filter(F.col("l_quantity") < -1)
         .groupBy("l_linestatus")
-        .agg(fround(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        .agg(grid_sum("l_extendedprice", 2).alias("sum_price"),
              F.count("*").alias("n"))
     )
 
 
 EMPTY_RELATION_GUARD_SQL = """
 SELECT l_linestatus,
-       floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS sum_price,
+       (sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) / 100.0) AS sum_price,
        count(*) AS n
 FROM lineitem WHERE l_quantity < -1 GROUP BY l_linestatus
 """
@@ -910,7 +931,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("c_custkey", "n_name")
     )
-    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    revenue = grid_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
     return (
         li.join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
@@ -921,7 +942,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 REVENUE_BY_NATION_SQL = """
 SELECT n_name,
-       floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS revenue,
+       floor((sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5) AS BIGINT)) / 10000.0) * 100.0 + 0.5) / 100.0 AS revenue,
        count(*) AS n_lines
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -972,16 +993,19 @@ def running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
-        fround(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        (F.sum(grid_cents("o_totalprice", 2)).over(w) / F.lit(100.0)).alias(
+            "running_total"
+        ),
     )
 
 
 RUNNING_REVENUE_SQL = """
 SELECT o_custkey, o_orderkey,
        strftime(o_orderdate, '%Y-%m-%d') AS order_date,
-       floor((sum(o_totalprice) OVER (PARTITION BY o_custkey
-                                      ORDER BY o_orderdate, o_orderkey
-                                      ROWS UNBOUNDED PRECEDING)) * 100.0 + 0.5) / 100.0
+       (sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) OVER (
+            PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey
+            ROWS UNBOUNDED PRECEDING) / 100.0)
          AS running_total
 FROM orders
 """
@@ -997,7 +1021,7 @@ def rollup_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.rollup("o_orderpriority", "o_orderstatus")
         .agg(
             F.count("*").alias("n"),
-            fround(F.sum("o_totalprice"), 2).alias("sum_price"),
+            grid_sum("o_totalprice", 2).alias("sum_price"),
             F.grouping_id().cast("long").alias("gid"),
         )
         .select(
@@ -1014,7 +1038,7 @@ ROLLUP_PRIORITY_STATUS_SQL = """
 SELECT coalesce(o_orderpriority, '<all>') AS priority,
        coalesce(o_orderstatus, '<all>') AS status,
        count(*) AS n,
-       floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 AS sum_price,
+       (sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) / 100.0) AS sum_price,
        CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS BIGINT) AS gid
 FROM orders
 GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
@@ -1365,7 +1389,7 @@ def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(per_part), "l_partkey")
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
         .agg(
-            fround(F.sum("l_extendedprice"), 2).alias("small_qty_revenue"),
+            grid_sum("l_extendedprice", 2).alias("small_qty_revenue"),
             F.count("*").cast("long").alias("n_lines"),
         )
     )
@@ -1381,7 +1405,7 @@ FROM lineitem l JOIN per_part p USING (l_partkey)
 WHERE l.l_quantity < p.half_avg_qty
 """.format(
     half_avg=sql_round("avg(l_quantity) * 0.5", 6),
-    rev=sql_round("sum(l_extendedprice)", 2),
+    rev=sql_grid_sum("l_extendedprice", 2),
 )
 
 
@@ -1434,7 +1458,7 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _L(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
-    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    rev = grid_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
@@ -1448,7 +1472,7 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LOCAL_SUPPLIER_VOLUME_SQL = f"""
 SELECT n.n_name,
-       {sql_round('sum(l.l_extendedprice * (1 - l.l_discount))', 2)} AS revenue,
+       {sql_round(sql_grid_sum('l.l_extendedprice * (1 - l.l_discount)', 4), 2)} AS revenue,
        CAST(count(*) AS BIGINT) AS n_lines
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -1776,12 +1800,13 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_year")
         .agg(
             fround(
-                F.sum(
-                    F.when(F.col("supp_nation") == _Q8_NATION, rev).otherwise(0.0)
+                grid_sum(
+                    F.when(F.col("supp_nation") == _Q8_NATION, rev).otherwise(0.0),
+                    4,
                 ),
                 2,
             ).alias("nation_revenue"),
-            fround(F.sum(rev), 2).alias("total_revenue"),
+            fround(grid_sum(rev, 4), 2).alias("total_revenue"),
         )
     )
     return (
@@ -1800,8 +1825,8 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 NATION_MARKET_SHARE_SQL = f"""
 WITH agg AS (
   SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
-         {sql_round(f"sum(CASE WHEN sn.n_name = '{_Q8_NATION}' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END)", 2)} AS nation_revenue,
-         {sql_round('sum(l.l_extendedprice * (1 - l.l_discount))', 2)} AS total_revenue
+         {sql_round(sql_grid_sum(f"CASE WHEN sn.n_name = '{_Q8_NATION}' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END", 4), 2)} AS nation_revenue,
+         {sql_round(sql_grid_sum('l.l_extendedprice * (1 - l.l_discount)', 4), 2)} AS total_revenue
   FROM lineitem l
   JOIN part p ON l.l_partkey = p.p_partkey
   JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -1836,7 +1861,7 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping_id().cast("int").alias("gid"),
             F.count("*").alias("n_orders"),
-            fround(F.sum("o_totalprice"), 2).alias("revenue"),
+            grid_sum("o_totalprice", 2).alias("revenue"),
         )
         .select(
             F.coalesce("o_orderstatus", F.lit("<all>")).alias("o_orderstatus"),
@@ -1854,7 +1879,7 @@ SELECT coalesce(o_orderstatus, '<all>') AS o_orderstatus,
        coalesce(o_orderpriority, '<all>') AS o_orderpriority,
        CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INT) AS gid,
        count(*) AS n_orders,
-       {sql_round('sum(o_totalprice)', 2)} AS revenue
+       {sql_grid_sum('o_totalprice', 2)} AS revenue
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 ORDER BY gid, o_orderstatus, o_orderpriority
@@ -1886,7 +1911,7 @@ def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _L(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > _Q3_CUTOFF
     )
-    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    rev = grid_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
     return (
         orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(li, orders.o_orderkey == li.l_orderkey)
@@ -1907,7 +1932,7 @@ SHIPPING_PRIORITY_TOPK_SQL = f"""
 SELECT o.o_orderkey,
        strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
        o.o_orderpriority,
-       {sql_round('sum(l.l_extendedprice * (1 - l.l_discount))', 2)} AS revenue
+       {sql_round(sql_grid_sum('l.l_extendedprice * (1 - l.l_discount)', 4), 2)} AS revenue
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -1935,15 +1960,15 @@ def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_quantity") < 24)
     )
     return li.agg(
-        fround(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-            "revenue_delta"
-        ),
+        fround(
+            grid_sum(F.col("l_extendedprice") * F.col("l_discount"), 4), 2
+        ).alias("revenue_delta"),
         F.count("*").cast("long").alias("n_lines"),
     )
 
 
 FORECAST_REVENUE_CHANGE_SQL = f"""
-SELECT {sql_round('sum(l_extendedprice * l_discount)', 2)} AS revenue_delta,
+SELECT {sql_round(sql_grid_sum('l_extendedprice * l_discount', 4), 2)} AS revenue_delta,
        CAST(count(*) AS BIGINT) AS n_lines
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -1971,10 +1996,13 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
     agg = j.agg(
-        fround(F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0.0)), 2).alias(
-            "promo_revenue"
-        ),
-        fround(F.sum(rev), 2).alias("total_revenue"),
+        fround(
+            grid_sum(
+                F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0.0), 4
+            ),
+            2,
+        ).alias("promo_revenue"),
+        fround(grid_sum(rev, 4), 2).alias("total_revenue"),
     )
     return agg.select(
         "promo_revenue",
@@ -1987,8 +2015,8 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PROMO_REVENUE_SHARE_SQL = f"""
 WITH agg AS (
-  SELECT {sql_round("sum(CASE WHEN p.p_type LIKE 'PROMO%' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END)", 2)} AS promo_revenue,
-         {sql_round('sum(l.l_extendedprice * (1 - l.l_discount))', 2)} AS total_revenue
+  SELECT {sql_round(sql_grid_sum("CASE WHEN p.p_type LIKE 'PROMO%' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END", 4), 2)} AS promo_revenue,
+         {sql_round(sql_grid_sum('l.l_extendedprice * (1 - l.l_discount)', 4), 2)} AS total_revenue
   FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
   WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
     AND l.l_shipdate < TIMESTAMP '1997-04-01')
@@ -2034,7 +2062,7 @@ def disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("l_quantity").between(20, 30)
         )
     )
-    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    rev = grid_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
     return j.filter(arm).agg(
         fround(rev, 2).alias("revenue"),
         F.count("*").cast("long").alias("n_lines"),
@@ -2042,7 +2070,7 @@ def disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DISJUNCTIVE_BRAND_REVENUE_SQL = f"""
-SELECT {sql_round('sum(l.l_extendedprice * (1 - l.l_discount))', 2)} AS revenue,
+SELECT {sql_round(sql_grid_sum('l.l_extendedprice * (1 - l.l_discount)', 4), 2)} AS revenue,
        CAST(count(*) AS BIGINT) AS n_lines
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
@@ -2102,7 +2130,7 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 TOP_SUPPLIER_REVENUE_SQL = f"""
 WITH revenue AS (
   SELECT l_suppkey,
-         {sql_round('sum(l_extendedprice * (1 - l_discount))', 2)} AS total_revenue
+         {sql_round(sql_grid_sum('l_extendedprice * (1 - l_discount)', 4), 2)} AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '{_Q15_SHIP_FROM}'
     AND l_shipdate < TIMESTAMP '{_Q15_SHIP_TO}'
@@ -2151,7 +2179,7 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _L(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"
     )
-    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    rev = grid_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
     return (
         li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
@@ -2169,7 +2197,7 @@ NATION_TRADE_VOLUME_SQL = f"""
 SELECT sn.n_name AS supp_nation,
        cn.n_name AS cust_nation,
        CAST(year(l.l_shipdate) AS INT) AS l_year,
-       {sql_round('sum(l.l_extendedprice * (1 - l.l_discount))', 2)} AS revenue,
+       {sql_round(sql_grid_sum('l.l_extendedprice * (1 - l.l_discount)', 4), 2)} AS revenue,
        CAST(count(*) AS BIGINT) AS n_lines
 FROM lineitem l
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -2262,7 +2290,7 @@ def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = _L(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
-        fround(F.sum("o_totalprice"), 2).alias("revenue"),
+        grid_sum("o_totalprice", 2).alias("revenue"),
         F.count("*").alias("n_orders"),
     )
     w = Window.orderBy(F.asc("revenue"), F.asc("o_custkey"))
@@ -2276,7 +2304,7 @@ def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiled.groupBy("decile")
         .agg(
             F.count("*").alias("n_customers"),
-            fround(F.sum("revenue"), 2).alias("decile_revenue"),
+            grid_sum("revenue", 2).alias("decile_revenue"),
             fround(F.min("revenue"), 2).alias("min_revenue"),
             fround(F.max("revenue"), 2).alias("max_revenue"),
             F.sum("n_orders").cast("long").alias("n_orders"),
@@ -2301,8 +2329,8 @@ SELECT CAST(decile AS INT) AS decile,
        CAST(sum(n_orders) AS BIGINT) AS n_orders
 FROM tiled GROUP BY 1 ORDER BY 1
 """.format(
-    rev=sql_round("sum(o_totalprice)", 2),
-    drev=sql_round("sum(revenue)", 2),
+    rev=sql_grid_sum("o_totalprice", 2),
+    drev=sql_grid_sum("revenue", 2),
     mn=sql_round("min(revenue)", 2),
     mx=sql_round("max(revenue)", 2),
 )
@@ -2333,7 +2361,7 @@ def customer_value_deciles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame
     """
     orders = _L(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
-        fround(F.sum("o_totalprice"), 2).alias("revenue"),
+        grid_sum("o_totalprice", 2).alias("revenue"),
         F.count("*").alias("n_orders"),
     )
     binned = per_cust.withColumn(
@@ -2380,7 +2408,7 @@ def customer_value_deciles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame
         assigned.groupBy("decile")
         .agg(
             F.count("*").alias("n_customers"),
-            fround(F.sum("revenue"), 2).alias("decile_revenue"),
+            grid_sum("revenue", 2).alias("decile_revenue"),
             fround(F.min("revenue"), 2).alias("min_revenue"),
             fround(F.max("revenue"), 2).alias("max_revenue"),
             F.sum("n_orders").cast("long").alias("n_orders"),
@@ -2422,8 +2450,8 @@ SELECT CAST(decile AS INT) AS decile,
        CAST(sum(n_orders) AS BIGINT) AS n_orders
 FROM assigned GROUP BY 1 ORDER BY 1
 """.format(
-    rev=sql_round("sum(o_totalprice)", 2),
-    drev=sql_round("sum(revenue)", 2),
+    rev=sql_grid_sum("o_totalprice", 2),
+    drev=sql_grid_sum("revenue", 2),
     mn=sql_round("min(revenue)", 2),
     mx=sql_round("max(revenue)", 2),
 )
@@ -2501,7 +2529,12 @@ def idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey")
     )
     avg_pos = cust.filter(F.col("c_acctbal") > 0).agg(
-        fround(F.avg("c_acctbal"), 6).alias("avg_bal")
+        fround(
+            F.sum(grid_cents("c_acctbal", 2))
+            / F.lit(100.0)
+            / F.count("c_acctbal"),
+            6,
+        ).alias("avg_bal")
     )
     idle = (
         cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
@@ -2512,7 +2545,7 @@ def idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         idle.groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_customers"),
-            fround(F.sum("c_acctbal"), 2).alias("total_balance"),
+            grid_sum("c_acctbal", 2).alias("total_balance"),
         )
         .orderBy("c_mktsegment")
     )
@@ -2520,11 +2553,11 @@ def idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 IDLE_CUSTOMER_BALANCE_SQL = f"""
 WITH avg_pos AS (
-  SELECT {sql_round('avg(c_acctbal)', 6)} AS avg_bal
+  SELECT {sql_round('(sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)) / 100.0 / count(c_acctbal))', 6)} AS avg_bal
   FROM customer WHERE c_acctbal > 0
 )
 SELECT c.c_mktsegment, count(*) AS n_customers,
-       {sql_round('sum(c.c_acctbal)', 2)} AS total_balance
+       {sql_grid_sum('c.c_acctbal', 2)} AS total_balance
 FROM customer c, avg_pos a
 WHERE c.c_acctbal > a.avg_bal
   AND NOT EXISTS (SELECT 1 FROM orders o
@@ -2720,9 +2753,9 @@ def above_share_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(nat, supp.s_nationkey == nat.n_nationkey)
         .groupBy("n_name")
-        .agg(fround(F.sum("rev"), 2).alias("revenue"))
+        .agg(fround(grid_sum("rev", 4), 2).alias("revenue"))
     )
-    total = li.agg(fround(F.sum("rev"), 2).alias("total_rev"))
+    total = li.agg(fround(grid_sum("rev", 4), 2).alias("total_rev"))
     return (
         per_nation.crossJoin(F.broadcast(total))
         .withColumn("share", fround(F.col("revenue") / F.col("total_rev"), 6))
@@ -2735,13 +2768,13 @@ def above_share_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 ABOVE_SHARE_NATIONS_SQL = f"""
 WITH per_nation AS (
   SELECT n.n_name,
-         {sql_round('sum(l.l_extendedprice * (1 - l.l_discount))', 2)} AS revenue
+         {sql_round(sql_grid_sum('l.l_extendedprice * (1 - l.l_discount)', 4), 2)} AS revenue
   FROM lineitem l
   JOIN supplier s ON l.l_suppkey = s.s_suppkey
   JOIN nation n ON s.s_nationkey = n.n_nationkey
   GROUP BY 1),
 total AS (
-  SELECT {sql_round('sum(l_extendedprice * (1 - l_discount))', 2)} AS total_rev
+  SELECT {sql_round(sql_grid_sum('l_extendedprice * (1 - l_discount)', 4), 2)} AS total_rev
   FROM lineitem)
 SELECT n_name, revenue, share FROM (
   SELECT n_name, revenue,
@@ -2795,16 +2828,17 @@ def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("n_name", "o_year")
         .agg(
-            fround(F.sum(profit), 2).alias("profit"),
+            fround(grid_sum(profit, 4), 2).alias("profit"),
             F.count("*").cast("long").alias("n_lines"),
         )
         .orderBy("n_name", F.desc("o_year"))
     )
 
 
-_Q9_PROFIT_EXPR = (
-    "sum(l.l_extendedprice * (1 - l.l_discount)"
-    f" - p.p_retailprice * l.l_quantity * {_Q9_COST_RATE})"
+_Q9_PROFIT_EXPR = sql_grid_sum(
+    "l.l_extendedprice * (1 - l.l_discount)"
+    f" - p.p_retailprice * l.l_quantity * {_Q9_COST_RATE}",
+    4,
 )
 
 PROFIT_BY_NATION_YEAR_SQL = f"""

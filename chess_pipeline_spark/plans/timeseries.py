@@ -20,7 +20,12 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from chess_pipeline_spark.functions.rounding import fround, sql_round
+from chess_pipeline_spark.functions.rounding import (
+    fround,
+    grid_cents,
+    grid_sum,
+    sql_round,
+)
 from chess_pipeline_spark.plans.spec import QuerySpec
 from chess_pipeline_spark.sources import load_table as _L
 
@@ -36,7 +41,12 @@ def value_stats_by_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withColumn("weekday", (F.dayofweek("ts") - 1).cast("int"))
         .groupBy("weekday")
         .agg(
-            fround(F.avg("value"), 6).alias("mean_value"),
+fround(
+                F.sum(grid_cents("value", 2))
+                / F.lit(100.0)
+                / F.count("value"),
+                6,
+            ).alias("mean_value"),
             fround(F.coalesce(F.stddev_samp("value"), F.lit(0.0)), 6).alias("std_value"),
             fround(F.min("value"), 2).alias("min_value"),
             fround(F.max("value"), 2).alias("max_value"),
@@ -47,7 +57,7 @@ def value_stats_by_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 VALUE_STATS_BY_WEEKDAY_SQL = """
 SELECT CAST(dayofweek(ts) AS INT) AS weekday,
-       floor((avg(value)) * 1000000.0 + 0.5) / 1000000.0 AS mean_value,
+       floor((sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) / 100.0 / count(value)) * 1000000.0 + 0.5) / 1000000.0 AS mean_value,
        floor((coalesce(stddev_samp(value), 0)) * 1000000.0 + 0.5) / 1000000.0 AS std_value,
        floor((min(value)) * 100.0 + 0.5) / 100.0 AS min_value,
        floor((max(value)) * 100.0 + 0.5) / 100.0 AS max_value,
@@ -65,7 +75,10 @@ def weekday_recode(spark: SparkSession, sf_dir: str) -> DataFrame:
     pandas_weekday = F.when(F.dayofweek("ts") == 1, 6).otherwise(F.dayofweek("ts") - 2)
     recoded = F.when(pandas_weekday == 6, -1).otherwise(pandas_weekday)
     return ev.groupBy(recoded.cast("int").alias("weekday_recode")).agg(
-        F.count("*").alias("n"), fround(F.avg("value"), 6).alias("mean_value")
+        F.count("*").alias("n"),
+        fround(
+            F.sum(grid_cents("value", 2)) / F.lit(100.0) / F.count("value"), 6
+        ).alias("mean_value"),
     )
 
 
@@ -73,7 +86,7 @@ WEEKDAY_RECODE_SQL = """
 SELECT CAST(CASE WHEN dayofweek(ts) = 0 THEN -1 ELSE dayofweek(ts) - 1 END AS INT)
          AS weekday_recode,
        count(*) AS n,
-       floor((avg(value)) * 1000000.0 + 0.5) / 1000000.0 AS mean_value
+       floor((sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) / 100.0 / count(value)) * 1000000.0 + 0.5) / 1000000.0 AS mean_value
 FROM events GROUP BY 1
 """
 
@@ -86,7 +99,7 @@ def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     win = F.window("ts", "1 hour")
     return (
         ev.groupBy(win.alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), fround(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count("*").alias("n"), grid_sum("value", 2).alias("sum_value"))
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start"),
             "event_type",
@@ -100,7 +113,7 @@ EVENTS_TUMBLING_1H_SQL = f"""
 SELECT ({_TS_SEC} // 3600) * 3600 AS window_start,
        event_type,
        count(*) AS n,
-       floor((sum(value)) * 100.0 + 0.5) / 100.0 AS sum_value
+       (sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) / 100.0) AS sum_value
 FROM events
 GROUP BY 1, 2
 """
@@ -114,7 +127,7 @@ def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     win = F.window("ts", "1 hour", "30 minutes")
     return (
         ev.groupBy(win.alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), fround(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count("*").alias("n"), grid_sum("value", 2).alias("sum_value"))
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start"),
             "event_type",
@@ -132,7 +145,7 @@ WITH e AS (
   FROM events)
 SELECT window_start, event_type,
        count(*) AS n,
-       floor((sum(value)) * 100.0 + 0.5) / 100.0 AS sum_value
+       (sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) / 100.0) AS sum_value
 FROM e GROUP BY 1, 2
 """
 
@@ -154,7 +167,7 @@ def _session_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts_sec").alias("session_start"),
         F.max("ts_sec").alias("session_end"),
         F.count("*").alias("n_events"),
-        F.sum("value").alias("raw_sum_value"),
+        F.sum(grid_cents("value", 2)).alias("raw_sum_cents"),
     )
 
 
@@ -170,7 +183,7 @@ def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_start",
         "session_end",
         "n_events",
-        fround(F.col("raw_sum_value"), 2).alias("sum_value"),
+        (F.col("raw_sum_cents") / F.lit(100.0)).alias("sum_value"),
     )
 
 
@@ -190,7 +203,7 @@ SELECT user_id, session_id,
        min(ts_sec) AS session_start,
        max(ts_sec) AS session_end,
        count(*) AS n_events,
-       floor((sum(value)) * 100.0 + 0.5) / 100.0 AS sum_value
+       (sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) / 100.0) AS sum_value
 FROM sessions GROUP BY user_id, session_id
 """
 
@@ -871,7 +884,7 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         purchases.groupBy("channel")
         .agg(
             F.count("*").alias("n_conversions"),
-            fround(F.sum("value"), 2).alias("attributed_value"),
+            grid_sum("value", 2).alias("attributed_value"),
         )
         .orderBy("channel")
     )
@@ -893,7 +906,7 @@ t AS (
   FROM e)
 SELECT coalesce(substring(touch, 25), 'direct') AS channel,
        count(*) AS n_conversions,
-       {sql_round("sum(value)", 2)} AS attributed_value
+       (sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) / 100.0) AS attributed_value
 FROM t WHERE event_type = 'purchase'
 GROUP BY 1 ORDER BY 1
 """

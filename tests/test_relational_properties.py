@@ -423,3 +423,87 @@ def test_fuzzy_part_matches_oracle_on_random_inputs(
     tmp = tmp_path_factory.mktemp("fuzzyparts")
     parts.to_parquet(tmp / "part.parquet", index=False)
     run_and_compare(spark, str(tmp), "fuzzy_part_matches", _CATALOG["fuzzy_part_matches"])
+
+
+def test_grid_sum_is_partition_order_independent_on_half_cents(
+    spark, tmp_path_factory
+):
+    """Regression for the hypothesis-found returned_items_report flip:
+    a revenue sum landing EXACTLY on a half-cent (price 2dp x discount
+    2dp = 4dp terms) rounds differently depending on float summation
+    order — which partitioning changes. grid_sum folds exact integers,
+    so (a) every repartitioning yields byte-identical results, and
+    (b) Spark matches the DuckDB oracle on a fixture built entirely
+    of boundary sums."""
+    import pandas as pd
+
+    import pyspark.sql.functions as F
+
+    from chess_pipeline_spark.functions.rounding import fround, grid_sum
+
+    # 101 terms of 0.005 -> true sum 0.505 (half-cent boundary), plus
+    # jitter rows that push float error around
+    rows = [(1, 10.01, 0.50)] * 1 + [(1, 0.01, 0.50)] * 100 + [
+        (1, 9999999.99, 0.13)
+    ] * 7
+    df = spark.createDataFrame(rows, "k int, price double, disc double")
+    term = F.col("price") * (1 - F.col("disc"))
+    vals = set()
+    for parts in (1, 3, 7, 32):
+        v = (
+            df.repartition(parts)
+            .groupBy("k")
+            .agg(fround(grid_sum(term, 4), 2).alias("rev"))
+            .first()["rev"]
+        )
+        vals.add(v)
+    assert len(vals) == 1, vals
+
+    # full-query oracle parity on a boundary-sum corpus
+    tmp = tmp_path_factory.mktemp("halfcent")
+    n = 40
+    li = pd.DataFrame(
+        {
+            "l_orderkey": [i % 4 for i in range(n)],
+            "l_partkey": [0] * n,
+            "l_suppkey": [0] * n,
+            "l_linenumber": list(range(n)),
+            "l_quantity": [1.0] * n,
+            "l_extendedprice": [10.01 if i % 10 == 0 else 0.01 for i in range(n)],
+            "l_discount": [0.50] * n,
+            "l_tax": [0.0] * n,
+            "l_returnflag": ["R"] * n,
+            "l_linestatus": ["O"] * n,
+            "l_shipdate": pd.to_datetime(["2020-09-13 12:26:40"] * n),
+        }
+    )
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": [0, 1, 2, 3],
+            "o_custkey": [0, 1, 2, 3],
+            "o_orderstatus": ["O"] * 4,
+            "o_totalprice": [1.0] * 4,
+            "o_orderdate": pd.to_datetime(["2020-09-01"] * 4),
+            "o_orderpriority": ["1-URGENT"] * 4,
+        }
+    )
+    li.to_parquet(tmp / "lineitem.parquet", index=False)
+    orders.to_parquet(tmp / "orders.parquet", index=False)
+    _CUSTOMER.to_parquet(tmp / "customer.parquet", index=False)
+    _NATION.to_parquet(tmp / "nation.parquet", index=False)
+    _REGION.to_parquet(tmp / "region.parquet", index=False)
+    _PART.to_parquet(tmp / "part.parquet", index=False)
+    _SUPPLIER.to_parquet(tmp / "supplier.parquet", index=False)
+    pd.DataFrame(
+        {
+            "event_id": [0],
+            "ts": pd.to_datetime(["2023-11-14 22:13:20"]),
+            "user_id": [0],
+            "event_type": ["view"],
+            "value": [0.0],
+            "props": ['{"k": 1}'],
+        }
+    ).to_parquet(tmp / "events.parquet", index=False)
+    run_and_compare(
+        spark, str(tmp), "returned_items_report", _CATALOG["returned_items_report"]
+    )
