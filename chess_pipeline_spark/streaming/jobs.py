@@ -67,7 +67,12 @@ def stream_tumbling_counts(events: DataFrame, watermark: str = "2 hours") -> Dat
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .agg(
+            F.count("*").alias("n"),
+            # integer-cent fold like the batch twins: a streaming sum
+            # must not depend on micro-batch arrival order either
+            (F.sum(grid_cents("value", 2)) / F.lit(100.0)).alias("sum_value"),
+        )
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start"),
             "event_type",
@@ -84,7 +89,12 @@ def stream_sliding_counts(events: DataFrame, watermark: str = "2 hours") -> Data
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .agg(
+            F.count("*").alias("n"),
+            # integer-cent fold like the batch twins: a streaming sum
+            # must not depend on micro-batch arrival order either
+            (F.sum(grid_cents("value", 2)) / F.lit(100.0)).alias("sum_value"),
+        )
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start"),
             "event_type",
@@ -100,7 +110,10 @@ def stream_session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFra
     return (
         events.withWatermark("ts", "2 hours")
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
-        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(grid_cents("value", 2)) / F.lit(100.0)).alias("sum_value"),
+        )
         .select(
             "user_id",
             F.unix_timestamp(F.col("w.start")).alias("session_start"),
@@ -571,6 +584,7 @@ def stream_hll_distinct(events: DataFrame, registers_path: str, estimates_path: 
 # bak-swap bounded-ledger helpers live in sinks.py (shared with the
 # persisted text index's stats ledger); aliased here for the jobs
 # that predate the move
+from chess_pipeline_spark.functions.rounding import grid_cents
 from chess_pipeline_spark.sinks import bak_swap_write as _bak_swap_write
 from chess_pipeline_spark.sinks import read_bounded_ledger as _read_bounded_ledger
 
