@@ -96,12 +96,19 @@ DRIVER_WINDOW = 50
 # scd2_point_in_time_join, negative_sample_pairs,
 # leakage_safe_split, oversample_balance_sources,
 # token_balanced_shards, span_corruption_plan,
-# hard_negative_mining (they sit at the tail of _DEMOTED below) —
-# demoting 34 window members that are green in BOTH r6 and r7
-# CORRECTNESS files, keeping the single-green r7 promotions in
-# place and multimodal_features/mixture_sample as family anchors.
-# Done = CORRECTNESS_r08.json 50/50 green including all 34 names
-# and the never-driver-green set shrinks to r8's own additions.
+# hard_negative_mining (they sit at the tail of _DEMOTED below).
+# Slot arithmetic: the r7 window holds 17 single-green r7
+# promotions + 33 members green in BOTH r6 and r7, and
+# mixture_sample/multimodal_features must stay as family anchors —
+# so demote all 31 non-anchor double-green members PLUS 3 r7-green
+# promotions whose families are redundantly covered by the
+# post-rotation window (the r6→r7 precedent; pick from the DSS
+# shapes, e.g. forecast_revenue_change ⊂ promo_revenue_share's
+# conditional-agg form, cube_status_priority ⊂ the promoted
+# grouping-set twins, local_supplier_volume ⊂ nation_trade_volume —
+# verify green-history at rotation time). Done = CORRECTNESS_r08
+# 50/50 green including all 34 staged names and the
+# never-driver-green set shrinks to r8's own additions.
 _DEMOTED: tuple[str, ...] = (
     "distinct_flag_status",
     "global_minmax",
