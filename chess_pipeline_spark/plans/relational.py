@@ -1799,14 +1799,19 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
         .groupBy("o_year")
         .agg(
+            # quantize the term ONCE; the CASE routes exact integers
             fround(
-                grid_sum(
-                    F.when(F.col("supp_nation") == _Q8_NATION, rev).otherwise(0.0),
-                    4,
-                ),
+                F.sum(
+                    F.when(
+                        F.col("supp_nation") == _Q8_NATION, grid_cents(rev, 4)
+                    ).otherwise(F.lit(0).cast("long"))
+                )
+                / F.lit(1e4),
                 2,
             ).alias("nation_revenue"),
-            fround(grid_sum(rev, 4), 2).alias("total_revenue"),
+            fround(F.sum(grid_cents(rev, 4)) / F.lit(1e4), 2).alias(
+                "total_revenue"
+            ),
         )
     )
     return (
@@ -1825,7 +1830,7 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 NATION_MARKET_SHARE_SQL = f"""
 WITH agg AS (
   SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
-         {sql_round(sql_grid_sum(f"CASE WHEN sn.n_name = '{_Q8_NATION}' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END", 4), 2)} AS nation_revenue,
+         {sql_round(f"(sum(CASE WHEN sn.n_name = '{_Q8_NATION}' THEN CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000.0 + 0.5) AS BIGINT) ELSE 0 END) / 10000.0)", 2)} AS nation_revenue,
          {sql_round(sql_grid_sum('l.l_extendedprice * (1 - l.l_discount)', 4), 2)} AS total_revenue
   FROM lineitem l
   JOIN part p ON l.l_partkey = p.p_partkey
@@ -1996,13 +2001,19 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
     agg = j.agg(
+        # quantize the term ONCE; the CASE routes exact integers
         fround(
-            grid_sum(
-                F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0.0), 4
-            ),
+            F.sum(
+                F.when(
+                    F.col("p_type").startswith("PROMO"), grid_cents(rev, 4)
+                ).otherwise(F.lit(0).cast("long"))
+            )
+            / F.lit(1e4),
             2,
         ).alias("promo_revenue"),
-        fround(grid_sum(rev, 4), 2).alias("total_revenue"),
+        fround(F.sum(grid_cents(rev, 4)) / F.lit(1e4), 2).alias(
+            "total_revenue"
+        ),
     )
     return agg.select(
         "promo_revenue",
@@ -2015,7 +2026,7 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PROMO_REVENUE_SHARE_SQL = f"""
 WITH agg AS (
-  SELECT {sql_round(sql_grid_sum("CASE WHEN p.p_type LIKE 'PROMO%' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END", 4), 2)} AS promo_revenue,
+  SELECT {sql_round("(sum(CASE WHEN p.p_type LIKE 'PROMO%' THEN CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000.0 + 0.5) AS BIGINT) ELSE 0 END) / 10000.0)", 2)} AS promo_revenue,
          {sql_round(sql_grid_sum('l.l_extendedprice * (1 - l.l_discount)', 4), 2)} AS total_revenue
   FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
   WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
