@@ -335,3 +335,35 @@ def verify_manifest(df: DataFrame, manifest_path: str, keys: list[str]) -> DataF
             )
         )
     )
+
+
+def repair_partitions(
+    source: DataFrame, target_path: str, manifest_path: str, keys: list[str]
+) -> list:
+    """Anti-entropy repair driven by the reproducibility manifest:
+    verify the partitioned target against its stored manifest and
+    rewrite ONLY the partitions whose (n_rows, content_hash)
+    disagree, pulling the correct rows from `source`. Healthy
+    partitions' files are never touched (dynamic partition
+    overwrite), so fixing one corrupt partition of a 100 TB dataset
+    costs one partition's write, not a full rewrite.
+
+    Returns the repaired key tuples (empty = target was healthy).
+    The source must hold the authoritative rows for the repaired
+    keys; re-running after a repair verifies clean and rewrites
+    nothing.
+    """
+    from pyspark.sql import functions as F
+
+    spark = source.sparkSession
+    bad = (
+        verify_manifest(spark.read.parquet(target_path), manifest_path, keys)
+        .select(*keys)
+        .collect()
+    )
+    if not bad:
+        return []
+    bad_df = spark.createDataFrame(bad, source.select(*keys).schema)
+    fix = source.join(F.broadcast(bad_df), keys, "left_semi")
+    upsert_partition_overwrite(fix, target_path, keys)
+    return [tuple(r) for r in bad]

@@ -265,3 +265,64 @@ def test_manifest_round_trip_and_tamper_detection(spark, sf_dir, tmp_path):
     )
     bad = {r["source"] for r in verify_manifest(extra, man, ["source"]).collect()}
     assert bad == {"srcNEW"}
+
+
+def test_repair_partitions_touches_only_corrupt_partitions(spark, sf_dir, tmp_path):
+    """Anti-entropy law: corrupt one split partition of the training
+    export; repair_partitions rewrites exactly that partition from
+    the source (healthy partitions' files keep their inodes), the
+    manifest verifies clean afterwards, and a second repair is a
+    no-op."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from chess_pipeline_spark.plans import catalog
+    from chess_pipeline_spark.sinks import (
+        repair_partitions,
+        verify_manifest,
+        write_manifest,
+        write_training_splits,
+    )
+    from chess_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    assigned = docs.join(
+        catalog()["leakage_safe_split"].spark(spark, sf_dir).select("doc_id", "split"),
+        "doc_id",
+    )
+    out = str(tmp_path / "export")
+    man = str(tmp_path / "manifest")
+    write_training_splits(assigned, out)
+    write_manifest(assigned, man, ["split"])
+
+    def files(split):
+        d = os.path.join(out, f"split={split}")
+        return {
+            f: os.stat(os.path.join(d, f)).st_ino
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    healthy_before = files("train")
+
+    # corrupt the valid partition: rewrite it missing one row
+    # (materialize first — a lazy self-overwrite reads deleted files)
+    valid_pd = (
+        spark.read.parquet(os.path.join(out, "split=valid"))
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    degraded = spark.createDataFrame(valid_pd.iloc[1:])
+    degraded.write.mode("overwrite").parquet(os.path.join(out, "split=valid"))
+    # the partition-dir rewrite leaves stray _SUCCESS etc. but the
+    # reader sees the degraded rows
+    assert verify_manifest(
+        spark.read.parquet(out), man, ["split"]
+    ).count() == 1
+
+    repaired = repair_partitions(assigned, out, man, ["split"])
+    assert repaired == [("valid",)]
+    assert verify_manifest(spark.read.parquet(out), man, ["split"]).count() == 0
+    assert files("train") == healthy_before  # untouched inodes
+    assert repair_partitions(assigned, out, man, ["split"]) == []
