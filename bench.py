@@ -194,6 +194,7 @@ EXTENDED = [
     "token_balanced_shards",
     "span_corruption_plan",
     "hard_negative_mining",
+    "label_centroids",
 ]
 
 ROUND = 7  # bump per round; names the committed BENCHLOCAL file

@@ -24,7 +24,7 @@ __all__ = ["QuerySpec", "catalog", "DRIVER_WINDOW", "DEMOTION_COVERAGE"]
 # sample seeded by round number (e.g. sort names by
 # md5(f"{round}:{name}") and take 50) so every query gets periodic
 # driver contact without bespoke rotation plans. Supporting data
-# (late r7): the catalog is 3.3x the window (166 / 50), so a full
+# (late r7): the catalog is 3.3x the window (167 / 50), so a full
 # pass needs 4 rounds of hand-curated rotation; the md5-seeded
 # sample is reproducible by both sides with ten lines of code and
 # retires that bookkeeping. Until adopted, the checklist discipline
@@ -81,7 +81,7 @@ DRIVER_WINDOW = 50
 #          families. Operators built new in r7 start demoted with
 #          local oracle rows, staged for the r8 promotion.
 #
-# r8 ROTATION CHECKLIST (execute at r8 start): promote the 34
+# r8 ROTATION CHECKLIST (execute at r8 start): promote the 35
 # never-driver-verified r7-new queries — ivf_adc_recall,
 # ivf_ingest_audit, pgn_moves_table, hll_set_algebra,
 # fuzzy_part_matches, bpe_train_merges, cms_join_size_estimate,
@@ -96,19 +96,21 @@ DRIVER_WINDOW = 50
 # scd2_point_in_time_join, negative_sample_pairs,
 # leakage_safe_split, oversample_balance_sources,
 # token_balanced_shards, span_corruption_plan,
-# hard_negative_mining (they sit at the tail of _DEMOTED below).
+# hard_negative_mining, label_centroids (they sit at the tail of
+# _DEMOTED below).
 # Slot arithmetic: the r7 window holds 17 single-green r7
 # promotions + 33 members green in BOTH r6 and r7, and
 # mixture_sample/multimodal_features must stay as family anchors —
-# so demote all 31 non-anchor double-green members PLUS 3 r7-green
+# so demote all 31 non-anchor double-green members PLUS 4 r7-green
 # promotions whose families are redundantly covered by the
 # post-rotation window (the r6→r7 precedent; pick from the DSS
 # shapes, e.g. forecast_revenue_change ⊂ promo_revenue_share's
 # conditional-agg form, cube_status_priority ⊂ the promoted
-# grouping-set twins, local_supplier_volume ⊂ nation_trade_volume —
-# verify green-history at rotation time). Done = CORRECTNESS_r08
-# 50/50 green including all 34 staged names and the
-# never-driver-green set shrinks to r8's own additions.
+# grouping-set twins, local_supplier_volume ⊂ nation_trade_volume,
+# top_supplier_revenue ⊂ the promoted argmin/top-k twins — verify
+# green-history at rotation time). Done = CORRECTNESS_r08 50/50
+# green including all 35 staged names and the never-driver-green
+# set shrinks to r8's own additions.
 _DEMOTED: tuple[str, ...] = (
     "distinct_flag_status",
     "global_minmax",
@@ -236,6 +238,7 @@ _DEMOTED: tuple[str, ...] = (
     "token_balanced_shards",
     "span_corruption_plan",
     "hard_negative_mining",
+    "label_centroids",
 )
 
 # For every demoted query: the IN-WINDOW queries that keep its SURVEY
@@ -525,6 +528,9 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     # broadcast-anchor cosine scan + dup-band cut → the ADC scorer +
     # the banded dup-agreement audit
     "hard_negative_mining": ("knn_pq_adc", "dedup_embedding_agreement"),
+    # (label, dim) keyed mean → the PQ subvector encoder + the
+    # embedding-family ADC scorer
+    "label_centroids": ("embedding_pq_codes", "knn_pq_adc"),
 }
 
 

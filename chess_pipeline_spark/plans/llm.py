@@ -1155,6 +1155,54 @@ WHERE rank <= 5
 """
 
 
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding in LONG format (label, dim, mean6,
+    n_vecs) — the linear-centroid step of cluster maintenance (IVF
+    coarse centroids, semdedup blocks), and the oracle-checkable twin
+    of the grouped-map robust centroid (`operators/robust.py`):
+    the mean has a closed form SQL can express, the geometric median
+    does not — together they cover the centroid family from both
+    verification angles. Long format deliberately: the driver's
+    canonicalizer cannot hash array cells.
+
+    100 TB shape: posexplode is a row-local fan-out by the fixed
+    dim count; ONE (label, dim) keyed aggregate with map-side
+    partials; output is |labels|·dim rows.
+    """
+    e = spread(_L(spark, sf_dir, "embeddings"), "vec_id")
+    comps = e.select(
+        "label", F.posexplode("embedding").alias("dim", "x")
+    )
+    return (
+        comps.groupBy("label", "dim")
+        .agg(
+            fround(F.avg(F.col("x").cast("double")), 6).alias("mean6"),
+            F.count("*").cast("long").alias("n_vecs"),
+        )
+        .select(
+            F.col("label").cast("long").alias("label"),
+            F.col("dim").cast("long").alias("dim"),
+            "mean6",
+            "n_vecs",
+        )
+        .orderBy("label", "dim")
+    )
+
+
+LABEL_CENTROIDS_SQL = """
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(i - 1 AS BIGINT) AS dim,
+       floor((avg(x)) * 1000000.0 + 0.5) / 1000000.0 AS mean6,
+       CAST(count(*) AS BIGINT) AS n_vecs
+FROM (
+  SELECT label, CAST(unnest(embedding) AS DOUBLE) AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 _HARD_NEG_Q = 5        # anchor set (vec_id < Q), broadcast
 _HARD_NEG_K = 3        # hard negatives per anchor
 _HARD_NEG_DUP_T = 0.3  # >= this cosine = the repo's near-dup band
@@ -3334,6 +3382,11 @@ QUERIES: dict[str, QuerySpec] = {
         hard_negative_mining,
         HARD_NEGATIVE_MINING_SQL,
         "llm-hard-negatives",
+    ),
+    "label_centroids": QuerySpec(
+        label_centroids,
+        LABEL_CENTROIDS_SQL,
+        "llm-label-centroids",
     ),
     "knn_cosine_ivf": QuerySpec(knn_cosine_ivf, KNN_COSINE_IVF_SQL, "llm-knn-ivf"),
     "knn_cosine_lsh": QuerySpec(knn_cosine_lsh, KNN_COSINE_LSH_SQL, "llm-knn-lsh"),

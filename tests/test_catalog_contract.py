@@ -208,6 +208,7 @@ FROZEN_ORDER: tuple[str, ...] = (
     "token_balanced_shards",
     "span_corruption_plan",
     "hard_negative_mining",
+    "label_centroids",
 )
 
 
