@@ -108,9 +108,10 @@ DRIVER_WINDOW = 50
 # conditional-agg form, cube_status_priority ⊂ the promoted
 # grouping-set twins, local_supplier_volume ⊂ nation_trade_volume,
 # top_supplier_revenue ⊂ the promoted argmin/top-k twins — verify
-# green-history at rotation time). Done = CORRECTNESS_r08 50/50
-# green including all 35 staged names and the never-driver-green
-# set shrinks to r8's own additions.
+# green-history at rotation time; scripts/check_rotation.py --plan
+# mechanizes the eligibility math against the CORRECTNESS files).
+# Done = CORRECTNESS_r08 50/50 green including all 35 staged names
+# and the never-driver-green set shrinks to r8's own additions.
 _DEMOTED: tuple[str, ...] = (
     "distinct_flag_status",
     "global_minmax",

