@@ -1105,3 +1105,36 @@ def test_stream_split_ledger_first_seen_stability(spark, tmp_path):
     assert splits_by_doc[1] == splits_by_doc[100] == split_a0
     # per-batch exactly-once: batch 1 partition holds exactly 2 rows
     assert a.filter(F.col("batch_id") == 1).count() == 2
+
+
+def test_commutative_ledgers_are_delivery_order_independent(spark, sf_dir, tmp_path):
+    """Stronger than replay idempotence: the ES sample and the
+    negative-rep ledgers fold COMMUTATIVE algebra (global top-k /
+    per-bucket min-2), so delivering the same three batches in a
+    different order must produce byte-identical state. (The split
+    ledger is deliberately NOT in this test — first-seen-wins is
+    order-dependent by contract.)"""
+    import pyspark.sql.functions as F
+
+    from chess_pipeline_spark.sources import load_table
+    from chess_pipeline_spark.streaming.jobs import (
+        _es_sample_process_batch,
+        _neg_reps_process_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    batches = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    canon = lambda df: sorted(map(repr, map(tuple, df.collect())))  # noqa: E731
+
+    results = {}
+    for tag, order in (("fwd", [0, 1, 2]), ("rev", [2, 0, 1])):
+        es = str(tmp_path / f"es_{tag}")
+        nr = str(tmp_path / f"nr_{tag}")
+        for b, i in enumerate(order):
+            _es_sample_process_batch(batches[i], b, es, str(tmp_path / f"es_s_{tag}"))
+            _neg_reps_process_batch(batches[i], b, nr, str(tmp_path / f"nr_s_{tag}"))
+        results[tag] = (
+            canon(spark.read.parquet(es).select("doc_id", "priority_micro")),
+            canon(spark.read.parquet(nr).select("doc_id", "bucket", "tb")),
+        )
+    assert results["fwd"] == results["rev"]
