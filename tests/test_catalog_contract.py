@@ -28,70 +28,73 @@ from chess_pipeline_spark.plans import (
     catalog,
 )
 
-# The byte-stable order for the round-7 driver run: the deliberate
-# r6->r7 rotation executes the r7 ROTATION CHECKLIST wholesale — all
-# sixteen r6-new operators plus json_props_extract enter the window
-# (emptying the never-driver-green backlog); 12 members green in BOTH
-# r5 and r6 (verified against CORRECTNESS_r01..r06 at rotation time)
-# plus 5 r6-green members with redundant in-window family coverage
-# rotate out. mixture_sample and multimodal_features stay as the sole
-# driver anchors of the sampling and mapInPandas-media families. The
-# subsumption table is DEMOTION_COVERAGE in plans/__init__.py,
-# machine-validated below. Any edit here is a deliberate contract
-# change and must re-justify the window contents.
+# The byte-stable order for the round-8 driver run: the deliberate
+# r7->r8 rotation executes the r8 ROTATION CHECKLIST wholesale — all
+# 35 never-driver-verified r7-new operators enter the window (emptying
+# the never-driver-green backlog); the 32 non-anchor members green in
+# BOTH r6 and r7 rotate out, plus 3 single-green r7 DSS promotions
+# with redundant in-window family coverage (disjunctive_brand_revenue,
+# shipping_priority_topk, local_supplier_volume — picked by
+# scripts/check_rotation.py --plan). mixture_sample and
+# multimodal_features stay as the sole driver anchors of the sampling
+# and mapInPandas-media families; the 13 other single-green r7
+# promotions stay for a second green round. The subsumption table is
+# DEMOTION_COVERAGE in plans/__init__.py, machine-validated below. Any
+# edit here is a deliberate contract change and must re-justify the
+# window contents.
 FROZEN_ORDER: tuple[str, ...] = (
-    "orders_rfm_segments",
-    "orders_snapshot_diff",
-    "orders_retention_cohort",
-    "order_priority_pending",
-    "returnflag_priority_casesum",
-    "cust_order_count_dist",
-    "small_qty_revenue",
-    "disjunctive_brand_revenue",
-    "shipping_priority_topk",
-    "local_supplier_volume",
+    "cheapest_supplier_per_part",
+    "above_share_nations",
+    "profit_by_nation_year",
+    "dominant_supplier_parts",
+    "brand_supplier_counts",
     "nation_market_share",
     "cube_status_priority",
     "segment_top_value_orders",
     "scd2_customer_snapshot",
+    "scd2_point_in_time_join",
     "forecast_revenue_change",
     "promo_revenue_share",
     "top_supplier_revenue",
     "nation_trade_volume",
     "customer_value_deciles_sketch",
-    "large_quantity_orders",
-    "idle_customer_balance",
-    "attribution_last_touch",
-    "session_path_trigrams",
-    "event_transition_matrix",
-    "events_gap_detection",
-    "json_props_extract",
-    "events_decay_score",
-    "dedup_embedding_agreement",
-    "cross_source_leakage",
+    "fuzzy_part_matches",
+    "concurrency_peak_daily",
+    "pgn_moves_table",
+    "containment_near_dup",
+    "hard_negative_mining",
+    "label_centroids",
+    "pca_top_component",
     "embedding_pq_codes",
     "knn_pq_adc",
     "multimodal_features",
+    "media_phash_near_dup",
     "dedup_groups_logstep",
+    "ivf_adc_recall",
+    "ivf_ingest_audit",
     "bpe_merge_candidates",
+    "bpe_train_merges",
+    "sliding_window_chunks",
+    "bpe_encode_tokens",
     "mixture_sample",
-    "pii_redact_stats",
-    "oov_rate_top1k",
-    "boilerplate_chunk_removal",
-    "unigram_logprob_score",
-    "bm25_doc_search",
-    "hybrid_search_rrf",
-    "hll_distinct_users",
-    "data_profile_orders",
-    "mad_outlier_bounds",
-    "seq_length_histogram",
-    "returned_items_report",
-    "dup_cluster_size_hist",
-    "cms_heavy_hitters",
-    "value_quantiles_binned",
-    "referential_integrity_audit",
+    "weighted_sample_es",
+    "temperature_mixture_sample",
+    "weighted_sample_per_source",
+    "negative_sample_pairs",
+    "leakage_safe_split",
+    "oversample_balance_sources",
+    "token_balanced_shards",
+    "span_corruption_plan",
+    "source_kl_divergence",
+    "bm25_index_probe",
+    "hll_set_algebra",
+    "cms_join_size_estimate",
+    "psi_value_drift",
+    "bloom_join_prune",
+    "join_key_skew_profile",
+    "zorder_layout_audit",
     # --- past the driver window (demoted; every demoted query has
-    # green driver history and/or a local oracle row) ---
+    # green driver history and a local oracle row) ---
     "distinct_flag_status",
     "global_minmax",
     "weekday_recode",
@@ -174,41 +177,41 @@ FROZEN_ORDER: tuple[str, ...] = (
     "customer_value_deciles",
     "funnel_latency_percentiles",
     "corpus_composition",
-    "ivf_adc_recall",
-    "ivf_ingest_audit",
-    "pgn_moves_table",
-    "hll_set_algebra",
-    "fuzzy_part_matches",
-    "bpe_train_merges",
-    "cms_join_size_estimate",
-    "join_key_skew_profile",
-    "sliding_window_chunks",
-    "bpe_encode_tokens",
-    "containment_near_dup",
-    "source_kl_divergence",
-    "zorder_layout_audit",
-    "bloom_join_prune",
-    "media_phash_near_dup",
-    "weighted_sample_es",
-    "psi_value_drift",
-    "pca_top_component",
-    "concurrency_peak_daily",
-    "bm25_index_probe",
-    "temperature_mixture_sample",
-    "weighted_sample_per_source",
-    "cheapest_supplier_per_part",
-    "above_share_nations",
-    "profit_by_nation_year",
-    "dominant_supplier_parts",
-    "brand_supplier_counts",
-    "scd2_point_in_time_join",
-    "negative_sample_pairs",
-    "leakage_safe_split",
-    "oversample_balance_sources",
-    "token_balanced_shards",
-    "span_corruption_plan",
-    "hard_negative_mining",
-    "label_centroids",
+    "orders_rfm_segments",
+    "orders_snapshot_diff",
+    "orders_retention_cohort",
+    "order_priority_pending",
+    "returnflag_priority_casesum",
+    "cust_order_count_dist",
+    "small_qty_revenue",
+    "large_quantity_orders",
+    "idle_customer_balance",
+    "attribution_last_touch",
+    "session_path_trigrams",
+    "event_transition_matrix",
+    "events_gap_detection",
+    "json_props_extract",
+    "events_decay_score",
+    "dedup_embedding_agreement",
+    "cross_source_leakage",
+    "pii_redact_stats",
+    "oov_rate_top1k",
+    "boilerplate_chunk_removal",
+    "unigram_logprob_score",
+    "bm25_doc_search",
+    "hybrid_search_rrf",
+    "hll_distinct_users",
+    "data_profile_orders",
+    "mad_outlier_bounds",
+    "seq_length_histogram",
+    "returned_items_report",
+    "dup_cluster_size_hist",
+    "cms_heavy_hitters",
+    "value_quantiles_binned",
+    "referential_integrity_audit",
+    "disjunctive_brand_revenue",
+    "shipping_priority_topk",
+    "local_supplier_volume",
 )
 
 
@@ -216,58 +219,96 @@ def test_catalog_order_frozen():
     assert tuple(catalog()) == FROZEN_ORDER
 
 
-def test_driver_window_r7_rotation():
-    # round 7's window: the full r7 rotation checklist executed — all
-    # sixteen r6-new operators plus json_props_extract are IN (the
-    # never-driver-green backlog is empty); everything rotated out is
-    # either green in r5 AND r6 (12 names, verified against the
-    # CORRECTNESS files at rotation time) or r6-green with redundant
-    # in-window family coverage (5 names); mixture_sample and
-    # multimodal_features stay as sole family anchors.
+def test_driver_window_r8_rotation():
+    # round 8's window: the full r8 rotation checklist executed — all
+    # 35 r7-new operators are IN (the never-driver-green backlog is
+    # empty); everything rotated out is either green in r6 AND r7 (32
+    # names, verified against the CORRECTNESS files at rotation time)
+    # or single-green r7 DSS shapes with redundant in-window family
+    # coverage (3 names); mixture_sample and multimodal_features stay
+    # as sole family anchors, and the 13 remaining single-green r7
+    # promotions stay for a second green round.
     assert len(FROZEN_ORDER) - DRIVER_WINDOW == len(_DEMOTED)
     in_window = set(FROZEN_ORDER[:DRIVER_WINDOW])
-    promoted_r7 = (
+    promoted_r8 = (
+        "ivf_adc_recall",
+        "ivf_ingest_audit",
+        "pgn_moves_table",
+        "hll_set_algebra",
+        "fuzzy_part_matches",
+        "bpe_train_merges",
+        "cms_join_size_estimate",
+        "join_key_skew_profile",
+        "sliding_window_chunks",
+        "bpe_encode_tokens",
+        "containment_near_dup",
+        "source_kl_divergence",
+        "zorder_layout_audit",
+        "bloom_join_prune",
+        "media_phash_near_dup",
+        "weighted_sample_es",
+        "psi_value_drift",
+        "pca_top_component",
+        "concurrency_peak_daily",
+        "bm25_index_probe",
+        "temperature_mixture_sample",
+        "weighted_sample_per_source",
+        "cheapest_supplier_per_part",
+        "above_share_nations",
+        "profit_by_nation_year",
+        "dominant_supplier_parts",
+        "brand_supplier_counts",
+        "scd2_point_in_time_join",
+        "negative_sample_pairs",
+        "leakage_safe_split",
+        "oversample_balance_sources",
+        "token_balanced_shards",
+        "span_corruption_plan",
+        "hard_negative_mining",
+        "label_centroids",
+    )
+    assert len(promoted_r8) == 35
+    demoted_r8 = (
+        "orders_rfm_segments",
+        "orders_snapshot_diff",
+        "orders_retention_cohort",
+        "order_priority_pending",
+        "returnflag_priority_casesum",
+        "cust_order_count_dist",
+        "small_qty_revenue",
+        "large_quantity_orders",
+        "idle_customer_balance",
+        "attribution_last_touch",
+        "session_path_trigrams",
+        "event_transition_matrix",
+        "events_gap_detection",
         "json_props_extract",
-        "dedup_groups_logstep",
-        "customer_value_deciles_sketch",
-        "bpe_merge_candidates",
-        "embedding_pq_codes",
-        "knn_pq_adc",
+        "events_decay_score",
+        "dedup_embedding_agreement",
+        "cross_source_leakage",
+        "pii_redact_stats",
+        "oov_rate_top1k",
+        "boilerplate_chunk_removal",
+        "unigram_logprob_score",
+        "bm25_doc_search",
+        "hybrid_search_rrf",
+        "hll_distinct_users",
+        "data_profile_orders",
+        "mad_outlier_bounds",
+        "seq_length_histogram",
+        "returned_items_report",
+        "dup_cluster_size_hist",
+        "cms_heavy_hitters",
+        "value_quantiles_binned",
+        "referential_integrity_audit",
         "disjunctive_brand_revenue",
-        "top_supplier_revenue",
-        "nation_trade_volume",
         "shipping_priority_topk",
-        "forecast_revenue_change",
-        "promo_revenue_share",
         "local_supplier_volume",
-        "nation_market_share",
-        "cube_status_priority",
-        "segment_top_value_orders",
-        "scd2_customer_snapshot",
     )
-    assert len(promoted_r7) == 17
-    demoted_r7 = (
-        "bm25_top_terms",
-        "decontaminate_ngram_overlap",
-        "dedup_incremental_simhash",
-        "embedding_random_projection",
-        "events_interval_join",
-        "events_ohlc_hourly",
-        "events_rolling_zscore",
-        "events_time_weighted_avg",
-        "paragraph_dedup",
-        "quality_filter_verdicts",
-        "repetition_stats",
-        "semdedup_embedding",
-        "hll_cumulative_daily",
-        "waiting_supplier_orders",
-        "customer_value_deciles",
-        "funnel_latency_percentiles",
-        "corpus_composition",
-    )
-    for name in promoted_r7 + ("mixture_sample", "multimodal_features", "pii_redact_stats"):
+    assert len(demoted_r8) == 35
+    for name in promoted_r8 + ("mixture_sample", "multimodal_features"):
         assert name in in_window, name
-    for name in demoted_r7:
+    for name in demoted_r8:
         assert name in _DEMOTED and name not in in_window, name
 
 
