@@ -312,29 +312,69 @@ def ingest_ivf_batch(
     )
 
 
+def _read_folded(lists_dir: str) -> set[int]:
+    """ingest_batch ids already folded into this base, from the
+    `_folded_batches.json` sidecar INSIDE the lists directory (Spark
+    ignores underscore-prefixed files, and the marker renames
+    atomically with the base it describes). Empty for a fresh build —
+    build_ivf_index's base contains no ingested batches."""
+    import json
+
+    p = os.path.join(lists_dir, "_folded_batches.json")
+    if os.path.exists(p):
+        with open(p) as fh:
+            return set(json.load(fh))
+    return set()
+
+
 def compact_ivf_index(spark: SparkSession, index_path: str) -> None:
-    """Fold lists_delta into the base lists. The swap renames the live
-    base to a .bak sibling before renaming the merged tmp into place
-    (and only then drops .bak + delta), so a crash at any instant
-    leaves either the target or the .bak holding a full base —
-    _read_lists falls back to the .bak. Run in a maintenance window —
-    probes between the final rename and the delta removal would
-    double-read the folded rows, the standard
-    non-transactional-filesystem caveat a lakehouse table format
-    removes."""
+    """Fold lists_delta into the base lists, idempotently. The swap
+    renames the live base to a .bak sibling before renaming the merged
+    tmp into place (and only then drops .bak + delta), so a crash at
+    any instant leaves either the target or the .bak holding a full
+    base — _read_lists falls back to the .bak, and a half-completed
+    swap is restored here before compacting.
+
+    Idempotence across the crash window between the final rename and
+    the delta removal: the merged base carries a
+    `_folded_batches.json` marker listing every ingest_batch id it
+    already contains, and both this function and _read_lists anti-
+    filter the delta against it — so a re-run after ANY crash folds
+    each batch exactly once (the re-compaction-duplicates window a
+    bare rename sequence leaves open), and probes between the rename
+    and the delta removal no longer double-read folded rows."""
+    import json
     import shutil
     import uuid
 
     delta_path = os.path.join(index_path, "lists_delta")
     lists_path = os.path.join(index_path, "lists")
     bak_path = f"{lists_path}.__bak__"
+    if not os.path.exists(lists_path) and os.path.exists(bak_path):
+        # crashed between the two renames: the .bak IS the base
+        os.rename(bak_path, lists_path)
     if not os.path.exists(delta_path):
         return
+    folded = _read_folded(lists_path)
+    delta_raw = spark.read.parquet(delta_path)
+    new_batches = sorted(
+        {r["ingest_batch"] for r in delta_raw.select("ingest_batch").distinct().collect()}
+        - folded
+    )
+    if not new_batches:
+        # everything in the delta is already in the base (crash after
+        # the rename, before the delta removal) — just finish cleanup
+        shutil.rmtree(delta_path)
+        return
     base = spark.read.parquet(lists_path)
-    delta = spark.read.parquet(delta_path).drop("ingest_batch")
+    delta = delta_raw.filter(F.col("ingest_batch").isin(new_batches)).drop(
+        "ingest_batch"
+    )
     merged = base.unionByName(delta)
     tmp = f"{lists_path}.__tmp__{uuid.uuid4().hex[:8]}"
     merged.write.partitionBy("list_id").mode("overwrite").parquet(tmp)
+    with open(os.path.join(tmp, "_folded_batches.json"), "w") as fh:
+        json.dump(sorted(folded | set(new_batches)), fh)
     if os.path.exists(bak_path):
         shutil.rmtree(bak_path)
     os.rename(lists_path, bak_path)
@@ -349,15 +389,23 @@ def _read_lists(spark: SparkSession, index_path: str) -> DataFrame:
     list_id applies to each scan; the delta is delta-sized by
     definition, so an unpruned delta scan is bounded anyway. If a
     compaction crashed mid-swap the base lives in the .bak sibling —
-    fall back to it rather than failing the probe."""
+    fall back to it rather than failing the probe. Delta batches the
+    base's _folded_batches.json marker already covers are excluded, so
+    a probe racing (or crashed out of) a compaction never reads a
+    folded row twice."""
     lists_path = os.path.join(index_path, "lists")
     if not os.path.exists(lists_path) and os.path.exists(f"{lists_path}.__bak__"):
         lists_path = f"{lists_path}.__bak__"
     lists = spark.read.parquet(lists_path)
     delta_path = os.path.join(index_path, "lists_delta")
     if os.path.exists(delta_path):
-        delta = spark.read.parquet(delta_path).drop("ingest_batch")
-        lists = lists.unionByName(delta, allowMissingColumns=True)
+        delta = spark.read.parquet(delta_path)
+        folded = _read_folded(lists_path)
+        if folded and "ingest_batch" in delta.columns:
+            delta = delta.filter(~F.col("ingest_batch").isin(sorted(folded)))
+        lists = lists.unionByName(
+            delta.drop("ingest_batch"), allowMissingColumns=True
+        )
     return lists
 
 

@@ -153,8 +153,14 @@ def fetch_missing_with_quota(
     used = int(used_row[0]["used"]) if used_row else 0
     remaining = max(0, budget - used)
     pick = fens.select("fen").distinct().orderBy("fen").limit(remaining)
-    n_sent = pick.count()
-    fetched = fetch_missing(pick, fetch_fn)
+    # Materialize the fetch BEFORE writing the ledger: localCheckpoint
+    # executes every external call exactly once, so counted == executed
+    # no matter how many actions the caller later runs on the returned
+    # frame (a lazy frame would re-run fetch_fn per action while the
+    # ledger counted it once, and would consume budget even if the
+    # caller never materialized it at all).
+    fetched = fetch_missing(pick, fetch_fn).localCheckpoint()
+    n_sent = fetched.count()
     merged = prior.filter(F.col("period_key") != period_key).unionByName(
         spark.createDataFrame(
             [(period_key, used + n_sent)], "period_key string, used long"

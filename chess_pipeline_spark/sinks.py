@@ -351,7 +351,11 @@ def repair_partitions(
     Returns the repaired key tuples (empty = target was healthy).
     The source must hold the authoritative rows for the repaired
     keys; re-running after a repair verifies clean and rewrites
-    nothing.
+    nothing. Bad keys with NO source rows (extra/corrupt partitions
+    that shouldn't exist at all — dynamic partition overwrite can't
+    touch a partition absent from the written frame) have their
+    target partition directories deleted outright, so the repair
+    loop converges for them too instead of re-reporting them forever.
     """
     from pyspark.sql import functions as F
 
@@ -363,7 +367,21 @@ def repair_partitions(
     )
     if not bad:
         return []
+    bad_keys = [tuple(r) for r in bad]
     bad_df = spark.createDataFrame(bad, source.select(*keys).schema)
     fix = source.join(F.broadcast(bad_df), keys, "left_semi")
-    upsert_partition_overwrite(fix, target_path, keys)
-    return [tuple(r) for r in bad]
+    covered = {
+        tuple(r) for r in fix.select(*keys).distinct().collect()
+    }  # driver-side tiny: bounded by the bad-key count
+    orphans = [k for k in bad_keys if k not in covered]
+    for k in orphans:
+        # hive layout: target/key1=v1/key2=v2 (None → Hive's default
+        # partition name, matching what Spark wrote)
+        parts = [
+            f"{c}={'__HIVE_DEFAULT_PARTITION__' if v is None else v}"
+            for c, v in zip(keys, k)
+        ]
+        shutil.rmtree(os.path.join(target_path, *parts), ignore_errors=True)
+    if len(orphans) < len(bad_keys):
+        upsert_partition_overwrite(fix, target_path, keys)
+    return bad_keys

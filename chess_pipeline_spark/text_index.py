@@ -46,7 +46,7 @@ import os
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from chess_pipeline_spark.functions.rounding import fround
+from chess_pipeline_spark.functions.rounding import fround, grid_sum
 from chess_pipeline_spark.sinks import upsert_partition_overwrite
 
 _TI_BUCKETS = 16
@@ -183,6 +183,9 @@ def probe_bm25(
         .join(F.broadcast(df_.crossJoin(stats)), "term")
         .select("doc_id", (idf * tf_norm).alias("term_score"))
         .groupBy("doc_id")
-        .agg(fround(F.sum("term_score"), 6).alias("bm25"))
+        # grid_sum at 12 dp, exactly like bm25_doc_search: a plain
+        # float sum could round a 0.5e-6-boundary multi-term total
+        # differently and break the bit-identical probe contract
+        .agg(fround(grid_sum("term_score", 12), 6).alias("bm25"))
     )
     return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(k)

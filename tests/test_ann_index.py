@@ -475,3 +475,58 @@ def test_stream_ingest_ivf_and_compaction(spark, sf_dir, tmp_path):
         got = rows(probe(spark, inc_idx, queries, k=5, **kw))
         want = rows(probe(spark, full_idx, queries, k=5, **kw))
         assert got == want, probe.__name__
+
+
+def test_compaction_idempotent_after_crash_window(spark, sf_dir, tmp_path):
+    """The r8 ADVICE crash window: a compaction that dies between
+    renaming the merged base into place and removing lists_delta
+    leaves the delta both folded AND on disk. Reproduce that end
+    state (compact, then restore the delta files), and assert:
+    (a) _read_lists does NOT double-read the folded rows — the
+    _folded_batches.json marker excludes them; (b) a second
+    compact_ivf_index run removes the stale delta WITHOUT merging it
+    again, so the base is byte-identical in row content."""
+    import os
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from chess_pipeline_spark.ann_index import (
+        _read_lists,
+        build_ivf_index,
+        compact_ivf_index,
+        ingest_ivf_batch,
+    )
+    from chess_pipeline_spark.sources import load_table
+
+    corpus = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    mid = corpus.agg(F.expr("percentile(vec_id, 0.5)")).first()[0]
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(corpus.filter(F.col("vec_id") <= mid), idx, n_lists=8)
+    ingest_ivf_batch(corpus.filter(F.col("vec_id") > mid), 7, idx)
+
+    delta = os.path.join(idx, "lists_delta")
+    delta_copy = str(tmp_path / "delta_copy")
+    shutil.copytree(delta, delta_copy)
+
+    def rows(df):
+        return sorted(map(tuple, df.select("vec_id", "list_id").collect()))
+
+    want = rows(_read_lists(spark, idx))
+    compact_ivf_index(spark, idx)
+    base_rows = rows(spark.read.parquet(os.path.join(idx, "lists")))
+    assert base_rows == want
+
+    # crash end-state: folded base + stale delta back on disk
+    shutil.copytree(delta_copy, delta)
+    assert rows(_read_lists(spark, idx)) == want  # (a) no double-read
+
+    compact_ivf_index(spark, idx)  # (b) re-compaction is idempotent
+    assert not os.path.exists(delta)
+    assert rows(spark.read.parquet(os.path.join(idx, "lists"))) == want
+
+    # and a genuinely NEW batch after the recovery still folds in
+    ingest_ivf_batch(corpus.filter(F.col("vec_id") <= 3), 8, idx)
+    compact_ivf_index(spark, idx)
+    n_new = corpus.filter(F.col("vec_id") <= 3).count()
+    assert len(rows(spark.read.parquet(os.path.join(idx, "lists")))) == len(want) + n_new

@@ -147,3 +147,40 @@ def test_fetch_missing_with_quota_respects_and_persists_budget(spark, tmp_path):
     assert led == {"2026-08-15": 7, "2026-08-16": 2}
     # eval payloads flow through the normal fetch path
     assert {r["eval_depth"] for r in fourth.collect()} == {20}
+
+
+def test_quota_counts_equal_executed_fetches(spark, tmp_path):
+    """The r8 ADVICE defect pair: the returned frame was lazy, so (a)
+    every caller action re-ran fetch_fn with the ledger counting it
+    once (actual external calls ~2x the recorded budget), and (b) a
+    caller that never materialized the frame consumed budget without
+    fetching. fetch_missing_with_quota now localCheckpoints the fetch
+    before writing the ledger: fetch_fn executes exactly once per
+    position no matter how many actions follow. The fetch_fn logs
+    each call to a shared file (closures don't propagate back from
+    Python workers; the filesystem does)."""
+    from chess_pipeline_spark.operators.evals import fetch_missing_with_quota
+
+    calls = tmp_path / "calls.log"
+
+    def logging_fetch(fen):
+        with open(calls, "a") as fh:
+            fh.write(fen + "\n")
+        return (float(int(fen[3:])), 20)
+
+    fens = spark.createDataFrame(
+        [(f"fen{i:02d}",) for i in range(6)], "fen string"
+    )
+    counter = str(tmp_path / "quota")
+    fresh = fetch_missing_with_quota(
+        fens, logging_fetch, counter, "2026-08-15", budget=4
+    )
+    # the ledger is already written and counts the executed fetches
+    led = {r["period_key"]: r["used"] for r in spark.read.parquet(counter).collect()}
+    assert led == {"2026-08-15": 4}
+    # multiple downstream actions do NOT re-run the fetch
+    assert fresh.count() == 4
+    assert len(fresh.collect()) == 4
+    assert fresh.filter("evaluation >= 0").count() == 4
+    executed = sorted(calls.read_text().splitlines())
+    assert executed == [f"fen{i:02d}" for i in range(4)]  # exactly once each

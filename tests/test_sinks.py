@@ -326,3 +326,47 @@ def test_repair_partitions_touches_only_corrupt_partitions(spark, sf_dir, tmp_pa
     assert verify_manifest(spark.read.parquet(out), man, ["split"]).count() == 0
     assert files("train") == healthy_before  # untouched inodes
     assert repair_partitions(assigned, out, man, ["split"]) == []
+
+
+def test_repair_partitions_removes_orphan_partitions(spark, sf_dir, tmp_path):
+    """The r8 ADVICE convergence gap: a corrupt/extra target partition
+    whose key has NO source rows was reported bad but never rewritten
+    (dynamic partition overwrite can't touch a partition absent from
+    the written frame), so repair never converged for it. The repair
+    now deletes such orphan partition directories outright: one repair
+    pass, then the manifest verifies clean and a second pass is a
+    no-op."""
+    import os
+
+    from chess_pipeline_spark.plans import catalog
+    from chess_pipeline_spark.sinks import (
+        repair_partitions,
+        verify_manifest,
+        write_manifest,
+        write_training_splits,
+    )
+    from chess_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    assigned = docs.join(
+        catalog()["leakage_safe_split"].spark(spark, sf_dir).select("doc_id", "split"),
+        "doc_id",
+    )
+    out = str(tmp_path / "export")
+    man = str(tmp_path / "manifest")
+    write_training_splits(assigned, out)
+    write_manifest(assigned, man, ["split"])
+
+    # plant an orphan partition: a split value that exists in neither
+    # the source nor the manifest
+    orphan_rows = assigned.limit(3).drop("split")
+    orphan_rows.write.mode("overwrite").parquet(
+        os.path.join(out, "split=stale_experiment")
+    )
+    assert verify_manifest(spark.read.parquet(out), man, ["split"]).count() == 1
+
+    repaired = repair_partitions(assigned, out, man, ["split"])
+    assert repaired == [("stale_experiment",)]
+    assert not os.path.exists(os.path.join(out, "split=stale_experiment"))
+    assert verify_manifest(spark.read.parquet(out), man, ["split"]).count() == 0
+    assert repair_partitions(assigned, out, man, ["split"]) == []
