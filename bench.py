@@ -197,7 +197,109 @@ EXTENDED = [
     "label_centroids",
 ]
 
-ROUND = 7  # bump per round; names the committed BENCHLOCAL file
+ROUND = 8  # bump per round; names the committed BENCHLOCAL file
+
+
+def time_index_phases(spark, sf_dir: str) -> dict[str, float]:
+    """Phase-split timings for the persisted-index families.
+
+    The catalog bench rows for ivf_adc_recall / ivf_ingest_audit /
+    bm25_index_probe are ~80% per-run index (re)build by construction
+    (catalog queries must be self-contained), so a regression in the
+    SERVING path — the latency the plan gates actually protect —
+    could hide under build noise. This times each phase alone:
+    build (90% of the corpus), ingest (the remaining 10% as a delta
+    batch), compact (IVF only), and probe (min-of-3, noop sink —
+    the steady-state serving number). Same parameters as the catalog
+    queries (_IVF_NLISTS/_RECALL_* and _BM25_QUERY_TERMS)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from chess_pipeline_spark.ann_index import (
+        build_ivf_index,
+        compact_ivf_index,
+        ingest_ivf_batch,
+        probe_ivf_adc,
+    )
+    from chess_pipeline_spark.plans.corpus import _BM25_QUERY_TERMS
+    from chess_pipeline_spark.plans.llm import (
+        _IVF_NLISTS,
+        _RECALL_K,
+        _RECALL_NPROBE,
+        _RECALL_NQ,
+        _scratch_index_dir,
+    )
+    from chess_pipeline_spark.sources import load_table
+    from chess_pipeline_spark.text_index import (
+        build_text_index,
+        ingest_text_delta,
+        probe_bm25,
+    )
+
+    phases: dict[str, float] = {}
+
+    def timed(key: str, fn) -> None:
+        t0 = time.perf_counter()
+        fn()
+        phases[key] = round(time.perf_counter() - t0, 3)
+
+    def timed_min3(key: str, fn) -> None:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        phases[key] = round(best, 3)
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    mid = e.agg(F.expr("percentile(vec_id, 0.9)")).first()[0]
+    idx = _scratch_index_dir("bench_phases_ivf")
+    timed(
+        "ivf_build",
+        lambda: build_ivf_index(
+            e.filter(F.col("vec_id") <= mid), idx, n_lists=_IVF_NLISTS
+        ),
+    )
+    timed(
+        "ivf_ingest",
+        lambda: ingest_ivf_batch(e.filter(F.col("vec_id") > mid), 0, idx),
+    )
+    timed("ivf_compact", lambda: compact_ivf_index(spark, idx))
+    queries = e.filter(F.col("vec_id") < _RECALL_NQ).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    timed_min3(
+        "ivf_probe",
+        lambda: probe_ivf_adc(
+            spark, idx, queries, k=_RECALL_K, nprobe=_RECALL_NPROBE, id_col="qid"
+        )
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
+    shutil.rmtree(idx, ignore_errors=True)
+
+    docs = load_table(spark, sf_dir, "documents")
+    dmid = docs.agg(F.expr("percentile(doc_id, 0.9)")).first()[0]
+    tidx = _scratch_index_dir("bench_phases_bm25")
+    timed(
+        "bm25_build",
+        lambda: build_text_index(docs.filter(F.col("doc_id") <= dmid), tidx),
+    )
+    timed(
+        "bm25_ingest",
+        lambda: ingest_text_delta(docs.filter(F.col("doc_id") > dmid), tidx, 1),
+    )
+    timed_min3(
+        "bm25_probe",
+        lambda: probe_bm25(spark, tidx, _BM25_QUERY_TERMS)
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
+    shutil.rmtree(tidx, ignore_errors=True)
+    return phases
 
 
 def _git_sha() -> str:
@@ -270,6 +372,7 @@ def main() -> None:
 
     timings = time_set(HEADLINE)
     extended = time_set(EXTENDED)
+    index_phases = time_index_phases(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
     # bulky per-query maps FIRST, scalar totals LAST: the driver keeps
@@ -278,6 +381,7 @@ def main() -> None:
     result = {
         "queries": timings,
         "extended_queries": extended,
+        "index_phases": index_phases,
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",

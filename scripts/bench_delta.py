@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Round-over-round bench delta, computed from COMMITTED artifacts.
+
+The r6 and r7 verdicts both flagged bench-prose drift: a headline
+delta claim ("median per-query ratio ~1.0") measured on a
+session-best run that was NOT the committed BENCHLOCAL file. This
+script makes the claim mechanical and reproducible: it reads exactly
+two BENCHLOCAL_r{N}.json files from git (the canonical per-round
+artifacts — the load-stamped siblings are refused), joins their
+per-query maps, and prints the median/p90 ratio plus the biggest
+movers. SCALING.md's delta section quotes THIS output; anyone can
+re-derive it from the repo alone.
+
+  python scripts/bench_delta.py 7 8          # r7 -> r8 delta
+  python scripts/bench_delta.py 7 8 --min 0.2   # ignore sub-200ms rows
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import statistics
+import sys
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parent.parent
+
+
+def load(round_no: int) -> dict:
+    p = _REPO / f"BENCHLOCAL_r{round_no:02d}.json"
+    if not p.exists():
+        sys.exit(f"missing canonical artifact {p.name} (load-stamped "
+                 "siblings are not accepted — re-run bench.py on an idle box)")
+    return json.loads(p.read_text())
+
+
+def all_queries(doc: dict) -> dict[str, float]:
+    return {**doc.get("queries", {}), **doc.get("extended_queries", {})}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("old", type=int)
+    ap.add_argument("new", type=int)
+    ap.add_argument("--min", type=float, default=0.0,
+                    help="ignore queries faster than this (sec) in BOTH runs")
+    args = ap.parse_args()
+
+    a, b = load(args.old), load(args.new)
+    qa, qb = all_queries(a), all_queries(b)
+    shared = sorted(set(qa) & set(qb))
+    rows = [
+        (n, qa[n], qb[n], qb[n] / qa[n])
+        for n in shared
+        if qa[n] > 0 and (qa[n] >= args.min or qb[n] >= args.min)
+    ]
+    if not rows:
+        sys.exit("no shared queries above threshold")
+    ratios = [r for _, _, _, r in rows]
+    print(f"artifacts: BENCHLOCAL_r{args.old:02d}.json (git {a.get('git')}, "
+          f"load {a.get('loadavg')}) -> BENCHLOCAL_r{args.new:02d}.json "
+          f"(git {b.get('git')}, load {b.get('loadavg')})")
+    print(f"shared queries: {len(rows)} (of {len(shared)}; "
+          f"--min {args.min}s)")
+    print(f"median ratio: {statistics.median(ratios):.3f}   "
+          f"p90: {sorted(ratios)[int(0.9 * (len(ratios) - 1))]:.3f}   "
+          f"mean: {statistics.fmean(ratios):.3f}")
+    movers = sorted(rows, key=lambda r: r[3])
+    print("fastest movers:")
+    for n, x, y, r in movers[:5]:
+        print(f"  {r:5.2f}x  {n}  {x:.2f}s -> {y:.2f}s")
+    print("slowest movers:")
+    for n, x, y, r in movers[-5:]:
+        print(f"  {r:5.2f}x  {n}  {x:.2f}s -> {y:.2f}s")
+    if "index_phases" in b:
+        print("index phases (new run):",
+              json.dumps(b["index_phases"], sort_keys=True))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -79,3 +79,79 @@ def test_plan_is_single_label_keyed_grouped_map(spark):
     )
     assert "FlatMapGroupsInPandas" in plan
     assert plan.count("Exchange") <= 2  # tree+detail of the ONE label exchange
+
+
+def _run_bucketed(spark, rows, n_buckets):
+    from chess_pipeline_spark.operators.robust import (
+        robust_centroid_per_label_bucketed,
+    )
+
+    df = spark.createDataFrame(rows, "label string, embedding array<double>")
+    return {
+        r["label"]: (list(r["centroid"]), r["n_vecs"])
+        for r in robust_centroid_per_label_bucketed(
+            df, n_buckets=n_buckets
+        ).collect()
+    }
+
+
+def test_bucketed_single_bucket_equals_exact(spark):
+    # n_buckets=1: level 1 folds the whole group, level 2's weighted
+    # merge of one row returns it unchanged — bit-equal to the exact
+    # single-level path
+    rows = [
+        ("g", [float(i % 7), float((i * 3) % 5), float(i % 2)])
+        for i in range(40)
+    ] + [("h", [1.0, 2.0, 3.0])]
+    exact = _run(spark, rows)
+    two_level = _run_bucketed(spark, rows, n_buckets=1)
+    assert two_level == exact
+
+
+def test_bucketed_objective_within_2pct_of_exact(spark):
+    # adversarial fixture: a tight cluster + 10% far outliers (the
+    # case the geometric median exists for). The two-level result
+    # must stay within 2% of the exact objective AND keep the
+    # outlier resistance (centroid near the cluster, not the mean).
+    import math
+
+    pts = [
+        [math.cos(i * 0.7) * 0.5 + 10.0, math.sin(i * 1.3) * 0.5 - 4.0]
+        for i in range(90)
+    ] + [[1000.0 + i, -500.0] for i in range(10)]
+    rows = [("g", p) for p in pts]
+    exact_c = _run(spark, rows)["g"][0]
+    for n_buckets in (4, 8, 16):
+        c2 = _run_bucketed(spark, rows, n_buckets=n_buckets)["g"][0]
+        assert _sumdist(pts, c2) <= 1.02 * _sumdist(pts, exact_c), n_buckets
+        assert abs(c2[0] - 10.0) < 1.0 and abs(c2[1] + 4.0) < 1.0, c2
+
+
+def test_bucketed_deterministic_and_counts(spark):
+    rows = [
+        ("a", [float(i), float(2 * i)]) for i in range(25)
+    ] + [("b", [5.0, 5.0])] * 3
+    one = _run_bucketed(spark, rows, n_buckets=8)
+    two = _run_bucketed(spark, rows, n_buckets=8)
+    assert one == two  # content-hash buckets: no RNG, no row-order
+    assert one["a"][1] == 25 and one["b"][1] == 3
+
+
+def test_bucketed_plan_has_two_grouped_maps(spark):
+    from chess_pipeline_spark.operators.robust import (
+        robust_centroid_per_label_bucketed,
+    )
+
+    df = spark.createDataFrame(
+        [("a", [1.0]), ("b", [2.0])], "label string, embedding array<double>"
+    )
+    out = robust_centroid_per_label_bucketed(df, n_buckets=4)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    # (label, bucket) fold + label merge: exactly two grouped maps
+    # (tree + detail section each mention a node once, so 2 nodes =
+    # 4 occurrences, matching the Exchange-count convention above);
+    # the second exchange moves ONLY partials (<= n_buckets rows per
+    # label), never the corpus
+    assert plan.count("FlatMapGroupsInPandas") == 4
