@@ -3065,7 +3065,9 @@ def _scratch_index_dir(tag: str) -> str:
     )
 
 
-def ivf_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivf_adc_recall(
+    spark: SparkSession, sf_dir: str, exact_sample_bp: int = 10000
+) -> DataFrame:
     """End-to-end recall report for the PERSISTED IVFADC serving path:
     build the real index (ann_index.build_ivf_index — coarse lists +
     int8 codes + PQ codes on disk), probe it with probe_ivf_adc
@@ -3085,7 +3087,19 @@ def ivf_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     write); the probe reads nprobe/n_lists of the corpus and only 3
     columns of it; exact top-k here exists to MEASURE recall and is
     the piece you subsample at scale (8 probe queries, not a
-    workload).
+    workload). `exact_sample_bp` is that scale lever: below 10000,
+    the exact branch ranks over a deterministic md5-gated subset of
+    the corpus (kept at exact_sample_bp/10000) UNIONED with the
+    probe's own candidates — so every returned neighbor is rankable,
+    the arithmetic stays integer, and the full-corpus scan shrinks by
+    the sample rate. The candidate union is shared across queries
+    (one universe frame), and the md5 gates are nested, so sampled
+    ground truth can only OVER-estimate recall, monotonically as bp
+    drops (a sampled-out true neighbor frees a ground-truth slot);
+    under a perfect probe the sampled report equals the exact one.
+    The law test pins bp=10000 bit-equality, per-query upward-only
+    bias, and nested monotonicity on the fixture. The catalog/oracle
+    path always runs exact (default 10000).
     """
     from chess_pipeline_spark.ann_index import (
         _nearest_lists,
@@ -3120,7 +3134,25 @@ def ivf_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("probed_candidates"))
     )
 
-    # exact L2² top-k over the full corpus (micro-grid so the ranking
+    # exact L2² top-k universe: the full corpus, or (at scale) the
+    # md5-gated sample plus the probe's own candidates
+    universe = e
+    if exact_sample_bp < 10000:
+        thr = exact_sample_bp * 65536 // 10000
+        u4 = " + ".join(
+            f"(instr('0123456789abcdef', substr(md5(cast(vec_id AS string)), {k}, 1)) - 1)"
+            f" * {16 ** (4 - k)}"
+            for k in range(1, 5)
+        )
+        keep = F.expr(f"({u4}) < {thr}")
+        cand_ids = approx.select(
+            F.col("neighbor_id").alias("vec_id")
+        ).distinct()
+        universe = e.filter(keep).unionByName(
+            e.join(F.broadcast(cand_ids), "vec_id", "left_semi").filter(~keep)
+        )
+
+    # exact L2² top-k over the universe (micro-grid so the ranking
     # is integer-total on both engines)
     d2 = F.expr(
         "aggregate(zip_with(qe, embedding, "
@@ -3131,7 +3163,7 @@ def ivf_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex_micro = F.floor(fround(d2, 9) * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
     wr = Window.partitionBy("qid").orderBy(F.asc("ex_micro"), F.asc("vec_id"))
     exact = (
-        e.crossJoin(
+        universe.crossJoin(
             F.broadcast(
                 queries.select(F.col("qid"), F.col("embedding").alias("qe"))
             )

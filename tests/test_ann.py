@@ -316,3 +316,51 @@ def test_pca_top_component_replicates_numpy_power_iteration(spark, sf_dir):
     assert abs(lam - lam_np) < 1e-3
     # unit vector out, explained ratio consistent
     assert abs(float((b_spark * b_spark).sum()) - 1.0) < 1e-4
+
+
+def test_ivf_adc_recall_sampled_ground_truth_laws(spark, sf_dir):
+    """The 100 TB lever on the recall audit's exact branch
+    (exact_sample_bp): ranks ground truth over an md5-gated corpus
+    sample unioned with the probe's own candidates. Laws:
+    (1) bp=10000 is the exact path, bit-identical to the default;
+    (2) sampling NEVER under-reports — per query, probed_candidates
+        is untouched (the serving path is not sampled) and hits can
+        only rise as true neighbors are sampled out of the ground
+        truth (the documented upward bias of sampled GT; equality
+        holds iff every surviving ground-truth slot was already an
+        approx hit, e.g. under a perfect probe);
+    (3) md5 gates are NESTED (u4 < thr), so universes shrink as bp
+        drops and hits are monotone non-increasing in bp:
+        hits(0) >= hits(5000) >= hits(10000) per query. The bp=0
+        universe is the pooled candidate set of ALL queries (the
+        universe is shared), so recall there is near-but-not-always
+        10000 — pinned as the monotone endpoint, not as equality."""
+    from chess_pipeline_spark.plans.llm import _RECALL_K, ivf_adc_recall
+
+    def rows(bp=None):
+        df = (
+            ivf_adc_recall(spark, sf_dir)
+            if bp is None
+            else ivf_adc_recall(spark, sf_dir, exact_sample_bp=bp)
+        )
+        return {r["qid"]: (r["probed_candidates"], r["hits"], r["recall_bp"])
+                for r in df.collect()}
+
+    exact = rows()
+    assert rows(10000) == exact  # (1)
+
+    half = rows(5000)
+    assert set(half) == set(exact)
+    for qid, (pc, hits, bps) in half.items():
+        pc0, hits0, bps0 = exact[qid]
+        assert pc == pc0, qid          # serving path untouched
+        assert hits >= hits0, qid      # (2) upward-only bias
+        assert bps == hits * 10000 // _RECALL_K
+
+    zero = rows(0)
+    for qid, (pc, hits, _) in zero.items():
+        assert pc == exact[qid][0], qid
+        assert hits >= half[qid][1] >= exact[qid][1], qid  # (3)
+    # the endpoint is non-vacuous: with the whole corpus gone from the
+    # ground truth, at least one query's recall must have moved up
+    assert sum(v[1] for v in zero.values()) > sum(v[1] for v in exact.values())
