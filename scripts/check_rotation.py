@@ -81,12 +81,30 @@ def main(argv: list[str] | None = None) -> int:
         )
     if args.plan:
         print("\n-- proposed swap --")
-        for n in staged:
-            print(f"promote {n}")
-        for n in eligible[: len(staged)]:
-            print(f"demote  {n}  (green rounds: {hist.get(n)})")
-        for n in single_green[: max(0, deficit)]:
-            print(f"demote  {n}  (SINGLE-green: needs redundancy citation)")
+        if staged:
+            for n in staged:
+                print(f"promote {n}")
+            for n in eligible[: len(staged)]:
+                print(f"demote  {n}  (green rounds: {hist.get(n)})")
+            for n in single_green[: max(0, deficit)]:
+                print(f"demote  {n}  (SINGLE-green: needs redundancy citation)")
+        else:
+            # FRESHNESS mode (post-r8: every query has driver history):
+            # swap the longest-unverified demoted names in against the
+            # window members whose evidence is freshest — maximizes the
+            # recency of driver contact across the whole catalog. Pair
+            # count = however many eligible (>=2 green) members exist.
+            demoted = [n for n in cat if n in set(_DEMOTED)]
+            stalest = sorted(demoted, key=lambda n: max(hist.get(n, [0])))
+            freshest = sorted(
+                eligible, key=lambda n: (max(hist[n]), len(hist[n])), reverse=True
+            )
+            k = min(len(freshest), len(stalest))
+            print(f"(freshness mode: no staged backlog; {k} swaps)")
+            for n in stalest[:k]:
+                print(f"promote {n}  (last green: r{max(hist.get(n, [0]))})")
+            for n in freshest[:k]:
+                print(f"demote  {n}  (green rounds: {hist.get(n)})")
     # invariants the checklist relies on
     missing_history = [
         n for n in window if n not in hist and n not in staged
