@@ -375,13 +375,26 @@ def repair_partitions(
     }  # driver-side tiny: bounded by the bad-key count
     orphans = [k for k in bad_keys if k not in covered]
     for k in orphans:
-        # hive layout: target/key1=v1/key2=v2 (None → Hive's default
-        # partition name, matching what Spark wrote)
-        parts = [
-            f"{c}={'__HIVE_DEFAULT_PARTITION__' if v is None else v}"
-            for c, v in zip(keys, k)
-        ]
-        shutil.rmtree(os.path.join(target_path, *parts), ignore_errors=True)
+        # hive layout: target/key1=v1/key2=v2. Match directory names
+        # by UNESCAPING what Spark wrote (it percent-encodes special
+        # chars; None becomes the Hive default-partition name) rather
+        # than re-deriving the escaped form — a raw f"{col}={val}"
+        # path misses any escaped value and the orphan would survive.
+        from urllib.parse import unquote
+
+        level = target_path
+        for c, v in zip(keys, k):
+            want = "__HIVE_DEFAULT_PARTITION__" if v is None else str(v)
+            nxt = None
+            for d in os.listdir(level):
+                if d.startswith(f"{c}=") and unquote(d[len(c) + 1 :]) == want:
+                    nxt = os.path.join(level, d)
+                    break
+            if nxt is None:
+                break
+            level = nxt
+        else:
+            shutil.rmtree(level, ignore_errors=True)
     if len(orphans) < len(bad_keys):
         upsert_partition_overwrite(fix, target_path, keys)
     return bad_keys

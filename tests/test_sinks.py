@@ -370,3 +370,36 @@ def test_repair_partitions_removes_orphan_partitions(spark, sf_dir, tmp_path):
     assert not os.path.exists(os.path.join(out, "split=stale_experiment"))
     assert verify_manifest(spark.read.parquet(out), man, ["split"]).count() == 0
     assert repair_partitions(assigned, out, man, ["split"]) == []
+
+
+def test_repair_removes_orphan_with_escaped_partition_value(spark, tmp_path):
+    """Hive-layout partition values with special characters are
+    percent-escaped on disk (e.g. 'a b:c' -> 'a%20b%3Ac'); the orphan
+    deletion must match the ESCAPED directory by unescaping it, not
+    re-derive the path from the raw value."""
+    import os
+
+    from chess_pipeline_spark.sinks import (
+        repair_partitions,
+        verify_manifest,
+        write_manifest,
+    )
+
+    src = spark.createDataFrame(
+        [("clean", 1), ("clean", 2), ("a b:c", 3)], "part string, v int"
+    )
+    out = str(tmp_path / "data")
+    man = str(tmp_path / "man")
+    src.write.partitionBy("part").mode("overwrite").parquet(out)
+    # the escaped dir exists on disk
+    dirs = [d for d in os.listdir(out) if d.startswith("part=")]
+    assert any("%" in d for d in dirs), dirs
+    # manifest + source agree only on the 'clean' partition: the
+    # escaped one becomes an orphan with no source rows
+    keep = src.filter("part = 'clean'")
+    write_manifest(keep, man, ["part"])
+    repaired = repair_partitions(keep, out, man, ["part"])
+    assert repaired == [("a b:c",)]
+    assert not any("%" in d for d in os.listdir(out) if d.startswith("part="))
+    assert verify_manifest(spark.read.parquet(out), man, ["part"]).count() == 0
+    assert repair_partitions(keep, out, man, ["part"]) == []
