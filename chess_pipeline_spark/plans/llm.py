@@ -2158,7 +2158,9 @@ WHERE rank <= 5
 """
 
 
-def component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+def component_labels(
+    spark: SparkSession, sf_dir: str, hops_per_round: int = 1
+) -> DataFrame:
     """Connected-component labels (doc_id, label) over the MinHash-LSH
     candidate graph; label = min doc_id of the component.
 
@@ -2172,6 +2174,21 @@ def component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     the growing lineage. Only docs that appear in at least one
     candidate pair are labeled (singletons are their own trivial
     groups and never need deduplication).
+
+    `hops_per_round` chains that many propagation joins into ONE
+    materialized round (one localCheckpoint + one convergence probe
+    per round instead of one per hop). The fixpoint is identical for
+    any value — labels are monotone decreasing and each hop is the
+    same min-fold (law-tested in tests/test_dedup_groups.py). On a
+    chain-shaped graph of diameter d the materialized-round count
+    drops from ~d to ~ceil(d/hops). Locally this buys nothing
+    (SCALING.md "Connected components on a diameter-13 graph":
+    per-round cost is join-dominated, so folding k steps scales the
+    round by ~k — 3-step fold measured 6.4 s vs plain 6.5 s), which
+    is why the default stays 1; on a real cluster, where per-job
+    scheduling + eager-checkpoint latency dwarfs the incremental
+    join on a candidate-scale graph, hops_per_round=3-4 is the knob
+    to turn before reaching for component_labels_logstep.
     """
     pairs = minhash_lsh_candidates(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.unionByName(
@@ -2192,31 +2209,36 @@ def component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_rounds = 50  # diameter bound; near-dup cliques converge in ~2
     converged = False
     for _ in range(max_rounds):
-        neighbor_min = (
-            edges.join(labels, edges.doc_b == labels.doc_id)
-            .groupBy("doc_a")
-            .agg(F.min("label").alias("nlabel"))
-        )
-        # the convergence signal rides INSIDE the propagation job (the
-        # r4 advice): `changed` is just a column of the same join, so
-        # the per-round check below is a limit-1 scan of the already-
-        # checkpointed result — no second join job per round (was: a
-        # labels-vs-new_labels join + count each round)
-        new_labels = (
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.doc_a, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
-                ).alias("label"),
-                # labels only ever decrease, so "changed" ⇔ a strictly
-                # smaller neighbor label arrived
-                (F.coalesce(F.col("nlabel"), F.col("label")) < F.col("label")).alias(
-                    "changed"
-                ),
+        # chain `hops_per_round` propagation joins lazily, then
+        # materialize ONCE; `label0` carries the round-start label so
+        # the convergence signal still rides inside the propagation
+        # job (the r4 advice) — labels only ever decrease, so
+        # "changed" ⇔ final label < round-start label
+        cur = labels.select("doc_id", "label", F.col("label").alias("label0"))
+        for _h in range(hops_per_round):
+            neighbor_min = (
+                edges.join(
+                    cur.select("doc_id", "label"),
+                    edges.doc_b == F.col("doc_id"),
+                )
+                .groupBy("doc_a")
+                .agg(F.min("label").alias("nlabel"))
             )
-            .localCheckpoint()
-        )
+            cur = (
+                cur.join(neighbor_min, cur.doc_id == neighbor_min.doc_a, "left")
+                .select(
+                    "doc_id",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                    ).alias("label"),
+                    "label0",
+                )
+            )
+        new_labels = cur.select(
+            "doc_id",
+            "label",
+            (F.col("label") < F.col("label0")).alias("changed"),
+        ).localCheckpoint()
         changed = new_labels.filter("changed").limit(1).count()
         labels = new_labels.select("doc_id", "label")
         if changed == 0:

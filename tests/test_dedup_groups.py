@@ -99,3 +99,21 @@ def test_logstep_on_mixed_shapes(spark):
     df = spark.createDataFrame(edges, "doc_a long, doc_b long")
     got = {r.doc_id: r.label for r in component_labels_logstep(df).collect()}
     assert got == expected
+
+
+def test_multihop_fixpoint_identical(spark, sf_dir):
+    # hops_per_round chains k propagation joins into one materialized
+    # round; labels are monotone decreasing and each hop is the same
+    # min-fold, so the fixpoint must be byte-identical for any k —
+    # including k larger than the graph diameter (over-shooting a
+    # converged frame is a no-op)
+    from chess_pipeline_spark.plans.llm import component_labels
+
+    base = sorted(
+        map(tuple, component_labels(spark, sf_dir, hops_per_round=1).collect())
+    )
+    for k in (2, 3, 8):
+        multi = sorted(
+            map(tuple, component_labels(spark, sf_dir, hops_per_round=k).collect())
+        )
+        assert multi == base, f"hops_per_round={k} diverged"
