@@ -2455,9 +2455,16 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bpe_merge_chain(vocab: DataFrame, pair_counts, best_of):
     """Run the {_BPE_TRAIN_STEPS}-step merge loop; return (the merge
     frames, the post-merge vocabulary with its `word` key intact) —
-    shared by the train report and the encode report."""
+    shared by the train report and the encode report.
+
+    The input vocabulary is materialized ONCE up front: without it,
+    every step's pair_counts (and the caller's post-merge report)
+    re-executes the corpus-scale tokenize + word-count that produced
+    the vocab — k merge steps cost k corpus scans instead of one.
+    The vocab is word-scale (≪ corpus; bounded by distinct words),
+    so checkpointing it is the cheap side of that trade at any SF."""
     outs = []
-    voc = vocab
+    voc = vocab.localCheckpoint()
     for step in range(1, _BPE_TRAIN_STEPS + 1):
         best = best_of(pair_counts(voc), step).localCheckpoint()
         outs.append(best)
