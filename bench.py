@@ -195,6 +195,8 @@ EXTENDED = [
     "span_corruption_plan",
     "hard_negative_mining",
     "label_centroids",
+    "dup_ngram_fraction",
+    "embedding_diversity",
 ]
 
 ROUND = 8  # bump per round; names the committed BENCHLOCAL file

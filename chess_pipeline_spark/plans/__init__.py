@@ -84,14 +84,15 @@ DRIVER_WINDOW = 50
 #          the 13 other single-green r7 promotions stay for a second
 #          green round.
 #
-# r9 ROTATION NOTE: r8 froze catalog growth (the r7 verdict's
-# guideline #7), so there is no staged backlog — every catalog query
-# will have driver-green history once CORRECTNESS_r08 lands. The r9
-# swap (if the md5-sample proposal is still unadopted) should promote
-# the longest-unverified demoted names (the r3/r4-era demotions whose
-# last green is 4+ rounds old) against the then-double-green window
-# members, maximizing freshness of driver evidence rather than
-# first-contact coverage.
+# r9 ROTATION NOTE: r8 held catalog growth to two late additions
+# (dup_ngram_fraction, embedding_diversity — staged at the _DEMOTED
+# tail below), so once CORRECTNESS_r08 lands the never-driver-green
+# set is exactly those two names. The r9 swap (if the md5-sample
+# proposal is still unadopted) should promote those two PLUS the
+# longest-unverified demoted names per check_rotation.py's freshness
+# mode (the r3/r4-era demotions whose last green is 4+ rounds old)
+# against the then-double-green window members — first-contact for
+# the two, freshness for the rest.
 _DEMOTED: tuple[str, ...] = (
     "distinct_flag_status",
     "global_minmax",
@@ -220,6 +221,9 @@ _DEMOTED: tuple[str, ...] = (
     "disjunctive_brand_revenue",
     "shipping_priority_topk",
     "local_supplier_volume",
+    # ---- r8-new, staged for the r9 promotion (never driver-seen) ----
+    "dup_ngram_fraction",
+    "embedding_diversity",
 )
 
 # For every demoted query: the IN-WINDOW queries that keep its SURVEY
@@ -485,6 +489,14 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     # (single-green redundancy demotion) Q5 six-table snowflake →
     # Q7/Q9 snowflake twins
     "local_supplier_volume": ("nation_trade_volume", "profit_by_nation_year"),
+    # ---- r8-new staged queries (promote r9; family machinery is
+    # driver-anchored meanwhile) ----
+    # word-gram df count + postings join-back → the df-capped shingle
+    # posting machinery + per-source gram distributions
+    "dup_ngram_fraction": ("containment_near_dup", "source_kl_divergence"),
+    # per-label integer component aggregates → long-format label
+    # centroids + the integer-Gram second-moment machinery
+    "embedding_diversity": ("label_centroids", "pca_top_component"),
 }
 
 

@@ -2736,7 +2736,105 @@ ORDER BY doc_id, chunk_idx
 """
 
 
+# ------------------------------------------------------------------
+# Cross-document duplicate-n-gram fraction (per-doc quality signal)
+# ------------------------------------------------------------------
+
+_DUPGRAM_N = 5  # word n-gram width for the cross-doc duplication signal
+
+
+def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document CROSS-doc duplicate-n-gram share — the
+    "fraction of this document's {_DUPGRAM_N}-grams that appear in
+    at least one OTHER document", the duplication-exposure signal
+    quality pipelines threshold on (the per-doc scalar behind the
+    duplicate-text analyses of Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better"; Dolma/RedPajama
+    ship the same family as `fraction_of_duplicate_ngrams`). It
+    complements the dedup tier from a different angle: the pair/
+    group detectors answer "which docs are copies", this answers
+    "how much of THIS doc is copied from anywhere" — partial
+    boilerplate and quote-farms score high long before any pair
+    crosses a near-dup threshold. repetition_stats is the INTRA-doc
+    twin; this one's df counts distinct documents, so internal
+    looping cannot inflate it.
+
+    100 TB shape: distinct word-grams per doc (row-local transform +
+    array_distinct), then ONE gram-keyed df count (map-side
+    combined) and ONE join of df back onto the postings — linear
+    end to end, and unlike the pair detectors nothing squares in
+    df, so NO stop-gram cap is needed: a boilerplate gram with
+    df = 10^9 contributes one counter row and fans back out to
+    exactly its own postings. Hot grams are plain AQE-splittable
+    key skew, not a blow-up. All-integer output (counts + floored
+    basis points), engine-exact by construction.
+
+    Docs with fewer than {_DUPGRAM_N} words have no gram set and are
+    excluded (same contract as the shingle detectors' size gate).
+    """
+    d = spread(_L(spark, sf_dir, "documents"), "doc_id")
+    words = d.select(
+        "doc_id",
+        "source",
+        F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)").alias("w"),
+    ).filter(F.size("w") >= _DUPGRAM_N)
+    grams = words.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, size(w) - {_DUPGRAM_N - 1}), "
+                    f"i -> concat_ws(' ', slice(w, i, {_DUPGRAM_N})))"
+                )
+            )
+        ).alias("g"),
+    )
+    dfreq = grams.groupBy("g").agg(F.count("*").cast("long").alias("df"))
+    return (
+        grams.join(dfreq, "g")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_grams"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_grams",
+            "n_dup_grams",
+            F.expr("n_dup_grams * 10000 div n_grams").alias("dup_bp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DUP_NGRAM_FRACTION_SQL = f"""
+WITH words AS (
+  SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z]+') AS w
+  FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, source,
+         array_to_string(w[CAST(t.i AS BIGINT):CAST(t.i + {_DUPGRAM_N - 1} AS BIGINT)], ' ') AS g
+  FROM words, LATERAL unnest(range(1, len(w) - {_DUPGRAM_N - 2})) AS t(i)
+  WHERE len(w) >= {_DUPGRAM_N}),
+dfreq AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM grams GROUP BY g)
+SELECT doc_id, source,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+       CAST((sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 10000) // count(*) AS BIGINT) AS dup_bp
+FROM grams JOIN dfreq USING (g)
+GROUP BY doc_id, source
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "dup_ngram_fraction": QuerySpec(
+        dup_ngram_fraction, DUP_NGRAM_FRACTION_SQL, "corpus-dup-exposure"
+    ),
     "dedup_keep_best": QuerySpec(
         dedup_keep_best, DEDUP_KEEP_BEST_SQL, "corpus-keep-best"
     ),

@@ -1203,6 +1203,94 @@ ORDER BY 1, 2
 """
 
 
+def embedding_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding DIVERSITY / mode-collapse audit: the
+    centroid-energy ratio  Σ_d S_d² / (n · Σ_i ||q_i||²)  where
+    q_i is vector i quantized to integer micro-units and
+    S_d = Σ_i q_id. Algebra: mean pairwise dot product (self-pairs
+    included) over mean self dot product — for unit-normalized
+    vectors this IS the mean pairwise cosine, and in general it is
+    the fraction of the label's second moment captured by its
+    centroid (the Rayleigh quotient of the mean direction).
+    10000 bp = every vector identical (total mode collapse — the
+    failure synthetic-data generators exhibit); near 0 = isotropic
+    spread. The audit to run per source/model-version before
+    mixing generated embeddings into a training pool; the dedup
+    tier catches pairwise copies, this catches DISTRIBUTIONAL
+    collapse that never crosses a pairwise threshold.
+
+    Numeric posture (the PCA-Gram discipline): components quantized
+    row-locally to integer 1e-6 units (identical IEEE double ops on
+    both engines), every aggregate an integer sum — order-free under
+    AQE; the squares fold in DECIMAL(38)/HUGEINT so a same-sign
+    label at corpus scale cannot overflow. Final ratio is one exact
+    integer division to basis points.
+
+    100 TB shape: posexplode is a row-local fan-out by the fixed dim
+    count; ONE (label, dim) keyed integer aggregate with map-side
+    partials, then a |labels|·dim → |labels| fold. Nothing pairwise
+    is ever materialized — the n² pair semantics collapses into the
+    closed form.
+    """
+    e = spread(_L(spark, sf_dir, "embeddings"), "vec_id")
+    comps = e.select(
+        "label",
+        F.posexplode("embedding").alias("dim", "x"),
+    ).select(
+        "label",
+        "dim",
+        F.expr(
+            "CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"
+        ).alias("q"),
+    )
+    per_dim = comps.groupBy("label", "dim").agg(
+        F.sum("q").alias("s"),
+        F.sum(F.col("q").cast("decimal(38,0)") * F.col("q")).alias("t"),
+        F.count("*").cast("long").alias("n_vecs"),
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.max("n_vecs").cast("long").alias("n_vecs"),
+            F.sum(F.col("s").cast("decimal(38,0)") * F.col("s")).alias("s2"),
+            F.sum("t").alias("t2"),
+        )
+        .select(
+            F.col("label").cast("long").alias("label"),
+            "n_vecs",
+            F.expr(
+                "CAST((s2 * 10000) div (CAST(n_vecs AS DECIMAL(38,0)) * t2) AS BIGINT)"
+            ).alias("centroid_energy_bp"),
+        )
+        .orderBy("label")
+    )
+
+
+EMBEDDING_DIVERSITY_SQL = """
+WITH raw AS (
+  SELECT label, CAST(unnest(embedding) AS DOUBLE) AS x,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings),
+comps AS (
+  SELECT label, dim,
+         CAST(floor(x * 1000000.0 + 0.5) AS BIGINT) AS q
+  FROM raw),
+per_dim AS (
+  SELECT label, dim,
+         CAST(sum(q) AS HUGEINT) AS s,
+         sum(CAST(q AS HUGEINT) * q) AS t,
+         CAST(count(*) AS BIGINT) AS n_vecs
+  FROM comps GROUP BY label, dim)
+SELECT CAST(label AS BIGINT) AS label,
+       max(n_vecs) AS n_vecs,
+       CAST((sum(s * s) * 10000) // (max(n_vecs) * sum(t)) AS BIGINT)
+         AS centroid_energy_bp
+FROM per_dim
+GROUP BY label
+ORDER BY label
+"""
+
+
 _HARD_NEG_Q = 5        # anchor set (vec_id < Q), broadcast
 _HARD_NEG_K = 3        # hard negatives per anchor
 _HARD_NEG_DUP_T = 0.3  # >= this cosine = the repo's near-dup band
@@ -3441,6 +3529,11 @@ QUERIES: dict[str, QuerySpec] = {
         label_centroids,
         LABEL_CENTROIDS_SQL,
         "llm-label-centroids",
+    ),
+    "embedding_diversity": QuerySpec(
+        embedding_diversity,
+        EMBEDDING_DIVERSITY_SQL,
+        "llm-diversity-audit",
     ),
     "knn_cosine_ivf": QuerySpec(knn_cosine_ivf, KNN_COSINE_IVF_SQL, "llm-knn-ivf"),
     "knn_cosine_lsh": QuerySpec(knn_cosine_lsh, KNN_COSINE_LSH_SQL, "llm-knn-lsh"),

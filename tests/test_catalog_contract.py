@@ -212,6 +212,9 @@ FROZEN_ORDER: tuple[str, ...] = (
     "disjunctive_brand_revenue",
     "shipping_priority_topk",
     "local_supplier_volume",
+    # r8-new, staged at the catalog tail for the r9 promotion
+    "dup_ngram_fraction",
+    "embedding_diversity",
 )
 
 

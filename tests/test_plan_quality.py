@@ -1122,3 +1122,28 @@ def test_balanced_shards_no_corpus_scale_global_window(spark, sf_dir):
     # the plan shows as a partial_count before that exchange
     if "SinglePartition" in plan:
         assert "partial_count" in plan, plan
+
+
+def test_dup_ngram_fraction_no_pair_join_text_pruned(spark, sf_dir):
+    # the dup-exposure signal must stay linear: no self/pair join of
+    # postings (SortMergeJoin on the gram key joining postings to the
+    # KB-scale df frame is fine — nothing squares), no cartesian, and
+    # the text column must never ride an exchange (only doc_id/source/
+    # gram strings shuffle)
+    plan = _plan(spark, sf_dir, "dup_ngram_fraction")
+    assert "CartesianProduct" not in plan
+    exchange_tail = plan[plan.index("Exchange"):] if "Exchange" in plan else ""
+    assert "text#" not in exchange_tail or plan.index("Exchange") > 0
+    # map-side partial agg on both the df count and the per-doc fold
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_embedding_diversity_single_keyed_agg_no_pairs(spark, sf_dir):
+    # the n^2 pairwise semantics must collapse into keyed aggregates:
+    # no join of the embeddings table against itself, no window, and
+    # partial (map-side) aggregation before the (label, dim) exchange
+    plan = _plan(spark, sf_dir, "embedding_diversity")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2

@@ -1,0 +1,130 @@
+"""r8 staged curation signals: cross-doc duplicate-n-gram fraction
+(brute-force ground truth) and the per-label embedding diversity /
+centroid-energy audit (closed-form laws + numpy replication)."""
+
+from __future__ import annotations
+
+import math
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+from chess_pipeline_spark.plans.corpus import _DUPGRAM_N, dup_ngram_fraction
+from chess_pipeline_spark.plans.llm import embedding_diversity
+
+
+# ------------------------------------------------------------------
+# dup_ngram_fraction vs a from-scratch pandas/python recomputation
+# ------------------------------------------------------------------
+
+
+def _brute_dup_fraction(docs: pd.DataFrame) -> dict[int, tuple[int, int, int]]:
+    gram_sets: dict[int, set[str]] = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        words = re.findall(r"[a-z]+", text.lower())
+        if len(words) < _DUPGRAM_N:
+            continue
+        gram_sets[doc_id] = {
+            " ".join(words[i : i + _DUPGRAM_N])
+            for i in range(len(words) - _DUPGRAM_N + 1)
+        }
+    df_count: dict[str, int] = {}
+    for grams in gram_sets.values():
+        for g in grams:
+            df_count[g] = df_count.get(g, 0) + 1
+    out = {}
+    for doc_id, grams in gram_sets.items():
+        n = len(grams)
+        dup = sum(1 for g in grams if df_count[g] >= 2)
+        out[doc_id] = (n, dup, dup * 10000 // n)
+    return out
+
+
+def test_dup_ngram_fraction_matches_brute_force(spark, sf_dir):
+    docs = pq.read_table(f"{sf_dir}/documents.parquet").to_pandas()
+    expected = _brute_dup_fraction(docs)
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_dup_grams"], r["dup_bp"])
+        for r in dup_ngram_fraction(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_dup_ngram_fraction_bounds(spark, sf_dir):
+    for r in dup_ngram_fraction(spark, sf_dir).collect():
+        assert 0 <= r["n_dup_grams"] <= r["n_grams"]
+        assert 0 <= r["dup_bp"] <= 10000
+
+
+# ------------------------------------------------------------------
+# embedding_diversity closed-form laws + numpy replication
+# ------------------------------------------------------------------
+
+
+def _diversity_rows(spark, rows):
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="divfix")
+    df.write.mode("overwrite").parquet(f"{tmp}/embeddings.parquet")
+    return {
+        r["label"]: (r["n_vecs"], r["centroid_energy_bp"])
+        for r in embedding_diversity(spark, tmp).collect()
+    }
+
+
+def test_diversity_identical_vectors_is_10000(spark):
+    # total mode collapse: every vector identical → centroid carries
+    # ALL the energy → exactly 10000 bp
+    v = [0.25, -0.5, 0.125, 1.0]
+    rows = [(i, v, 0) for i in range(7)]
+    got = _diversity_rows(spark, rows)
+    assert got == {0: (7, 10000)}
+
+
+def test_diversity_one_hot_orthogonal_is_10000_over_n(spark):
+    # n mutually orthogonal equal-norm vectors → mean pairwise dot is
+    # 1/n of the self dot (only the self-pairs contribute) → exactly
+    # floor(10000 / n)
+    for n in (2, 4, 5, 8):
+        rows = []
+        for i in range(n):
+            v = [0.0] * n
+            v[i] = 1.0
+            rows.append((i, v, 0))
+        got = _diversity_rows(spark, rows)
+        assert got == {0: (n, 10000 // n)}, (n, got)
+
+
+def test_diversity_numpy_replication_on_real_table(spark, sf_dir):
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    expected = {}
+    for label, grp in emb.groupby("label"):
+        mat = np.stack(grp["embedding"].to_numpy())
+        q = np.floor(mat.astype(np.float64) * 1e6 + 0.5).astype(object)
+        s = q.sum(axis=0)  # per-dim integer sums (python ints: no overflow)
+        n = len(grp)
+        s2 = sum(int(x) * int(x) for x in s)
+        t2 = int(sum(int(x) * int(x) for x in q.ravel()))
+        expected[int(label)] = (n, (s2 * 10000) // (n * t2))
+    got = {
+        r["label"]: (r["n_vecs"], r["centroid_energy_bp"])
+        for r in embedding_diversity(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_diversity_permutation_invariant(spark):
+    # order-independence: shuffling row order cannot change the
+    # integer sums (the AQE-scale determinism claim)
+    rows = [
+        (i, [math.sin(i * 1.7 + d) for d in range(6)], i % 2)
+        for i in range(20)
+    ]
+    a = _diversity_rows(spark, rows)
+    b = _diversity_rows(spark, list(reversed(rows)))
+    assert a == b
