@@ -78,6 +78,19 @@ SECTIONS = {
         "bounded bin-count frame, broadcast back — the SinglePartition "
         "exchange carries aggregated bin counts, never document rows."
     ),
+    "dup_ngram_fraction": (
+        "Linear duplication-exposure signal: the gram df count and the "
+        "postings join-back are both HashAggregate-partial before their "
+        "gram-keyed exchanges; no pair join exists anywhere in the plan "
+        "(nothing squares in df), and ReadSchema shows the documents "
+        "scan reads doc_id/text/source only."
+    ),
+    "embedding_diversity": (
+        "n^2 pairwise semantics with zero pairwise plan: no join, no "
+        "window — two keyed HashAggregates (label,dim then label) with "
+        "map-side partials over integer micro-units; the mean-pairwise-"
+        "dot collapses into the centroid-energy closed form."
+    ),
 }
 
 DETAIL_KEYS = ("PushedFilters", "ReadSchema", "PartitionFilters", "Location")
@@ -99,9 +112,9 @@ def main() -> None:
     sf = "/root/testdata/sf0.001"
 
     out = [
-        """# PLANS — flagship physical-plan evidence
+        f"""# PLANS — flagship physical-plan evidence
 
-`explain("formatted")` extracts (sf0.001, vanilla session) for seven
+`explain("formatted")` extracts (sf0.001, vanilla session) for {len(SECTIONS)}
 queries chosen to witness one scale property each, with the
 scan-node detail lines (PushedFilters / ReadSchema /
 PartitionFilters) that carry the evidence. The same properties are
