@@ -2743,6 +2743,57 @@ ORDER BY doc_id, chunk_idx
 _DUPGRAM_N = 5  # word n-gram width for the cross-doc duplication signal
 
 
+def word_gram_postings(docs: DataFrame) -> DataFrame:
+    """Distinct per-doc word {_DUPGRAM_N}-gram postings
+    (doc_id, source, g) — the one tokenize rule shared by the batch
+    dup_ngram_fraction and the streaming dup-gram ledger
+    (streaming/jobs.py::stream_dupgram_ledger), so incremental df
+    counts and the batch recompute can never diverge on
+    tokenization. Docs with fewer than {_DUPGRAM_N} words produce no
+    postings."""
+    words = docs.select(
+        "doc_id",
+        "source",
+        F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)").alias("w"),
+    ).filter(F.size("w") >= _DUPGRAM_N)
+    return words.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, size(w) - {_DUPGRAM_N - 1}), "
+                    f"i -> concat_ws(' ', slice(w, i, {_DUPGRAM_N})))"
+                )
+            )
+        ).alias("g"),
+    )
+
+
+def exposure_fold(gdf: DataFrame) -> DataFrame:
+    """Per-doc duplication-exposure fold over a postings frame that
+    already carries each gram's document frequency as `df` — shared
+    verbatim by the batch query and the ledger probe so their
+    outputs are comparable byte-for-byte."""
+    return (
+        gdf.groupBy("doc_id", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_grams"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_grams",
+            "n_dup_grams",
+            F.expr("n_dup_grams * 10000 div n_grams").alias("dup_bp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document CROSS-doc duplicate-n-gram share — the
     "fraction of this document's {_DUPGRAM_N}-grams that appear in
@@ -2773,42 +2824,9 @@ def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     excluded (same contract as the shingle detectors' size gate).
     """
     d = spread(_L(spark, sf_dir, "documents"), "doc_id")
-    words = d.select(
-        "doc_id",
-        "source",
-        F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)").alias("w"),
-    ).filter(F.size("w") >= _DUPGRAM_N)
-    grams = words.select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    f"transform(sequence(1, size(w) - {_DUPGRAM_N - 1}), "
-                    f"i -> concat_ws(' ', slice(w, i, {_DUPGRAM_N})))"
-                )
-            )
-        ).alias("g"),
-    )
+    grams = word_gram_postings(d)
     dfreq = grams.groupBy("g").agg(F.count("*").cast("long").alias("df"))
-    return (
-        grams.join(dfreq, "g")
-        .groupBy("doc_id", "source")
-        .agg(
-            F.count("*").cast("long").alias("n_grams"),
-            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
-            .cast("long")
-            .alias("n_dup_grams"),
-        )
-        .select(
-            "doc_id",
-            "source",
-            "n_grams",
-            "n_dup_grams",
-            F.expr("n_dup_grams * 10000 div n_grams").alias("dup_bp"),
-        )
-        .orderBy("doc_id")
-    )
+    return exposure_fold(grams.join(dfreq, "g"))
 
 
 DUP_NGRAM_FRACTION_SQL = f"""

@@ -1057,3 +1057,72 @@ def stream_text_index_ingest(docs: DataFrame, index_path: str):
         ingest_text_delta(batch, index_path, batch_id)
 
     return docs.writeStream.foreachBatch(_process)
+
+
+# ------------------------------------------------------------------
+# Streaming dup-gram ledger: incremental duplication-exposure df
+# ------------------------------------------------------------------
+
+
+def ingest_dupgram_delta(
+    batch: DataFrame, ledger_dir: str, batch_id: int
+) -> None:
+    """Fold one document delta into the persisted gram-df ledger:
+    rows (gd = xxhash64 of the word 5-gram, df = docs in THIS batch
+    containing it) land under their batch_id partition via dynamic
+    partition overwrite. df addition is associative+commutative but
+    NOT idempotent, so exactly-once comes from layout (the Count-Min
+    / text-index discipline): an at-least-once replayed batch
+    rewrites exactly its own partition with identical bytes. The
+    ledger is gram-VOCAB scale (digests only — gram text never
+    persists and never shuffles), the incremental-maintenance
+    posture dup_ngram_fraction needs at 100 TB where re-scanning the
+    corpus to refresh df after every crawl batch is off the table."""
+    from chess_pipeline_spark.plans.corpus import word_gram_postings
+    from chess_pipeline_spark.sinks import upsert_partition_overwrite
+
+    delta = (
+        word_gram_postings(batch)
+        .select(F.xxhash64("g").alias("gd"))
+        .groupBy("gd")
+        .agg(F.count("*").cast("long").alias("df"))
+        .withColumn("batch_id", F.lit(batch_id))
+    )
+    upsert_partition_overwrite(delta, ledger_dir, ["batch_id"])
+
+
+def stream_dupgram_ledger(docs: DataFrame, ledger_dir: str):
+    """Continuous duplication-exposure maintenance: each micro-batch
+    of documents folds its per-batch gram document frequencies into
+    the ledger (ingest_dupgram_delta). dup_exposure_from_ledger over
+    the streamed ledger equals the batch dup_ngram_fraction over the
+    same documents byte-for-byte (pytest law, duplicate delivery
+    included)."""
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        ingest_dupgram_delta(batch, ledger_dir, batch_id)
+
+    return docs.writeStream.foreachBatch(_process)
+
+
+def dup_exposure_from_ledger(
+    spark, ledger_dir: str, docs: DataFrame
+) -> DataFrame:
+    """Serve per-doc duplication exposure from the persisted ledger:
+    re-derive the probe docs' gram digests (same word_gram_postings
+    rule as ingest), join the batch-summed df, and run the shared
+    exposure_fold — identical output schema and values to
+    dup_ngram_fraction when the ledger has ingested the same corpus
+    (64-bit digest collisions are the documented approximation; none
+    exist at test scale and a collision can only nudge df upward).
+    The join is digest-keyed — gram strings never leave the probe
+    side's scan stage."""
+    from chess_pipeline_spark.plans.corpus import exposure_fold, word_gram_postings
+
+    led = (
+        spark.read.parquet(ledger_dir)
+        .groupBy("gd")
+        .agg(F.sum("df").cast("long").alias("df"))
+    )
+    grams = word_gram_postings(docs).withColumn("gd", F.xxhash64("g"))
+    return exposure_fold(grams.join(led, "gd"))
