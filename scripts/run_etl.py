@@ -209,6 +209,8 @@ _PROFILE_QUERIES = (
     ("top_terms", "tfidf_top_terms"),
     ("lm_quality", "unigram_logprob_score"),
     ("heavy_hitters", "cms_heavy_hitters"),
+    ("dup_exposure", "dup_ngram_fraction"),
+    ("embedding_diversity", "embedding_diversity"),
 )
 
 

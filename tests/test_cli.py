@@ -143,6 +143,8 @@ def test_cli_profile_data_card(spark, sf_dir, tmp_path):
         "top_terms",
         "lm_quality",
         "heavy_hitters",
+        "dup_exposure",
+        "embedding_diversity",
     }
     # every report materialized and readable; per-doc reports cover
     # the corpus
