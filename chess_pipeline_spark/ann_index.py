@@ -278,6 +278,12 @@ def stream_ingest_ivf(vectors: DataFrame, index_path: str, id_col: str = "vec_id
     delta-proportional — the base is never rewritten until
     compact_ivf_index folds the delta in.
 
+    CONTRACT: never reset/delete this stream's checkpoint and point it
+    back at the same index — foreachBatch ids restart at 0 and collide
+    with ids compaction already folded; ingest_ivf_batch raises on the
+    collision rather than let the folded-batch filter silently drop
+    the new rows (r9 ADVICE).
+
     Returns an unstarted writeStream (caller picks trigger +
     checkpoint), like the other foreachBatch jobs.
     """
@@ -292,10 +298,32 @@ def ingest_ivf_batch(
 ) -> None:
     """One stream_ingest_ivf micro-batch — module-level so batch-mode
     callers (the ivf_ingest_audit catalog query, tests) can drive the
-    exact ingest path without a running stream."""
+    exact ingest path without a running stream.
+
+    Batch ids must never be reused against one index (the r9 ADVICE
+    silent-loss hazard): compaction records folded ids in
+    `_folded_batches.json` and both the probe path and the next
+    compaction anti-filter the delta against it, so rows ingested
+    under an already-folded id would be invisibly discarded. A stream
+    restarted with a deleted/fresh checkpoint restarts foreachBatch at
+    batch 0 — exactly this collision — so we raise loudly instead.
+    If you hit this on a genuine replay (compaction folded a batch the
+    stream hadn't committed yet), the folded rows are already in the
+    base and the replay is safe to drop; for a fresh checkpoint over
+    NEW data, re-ingest under ids above max(folded)."""
     from chess_pipeline_spark.sinks import upsert_partition_overwrite
 
     spark = batch.sparkSession
+    folded = _read_folded(os.path.join(index_path, "lists"))
+    if batch_id in folded:
+        raise ValueError(
+            f"ingest_ivf_batch: batch_id {batch_id} was already folded into "
+            f"the base by compact_ivf_index (folded ids: {sorted(folded)}); "
+            "rows ingested under a folded id are dropped by probes and the "
+            "next compaction. Never reuse batch ids against an index — if "
+            "the stream's checkpoint was reset, resume ingest with ids "
+            f"above {max(folded)}."
+        )
     seeds = spark.read.parquet(os.path.join(index_path, "centroids"))
     codebook = spark.read.parquet(os.path.join(index_path, "pq_codebook"))
     dim = codebook.select(F.size("c").alias("d")).first()["d"]

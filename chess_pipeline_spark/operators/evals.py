@@ -140,10 +140,15 @@ def fetch_missing_with_quota(
     caller passes the day/month string — the reference's Valkey key
     expiry, made explicit). remaining = budget - used; the FENs
     actually sent are the first `remaining` in fen order, so a retry
-    of the same batch selects the same positions. The ledger update
-    is bak-swap crash-safe; like the reference's INCR, a replayed
-    batch over-counts rather than over-fetches — the quota errs on
-    the safe side of the API limit.
+    of the same batch selects the same positions. The ledger is
+    written from the PICK count BEFORE any external call executes
+    (bak-swap crash-safe): a crash between the ledger write and the
+    fetch over-counts rather than over-fetches, so the quota always
+    errs on the safe side of the API limit. The fetch itself is then
+    localCheckpointed so every external call executes exactly once
+    regardless of how many actions the caller later runs on the
+    returned frame — in steady state counted == executed, since the
+    mapInPandas fetch is 1:1 with the counted picks.
     """
     spark = fens.sparkSession
     from chess_pipeline_spark.sinks import bak_swap_write, read_bounded_ledger
@@ -152,19 +157,15 @@ def fetch_missing_with_quota(
     used_row = prior.filter(F.col("period_key") == period_key).collect()
     used = int(used_row[0]["used"]) if used_row else 0
     remaining = max(0, budget - used)
-    pick = fens.select("fen").distinct().orderBy("fen").limit(remaining)
-    # Materialize the fetch BEFORE writing the ledger: localCheckpoint
-    # executes every external call exactly once, so counted == executed
-    # no matter how many actions the caller later runs on the returned
-    # frame (a lazy frame would re-run fetch_fn per action while the
-    # ledger counted it once, and would consume budget even if the
-    # caller never materialized it at all).
-    fetched = fetch_missing(pick, fetch_fn).localCheckpoint()
-    n_sent = fetched.count()
+    # pick runs no external calls: select/distinct/limit over fens only
+    pick = (
+        fens.select("fen").distinct().orderBy("fen").limit(remaining).localCheckpoint()
+    )
+    n_sent = pick.count()
     merged = prior.filter(F.col("period_key") != period_key).unionByName(
         spark.createDataFrame(
             [(period_key, used + n_sent)], "period_key string, used long"
         )
     )
     bak_swap_write(spark, merged, counter_path)
-    return fetched
+    return fetch_missing(pick, fetch_fn).localCheckpoint()

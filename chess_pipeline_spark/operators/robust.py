@@ -41,11 +41,17 @@ _EPS = 1e-9
 
 def _weiszfeld(mat, wts=None) -> "list[float]":
     """Fixed-iteration (optionally weighted) Weiszfeld: argmin_c
-    Σ w_i·‖x_i − c‖, started from the weighted arithmetic mean."""
+    Σ w_i·‖x_i − c‖, started from the weighted arithmetic mean.
+    Rows are canonically sorted first so the float summation order —
+    and therefore the result, bit for bit — is independent of Arrow
+    batch arrival order (Spark gives no intra-group order guarantee,
+    and the bucketed path's extra exchange reorders rows)."""
     import numpy as np
 
     if wts is None:
         wts = np.ones(len(mat))
+    order = np.lexsort(np.vstack([mat.T[::-1], wts]))
+    mat, wts = mat[order], wts[order]
     c = (mat * wts[:, None]).sum(axis=0) / wts.sum()
     for _ in range(_ITERS):
         d = np.sqrt(((mat - c) ** 2).sum(axis=1))
@@ -93,17 +99,28 @@ def robust_centroid_per_label_bucketed(
     label_col: str = "label",
     vec_col: str = "embedding",
     n_buckets: int = 32,
+    id_col: str | None = None,
 ) -> DataFrame:
     """Two-level geometric median for groups LARGER than one Arrow
     batch — the 100 TB path the single-level contract documents.
 
-    Level 1: each row lands in a deterministic content-hash bucket
-    (xxhash64 over the vector itself — no RNG, no row-id dependence,
-    so a re-run buckets identically), and each (label, bucket) group
-    folds to ONE partial: its Weiszfeld median + count. Every
-    grouped-map batch is now ~group_size/n_buckets rows, so sizing
-    n_buckets to the Arrow limit bounds executor memory regardless of
-    group size.
+    Level 1: each row lands in a deterministic bucket and each
+    (label, bucket) group folds to ONE partial: its Weiszfeld median
+    + count. Every grouped-map batch is now ~group_size/n_buckets
+    rows, so sizing n_buckets to the Arrow limit bounds executor
+    memory regardless of group size. The bucket key mixes a per-row
+    disambiguator into the content hash (the r9 ADVICE duplicate-skew
+    fix): hashing the vector ALONE sends all identical vectors to one
+    bucket, so a duplicate-heavy or mode-collapsed label — exactly
+    the data the dedup/diversity tiers exist to catch — would still
+    produce one near-group-sized Arrow batch. With `id_col` (a unique
+    row id) the bucket is xxhash64(vec, id) — no extra exchange, and
+    deterministic across re-runs. Without it, duplicates are spread
+    round-robin via a row_number within each (label, content-hash)
+    class; that costs one extra window exchange but the bucket COUNT
+    assignment stays deterministic (identical rows are
+    interchangeable, so which physical duplicate lands where cannot
+    change any bucket's contents as a multiset).
 
     Level 2: per label, the <= n_buckets partials (a KB-scale frame)
     merge by COUNT-WEIGHTED Weiszfeld — the weighted geometric median
@@ -154,12 +171,47 @@ def robust_centroid_per_label_bucketed(
     out_schema = (
         f"{label_col} {spark_label_type}, centroid array<double>, n_vecs long"
     )
-    bucketed = embs.select(
-        label_col,
-        vec_col,
-        (F.pmod(F.xxhash64(F.col(vec_col)), F.lit(n_buckets))).alias("__bucket"),
-    )
+    bucketed = _bucketize(embs, label_col, vec_col, n_buckets, id_col)
     partials = bucketed.groupBy(label_col, "__bucket").applyInPandas(
         fold_bucket, partial_schema
     )
     return partials.groupBy(label_col).applyInPandas(merge_partials, out_schema)
+
+
+def _bucketize(
+    embs: DataFrame,
+    label_col: str,
+    vec_col: str,
+    n_buckets: int,
+    id_col: str | None,
+) -> DataFrame:
+    """Level-1 bucket assignment: content hash MIXED with a per-row
+    disambiguator, so identical vectors spread across buckets instead
+    of reuniting in one (the duplicate-skew failure the plain content
+    hash had). With id_col: xxhash64(vec, id) — scan-stage projection,
+    no extra exchange. Without: round-robin row_number within each
+    (label, content-hash) duplicate class; identical rows are
+    interchangeable, so the arbitrary intra-class order cannot change
+    any bucket's multiset."""
+    import pyspark.sql.functions as F
+
+    if id_col is not None:
+        return embs.select(
+            label_col,
+            vec_col,
+            F.pmod(
+                F.xxhash64(F.col(vec_col), F.col(id_col)), F.lit(n_buckets)
+            ).alias("__bucket"),
+        )
+    from pyspark.sql import Window
+
+    dup_rn = F.row_number().over(
+        Window.partitionBy(label_col, F.xxhash64(F.col(vec_col))).orderBy(F.lit(1))
+    )
+    return embs.select(label_col, vec_col).select(
+        label_col,
+        vec_col,
+        F.pmod(F.xxhash64(F.col(vec_col)) + dup_rn, F.lit(n_buckets)).alias(
+            "__bucket"
+        ),
+    )

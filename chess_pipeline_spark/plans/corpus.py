@@ -2811,22 +2811,31 @@ def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     looping cannot inflate it.
 
     100 TB shape: distinct word-grams per doc (row-local transform +
-    array_distinct), then ONE gram-keyed df count (map-side
-    combined) and ONE join of df back onto the postings — linear
-    end to end, and unlike the pair detectors nothing squares in
-    df, so NO stop-gram cap is needed: a boilerplate gram with
-    df = 10^9 contributes one counter row and fans back out to
-    exactly its own postings. Hot grams are plain AQE-splittable
-    key skew, not a blow-up. All-integer output (counts + floored
-    basis points), engine-exact by construction.
+    array_distinct), FOLDED TO xxhash64 DIGESTS in the scan stage
+    (r9 — exactly like the streaming ledger, jobs.py::
+    ingest_dupgram_delta, whose gd key this matches): the gram-keyed
+    df count and the join of df back onto the postings shuffle 8-byte
+    digests instead of ~30-60 B gram strings, a ~5x narrower
+    corpus-scale shuffle. Linear end to end — unlike the pair
+    detectors nothing squares in df, so NO stop-gram cap is needed:
+    a boilerplate gram with df = 10^9 contributes one counter row
+    and fans back out to exactly its own postings. Hot grams are
+    plain AQE-splittable key skew, not a blow-up. 2^-64-class digest
+    collisions are the documented approximation (a collision can
+    only nudge df upward); a law test pins digest path == text path
+    byte-for-byte on the fixture corpus, and the DuckDB oracle stays
+    on gram text. All-integer output (counts + floored basis
+    points), engine-exact by construction.
 
     Docs with fewer than {_DUPGRAM_N} words have no gram set and are
     excluded (same contract as the shingle detectors' size gate).
     """
     d = spread(_L(spark, sf_dir, "documents"), "doc_id")
-    grams = word_gram_postings(d)
-    dfreq = grams.groupBy("g").agg(F.count("*").cast("long").alias("df"))
-    return exposure_fold(grams.join(dfreq, "g"))
+    grams = word_gram_postings(d).select(
+        "doc_id", "source", F.xxhash64("g").alias("gd")
+    )
+    dfreq = grams.groupBy("gd").agg(F.count("*").cast("long").alias("df"))
+    return exposure_fold(grams.join(dfreq, "gd"))
 
 
 DUP_NGRAM_FRACTION_SQL = f"""

@@ -351,29 +351,53 @@ def repair_partitions(
     Returns the repaired key tuples (empty = target was healthy).
     The source must hold the authoritative rows for the repaired
     keys; re-running after a repair verifies clean and rewrites
-    nothing. Bad keys with NO source rows (extra/corrupt partitions
-    that shouldn't exist at all — dynamic partition overwrite can't
-    touch a partition absent from the written frame) have their
-    target partition directories deleted outright, so the repair
-    loop converges for them too instead of re-reporting them forever.
+    nothing. Orphans — bad keys the MANIFEST does not list at all
+    (extra/corrupt partitions that shouldn't exist; dynamic partition
+    overwrite can't touch a partition absent from the written frame)
+    — have their target partition directories deleted outright, so
+    the repair loop converges for them too. Classification is by
+    manifest absence, never by source emptiness: a manifest-listed
+    key with no source rows means the caller handed us a stale or
+    filtered source, and deleting data on that evidence would be
+    irreversible — we raise instead. All key tuples are compared
+    after casting to the SOURCE key schema (the verify join infers
+    partition-column types from the target directory names, which
+    can disagree, e.g. int-inferred vs string).
     """
     from pyspark.sql import functions as F
 
     spark = source.sparkSession
+    key_schema = source.select(*keys).schema
     bad = (
         verify_manifest(spark.read.parquet(target_path), manifest_path, keys)
-        .select(*keys)
+        .select(
+            *[
+                F.col(c).cast(f.dataType).alias(c)
+                for c, f in zip(keys, key_schema.fields)
+            ],
+            F.col("want_rows").isNull().alias("_orphan"),
+        )
         .collect()
     )
     if not bad:
         return []
-    bad_keys = [tuple(r) for r in bad]
-    bad_df = spark.createDataFrame(bad, source.select(*keys).schema)
-    fix = source.join(F.broadcast(bad_df), keys, "left_semi")
-    covered = {
-        tuple(r) for r in fix.select(*keys).distinct().collect()
-    }  # driver-side tiny: bounded by the bad-key count
-    orphans = [k for k in bad_keys if k not in covered]
+    bad_keys = [tuple(r)[: len(keys)] for r in bad]
+    orphans = [k for k, r in zip(bad_keys, bad) if r["_orphan"]]
+    repairable = [k for k, r in zip(bad_keys, bad) if not r["_orphan"]]
+    if repairable:
+        bad_df = spark.createDataFrame([list(k) for k in repairable], key_schema)
+        fix = source.join(F.broadcast(bad_df), keys, "left_semi")
+        covered = {
+            tuple(r) for r in fix.select(*keys).distinct().collect()
+        }  # driver-side tiny: bounded by the bad-key count
+        missing = [k for k in repairable if k not in covered]
+        if missing:
+            raise ValueError(
+                "repair_partitions: manifest lists keys the source has no "
+                f"rows for ({missing}); refusing to delete manifest-covered "
+                "partitions — pass the authoritative, unfiltered source"
+            )
+        upsert_partition_overwrite(fix, target_path, keys)
     for k in orphans:
         # hive layout: target/key1=v1/key2=v2. Match directory names
         # by UNESCAPING what Spark wrote (it percent-encodes special
@@ -395,6 +419,4 @@ def repair_partitions(
             level = nxt
         else:
             shutil.rmtree(level, ignore_errors=True)
-    if len(orphans) < len(bad_keys):
-        upsert_partition_overwrite(fix, target_path, keys)
     return bad_keys

@@ -530,3 +530,15 @@ def test_compaction_idempotent_after_crash_window(spark, sf_dir, tmp_path):
     compact_ivf_index(spark, idx)
     n_new = corpus.filter(F.col("vec_id") <= 3).count()
     assert len(rows(spark.read.parquet(os.path.join(idx, "lists")))) == len(want) + n_new
+
+    # the r9 ADVICE silent-loss guard: re-ingesting under an
+    # already-folded batch id (a stream restarted with a fresh/deleted
+    # checkpoint restarts foreachBatch at 0, or here a reuse of id 7)
+    # must raise instead of writing rows that probes + the next
+    # compaction would invisibly drop
+    import pytest
+
+    with pytest.raises(ValueError, match="already folded"):
+        ingest_ivf_batch(corpus.filter(F.col("vec_id") <= 3), 7, idx)
+    # nothing was written: no delta directory reappeared
+    assert not os.path.exists(delta)

@@ -184,3 +184,42 @@ def test_quota_counts_equal_executed_fetches(spark, tmp_path):
     assert fresh.filter("evaluation >= 0").count() == 4
     executed = sorted(calls.read_text().splitlines())
     assert executed == [f"fen{i:02d}" for i in range(4)]  # exactly once each
+
+
+def test_quota_crash_over_counts_never_over_fetches(spark, tmp_path):
+    """The r9 ADVICE ordering law: the ledger is written from the pick
+    count BEFORE any external call executes, so a crash mid-fetch
+    leaves the budget already debited — the retry under-fetches
+    (safe side of the API limit) instead of re-spending calls the
+    ledger never saw. Across crash + retry: executed <= budget and
+    ledger used >= executed."""
+    from chess_pipeline_spark.operators.evals import fetch_missing_with_quota
+
+    calls = tmp_path / "calls.log"
+
+    def crashing_fetch(fen):
+        raise RuntimeError("simulated API outage mid-batch")
+
+    def logging_fetch(fen):
+        with open(calls, "a") as fh:
+            fh.write(fen + "\n")
+        return (float(int(fen[3:])), 20)
+
+    fens = spark.createDataFrame(
+        [(f"fen{i:02d}",) for i in range(8)], "fen string"
+    )
+    counter = str(tmp_path / "quota")
+    try:
+        fetch_missing_with_quota(fens, crashing_fetch, counter, "d1", budget=5)
+        raise AssertionError("crash fetch should have raised")
+    except Exception:
+        pass
+    # the ledger already holds the debit for the crashed batch
+    led = {r["period_key"]: r["used"] for r in spark.read.parquet(counter).collect()}
+    assert led == {"d1": 5}
+    # retry: remaining headroom is 0, so no external call executes
+    retry = fetch_missing_with_quota(fens, logging_fetch, counter, "d1", budget=5)
+    assert retry.count() == 0
+    executed = calls.read_text().splitlines() if calls.exists() else []
+    assert executed == []  # never over-fetches past the budget
+    assert led["d1"] >= len(executed)

@@ -11,6 +11,8 @@ benchmark does.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from chess_pipeline_spark.introspect import plan_metrics
@@ -1126,14 +1128,33 @@ def test_balanced_shards_no_corpus_scale_global_window(spark, sf_dir):
 
 def test_dup_ngram_fraction_no_pair_join_text_pruned(spark, sf_dir):
     # the dup-exposure signal must stay linear: no self/pair join of
-    # postings (SortMergeJoin on the gram key joining postings to the
+    # postings (a join on the gram key joining postings to the
     # KB-scale df frame is fine — nothing squares), no cartesian, and
-    # the text column must never ride an exchange (only doc_id/source/
-    # gram strings shuffle)
+    # neither gram TEXT nor full gram strings ride a keyed exchange —
+    # the df groupBy and the join-back are keyed on the 8-byte
+    # xxhash64 digest (r9), matching the streaming ledger. The only
+    # exchange allowed to carry text is spread()'s REPARTITION_BY_NUM
+    # parallelism fix-up, which is a no-op at real scale (>= cores
+    # input splits).
     plan = _plan(spark, sf_dir, "dup_ngram_fraction")
     assert "CartesianProduct" not in plan
-    exchange_tail = plan[plan.index("Exchange"):] if "Exchange" in plan else ""
-    assert "text#" not in exchange_tail or plan.index("Exchange") > 0
+    # per-node check: split the formatted plan into detail sections
+    # and inspect every Exchange's carried columns
+    sections = re.split(r"\n\((\d+)\) ", plan)
+    keyed_gd = 0
+    for head, body in zip(sections[1::2], sections[2::2]):
+        node = body.split("\n", 1)[0]
+        if not node.startswith("Exchange"):
+            continue
+        if "REPARTITION_BY_NUM" in body:
+            continue  # the spread() fix-up — test-scale only
+        assert "text#" not in body, f"text rides Exchange ({head}): {body}"
+        assert ", g#" not in body and "[g#" not in body, (
+            f"gram strings ride Exchange ({head}): {body}"
+        )
+        if "hashpartitioning(gd#" in body:
+            keyed_gd += 1
+    assert keyed_gd >= 1, plan  # the df count shuffles digests
     # map-side partial agg on both the df count and the per-doc fold
     assert plan.count("HashAggregate") >= 4
 

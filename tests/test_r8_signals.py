@@ -58,6 +58,31 @@ def test_dup_ngram_fraction_bounds(spark, sf_dir):
         assert 0 <= r["dup_bp"] <= 10000
 
 
+def test_dup_ngram_digest_path_equals_text_path(spark, sf_dir):
+    """r9 shuffle-width law: the production query folds grams to
+    xxhash64 digests before the df groupBy + join-back (the streaming
+    ledger's key, ~5x narrower corpus shuffle). Pin it byte-for-byte
+    against the pre-fold TEXT-keyed plan on the fixture corpus —
+    digest collisions are the only way the two can diverge, and none
+    may exist at test scale."""
+    import pyspark.sql.functions as F
+
+    from chess_pipeline_spark.plans.corpus import (
+        exposure_fold,
+        word_gram_postings,
+    )
+    from chess_pipeline_spark.sources import load_table, spread
+
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    grams = word_gram_postings(d)
+    dfreq = grams.groupBy("g").agg(F.count("*").cast("long").alias("df"))
+    text_path = [
+        tuple(r) for r in exposure_fold(grams.join(dfreq, "g")).collect()
+    ]
+    digest_path = [tuple(r) for r in dup_ngram_fraction(spark, sf_dir).collect()]
+    assert digest_path == text_path
+
+
 # ------------------------------------------------------------------
 # embedding_diversity closed-form laws + numpy replication
 # ------------------------------------------------------------------

@@ -137,6 +137,43 @@ def test_bucketed_deterministic_and_counts(spark):
     assert one["a"][1] == 25 and one["b"][1] == 3
 
 
+def test_bucketed_spreads_duplicate_vectors(spark):
+    """The r9 ADVICE duplicate-skew fix: a mode-collapsed label (one
+    vector repeated many times) must NOT reunite in a single bucket —
+    the Arrow-batch cap the bucketing exists for fails exactly on the
+    duplicate-heavy data the dedup/diversity tiers handle. Both the
+    row_number fallback and the id_col path must cap every
+    (label, bucket) group at ~n/n_buckets."""
+    import pyspark.sql.functions as F
+
+    from chess_pipeline_spark.operators.robust import _bucketize
+
+    n, n_buckets = 256, 8
+    rows = [("collapsed", [1.5, -2.5, 0.25], i) for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "label string, embedding array<double>, rid long"
+    )
+    for id_col in (None, "rid"):
+        b = _bucketize(df, "label", "embedding", n_buckets, id_col)
+        sizes = [
+            r["c"]
+            for r in b.groupBy("__bucket").agg(F.count("*").alias("c")).collect()
+        ]
+        assert sum(sizes) == n
+        if id_col is None:
+            # round-robin over duplicates: perfectly balanced
+            assert len(sizes) == n_buckets and max(sizes) == n // n_buckets
+        else:
+            # hash-mixed: balanced up to hash noise, never one bucket
+            assert len(sizes) == n_buckets
+            assert max(sizes) <= 3 * (n // n_buckets), sizes
+    # end-to-end: the centroid of the collapsed label is the vector
+    # itself with the full count, whichever path assigned the buckets
+    out = _run_bucketed(spark, [(l, v) for l, v, _ in rows], n_buckets=8)
+    assert out["collapsed"][1] == n
+    assert all(abs(a - b) < 1e-9 for a, b in zip(out["collapsed"][0], [1.5, -2.5, 0.25]))
+
+
 def test_bucketed_plan_has_two_grouped_maps(spark):
     from chess_pipeline_spark.operators.robust import (
         robust_centroid_per_label_bucketed,

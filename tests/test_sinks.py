@@ -403,3 +403,81 @@ def test_repair_removes_orphan_with_escaped_partition_value(spark, tmp_path):
     assert not any("%" in d for d in os.listdir(out) if d.startswith("part="))
     assert verify_manifest(spark.read.parquet(out), man, ["part"]).count() == 0
     assert repair_partitions(keep, out, man, ["part"]) == []
+
+
+def test_repair_refuses_stale_source_for_manifest_listed_keys(spark, tmp_path):
+    """The r9 ADVICE deletion hazard: orphan = MANIFEST-absent, never
+    source-absent. A manifest-listed key whose rows are missing from
+    the source means the caller passed a stale/filtered source;
+    deleting that partition would be irreversible data loss, so the
+    repair must raise and leave the target byte-untouched."""
+    import os
+
+    import pytest
+
+    from chess_pipeline_spark.sinks import (
+        repair_partitions,
+        write_manifest,
+    )
+
+    src = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], "part string, v int"
+    )
+    out = str(tmp_path / "data")
+    man = str(tmp_path / "man")
+    src.write.partitionBy("part").mode("overwrite").parquet(out)
+    write_manifest(src, man, ["part"])
+    # corrupt partition b so verify flags it, then hand repair a
+    # source filtered down to partition a only
+    spark.createDataFrame([(99,)], "v int").write.mode("overwrite").parquet(
+        os.path.join(out, "part=b")
+    )
+    stale = src.filter("part = 'a'")
+    with pytest.raises(ValueError, match="manifest lists keys"):
+        repair_partitions(stale, out, man, ["part"])
+    # the manifest-covered partition directory survived the refusal
+    assert os.path.isdir(os.path.join(out, "part=b"))
+
+
+def test_repair_casts_inferred_partition_types_to_source_schema(spark, tmp_path):
+    """Partition-directory values like part=7 are int-inferred when the
+    target is read back, while the source key column is string; the
+    verify-join tuples must be cast to the SOURCE key schema before
+    comparison or a repairable digit-keyed partition is misclassified
+    as an orphan and deleted instead of rewritten."""
+    import os
+
+    from chess_pipeline_spark.sinks import (
+        repair_partitions,
+        verify_manifest,
+        write_manifest,
+    )
+
+    src = spark.createDataFrame(
+        [("7", 1), ("7", 2), ("8", 3)], "part string, v int"
+    )
+    out = str(tmp_path / "data")
+    man = str(tmp_path / "man")
+    src.write.partitionBy("part").mode("overwrite").parquet(out)
+    write_manifest(src, man, ["part"])
+    # reader infers the digit partition values as ints (the hash side
+    # of the manifest therefore flags every partition — type inference
+    # changed the hashed bytes — but the point under test is the
+    # orphan/repairable CLASSIFICATION, which must compare key tuples
+    # in the source schema)
+    assert dict(spark.read.parquet(out).dtypes)["part"] in ("int", "bigint")
+    # corrupt partition 7: drop a row
+    spark.createDataFrame([(1,)], "v int").write.mode("overwrite").parquet(
+        os.path.join(out, "part=7")
+    )
+    repaired = repair_partitions(src, out, man, ["part"])
+    assert ("7",) in repaired
+    assert all(k in {("7",), ("8",)} for k in repaired)
+    # repaired in place from the source — never deleted-as-orphan
+    assert os.path.isdir(os.path.join(out, "part=7"))
+    assert os.path.isdir(os.path.join(out, "part=8"))
+    got = {
+        (str(r["part"]), r["v"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {("7", 1), ("7", 2), ("8", 3)}
