@@ -24,14 +24,19 @@ __all__ = ["QuerySpec", "catalog", "DRIVER_WINDOW", "DEMOTION_COVERAGE"]
 # sample seeded by round number (e.g. sort names by
 # md5(f"{round}:{name}") and take 50) so every query gets periodic
 # driver contact without bespoke rotation plans. Supporting data
-# (r8): FIVE hand-curated rotation rounds have now executed (r4, r5,
-# r6, r7, r8) with zero misses and zero regressions in any promoted or
+# (r9): SIX hand-curated rotation rounds have now executed (r4-r9)
+# with zero misses and zero regressions in any promoted or
 # re-verified query — evidence that a mechanized per-round sample would
 # be safe, while each manual rotation consumes a checklist, a planner
 # script run, a wholesale DEMOTION_COVERAGE rewrite, and a contract
-# test update. The md5-seeded sample is reproducible by both sides
-# with ten lines of code and retires that bookkeeping. Until adopted,
-# the checklist discipline below continues.
+# test update. A second cost the r9 freshness rotation makes concrete:
+# at 50/169, even perfect rotation leaves SOME query's last driver
+# contact 4+ rounds stale (after r9's twelve swaps the oldest
+# remaining last-green is r3-era; 21 names still wait for r10+),
+# which the md5 sample would amortize uniformly. The sample is
+# reproducible by both sides with ten lines of code and retires that
+# bookkeeping. Until adopted, the checklist discipline below
+# continues.
 DRIVER_WINDOW = 50
 
 # Queries pushed past the driver window — exactly
@@ -84,26 +89,24 @@ DRIVER_WINDOW = 50
 #          the 13 other single-green r7 promotions stay for a second
 #          green round.
 #
-# r9 ROTATION NOTE: r8 held catalog growth to two late additions
-# (dup_ngram_fraction, embedding_diversity — staged at the _DEMOTED
-# tail below), so once CORRECTNESS_r08 lands the never-driver-green
-# set is exactly those two names. The r9 swap (if the md5-sample
-# proposal is still unadopted) should promote those two PLUS the
-# longest-unverified demoted names per check_rotation.py's freshness
-# mode (the r3/r4-era demotions whose last green is 4+ rounds old)
-# against the then-double-green window members — first-contact for
-# the two, freshness for the rest.
+#   r8→r9: executed the r9 FRESHNESS rotation — promoted the two
+#          r8-staged signals (dup_ngram_fraction, embedding_diversity
+#          — their first driver contact) PLUS the ten stalest
+#          demotions, all r2-era (last green r2, 7 rounds stale:
+#          distinct_flag_status, global_minmax, weekday_recode,
+#          binned_mean, value_stats_by_weekday, sql_view_game_evals,
+#          explode_quantities, near_dup_pairs_jaccard_prefix,
+#          events_sliding_1h_30m, minhash_signatures). Demoted 12 of
+#          the 13 double-green (r7 AND r8) members per
+#          check_rotation.py's freshness mode; cube_status_priority
+#          stays in-window as the only grouping-sets (CUBE/ROLLUP
+#          family) driver anchor. The 35 single-green r8 promotions
+#          stay for their second green round. After this swap the
+#          never-driver-green set is EMPTY and the stalest remaining
+#          demotions are r3-era (7 names) + r4-era (14) — the r10
+#          freshness pool, coverable in one round once the r8
+#          promotions go double-green (35 eligible slots).
 _DEMOTED: tuple[str, ...] = (
-    "distinct_flag_status",
-    "global_minmax",
-    "weekday_recode",
-    "binned_mean",
-    "value_stats_by_weekday",
-    "sql_view_game_evals",
-    "explode_quantities",
-    "near_dup_pairs_jaccard_prefix",
-    "events_sliding_1h_30m",
-    "minhash_signatures",
     "orders_per_priority",
     "clock_seconds_parse",
     "initial_clock_per_group",
@@ -221,9 +224,21 @@ _DEMOTED: tuple[str, ...] = (
     "disjunctive_brand_revenue",
     "shipping_priority_topk",
     "local_supplier_volume",
-    # ---- r8-new, staged for the r9 promotion (never driver-seen) ----
-    "dup_ngram_fraction",
-    "embedding_diversity",
+    # ---- demoted in the r8→r9 freshness rotation: 12 of the 13
+    # members green in BOTH r7 and r8 (cube_status_priority, the
+    # 13th, stays in-window as the grouping-sets anchor) ----
+    "nation_market_share",
+    "segment_top_value_orders",
+    "scd2_customer_snapshot",
+    "forecast_revenue_change",
+    "promo_revenue_share",
+    "top_supplier_revenue",
+    "nation_trade_volume",
+    "customer_value_deciles_sketch",
+    "embedding_pq_codes",
+    "knn_pq_adc",
+    "dedup_groups_logstep",
+    "bpe_merge_candidates",
 )
 
 # For every demoted query: the IN-WINDOW queries that keep its SURVEY
@@ -235,27 +250,7 @@ _DEMOTED: tuple[str, ...] = (
 # mixture_sample/multimodal_features; every row below cites r8-window
 # members only).
 DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
-    # ---- pre-r6 demotions, re-cited against the r8 window ----
-    # P9 distinct → digest-distinct cluster labels + count-distinct audits
-    "distinct_flag_status": ("dedup_groups_logstep", "brand_supplier_counts"),
-    # A7 global min/max → per-file zone-map min/max audit
-    "global_minmax": ("zorder_layout_audit",),
-    # F9,P8 value recode → CASE conditional sums + grouping-set recodes
-    "weekday_recode": ("promo_revenue_share", "cube_status_priority"),
-    # A5,F15 binned mean → fixed-width PSI bins + token-length shards
-    "binned_mean": ("psi_value_drift", "token_balanced_shards"),
-    # A3,F9 multi-agg stats → key-cardinality profile aggregates
-    "value_stats_by_weekday": ("join_key_skew_profile", "psi_value_drift"),
-    # J8,S3 SQL view over joins → the same multi-join graphs as DataFrames
-    "sql_view_game_evals": ("profit_by_nation_year", "cheapest_supplier_per_part"),
-    # E1,W1 explode+index → chunk posexplode + per-ply UDTF explode
-    "explode_quantities": ("sliding_window_chunks", "pgn_moves_table"),
-    # prefix/inverted-index near-dup → df-capped shingle containment join
-    "near_dup_pairs_jaccard_prefix": ("containment_near_dup",),
-    # §2.11 sliding window → sweep-line interval concurrency
-    "events_sliding_1h_30m": ("concurrency_peak_daily",),
-    # MinHash signature projection → banded-signature bucket joins
-    "minhash_signatures": ("media_phash_near_dup", "containment_near_dup"),
+    # ---- pre-r6 demotions, re-cited against the r9 window ----
     # A1 count-distinct pivot → distinct-supplier counts + grouping sets
     "orders_per_priority": ("brand_supplier_counts", "cube_status_priority"),
     # F10 regexp parse chain → regexp tokenizer + normalized matching
@@ -271,7 +266,7 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     # tokenizer → same split-tokenize core feeds shards and BPE encode
     "token_count": ("token_balanced_shards", "bpe_encode_tokens"),
     # exact md5-groupBy dedup → digest clustering + digest-group split gate
-    "dedup_exact": ("dedup_groups_logstep", "leakage_safe_split"),
+    "dedup_exact": ("leakage_safe_split", "containment_near_dup"),
     # quality signal columns → length/token signals + per-source drift
     "text_quality_stats": ("token_balanced_shards", "source_kl_divergence"),
     # rolling-hash fingerprint → row-local hash folds + gram digests
@@ -283,30 +278,30 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     # SimHash hamming banding → phash hamming banding (same machinery)
     "simhash_near_dup": ("media_phash_near_dup",),
     # brute-force cosine top-k → ADC top-k + broadcast-anchor cosine scan
-    "knn_cosine_topk": ("knn_pq_adc", "hard_negative_mining"),
-    # row-local embedding stats → row-local PQ subvector encoding
-    "embedding_stats": ("embedding_pq_codes",),
+    "knn_cosine_topk": ("ivf_adc_recall", "hard_negative_mining"),
+    # row-local embedding stats → per-label integer component aggregates
+    "embedding_stats": ("embedding_diversity",),
     # per-source term ranking → per-source term distributions + pair aggs
-    "top_terms_per_source": ("source_kl_divergence", "bpe_merge_candidates"),
-    # W5 cumulative window frame → relative-rank windows + running sweep sum
-    "running_revenue": ("segment_top_value_orders", "concurrency_peak_daily"),
+    "top_terms_per_source": ("source_kl_divergence", "bpe_train_merges"),
+    # W5 cumulative window frame → running sweep sum + overlapping window aggs
+    "running_revenue": ("concurrency_peak_daily", "events_sliding_1h_30m"),
     # J4/J5 dim-join + agg chain → snowflake dim joins + revenue aggs
-    "revenue_by_nation": ("profit_by_nation_year", "nation_trade_volume"),
+    "revenue_by_nation": ("profit_by_nation_year",),
     # label-blocked cosine pair list → dup-band cosine cut + ADC scorer
-    "embedding_near_dup_cosine": ("hard_negative_mining", "knn_pq_adc"),
+    "embedding_near_dup_cosine": ("hard_negative_mining", "ivf_adc_recall"),
     # F regexp extraction chain → regexp tokenize + normalize-match chain
     "eval_comment_parse": ("bpe_encode_tokens", "fuzzy_part_matches"),
     # W1/O2-O3 rank + top-k per key → per-segment rank + per-key top-1
-    "top3_orders_per_customer": ("segment_top_value_orders", "cheapest_supplier_per_part"),
+    "top3_orders_per_customer": ("hard_negative_mining", "cheapest_supplier_per_part"),
     # ---- r5→r6 demotions, re-cited against the r8 window ----
     # A1/A2/E5 pivot + row-normalize → grouping sets + share normalization
-    "win_ratio_by_status": ("cube_status_priority", "nation_market_share"),
+    "win_ratio_by_status": ("cube_status_priority", "above_share_nations"),
     # A3 Q1-shaped multi-agg → grouping-set sums + cardinality profiles
     "pricing_summary": ("cube_status_priority", "join_key_skew_profile"),
-    # J5/A1/O1/O3 dim join + revenue top-k → the argmax-revenue twin
-    "top_customer_revenue": ("top_supplier_revenue",),
+    # J5/A1/O1/O3 dim join + revenue top-k → global max + snowflake join agg
+    "top_customer_revenue": ("global_minmax", "profit_by_nation_year"),
     # P1/P2/P8 projection + recode → CASE recodes + conditional sums
-    "order_priority_clean": ("promo_revenue_share", "cube_status_priority"),
+    "order_priority_clean": ("weekday_recode", "cube_status_priority"),
     # J7/P6 anti join → Q16 NOT-IN anti join + bloom prune anti-join
     "parts_never_ordered": ("brand_supplier_counts", "bloom_join_prune"),
     # J10 semi join → Q20's decorrelated IN-subquery semi join
@@ -316,7 +311,7 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     # J4/J9 chained joins → multi-join snowflake report shapes
     "order_lines_enriched": ("profit_by_nation_year", "cheapest_supplier_per_part"),
     # W2/W3/W5 lead/lag chains → SCD2 lead-validity intervals + sweep order
-    "clock_lead_fill": ("scd2_customer_snapshot", "concurrency_peak_daily"),
+    "clock_lead_fill": ("scd2_point_in_time_join", "concurrency_peak_daily"),
     # E1/E3/U2 lockstep explode → arrays_zip + posexplode in the PGN UDTF
     "zip_explode_lockstep": ("pgn_moves_table",),
     # E2/A6 map→rows symbol counters → per-ply explode + token folds
@@ -324,19 +319,19 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     # U1/U3 union by name → period-frame unions + estimate/exact unions
     "union_by_name": ("psi_value_drift", "cms_join_size_estimate"),
     # F1-F15 scalar chains → pow/log temperature chain + CASE scoring
-    "scalar_feature_sampler": ("temperature_mixture_sample", "promo_revenue_share"),
+    "scalar_feature_sampler": ("temperature_mixture_sample", "fuzzy_part_matches"),
     # P5/F18/F19 array predicates → gram array ops + token array folds
     "array_predicate_filter": ("containment_near_dup", "bpe_encode_tokens"),
     # ROLLUP grouping sets → the CUBE grouping-set twin
     "rollup_priority_status": ("cube_status_priority",),
     # percentile aggregates → the percentile-sketch decile cut
-    "price_percentiles": ("customer_value_deciles_sketch",),
+    "price_percentiles": ("psi_value_drift", "binned_mean"),
     # §2.11 tumbling batch twin → daily time-bucket sweep aggregation
     "events_tumbling_1h": ("concurrency_peak_daily",),
     # §2.11 session batch twin → session sweep-line concurrency
     "events_sessionized": ("concurrency_peak_daily",),
     # P9/A4/A8/W4 latest-row dedup → SCD2 current-row pick + as-of latest
-    "events_dedup_latest": ("scd2_customer_snapshot", "scd2_point_in_time_join"),
+    "events_dedup_latest": ("scd2_point_in_time_join", "cheapest_supplier_per_part"),
     # as-of join → the SCD2 point-in-time lookup IS an as-of join
     "events_asof_last_purchase": ("scd2_point_in_time_join",),
     # A5 funnel bins → interval sweep stages + binned period compare
@@ -352,17 +347,18 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     # IVF-blocked knn → the persisted IVF recall/ingest audit pair
     "knn_cosine_ivf": ("ivf_adc_recall", "ivf_ingest_audit"),
     # LSH-bucketed knn → ADC top-k + broadcast-anchor cosine scan
-    "knn_cosine_lsh": ("knn_pq_adc", "hard_negative_mining"),
+    "knn_cosine_lsh": ("ivf_adc_recall", "hard_negative_mining"),
     # row-local int8 quantize → row-local PQ code quantization
-    "embedding_quantize_int8": ("embedding_pq_codes",),
+    "embedding_quantize_int8": ("ivf_ingest_audit",),
     # mapInPandas frame sampling → the media-features family anchor
     "frame_sample_features": ("multimodal_features",),
     # normalized digest dedup → digest clustering + digest-group gate
-    "dedup_normalized": ("dedup_groups_logstep", "leakage_safe_split"),
-    # LSH+CC dedup groups → the byte-identical log-step CC twin
-    "dedup_groups": ("dedup_groups_logstep",),
-    # CC + keep-best representative → CC labels + min(struct) argmin pick
-    "dedup_keep_best": ("dedup_groups_logstep", "cheapest_supplier_per_part"),
+    "dedup_normalized": ("leakage_safe_split", "containment_near_dup"),
+    # LSH+CC dedup groups → candidate-pair machinery + digest-group gates
+    # (the byte-identical log-step CC twin rotates back in the r10 pool)
+    "dedup_groups": ("containment_near_dup", "leakage_safe_split"),
+    # CC + keep-best representative → min(struct) argmin pick + digest gates
+    "dedup_keep_best": ("cheapest_supplier_per_part", "leakage_safe_split"),
     # salted hash-fold sampling → mixture + per-stratum ES variants
     "stratified_sample": ("mixture_sample", "weighted_sample_per_source"),
     # BPE-ish tokenize + packing window → token-budget shard packing
@@ -371,53 +367,53 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     "tfidf_top_terms": ("bm25_index_probe",),
     # ---- r6→r7 demotions, re-cited against the r8 window ----
     # vocab-scale DF/IDF term ranking → BM25 probe + pair counting
-    "bm25_top_terms": ("bm25_index_probe", "bpe_merge_candidates"),
+    "bm25_top_terms": ("bm25_index_probe", "bpe_train_merges"),
     # benchmark-gram broadcast anti-overlap → shingle containment joins
     "decontaminate_ngram_overlap": ("containment_near_dup",),
     # simhash banding (batch-vs-corpus) → phash hamming banding
     "dedup_incremental_simhash": ("media_phash_near_dup",),
     # row-local JL projection → broadcast component projection + PQ encode
-    "embedding_random_projection": ("pca_top_component", "embedding_pq_codes"),
+    "embedding_random_projection": ("pca_top_component", "ivf_ingest_audit"),
     # stream-stream interval join batch twin → validity-interval join +
     # sweep-line interval overlap
     "events_interval_join": ("scd2_point_in_time_join", "concurrency_peak_daily"),
     # hourly OHLC tumbling agg → daily sweep buckets + interval versions
     "events_ohlc_hourly": ("concurrency_peak_daily", "scd2_point_in_time_join"),
-    # rolling frame stats → relative-rank windows + period stats
-    "events_rolling_zscore": ("segment_top_value_orders", "psi_value_drift"),
+    # rolling frame stats → overlapping sliding-window aggs + period stats
+    "events_rolling_zscore": ("events_sliding_1h_30m", "psi_value_drift"),
     # time-weighted avg (lead deltas) → sweep-line delta accumulation
     "events_time_weighted_avg": ("concurrency_peak_daily",),
     # paragraph-level digest dedup → chunk digests + CC clustering
-    "paragraph_dedup": ("sliding_window_chunks", "dedup_groups_logstep"),
+    "paragraph_dedup": ("sliding_window_chunks", "leakage_safe_split"),
     # keep/drop quality verdicts → length/token + distribution signals
     "quality_filter_verdicts": ("token_balanced_shards", "source_kl_divergence"),
     # row-local gram folds / repetition ratios → pair-gram counting +
     # window-gram chunk folds
-    "repetition_stats": ("bpe_merge_candidates", "sliding_window_chunks"),
+    "repetition_stats": ("bpe_train_merges", "sliding_window_chunks"),
     # cluster-blocked cosine → label-centroid geometry + ADC scorer
-    "semdedup_embedding": ("label_centroids", "knn_pq_adc"),
+    "semdedup_embedding": ("label_centroids", "ivf_adc_recall"),
     # cumulative daily HLL → the register set-algebra twin
     "hll_cumulative_daily": ("hll_set_algebra",),
     # Q21-shaped multi-join → snowflake joins + two-level correlated agg
     "waiting_supplier_orders": ("profit_by_nation_year", "dominant_supplier_parts"),
     # exact ntile deciles → sketch-cut deciles + bin-decomposed ranks
-    "customer_value_deciles": ("customer_value_deciles_sketch", "token_balanced_shards"),
+    "customer_value_deciles": ("token_balanced_shards", "psi_value_drift"),
     # funnel percentiles → the percentile-sketch cut
-    "funnel_latency_percentiles": ("customer_value_deciles_sketch",),
+    "funnel_latency_percentiles": ("psi_value_drift", "binned_mean"),
     # corpus share-by-source → mixture strata + per-stratum reservoirs
     "corpus_composition": ("mixture_sample", "weighted_sample_per_source"),
     # ---- r7→r8 demotions (each green in r6 AND r7 unless noted as a
     # single-green redundancy demotion) ----
     # F9/P8 CASE scoring chains → conditional sums + grouping-set recodes
-    "orders_rfm_segments": ("promo_revenue_share", "cube_status_priority"),
+    "orders_rfm_segments": ("weekday_recode", "cube_status_priority"),
     # CDC snapshot diff classes → SCD2 version intervals + PIT lookup
-    "orders_snapshot_diff": ("scd2_customer_snapshot", "scd2_point_in_time_join"),
+    "orders_snapshot_diff": ("scd2_point_in_time_join",),
     # cohort time buckets + shares → daily sweep buckets + share ratios
-    "orders_retention_cohort": ("concurrency_peak_daily", "nation_market_share"),
+    "orders_retention_cohort": ("concurrency_peak_daily", "above_share_nations"),
     # Q4 EXISTS semi join → Q20 two-level semi + Q16 anti join
     "order_priority_pending": ("dominant_supplier_parts", "brand_supplier_counts"),
     # CASE-folded conditional sums → promo share + conditional deltas
-    "returnflag_priority_casesum": ("promo_revenue_share", "forecast_revenue_change"),
+    "returnflag_priority_casesum": ("cube_status_priority", "weekday_recode"),
     # Q13 outer-join count distribution → key-cardinality skew profile +
     # count-distinct groups
     "cust_order_count_dist": ("join_key_skew_profile", "brand_supplier_counts"),
@@ -430,7 +426,7 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     # W4/A4 last-touch-per-key → per-key argmin top-1 + as-of latest
     "attribution_last_touch": ("cheapest_supplier_per_part", "scd2_point_in_time_join"),
     # lead chains + gram folds → event sweep ordering + pair-gram counts
-    "session_path_trigrams": ("concurrency_peak_daily", "bpe_merge_candidates"),
+    "session_path_trigrams": ("concurrency_peak_daily", "bpe_train_merges"),
     # lead + row-normalized matrix → sweep transitions + distribution
     # normalization
     "event_transition_matrix": ("concurrency_peak_daily", "source_kl_divergence"),
@@ -439,8 +435,8 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     # E6 JSON flatten → nested-structure UDTF flatten (get_json_object
     # parsing keeps pytest coverage via sources/rest + timeseries tests)
     "json_props_extract": ("pgn_moves_table",),
-    # ordered decay window → relative-rank windows + sweep ordering
-    "events_decay_score": ("segment_top_value_orders", "concurrency_peak_daily"),
+    # ordered decay window → overlapping sliding windows + sweep ordering
+    "events_decay_score": ("events_sliding_1h_30m", "concurrency_peak_daily"),
     # MinHash/SimHash/embedding agreement audit → dup-band cosine cut +
     # banded hamming buckets
     "dedup_embedding_agreement": ("hard_negative_mining", "media_phash_near_dup"),
@@ -453,50 +449,81 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     "oov_rate_top1k": ("source_kl_divergence", "bpe_encode_tokens"),
     # chunk-digest boilerplate explode → the sliding-window chunk twin +
     # digest clustering
-    "boilerplate_chunk_removal": ("sliding_window_chunks", "dedup_groups_logstep"),
+    "boilerplate_chunk_removal": ("sliding_window_chunks", "leakage_safe_split"),
     # broadcast unigram-LM scoring → the KL drift query runs the same
     # broadcast-LM word-scoring core and vocab-cap policy
     "unigram_logprob_score": ("source_kl_divergence",),
     # in-plan BM25 ranking → the persisted probe is bit-exact vs in-plan
     "bm25_doc_search": ("bm25_index_probe",),
-    # RRF retriever fusion → the two retriever arms it fuses
-    "hybrid_search_rrf": ("bm25_index_probe", "knn_pq_adc"),
+    # RRF retriever fusion → the lexical arm + the ANN family's ADC scorer
+    "hybrid_search_rrf": ("bm25_index_probe", "ivf_adc_recall"),
     # per-key HLL distincts → the register set-algebra twin
     "hll_distinct_users": ("hll_set_algebra",),
     # per-column profile aggregates → cardinality profile + zone-map audit
     "data_profile_orders": ("join_key_skew_profile", "zorder_layout_audit"),
     # median/MAD robust bounds → the percentile-sketch cut
-    "mad_outlier_bounds": ("customer_value_deciles_sketch",),
+    "mad_outlier_bounds": ("psi_value_drift", "binned_mean"),
     # token-length histogram → token-budget shards + fixed-width bins
     "seq_length_histogram": ("token_balanced_shards", "psi_value_drift"),
     # Q10-shaped multi-join report → snowflake joins + argmin join-back
     "returned_items_report": ("profit_by_nation_year", "cheapest_supplier_per_part"),
     # digest cluster-size histogram → CC cluster labels + split gate
-    "dup_cluster_size_hist": ("dedup_groups_logstep", "leakage_safe_split"),
+    "dup_cluster_size_hist": ("leakage_safe_split", "containment_near_dup"),
     # CMS point-lookup heavy hitters → the same counter-grid algebra in
     # the AMS/CMS join-size estimate
     "cms_heavy_hitters": ("cms_join_size_estimate",),
     # fixed-width quantile bins → PSI bins + sketch-cut deciles
-    "value_quantiles_binned": ("psi_value_drift", "customer_value_deciles_sketch"),
+    "value_quantiles_binned": ("psi_value_drift", "binned_mean"),
     # orphan-key count audits → ingest count audits + membership pruning
     "referential_integrity_audit": ("ivf_ingest_audit", "bloom_join_prune"),
     # (single-green redundancy demotion) Q19 disjunctive part-join
     # revenue → part-join conditional revenue + per-group thresholds
-    "disjunctive_brand_revenue": ("promo_revenue_share", "dominant_supplier_parts"),
+    "disjunctive_brand_revenue": ("brand_supplier_counts", "dominant_supplier_parts"),
     # (single-green redundancy demotion) Q3 join + top-k order → rank
     # windows + per-key top-1 argmin
-    "shipping_priority_topk": ("segment_top_value_orders", "cheapest_supplier_per_part"),
+    "shipping_priority_topk": ("hard_negative_mining", "cheapest_supplier_per_part"),
     # (single-green redundancy demotion) Q5 six-table snowflake →
     # Q7/Q9 snowflake twins
-    "local_supplier_volume": ("nation_trade_volume", "profit_by_nation_year"),
-    # ---- r8-new staged queries (promote r9; family machinery is
-    # driver-anchored meanwhile) ----
-    # word-gram df count + postings join-back → the df-capped shingle
-    # posting machinery + per-source gram distributions
-    "dup_ngram_fraction": ("containment_near_dup", "source_kl_divergence"),
-    # per-label integer component aggregates → long-format label
-    # centroids + the integer-Gram second-moment machinery
-    "embedding_diversity": ("label_centroids", "pca_top_component"),
+    "local_supplier_volume": ("profit_by_nation_year",),
+    # ---- demoted in the r8→r9 freshness rotation (each green in r7
+    # AND r8; families re-anchored on r9-window members) ----
+    # share normalization + snowflake join agg → share-vs-global-scalar
+    # + the Q9 snowflake
+    "nation_market_share": ("above_share_nations", "profit_by_nation_year"),
+    # rank windows + per-segment top-k → per-key argmin top-1 +
+    # per-anchor top-3 ranking
+    "segment_top_value_orders": ("cheapest_supplier_per_part", "hard_negative_mining"),
+    # SCD2 lead-validity intervals + upsert sink → the PIT lookup over
+    # the same validity intervals + sweep ordering
+    "scd2_customer_snapshot": ("scd2_point_in_time_join", "concurrency_peak_daily"),
+    # pushed predicates + conditional period deltas → pushed isin/brand
+    # filters + CASE grouping-set sums
+    "forecast_revenue_change": ("brand_supplier_counts", "cube_status_priority"),
+    # part-join conditional revenue share → per-group threshold part
+    # joins + CASE recodes/grouping sets
+    "promo_revenue_share": ("dominant_supplier_parts", "cube_status_priority"),
+    # scalar-max + join-back (A7 at agg grain) → the promoted A7 global
+    # min/max + global-scalar HAVING
+    "top_supplier_revenue": ("global_minmax", "above_share_nations"),
+    # J4/J5 composite-key + broadcast-dim snowflake → the Q9 twin
+    "nation_trade_volume": ("profit_by_nation_year",),
+    # percentile-sketch decile cut → mergeable sketch tier (PSI bins +
+    # HLL register algebra) + the promoted A5 binned mean
+    "customer_value_deciles_sketch": ("psi_value_drift", "binned_mean"),
+    # row-local PQ subvector encode → the ingest audit runs the same
+    # _encode_rows path; recall audit scores the same codes
+    "embedding_pq_codes": ("ivf_ingest_audit", "ivf_adc_recall"),
+    # ADC top-k scoring → the recall audit's ADC branch + the
+    # broadcast-anchor cosine top-k
+    "knn_pq_adc": ("ivf_adc_recall", "hard_negative_mining"),
+    # log-step CC dedup groups → candidate-pair machinery + digest-
+    # group split gates (the CC iteration itself returns to the window
+    # in the r10 freshness pool — dedup_groups/dedup_keep_best are the
+    # byte-identical demoted twins with multi-round green history)
+    "dedup_groups_logstep": ("containment_near_dup", "leakage_safe_split"),
+    # pair-gram counting → the BPE trainer recomputes pair counts per
+    # merge round; the encoder applies them
+    "bpe_merge_candidates": ("bpe_train_merges", "bpe_encode_tokens"),
 }
 
 

@@ -28,7 +28,9 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 # family anchors the checklist keeps in-window regardless of history
-ANCHORS = ("mixture_sample", "multimodal_features")
+# (r9 adds cube_status_priority: the only grouping-sets CUBE/ROLLUP
+# driver anchor after the r9 freshness demotions)
+ANCHORS = ("mixture_sample", "multimodal_features", "cube_status_priority")
 
 
 def green_history() -> dict[str, list[int]]:

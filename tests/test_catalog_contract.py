@@ -28,51 +28,50 @@ from chess_pipeline_spark.plans import (
     catalog,
 )
 
-# The byte-stable order for the round-8 driver run: the deliberate
-# r7->r8 rotation executes the r8 ROTATION CHECKLIST wholesale — all
-# 35 never-driver-verified r7-new operators enter the window (emptying
-# the never-driver-green backlog); the 32 non-anchor members green in
-# BOTH r6 and r7 rotate out, plus 3 single-green r7 DSS promotions
-# with redundant in-window family coverage (disjunctive_brand_revenue,
-# shipping_priority_topk, local_supplier_volume — picked by
-# scripts/check_rotation.py --plan). mixture_sample and
-# multimodal_features stay as the sole driver anchors of the sampling
-# and mapInPandas-media families; the 13 other single-green r7
-# promotions stay for a second green round. The subsumption table is
-# DEMOTION_COVERAGE in plans/__init__.py, machine-validated below. Any
-# edit here is a deliberate contract change and must re-justify the
-# window contents.
+# The byte-stable order for the round-9 driver run: the r9 FRESHNESS
+# rotation — the two r8-staged signals (dup_ngram_fraction,
+# embedding_diversity) get their first driver contact, the ten
+# stalest demotions (all r2-era, last green r2) return for freshness
+# contact, and 12 of the 13 double-green (r7 AND r8) members rotate
+# out per scripts/check_rotation.py's freshness mode.
+# cube_status_priority stays in-window as the only grouping-sets
+# (CUBE/ROLLUP family) driver anchor; mixture_sample and
+# multimodal_features stay as the sampling / mapInPandas-media
+# anchors; the 35 single-green r8 promotions stay for their second
+# green round. The subsumption table is DEMOTION_COVERAGE in
+# plans/__init__.py, machine-validated below. Any edit here is a
+# deliberate contract change and must re-justify the window contents.
 FROZEN_ORDER: tuple[str, ...] = (
     "cheapest_supplier_per_part",
     "above_share_nations",
     "profit_by_nation_year",
     "dominant_supplier_parts",
     "brand_supplier_counts",
-    "nation_market_share",
     "cube_status_priority",
-    "segment_top_value_orders",
-    "scd2_customer_snapshot",
     "scd2_point_in_time_join",
-    "forecast_revenue_change",
-    "promo_revenue_share",
-    "top_supplier_revenue",
-    "nation_trade_volume",
-    "customer_value_deciles_sketch",
+    "distinct_flag_status",
+    "explode_quantities",
+    "global_minmax",
+    "sql_view_game_evals",
+    "binned_mean",
     "fuzzy_part_matches",
+    "value_stats_by_weekday",
+    "weekday_recode",
+    "events_sliding_1h_30m",
     "concurrency_peak_daily",
     "pgn_moves_table",
+    "near_dup_pairs_jaccard_prefix",
     "containment_near_dup",
+    "minhash_signatures",
     "hard_negative_mining",
     "label_centroids",
+    "embedding_diversity",
     "pca_top_component",
-    "embedding_pq_codes",
-    "knn_pq_adc",
     "multimodal_features",
     "media_phash_near_dup",
-    "dedup_groups_logstep",
     "ivf_adc_recall",
     "ivf_ingest_audit",
-    "bpe_merge_candidates",
+    "dup_ngram_fraction",
     "bpe_train_merges",
     "sliding_window_chunks",
     "bpe_encode_tokens",
@@ -93,18 +92,6 @@ FROZEN_ORDER: tuple[str, ...] = (
     "bloom_join_prune",
     "join_key_skew_profile",
     "zorder_layout_audit",
-    # --- past the driver window (demoted; every demoted query has
-    # green driver history and a local oracle row) ---
-    "distinct_flag_status",
-    "global_minmax",
-    "weekday_recode",
-    "binned_mean",
-    "value_stats_by_weekday",
-    "sql_view_game_evals",
-    "explode_quantities",
-    "near_dup_pairs_jaccard_prefix",
-    "events_sliding_1h_30m",
-    "minhash_signatures",
     "orders_per_priority",
     "clock_seconds_parse",
     "initial_clock_per_group",
@@ -212,9 +199,18 @@ FROZEN_ORDER: tuple[str, ...] = (
     "disjunctive_brand_revenue",
     "shipping_priority_topk",
     "local_supplier_volume",
-    # r8-new, staged at the catalog tail for the r9 promotion
-    "dup_ngram_fraction",
-    "embedding_diversity",
+    "nation_market_share",
+    "segment_top_value_orders",
+    "scd2_customer_snapshot",
+    "forecast_revenue_change",
+    "promo_revenue_share",
+    "top_supplier_revenue",
+    "nation_trade_volume",
+    "customer_value_deciles_sketch",
+    "embedding_pq_codes",
+    "knn_pq_adc",
+    "dedup_groups_logstep",
+    "bpe_merge_candidates",
 )
 
 
@@ -222,97 +218,79 @@ def test_catalog_order_frozen():
     assert tuple(catalog()) == FROZEN_ORDER
 
 
-def test_driver_window_r8_rotation():
-    # round 8's window: the full r8 rotation checklist executed — all
-    # 35 r7-new operators are IN (the never-driver-green backlog is
-    # empty); everything rotated out is either green in r6 AND r7 (32
-    # names, verified against the CORRECTNESS files at rotation time)
-    # or single-green r7 DSS shapes with redundant in-window family
-    # coverage (3 names); mixture_sample and multimodal_features stay
-    # as sole family anchors, and the 13 remaining single-green r7
-    # promotions stay for a second green round.
+def test_driver_window_r9_rotation():
+    # round 9's window: the r9 FRESHNESS rotation executed — the two
+    # r8-staged signals enter for first driver contact, the ten
+    # stalest (r2-era) demotions return for freshness contact, and 12
+    # of the 13 double-green (r7 AND r8) members rotate out;
+    # cube_status_priority stays as the grouping-sets anchor. The
+    # green-history precondition for every demotion is verified here
+    # against the committed CORRECTNESS artifacts, not prose.
+    import json
+    from glob import glob
+    from pathlib import Path
+
     assert len(FROZEN_ORDER) - DRIVER_WINDOW == len(_DEMOTED)
     in_window = set(FROZEN_ORDER[:DRIVER_WINDOW])
-    promoted_r8 = (
-        "ivf_adc_recall",
-        "ivf_ingest_audit",
-        "pgn_moves_table",
-        "hll_set_algebra",
-        "fuzzy_part_matches",
-        "bpe_train_merges",
-        "cms_join_size_estimate",
-        "join_key_skew_profile",
-        "sliding_window_chunks",
-        "bpe_encode_tokens",
-        "containment_near_dup",
-        "source_kl_divergence",
-        "zorder_layout_audit",
-        "bloom_join_prune",
-        "media_phash_near_dup",
-        "weighted_sample_es",
-        "psi_value_drift",
-        "pca_top_component",
-        "concurrency_peak_daily",
-        "bm25_index_probe",
-        "temperature_mixture_sample",
-        "weighted_sample_per_source",
-        "cheapest_supplier_per_part",
-        "above_share_nations",
-        "profit_by_nation_year",
-        "dominant_supplier_parts",
-        "brand_supplier_counts",
-        "scd2_point_in_time_join",
-        "negative_sample_pairs",
-        "leakage_safe_split",
-        "oversample_balance_sources",
-        "token_balanced_shards",
-        "span_corruption_plan",
-        "hard_negative_mining",
-        "label_centroids",
+    promoted_r9 = (
+        # first driver contact (r8-staged signals)
+        "dup_ngram_fraction",
+        "embedding_diversity",
+        # freshness returns — each last green in r2
+        "distinct_flag_status",
+        "global_minmax",
+        "weekday_recode",
+        "binned_mean",
+        "value_stats_by_weekday",
+        "sql_view_game_evals",
+        "explode_quantities",
+        "near_dup_pairs_jaccard_prefix",
+        "events_sliding_1h_30m",
+        "minhash_signatures",
     )
-    assert len(promoted_r8) == 35
-    demoted_r8 = (
-        "orders_rfm_segments",
-        "orders_snapshot_diff",
-        "orders_retention_cohort",
-        "order_priority_pending",
-        "returnflag_priority_casesum",
-        "cust_order_count_dist",
-        "small_qty_revenue",
-        "large_quantity_orders",
-        "idle_customer_balance",
-        "attribution_last_touch",
-        "session_path_trigrams",
-        "event_transition_matrix",
-        "events_gap_detection",
-        "json_props_extract",
-        "events_decay_score",
-        "dedup_embedding_agreement",
-        "cross_source_leakage",
-        "pii_redact_stats",
-        "oov_rate_top1k",
-        "boilerplate_chunk_removal",
-        "unigram_logprob_score",
-        "bm25_doc_search",
-        "hybrid_search_rrf",
-        "hll_distinct_users",
-        "data_profile_orders",
-        "mad_outlier_bounds",
-        "seq_length_histogram",
-        "returned_items_report",
-        "dup_cluster_size_hist",
-        "cms_heavy_hitters",
-        "value_quantiles_binned",
-        "referential_integrity_audit",
-        "disjunctive_brand_revenue",
-        "shipping_priority_topk",
-        "local_supplier_volume",
+    demoted_r9 = (
+        "nation_market_share",
+        "segment_top_value_orders",
+        "scd2_customer_snapshot",
+        "forecast_revenue_change",
+        "promo_revenue_share",
+        "top_supplier_revenue",
+        "nation_trade_volume",
+        "customer_value_deciles_sketch",
+        "embedding_pq_codes",
+        "knn_pq_adc",
+        "dedup_groups_logstep",
+        "bpe_merge_candidates",
     )
-    assert len(demoted_r8) == 35
-    for name in promoted_r8 + ("mixture_sample", "multimodal_features"):
+    assert len(promoted_r9) == len(demoted_r9) == 12
+    anchors = ("mixture_sample", "multimodal_features", "cube_status_priority")
+    for name in promoted_r9 + anchors:
         assert name in in_window, name
-    for name in demoted_r8:
+    for name in demoted_r9:
         assert name in _DEMOTED and name not in in_window, name
+
+    # demotion precondition: every rotated-out name is triple-green in
+    # BOTH r7 and r8 per the committed driver artifacts
+    hist: dict[str, set[int]] = {}
+    root = Path(__file__).parent.parent
+    for path in sorted(glob(str(root / "CORRECTNESS_r*.json"))):
+        rnd = int(Path(path).stem.split("_r")[1])
+        for name, row in json.loads(Path(path).read_text()).items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                hist.setdefault(name, set()).add(rnd)
+    for name in demoted_r9:
+        assert {7, 8} <= hist.get(name, set()), (
+            f"{name} demoted without double-green history: {hist.get(name)}"
+        )
+    # freshness precondition: every returning name HAS green history
+    # (they are re-verifications, not first contact)
+    for name in promoted_r9[2:]:
+        assert hist.get(name), f"{name} claimed as freshness return, no history"
 
 
 def test_coverage_md_totals_match_catalog():
