@@ -110,8 +110,22 @@ def ingest_text_delta(
     own partitions. New docs only ADD rows (no existing row changes),
     so the probe-side semantics are unchanged by when a doc arrived.
     Callers must not assign two different deltas the same batch_id
-    (the streaming wrapper gets this from the engine's epoch)."""
+    (the streaming wrapper gets this from the engine's epoch); ids
+    already folded into batch 0 by compact_text_index raise loudly —
+    a dynamic overwrite of a folded partition would REPLACE merged
+    base rows, the same silent-loss hazard the IVF sibling guards
+    (ann_index.ingest_ivf_batch)."""
     postings_p, doclens_p, stats_p = _paths(index_path)
+    folded = _read_folded(postings_p)
+    if batch_id in folded:
+        raise ValueError(
+            f"ingest_text_delta: batch_id {batch_id} was already folded into "
+            f"batch 0 by compact_text_index (folded ids: {sorted(folded)}); "
+            "overwriting a folded partition would replace merged base rows. "
+            "Never reuse batch ids against an index — if the stream's "
+            f"checkpoint was reset, resume ingest with ids above "
+            f"{max(folded)}."
+        )
     postings, lens = _tokenized(delta_docs)
     upsert_partition_overwrite(
         postings.withColumn("batch_id", F.lit(batch_id)),
@@ -126,6 +140,116 @@ def ingest_text_delta(
         F.sum("len_d").cast("long").alias("total_len"),
     ).withColumn("batch_id", F.lit(batch_id))
     upsert_partition_overwrite(delta_stats, stats_p, ["batch_id"])
+
+
+def _read_folded(postings_dir: str) -> set[int]:
+    """batch_ids already folded into batch 0, from the
+    `_folded_batches.json` sidecar INSIDE the postings directory
+    (Spark ignores underscore-prefixed files, and the marker renames
+    atomically with the table it describes — the ann_index.py
+    discipline). Empty until the first compaction."""
+    import json
+
+    p = os.path.join(postings_dir, "_folded_batches.json")
+    if os.path.exists(p):
+        with open(p) as fh:
+            return set(json.load(fh))
+    return set()
+
+
+def compact_text_index(spark: SparkSession, index_path: str) -> None:
+    """Fold every ingested batch into batch 0, idempotently — the
+    maintenance pass continuous BM25 ingest needs: without it the
+    index accumulates one (batch_id, bucket) postings partition set,
+    one doc-lengths partition, and one stats row PER BATCH forever
+    (small files grow without bound; probes stay correct but slow).
+    After compaction each table holds a single batch-0 partition set
+    (postings: n_buckets dirs; doclens: 1; stats: 1 summed row).
+
+    The fold is a pure LAYOUT move: batch partitions hold disjoint
+    documents, probes never filter on batch_id, and stats are summed
+    at probe time — so probe_bm25 is bit-identical before, during,
+    and after compaction. That makes the three per-table swaps safe
+    to run non-atomically: a crash between tables leaves some folded
+    and some not, which the next run simply finishes.
+
+    Each table swaps via the ann_index.compact_ivf_index crash
+    discipline: write merged tmp → rename live to .bak → rename tmp
+    in → drop .bak; a crash at any instant leaves either the target
+    or the .bak holding a full table, restored here before
+    compacting. The postings tmp carries a `_folded_batches.json`
+    marker listing every batch id folded; ingest_text_delta raises on
+    a folded-id reuse (fresh-checkpoint restart at 0) instead of
+    letting a dynamic overwrite replace merged base partitions.
+
+    Parity anchor: ann_index.py:330 (compact_ivf_index) — same
+    marker, same swap, same law tests (tests/test_text_index.py)."""
+    import json
+    import shutil
+    import uuid
+
+    postings_p, doclens_p, stats_p = _paths(index_path)
+    for p in (postings_p, doclens_p, stats_p):
+        bak = f"{p}.__bak__"
+        if not os.path.exists(p) and os.path.exists(bak):
+            # crashed between the two renames: the .bak IS the table
+            os.rename(bak, p)
+    if not os.path.exists(postings_p):
+        return
+
+    def batch_ids(path: str) -> set[int]:
+        return {
+            int(r["batch_id"])
+            for r in spark.read.parquet(path).select("batch_id").distinct().collect()
+        }
+
+    def swap(path: str, write_tmp, marker=None) -> None:
+        tmp = f"{path}.__tmp__{uuid.uuid4().hex[:8]}"
+        write_tmp(tmp)
+        if marker is not None:
+            with open(os.path.join(tmp, "_folded_batches.json"), "w") as fh:
+                json.dump(marker, fh)
+        bak = f"{path}.__bak__"
+        if os.path.exists(bak):
+            shutil.rmtree(bak)
+        os.rename(path, bak)
+        os.rename(tmp, path)
+        shutil.rmtree(bak)
+
+    folded = _read_folded(postings_p)
+    all_ids = batch_ids(postings_p) | batch_ids(doclens_p) | batch_ids(stats_p)
+    if all_ids <= {0} and not folded:
+        return  # fresh build, nothing ever ingested: a no-op
+    marker = sorted(folded | all_ids)
+
+    if batch_ids(postings_p) != {0} or folded != set(marker):
+        merged = spark.read.parquet(postings_p).withColumn("batch_id", F.lit(0))
+        swap(
+            postings_p,
+            lambda t: merged.write.partitionBy("batch_id", "bucket")
+            .mode("overwrite")
+            .parquet(t),
+            marker,
+        )
+    if batch_ids(doclens_p) != {0}:
+        merged = spark.read.parquet(doclens_p).withColumn("batch_id", F.lit(0))
+        swap(
+            doclens_p,
+            lambda t: merged.write.partitionBy("batch_id").mode("overwrite").parquet(t),
+        )
+    if batch_ids(stats_p) != {0} or spark.read.parquet(stats_p).count() > 1:
+        summed = (
+            spark.read.parquet(stats_p)
+            .agg(
+                F.sum("n_docs").cast("long").alias("n_docs"),
+                F.sum("total_len").cast("long").alias("total_len"),
+            )
+            .withColumn("batch_id", F.lit(0))
+        )
+        swap(
+            stats_p,
+            lambda t: summed.write.partitionBy("batch_id").mode("overwrite").parquet(t),
+        )
 
 
 def probe_bm25(

@@ -121,3 +121,136 @@ def test_streamed_index_equals_batch_build(spark, sf_dir, tmp_path):
     assert _rows(probe_bm25(spark, idx, _BM25_QUERY_TERMS)) == _rows(
         probe_bm25(spark, full, _BM25_QUERY_TERMS)
     )
+
+
+def test_compaction_probe_identical_and_single_batch_layout(
+    spark, sf_dir, tmp_path
+):
+    """compact_text_index laws, at parity with the IVF sibling:
+    (a) probe_bm25 is bit-identical before/after the fold (the fold
+    is a pure layout move — batches hold disjoint docs and probes
+    never filter batch_id); (b) the folded layout is a single batch-0
+    partition set per table (the small-files bound continuous ingest
+    needs); (c) a replayed compaction is a no-op; (d) ingest under a
+    folded batch id raises instead of overwriting merged partitions."""
+    import os
+
+    import pytest
+
+    from chess_pipeline_spark.text_index import compact_text_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    cuts = docs.approxQuantile("doc_id", [0.33, 0.66], 0.0)
+    idx = str(tmp_path / "tix")
+    build_text_index(docs.filter(F.col("doc_id") <= cuts[0]), idx)
+    ingest_text_delta(
+        docs.filter(
+            (F.col("doc_id") > cuts[0]) & (F.col("doc_id") <= cuts[1])
+        ),
+        idx,
+        batch_id=1,
+    )
+    ingest_text_delta(docs.filter(F.col("doc_id") > cuts[1]), idx, batch_id=2)
+
+    def batch_dirs(table):
+        d = os.path.join(idx, table)
+        return sorted(x for x in os.listdir(d) if x.startswith("batch_id="))
+
+    assert batch_dirs("postings") == [
+        "batch_id=0",
+        "batch_id=1",
+        "batch_id=2",
+    ]
+    want = _rows(probe_bm25(spark, idx, _BM25_QUERY_TERMS))
+
+    compact_text_index(spark, idx)
+    # (b) one batch-0 partition set per table; stats is ONE summed row
+    for table in ("postings", "doclens", "stats"):
+        assert batch_dirs(table) == ["batch_id=0"], table
+    assert spark.read.parquet(os.path.join(idx, "stats")).count() == 1
+    # (a) bit-identical serving
+    assert _rows(probe_bm25(spark, idx, _BM25_QUERY_TERMS)) == want
+
+    # (c) replayed compaction: no-op, probe still identical
+    compact_text_index(spark, idx)
+    assert _rows(probe_bm25(spark, idx, _BM25_QUERY_TERMS)) == want
+
+    # (d) folded-id reuse raises; index untouched
+    with pytest.raises(ValueError, match="already folded"):
+        ingest_text_delta(docs.limit(3), idx, batch_id=1)
+    assert _rows(probe_bm25(spark, idx, _BM25_QUERY_TERMS)) == want
+
+    # genuinely new batches keep working after compaction, and a
+    # second compaction folds them in too
+    ingest_text_delta(
+        docs.limit(5).withColumn("doc_id", F.col("doc_id") + 1000000),
+        idx,
+        batch_id=3,
+    )
+    compact_text_index(spark, idx)
+    assert batch_dirs("postings") == ["batch_id=0"]
+    n_docs = (
+        spark.read.parquet(os.path.join(idx, "stats")).first()["n_docs"]
+    )
+    assert n_docs == docs.filter(F.col("text").isNotNull()).count() + 5
+
+
+def test_compaction_recovers_mid_swap_crash(spark, sf_dir, tmp_path):
+    """Crash-window law (the ann_index discipline): if a prior
+    compaction died between renaming a live table to .bak and
+    renaming the merged tmp into place, the .bak IS the table — the
+    next run restores it and completes the fold. A crash BETWEEN
+    per-table swaps (postings folded, doclens/stats not) must leave
+    probes correct and be finished by the next run."""
+    import os
+    import shutil
+
+    from chess_pipeline_spark.text_index import compact_text_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    mid = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    idx = str(tmp_path / "tix")
+    build_text_index(docs.filter(F.col("doc_id") <= mid), idx)
+    ingest_text_delta(docs.filter(F.col("doc_id") > mid), idx, batch_id=1)
+    want = _rows(probe_bm25(spark, idx, _BM25_QUERY_TERMS))
+
+    # crash state 1: postings renamed to .bak, tmp never landed
+    pp = os.path.join(idx, "postings")
+    os.rename(pp, f"{pp}.__bak__")
+    compact_text_index(spark, idx)
+    assert os.path.exists(pp) and not os.path.exists(f"{pp}.__bak__")
+    assert _rows(probe_bm25(spark, idx, _BM25_QUERY_TERMS)) == want
+
+    # crash state 2: postings folded but doclens/stats still
+    # multi-batch (simulate by restoring pre-fold copies)
+    dl = os.path.join(idx, "doclens")
+    st = os.path.join(idx, "stats")
+    dl_copy, st_copy = str(tmp_path / "dl"), str(tmp_path / "st")
+    # rebuild the pre-fold state for those two tables
+    shutil.copytree(dl, dl_copy)
+    shutil.copytree(st, st_copy)
+    # the fold above already unified everything; fake the partial
+    # state by appending a synthetic extra batch to doclens+stats only
+    extra = spark.createDataFrame([(999999, 7)], "doc_id long, len_d long")
+    from chess_pipeline_spark.sinks import upsert_partition_overwrite
+
+    upsert_partition_overwrite(
+        extra.withColumn("batch_id", F.lit(9)), dl, ["batch_id"]
+    )
+    upsert_partition_overwrite(
+        spark.createDataFrame(
+            [(1, 7, 9)], "n_docs long, total_len long, batch_id long"
+        ),
+        st,
+        ["batch_id"],
+    )
+    # probes are correct in the partial state (batch_id is invisible
+    # to the probe) and compaction finishes the fold
+    compact_text_index(spark, idx)
+    assert sorted(
+        x
+        for x in os.listdir(dl)
+        if x.startswith("batch_id=")
+    ) == ["batch_id=0"]
+    n = spark.read.parquet(st).count()
+    assert n == 1
