@@ -199,7 +199,7 @@ EXTENDED = [
     "embedding_diversity",
 ]
 
-ROUND = 8  # bump per round; names the committed BENCHLOCAL file
+ROUND = 9  # bump per round; names the committed BENCHLOCAL file
 
 
 def time_index_phases(spark, sf_dir: str) -> dict[str, float]:
@@ -211,9 +211,9 @@ def time_index_phases(spark, sf_dir: str) -> dict[str, float]:
     SERVING path — the latency the plan gates actually protect —
     could hide under build noise. This times each phase alone:
     build (90% of the corpus), ingest (the remaining 10% as a delta
-    batch), compact (IVF only), and probe (min-of-3, noop sink —
-    the steady-state serving number). Same parameters as the catalog
-    queries (_IVF_NLISTS/_RECALL_* and _BM25_QUERY_TERMS)."""
+    batch), compact (both families since r9), and probe (min-of-3,
+    noop sink — the steady-state serving number). Same parameters as
+    the catalog queries (_IVF_NLISTS/_RECALL_* and _BM25_QUERY_TERMS)."""
     import shutil
 
     from pyspark.sql import functions as F
@@ -235,6 +235,7 @@ def time_index_phases(spark, sf_dir: str) -> dict[str, float]:
     from chess_pipeline_spark.sources import load_table
     from chess_pipeline_spark.text_index import (
         build_text_index,
+        compact_text_index,
         ingest_text_delta,
         probe_bm25,
     )
@@ -293,6 +294,7 @@ def time_index_phases(spark, sf_dir: str) -> dict[str, float]:
         "bm25_ingest",
         lambda: ingest_text_delta(docs.filter(F.col("doc_id") > dmid), tidx, 1),
     )
+    timed("bm25_compact", lambda: compact_text_index(spark, tidx))
     timed_min3(
         "bm25_probe",
         lambda: probe_bm25(spark, tidx, _BM25_QUERY_TERMS)

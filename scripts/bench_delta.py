@@ -13,6 +13,18 @@ re-derive it from the repo alone.
 
   python scripts/bench_delta.py 7 8          # r7 -> r8 delta
   python scripts/bench_delta.py 7 8 --min 0.2   # ignore sub-200ms rows
+
+r9 adds the PROBE-PHASE REGRESSION GATE: the serving-path latencies
+(`index_phases.ivf_probe` / `bm25_probe`) are the numbers the plan
+gates exist to protect, and until now only eyeballs watched them.
+When both artifacts carry index_phases, the per-phase ratios print
+alongside the query deltas, and a probe ratio above the documented
+ambient band for many-small-job queries (1.7x, SCALING.md's
+cross-SHA drift study) makes the script EXIT NONZERO — the refusal
+path: the round's canonical bench must not be blessed until the
+probe regression is explained or fixed (re-run idle first; ambient
+contention is the common false positive). --no-gate downgrades the
+refusal to a warning for exploratory comparisons.
 """
 
 from __future__ import annotations
@@ -26,8 +38,8 @@ from pathlib import Path
 _REPO = Path(__file__).resolve().parent.parent
 
 
-def load(round_no: int) -> dict:
-    p = _REPO / f"BENCHLOCAL_r{round_no:02d}.json"
+def load(round_no: int, base: Path = _REPO) -> dict:
+    p = base / f"BENCHLOCAL_r{round_no:02d}.json"
     if not p.exists():
         sys.exit(f"missing canonical artifact {p.name} (load-stamped "
                  "siblings are not accepted — re-run bench.py on an idle box)")
@@ -38,15 +50,27 @@ def all_queries(doc: dict) -> dict[str, float]:
     return {**doc.get("queries", {}), **doc.get("extended_queries", {})}
 
 
+# the documented round-over-round ambient band ceiling for
+# many-small-job queries (SCALING.md's cross-SHA drift study,
+# honestly widened to 1.1-1.7x in r8); probes are exactly that shape
+PROBE_BAND_CEIL = 1.7
+PROBE_PHASES = ("ivf_probe", "bm25_probe")
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("old", type=int)
     ap.add_argument("new", type=int)
     ap.add_argument("--min", type=float, default=0.0,
                     help="ignore queries faster than this (sec) in BOTH runs")
+    ap.add_argument("--no-gate", action="store_true",
+                    help="report probe-phase regressions without refusing")
+    ap.add_argument("--dir", default=str(_REPO),
+                    help="artifact directory (tests point this at tmp)")
     args = ap.parse_args()
 
-    a, b = load(args.old), load(args.new)
+    base = Path(args.dir)
+    a, b = load(args.old, base), load(args.new, base)
     qa, qb = all_queries(a), all_queries(b)
     shared = sorted(set(qa) & set(qb))
     rows = [
@@ -72,10 +96,35 @@ def main() -> int:
     print("slowest movers:")
     for n, x, y, r in movers[-5:]:
         print(f"  {r:5.2f}x  {n}  {x:.2f}s -> {y:.2f}s")
-    if "index_phases" in b:
+    rc = 0
+    pa, pb = a.get("index_phases", {}), b.get("index_phases", {})
+    if pb:
+        print("index phases (old -> new, ratio):")
+        for k in sorted(pb):
+            if k in pa and pa[k] > 0:
+                ratio = pb[k] / pa[k]
+                print(f"  {ratio:5.2f}x  {k}  {pa[k]:.2f}s -> {pb[k]:.2f}s")
+            else:
+                print(f"   new    {k}  {pb[k]:.2f}s")
+        # the probe-phase regression gate (serving path)
+        for k in PROBE_PHASES:
+            if k in pa and k in pb and pa[k] > 0:
+                ratio = pb[k] / pa[k]
+                if ratio > PROBE_BAND_CEIL:
+                    print(
+                        f"PROBE GATE: {k} regressed {ratio:.2f}x "
+                        f"({pa[k]:.2f}s -> {pb[k]:.2f}s), above the "
+                        f"{PROBE_BAND_CEIL}x ambient band — re-run on an "
+                        "idle box; if it reproduces, the serving path "
+                        "regressed and the canonical bench must not be "
+                        "blessed until it is explained or fixed."
+                    )
+                    if not args.no_gate:
+                        rc = 2
+    elif "index_phases" in b:
         print("index phases (new run):",
               json.dumps(b["index_phases"], sort_keys=True))
-    return 0
+    return rc
 
 
 if __name__ == "__main__":

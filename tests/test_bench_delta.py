@@ -1,0 +1,60 @@
+"""scripts/bench_delta.py probe-phase regression gate (r9): a probe
+ratio above the documented 1.7x ambient band makes the script refuse
+(exit 2); within-band deltas and --no-gate keep exit 0. Pure-CLI
+tests — no SparkSession."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+_SCRIPT = str(Path(__file__).parent.parent / "scripts" / "bench_delta.py")
+
+
+def _write(tmp_path, round_no, probe_sec):
+    doc = {
+        "git": "test",
+        "loadavg": [0.0, 0.0, 0.0],
+        "queries": {"q_a": 1.0, "q_b": 2.0},
+        "extended_queries": {},
+        "index_phases": {
+            "ivf_build": 2.0,
+            "ivf_probe": probe_sec,
+            "bm25_probe": 0.5,
+        },
+    }
+    (tmp_path / f"BENCHLOCAL_r{round_no:02d}.json").write_text(json.dumps(doc))
+
+
+def _run(tmp_path, *extra):
+    return subprocess.run(
+        [sys.executable, _SCRIPT, "1", "2", "--dir", str(tmp_path), *extra],
+        capture_output=True,
+        text=True,
+    )
+
+
+def test_probe_within_band_passes(tmp_path):
+    _write(tmp_path, 1, probe_sec=1.0)
+    _write(tmp_path, 2, probe_sec=1.5)  # 1.5x <= 1.7x band
+    r = _run(tmp_path)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "PROBE GATE" not in r.stdout
+
+
+def test_probe_regression_refuses(tmp_path):
+    _write(tmp_path, 1, probe_sec=1.0)
+    _write(tmp_path, 2, probe_sec=2.0)  # 2.0x > 1.7x band
+    r = _run(tmp_path)
+    assert r.returncode == 2, r.stdout + r.stderr
+    assert "PROBE GATE: ivf_probe regressed 2.00x" in r.stdout
+
+
+def test_no_gate_downgrades_to_warning(tmp_path):
+    _write(tmp_path, 1, probe_sec=1.0)
+    _write(tmp_path, 2, probe_sec=2.0)
+    r = _run(tmp_path, "--no-gate")
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "PROBE GATE" in r.stdout

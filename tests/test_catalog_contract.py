@@ -363,3 +363,39 @@ def test_driver_canonicalization_does_not_crash(spark, sf_dir, name):
     pdf = catalog()[name].spark(spark, sf_dir).toPandas()
     pdf = pdf[sorted(pdf.columns)]
     pdf.sort_values(by=list(pdf.columns)).reset_index(drop=True)
+
+
+def test_latest_oracle_sweep_covers_catalog_and_is_green():
+    # the r9 round-close gate: scripts/oracle_sweep.py runs EVERY
+    # catalog query against its DuckDB oracle at the driver's own
+    # scale factor (sf0.01 — 10x the pytest fixtures) and commits
+    # ORACLESWEEP_r{N}.json. This pins that the latest committed
+    # sweep (a) exists, (b) covers every oracle-carrying catalog
+    # query — so a staged query cannot reach promotion without sweep
+    # evidence at driver scale — and (c) is all-green.
+    import json
+    from glob import glob
+    from pathlib import Path
+
+    root = Path(__file__).parent.parent
+    sweeps = sorted(glob(str(root / "ORACLESWEEP_r*.json")))
+    assert sweeps, (
+        "no committed ORACLESWEEP artifact — run "
+        "`python scripts/oracle_sweep.py` before closing the round"
+    )
+    sweep = json.loads(Path(sweeps[-1]).read_text())
+    cat = catalog()
+    with_oracle = {n for n, s in cat.items() if s.oracle}
+    covered = set(sweep["results"])
+    missing = sorted(with_oracle - covered)
+    assert not missing, (
+        f"catalog queries missing from {Path(sweeps[-1]).name}: {missing} "
+        "— re-run scripts/oracle_sweep.py so every (staged) query carries "
+        "driver-scale sweep evidence"
+    )
+    failed = sorted(
+        n for n, r in sweep["results"].items() if not r["match"]
+    )
+    assert not failed, f"sweep failures in {Path(sweeps[-1]).name}: {failed}"
+    no_oracle = {n for n in cat if n not in with_oracle}
+    assert set(sweep["no_oracle"]) <= no_oracle | with_oracle
