@@ -239,6 +239,10 @@ _DEMOTED: tuple[str, ...] = (
     "knn_pq_adc",
     "dedup_groups_logstep",
     "bpe_merge_candidates",
+    # ---- r9-new, staged for the r10 promotion (never driver-seen):
+    # the grouped-map Weiszfeld flagship's golden-oracle evidence row
+    # (the r8 verdict's stretch ask) ----
+    "robust_centroid_goldens",
 )
 
 # For every demoted query: the IN-WINDOW queries that keep its SURVEY
@@ -524,6 +528,11 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     # pair-gram counting → the BPE trainer recomputes pair counts per
     # merge round; the encoder applies them
     "bpe_merge_candidates": ("bpe_train_merges", "bpe_encode_tokens"),
+    # ---- r9-new staged query (promote r10; the grouped-map family
+    # is driver-anchored meanwhile) ----
+    # grouped-map applyInPandas geometric median → the mapInPandas
+    # media anchor + centroid geometry
+    "robust_centroid_goldens": ("multimodal_features", "label_centroids"),
 }
 
 

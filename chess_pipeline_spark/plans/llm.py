@@ -3477,8 +3477,94 @@ ORDER BY 1
 """
 
 
+def robust_centroid_goldens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable evidence row for the TWO-LEVEL bucketed
+    Weiszfeld geometric median (operators/robust.py::
+    robust_centroid_per_label_bucketed) — the one grouped-map
+    applyInPandas flagship whose semantics no SQL engine can express
+    (per-group fixed-point iteration), so its oracle is the
+    precomputed-golden pattern pgn_moves_table established
+    (plans/winprob.py): a deterministic fixture runs through the REAL
+    two-level operator (content-hash+id buckets at n_buckets=4, one
+    partial per (label, bucket), count-weighted merge) and the oracle
+    is the closed-form / precomputed result rows.
+
+    The fixture exercises exactly the contracts the operator exists
+    for: an outlier-planted label (median converges to the central
+    cluster point, not the mean the corrupt vector drags), a
+    mode-collapsed label of 6 IDENTICAL vectors (the r9
+    duplicate-spread bucket fix — the pre-fix content hash reunited
+    them in one bucket), and a symmetric square (median = center,
+    an analytic value). Determinism: fixed 32 Weiszfeld iterations,
+    canonical batch sort inside _weiszfeld, id-mixed bucket hash —
+    bit-stable across runs and partitionings; components land ~0.5e-6
+    grid units from any rounding boundary, so the 6-dp fround is
+    exact. Ignores sf_dir by design (fixture-input contract, like
+    pgn_moves_table).
+
+    100 TB shape: documented on the operator — one label+bucket keyed
+    exchange over the corpus, then a KB-scale partial merge; the
+    fixture here only pins semantics.
+    """
+    from chess_pipeline_spark.operators.robust import (
+        robust_centroid_per_label_bucketed,
+    )
+
+    rows = []
+    for i in range(9):
+        rows.append(
+            (
+                "outliers",
+                [1.0 + 0.01 * i, 2.0 - 0.02 * i, 3.0 + 0.03 * i, 4.0 - 0.01 * i],
+                i,
+            )
+        )
+    rows.append(("outliers", [500.0, -300.0, 250.0, -100.0], 9))
+    for i in range(6):
+        rows.append(("collapsed", [1.5, -2.5, 0.25, 0.0], 10 + i))
+    rows.append(("square", [0.0, 0.0, 0.0, 0.0], 16))
+    rows.append(("square", [1.0, 0.0, 0.0, 0.0], 17))
+    rows.append(("square", [0.0, 1.0, 0.0, 0.0], 18))
+    rows.append(("square", [1.0, 1.0, 0.0, 0.0], 19))
+    fixture = spark.createDataFrame(
+        rows, "label string, embedding array<double>, vec_id long"
+    )
+    cent = robust_centroid_per_label_bucketed(
+        fixture, n_buckets=4, id_col="vec_id"
+    )
+    # flatten the fixed-dim centroid to scalar columns (the driver
+    # canonicalizer rejects arrays) on the shared 6-dp fround grid
+    return cent.select(
+        "label",
+        *[
+            fround(F.element_at("centroid", d + 1), 6).alias(f"c{d}")
+            for d in range(4)
+        ],
+        "n_vecs",
+    ).orderBy("label")
+
+
+ROBUST_CENTROID_GOLDENS_SQL = """
+SELECT label, c0, c1, c2, c3, CAST(n_vecs AS BIGINT) AS n_vecs
+FROM (VALUES
+  ('collapsed', CAST(1.5 AS DOUBLE), CAST(-2.5 AS DOUBLE),
+   CAST(0.25 AS DOUBLE), CAST(0.0 AS DOUBLE), 6),
+  ('outliers', CAST(1.05 AS DOUBLE), CAST(1.9 AS DOUBLE),
+   CAST(3.15 AS DOUBLE), CAST(3.95 AS DOUBLE), 10),
+  ('square', CAST(0.5 AS DOUBLE), CAST(0.5 AS DOUBLE),
+   CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), 4))
+  AS t(label, c0, c1, c2, c3, n_vecs)
+ORDER BY label
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL, "llm-dedup F16"),
+    "robust_centroid_goldens": QuerySpec(
+        robust_centroid_goldens,
+        ROBUST_CENTROID_GOLDENS_SQL,
+        "ext: grouped-map Weiszfeld goldens",
+    ),
     "text_quality_stats": QuerySpec(text_quality_stats, TEXT_QUALITY_STATS_SQL, "llm-textstats"),
     "token_count": QuerySpec(token_count, TOKEN_COUNT_SQL, "llm-tokenize"),
     "lang_id_heuristic": QuerySpec(lang_id_heuristic, LANG_ID_SQL, "llm-langid"),

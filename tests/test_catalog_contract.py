@@ -211,6 +211,7 @@ FROZEN_ORDER: tuple[str, ...] = (
     "knn_pq_adc",
     "dedup_groups_logstep",
     "bpe_merge_candidates",
+    "robust_centroid_goldens",
 )
 
 
