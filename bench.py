@@ -197,6 +197,9 @@ EXTENDED = [
     "label_centroids",
     "dup_ngram_fraction",
     "embedding_diversity",
+    # r9: the grouped-map Weiszfeld golden row (fixture-scale by
+    # design — tracked so the grouped-map path stays timed)
+    "robust_centroid_goldens",
 ]
 
 ROUND = 9  # bump per round; names the committed BENCHLOCAL file
