@@ -45,6 +45,87 @@ def upsert_partition_overwrite(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
+def read_folded_marker(table_dir: str) -> set[int]:
+    """batch_ids already folded into batch 0 of a batch-partitioned
+    ledger, from the `_folded_batches.json` sidecar INSIDE the table
+    directory (Spark ignores underscore-prefixed files; the marker
+    renames atomically with the table it describes). Empty until the
+    first compaction. Shared discipline with ann_index/_read_folded
+    and text_index._read_folded."""
+    import json
+
+    p = os.path.join(table_dir, "_folded_batches.json")
+    if os.path.exists(p):
+        with open(p) as fh:
+            return set(json.load(fh))
+    return set()
+
+
+def compact_batch_ledger(
+    spark,
+    ledger_dir: str,
+    group_cols: list[str],
+    sum_cols: list[str] = (),
+    max_cols: list[str] = (),
+) -> None:
+    """Fold a batch-partitioned ADDITIVE ledger into a single batch-0
+    partition, idempotently — the generic maintenance pass for the
+    streaming ledgers that land one `batch_id=N` partition per
+    micro-batch forever (the dup-gram df ledger, CMS counter cells,
+    …): probes stay correct (they aggregate across batches anyway)
+    but small files grow without bound under continuous ingest.
+
+    Fold semantics: groupBy(group_cols) with SUM over sum_cols and
+    MAX over max_cols — exactly the aggregation the ledger's probe
+    applies across batches, so any probe is bit-identical before and
+    after the fold. Only ledgers whose probe IS such a sum/max fold
+    may use this; per-batch SNAPSHOT series (where the batch history
+    is the point) must not.
+
+    Crash discipline = compact_ivf_index/compact_text_index: merged
+    tmp (carrying the `_folded_batches.json` marker) → rename live to
+    .bak → rename tmp in → drop .bak; a crash at any instant leaves a
+    full table under the target or the .bak, restored on the next
+    run. Ingest paths must refuse batch ids already in the marker —
+    a replayed batch under a folded id would DOUBLE-COUNT (ledger
+    addition is not idempotent), the exact hazard the marker exists
+    to make loud.
+    """
+    import json
+    import uuid
+
+    bak = f"{ledger_dir}.__bak__"
+    if not os.path.exists(ledger_dir) and os.path.exists(bak):
+        os.rename(bak, ledger_dir)  # crashed between the two renames
+    if not os.path.exists(ledger_dir):
+        return
+    folded = read_folded_marker(ledger_dir)
+    cur = spark.read.parquet(ledger_dir)
+    ids = {
+        int(r["batch_id"])
+        for r in cur.select("batch_id").distinct().collect()
+    }
+    if ids <= {0} and not folded:
+        return  # nothing ever ingested beyond a fresh base: no-op
+    if ids == {0} and folded:
+        return  # already folded; replayed compaction is a no-op
+    aggs = [F.sum(c).alias(c) for c in sum_cols] + [
+        F.max(c).alias(c) for c in max_cols
+    ]
+    merged = (
+        cur.groupBy(*group_cols).agg(*aggs).withColumn("batch_id", F.lit(0))
+    )
+    tmp = f"{ledger_dir}.__tmp__{uuid.uuid4().hex[:8]}"
+    merged.write.partitionBy("batch_id").mode("overwrite").parquet(tmp)
+    with open(os.path.join(tmp, "_folded_batches.json"), "w") as fh:
+        json.dump(sorted(folded | ids), fh)
+    if os.path.exists(bak):
+        shutil.rmtree(bak)
+    os.rename(ledger_dir, bak)
+    os.rename(tmp, ledger_dir)
+    shutil.rmtree(bak)
+
+
 def upsert_parquet(df: DataFrame, path: str, keys: list[str]) -> None:
     """Key-level delete-then-insert into a parquet target.
 

@@ -1079,8 +1079,21 @@ def ingest_dupgram_delta(
     posture dup_ngram_fraction needs at 100 TB where re-scanning the
     corpus to refresh df after every crawl batch is off the table."""
     from chess_pipeline_spark.plans.corpus import word_gram_postings
-    from chess_pipeline_spark.sinks import upsert_partition_overwrite
+    from chess_pipeline_spark.sinks import (
+        read_folded_marker,
+        upsert_partition_overwrite,
+    )
 
+    folded = read_folded_marker(ledger_dir)
+    if batch_id in folded:
+        raise ValueError(
+            f"ingest_dupgram_delta: batch_id {batch_id} was already folded "
+            f"into batch 0 by compact_dupgram_ledger (folded ids: "
+            f"{sorted(folded)}); df addition is NOT idempotent, so a reused "
+            "id would double-count. Never reuse batch ids against a ledger — "
+            "if the stream's checkpoint was reset, resume with ids above "
+            f"{max(folded)}."
+        )
     delta = (
         word_gram_postings(batch)
         .select(F.xxhash64("g").alias("gd"))
@@ -1089,6 +1102,20 @@ def ingest_dupgram_delta(
         .withColumn("batch_id", F.lit(batch_id))
     )
     upsert_partition_overwrite(delta, ledger_dir, ["batch_id"])
+
+
+def compact_dupgram_ledger(spark, ledger_dir: str) -> None:
+    """Fold the per-batch gram-df partitions into one batch-0
+    partition (sinks.compact_batch_ledger): the ledger's probe
+    (dup_exposure_from_ledger) sums df across batches, so the fold is
+    probe-invariant by construction; under continuous crawl ingest it
+    bounds the small-files count at vocab scale. Crash-idempotent via
+    the shared `_folded_batches.json` marker; ingest_dupgram_delta
+    refuses folded ids (a replay after the fold would double-count —
+    ledger addition is not idempotent)."""
+    from chess_pipeline_spark.sinks import compact_batch_ledger
+
+    compact_batch_ledger(spark, ledger_dir, ["gd"], sum_cols=["df"])
 
 
 def stream_dupgram_ledger(docs: DataFrame, ledger_dir: str):

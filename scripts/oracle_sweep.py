@@ -127,7 +127,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     if not args.no_artifact and not args.only:
         rnd = args.round if args.round is not None else infer_round()
-        path = Path(_REPO) / f"ORACLESWEEP_r{rnd:02d}.json"
+        # non-default scale factors get their own artifact name so the
+        # per-round sf0.01 gate file is never clobbered
+        import re
+
+        m = re.search(r"sf([0-9.]+)", args.sf_dir)
+        suffix = "" if (m and m.group(1) == "0.01") else f".sf{m.group(1) if m else 'x'}"
+        path = Path(_REPO) / f"ORACLESWEEP_r{rnd:02d}{suffix}.json"
         path.write_text(json.dumps(out, indent=1, sort_keys=True) + "\n")
         print(f"wrote {path}")
     return 0 if n_match == len(results) else 1

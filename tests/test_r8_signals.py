@@ -215,3 +215,70 @@ def test_dupgram_ledger_stream_equals_batch(spark, sf_dir, tmp_path):
     # partition with identical bytes — the served exposure is stable
     ingest_dupgram_delta(hi, led, 1)
     assert _rows(dup_exposure_from_ledger(spark, led, docs)) == want
+
+
+def test_dupgram_ledger_compaction_probe_invariant(spark, sf_dir, tmp_path):
+    """r9 maintenance parity (the text-index/IVF discipline applied to
+    the dup-gram ledger): folding the per-batch df partitions into
+    batch 0 is probe-invariant (the probe sums across batches anyway),
+    a replayed compaction is a no-op, a mid-swap crash recovers from
+    the .bak, and ingest under a folded id raises — df addition is not
+    idempotent, so a post-fold replay would double-count."""
+    import os
+
+    import pyspark.sql.functions as F
+    import pytest
+
+    from chess_pipeline_spark.sources.tables import load_table
+    from chess_pipeline_spark.streaming.jobs import (
+        compact_dupgram_ledger,
+        dup_exposure_from_ledger,
+        ingest_dupgram_delta,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    mid = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    lo = docs.filter(F.col("doc_id") <= mid)
+    hi = docs.filter(F.col("doc_id") > mid)
+    led = str(tmp_path / "ledger")
+    ingest_dupgram_delta(lo, led, 0)
+    ingest_dupgram_delta(hi, led, 1)
+
+    def batch_dirs():
+        return sorted(d for d in os.listdir(led) if d.startswith("batch_id="))
+
+    def probe():
+        return sorted(
+            map(tuple, dup_exposure_from_ledger(spark, led, docs).collect())
+        )
+
+    assert batch_dirs() == ["batch_id=0", "batch_id=1"]
+    want = probe()
+
+    compact_dupgram_ledger(spark, led)
+    assert batch_dirs() == ["batch_id=0"]
+    assert probe() == want  # probe-invariant fold
+
+    compact_dupgram_ledger(spark, led)  # replayed compaction: no-op
+    assert probe() == want
+
+    # mid-swap crash: ledger renamed to .bak, tmp never landed
+    os.rename(led, f"{led}.__bak__")
+    compact_dupgram_ledger(spark, led)
+    assert os.path.exists(led) and not os.path.exists(f"{led}.__bak__")
+    assert probe() == want
+
+    # folded-id reuse raises (would double-count df)
+    with pytest.raises(ValueError, match="already folded"):
+        ingest_dupgram_delta(hi, led, 1)
+    assert probe() == want
+
+    # a genuinely new batch still ingests and folds
+    extra = hi.limit(3).withColumn("doc_id", F.col("doc_id") + 1000000)
+    ingest_dupgram_delta(extra, led, 2)
+    compact_dupgram_ledger(spark, led)
+    assert batch_dirs() == ["batch_id=0"]
+    total_df = (
+        spark.read.parquet(led).agg(F.sum("df")).first()[0]
+    )
+    assert total_df is not None and total_df > 0

@@ -254,3 +254,23 @@ def test_compaction_recovers_mid_swap_crash(spark, sf_dir, tmp_path):
     ) == ["batch_id=0"]
     n = spark.read.parquet(st).count()
     assert n == 1
+
+
+def test_empty_delta_ingest_is_harmless(spark, sf_dir, tmp_path):
+    """Streaming foreachBatch regularly delivers EMPTY micro-batches;
+    an empty delta must not corrupt the index: probes are unchanged,
+    the stats row for the empty batch (n_docs=0, total_len NULL) sums
+    transparently, and compaction folds through it."""
+    from chess_pipeline_spark.text_index import compact_text_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = str(tmp_path / "tix")
+    build_text_index(docs, idx)
+    want = _rows(probe_bm25(spark, idx, _BM25_QUERY_TERMS))
+
+    empty = docs.filter("1 = 0")
+    ingest_text_delta(empty, idx, batch_id=1)
+    assert _rows(probe_bm25(spark, idx, _BM25_QUERY_TERMS)) == want
+
+    compact_text_index(spark, idx)
+    assert _rows(probe_bm25(spark, idx, _BM25_QUERY_TERMS)) == want
