@@ -656,35 +656,55 @@ def stream_cms_sketch(docs: DataFrame, ledger_path: str, snapshot_path: str):
     shuffle down to <= 4x1024 counter rows; the ledger
     grows by KBs per batch and compacts with one groupBy.
     """
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        _cms_process_batch(batch, batch_id, ledger_path, snapshot_path)
+
+    return docs.writeStream.foreachBatch(_process)
+
+
+def _cms_process_batch(
+    batch: DataFrame, batch_id: int, ledger_path: str, snapshot_path: str
+) -> None:
+    """One stream_cms_sketch micro-batch — module-level so compaction
+    and replay tests can drive it without a running stream."""
     from chess_pipeline_spark.plans.profiling import cms_sketch_counters
     from chess_pipeline_spark.sinks import upsert_partition_overwrite
 
-    def _process(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        words = batch.filter(F.col("text").isNotNull()).select(
-            F.explode(F.split("text", " ")).alias("word")
-        )
-        counters = cms_sketch_counters(words).withColumn(
-            "batch_id", F.lit(batch_id)
-        )
-        upsert_partition_overwrite(counters, ledger_path, ["batch_id"])
-        merged = (
-            spark.read.parquet(ledger_path)
-            .groupBy("row_i", "bucket")
-            .agg(F.sum("cnt").alias("cnt"))
-        )
-        snap = merged.agg(
-            F.count("*").cast("long").alias("buckets_used"),
-            F.sum("cnt").cast("long").alias("total_count"),
-            F.max("cnt").cast("long").alias("max_count"),
-        ).withColumn("batch_id", F.lit(batch_id))
-        # batch_id-partitioned overwrite, like the ledger: an
-        # at-least-once replayed batch rewrites its own snapshot row
-        # instead of appending a duplicate (r6 advice — plain append
-        # made only the ledger exactly-once, not the snapshot)
-        upsert_partition_overwrite(snap, snapshot_path, ["batch_id"])
+    _refuse_folded_batch_id(ledger_path, batch_id, "stream_cms_sketch")
+    spark = batch.sparkSession
+    words = batch.filter(F.col("text").isNotNull()).select(
+        F.explode(F.split("text", " ")).alias("word")
+    )
+    counters = cms_sketch_counters(words).withColumn(
+        "batch_id", F.lit(batch_id)
+    )
+    upsert_partition_overwrite(counters, ledger_path, ["batch_id"])
+    merged = (
+        spark.read.parquet(ledger_path)
+        .groupBy("row_i", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    snap = merged.agg(
+        F.count("*").cast("long").alias("buckets_used"),
+        F.sum("cnt").cast("long").alias("total_count"),
+        F.max("cnt").cast("long").alias("max_count"),
+    ).withColumn("batch_id", F.lit(batch_id))
+    # batch_id-partitioned overwrite, like the ledger: an
+    # at-least-once replayed batch rewrites its own snapshot row
+    # instead of appending a duplicate (r6 advice — plain append
+    # made only the ledger exactly-once, not the snapshot)
+    upsert_partition_overwrite(snap, snapshot_path, ["batch_id"])
 
-    return docs.writeStream.foreachBatch(_process)
+
+def compact_cms_ledger(spark, ledger_path: str) -> None:
+    """Fold the per-batch Count-Min counter partitions into one
+    batch-0 grid (sinks.compact_batch_ledger; fold = the probe's own
+    groupBy(row_i, bucket) sum(cnt), so merged counters are identical
+    before and after). Bounds the ledger at grid scale (<= 4x1024
+    rows) under continuous ingest."""
+    from chess_pipeline_spark.sinks import compact_batch_ledger
+
+    compact_batch_ledger(spark, ledger_path, ["row_i", "bucket"], sum_cols=["cnt"])
 
 
 def stream_value_histogram(events: DataFrame, ledger_path: str, quantiles_path: str):
@@ -705,59 +725,110 @@ def stream_value_histogram(events: DataFrame, ledger_path: str, quantiles_path: 
     shuffle down to ≤ 1000·|types| rows; the ledger grows by KBs per
     batch and compaction is a groupBy away.
     """
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        _value_hist_process_batch(batch, batch_id, ledger_path, quantiles_path)
+
+    return events.writeStream.foreachBatch(_process)
+
+
+def _value_hist_process_batch(
+    batch: DataFrame, batch_id: int, ledger_path: str, quantiles_path: str
+) -> None:
+    """One stream_value_histogram micro-batch — module-level so
+    compaction and replay tests can drive it without a running
+    stream."""
     from chess_pipeline_spark.plans.profiling import _QBIN_N, _QBIN_W
     from chess_pipeline_spark.sinks import upsert_partition_overwrite
 
-    def _process(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        b = F.least(
-            F.greatest(F.floor(F.col("value") / F.lit(_QBIN_W)), F.lit(0)),
-            F.lit(_QBIN_N - 1),
-        ).cast("long")
-        hist = (
-            batch.filter(F.col("value").isNotNull())
-            .select("event_type", b.alias("bin"))
-            .groupBy("event_type", "bin")
-            .agg(F.count("*").alias("cnt"))
-            .withColumn("batch_id", F.lit(batch_id))
+    _refuse_folded_batch_id(ledger_path, batch_id, "stream_value_histogram")
+    spark = batch.sparkSession
+    b = F.least(
+        F.greatest(F.floor(F.col("value") / F.lit(_QBIN_W)), F.lit(0)),
+        F.lit(_QBIN_N - 1),
+    ).cast("long")
+    hist = (
+        batch.filter(F.col("value").isNotNull())
+        .select("event_type", b.alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("batch_id", F.lit(batch_id))
+    )
+    upsert_partition_overwrite(hist, ledger_path, ["batch_id"])
+
+    from pyspark.sql import Window
+
+    merged = (
+        spark.read.parquet(ledger_path)
+        .groupBy("event_type", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("event_type")
+    cum = merged.select(
+        "event_type",
+        "bin",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wtot).alias("n"),
+    )
+
+    def edge(q: float):
+        need = F.ceil(F.lit(q) * F.col("n"))
+        return F.min(F.when(F.col("cum") >= need, F.col("bin"))) * F.lit(_QBIN_W)
+
+    snap = cum.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        edge(0.5).alias("p50_binned"),
+        edge(0.9).alias("p90_binned"),
+        edge(0.99).alias("p99_binned"),
+    ).withColumn("batch_id", F.lit(batch_id))
+    # batch_id-keyed overwrite: replayed batches rewrite their own
+    # snapshot partition rather than appending duplicates
+    upsert_partition_overwrite(snap, quantiles_path, ["batch_id"])
+
+
+def compact_histogram_ledger(spark, ledger_path: str) -> None:
+    """Fold the per-batch (event_type, bin) count partitions into one
+    batch-0 partition (sinks.compact_batch_ledger; fold = the probe's
+    own groupBy(event_type, bin) sum(cnt)) — bounds the ledger at
+    <= 1000·|types| rows under continuous ingest."""
+    from chess_pipeline_spark.sinks import compact_batch_ledger
+
+    compact_batch_ledger(
+        spark, ledger_path, ["event_type", "bin"], sum_cols=["cnt"]
+    )
+
+
+def compact_pca_gram_ledger(spark, ledger_path: str) -> None:
+    """Fold the per-batch PCA Gram cell partitions into one batch-0
+    partition (sinks.compact_batch_ledger; fold = the probe's own
+    groupBy(idx) sum(val)) — bounds the ledger at d²+d+1 rows."""
+    from chess_pipeline_spark.sinks import compact_batch_ledger
+
+    compact_batch_ledger(spark, ledger_path, ["idx"], sum_cols=["val"])
+
+
+def _refuse_folded_batch_id(ledger_path: str, batch_id: int, job: str) -> None:
+    """Shared folded-id ingest guard for the additive batch-partition
+    ledgers: their compaction records folded ids in
+    `_folded_batches.json`, and because ledger ADDITION is not
+    idempotent, a replayed/reused id after the fold would double-count
+    — raise loudly instead (the silent-loss/corruption hazard class
+    the r9 ADVICE flagged on the IVF index)."""
+    from chess_pipeline_spark.sinks import read_folded_marker
+
+    folded = read_folded_marker(ledger_path)
+    if batch_id in folded:
+        raise ValueError(
+            f"{job}: batch_id {batch_id} was already folded into batch 0 "
+            f"(folded ids: {sorted(folded)}); ledger addition is not "
+            "idempotent, so a reused id would double-count. Never reuse "
+            "batch ids against a ledger — if the stream's checkpoint was "
+            f"reset, resume with ids above {max(folded)}."
         )
-        upsert_partition_overwrite(hist, ledger_path, ["batch_id"])
-
-        from pyspark.sql import Window
-
-        merged = (
-            spark.read.parquet(ledger_path)
-            .groupBy("event_type", "bin")
-            .agg(F.sum("cnt").alias("cnt"))
-        )
-        wcum = (
-            Window.partitionBy("event_type")
-            .orderBy("bin")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        wtot = Window.partitionBy("event_type")
-        cum = merged.select(
-            "event_type",
-            "bin",
-            F.sum("cnt").over(wcum).alias("cum"),
-            F.sum("cnt").over(wtot).alias("n"),
-        )
-
-        def edge(q: float):
-            need = F.ceil(F.lit(q) * F.col("n"))
-            return F.min(F.when(F.col("cum") >= need, F.col("bin"))) * F.lit(_QBIN_W)
-
-        snap = cum.groupBy("event_type").agg(
-            F.max("n").alias("n"),
-            edge(0.5).alias("p50_binned"),
-            edge(0.9).alias("p90_binned"),
-            edge(0.99).alias("p99_binned"),
-        ).withColumn("batch_id", F.lit(batch_id))
-        # batch_id-keyed overwrite: replayed batches rewrite their own
-        # snapshot partition rather than appending duplicates
-        upsert_partition_overwrite(snap, quantiles_path, ["batch_id"])
-
-    return events.writeStream.foreachBatch(_process)
 
 
 def stream_bloom_filter(events: DataFrame, registers_path: str, snapshot_path: str):
@@ -849,6 +920,7 @@ def _pca_gram_process_batch(
     from chess_pipeline_spark.plans.llm import _PCA_D, pca_cells
     from chess_pipeline_spark.sinks import upsert_partition_overwrite
 
+    _refuse_folded_batch_id(ledger_path, batch_id, "stream_pca_gram")
     cells = pca_cells(batch).withColumn("batch_id", F.lit(batch_id))
     upsert_partition_overwrite(cells, ledger_path, ["batch_id"])
     spark = batch.sparkSession
@@ -1079,21 +1151,9 @@ def ingest_dupgram_delta(
     posture dup_ngram_fraction needs at 100 TB where re-scanning the
     corpus to refresh df after every crawl batch is off the table."""
     from chess_pipeline_spark.plans.corpus import word_gram_postings
-    from chess_pipeline_spark.sinks import (
-        read_folded_marker,
-        upsert_partition_overwrite,
-    )
+    from chess_pipeline_spark.sinks import upsert_partition_overwrite
 
-    folded = read_folded_marker(ledger_dir)
-    if batch_id in folded:
-        raise ValueError(
-            f"ingest_dupgram_delta: batch_id {batch_id} was already folded "
-            f"into batch 0 by compact_dupgram_ledger (folded ids: "
-            f"{sorted(folded)}); df addition is NOT idempotent, so a reused "
-            "id would double-count. Never reuse batch ids against a ledger — "
-            "if the stream's checkpoint was reset, resume with ids above "
-            f"{max(folded)}."
-        )
+    _refuse_folded_batch_id(ledger_dir, batch_id, "ingest_dupgram_delta")
     delta = (
         word_gram_postings(batch)
         .select(F.xxhash64("g").alias("gd"))

@@ -1138,3 +1138,104 @@ def test_commutative_ledgers_are_delivery_order_independent(spark, sf_dir, tmp_p
             canon(spark.read.parquet(nr).select("doc_id", "bucket", "tb")),
         )
     assert results["fwd"] == results["rev"]
+
+
+def test_additive_ledger_compaction_probe_invariant(spark, sf_dir, tmp_path):
+    """r9 maintenance parity across the ADDITIVE batch-partition
+    ledgers (CMS counters, value histogram, PCA Gram cells):
+    sinks.compact_batch_ledger folds the per-batch partitions into
+    batch 0 with the fold that IS each probe's cross-batch
+    aggregation, so merged state is identical before/after; a
+    replayed compaction is a no-op; ingest under a folded id raises
+    (addition is not idempotent — a post-fold replay would
+    double-count)."""
+    import os
+
+    import pyspark.sql.functions as F
+    import pytest
+
+    from chess_pipeline_spark.sources import load_table
+    from chess_pipeline_spark.streaming.jobs import (
+        _cms_process_batch,
+        _pca_gram_process_batch,
+        _value_hist_process_batch,
+        compact_cms_ledger,
+        compact_histogram_ledger,
+        compact_pca_gram_ledger,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    dmid = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    events = load_table(spark, sf_dir, "events")
+    emid = events.agg(F.expr("percentile(event_id, 0.5)")).first()[0]
+    embs = load_table(spark, sf_dir, "embeddings")
+    vmid = embs.agg(F.expr("percentile(vec_id, 0.5)")).first()[0]
+
+    cases = [
+        (
+            "cms",
+            lambda b, i, led, snap: _cms_process_batch(b, i, led, snap),
+            (docs.filter(F.col("doc_id") <= dmid), docs.filter(F.col("doc_id") > dmid)),
+            compact_cms_ledger,
+            ["row_i", "bucket"],
+            "cnt",
+        ),
+        (
+            "hist",
+            lambda b, i, led, snap: _value_hist_process_batch(b, i, led, snap),
+            (
+                events.filter(F.col("event_id") <= emid),
+                events.filter(F.col("event_id") > emid),
+            ),
+            compact_histogram_ledger,
+            ["event_type", "bin"],
+            "cnt",
+        ),
+        (
+            "pca",
+            lambda b, i, led, snap: _pca_gram_process_batch(b, i, led, snap),
+            (
+                embs.filter(F.col("vec_id") <= vmid),
+                embs.filter(F.col("vec_id") > vmid),
+            ),
+            compact_pca_gram_ledger,
+            ["idx"],
+            "val",
+        ),
+    ]
+    for name, ingest, (b0, b1), compact, keys, val in cases:
+        led = str(tmp_path / f"{name}_ledger")
+        snap = str(tmp_path / f"{name}_snap")
+        ingest(b0, 0, led, snap)
+        ingest(b1, 1, led, snap)
+
+        def merged():
+            return sorted(
+                map(
+                    tuple,
+                    spark.read.parquet(led)
+                    .groupBy(*keys)
+                    .agg(F.sum(val).alias(val))
+                    .collect(),
+                )
+            )
+
+        def batch_dirs():
+            return sorted(
+                d for d in os.listdir(led) if d.startswith("batch_id=")
+            )
+
+        assert batch_dirs() == ["batch_id=0", "batch_id=1"], name
+        want = merged()
+        compact(spark, led)
+        assert batch_dirs() == ["batch_id=0"], name
+        assert merged() == want, name  # probe-invariant fold
+        compact(spark, led)  # replayed compaction: no-op
+        assert merged() == want, name
+        with pytest.raises(ValueError, match="already folded"):
+            ingest(b1, 1, led, snap)
+        assert merged() == want, name
+        # a genuinely new batch still ingests and folds
+        ingest(b1, 2, led, snap)
+        compact(spark, led)
+        assert batch_dirs() == ["batch_id=0"], name
