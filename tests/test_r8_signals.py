@@ -282,3 +282,74 @@ def test_dupgram_ledger_compaction_probe_invariant(spark, sf_dir, tmp_path):
         spark.read.parquet(led).agg(F.sum("df")).first()[0]
     )
     assert total_df is not None and total_df > 0
+
+
+def test_dup_exposure_hot_cold_split_equals_plain_join(spark):
+    """r9 skew-structure law: dup_ngram_fraction's hot/cold split
+    (broadcast join for grams whose df >= threshold, shuffle join for
+    the rest) must be byte-identical to the plain single-join plan on
+    a corpus WITH a hot gram, and the hot branch must actually carry
+    the hot postings (not fall through to the shuffle side)."""
+    import pyspark.sql.functions as F
+
+    from chess_pipeline_spark.plans.corpus import (
+        dup_exposure_skew_safe,
+        exposure_fold,
+        word_gram_postings,
+    )
+
+    # 40 docs share one boilerplate sentence (hot gram family, df=40);
+    # every doc adds unique grams (df=1)
+    rows = []
+    for i in range(40):
+        rows.append(
+            (
+                i,
+                "s",
+                "subscribe to our newsletter for updates "
+                + f"alpha{i} bravo{i} charlie{i} delta{i} echo{i}",
+            )
+        )
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    grams = word_gram_postings(docs).select(
+        "doc_id", "source", F.xxhash64("g").alias("gd")
+    )
+    dfreq = grams.groupBy("gd").agg(F.count("*").cast("long").alias("df"))
+    plain = [tuple(r) for r in exposure_fold(grams.join(dfreq, "gd")).collect()]
+
+    split = dup_exposure_skew_safe(grams, hot_df=10)
+    assert [tuple(r) for r in split.collect()] == plain
+    # the hot branch really carries the boilerplate grams: every doc
+    # has dup grams, and the hot df set is non-empty at threshold 10
+    n_hot = dfreq.filter(F.col("df") >= 10).count()
+    assert n_hot >= 1
+    assert all(r[3] > 0 for r in plain)  # n_dup_grams column
+    # threshold above every df degenerates to the plain join exactly
+    degen = dup_exposure_skew_safe(grams, hot_df=10**9)
+    assert [tuple(r) for r in degen.collect()] == plain
+
+
+def test_dup_ngram_plan_reuses_dfreq_and_broadcasts_hot(spark, sf_dir):
+    """Plan gates for the hot/cold structure: at RUNTIME (AQE does
+    exchange reuse per stage, so only the final adaptive plan shows
+    it) the df exchange is computed once and REUSED across the
+    hot/cold branches — the tokenize+count pass does not triple — the
+    hot branch is a broadcast join (scan-stage, no shuffle for hot
+    postings), and no cartesian appears."""
+    from chess_pipeline_spark.plans import catalog
+
+    df = catalog()["dup_ngram_fraction"].spark(spark, sf_dir)
+    df.rdd.count()  # executes THIS frame's QueryExecution (AQE final)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    final = plan.split("Initial Plan")[0]
+    assert "isFinalPlan=true" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in final
+    # the df exchange is reused, not recomputed (at fixture scale AQE
+    # additionally prunes the EMPTY hot branch via
+    # PropagateEmptyRelation, so only one reuse survives)
+    assert final.count("ReusedExchange") >= 1, final
+    # the postings spill is read from the checkpoint, not re-tokenized
+    assert "ExistingRDD" in final, final
