@@ -106,6 +106,19 @@ DRIVER_WINDOW = 50
 #          demotions are r3-era (7 names) + r4-era (14) — the r10
 #          freshness pool, coverable in one round once the r8
 #          promotions go double-green (35 eligible slots).
+#
+# r10 ROTATION NOTE: r9 held catalog growth to ONE staged addition
+# (robust_centroid_goldens — the grouped-map Weiszfeld golden row,
+# never driver-seen, with ORACLESWEEP evidence at sf0.01 AND sf0.1
+# on landing). Once CORRECTNESS_r09 lands, the r10 swap (if the
+# md5-sample proposal is still unadopted) should promote it PLUS the
+# stalest demotions per check_rotation.py freshness mode — the
+# r3-era names first (orders_per_priority, clock_seconds_parse,
+# initial_clock_per_group, lineitem_filter_isin,
+# empty_relation_guard, struct_pack_fields, token_count), then
+# r4-era — demoting the then-double-green members (the 35 r8
+# promotions go double-green when CORRECTNESS_r09 lands, so slots
+# are plentiful; keep the three ANCHORS in-window).
 _DEMOTED: tuple[str, ...] = (
     "orders_per_priority",
     "clock_seconds_parse",
