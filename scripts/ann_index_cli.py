@@ -93,6 +93,44 @@ def run_probe(args: argparse.Namespace, spark=None) -> int:
     return 0
 
 
+def run_compact(args: argparse.Namespace, spark=None) -> int:
+    """One maintenance entry point for every persisted structure that
+    accumulates per-batch partitions under continuous ingest: the IVF
+    lists delta, the BM25 text index, and the additive streaming
+    ledgers (dup-gram df, CMS counters, value histogram, PCA Gram
+    cells). Each fold is crash-idempotent and probe-invariant (law
+    tests in tests/test_ann_index.py, test_text_index.py,
+    test_streaming.py, test_r8_signals.py)."""
+    from chess_pipeline_spark.session import get_spark
+
+    spark = spark or get_spark(app_name="index-compact")
+    kind = args.kind
+    if kind == "ivf":
+        from chess_pipeline_spark.ann_index import compact_ivf_index
+
+        compact_ivf_index(spark, args.path)
+    elif kind == "text":
+        from chess_pipeline_spark.text_index import compact_text_index
+
+        compact_text_index(spark, args.path)
+    else:
+        from chess_pipeline_spark.streaming.jobs import (
+            compact_cms_ledger,
+            compact_dupgram_ledger,
+            compact_histogram_ledger,
+            compact_pca_gram_ledger,
+        )
+
+        {
+            "dupgram": compact_dupgram_ledger,
+            "cms": compact_cms_ledger,
+            "histogram": compact_histogram_ledger,
+            "pca-gram": compact_pca_gram_ledger,
+        }[kind](spark, args.path)
+    print(f"compacted {kind} at {args.path}")
+    return 0
+
+
 def main(argv: list[str] | None = None, spark=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -116,8 +154,24 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         help="exact floats, dequantized int8 codes, or PQ lookup-table ADC",
     )
 
+    c = sub.add_parser(
+        "compact",
+        help="fold per-batch partitions: IVF delta, text index, or an "
+        "additive streaming ledger (crash-idempotent, probe-invariant)",
+    )
+    c.add_argument(
+        "--kind",
+        choices=["ivf", "text", "dupgram", "cms", "histogram", "pca-gram"],
+        required=True,
+    )
+    c.add_argument("--path", required=True, help="index/ledger directory")
+
     args = p.parse_args(argv)
-    return run_build(args, spark) if args.cmd == "build" else run_probe(args, spark)
+    if args.cmd == "build":
+        return run_build(args, spark)
+    if args.cmd == "compact":
+        return run_compact(args, spark)
+    return run_probe(args, spark)
 
 
 if __name__ == "__main__":

@@ -271,3 +271,59 @@ def test_rotation_tool_reads_history_and_flags_deficit(capsys):
     assert f"staged (demoted, never driver-green): {len(staged)}" in out
     rc = cr.main(["--plan"])
     assert rc == 0
+
+
+def test_cli_compact_subcommand(spark, sf_dir, tmp_path):
+    """`ann_index_cli compact` is the one maintenance entry point for
+    every per-batch-partitioned structure; smoke the text-index and
+    dup-gram ledger kinds end-to-end: fold to a single batch-0
+    layout, probes unchanged."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    import ann_index_cli
+    from chess_pipeline_spark.plans.corpus import _BM25_QUERY_TERMS
+    from chess_pipeline_spark.sources import load_table
+    from chess_pipeline_spark.streaming.jobs import (
+        dup_exposure_from_ledger,
+        ingest_dupgram_delta,
+    )
+    from chess_pipeline_spark.text_index import (
+        build_text_index,
+        ingest_text_delta,
+        probe_bm25,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    mid = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+
+    tix = str(tmp_path / "tix")
+    build_text_index(docs.filter(F.col("doc_id") <= mid), tix)
+    ingest_text_delta(docs.filter(F.col("doc_id") > mid), tix, 1)
+    want_probe = [tuple(r) for r in probe_bm25(spark, tix, _BM25_QUERY_TERMS).collect()]
+    rc = ann_index_cli.main(
+        ["compact", "--kind", "text", "--path", tix], spark=spark
+    )
+    assert rc == 0
+    assert sorted(
+        d for d in os.listdir(os.path.join(tix, "postings")) if d.startswith("batch_id=")
+    ) == ["batch_id=0"]
+    assert [tuple(r) for r in probe_bm25(spark, tix, _BM25_QUERY_TERMS).collect()] == want_probe
+
+    led = str(tmp_path / "ledger")
+    ingest_dupgram_delta(docs.filter(F.col("doc_id") <= mid), led, 0)
+    ingest_dupgram_delta(docs.filter(F.col("doc_id") > mid), led, 1)
+    want_led = sorted(
+        map(tuple, dup_exposure_from_ledger(spark, led, docs).collect())
+    )
+    rc = ann_index_cli.main(
+        ["compact", "--kind", "dupgram", "--path", led], spark=spark
+    )
+    assert rc == 0
+    assert sorted(
+        d for d in os.listdir(led) if d.startswith("batch_id=")
+    ) == ["batch_id=0"]
+    assert sorted(
+        map(tuple, dup_exposure_from_ledger(spark, led, docs).collect())
+    ) == want_led
