@@ -217,7 +217,32 @@ def compact_text_index(spark: SparkSession, index_path: str) -> None:
         shutil.rmtree(bak)
 
     folded = _read_folded(postings_p)
-    all_ids = batch_ids(postings_p) | batch_ids(doclens_p) | batch_ids(stats_p)
+    p_ids, d_ids, s_ids = (
+        batch_ids(postings_p),
+        batch_ids(doclens_p),
+        batch_ids(stats_p),
+    )
+    all_ids = p_ids | d_ids | s_ids
+    # Cross-table batch consistency guard: ingest writes postings ->
+    # doclens -> stats, so a crash mid-batch can leave a batch id in
+    # an earlier table but not the later ones. Pre-compaction that
+    # state self-heals (the at-least-once replay rewrites exactly its
+    # own partitions); folding would BAKE IT IN and the folded-id
+    # guard would then refuse the healing replay forever — so refuse
+    # to compact instead and tell the operator to replay first. The
+    # reverse direction (stats has an id the others lack) is the
+    # legitimate empty-delta batch: an empty frame writes no
+    # partitions, but its stats row (n_docs=0) always lands.
+    partial = sorted((p_ids | d_ids) - s_ids)
+    if partial:
+        raise ValueError(
+            f"compact_text_index: batch id(s) {partial} have postings/"
+            "doc-length partitions but no stats row — an ingest crashed "
+            "mid-batch. Replay those batches (ingest_text_delta rewrites "
+            "exactly its own partitions) before compacting; folding now "
+            "would bake the partial batch into batch 0 and the folded-id "
+            "guard would refuse the healing replay."
+        )
     if all_ids <= {0} and not folded:
         return  # fresh build, nothing ever ingested: a no-op
     marker = sorted(folded | all_ids)

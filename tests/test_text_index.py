@@ -274,3 +274,48 @@ def test_empty_delta_ingest_is_harmless(spark, sf_dir, tmp_path):
 
     compact_text_index(spark, idx)
     assert _rows(probe_bm25(spark, idx, _BM25_QUERY_TERMS)) == want
+
+
+def test_compaction_refuses_partial_batch_then_replay_heals(
+    spark, sf_dir, tmp_path
+):
+    """r9 cross-table consistency guard: ingest writes postings ->
+    doclens -> stats, so a mid-batch crash leaves the batch id in the
+    earlier tables only. Compaction must REFUSE that state (folding
+    would bake it in, and the folded-id guard would then block the
+    healing replay forever); the at-least-once replay of the same
+    batch id heals it, after which compaction proceeds. An EMPTY
+    delta batch (stats row only, no partitions) stays legitimate."""
+    import os
+    import shutil
+
+    import pytest
+
+    from chess_pipeline_spark.text_index import compact_text_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    mid = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    hi = docs.filter(F.col("doc_id") > mid)
+    idx = str(tmp_path / "tix")
+    build_text_index(docs.filter(F.col("doc_id") <= mid), idx)
+    ingest_text_delta(hi, idx, batch_id=1)
+    # simulate the crash end-state: batch 1's doclens + stats vanish
+    # (ingest died between the postings write and the rest)
+    for table in ("doclens", "stats"):
+        shutil.rmtree(os.path.join(idx, table, "batch_id=1"))
+    with pytest.raises(ValueError, match="crashed mid-batch"):
+        compact_text_index(spark, idx)
+    # nothing was folded: batch partitions intact
+    assert sorted(
+        d
+        for d in os.listdir(os.path.join(idx, "postings"))
+        if d.startswith("batch_id=")
+    ) == ["batch_id=0", "batch_id=1"]
+    # the healing replay rewrites exactly its own partitions (the id
+    # is NOT folded, so the folded-id guard permits it)
+    ingest_text_delta(hi, idx, batch_id=1)
+    compact_text_index(spark, idx)
+    want = _rows(probe_bm25(spark, idx, _BM25_QUERY_TERMS))
+    full = str(tmp_path / "tix_full")
+    build_text_index(docs, full)
+    assert want == _rows(probe_bm25(spark, full, _BM25_QUERY_TERMS))
