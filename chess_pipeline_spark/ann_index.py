@@ -375,12 +375,15 @@ def compact_ivf_index(spark: SparkSession, index_path: str) -> None:
     import shutil
     import uuid
 
+    from chess_pipeline_spark.sinks import clean_stale_tmp_dirs
+
     delta_path = os.path.join(index_path, "lists_delta")
     lists_path = os.path.join(index_path, "lists")
     bak_path = f"{lists_path}.__bak__"
     if not os.path.exists(lists_path) and os.path.exists(bak_path):
         # crashed between the two renames: the .bak IS the base
         os.rename(bak_path, lists_path)
+    clean_stale_tmp_dirs(lists_path)
     if not os.path.exists(delta_path):
         return
     folded = _read_folded(lists_path)

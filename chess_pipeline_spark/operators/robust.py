@@ -208,10 +208,17 @@ def _bucketize(
     dup_rn = F.row_number().over(
         Window.partitionBy(label_col, F.xxhash64(F.col(vec_col))).orderBy(F.lit(1))
     )
+    # Reduce the hash mod n_buckets BEFORE adding the row number:
+    # xxhash64 is uniform over the full signed 64-bit range and Spark
+    # runs ANSI mode, so `hash + rn` within row_number of Long.MAX
+    # would throw ArithmeticException instead of wrapping (~2^-64 per
+    # row — but a crash, not a nudge). Double-pmod is overflow-free
+    # (both addends < n_buckets) and preserves the round-robin spread.
     return embs.select(label_col, vec_col).select(
         label_col,
         vec_col,
-        F.pmod(F.xxhash64(F.col(vec_col)) + dup_rn, F.lit(n_buckets)).alias(
-            "__bucket"
-        ),
+        F.pmod(
+            F.pmod(F.xxhash64(F.col(vec_col)), F.lit(n_buckets)) + dup_rn,
+            F.lit(n_buckets),
+        ).alias("__bucket"),
     )

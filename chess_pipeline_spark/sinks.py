@@ -61,6 +61,56 @@ def read_folded_marker(table_dir: str) -> set[int]:
     return set()
 
 
+def read_folded_digests(table_dir: str) -> dict[int, str]:
+    """Per-batch content digests recorded by compact_batch_ledger in
+    `_folded_digests.json` (sibling of `_folded_batches.json`): lets
+    the folded-id ingest guard tell a LEGITIMATE at-least-once replay
+    (batch committed to the ledger, folded by compaction, then
+    replayed because the stream checkpoint hadn't committed) — whose
+    rows are identical to what was folded, so skipping is safe — from
+    a genuine id reuse, which must still raise. Empty for ledgers
+    compacted before this marker existed (the guard then raises, the
+    pre-digest behavior)."""
+    import json
+
+    p = os.path.join(table_dir, "_folded_digests.json")
+    if os.path.exists(p):
+        with open(p) as fh:
+            return {int(k): v for k, v in json.load(fh).items()}
+    return {}
+
+
+def ledger_content_digest(df: DataFrame, cols: list[str]) -> str:
+    """Order-independent content fingerprint of a ledger frame:
+    ``n_rows:sum(xxhash64(cols-as-strings) as decimal(38,0))``. Row
+    order and partitioning don't matter (sum is commutative over the
+    exact decimal domain); any changed/added/dropped row moves the
+    sum with probability ~1-2^-64. Deterministic only when the row
+    VALUES are — a ledger of float sums may legitimately differ
+    bitwise on recompute, in which case the replay guard degrades to
+    the raise (never to a silent skip)."""
+    h = F.xxhash64(*[F.col(c).cast("string") for c in sorted(cols)])
+    zero = F.lit(0).cast("decimal(38,0)")
+    row = df.agg(
+        F.coalesce(F.sum(h.cast("decimal(38,0)")), zero).alias("d"),
+        F.count("*").alias("n"),
+    ).first()
+    return f"{row['n']}:{row['d']}"
+
+
+def clean_stale_tmp_dirs(path: str) -> None:
+    """Drop leftover ``<path>.__tmp__<uuid>`` directories from crashed
+    compactions. Safe by construction: a tmp is only renamed into
+    place AFTER the live dir moved to .bak, so any tmp still on disk
+    when a new compaction starts is garbage from a prior crash —
+    without this sweep, repeated crash-retry cycles accumulate
+    full-size orphan copies of the table inside the data root."""
+    import glob
+
+    for stale in glob.glob(f"{path}.__tmp__*"):
+        shutil.rmtree(stale, ignore_errors=True)
+
+
 def compact_batch_ledger(
     spark,
     ledger_dir: str,
@@ -97,6 +147,7 @@ def compact_batch_ledger(
     bak = f"{ledger_dir}.__bak__"
     if not os.path.exists(ledger_dir) and os.path.exists(bak):
         os.rename(bak, ledger_dir)  # crashed between the two renames
+    clean_stale_tmp_dirs(ledger_dir)
     if not os.path.exists(ledger_dir):
         return
     folded = read_folded_marker(ledger_dir)
@@ -109,6 +160,29 @@ def compact_batch_ledger(
         return  # nothing ever ingested beyond a fresh base: no-op
     if ids == {0} and folded:
         return  # already folded; replayed compaction is a no-op
+    # Record a content digest per NOT-yet-folded batch before the fold
+    # destroys its partition: the folded-id ingest guard uses these to
+    # recognize the one legitimate replay shape (batch committed to
+    # the ledger but not the stream checkpoint when compaction folded
+    # it — identical rows) and no-op instead of wedging the stream.
+    # `ids - folded` never re-digests a merged batch-0 (0 enters the
+    # marker at the first fold).
+    data_cols = sorted(c for c in cur.columns if c != "batch_id")
+    h = F.xxhash64(*[F.col(c).cast("string") for c in data_cols])
+    zero = F.lit(0).cast("decimal(38,0)")
+    digest_rows = (
+        cur.filter(F.col("batch_id").isin(sorted(ids - folded)))
+        .groupBy("batch_id")
+        .agg(
+            F.coalesce(F.sum(h.cast("decimal(38,0)")), zero).alias("d"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    digests = read_folded_digests(ledger_dir)
+    digests.update(
+        {int(r["batch_id"]): f"{r['n']}:{r['d']}" for r in digest_rows}
+    )
     aggs = [F.sum(c).alias(c) for c in sum_cols] + [
         F.max(c).alias(c) for c in max_cols
     ]
@@ -119,6 +193,8 @@ def compact_batch_ledger(
     merged.write.partitionBy("batch_id").mode("overwrite").parquet(tmp)
     with open(os.path.join(tmp, "_folded_batches.json"), "w") as fh:
         json.dump(sorted(folded | ids), fh)
+    with open(os.path.join(tmp, "_folded_digests.json"), "w") as fh:
+        json.dump({str(k): v for k, v in sorted(digests.items())}, fh)
     if os.path.exists(bak):
         shutil.rmtree(bak)
     os.rename(ledger_dir, bak)

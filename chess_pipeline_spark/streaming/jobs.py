@@ -670,7 +670,6 @@ def _cms_process_batch(
     from chess_pipeline_spark.plans.profiling import cms_sketch_counters
     from chess_pipeline_spark.sinks import upsert_partition_overwrite
 
-    _refuse_folded_batch_id(ledger_path, batch_id, "stream_cms_sketch")
     spark = batch.sparkSession
     words = batch.filter(F.col("text").isNotNull()).select(
         F.explode(F.split("text", " ")).alias("word")
@@ -678,7 +677,10 @@ def _cms_process_batch(
     counters = cms_sketch_counters(words).withColumn(
         "batch_id", F.lit(batch_id)
     )
-    upsert_partition_overwrite(counters, ledger_path, ["batch_id"])
+    if not _refuse_folded_batch_id(
+        ledger_path, batch_id, "stream_cms_sketch", frame=counters
+    ):
+        upsert_partition_overwrite(counters, ledger_path, ["batch_id"])
     merged = (
         spark.read.parquet(ledger_path)
         .groupBy("row_i", "bucket")
@@ -740,7 +742,6 @@ def _value_hist_process_batch(
     from chess_pipeline_spark.plans.profiling import _QBIN_N, _QBIN_W
     from chess_pipeline_spark.sinks import upsert_partition_overwrite
 
-    _refuse_folded_batch_id(ledger_path, batch_id, "stream_value_histogram")
     spark = batch.sparkSession
     b = F.least(
         F.greatest(F.floor(F.col("value") / F.lit(_QBIN_W)), F.lit(0)),
@@ -753,7 +754,10 @@ def _value_hist_process_batch(
         .agg(F.count("*").alias("cnt"))
         .withColumn("batch_id", F.lit(batch_id))
     )
-    upsert_partition_overwrite(hist, ledger_path, ["batch_id"])
+    if not _refuse_folded_batch_id(
+        ledger_path, batch_id, "stream_value_histogram", frame=hist
+    ):
+        upsert_partition_overwrite(hist, ledger_path, ["batch_id"])
 
     from pyspark.sql import Window
 
@@ -811,24 +815,59 @@ def compact_pca_gram_ledger(spark, ledger_path: str) -> None:
     compact_batch_ledger(spark, ledger_path, ["idx"], sum_cols=["val"])
 
 
-def _refuse_folded_batch_id(ledger_path: str, batch_id: int, job: str) -> None:
+def _refuse_folded_batch_id(
+    ledger_path: str, batch_id: int, job: str, frame: DataFrame | None = None
+) -> bool:
     """Shared folded-id ingest guard for the additive batch-partition
     ledgers: their compaction records folded ids in
     `_folded_batches.json`, and because ledger ADDITION is not
-    idempotent, a replayed/reused id after the fold would double-count
-    — raise loudly instead (the silent-loss/corruption hazard class
-    the r9 ADVICE flagged on the IVF index)."""
-    from chess_pipeline_spark.sinks import read_folded_marker
+    idempotent, a replayed/reused id after the fold would double-count.
+
+    Returns True for the ONE legitimate replay shape — the batch was
+    committed to the ledger but not yet to the stream checkpoint when
+    compaction folded it, so the at-least-once restart replays it with
+    IDENTICAL rows: when ``frame`` (the rows this ingest would write,
+    batch_id column ignored) matches the content digest compaction
+    recorded in `_folded_digests.json`, the caller must skip the write
+    (a no-op replay) instead of wedging the stream in a permanent
+    restart-raise loop until an operator intervenes. Any other folded
+    id — digest mismatch, no recorded digest, or no frame to compare —
+    raises loudly (the silent-loss/corruption hazard class the r9
+    ADVICE flagged on the IVF index). Ledgers whose recomputed rows
+    aren't bit-deterministic (float sums) may fail the digest compare
+    on a legitimate replay; that degrades to the raise, never to a
+    silent double-count."""
+    import warnings
+
+    from chess_pipeline_spark.sinks import (
+        ledger_content_digest,
+        read_folded_digests,
+        read_folded_marker,
+    )
 
     folded = read_folded_marker(ledger_path)
-    if batch_id in folded:
-        raise ValueError(
-            f"{job}: batch_id {batch_id} was already folded into batch 0 "
-            f"(folded ids: {sorted(folded)}); ledger addition is not "
-            "idempotent, so a reused id would double-count. Never reuse "
-            "batch ids against a ledger — if the stream's checkpoint was "
-            f"reset, resume with ids above {max(folded)}."
-        )
+    if batch_id not in folded:
+        return False
+    if frame is not None:
+        want = read_folded_digests(ledger_path).get(batch_id)
+        if want is not None:
+            cols = [c for c in frame.columns if c != "batch_id"]
+            if ledger_content_digest(frame, cols) == want:
+                warnings.warn(
+                    f"{job}: batch_id {batch_id} replayed after compaction "
+                    "folded it, with identical content — skipping (the "
+                    "legitimate at-least-once replay shape).",
+                    stacklevel=2,
+                )
+                return True
+    raise ValueError(
+        f"{job}: batch_id {batch_id} was already folded into batch 0 "
+        f"(folded ids: {sorted(folded)}) and does not match the folded "
+        "content digest; ledger addition is not idempotent, so a reused "
+        "id would double-count. Never reuse batch ids against a ledger — "
+        "if the stream's checkpoint was reset, resume with ids above "
+        f"{max(folded)}."
+    )
 
 
 def stream_bloom_filter(events: DataFrame, registers_path: str, snapshot_path: str):
@@ -920,9 +959,11 @@ def _pca_gram_process_batch(
     from chess_pipeline_spark.plans.llm import _PCA_D, pca_cells
     from chess_pipeline_spark.sinks import upsert_partition_overwrite
 
-    _refuse_folded_batch_id(ledger_path, batch_id, "stream_pca_gram")
     cells = pca_cells(batch).withColumn("batch_id", F.lit(batch_id))
-    upsert_partition_overwrite(cells, ledger_path, ["batch_id"])
+    if not _refuse_folded_batch_id(
+        ledger_path, batch_id, "stream_pca_gram", frame=cells
+    ):
+        upsert_partition_overwrite(cells, ledger_path, ["batch_id"])
     spark = batch.sparkSession
     merged = (
         spark.read.parquet(ledger_path).groupBy("idx").agg(F.sum("val").alias("val"))
@@ -1153,7 +1194,6 @@ def ingest_dupgram_delta(
     from chess_pipeline_spark.plans.corpus import word_gram_postings
     from chess_pipeline_spark.sinks import upsert_partition_overwrite
 
-    _refuse_folded_batch_id(ledger_dir, batch_id, "ingest_dupgram_delta")
     delta = (
         word_gram_postings(batch)
         .select(F.xxhash64("g").alias("gd"))
@@ -1161,6 +1201,10 @@ def ingest_dupgram_delta(
         .agg(F.count("*").cast("long").alias("df"))
         .withColumn("batch_id", F.lit(batch_id))
     )
+    if _refuse_folded_batch_id(
+        ledger_dir, batch_id, "ingest_dupgram_delta", frame=delta
+    ):
+        return
     upsert_partition_overwrite(delta, ledger_dir, ["batch_id"])
 
 

@@ -93,11 +93,23 @@ def _tokenized(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
 def build_text_index(docs: DataFrame, index_path: str) -> None:
     """Tokenize once and write the full index as batch 0 (overwriting
     any prior index). Identical layout to ingest, so a full build IS
-    an ingest of everything — one write path, no special cases."""
+    an ingest of everything — one write path, no special cases.
+
+    Batch 0 is RESERVED at build time: the build writes the
+    `_folded_batches.json` marker containing [0], so a stream started
+    against a fresh checkpoint (engine epochs begin at 0) raises the
+    folded-id error instead of dynamic-partition-overwriting the
+    base's batch-0 postings/doclens/stats — the same silent-loss
+    hazard class compact_text_index guards, which previously only
+    armed after the FIRST compaction."""
+    import json
     import shutil
 
     shutil.rmtree(index_path, ignore_errors=True)
     ingest_text_delta(docs, index_path, batch_id=0)
+    postings_p, _, _ = _paths(index_path)
+    with open(os.path.join(postings_p, "_folded_batches.json"), "w") as fh:
+        json.dump([0], fh)
 
 
 def ingest_text_delta(
@@ -188,12 +200,15 @@ def compact_text_index(spark: SparkSession, index_path: str) -> None:
     import shutil
     import uuid
 
+    from chess_pipeline_spark.sinks import clean_stale_tmp_dirs
+
     postings_p, doclens_p, stats_p = _paths(index_path)
     for p in (postings_p, doclens_p, stats_p):
         bak = f"{p}.__bak__"
         if not os.path.exists(p) and os.path.exists(bak):
             # crashed between the two renames: the .bak IS the table
             os.rename(bak, p)
+        clean_stale_tmp_dirs(p)
     if not os.path.exists(postings_p):
         return
 

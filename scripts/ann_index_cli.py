@@ -100,7 +100,18 @@ def run_compact(args: argparse.Namespace, spark=None) -> int:
     ledgers (dup-gram df, CMS counters, value histogram, PCA Gram
     cells). Each fold is crash-idempotent and probe-invariant (law
     tests in tests/test_ann_index.py, test_text_index.py,
-    test_streaming.py, test_r8_signals.py)."""
+    test_streaming.py, test_r8_signals.py).
+
+    PRECONDITION: stop the stream that feeds the structure before
+    compacting it. Compacting under a live stream risks folding a
+    batch the ledger has committed but the stream checkpoint hasn't;
+    on restart the at-least-once replay then hits the folded-id
+    guard. For the additive ledgers that specific replay self-heals
+    (the guard verifies the replayed rows against the digest
+    compaction recorded and no-ops), but a replay whose recomputed
+    rows aren't byte-identical — or any structure without digests
+    (ivf, text) — raises until an operator intervenes. Quiescing
+    first removes the window entirely."""
     from chess_pipeline_spark.session import get_spark
 
     spark = spark or get_spark(app_name="index-compact")
@@ -157,7 +168,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     c = sub.add_parser(
         "compact",
         help="fold per-batch partitions: IVF delta, text index, or an "
-        "additive streaming ledger (crash-idempotent, probe-invariant)",
+        "additive streaming ledger (crash-idempotent, probe-invariant). "
+        "STOP the feeding stream first: folding a ledger-committed but "
+        "checkpoint-uncommitted batch makes the restart replay hit the "
+        "folded-id guard (additive ledgers self-heal via content "
+        "digests; others raise until an operator intervenes)",
     )
     c.add_argument(
         "--kind",

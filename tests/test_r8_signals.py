@@ -222,8 +222,10 @@ def test_dupgram_ledger_compaction_probe_invariant(spark, sf_dir, tmp_path):
     the dup-gram ledger): folding the per-batch df partitions into
     batch 0 is probe-invariant (the probe sums across batches anyway),
     a replayed compaction is a no-op, a mid-swap crash recovers from
-    the .bak, and ingest under a folded id raises — df addition is not
-    idempotent, so a post-fold replay would double-count."""
+    the .bak, an identical-content replay of a folded id no-ops via
+    the digest guard (the legitimate at-least-once shape), and a
+    DIFFERENT frame under a folded id raises — df addition is not
+    idempotent, so genuine id reuse would double-count."""
     import os
 
     import pyspark.sql.functions as F
@@ -268,9 +270,16 @@ def test_dupgram_ledger_compaction_probe_invariant(spark, sf_dir, tmp_path):
     assert os.path.exists(led) and not os.path.exists(f"{led}.__bak__")
     assert probe() == want
 
-    # folded-id reuse raises (would double-count df)
-    with pytest.raises(ValueError, match="already folded"):
+    # identical-content replay of a folded id no-ops (warns): the
+    # batch committed to the ledger, the fold took it, the stream
+    # replayed it — skipping is the only non-wedging correct move
+    with pytest.warns(UserWarning, match="identical content"):
         ingest_dupgram_delta(hi, led, 1)
+    assert batch_dirs() == ["batch_id=0"]
+    assert probe() == want
+    # a DIFFERENT frame under a folded id is genuine reuse: raise
+    with pytest.raises(ValueError, match="already folded"):
+        ingest_dupgram_delta(lo, led, 1)
     assert probe() == want
 
     # a genuinely new batch still ingests and folds

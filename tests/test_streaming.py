@@ -1146,9 +1146,13 @@ def test_additive_ledger_compaction_probe_invariant(spark, sf_dir, tmp_path):
     sinks.compact_batch_ledger folds the per-batch partitions into
     batch 0 with the fold that IS each probe's cross-batch
     aggregation, so merged state is identical before/after; a
-    replayed compaction is a no-op; ingest under a folded id raises
-    (addition is not idempotent — a post-fold replay would
-    double-count)."""
+    replayed compaction is a no-op; ingest under a folded id with
+    IDENTICAL content no-ops (the legitimate at-least-once replay of
+    a batch compaction folded before the stream checkpoint committed
+    — r9-close ADVICE: previously this wedged the stream in a
+    permanent raise loop) while a DIFFERENT frame under a folded id
+    still raises (addition is not idempotent — genuine id reuse
+    would double-count)."""
     import os
 
     import pyspark.sql.functions as F
@@ -1232,8 +1236,16 @@ def test_additive_ledger_compaction_probe_invariant(spark, sf_dir, tmp_path):
         assert merged() == want, name  # probe-invariant fold
         compact(spark, led)  # replayed compaction: no-op
         assert merged() == want, name
-        with pytest.raises(ValueError, match="already folded"):
+        # identical-content replay of a folded batch: the digest
+        # guard recognizes the legitimate at-least-once shape,
+        # warns, and leaves the ledger untouched
+        with pytest.warns(UserWarning, match="identical content"):
             ingest(b1, 1, led, snap)
+        assert batch_dirs() == ["batch_id=0"], name
+        assert merged() == want, name
+        # a DIFFERENT frame under a folded id is genuine reuse: raise
+        with pytest.raises(ValueError, match="already folded"):
+            ingest(b0, 1, led, snap)
         assert merged() == want, name
         # a genuinely new batch still ingests and folds
         ingest(b1, 2, led, snap)

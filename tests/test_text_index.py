@@ -319,3 +319,79 @@ def test_compaction_refuses_partial_batch_then_replay_heals(
     full = str(tmp_path / "tix_full")
     build_text_index(docs, full)
     assert want == _rows(probe_bm25(spark, full, _BM25_QUERY_TERMS))
+
+
+def test_build_reserves_batch_zero(spark, sf_dir, tmp_path):
+    """r9-close ADVICE (medium): build_text_index writes the whole
+    index as batch 0, and stream epochs start at 0 — so a stream
+    started with a fresh checkpoint against a built-but-never-
+    compacted index used to silently dynamic-overwrite the base's
+    batch-0 partitions. The build now records batch 0 in
+    `_folded_batches.json`, so an epoch-0 ingest raises like any
+    other folded-id reuse; ids >= 1 keep working and compaction on
+    the fresh build stays a no-op."""
+    import os
+
+    import pytest
+
+    from chess_pipeline_spark.text_index import _read_folded, compact_text_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = str(tmp_path / "tix")
+    build_text_index(docs, idx)
+    assert _read_folded(os.path.join(idx, "postings")) == {0}
+    want = _rows(probe_bm25(spark, idx, _BM25_QUERY_TERMS))
+
+    # epoch-0 ingest over the built base: loud, index untouched
+    with pytest.raises(ValueError, match="already folded"):
+        ingest_text_delta(docs.limit(3), idx, batch_id=0)
+    assert _rows(probe_bm25(spark, idx, _BM25_QUERY_TERMS)) == want
+
+    # compaction on a fresh build (marker={0}, ids={0}): no-op
+    compact_text_index(spark, idx)
+    assert _rows(probe_bm25(spark, idx, _BM25_QUERY_TERMS)) == want
+
+    # real deltas (ids >= 1) are unaffected
+    extra = docs.limit(3).withColumn("doc_id", F.col("doc_id") + 1000000)
+    ingest_text_delta(extra, idx, batch_id=1)
+    n_docs = (
+        spark.read.parquet(os.path.join(idx, "stats"))
+        .agg(F.sum("n_docs"))
+        .first()[0]
+    )
+    assert n_docs == docs.filter(F.col("text").isNotNull()).count() + 3
+
+
+def test_compaction_sweeps_stale_tmp_dirs(spark, sf_dir, tmp_path):
+    """r9-close ADVICE (low): a compaction that crashes after writing
+    its merged tmp but before the renames leaves a full-size
+    `.__tmp__<uuid>` orphan next to the table; repeated crash-retry
+    cycles accumulate them. Compaction entry now sweeps stale tmps
+    (safe: a tmp is only renamed in after the live dir moved to .bak,
+    so any surviving tmp is garbage)."""
+    import os
+
+    from chess_pipeline_spark.sinks import compact_batch_ledger
+    from chess_pipeline_spark.streaming.jobs import ingest_dupgram_delta
+    from chess_pipeline_spark.text_index import compact_text_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    mid = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+
+    # text index: stale tmp beside the postings table
+    idx = str(tmp_path / "tix")
+    build_text_index(docs.filter(F.col("doc_id") <= mid), idx)
+    ingest_text_delta(docs.filter(F.col("doc_id") > mid), idx, batch_id=1)
+    stale = os.path.join(idx, "postings.__tmp__deadbeef")
+    os.makedirs(os.path.join(stale, "batch_id=0"))
+    compact_text_index(spark, idx)
+    assert not os.path.exists(stale)
+
+    # additive ledger: stale tmp beside the ledger dir
+    led = str(tmp_path / "ledger")
+    ingest_dupgram_delta(docs.filter(F.col("doc_id") <= mid), led, 0)
+    ingest_dupgram_delta(docs.filter(F.col("doc_id") > mid), led, 1)
+    stale = f"{led}.__tmp__cafebabe"
+    os.makedirs(stale)
+    compact_batch_ledger(spark, led, ["gd"], sum_cols=["df"])
+    assert not os.path.exists(stale)
