@@ -35,8 +35,13 @@ __all__ = ["QuerySpec", "catalog", "DRIVER_WINDOW", "DEMOTION_COVERAGE"]
 # remaining last-green is r3-era; 21 names still wait for r10+),
 # which the md5 sample would amortize uniformly. The sample is
 # reproducible by both sides with ten lines of code and retires that
-# bookkeeping. Until adopted, the checklist discipline below
-# continues.
+# bookkeeping. r10 update: SEVEN executed rotation rounds (r4-r10),
+# zero misses, zero regressions; after the r10 freshness swap every
+# one of the 170 catalog queries has driver contact and none is
+# staler than r5 — but holding that bound now costs a 22-name swap
+# plus a ~50-row DEMOTION_COVERAGE rewrite per round, bookkeeping
+# the md5 sample would retire entirely. Until adopted, the checklist
+# discipline below continues.
 DRIVER_WINDOW = 50
 
 # Queries pushed past the driver window — exactly
@@ -107,40 +112,36 @@ DRIVER_WINDOW = 50
 #          freshness pool, coverable in one round once the r8
 #          promotions go double-green (35 eligible slots).
 #
-# r10 ROTATION NOTE: r9 held catalog growth to ONE staged addition
-# (robust_centroid_goldens — the grouped-map Weiszfeld golden row,
-# never driver-seen, with ORACLESWEEP evidence at sf0.01 AND sf0.1
-# on landing). Once CORRECTNESS_r09 lands, the r10 swap (if the
-# md5-sample proposal is still unadopted) should promote it PLUS the
-# stalest demotions per check_rotation.py freshness mode — the
-# r3-era names first (orders_per_priority, clock_seconds_parse,
-# initial_clock_per_group, lineitem_filter_isin,
-# empty_relation_guard, struct_pack_fields, token_count), then
-# r4-era — demoting the then-double-green members (the 35 r8
-# promotions go double-green when CORRECTNESS_r09 lands, so slots
-# are plentiful; keep the three ANCHORS in-window).
+#   r9→r10: executed the r10 FRESHNESS rotation exactly as the r9
+#          note staged it — promoted robust_centroid_goldens (first
+#          driver contact; the last never-driver-seen query) PLUS
+#          all seven r3-era demotions (orders_per_priority,
+#          clock_seconds_parse, initial_clock_per_group,
+#          lineitem_filter_isin, empty_relation_guard,
+#          struct_pack_fields, token_count) and all fourteen r4-era
+#          demotions (dedup_exact, text_quality_stats,
+#          doc_fingerprint, near_dup_pairs_jaccard,
+#          minhash_lsh_candidates, simhash_near_dup, knn_cosine_topk,
+#          embedding_stats, top_terms_per_source, running_revenue,
+#          revenue_by_nation, embedding_near_dup_cosine,
+#          eval_comment_parse, top3_orders_per_customer) — after
+#          this swap NO catalog query's last driver green is older
+#          than r5. Demoted 22 per freshness mode: the ten r9
+#          freshness re-promotions (green r1/r2 AND r9) and twelve
+#          double-green (r8 AND r9) r8 promotions whose families
+#          keep in-window anchors; the three ANCHORS stay.
+#
+# r11 ROTATION NOTE: r10 again holds catalog growth at zero staged
+# additions. When CORRECTNESS_r10 lands, the freshness pool becomes
+# the r5-era demotions (the ~34 names last green r5 — win_ratio_
+# by_status, pricing_summary, order_priority_clean, …); the 22 r10
+# promotions go double-green-eligible only after a second driver
+# round, but the 13 r8-era names still in-window (embedding_diversity
+# and dup_ngram_fraction reach double-green with r10) plus the ten
+# remaining r8 double-greens give ~23 eligible slots — promote the
+# stalest r5-era names per check_rotation.py freshness mode, keep
+# the ANCHORS, and rewrite DEMOTION_COVERAGE as below.
 _DEMOTED: tuple[str, ...] = (
-    "orders_per_priority",
-    "clock_seconds_parse",
-    "initial_clock_per_group",
-    "lineitem_filter_isin",
-    "empty_relation_guard",
-    "struct_pack_fields",
-    "token_count",
-    "dedup_exact",
-    "text_quality_stats",
-    "doc_fingerprint",
-    "near_dup_pairs_jaccard",
-    "minhash_lsh_candidates",
-    "simhash_near_dup",
-    "knn_cosine_topk",
-    "embedding_stats",
-    "top_terms_per_source",
-    "running_revenue",
-    "revenue_by_nation",
-    "embedding_near_dup_cosine",
-    "eval_comment_parse",
-    "top3_orders_per_customer",
     # --- demoted in the r5→r6 rotation (green r5 AND >=1 earlier
     # round; every name below has >=2 green driver rounds) ---
     "win_ratio_by_status",
@@ -252,10 +253,36 @@ _DEMOTED: tuple[str, ...] = (
     "knn_pq_adc",
     "dedup_groups_logstep",
     "bpe_merge_candidates",
-    # ---- r9-new, staged for the r10 promotion (never driver-seen):
-    # the grouped-map Weiszfeld flagship's golden-oracle evidence row
-    # (the r8 verdict's stretch ask) ----
-    "robust_centroid_goldens",
+    # ---- demoted in the r9→r10 freshness rotation: the ten r9
+    # freshness re-promotions (each now green in r1/r2 AND r9) plus
+    # twelve double-green (r8 AND r9) r8 promotions whose families
+    # keep in-window anchors (citations below). Slots went to the
+    # stalest names in the catalog: robust_centroid_goldens (first
+    # driver contact), the seven r3-era and fourteen r4-era
+    # demotions — after this swap no catalog query's last driver
+    # green is older than r5. ----
+    "distinct_flag_status",
+    "explode_quantities",
+    "global_minmax",
+    "sql_view_game_evals",
+    "binned_mean",
+    "value_stats_by_weekday",
+    "weekday_recode",
+    "events_sliding_1h_30m",
+    "near_dup_pairs_jaccard_prefix",
+    "minhash_signatures",
+    "weighted_sample_es",
+    "negative_sample_pairs",
+    "oversample_balance_sources",
+    "span_corruption_plan",
+    "temperature_mixture_sample",
+    "weighted_sample_per_source",
+    "zorder_layout_audit",
+    "label_centroids",
+    "pca_top_component",
+    "media_phash_near_dup",
+    "fuzzy_part_matches",
+    "bloom_join_prune",
 )
 
 # For every demoted query: the IN-WINDOW queries that keep its SURVEY
@@ -267,60 +294,19 @@ _DEMOTED: tuple[str, ...] = (
 # mixture_sample/multimodal_features; every row below cites r8-window
 # members only).
 DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
-    # ---- pre-r6 demotions, re-cited against the r9 window ----
-    # A1 count-distinct pivot → distinct-supplier counts + grouping sets
-    "orders_per_priority": ("brand_supplier_counts", "cube_status_priority"),
-    # F10 regexp parse chain → regexp tokenizer + normalized matching
-    "clock_seconds_parse": ("bpe_encode_tokens", "fuzzy_part_matches"),
-    # W4,A4 first-in-group → per-key argmin top-1 + as-of latest pick
-    "initial_clock_per_group": ("cheapest_supplier_per_part", "scd2_point_in_time_join"),
-    # P4 isin filter → size-isin + brand filters in the Q16 shape
-    "lineitem_filter_isin": ("brand_supplier_counts",),
-    # P10 0-row guard → prune/anti-join paths that legitimately return 0
-    "empty_relation_guard": ("bloom_join_prune", "brand_supplier_counts"),
-    # E4 struct pack/project → struct-array build + per-ply field access
-    "struct_pack_fields": ("pgn_moves_table",),
-    # tokenizer → same split-tokenize core feeds shards and BPE encode
-    "token_count": ("token_balanced_shards", "bpe_encode_tokens"),
-    # exact md5-groupBy dedup → digest clustering + digest-group split gate
-    "dedup_exact": ("leakage_safe_split", "containment_near_dup"),
-    # quality signal columns → length/token signals + per-source drift
-    "text_quality_stats": ("token_balanced_shards", "source_kl_divergence"),
-    # rolling-hash fingerprint → row-local hash folds + gram digests
-    "doc_fingerprint": ("media_phash_near_dup", "containment_near_dup"),
-    # word-set Jaccard inverted index → shingle containment joins
-    "near_dup_pairs_jaccard": ("containment_near_dup",),
-    # MinHash+LSH band join → banded bucket-join machinery
-    "minhash_lsh_candidates": ("media_phash_near_dup", "containment_near_dup"),
-    # SimHash hamming banding → phash hamming banding (same machinery)
-    "simhash_near_dup": ("media_phash_near_dup",),
-    # brute-force cosine top-k → ADC top-k + broadcast-anchor cosine scan
-    "knn_cosine_topk": ("ivf_adc_recall", "hard_negative_mining"),
-    # row-local embedding stats → per-label integer component aggregates
-    "embedding_stats": ("embedding_diversity",),
-    # per-source term ranking → per-source term distributions + pair aggs
-    "top_terms_per_source": ("source_kl_divergence", "bpe_train_merges"),
-    # W5 cumulative window frame → running sweep sum + overlapping window aggs
-    "running_revenue": ("concurrency_peak_daily", "events_sliding_1h_30m"),
-    # J4/J5 dim-join + agg chain → snowflake dim joins + revenue aggs
-    "revenue_by_nation": ("profit_by_nation_year",),
-    # label-blocked cosine pair list → dup-band cosine cut + ADC scorer
-    "embedding_near_dup_cosine": ("hard_negative_mining", "ivf_adc_recall"),
-    # F regexp extraction chain → regexp tokenize + normalize-match chain
-    "eval_comment_parse": ("bpe_encode_tokens", "fuzzy_part_matches"),
-    # W1/O2-O3 rank + top-k per key → per-segment rank + per-key top-1
-    "top3_orders_per_customer": ("hard_negative_mining", "cheapest_supplier_per_part"),
     # ---- r5→r6 demotions, re-cited against the r8 window ----
     # A1/A2/E5 pivot + row-normalize → grouping sets + share normalization
     "win_ratio_by_status": ("cube_status_priority", "above_share_nations"),
     # A3 Q1-shaped multi-agg → grouping-set sums + cardinality profiles
     "pricing_summary": ("cube_status_priority", "join_key_skew_profile"),
-    # J5/A1/O1/O3 dim join + revenue top-k → global max + snowflake join agg
-    "top_customer_revenue": ("global_minmax", "profit_by_nation_year"),
-    # P1/P2/P8 projection + recode → CASE recodes + conditional sums
-    "order_priority_clean": ("weekday_recode", "cube_status_priority"),
-    # J7/P6 anti join → Q16 NOT-IN anti join + bloom prune anti-join
-    "parts_never_ordered": ("brand_supplier_counts", "bloom_join_prune"),
+    # J5/A1/O1/O3 dim join + revenue top-k → snowflake join agg +
+    # per-key rank top-k (r10: top3_orders_per_customer back in-window)
+    "top_customer_revenue": ("profit_by_nation_year", "top3_orders_per_customer"),
+    # P1/P2/P8 projection + recode → CASE recodes in grouping sets +
+    # the priority-grouping count pivot
+    "order_priority_clean": ("cube_status_priority", "orders_per_priority"),
+    # J7/P6 anti join → Q16 NOT-IN anti join + the 0-row prune/anti path
+    "parts_never_ordered": ("brand_supplier_counts", "empty_relation_guard"),
     # J10 semi join → Q20's decorrelated IN-subquery semi join
     "customers_with_orders": ("dominant_supplier_parts",),
     # J3/P7 left join + 0-fill → outer vocab/bin merges with fills
@@ -335,14 +321,14 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     "material_map_expand": ("pgn_moves_table", "bpe_encode_tokens"),
     # U1/U3 union by name → period-frame unions + estimate/exact unions
     "union_by_name": ("psi_value_drift", "cms_join_size_estimate"),
-    # F1-F15 scalar chains → pow/log temperature chain + CASE scoring
-    "scalar_feature_sampler": ("temperature_mixture_sample", "fuzzy_part_matches"),
+    # F1-F15 scalar chains → the promoted regexp/parse F-chain twins
+    "scalar_feature_sampler": ("eval_comment_parse", "clock_seconds_parse"),
     # P5/F18/F19 array predicates → gram array ops + token array folds
     "array_predicate_filter": ("containment_near_dup", "bpe_encode_tokens"),
     # ROLLUP grouping sets → the CUBE grouping-set twin
     "rollup_priority_status": ("cube_status_priority",),
-    # percentile aggregates → the percentile-sketch decile cut
-    "price_percentiles": ("psi_value_drift", "binned_mean"),
+    # percentile aggregates → the percentile-sketch bin machinery
+    "price_percentiles": ("psi_value_drift",),
     # §2.11 tumbling batch twin → daily time-bucket sweep aggregation
     "events_tumbling_1h": ("concurrency_peak_daily",),
     # §2.11 session batch twin → session sweep-line concurrency
@@ -356,7 +342,7 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     # U3 broadcast-model inference → broadcast-LM scoring + broadcast
     # component projection (LR math keeps pytest coverage in
     # tests/test_winprob_pipeline.py)
-    "win_prob_lr": ("source_kl_divergence", "pca_top_component"),
+    "win_prob_lr": ("source_kl_divergence", "knn_cosine_topk"),
     # n-gram heuristic classify → per-source distribution scoring
     "lang_id_heuristic": ("source_kl_divergence",),
     # shingle inverted index + prefix filter → containment gram joins
@@ -376,8 +362,9 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     "dedup_groups": ("containment_near_dup", "leakage_safe_split"),
     # CC + keep-best representative → min(struct) argmin pick + digest gates
     "dedup_keep_best": ("cheapest_supplier_per_part", "leakage_safe_split"),
-    # salted hash-fold sampling → mixture + per-stratum ES variants
-    "stratified_sample": ("mixture_sample", "weighted_sample_per_source"),
+    # salted hash-fold sampling → mixture strata + the md5 digest-gate
+    # split (same deterministic-hash-gate machinery)
+    "stratified_sample": ("mixture_sample", "leakage_safe_split"),
     # BPE-ish tokenize + packing window → token-budget shard packing
     "pack_sequences": ("token_balanced_shards",),
     # tf-idf ranking → the persisted BM25 probe runs the same core
@@ -387,17 +374,17 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     "bm25_top_terms": ("bm25_index_probe", "bpe_train_merges"),
     # benchmark-gram broadcast anti-overlap → shingle containment joins
     "decontaminate_ngram_overlap": ("containment_near_dup",),
-    # simhash banding (batch-vs-corpus) → phash hamming banding
-    "dedup_incremental_simhash": ("media_phash_near_dup",),
-    # row-local JL projection → broadcast component projection + PQ encode
-    "embedding_random_projection": ("pca_top_component", "ivf_ingest_audit"),
+    # simhash banding (batch-vs-corpus) → the promoted simhash twin
+    "dedup_incremental_simhash": ("simhash_near_dup",),
+    # row-local JL projection → row-local embedding folds + PQ encode
+    "embedding_random_projection": ("embedding_stats", "ivf_ingest_audit"),
     # stream-stream interval join batch twin → validity-interval join +
     # sweep-line interval overlap
     "events_interval_join": ("scd2_point_in_time_join", "concurrency_peak_daily"),
     # hourly OHLC tumbling agg → daily sweep buckets + interval versions
     "events_ohlc_hourly": ("concurrency_peak_daily", "scd2_point_in_time_join"),
-    # rolling frame stats → overlapping sliding-window aggs + period stats
-    "events_rolling_zscore": ("events_sliding_1h_30m", "psi_value_drift"),
+    # rolling frame stats → sweep-line window aggs + period stats
+    "events_rolling_zscore": ("concurrency_peak_daily", "psi_value_drift"),
     # time-weighted avg (lead deltas) → sweep-line delta accumulation
     "events_time_weighted_avg": ("concurrency_peak_daily",),
     # paragraph-level digest dedup → chunk digests + CC clustering
@@ -407,30 +394,30 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     # row-local gram folds / repetition ratios → pair-gram counting +
     # window-gram chunk folds
     "repetition_stats": ("bpe_train_merges", "sliding_window_chunks"),
-    # cluster-blocked cosine → label-centroid geometry + ADC scorer
-    "semdedup_embedding": ("label_centroids", "ivf_adc_recall"),
+    # cluster-blocked cosine → label-blocked cosine pair list + ADC scorer
+    "semdedup_embedding": ("embedding_near_dup_cosine", "ivf_adc_recall"),
     # cumulative daily HLL → the register set-algebra twin
     "hll_cumulative_daily": ("hll_set_algebra",),
     # Q21-shaped multi-join → snowflake joins + two-level correlated agg
     "waiting_supplier_orders": ("profit_by_nation_year", "dominant_supplier_parts"),
     # exact ntile deciles → sketch-cut deciles + bin-decomposed ranks
     "customer_value_deciles": ("token_balanced_shards", "psi_value_drift"),
-    # funnel percentiles → the percentile-sketch cut
-    "funnel_latency_percentiles": ("psi_value_drift", "binned_mean"),
-    # corpus share-by-source → mixture strata + per-stratum reservoirs
-    "corpus_composition": ("mixture_sample", "weighted_sample_per_source"),
+    # funnel percentiles → the percentile-sketch bin machinery
+    "funnel_latency_percentiles": ("psi_value_drift",),
+    # corpus share-by-source → mixture strata + per-source distributions
+    "corpus_composition": ("mixture_sample", "source_kl_divergence"),
     # ---- r7→r8 demotions (each green in r6 AND r7 unless noted as a
     # single-green redundancy demotion) ----
-    # F9/P8 CASE scoring chains → conditional sums + grouping-set recodes
-    "orders_rfm_segments": ("weekday_recode", "cube_status_priority"),
+    # F9/P8 CASE scoring chains → grouping-set CASE recodes
+    "orders_rfm_segments": ("cube_status_priority",),
     # CDC snapshot diff classes → SCD2 version intervals + PIT lookup
     "orders_snapshot_diff": ("scd2_point_in_time_join",),
     # cohort time buckets + shares → daily sweep buckets + share ratios
     "orders_retention_cohort": ("concurrency_peak_daily", "above_share_nations"),
     # Q4 EXISTS semi join → Q20 two-level semi + Q16 anti join
     "order_priority_pending": ("dominant_supplier_parts", "brand_supplier_counts"),
-    # CASE-folded conditional sums → promo share + conditional deltas
-    "returnflag_priority_casesum": ("cube_status_priority", "weekday_recode"),
+    # CASE-folded conditional sums → grouping-set conditional sums
+    "returnflag_priority_casesum": ("cube_status_priority",),
     # Q13 outer-join count distribution → key-cardinality skew profile +
     # count-distinct groups
     "cust_order_count_dist": ("join_key_skew_profile", "brand_supplier_counts"),
@@ -452,16 +439,16 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     # E6 JSON flatten → nested-structure UDTF flatten (get_json_object
     # parsing keeps pytest coverage via sources/rest + timeseries tests)
     "json_props_extract": ("pgn_moves_table",),
-    # ordered decay window → overlapping sliding windows + sweep ordering
-    "events_decay_score": ("events_sliding_1h_30m", "concurrency_peak_daily"),
+    # ordered decay window → sweep ordering + the cumulative frame
+    "events_decay_score": ("concurrency_peak_daily", "running_revenue"),
     # MinHash/SimHash/embedding agreement audit → dup-band cosine cut +
     # banded hamming buckets
-    "dedup_embedding_agreement": ("hard_negative_mining", "media_phash_near_dup"),
+    "dedup_embedding_agreement": ("hard_negative_mining", "simhash_near_dup"),
     # cross-source gram leakage → containment gram joins + group-keyed
     # split-leakage semantics
     "cross_source_leakage": ("containment_near_dup", "leakage_safe_split"),
-    # F10 regexp scrub chain → regexp tokenizer + normalize matching
-    "pii_redact_stats": ("bpe_encode_tokens", "fuzzy_part_matches"),
+    # F10 regexp scrub chain → regexp tokenizer + regexp extraction chain
+    "pii_redact_stats": ("bpe_encode_tokens", "eval_comment_parse"),
     # vocab array ops → vocab-cap distribution scoring + token arrays
     "oov_rate_top1k": ("source_kl_divergence", "bpe_encode_tokens"),
     # chunk-digest boilerplate explode → the sliding-window chunk twin +
@@ -476,10 +463,10 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     "hybrid_search_rrf": ("bm25_index_probe", "ivf_adc_recall"),
     # per-key HLL distincts → the register set-algebra twin
     "hll_distinct_users": ("hll_set_algebra",),
-    # per-column profile aggregates → cardinality profile + zone-map audit
-    "data_profile_orders": ("join_key_skew_profile", "zorder_layout_audit"),
-    # median/MAD robust bounds → the percentile-sketch cut
-    "mad_outlier_bounds": ("psi_value_drift", "binned_mean"),
+    # per-column profile aggregates → cardinality profile + bin profiles
+    "data_profile_orders": ("join_key_skew_profile", "psi_value_drift"),
+    # median/MAD robust bounds → the percentile-sketch bin machinery
+    "mad_outlier_bounds": ("psi_value_drift",),
     # token-length histogram → token-budget shards + fixed-width bins
     "seq_length_histogram": ("token_balanced_shards", "psi_value_drift"),
     # Q10-shaped multi-join report → snowflake joins + argmin join-back
@@ -489,10 +476,10 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     # CMS point-lookup heavy hitters → the same counter-grid algebra in
     # the AMS/CMS join-size estimate
     "cms_heavy_hitters": ("cms_join_size_estimate",),
-    # fixed-width quantile bins → PSI bins + sketch-cut deciles
-    "value_quantiles_binned": ("psi_value_drift", "binned_mean"),
-    # orphan-key count audits → ingest count audits + membership pruning
-    "referential_integrity_audit": ("ivf_ingest_audit", "bloom_join_prune"),
+    # fixed-width quantile bins → the PSI fixed-width bin machinery
+    "value_quantiles_binned": ("psi_value_drift",),
+    # orphan-key count audits → ingest count audits + anti-join counts
+    "referential_integrity_audit": ("ivf_ingest_audit", "brand_supplier_counts"),
     # (single-green redundancy demotion) Q19 disjunctive part-join
     # revenue → part-join conditional revenue + per-group thresholds
     "disjunctive_brand_revenue": ("brand_supplier_counts", "dominant_supplier_parts"),
@@ -519,14 +506,14 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     # part-join conditional revenue share → per-group threshold part
     # joins + CASE recodes/grouping sets
     "promo_revenue_share": ("dominant_supplier_parts", "cube_status_priority"),
-    # scalar-max + join-back (A7 at agg grain) → the promoted A7 global
-    # min/max + global-scalar HAVING
-    "top_supplier_revenue": ("global_minmax", "above_share_nations"),
+    # scalar-max + join-back (A7 at agg grain) → global-scalar HAVING +
+    # the dim-join revenue agg chain
+    "top_supplier_revenue": ("above_share_nations", "revenue_by_nation"),
     # J4/J5 composite-key + broadcast-dim snowflake → the Q9 twin
     "nation_trade_volume": ("profit_by_nation_year",),
     # percentile-sketch decile cut → mergeable sketch tier (PSI bins +
-    # HLL register algebra) + the promoted A5 binned mean
-    "customer_value_deciles_sketch": ("psi_value_drift", "binned_mean"),
+    # HLL register algebra)
+    "customer_value_deciles_sketch": ("psi_value_drift", "hll_set_algebra"),
     # row-local PQ subvector encode → the ingest audit runs the same
     # _encode_rows path; recall audit scores the same codes
     "embedding_pq_codes": ("ivf_ingest_audit", "ivf_adc_recall"),
@@ -541,11 +528,60 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     # pair-gram counting → the BPE trainer recomputes pair counts per
     # merge round; the encoder applies them
     "bpe_merge_candidates": ("bpe_train_merges", "bpe_encode_tokens"),
-    # ---- r9-new staged query (promote r10; the grouped-map family
-    # is driver-anchored meanwhile) ----
-    # grouped-map applyInPandas geometric median → the mapInPandas
-    # media anchor + centroid geometry
-    "robust_centroid_goldens": ("multimodal_features", "label_centroids"),
+    # ---- demoted in the r9→r10 freshness rotation (the ten r9
+    # re-promotions, now freshly triple-green, plus twelve r8-era
+    # double-greens; families re-anchored on r10-window members —
+    # many on the returning r3/r4-era promotions themselves) ----
+    # P9 distinct → the count-distinct group machinery + priority pivot
+    "distinct_flag_status": ("brand_supplier_counts", "orders_per_priority"),
+    # E1 explode + index → posexplode sequence numbering in the PGN UDTF
+    "explode_quantities": ("pgn_moves_table",),
+    # A7 global min/max → the Q11 global-scalar HAVING form
+    "global_minmax": ("above_share_nations",),
+    # J8 SQL-view join chain → the same join+project semantics in the
+    # snowflake twins (the spark.sql/temp-view API surface keeps
+    # pytest + local-oracle coverage in tests/test_catalog_oracle.py)
+    "sql_view_game_evals": ("profit_by_nation_year",),
+    # A5 grouped mean over bins → PSI's fixed-width-bin per-bin aggs
+    "binned_mean": ("psi_value_drift",),
+    # A3 multi-agg stats (std NULL→0) → grouping-set multi-aggs
+    "value_stats_by_weekday": ("cube_status_priority",),
+    # P8 value replace / CASE recode → grouping-set CASE recodes
+    "weekday_recode": ("cube_status_priority",),
+    # §2.11 sliding batch twin → sweep-line overlap + cumulative frame
+    "events_sliding_1h_30m": ("concurrency_peak_daily", "running_revenue"),
+    # prefix-filtered Jaccard pairs → the word-set Jaccard index +
+    # shingle containment joins
+    "near_dup_pairs_jaccard_prefix": ("near_dup_pairs_jaccard", "containment_near_dup"),
+    # MinHash signature rows → the full MinHash+LSH band join
+    "minhash_signatures": ("minhash_lsh_candidates",),
+    # ES ±stratum weighted reservoir → mixture strata + token budgets
+    "weighted_sample_es": ("mixture_sample", "token_balanced_shards"),
+    # deterministic pair negatives → md5 sample gates + digest-group split
+    "negative_sample_pairs": ("mixture_sample", "leakage_safe_split"),
+    # per-source oversampling → mixture strata + budget balancing
+    "oversample_balance_sources": ("mixture_sample", "token_balanced_shards"),
+    # span masks over token windows → window chunking + md5 gates
+    "span_corruption_plan": ("sliding_window_chunks", "mixture_sample"),
+    # temperature-weighted mixture → the mixture-sampling anchor
+    "temperature_mixture_sample": ("mixture_sample",),
+    # per-source weighted reservoirs → mixture strata + token budgets
+    "weighted_sample_per_source": ("mixture_sample", "token_balanced_shards"),
+    # zone-map layout audit → planner-statistics tier (key skew + bins)
+    "zorder_layout_audit": ("join_key_skew_profile", "psi_value_drift"),
+    # per-label mean centroids → the grouped-map Weiszfeld centroids +
+    # anchor-centroid geometry
+    "label_centroids": ("robust_centroid_goldens", "hard_negative_mining"),
+    # Catalyst Gram-matrix PCA → the same integer-cell fold family
+    # (PQ encode audits) + row-local embedding component aggregates
+    "pca_top_component": ("ivf_ingest_audit", "embedding_stats"),
+    # phash hamming banding → simhash hamming banding + the
+    # mapInPandas media anchor
+    "media_phash_near_dup": ("simhash_near_dup", "multimodal_features"),
+    # normalized fuzzy matching → the promoted regexp parse chains
+    "fuzzy_part_matches": ("eval_comment_parse", "clock_seconds_parse"),
+    # Bloom membership prune → Q16 anti-join counts + 0-row prune path
+    "bloom_join_prune": ("brand_supplier_counts", "empty_relation_guard"),
 }
 
 

@@ -28,19 +28,20 @@ from chess_pipeline_spark.plans import (
     catalog,
 )
 
-# The byte-stable order for the round-9 driver run: the r9 FRESHNESS
-# rotation — the two r8-staged signals (dup_ngram_fraction,
-# embedding_diversity) get their first driver contact, the ten
-# stalest demotions (all r2-era, last green r2) return for freshness
-# contact, and 12 of the 13 double-green (r7 AND r8) members rotate
-# out per scripts/check_rotation.py's freshness mode.
-# cube_status_priority stays in-window as the only grouping-sets
-# (CUBE/ROLLUP family) driver anchor; mixture_sample and
-# multimodal_features stay as the sampling / mapInPandas-media
-# anchors; the 35 single-green r8 promotions stay for their second
-# green round. The subsumption table is DEMOTION_COVERAGE in
-# plans/__init__.py, machine-validated below. Any edit here is a
-# deliberate contract change and must re-justify the window contents.
+# The byte-stable order for the round-10 driver run: the r10
+# FRESHNESS rotation — robust_centroid_goldens gets its first driver
+# contact (emptying the never-driver-seen set permanently), the seven
+# r3-era and fourteen r4-era demotions return for freshness contact
+# (after which NO catalog query's last driver green is older than
+# r5), and 22 rotate out per scripts/check_rotation.py's freshness
+# mode: the ten r9 freshness re-promotions (now freshly triple-green)
+# plus twelve double-green (r8 AND r9) r8 promotions whose families
+# keep in-window anchors. cube_status_priority, mixture_sample and
+# multimodal_features stay as the grouping-sets / sampling /
+# mapInPandas-media anchors. The subsumption table is
+# DEMOTION_COVERAGE in plans/__init__.py, machine-validated below.
+# Any edit here is a deliberate contract change and must re-justify
+# the window contents.
 FROZEN_ORDER: tuple[str, ...] = (
     "cheapest_supplier_per_part",
     "above_share_nations",
@@ -49,26 +50,34 @@ FROZEN_ORDER: tuple[str, ...] = (
     "brand_supplier_counts",
     "cube_status_priority",
     "scd2_point_in_time_join",
-    "distinct_flag_status",
-    "explode_quantities",
-    "global_minmax",
-    "sql_view_game_evals",
-    "binned_mean",
-    "fuzzy_part_matches",
-    "value_stats_by_weekday",
-    "weekday_recode",
-    "events_sliding_1h_30m",
+    "lineitem_filter_isin",
+    "initial_clock_per_group",
+    "top3_orders_per_customer",
+    "clock_seconds_parse",
+    "eval_comment_parse",
+    "orders_per_priority",
+    "struct_pack_fields",
+    "empty_relation_guard",
+    "revenue_by_nation",
+    "running_revenue",
     "concurrency_peak_daily",
     "pgn_moves_table",
-    "near_dup_pairs_jaccard_prefix",
+    "dedup_exact",
+    "robust_centroid_goldens",
+    "text_quality_stats",
+    "token_count",
+    "doc_fingerprint",
+    "near_dup_pairs_jaccard",
     "containment_near_dup",
-    "minhash_signatures",
+    "minhash_lsh_candidates",
+    "simhash_near_dup",
+    "embedding_near_dup_cosine",
+    "knn_cosine_topk",
     "hard_negative_mining",
-    "label_centroids",
     "embedding_diversity",
-    "pca_top_component",
+    "embedding_stats",
     "multimodal_features",
-    "media_phash_near_dup",
+    "top_terms_per_source",
     "ivf_adc_recall",
     "ivf_ingest_audit",
     "dup_ngram_fraction",
@@ -76,43 +85,14 @@ FROZEN_ORDER: tuple[str, ...] = (
     "sliding_window_chunks",
     "bpe_encode_tokens",
     "mixture_sample",
-    "weighted_sample_es",
-    "temperature_mixture_sample",
-    "weighted_sample_per_source",
-    "negative_sample_pairs",
     "leakage_safe_split",
-    "oversample_balance_sources",
     "token_balanced_shards",
-    "span_corruption_plan",
     "source_kl_divergence",
     "bm25_index_probe",
     "hll_set_algebra",
     "cms_join_size_estimate",
     "psi_value_drift",
-    "bloom_join_prune",
     "join_key_skew_profile",
-    "zorder_layout_audit",
-    "orders_per_priority",
-    "clock_seconds_parse",
-    "initial_clock_per_group",
-    "lineitem_filter_isin",
-    "empty_relation_guard",
-    "struct_pack_fields",
-    "token_count",
-    "dedup_exact",
-    "text_quality_stats",
-    "doc_fingerprint",
-    "near_dup_pairs_jaccard",
-    "minhash_lsh_candidates",
-    "simhash_near_dup",
-    "knn_cosine_topk",
-    "embedding_stats",
-    "top_terms_per_source",
-    "running_revenue",
-    "revenue_by_nation",
-    "embedding_near_dup_cosine",
-    "eval_comment_parse",
-    "top3_orders_per_customer",
     "win_ratio_by_status",
     "pricing_summary",
     "top_customer_revenue",
@@ -211,7 +191,28 @@ FROZEN_ORDER: tuple[str, ...] = (
     "knn_pq_adc",
     "dedup_groups_logstep",
     "bpe_merge_candidates",
-    "robust_centroid_goldens",
+    "distinct_flag_status",
+    "explode_quantities",
+    "global_minmax",
+    "sql_view_game_evals",
+    "binned_mean",
+    "value_stats_by_weekday",
+    "weekday_recode",
+    "events_sliding_1h_30m",
+    "near_dup_pairs_jaccard_prefix",
+    "minhash_signatures",
+    "weighted_sample_es",
+    "negative_sample_pairs",
+    "oversample_balance_sources",
+    "span_corruption_plan",
+    "temperature_mixture_sample",
+    "weighted_sample_per_source",
+    "zorder_layout_audit",
+    "label_centroids",
+    "pca_top_component",
+    "media_phash_near_dup",
+    "fuzzy_part_matches",
+    "bloom_join_prune",
 )
 
 
@@ -219,59 +220,80 @@ def test_catalog_order_frozen():
     assert tuple(catalog()) == FROZEN_ORDER
 
 
-def test_driver_window_r9_rotation():
-    # round 9's window: the r9 FRESHNESS rotation executed — the two
-    # r8-staged signals enter for first driver contact, the ten
-    # stalest (r2-era) demotions return for freshness contact, and 12
-    # of the 13 double-green (r7 AND r8) members rotate out;
-    # cube_status_priority stays as the grouping-sets anchor. The
-    # green-history precondition for every demotion is verified here
-    # against the committed CORRECTNESS artifacts, not prose.
+def test_driver_window_r10_rotation():
+    # round 10's window: the r10 FRESHNESS rotation executed —
+    # robust_centroid_goldens enters for first driver contact, the
+    # seven r3-era and fourteen r4-era demotions return for freshness
+    # contact, and 22 members rotate out per check_rotation.py's
+    # freshness mode (the ten r9 re-promotions plus twelve r8-era
+    # double-greens). Preconditions are verified against the committed
+    # CORRECTNESS artifacts, not prose.
     import json
     from glob import glob
     from pathlib import Path
 
     assert len(FROZEN_ORDER) - DRIVER_WINDOW == len(_DEMOTED)
     in_window = set(FROZEN_ORDER[:DRIVER_WINDOW])
-    promoted_r9 = (
-        # first driver contact (r8-staged signals)
-        "dup_ngram_fraction",
-        "embedding_diversity",
-        # freshness returns — each last green in r2
+    promoted_r10 = (
+        # first driver contact (r9-staged golden row)
+        "robust_centroid_goldens",
+        # freshness returns — last green r3
+        "orders_per_priority",
+        "clock_seconds_parse",
+        "initial_clock_per_group",
+        "lineitem_filter_isin",
+        "empty_relation_guard",
+        "struct_pack_fields",
+        "token_count",
+        # freshness returns — last green r4
+        "dedup_exact",
+        "text_quality_stats",
+        "doc_fingerprint",
+        "near_dup_pairs_jaccard",
+        "minhash_lsh_candidates",
+        "simhash_near_dup",
+        "knn_cosine_topk",
+        "embedding_stats",
+        "top_terms_per_source",
+        "running_revenue",
+        "revenue_by_nation",
+        "embedding_near_dup_cosine",
+        "eval_comment_parse",
+        "top3_orders_per_customer",
+    )
+    demoted_r10 = (
+        # the ten r9 freshness re-promotions (green r1/r2 AND r9)
         "distinct_flag_status",
+        "explode_quantities",
         "global_minmax",
-        "weekday_recode",
+        "sql_view_game_evals",
         "binned_mean",
         "value_stats_by_weekday",
-        "sql_view_game_evals",
-        "explode_quantities",
-        "near_dup_pairs_jaccard_prefix",
+        "weekday_recode",
         "events_sliding_1h_30m",
+        "near_dup_pairs_jaccard_prefix",
         "minhash_signatures",
+        # twelve r8-era members, green in BOTH r8 and r9
+        "weighted_sample_es",
+        "negative_sample_pairs",
+        "oversample_balance_sources",
+        "span_corruption_plan",
+        "temperature_mixture_sample",
+        "weighted_sample_per_source",
+        "zorder_layout_audit",
+        "label_centroids",
+        "pca_top_component",
+        "media_phash_near_dup",
+        "fuzzy_part_matches",
+        "bloom_join_prune",
     )
-    demoted_r9 = (
-        "nation_market_share",
-        "segment_top_value_orders",
-        "scd2_customer_snapshot",
-        "forecast_revenue_change",
-        "promo_revenue_share",
-        "top_supplier_revenue",
-        "nation_trade_volume",
-        "customer_value_deciles_sketch",
-        "embedding_pq_codes",
-        "knn_pq_adc",
-        "dedup_groups_logstep",
-        "bpe_merge_candidates",
-    )
-    assert len(promoted_r9) == len(demoted_r9) == 12
+    assert len(promoted_r10) == len(demoted_r10) == 22
     anchors = ("mixture_sample", "multimodal_features", "cube_status_priority")
-    for name in promoted_r9 + anchors:
+    for name in promoted_r10 + anchors:
         assert name in in_window, name
-    for name in demoted_r9:
+    for name in demoted_r10:
         assert name in _DEMOTED and name not in in_window, name
 
-    # demotion precondition: every rotated-out name is triple-green in
-    # BOTH r7 and r8 per the committed driver artifacts
     hist: dict[str, set[int]] = {}
     root = Path(__file__).parent.parent
     for path in sorted(glob(str(root / "CORRECTNESS_r*.json"))):
@@ -284,14 +306,25 @@ def test_driver_window_r9_rotation():
                 and row.get("hash_match")
             ):
                 hist.setdefault(name, set()).add(rnd)
-    for name in demoted_r9:
-        assert {7, 8} <= hist.get(name, set()), (
-            f"{name} demoted without double-green history: {hist.get(name)}"
+    # demotion precondition: every rotated-out name has >= 2 green
+    # driver rounds INCLUDING the immediately preceding round (r9)
+    for name in demoted_r10:
+        greens = hist.get(name, set())
+        assert 9 in greens and len(greens) >= 2, (
+            f"{name} demoted without fresh double-green history: {greens}"
         )
     # freshness precondition: every returning name HAS green history
-    # (they are re-verifications, not first contact)
-    for name in promoted_r9[2:]:
+    # (re-verifications) except the one staged first-contact query
+    for name in promoted_r10[1:]:
         assert hist.get(name), f"{name} claimed as freshness return, no history"
+    assert "robust_centroid_goldens" not in hist  # genuinely first contact
+    # the r10 bound this rotation exists to hold: post-swap, no DEMOTED
+    # query's last driver green is older than r5 (window members are
+    # being re-verified this round by construction)
+    for name in _DEMOTED:
+        assert max(hist[name]) >= 5, (
+            f"{name} left demoted with last green r{max(hist[name])} < r5"
+        )
 
 
 def test_coverage_md_totals_match_catalog():
