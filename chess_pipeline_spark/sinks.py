@@ -417,6 +417,70 @@ def bak_swap_write(spark, merged: DataFrame, registers_path: str) -> DataFrame:
     return snap
 
 
+def bak_swap_write_distributed(spark, merged: DataFrame, path: str) -> None:
+    """bak_swap_write for UNBOUNDED state (one row per distinct key
+    ever seen — the split ledger, digest sets): the same no-window
+    crash discipline, but the merged frame writes straight to the tmp
+    dir as a DISTRIBUTED parquet job instead of collecting to the
+    driver. The write executes while the live dir still exists (the
+    merged plan reads it), and only then do the renames run: at every
+    instant the target or the .bak holds the full state. Entry sweeps
+    stale tmps from prior crashes (clean_stale_tmp_dirs rationale)."""
+    clean_stale_tmp_dirs(path)
+    bak = f"{path}.__bak__"
+    tmp = f"{path}.__tmp__{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(bak):
+        shutil.rmtree(bak)
+    if os.path.exists(path):
+        os.rename(path, bak)
+    os.rename(tmp, path)
+    if os.path.exists(bak):
+        shutil.rmtree(bak)
+
+
+def restore_bak_if_missing(path: str) -> None:
+    """If a compaction crashed between its two renames, the full
+    table lives in the .bak sibling — move it back before reading or
+    APPENDING. Appenders must call this at entry: appending to a
+    fresh live dir while the real state sits in .bak forks the state,
+    and the next compaction would fold the fork and drop the .bak
+    (silent loss). Reads alone can fall back (read_bounded_ledger);
+    appends cannot."""
+    bak = f"{path}.__bak__"
+    if not os.path.exists(path) and os.path.exists(bak):
+        os.rename(bak, path)
+
+
+def compact_append_ledger(spark, ledger_dir: str, fold) -> None:
+    """Fold an APPEND-ONLY ledger (each micro-batch appends rows; no
+    batch_id partitioning) into one compact rewrite — the set-union
+    sibling of compact_batch_ledger, for the ledgers whose fold is
+    IDEMPOTENT (digest-set distinct, count sum-merge at the reader's
+    own grain): no `_folded_batches.json` marker or folded-id guard
+    is needed, because an at-least-once replay after the fold
+    re-contributes rows the fold already absorbed (set union) or that
+    the reader's aggregation re-merges identically. Under continuous
+    ingest the append dir otherwise grows one file set per
+    micro-batch forever — the same unbounded small-files hazard the
+    batch-partitioned ledgers had.
+
+    ``fold`` maps the full ledger frame to its compact equivalent and
+    must be probe-invariant (readers see identical results before and
+    after) and idempotent (fold∘fold == fold, so a replayed
+    compaction is a content no-op). Crash discipline = the bak-swap:
+    write folded tmp (distributed) → rename live to .bak → rename tmp
+    in → drop .bak; entry restores a .bak-only state and sweeps stale
+    tmps."""
+    restore_bak_if_missing(ledger_dir)
+    clean_stale_tmp_dirs(ledger_dir)
+    if not os.path.exists(ledger_dir):
+        return
+    bak_swap_write_distributed(
+        spark, fold(spark.read.parquet(ledger_dir)), ledger_dir
+    )
+
+
 def write_training_splits(
     assigned: DataFrame, out_path: str, split_col: str = "split"
 ) -> None:

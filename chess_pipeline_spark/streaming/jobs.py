@@ -435,8 +435,18 @@ def stream_paragraph_dedup(docs: DataFrame, ledger_path: str, verdicts_path: str
     the batch side is small and broadcasts. At real scale the ledger
     partitions by digest prefix so a batch touches only its buckets.
     """
-    import pyspark.sql.functions as F
-    from pyspark.errors import AnalysisException
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        _paragraph_process_batch(batch, batch_id, ledger_path, verdicts_path)
+
+    return docs.writeStream.foreachBatch(_process)
+
+
+def _paragraph_process_batch(
+    batch: DataFrame, batch_id: int, ledger_path: str, verdicts_path: str
+) -> None:
+    """One stream_paragraph_dedup micro-batch — module-level so
+    compaction and replay tests can drive it without a running
+    stream."""
     from pyspark.sql import Window
 
     from chess_pipeline_spark.plans.corpus import (
@@ -444,37 +454,40 @@ def stream_paragraph_dedup(docs: DataFrame, ledger_path: str, verdicts_path: str
         paragraph_rollup,
     )
 
-    def _process(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        d = batch.select("doc_id", "text")
-        chunks = paragraph_chunks(d).withColumn("digest", F.md5("chunk"))
-        try:
-            ledger = spark.read.parquet(ledger_path).select(
-                "digest", F.lit(True).alias("in_ledger")
-            )
-        except AnalysisException:
-            ledger = spark.createDataFrame([], "digest string, in_ledger boolean")
-        win = Window.partitionBy("digest").orderBy("doc_id", "chunk_idx")
-        flagged = (
-            chunks.join(ledger, "digest", "left")
-            .withColumn("rn", F.row_number().over(win))
-            .withColumn(
-                "is_dup",
-                F.coalesce(F.col("in_ledger"), F.lit(False)) | (F.col("rn") > 1),
-            )
-        )
-        verdicts = paragraph_rollup(d, flagged).withColumn(
-            "batch_id", F.lit(batch_id)
-        )
-        verdicts.write.mode("append").parquet(verdicts_path)
-        new_digests = (
-            flagged.filter((F.col("rn") == 1) & F.col("in_ledger").isNull())
-            .select("digest")
-            .distinct()
-        )
-        new_digests.write.mode("append").parquet(ledger_path)
+    from chess_pipeline_spark.sinks import restore_bak_if_missing
 
-    return docs.writeStream.foreachBatch(_process)
+    spark = batch.sparkSession
+    d = batch.select("doc_id", "text")
+    chunks = paragraph_chunks(d).withColumn("digest", F.md5("chunk"))
+    # crash-recovery at APPEND entry (r10): if a compaction died
+    # mid-swap the digest set lives in the .bak sibling — restore it
+    # BEFORE reading/appending. Appending new digests to a fresh live
+    # dir would fork the state and the next compaction would fold the
+    # fork and drop the .bak (silent loss); a read-side fallback
+    # alone cannot prevent that.
+    restore_bak_if_missing(ledger_path)
+    ledger = _read_bounded_ledger(
+        spark, ledger_path, "digest string"
+    ).select("digest", F.lit(True).alias("in_ledger"))
+    win = Window.partitionBy("digest").orderBy("doc_id", "chunk_idx")
+    flagged = (
+        chunks.join(ledger, "digest", "left")
+        .withColumn("rn", F.row_number().over(win))
+        .withColumn(
+            "is_dup",
+            F.coalesce(F.col("in_ledger"), F.lit(False)) | (F.col("rn") > 1),
+        )
+    )
+    verdicts = paragraph_rollup(d, flagged).withColumn(
+        "batch_id", F.lit(batch_id)
+    )
+    verdicts.write.mode("append").parquet(verdicts_path)
+    new_digests = (
+        flagged.filter((F.col("rn") == 1) & F.col("in_ledger").isNull())
+        .select("digest")
+        .distinct()
+    )
+    new_digests.write.mode("append").parquet(ledger_path)
 
 
 def stream_boilerplate_removal(docs: DataFrame, ledger_path: str, verdicts_path: str):
@@ -501,49 +514,95 @@ def stream_boilerplate_removal(docs: DataFrame, ledger_path: str, verdicts_path:
     same digest-prefix partitioning as the dedup ledgers; the
     boilerplate set for a batch stays broadcast-sized.
     """
-    import pyspark.sql.functions as F
-    from pyspark.errors import AnalysisException
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        _boiler_process_batch(batch, batch_id, ledger_path, verdicts_path)
 
+    return docs.writeStream.foreachBatch(_process)
+
+
+def _boiler_process_batch(
+    batch: DataFrame, batch_id: int, ledger_path: str, verdicts_path: str
+) -> None:
+    """One stream_boilerplate_removal micro-batch — module-level so
+    compaction and replay tests can drive it without a running
+    stream."""
     from chess_pipeline_spark.plans.corpus import (
         _BOILER_MIN_DOCS,
         paragraph_chunks,
         paragraph_rollup,
     )
 
-    def _process(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        d = batch.select("doc_id", "text")
-        chunks = paragraph_chunks(d).withColumn("digest", F.md5("chunk"))
-        batch_counts = chunks.groupBy("digest").agg(
-            F.count_distinct("doc_id").cast("long").alias("inc")
-        )
-        try:
-            prior = (
-                spark.read.parquet(ledger_path)
-                .groupBy("digest")
-                .agg(F.sum("inc").alias("prior"))
-            )
-        except AnalysisException:
-            prior = spark.createDataFrame([], "digest string, prior long")
-        boiler = (
-            batch_counts.join(prior, "digest", "left")
-            .filter(
-                F.col("inc") + F.coalesce("prior", F.lit(0)) >= _BOILER_MIN_DOCS
-            )
-            .select("digest", F.lit(True).alias("hit"))
-        )
-        flagged = chunks.join(F.broadcast(boiler), "digest", "left").withColumn(
-            "is_dup", F.col("hit").isNotNull()
-        )
-        verdicts = (
-            paragraph_rollup(d, flagged)
-            .withColumnRenamed("n_dup_chunks", "n_boiler_chunks")
-            .withColumn("batch_id", F.lit(batch_id))
-        )
-        verdicts.write.mode("append").parquet(verdicts_path)
-        batch_counts.write.mode("append").parquet(ledger_path)
+    from chess_pipeline_spark.sinks import restore_bak_if_missing
 
-    return docs.writeStream.foreachBatch(_process)
+    spark = batch.sparkSession
+    d = batch.select("doc_id", "text")
+    chunks = paragraph_chunks(d).withColumn("digest", F.md5("chunk"))
+    batch_counts = chunks.groupBy("digest").agg(
+        F.count_distinct("doc_id").cast("long").alias("inc")
+    )
+    # crash-recovery at APPEND entry (r10): restore a mid-swap .bak
+    # before reading/appending — appending increments to a fresh live
+    # dir would fork the counts away from the .bak-held state
+    restore_bak_if_missing(ledger_path)
+    prior = (
+        _read_bounded_ledger(spark, ledger_path, "digest string, inc long")
+        .groupBy("digest")
+        .agg(F.sum("inc").alias("prior"))
+    )
+    boiler = (
+        batch_counts.join(prior, "digest", "left")
+        .filter(
+            F.col("inc") + F.coalesce("prior", F.lit(0)) >= _BOILER_MIN_DOCS
+        )
+        .select("digest", F.lit(True).alias("hit"))
+    )
+    flagged = chunks.join(F.broadcast(boiler), "digest", "left").withColumn(
+        "is_dup", F.col("hit").isNotNull()
+    )
+    verdicts = (
+        paragraph_rollup(d, flagged)
+        .withColumnRenamed("n_dup_chunks", "n_boiler_chunks")
+        .withColumn("batch_id", F.lit(batch_id))
+    )
+    verdicts.write.mode("append").parquet(verdicts_path)
+    batch_counts.write.mode("append").parquet(ledger_path)
+
+
+def compact_paragraph_ledger(spark, ledger_path: str) -> None:
+    """Fold the paragraph-dedup chunk-digest ledger's per-batch
+    appends into one compact digest set (sinks.compact_append_ledger;
+    fold = DISTINCT over the digest column — set union, idempotent,
+    so no folded-id marker is needed: a replayed batch's digests
+    anti-join away against the folded set exactly as they did against
+    the raw appends). Membership — the only probe — is identical
+    before and after; under continuous ingest this bounds the
+    small-files count that one append per micro-batch otherwise grows
+    forever (the r9 text-index hazard, set-union edition).
+    PRECONDITION: quiesce the stream first (CLI compact docstring)."""
+    from chess_pipeline_spark.sinks import compact_append_ledger
+
+    compact_append_ledger(
+        spark, ledger_path, lambda df: df.select("digest").distinct()
+    )
+
+
+def compact_boilerplate_ledger(spark, ledger_path: str) -> None:
+    """Fold the boilerplate chunk-count ledger's per-batch
+    (digest, inc) appends into one row per digest (fold = the
+    reader's own groupBy(digest).sum(inc), so the prior-count probe
+    is identical before and after; summing already-summed rows is
+    the same sum — idempotent at the reader's grain). Bounds the
+    append-only ledger at distinct-chunk scale under continuous
+    ingest. PRECONDITION: quiesce the stream first."""
+    from chess_pipeline_spark.sinks import compact_append_ledger
+
+    compact_append_ledger(
+        spark,
+        ledger_path,
+        lambda df: df.groupBy("digest").agg(
+            F.sum("inc").cast("long").alias("inc")
+        ),
+    )
 
 
 def stream_hll_distinct(events: DataFrame, registers_path: str, estimates_path: str):
@@ -586,6 +645,7 @@ def stream_hll_distinct(events: DataFrame, registers_path: str, estimates_path: 
 # that predate the move
 from chess_pipeline_spark.functions.rounding import grid_cents
 from chess_pipeline_spark.sinks import bak_swap_write as _bak_swap_write
+from chess_pipeline_spark.sinks import bak_swap_write_distributed
 from chess_pipeline_spark.sinks import read_bounded_ledger as _read_bounded_ledger
 
 
@@ -1144,7 +1204,14 @@ def _split_ledger_process_batch(
         )
     )
     merged = prior.unionByName(fresh)
-    snap = _bak_swap_write(spark, merged, ledger_path)
+    # DISTRIBUTED swap (r10): the split ledger holds one row per
+    # distinct digest ever seen — corpus-scale, unlike the bounded
+    # register ledgers — so collecting it to the driver per batch
+    # (the old _bak_swap_write) is a 100 TB scale-killer. Same
+    # no-window crash discipline, but the merged frame writes
+    # straight to the tmp dir as a parquet job.
+    bak_swap_write_distributed(spark, merged, ledger_path)
+    snap = spark.read.parquet(ledger_path)
     assignments = (
         scored.join(snap, "dg")
         .select("doc_id", "group_rep", "split")

@@ -95,12 +95,17 @@ def run_probe(args: argparse.Namespace, spark=None) -> int:
 
 def run_compact(args: argparse.Namespace, spark=None) -> int:
     """One maintenance entry point for every persisted structure that
-    accumulates per-batch partitions under continuous ingest: the IVF
-    lists delta, the BM25 text index, and the additive streaming
-    ledgers (dup-gram df, CMS counters, value histogram, PCA Gram
-    cells). Each fold is crash-idempotent and probe-invariant (law
-    tests in tests/test_ann_index.py, test_text_index.py,
-    test_streaming.py, test_r8_signals.py).
+    accumulates per-batch partitions or appends under continuous
+    ingest: the IVF lists delta, the BM25 text index, the additive
+    streaming ledgers (dup-gram df, CMS counters, value histogram,
+    PCA Gram cells), and the set-union/append ledgers (paragraph-dedup
+    chunk digests, boilerplate chunk counts). Each fold is
+    crash-idempotent and probe-invariant (law tests in
+    tests/test_ann_index.py, test_text_index.py, test_streaming.py,
+    test_r8_signals.py). The split ledger needs no compaction: its
+    state is bak-swap REWRITTEN each batch (one table, no
+    accumulation); per-batch snapshot/assignment outputs are
+    time-series by design (retention recipe in SCALING.md).
 
     PRECONDITION: stop the stream that feeds the structure before
     compacting it. Compacting under a live stream risks folding a
@@ -126,9 +131,11 @@ def run_compact(args: argparse.Namespace, spark=None) -> int:
         compact_text_index(spark, args.path)
     else:
         from chess_pipeline_spark.streaming.jobs import (
+            compact_boilerplate_ledger,
             compact_cms_ledger,
             compact_dupgram_ledger,
             compact_histogram_ledger,
+            compact_paragraph_ledger,
             compact_pca_gram_ledger,
         )
 
@@ -137,6 +144,8 @@ def run_compact(args: argparse.Namespace, spark=None) -> int:
             "cms": compact_cms_ledger,
             "histogram": compact_histogram_ledger,
             "pca-gram": compact_pca_gram_ledger,
+            "paragraph": compact_paragraph_ledger,
+            "boiler": compact_boilerplate_ledger,
         }[kind](spark, args.path)
     print(f"compacted {kind} at {args.path}")
     return 0
@@ -176,7 +185,16 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     )
     c.add_argument(
         "--kind",
-        choices=["ivf", "text", "dupgram", "cms", "histogram", "pca-gram"],
+        choices=[
+            "ivf",
+            "text",
+            "dupgram",
+            "cms",
+            "histogram",
+            "pca-gram",
+            "paragraph",
+            "boiler",
+        ],
         required=True,
     )
     c.add_argument("--path", required=True, help="index/ledger directory")

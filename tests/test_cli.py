@@ -327,3 +327,28 @@ def test_cli_compact_subcommand(spark, sf_dir, tmp_path):
     assert sorted(
         map(tuple, dup_exposure_from_ledger(spark, led, docs).collect())
     ) == want_led
+
+    # r10: the set-union/append family routes through the same entry
+    # point — paragraph digest set folds to one distinct row per
+    # digest with membership unchanged
+    from chess_pipeline_spark.streaming.jobs import _paragraph_process_batch
+
+    pled = str(tmp_path / "pd_ledger")
+    _paragraph_process_batch(
+        docs.filter(F.col("doc_id") <= mid), 0, pled, str(tmp_path / "pd_v")
+    )
+    _paragraph_process_batch(
+        docs.filter(F.col("doc_id") > mid), 1, pled, str(tmp_path / "pd_v")
+    )
+    want_digests = sorted(
+        r["digest"] for r in spark.read.parquet(pled).distinct().collect()
+    )
+    rc = ann_index_cli.main(
+        ["compact", "--kind", "paragraph", "--path", pled], spark=spark
+    )
+    assert rc == 0
+    assert spark.read.parquet(pled).count() == len(want_digests)
+    assert (
+        sorted(r["digest"] for r in spark.read.parquet(pled).collect())
+        == want_digests
+    )
