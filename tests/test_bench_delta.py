@@ -58,3 +58,39 @@ def test_no_gate_downgrades_to_warning(tmp_path):
     r = _run(tmp_path, "--no-gate")
     assert r.returncode == 0, r.stdout + r.stderr
     assert "PROBE GATE" in r.stdout
+
+
+def _write_q(tmp_path, round_no, queries):
+    doc = {
+        "git": "test",
+        "loadavg": [0.0, 0.0, 0.0],
+        "queries": queries,
+        "extended_queries": {},
+    }
+    (tmp_path / f"BENCHLOCAL_r{round_no:02d}.json").write_text(json.dumps(doc))
+
+
+def test_query_regression_refuses(tmp_path):
+    # r10: an above-band per-query ratio on unchanged code refuses
+    _write_q(tmp_path, 1, {"q_a": 1.0, "q_b": 1.0})
+    _write_q(tmp_path, 2, {"q_a": 1.0, "q_b": 2.0})  # 2.0x > 1.7x, 2.0s >= floor
+    r = _run(tmp_path)
+    assert r.returncode == 2, r.stdout + r.stderr
+    assert "QUERY GATE: q_b regressed 2.00x" in r.stdout
+
+
+def test_query_regression_exempt_when_changed(tmp_path):
+    _write_q(tmp_path, 1, {"q_a": 1.0, "q_b": 1.0})
+    _write_q(tmp_path, 2, {"q_a": 1.0, "q_b": 2.0})
+    r = _run(tmp_path, "--changed", "q_b")
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "QUERY GATE" not in r.stdout
+
+
+def test_query_regression_floor_exempts_noise(tmp_path):
+    # sub-floor rows live in the stage-scheduling noise regime
+    _write_q(tmp_path, 1, {"q_a": 0.1, "q_b": 1.0})
+    _write_q(tmp_path, 2, {"q_a": 0.4, "q_b": 1.0})  # 4x but 0.4s < 0.5s floor
+    r = _run(tmp_path)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "QUERY GATE" not in r.stdout
