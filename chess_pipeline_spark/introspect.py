@@ -28,6 +28,127 @@ def _op_sites(lines: list[str], op: str) -> int:
     return sum(bool(pat.match(ln)) for ln in lines)
 
 
+_TREE_NODE = re.compile(r"^([:+\-\s]*)\*?(?:\(\d+\)\s)?([A-Za-z]\w*)[^(]*\((\d+)\)\s*$")
+
+
+def _tree_nodes(plan: str) -> list[tuple[int, str, int]]:
+    """(depth, op, detail-id) per node of the formatted plan tree.
+    Depth derives from the 3-chars-per-level tree prefix ('+- ',
+    ':- ', ':  ', '   '); the trailing '(n)' links each node to its
+    numbered detail block."""
+    out: list[tuple[int, str, int]] = []
+    in_tree = False
+    for ln in plan.splitlines():
+        if ln.startswith("== Physical Plan =="):
+            in_tree = True
+            continue
+        if in_tree:
+            if not ln.strip():
+                break
+            m = _TREE_NODE.match(ln)
+            if m:
+                out.append((len(m.group(1)) // 3, m.group(2), int(m.group(3))))
+    return out
+
+
+def skew_rescue_audit(df: DataFrame) -> list[dict]:
+    """Per-SortMergeJoin audit of whether AQE's skew splitter COULD
+    rescue it at runtime — the generalized r9 `scripts/dupgram_skew.py`
+    finding: OptimizeSkewedJoin pattern-matches ONLY
+    SMJ -> Sort -> shuffle(ENSURE_REQUIREMENTS) on BOTH children. Any
+    operator between a child's Sort and its shuffle (a HashAggregate
+    computing a df frame, a Window, …) silently excludes the join,
+    and a REPARTITION_BY_COL shuffle origin is rejected outright — so
+    an operator that 'leaves skew to AQE' on such a shape is NOT
+    protected and needs a structural fix (broadcast the skewed side,
+    salt, or pre-split hot keys).
+
+    Returns one dict per SortMergeJoin site:
+      {"op_id": n, "aqe_splittable": bool, "children": [(op, reason)]}
+    where a child is splittable when it is Sort directly over an
+    Exchange (or AQE shuffle read) whose detail block carries the
+    ENSURE_REQUIREMENTS origin. BroadcastHashJoins never appear here
+    — broadcasting is already the skew-immune shape."""
+    plan = explain_text(df)
+    nodes = _tree_nodes(plan)
+    # detail blocks: op-id -> the block's text (for origin checks)
+    details: dict[int, str] = {}
+    cur_id = None
+    for ln in plan.splitlines():
+        m = re.match(r"^\((\d+)\)\s+\S", ln)
+        if m:
+            cur_id = int(m.group(1))
+            details[cur_id] = ln
+        elif cur_id is not None:
+            details[cur_id] = details[cur_id] + "\n" + ln
+
+    def children_of(i: int) -> list[int]:
+        d = nodes[i][0]
+        out, j = [], i + 1
+        while j < len(nodes) and nodes[j][0] > d:
+            if nodes[j][0] == d + 1:
+                out.append(j)
+            j += 1
+        return out
+
+    audits = []
+    for i, (_, op, op_id) in enumerate(nodes):
+        if op != "SortMergeJoin":
+            continue
+        child_facts = []
+        splittable = True
+        for c in children_of(i):
+            _, cop, _ = nodes[c]
+            if cop != "Sort":
+                child_facts.append((cop, "child is not Sort"))
+                splittable = False
+                continue
+            grand = children_of(c)
+            if not grand:
+                child_facts.append((cop, "Sort has no visible child"))
+                splittable = False
+                continue
+            _, gop, gid = nodes[grand[0]]
+            if gop not in ("Exchange", "ShuffleQueryStage", "AQEShuffleRead"):
+                child_facts.append(
+                    (gop, f"{gop} sits between Sort and the shuffle")
+                )
+                splittable = False
+            elif gop == "Exchange" and "ENSURE_REQUIREMENTS" not in details.get(
+                gid, ""
+            ):
+                child_facts.append(
+                    (gop, "shuffle origin is not ENSURE_REQUIREMENTS")
+                )
+                splittable = False
+            else:
+                child_facts.append((gop, "splittable shape"))
+        audits.append(
+            {"op_id": op_id, "aqe_splittable": splittable, "children": child_facts}
+        )
+    return audits
+
+
+def assert_joins_skew_protected(df: DataFrame, allow_unsplittable: int = 0) -> list[dict]:
+    """Plan gate: every SortMergeJoin in df's plan must be
+    AQE-skew-splittable, except `allow_unsplittable` joins the caller
+    has made skew-free STRUCTURALLY (broadcast hot keys, bounded df —
+    cite the mechanism at the call site). Raises AssertionError with
+    the offending shapes otherwise; returns the audit for further
+    assertions."""
+    audit = skew_rescue_audit(df)
+    bad = [a for a in audit if not a["aqe_splittable"]]
+    if len(bad) > allow_unsplittable:
+        raise AssertionError(
+            f"{len(bad)} SortMergeJoin(s) AQE cannot skew-split (allowed "
+            f"{allow_unsplittable}): {bad} — broadcast the skewed side, "
+            "salt, or pre-split hot keys; AQE will NOT rescue these shapes "
+            "(OptimizeSkewedJoin matches only Sort-over-ENSURE_REQUIREMENTS-"
+            "shuffle on both children)."
+        )
+    return audit
+
+
 def plan_metrics(df: DataFrame) -> dict:
     """Counts of the plan features that matter at scale. Keys:
 

@@ -1168,3 +1168,78 @@ def test_embedding_diversity_single_keyed_agg_no_pairs(spark, sf_dir):
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
     assert "Window" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_skew_rescue_audit_classifies_join_shapes(spark):
+    """r10 stretch (the generalized scripts/dupgram_skew.py finding):
+    AQE's OptimizeSkewedJoin matches ONLY SortMergeJoin ->
+    Sort -> ENSURE_REQUIREMENTS-shuffle on BOTH children, so a join
+    that 'leaves skew to AQE' with an aggregate between a Sort and
+    its shuffle is silently unprotected. introspect.skew_rescue_audit
+    makes the shape checkable; assert it classifies the three shapes
+    correctly and that the gate raises on the unprotected one."""
+    import pyspark.sql.functions as F
+
+    from chess_pipeline_spark.introspect import (
+        assert_joins_skew_protected,
+        skew_rescue_audit,
+    )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.range(10000).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+        )
+        b = spark.range(10000).select(
+            (F.col("id") % 100).alias("k"), F.col("id").alias("w")
+        )
+        # plain scan-to-scan join: the AQE-splittable shape
+        plain = skew_rescue_audit(a.join(b, "k"))
+        assert len(plain) == 1 and plain[0]["aqe_splittable"], plain
+        assert_joins_skew_protected(a.join(b, "k"))
+        # aggregate-over-shuffle child: the dupgram shape AQE cannot
+        # split (HashAggregate sits between the Sort and its shuffle)
+        agg = skew_rescue_audit(a.join(b.groupBy("k").count(), "k"))
+        assert len(agg) == 1 and not agg[0]["aqe_splittable"], agg
+        assert any(
+            "HashAggregate" in op for op, _ in agg[0]["children"]
+        ), agg
+        with pytest.raises(AssertionError, match="AQE cannot skew-split"):
+            assert_joins_skew_protected(a.join(b.groupBy("k").count(), "k"))
+        # the allowance path for structurally-de-skewed joins
+        assert_joins_skew_protected(
+            a.join(b.groupBy("k").count(), "k"), allow_unsplittable=1
+        )
+        # broadcast joins never appear: already the skew-immune shape
+        assert skew_rescue_audit(a.join(F.broadcast(b.limit(5)), "k")) == []
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_dup_ngram_fraction_skew_posture_pinned(spark, sf_dir):
+    """Pin the r9 measured finding on the production query: with
+    implicit broadcasts disabled (forcing the cold join to SMJ), the
+    hot-gram side STILL broadcasts (explicit hint — the structural
+    de-skew), and whatever SortMergeJoins remain are exactly the
+    shapes AQE cannot split — which is WHY the structural split
+    exists. If a refactor ever makes the cold join AQE-splittable,
+    this documents the improvement; if it removes the hot broadcast,
+    the gate fails loudly."""
+    from chess_pipeline_spark.introspect import plan_metrics, skew_rescue_audit
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = _CATALOG["dup_ngram_fraction"].spark(spark, sf_dir)
+        pm = plan_metrics(df)
+        # the explicit hot-side broadcast survives threshold=-1
+        assert pm["broadcast_joins"] >= 1, pm
+        audit = skew_rescue_audit(df)
+        # every remaining SMJ is the unsplittable aggregate-over-
+        # shuffle shape — the measured reason AQE cannot rescue this
+        # query and the split is structural
+        for a in audit:
+            assert not a["aqe_splittable"], a
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
