@@ -311,9 +311,17 @@ def ingest_ivf_batch(
     stream hadn't committed yet), the folded rows are already in the
     base and the replay is safe to drop; for a fresh checkpoint over
     NEW data, re-ingest under ids above max(folded)."""
-    from chess_pipeline_spark.sinks import upsert_partition_overwrite
+    from chess_pipeline_spark.sinks import (
+        restore_bak_if_missing,
+        upsert_partition_overwrite,
+    )
 
     spark = batch.sparkSession
+    # restore a mid-swap .bak before reading the folded marker (it
+    # lives INSIDE the lists dir): otherwise a crash-window ingest
+    # reads an empty marker and a folded-id delta would slip through
+    # only to be anti-filtered away by the next compaction
+    restore_bak_if_missing(os.path.join(index_path, "lists"))
     folded = _read_folded(os.path.join(index_path, "lists"))
     if batch_id in folded:
         raise ValueError(

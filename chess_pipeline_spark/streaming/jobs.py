@@ -454,7 +454,10 @@ def _paragraph_process_batch(
         paragraph_rollup,
     )
 
-    from chess_pipeline_spark.sinks import restore_bak_if_missing
+    from chess_pipeline_spark.sinks import (
+        restore_bak_if_missing,
+        upsert_partition_overwrite,
+    )
 
     spark = batch.sparkSession
     d = batch.select("doc_id", "text")
@@ -481,12 +484,18 @@ def _paragraph_process_batch(
     verdicts = paragraph_rollup(d, flagged).withColumn(
         "batch_id", F.lit(batch_id)
     )
-    verdicts.write.mode("append").parquet(verdicts_path)
+    # batch_id-partitioned overwrite (r10): a replayed batch rewrites
+    # its own verdict partition instead of appending duplicate rows —
+    # the same exactly-once-by-layout discipline as the snapshots
+    upsert_partition_overwrite(verdicts, verdicts_path, ["batch_id"])
     new_digests = (
         flagged.filter((F.col("rn") == 1) & F.col("in_ledger").isNull())
         .select("digest")
         .distinct()
     )
+    # the digest append itself is replay-safe WITHOUT partitioning:
+    # a replayed batch's digests are already in the ledger, so the
+    # in_ledger anti-filter makes this frame empty
     new_digests.write.mode("append").parquet(ledger_path)
 
 
@@ -525,29 +534,57 @@ def _boiler_process_batch(
 ) -> None:
     """One stream_boilerplate_removal micro-batch — module-level so
     compaction and replay tests can drive it without a running
-    stream."""
+    stream.
+
+    r10 exactly-once upgrade: the count ledger previously APPENDED
+    (digest, inc) rows, so an at-least-once BATCH REPLAY (crash
+    between the ledger write and the checkpoint commit) appended the
+    same increments twice — a durability hole distinct from the
+    documented doc-re-ingestion caveat. The ledger now lands under
+    batch_id partitions with dynamic partition overwrite (the
+    CMS/dup-gram discipline): a replayed batch rewrites exactly its
+    own partition with identical bytes. Post-compaction replays
+    self-heal through the content-digest guard; verdicts are
+    batch_id-partition overwrites for the same reason."""
+    import os
+
     from chess_pipeline_spark.plans.corpus import (
         _BOILER_MIN_DOCS,
         paragraph_chunks,
         paragraph_rollup,
     )
-
-    from chess_pipeline_spark.sinks import restore_bak_if_missing
+    from chess_pipeline_spark.sinks import upsert_partition_overwrite
 
     spark = batch.sparkSession
     d = batch.select("doc_id", "text")
     chunks = paragraph_chunks(d).withColumn("digest", F.md5("chunk"))
-    batch_counts = chunks.groupBy("digest").agg(
-        F.count_distinct("doc_id").cast("long").alias("inc")
+    batch_counts = (
+        chunks.groupBy("digest")
+        .agg(F.count_distinct("doc_id").cast("long").alias("inc"))
+        .withColumn("batch_id", F.lit(batch_id))
     )
-    # crash-recovery at APPEND entry (r10): restore a mid-swap .bak
-    # before reading/appending — appending increments to a fresh live
-    # dir would fork the counts away from the .bak-held state
-    restore_bak_if_missing(ledger_path)
+    # guard FIRST (it also restores a mid-swap .bak, so the prior
+    # read below never sees a half-swapped empty ledger); skip==True
+    # is the identical-content post-compaction replay — verdicts
+    # still rewrite their partition, the ledger write is elided
+    skip_ledger = _refuse_folded_batch_id(
+        ledger_path, batch_id, "stream_boilerplate_removal", frame=batch_counts
+    )
+    # exclude this batch's OWN partition from the prior read: on a
+    # pre-fold replay the partition already holds this batch's
+    # increments, and counting them in `prior` would double them in
+    # the threshold test — with the filter, replayed verdicts are
+    # byte-identical to the original run. (A post-fold replay cannot
+    # exclude itself from the merged batch 0; its verdicts may flag
+    # MORE boilerplate — the conservative direction under the
+    # documented as-of semantics.)
     prior = (
-        _read_bounded_ledger(spark, ledger_path, "digest string, inc long")
+        spark.read.parquet(ledger_path)
+        .filter(F.col("batch_id") != batch_id)
         .groupBy("digest")
         .agg(F.sum("inc").alias("prior"))
+        if os.path.exists(ledger_path)
+        else spark.createDataFrame([], "digest string, prior long")
     )
     boiler = (
         batch_counts.join(prior, "digest", "left")
@@ -564,8 +601,9 @@ def _boiler_process_batch(
         .withColumnRenamed("n_dup_chunks", "n_boiler_chunks")
         .withColumn("batch_id", F.lit(batch_id))
     )
-    verdicts.write.mode("append").parquet(verdicts_path)
-    batch_counts.write.mode("append").parquet(ledger_path)
+    upsert_partition_overwrite(verdicts, verdicts_path, ["batch_id"])
+    if not skip_ledger:
+        upsert_partition_overwrite(batch_counts, ledger_path, ["batch_id"])
 
 
 def compact_paragraph_ledger(spark, ledger_path: str) -> None:
@@ -587,22 +625,19 @@ def compact_paragraph_ledger(spark, ledger_path: str) -> None:
 
 
 def compact_boilerplate_ledger(spark, ledger_path: str) -> None:
-    """Fold the boilerplate chunk-count ledger's per-batch
-    (digest, inc) appends into one row per digest (fold = the
-    reader's own groupBy(digest).sum(inc), so the prior-count probe
-    is identical before and after; summing already-summed rows is
-    the same sum — idempotent at the reader's grain). Bounds the
-    append-only ledger at distinct-chunk scale under continuous
-    ingest. PRECONDITION: quiesce the stream first."""
-    from chess_pipeline_spark.sinks import compact_append_ledger
+    """Fold the boilerplate chunk-count ledger's per-batch partitions
+    into one batch-0 partition (sinks.compact_batch_ledger; fold =
+    the reader's own groupBy(digest).sum(inc), so the prior-count
+    probe is identical before and after). The ledger is
+    batch_id-partitioned (r10 — count addition is NOT idempotent, so
+    exactly-once comes from the layout, the CMS discipline), which
+    means this is the ADDITIVE fold: the folded-id marker + content
+    digests guard post-fold replays. Bounds the ledger at
+    distinct-chunk scale under continuous ingest. PRECONDITION:
+    quiesce the stream first."""
+    from chess_pipeline_spark.sinks import compact_batch_ledger
 
-    compact_append_ledger(
-        spark,
-        ledger_path,
-        lambda df: df.groupBy("digest").agg(
-            F.sum("inc").cast("long").alias("inc")
-        ),
-    )
+    compact_batch_ledger(spark, ledger_path, ["digest"], sum_cols=["inc"])
 
 
 def stream_hll_distinct(events: DataFrame, registers_path: str, estimates_path: str):
@@ -903,8 +938,15 @@ def _refuse_folded_batch_id(
         ledger_content_digest,
         read_folded_digests,
         read_folded_marker,
+        restore_bak_if_missing,
     )
 
+    # a compaction crash mid-swap leaves the ledger (and the folded
+    # marker INSIDE it) in the .bak sibling; restore before reading
+    # the marker or writing — otherwise the guard reads an empty
+    # marker, the ingest writes into a fresh live dir, and the next
+    # compaction folds the fork and drops the .bak (silent loss)
+    restore_bak_if_missing(ledger_path)
     folded = read_folded_marker(ledger_path)
     if batch_id not in folded:
         return False

@@ -127,7 +127,16 @@ def ingest_text_delta(
     a dynamic overwrite of a folded partition would REPLACE merged
     base rows, the same silent-loss hazard the IVF sibling guards
     (ann_index.ingest_ivf_batch)."""
+    from chess_pipeline_spark.sinks import restore_bak_if_missing
+
     postings_p, doclens_p, stats_p = _paths(index_path)
+    # a compaction crash mid-swap leaves a table (and, for postings,
+    # the folded marker INSIDE it) in the .bak sibling; restore before
+    # reading the marker or writing — otherwise the guard sees an
+    # empty marker and the partition write lands in a fresh live dir
+    # that shadows the .bak (the fork the next compaction would fold)
+    for p in (postings_p, doclens_p, stats_p):
+        restore_bak_if_missing(p)
     folded = _read_folded(postings_p)
     if batch_id in folded:
         raise ValueError(

@@ -98,8 +98,8 @@ def run_compact(args: argparse.Namespace, spark=None) -> int:
     accumulates per-batch partitions or appends under continuous
     ingest: the IVF lists delta, the BM25 text index, the additive
     streaming ledgers (dup-gram df, CMS counters, value histogram,
-    PCA Gram cells), and the set-union/append ledgers (paragraph-dedup
-    chunk digests, boilerplate chunk counts). Each fold is
+    PCA Gram cells, boilerplate chunk counts), and the set-union
+    append ledger (paragraph-dedup chunk digests). Each fold is
     crash-idempotent and probe-invariant (law tests in
     tests/test_ann_index.py, test_text_index.py, test_streaming.py,
     test_r8_signals.py). The split ledger needs no compaction: its

@@ -1328,7 +1328,13 @@ def test_append_ledger_compaction_probe_invariant(spark, sf_dir, tmp_path):
     assert digest_set() == want
     assert spark.read.parquet(led).count() == len(want)
 
-    # ---- boilerplate count ledger: fold = reader-grain sum ----
+    # verdict exactly-once (r10): the batch-1 replay above rewrote its
+    # own verdicts partition instead of appending duplicates
+    verdicts = spark.read.parquet(ver)
+    assert verdicts.count() == verdicts.select("doc_id", "batch_id").distinct().count()
+
+    # ---- boilerplate count ledger: now batch_id-partitioned (the
+    # additive CMS discipline, r10) — fold = reader-grain sum ----
     bled = str(tmp_path / "bp_ledger")
     bver = str(tmp_path / "bp_verdicts")
     _boiler_process_batch(lo, 0, bled, bver)
@@ -1346,10 +1352,24 @@ def test_append_ledger_compaction_probe_invariant(spark, sf_dir, tmp_path):
         )
 
     bwant = counts()
+    # exactly-once under pre-fold replay (the r10 durability fix: the
+    # old append layout double-counted a replayed batch)
+    _boiler_process_batch(hi, 1, bled, bver)
+    assert counts() == bwant
     compact_boilerplate_ledger(spark, bled)
     assert counts() == bwant  # prior-count probe invariant
     assert spark.read.parquet(bled).count() == len(bwant)  # one row/digest
     compact_boilerplate_ledger(spark, bled)  # replayed compaction: no-op
+    assert counts() == bwant
+    # post-fold identical replay self-heals via the digest guard
+    import pytest as _pytest
+
+    with _pytest.warns(UserWarning, match="identical content"):
+        _boiler_process_batch(hi, 1, bled, bver)
+    assert counts() == bwant
+    # a DIFFERENT frame under a folded id is genuine reuse: raise
+    with _pytest.raises(ValueError, match="already folded"):
+        _boiler_process_batch(lo, 1, bled, bver)
     assert counts() == bwant
     os.rename(bled, f"{bled}.__bak__")
     compact_boilerplate_ledger(spark, bled)
