@@ -500,13 +500,15 @@ def _paragraph_process_batch(
 
 
 def stream_boilerplate_removal(docs: DataFrame, ledger_path: str, verdicts_path: str):
-    """Continuous boilerplate removal: a persisted per-digest
-    COUNT ledger (event-sourced: each batch appends (digest,
-    distinct-doc increment) rows; readers aggregate) tracks how many
-    distinct documents each chunk has appeared in; a batch's chunks
-    are dropped when ledger + in-batch count reaches the
-    _BOILER_MIN_DOCS threshold — the streaming twin of
-    plans.corpus.boilerplate_chunk_removal.
+    """Continuous boilerplate removal: a persisted per-digest COUNT
+    ledger (batch_id-PARTITIONED, r10: each batch's (digest,
+    distinct-doc increment) rows land via dynamic partition
+    overwrite, so an at-least-once replayed batch rewrites identical
+    bytes instead of appending duplicate increments; readers
+    aggregate across partitions) tracks how many distinct documents
+    each chunk has appeared in; a batch's chunks are dropped when
+    ledger + in-batch count reaches the _BOILER_MIN_DOCS threshold —
+    the streaming twin of plans.corpus.boilerplate_chunk_removal.
 
     As-of semantics, by design: a verdict reflects the corpus seen
     UP TO its batch, so the chunk's first host (ingested before the
@@ -518,10 +520,12 @@ def stream_boilerplate_removal(docs: DataFrame, ledger_path: str, verdicts_path:
     upstream exact-dedup: a doc_id re-ingested in a later batch
     would increment its chunks' counts again.
 
-    100 TB shape: the ledger carries 32-byte digests + a count;
-    per-batch increments append (no rewrite) and compact under the
-    same digest-prefix partitioning as the dedup ledgers; the
-    boilerplate set for a batch stays broadcast-sized.
+    100 TB shape: the ledger carries 32-byte digests + a count; each
+    batch writes only its own partition (no rewrite of history) and
+    compact_boilerplate_ledger folds the partitions at maintenance
+    cadence (the additive compact_batch_ledger discipline, folded-id
+    + content-digest guarded); the boilerplate set for a batch stays
+    broadcast-sized.
     """
     def _process(batch: DataFrame, batch_id: int) -> None:
         _boiler_process_batch(batch, batch_id, ledger_path, verdicts_path)
