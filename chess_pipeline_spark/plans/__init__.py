@@ -131,8 +131,11 @@ DRIVER_WINDOW = 50
 #          double-green (r8 AND r9) r8 promotions whose families
 #          keep in-window anchors; the three ANCHORS stay.
 #
-# r11 ROTATION NOTE: r10 again holds catalog growth at zero staged
-# additions. When CORRECTNESS_r10 lands, the freshness pool becomes
+# r11 ROTATION NOTE: r10 holds catalog growth at ONE staged addition
+# (exact_substring_spans, built late-r10 under the r8/r9 staging
+# precedent: demoted on landing, sweep-verified at all three SFs,
+# never driver-seen — it is therefore FIRST in the r11 promotion
+# queue). When CORRECTNESS_r10 lands, the freshness pool becomes
 # the r5-era demotions (the ~34 names last green r5 — win_ratio_
 # by_status, pricing_summary, order_priority_clean, …); the 22 r10
 # promotions go double-green-eligible only after a second driver
@@ -283,6 +286,10 @@ _DEMOTED: tuple[str, ...] = (
     "media_phash_near_dup",
     "fuzzy_part_matches",
     "bloom_join_prune",
+    # ---- r10-late staged addition (the r8/r9 precedent: built
+    # demoted, sweep-verified at all three SFs on landing, staged
+    # for first driver contact in the r11 promotion) ----
+    "exact_substring_spans",
 )
 
 # For every demoted query: the IN-WINDOW queries that keep its SURVEY
@@ -582,6 +589,10 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     "fuzzy_part_matches": ("eval_comment_parse", "clock_seconds_parse"),
     # Bloom membership prune → Q16 anti-join counts + 0-row prune path
     "bloom_join_prune": ("brand_supplier_counts", "empty_relation_guard"),
+    # (r10-late staged addition, never yet driver-seen — first in the
+    # r11 promotion queue) positional-gram repeated-span extraction →
+    # the dup-gram df/join/fold machinery + per-doc window chunk spans
+    "exact_substring_spans": ("dup_ngram_fraction", "sliding_window_chunks"),
 }
 
 

@@ -2901,9 +2901,216 @@ ORDER BY doc_id
 """
 
 
+# ------------------------------------------------------------------
+# Exact-substring repeated-span extraction (ExactSubstr planning)
+# ------------------------------------------------------------------
+
+_SPANGRAM_N = 10  # word-gram width ≙ the minimum repeated-run length
+# same structural role as _DUPGRAM_HOT_DF: grams whose occurrence
+# count reaches this join via broadcast, bounding the per-task fanout
+# of the repeated-flag join (see dup_ngram_fraction's skew note)
+_SPANGRAM_HOT_CNT = 1_000_000
+
+
+def span_positions(docs: DataFrame, n: int = _SPANGRAM_N) -> DataFrame:
+    """POSITIONAL word n-gram postings (doc_id, i, gd) — one row per
+    gram START POSITION (1-based), NOT deduplicated: unlike
+    word_gram_postings, position identity is the payload here (spans
+    are position intervals) and intra-doc repeats must count toward
+    the corpus occurrence total. Same tokenize rule as the dup-gram
+    family; docs with fewer than n words produce no positions."""
+    words = docs.select(
+        "doc_id",
+        F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)").alias("w"),
+    ).filter(F.size("w") >= n)
+    return words.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(w) - {n - 1}), "
+                f"i -> xxhash64(concat_ws(' ', slice(w, i, {n}))))"
+            )
+        ).alias("p0", "gd"),
+    ).select("doc_id", (F.col("p0") + 1).cast("long").alias("i"), "gd")
+
+
+def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document REPEATED-SUBSTRING SPANS — the planning pass of
+    exact-substring deduplication (Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better", the ExactSubstr
+    mode): find every maximal run of ≥ {_SPANGRAM_N} consecutive
+    words that occurs more than once ANYWHERE in the corpus
+    (cross-doc or within-doc), and report per doc the merged span
+    count, the covered-word total, the longest single span, and the
+    covered share in floored basis points. This is the third member
+    of the duplication-signal family: the pair/group detectors say
+    "which docs are copies", dup_ngram_fraction says "how much of
+    this doc is copied", this one says "WHERE — which exact
+    contiguous runs would ExactSubstr cut", the shape an actual
+    span-removal rewrite consumes. Lee et al. operate on 50-BPE-token
+    suffix-array matches; this is the word-granularity formulation
+    (the gram width is the module knob), which is how the pass is
+    realized on a shuffle engine: a suffix array is a single-machine
+    data structure, while positional-gram counting is one keyed
+    aggregate — same detected spans for runs ≥ the gram width.
+
+    Algorithm: positional n-gram digests (scan stage, row-local) →
+    corpus-wide occurrence count per digest (ONE map-side-combined
+    shuffle; occurrences, not distinct docs, so an internal loop is
+    repetition too) → positions whose gram count ≥ 2 flow back
+    (hot/cold split: counts ≥ {_SPANGRAM_HOT_CNT} broadcast, the
+    dup_ngram_fraction skew posture — AQE cannot split this join
+    shape, measured in scripts/dupgram_skew.py) → per-doc
+    gaps-and-islands merge of the fixed-length intervals
+    [i, i+n-1] (same-length intervals overlap iff the start gap
+    ≤ n, so one lag + one running sum inside the doc_id window —
+    state bounded by the doc's own positions) → span rollup joined
+    back to every ≥n-word doc (zero-fill: a doc with no repeats is
+    a 0-span row, not a missing row).
+
+    100 TB shape: shuffles carry (doc_id, i, gd) = 24 bytes — gram
+    text never leaves the scan stage (xxhash64 fold inside the
+    transform, the r9 dup-gram lesson); the positions frame is
+    lazily localCheckpointed so the count and the flag join tokenize
+    the corpus ONCE; windows partition by doc_id (naturally bounded);
+    nothing squares — a gram with 10^9 occurrences fans back to
+    exactly its own positions, and the hot/cold split keeps any one
+    join task bounded. 2^-64 digest collisions can only merge two
+    distinct grams (nudging spans upward); the oracle stays on gram
+    text, and the law tests pin planted span geometry exactly.
+    """
+    d = spread(_L(spark, sf_dir, "documents"), "doc_id")
+    pos = span_positions(d).localCheckpoint(eager=False)
+    return repeated_spans(pos)
+
+
+def repeated_spans(
+    pos: DataFrame,
+    n: int = _SPANGRAM_N,
+    hot_cnt: int = _SPANGRAM_HOT_CNT,
+) -> DataFrame:
+    """Occurrence count + skew-safe repeated-flag join + per-doc
+    island merge over a positional postings frame (doc_id, i, gd) —
+    the core of exact_substring_spans, parameterized so law/skew
+    tests can lower `hot_cnt` to force the broadcast branch and
+    shrink `n` against planted fixtures.
+
+    The per-doc word count is DERIVED from the positions frame
+    (n_words = max(i) + n - 1, exact because position max(i) is
+    size(w) - n + 1), so the document text is scanned exactly once —
+    the positions checkpoint feeds the occurrence count, the flag
+    join, AND the word-count rollup."""
+    from pyspark.sql import Window
+
+    doc_words = pos.groupBy("doc_id").agg(
+        (F.max("i") + n - 1).cast("long").alias("n_words")
+    )
+
+    cnt = pos.groupBy("gd").agg(F.count("*").cast("long").alias("cnt"))
+    rep = cnt.filter(F.col("cnt") >= 2).select("gd", "cnt")
+    hot = rep.filter(F.col("cnt") >= hot_cnt).select("gd")
+    cold = rep.filter(F.col("cnt") < hot_cnt).select("gd")
+    tagged = pos.join(
+        F.broadcast(hot.withColumn("__hot", F.lit(True))), "gd", "left"
+    )
+    hot_rows = tagged.filter(F.col("__hot").isNotNull()).drop("__hot")
+    cold_rows = (
+        tagged.filter(F.col("__hot").isNull())
+        .drop("__hot")
+        .join(cold, "gd", "left_semi")
+    )
+    repeated = hot_rows.unionByName(cold_rows).select("doc_id", "i")
+
+    w = Window.partitionBy("doc_id").orderBy("i")
+    isl = (
+        repeated.withColumn("prev", F.lag("i").over(w))
+        .withColumn(
+            "island",
+            F.sum(
+                F.when(
+                    F.col("prev").isNull()
+                    | (F.col("i") - F.col("prev") > n),
+                    1,
+                ).otherwise(0)
+            ).over(w),
+        )
+    )
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.min("i").alias("s"), (F.max("i") + n - 1).alias("e")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("dup_words"),
+        F.max(F.col("e") - F.col("s") + 1).cast("long").alias("max_span_words"),
+    )
+    return (
+        doc_words.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("dup_words", F.lit(0)).cast("long").alias("dup_words"),
+            F.coalesce("max_span_words", F.lit(0))
+            .cast("long")
+            .alias("max_span_words"),
+            F.expr(
+                "coalesce(dup_words, 0) * 10000 div n_words"
+            ).cast("long").alias("dup_word_bp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+EXACT_SUBSTRING_SPANS_SQL = f"""
+WITH words AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
+  FROM documents),
+docs AS (
+  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words, w
+  FROM words WHERE len(w) >= {_SPANGRAM_N}),
+pos AS (
+  SELECT doc_id, CAST(t.i AS BIGINT) AS i,
+         array_to_string(w[CAST(t.i AS BIGINT):CAST(t.i + {_SPANGRAM_N - 1} AS BIGINT)], ' ') AS g
+  FROM docs, LATERAL unnest(range(1, len(w) - {_SPANGRAM_N - 2})) AS t(i)),
+rep_g AS (SELECT g FROM pos GROUP BY g HAVING count(*) >= 2),
+rep AS (SELECT doc_id, i FROM pos SEMI JOIN rep_g USING (g)),
+lagged AS (
+  SELECT doc_id, i,
+         lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+  FROM rep),
+isl AS (
+  SELECT doc_id, i,
+         SUM(CASE WHEN prev IS NULL OR i - prev > {_SPANGRAM_N}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY i) AS island
+  FROM lagged),
+spans AS (
+  SELECT doc_id, island, MIN(i) AS s, MAX(i) + {_SPANGRAM_N - 1} AS e
+  FROM isl GROUP BY doc_id, island),
+per_doc AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(SUM(e - s + 1) AS BIGINT) AS dup_words,
+         CAST(MAX(e - s + 1) AS BIGINT) AS max_span_words
+  FROM spans GROUP BY doc_id)
+SELECT d.doc_id, d.n_words,
+       CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(COALESCE(p.dup_words, 0) AS BIGINT) AS dup_words,
+       CAST(COALESCE(p.max_span_words, 0) AS BIGINT) AS max_span_words,
+       CAST(COALESCE(p.dup_words, 0) * 10000 // d.n_words AS BIGINT) AS dup_word_bp
+FROM docs d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dup_ngram_fraction": QuerySpec(
         dup_ngram_fraction, DUP_NGRAM_FRACTION_SQL, "corpus-dup-exposure"
+    ),
+    "exact_substring_spans": QuerySpec(
+        exact_substring_spans,
+        EXACT_SUBSTRING_SPANS_SQL,
+        "corpus-exact-substring-spans",
     ),
     "dedup_keep_best": QuerySpec(
         dedup_keep_best, DEDUP_KEEP_BEST_SQL, "corpus-keep-best"

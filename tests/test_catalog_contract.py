@@ -213,7 +213,16 @@ FROZEN_ORDER: tuple[str, ...] = (
     "media_phash_near_dup",
     "fuzzy_part_matches",
     "bloom_join_prune",
+    # r10-late staged addition (demoted on landing, first in the r11
+    # promotion queue)
+    "exact_substring_spans",
 )
+
+# Staged late in r10 under the r8/r9 precedent: demoted on landing
+# with full sweep evidence, never yet driver-seen — exempt from the
+# "no demoted query staler than r5" freshness bound below (it has no
+# history to be stale ABOUT), and pinned to actually have none.
+_STAGED_R10_LATE = frozenset({"exact_substring_spans"})
 
 
 def test_catalog_order_frozen():
@@ -322,6 +331,12 @@ def test_driver_window_r10_rotation():
     # query's last driver green is older than r5 (window members are
     # being re-verified this round by construction)
     for name in _DEMOTED:
+        if name in _STAGED_R10_LATE:
+            # staged addition: genuinely first-contact pending, so it
+            # must have NO driver history (a history row here would
+            # mean the staging claim is wrong)
+            assert name not in hist, f"{name} staged but has history"
+            continue
         assert max(hist[name]) >= 5, (
             f"{name} left demoted with last green r{max(hist[name])} < r5"
         )
