@@ -202,7 +202,7 @@ EXTENDED = [
     "robust_centroid_goldens",
 ]
 
-ROUND = 9  # bump per round; names the committed BENCHLOCAL file
+ROUND = 10  # bump per round; names the committed BENCHLOCAL file
 
 
 def time_index_phases(spark, sf_dir: str) -> dict[str, float]:
@@ -309,6 +309,63 @@ def time_index_phases(spark, sf_dir: str) -> dict[str, float]:
     return phases
 
 
+def platform_calibration(spark) -> dict[str, float]:
+    """Code-independent runner-VM probes, recorded in every BENCHLOCAL
+    from r10 on so cross-round deltas can separate PLATFORM shifts
+    from plan changes — the r9→r10 canonical pair moved a uniform
+    ~1.3x median across 124 queries whose code was SHA-identical
+    (only rotation bookkeeping differed between the bench SHAs), and
+    without an anchor that shift was indistinguishable from a broad
+    regression until hand-adjudicated (SCALING.md r10 platform-shift
+    section). Three probes, none touching repo code or testdata:
+
+    - pyloop_sec: single-thread Python arithmetic (interpreter + CPU
+      clock anchor).
+    - smalljob_ms: mean latency of a trivial 2-stage Spark job — the
+      scheduling overhead that dominates the many-small-stage query
+      regime (the regime that moves most under platform shifts).
+    - shuffle_probe_sec: min-of-3 of a mid-size synthesized
+      hash-aggregate (codegen + exchange + agg throughput).
+    """
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    t0 = _t.perf_counter()
+    s = 0
+    for i in range(8_000_000):
+        s += i * i
+    pyloop = _t.perf_counter() - t0
+
+    for _ in range(5):
+        spark.range(100).count()
+    t0 = _t.perf_counter()
+    for _ in range(60):
+        spark.range(100).count()
+    smalljob_ms = (_t.perf_counter() - t0) / 60 * 1000
+
+    def one() -> float:
+        t0 = _t.perf_counter()
+        (
+            spark.range(30_000_000)
+            .withColumn("k", F.col("id") % 10_000)
+            .groupBy("k")
+            .agg(F.sum("id").alias("s"), F.count("*").alias("c"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        return _t.perf_counter() - t0
+
+    one()
+    shuffle = min(one() for _ in range(3))
+    return {
+        "pyloop_sec": round(pyloop, 3),
+        "smalljob_ms": round(smalljob_ms, 1),
+        "shuffle_probe_sec": round(shuffle, 3),
+    }
+
+
 def _git_sha() -> str:
     try:
         return (
@@ -377,6 +434,22 @@ def main() -> None:
             out[name] = round(best, 3)
         return out
 
+    calibration = platform_calibration(spark)
+
+    # --calibrate-only: measure the platform probes and merge them
+    # into the existing canonical BENCHLOCAL artifact (for patching a
+    # run that predates the calibration block, without re-paying the
+    # full bench)
+    if "--calibrate-only" in sys.argv:
+        local = Path(_REPO) / f"BENCHLOCAL_r{ROUND:02d}.json"
+        art = json.loads(local.read_text())
+        art["calibration"] = calibration
+        art["calibration_loadavg"] = loadavg_start
+        local.write_text(json.dumps(art, indent=1) + "\n")
+        print(json.dumps({"calibration": calibration, "merged_into": str(local)}))
+        spark.stop()
+        return
+
     timings = time_set(HEADLINE)
     extended = time_set(EXTENDED)
     index_phases = time_index_phases(spark, sf_dir)
@@ -389,6 +462,7 @@ def main() -> None:
         "queries": timings,
         "extended_queries": extended,
         "index_phases": index_phases,
+        "calibration": calibration,
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",

@@ -38,6 +38,20 @@ a violation means re-measure min-of-5 idle interleaved and either
 fix the plan, attribute to ambient with data, or widen the band
 honestly in SCALING.md — then rerun with the query added to
 --changed once attributed.
+
+r10 (late) adds PLATFORM-CALIBRATION NORMALIZATION: each round's
+runner VM differs, and the r9→r10 canonical pair moved a uniform
+~1.3x median across 124 queries whose code was SHA-identical — a
+platform shift indistinguishable from a broad regression until
+hand-adjudicated. bench.py now records code-independent probes
+(`calibration`: pyloop_sec / smalljob_ms / shuffle_probe_sec) in
+every BENCHLOCAL; when BOTH artifacts carry them, the per-query gate
+divides each raw ratio by the CONSERVATIVE platform factor
+min(smalljob_ratio, shuffle_ratio, capped below at 1.0) — only
+slowdown that every probe agrees is platform-wide is excused, so
+normalization can never hide a genuine plan regression larger than
+the platform shift. Raw and normalized medians both print; SCALING.md
+quotes both.
 """
 
 from __future__ import annotations
@@ -82,9 +96,11 @@ def main() -> int:
     ap.add_argument("--no-gate", action="store_true",
                     help="report probe-phase regressions without refusing")
     ap.add_argument("--changed", default="",
-                    help="comma-separated query names whose plans "
-                         "intentionally changed this round (exempt from "
-                         "the per-query gate; attribute them in SCALING.md)")
+                    help="comma-separated query names exempt from the "
+                         "per-query gate: plans intentionally changed "
+                         "this round, OR above-band movers already "
+                         "attributed in SCALING.md (min-of-5 idle "
+                         "re-measure data — the gate message's workflow)")
     ap.add_argument("--dir", default=str(_REPO),
                     help="artifact directory (tests point this at tmp)")
     args = ap.parse_args()
@@ -109,6 +125,32 @@ def main() -> int:
     print(f"median ratio: {statistics.median(ratios):.3f}   "
           f"p90: {sorted(ratios)[int(0.9 * (len(ratios) - 1))]:.3f}   "
           f"mean: {statistics.fmean(ratios):.3f}")
+    # platform-calibration normalization (see module docstring): the
+    # conservative factor excuses only slowdown every probe shows
+    ca, cb = a.get("calibration"), b.get("calibration")
+    platform = 1.0
+    if ca and cb:
+        probe_ratios = {
+            k: cb[k] / ca[k]
+            for k in ("smalljob_ms", "shuffle_probe_sec", "pyloop_sec")
+            if ca.get(k) and cb.get(k)
+        }
+        platform = max(1.0, min(probe_ratios.values(), default=1.0))
+        norm = [r / platform for r in ratios]
+        print(
+            "platform probes (old -> new ratio): "
+            + "  ".join(f"{k} {v:.2f}x" for k, v in sorted(probe_ratios.items()))
+        )
+        print(
+            f"platform factor (conservative min, floor 1.0): {platform:.3f}"
+            f"   normalized median: {statistics.median(norm):.3f}"
+            f"   normalized p90: {sorted(norm)[int(0.9 * (len(norm) - 1))]:.3f}"
+        )
+    elif cb:
+        print(
+            "calibration present on the new side only (first anchored "
+            "round): " + json.dumps(cb, sort_keys=True)
+        )
     movers = sorted(rows, key=lambda r: r[3])
     print("fastest movers:")
     for n, x, y, r in movers[:5]:
@@ -123,12 +165,15 @@ def main() -> int:
     violations = [
         (n, x, y, r)
         for n, x, y, r in rows
-        if r > PROBE_BAND_CEIL and y >= QUERY_GATE_FLOOR_SEC and n not in changed
+        if r / platform > PROBE_BAND_CEIL
+        and y >= QUERY_GATE_FLOOR_SEC
+        and n not in changed
     ]
     for n, x, y, r in violations:
         print(
             f"QUERY GATE: {n} regressed {r:.2f}x ({x:.2f}s -> {y:.2f}s), "
-            f"above the {PROBE_BAND_CEIL}x ambient band and not in "
+            f"{r / platform:.2f}x platform-normalized — above the "
+            f"{PROBE_BAND_CEIL}x ambient band and not in "
             "--changed — re-measure min-of-5 idle interleaved; fix, "
             "attribute to ambient with data, or widen the band in "
             "SCALING.md, then add it to --changed."
@@ -148,7 +193,7 @@ def main() -> int:
         for k in PROBE_PHASES:
             if k in pa and k in pb and pa[k] > 0:
                 ratio = pb[k] / pa[k]
-                if ratio > PROBE_BAND_CEIL:
+                if ratio / platform > PROBE_BAND_CEIL:
                     print(
                         f"PROBE GATE: {k} regressed {ratio:.2f}x "
                         f"({pa[k]:.2f}s -> {pb[k]:.2f}s), above the "
