@@ -490,3 +490,38 @@ def test_coverage_md_suite_count_matches_collection():
         f"COVERAGE.md green count {claimed_g} != collected {n} - "
         f"{skips} skips"
     )
+
+
+def test_latest_skew_audit_covers_catalog_and_is_clean():
+    # the r10 catalog-wide AQE skew-rescue audit
+    # (scripts/skew_audit_catalog.py -> SKEWAUDIT_r{N}.json): every
+    # catalog query's physical plan is classified per SortMergeJoin
+    # by whether OptimizeSkewedJoin could split it at runtime, and
+    # every unsplittable SMJ must carry a structural-deskew
+    # justification in the script's allowlist. This pins that the
+    # latest committed audit (a) exists, (b) covers the whole current
+    # catalog — so a new operator cannot land without a skew posture
+    # — and (c) has zero unadjudicated violations and zero errors.
+    import json
+    from glob import glob
+    from pathlib import Path
+
+    root = Path(__file__).parent.parent
+    audits = sorted(glob(str(root / "SKEWAUDIT_r*.json")))
+    assert audits, (
+        "no committed SKEWAUDIT artifact — run "
+        "`python scripts/skew_audit_catalog.py` before closing the round"
+    )
+    audit = json.loads(Path(audits[-1]).read_text())
+    assert audit["n_audited"] == len(catalog()), (
+        f"audit covers {audit['n_audited']} of {len(catalog())} catalog "
+        "queries — re-run scripts/skew_audit_catalog.py after any "
+        "catalog change"
+    )
+    assert not audit["violations"], (
+        f"unadjudicated skew-exposed joins: {audit['violations']} — "
+        "broadcast/salt/pre-split the hot side, or justify the "
+        "structural mechanism in the script's STRUCTURALLY_DESKEWED "
+        "allowlist"
+    )
+    assert not audit["errors"], audit["errors"]
