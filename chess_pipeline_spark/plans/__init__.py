@@ -131,6 +131,14 @@ DRIVER_WINDOW = 50
 #          double-green (r8 AND r9) r8 promotions whose families
 #          keep in-window anchors; the three ANCHORS stay.
 #
+# r11 WORK NOTE (from the r10 sf1-soak, SCALING.md): widen the
+# SimHash family's signature (56-bit via a second mixed word hash,
+# 4x14-bit bands) and re-tune the hamming threshold + planted test
+# geometry accordingly — cross_source_leakage's unblocked banding has
+# an intrinsic n²/2^7-per-band candidate floor at the current 28-bit
+# width (measured 68.6 s at 500k docs; fine to ~10^6 docs, wrong
+# tool at 10^9).
+#
 # r11 ROTATION NOTE: r10 holds catalog growth at ONE staged addition
 # (exact_substring_spans, built late-r10 under the r8/r9 staging
 # precedent: demoted on landing, sweep-verified at all three SFs,

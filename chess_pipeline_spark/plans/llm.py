@@ -590,20 +590,36 @@ WHERE len(list_intersect(a.w, b.w))
 # MinHash signatures
 # ------------------------------------------------------------------
 # k=4 permutation-hash minima over 3-word shingles. The base shingle
-# hash is intentionally a simple closed-form (ascii/length based) so
-# the SQL oracle can reproduce it exactly; the *mechanics*
-# (shingle → k permuted hashes → min per permutation) are the real
-# MinHash algorithm. At scale, band the signature (pairs of minhashes)
-# into LSH bucket keys and block the near-dup join on them.
+# hash must be engine-portable (the SQL oracle reproduces it exactly)
+# AND high-entropy; the *mechanics* (shingle → k permuted hashes →
+# min per permutation) are the real MinHash algorithm. At scale, band
+# the signature (pairs of minhashes) into LSH bucket keys and block
+# the near-dup join on them.
 _MINHASH_PERMS = ((1299721, 2750161), (4256233, 950041), (7368787, 3389), (9576890767, 104729))
 _MINHASH_P = 2147483647
 
-# closed-form base hash of a shingle string s (same in Spark SQL and DuckDB)
-_BASE_HASH = (
-    "CAST(ascii({s}) AS BIGINT) * 1000003"
-    " + CAST(length({s}) AS BIGINT) * 7919"
-    " + CAST(ascii(reverse({s})) AS BIGINT) * 977"
-)
+# Engine-portable base hash of a token/shingle string s: fold the
+# first 8 hex digits of md5(s) to a 32-bit integer (the sampling
+# tier's instr-fold, corpus.py::_md5_u6 — instr/substr/md5 behave
+# identically in Spark SQL and DuckDB). r10 REPLACED the original
+# closed-form (ascii(s)*1000003 + length(s)*7919 + ascii(reverse(s))
+# *977): that hash depends ONLY on (first char, length, last char),
+# an effective key space of ~10^4-10^5 values, which the sf1-soak
+# exposed as an LSH scale-killer — at 500k docs every band bucket
+# saturates with false collisions and the within-bucket pair
+# expansion goes quadratic (measured 760x time at 100x data,
+# SCALESOAK/SCALING.md). The md5 fold gives the full 32-bit space
+# (reduced mod P=2^31-1 downstream, so the permutation-overflow
+# analysis is unchanged: (a%P)*(h%P) < 2^62). Callers always reduce
+# `% _MINHASH_P` before storing or permuting.
+_BASE_HASH = "(" + " + ".join(
+    # CAST to BIGINT before the place-value multiply: instr returns
+    # 32-bit INT and 15 * 16^7 overflows it (ANSI mode aborts; the
+    # 6-digit sampling fold fit inside INT, this 8-digit one doesn't)
+    f"CAST(instr('0123456789abcdef', substr(md5({{s}}), {k}, 1)) - 1"
+    f" AS BIGINT) * {16 ** (8 - k)}"
+    for k in range(1, 9)
+) + ")"
 
 
 def _minhash_sig(spark: SparkSession, sf_dir: str, only_shingled: bool = False) -> DataFrame:
@@ -629,13 +645,12 @@ def _minhash_sig(spark: SparkSession, sf_dir: str, only_shingled: bool = False) 
         "ELSE CAST(array() AS array<string>) END"
     )
     # hash each shingle ONCE, then apply the k permutations to the
-    # integer array (string ops are the expensive part). Both the
+    # integer array (the md5 fold is the expensive part). Both the
     # base hash and the permutation multiplier are reduced mod P
-    # BEFORE multiplying — (a%P)*(h%P) stays under 2^63 even for
-    # CJK code points (ascii('的')≈3e4 → h≈3e10, and one raw perm
-    # constant is ~9.6e9: the raw product would overflow, silently
-    # wrapping in Spark but ABORTING the DuckDB oracle). Modular
-    # arithmetic keeps the resulting signatures identical.
+    # BEFORE multiplying — (a%P)*(h%P) stays under 2^62, and one raw
+    # perm constant is ~9.6e9 so the unreduced product would overflow
+    # (silently wrapping in Spark but ABORTING the DuckDB oracle).
+    # Modular arithmetic keeps the resulting signatures identical.
     h = _BASE_HASH.format(s="s")
     df = words.select(
         "doc_id",

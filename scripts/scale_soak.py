@@ -1,0 +1,220 @@
+#!/usr/bin/env python3
+"""sf1-equivalent scale soak (r10): measure headline catalog queries
+at ~10x the bench scale factor on HONESTLY-GROWN synthetic data.
+
+The committed 10x-ratio table (SCALING.md) compares sf0.01 -> sf0.1;
+this pushes one more decade on the tables that matter, keeping the
+data distribution honest instead of pathological:
+
+  - orders / lineitem x10 (1.5M / 6M rows): replicas re-key
+    o_orderkey with a disjoint offset so the order->lineitem join
+    fan-out per key is UNCHANGED; customers don't grow (more orders
+    per customer — how a real book grows).
+  - events x10 (1M rows): event_id re-keyed, user_id kept (more
+    events per user; session/window state per key grows — the honest
+    direction for window queries).
+  - documents x100 (500k docs, ~150 MB text): every word in replica
+    r gets the suffix `_r`, so replicas share NO shingles/grams/terms
+    — each replica mirrors the original corpus's internal dup/near-dup
+    structure and the global dup-pair count scales LINEARLY (x100).
+    Pure replication would instead make every doc a 100-way near-dup
+    (quadratic pair blowup — a different, already-measured stress:
+    SCALING.md '50k documents' section).
+  - embeddings x250 (500k vectors x 64 dims): vec_id re-keyed, first
+    component nudged by r*1e-4 so no two replicas are byte-identical;
+    cluster geometry is preserved, IVF list sizes grow x250.
+
+Each selected query runs at BOTH scales in the same warm JVM (noop
+sink, bench.py's convention, best-of-RUNS) and reports
+ratio-vs-multiplier: ratio << multiplier means the plan's constant
+setup (scheduling, codegen, tiny-stage latency) still dominates at
+this scale; ratio ~ multiplier is linear data-bound scaling; ratio
+>> multiplier is the red flag this artifact exists to catch.
+
+Writes SCALESOAK_r{N}.json at the repo root, prints one JSON line.
+Env: SOAK_DIR (default /tmp/scale_soak), SOAK_RUNS (default 2),
+SOAK_REBUILD=1 to force regeneration.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent.parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from chess_pipeline_spark.plans import catalog  # noqa: E402
+from chess_pipeline_spark.session import get_spark  # noqa: E402
+
+# table -> (replication factor, re-key exprs applied per replica)
+_REL_MULT = 10
+_DOC_MULT = 100
+_EMB_MULT = 250
+
+# query -> the multiplier of its driving table(s), for the
+# ratio-vs-multiplier comparison
+QUERIES: dict[str, int] = {
+    # relational tier (lineitem/orders x10)
+    "pricing_summary": _REL_MULT,
+    "profit_by_nation_year": _REL_MULT,
+    "large_quantity_orders": _REL_MULT,
+    "cust_order_count_dist": _REL_MULT,
+    "top_customer_revenue": _REL_MULT,
+    # events tier (x10)
+    "events_sessionized": _REL_MULT,
+    "attribution_last_touch": _REL_MULT,
+    # documents tier (x100)
+    "dedup_exact": _DOC_MULT,
+    "token_count": _DOC_MULT,
+    "paragraph_dedup": _DOC_MULT,
+    "dup_ngram_fraction": _DOC_MULT,
+    "bm25_doc_search": _DOC_MULT,
+    "minhash_lsh_candidates": _DOC_MULT,
+    "dedup_incremental_simhash": _DOC_MULT,
+    "cross_source_leakage": _DOC_MULT,
+    "leakage_safe_split": _DOC_MULT,
+    # embeddings tier (x250)
+    "knn_cosine_topk": _EMB_MULT,
+    "knn_cosine_ivf": _EMB_MULT,
+}
+
+
+def _replicate(spark, src: str, out_dir: str) -> dict[str, int]:
+    """Write the soak tables (and pass-through dims) under out_dir."""
+    os.makedirs(out_dir, exist_ok=True)
+    counts: dict[str, int] = {}
+
+    def grown(table: str, mult: int, rekey) -> None:
+        base = spark.read.parquet(f"{src}/{table}.parquet")
+        reps = spark.range(mult).withColumnRenamed("id", "__rep")
+        df = base.crossJoin(F.broadcast(reps))
+        # write with real parallelism: the broadcast replication keeps
+        # the base file's split count (~a handful), and scans over a
+        # 6-partition 500k-doc table run 6-wide with per-task state
+        # sized for the whole corpus (measured: heap OOM at 8g)
+        df = rekey(df).drop("__rep").repartition(64)
+        df.write.mode("overwrite").parquet(f"{out_dir}/{table}.parquet")
+        counts[table] = spark.read.parquet(
+            f"{out_dir}/{table}.parquet"
+        ).count()
+
+    off = F.col("__rep") * F.lit(1_000_000_000)
+    grown(
+        "orders",
+        _REL_MULT,
+        lambda d: d.withColumn("o_orderkey", F.col("o_orderkey") + off),
+    )
+    grown(
+        "lineitem",
+        _REL_MULT,
+        lambda d: d.withColumn("l_orderkey", F.col("l_orderkey") + off),
+    )
+    grown(
+        "events",
+        _REL_MULT,
+        lambda d: d.withColumn("event_id", F.col("event_id") + off),
+    )
+    grown(
+        "documents",
+        _DOC_MULT,
+        lambda d: d.withColumn("doc_id", F.col("doc_id") + off).withColumn(
+            "text",
+            F.expr(
+                r"regexp_replace(text, '(\\S+)', concat('$1_', __rep))"
+            ),
+        ),
+    )
+    grown(
+        "embeddings",
+        _EMB_MULT,
+        lambda d: d.withColumn("vec_id", F.col("vec_id") + off).withColumn(
+            "embedding",
+            F.expr(
+                "transform(embedding, (x, i) -> CAST(x + IF(i = 0, "
+                "__rep * 1e-4, 0d) AS float))"
+            ),
+        ),
+    )
+    for dim in ("region", "nation", "customer", "supplier", "part"):
+        shutil.copy(f"{src}/{dim}.parquet", f"{out_dir}/{dim}.parquet")
+    return counts
+
+
+def _time_query(spark, spec, sf_dir: str, runs: int) -> float:
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        spec.spark(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def main() -> None:
+    base_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    work = os.environ.get("SOAK_DIR", "/tmp/scale_soak")
+    runs = int(os.environ.get("SOAK_RUNS", "2"))
+    round_no = int(os.environ.get("SOAK_ROUND", "10"))
+    spark = get_spark(app_name="scale-soak")
+    soak_dir = os.path.join(work, "sfx")
+
+    t0 = time.time()
+    if os.environ.get("SOAK_REBUILD") == "1" or not os.path.exists(soak_dir):
+        shutil.rmtree(soak_dir, ignore_errors=True)
+        counts = _replicate(spark, base_dir, soak_dir)
+        gen_sec = round(time.time() - t0, 1)
+    else:
+        counts = {
+            t: spark.read.parquet(f"{soak_dir}/{t}.parquet").count()
+            for t in ("orders", "lineitem", "events", "documents", "embeddings")
+        }
+        gen_sec = 0.0
+
+    cat = catalog()
+    # warm the JVM/codegen on an untimed run of a small query
+    cat["pricing_summary"].spark(spark, base_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    results: dict[str, dict] = {}
+    for name, mult in QUERIES.items():
+        spec = cat[name]
+        base_s = _time_query(spark, spec, base_dir, runs)
+        soak_s = _time_query(spark, spec, soak_dir, runs)
+        results[name] = {
+            "base_sec": base_s,
+            "soak_sec": soak_s,
+            "mult": mult,
+            "ratio": round(soak_s / base_s, 2) if base_s else None,
+        }
+        print(
+            f"  {name}: {base_s}s -> {soak_s}s "
+            f"(ratio {results[name]['ratio']}x vs data x{mult})",
+            file=sys.stderr,
+        )
+
+    out = {
+        "base_dir": base_dir,
+        "soak_rows": counts,
+        "gen_sec": gen_sec,
+        "runs_per_query": runs,
+        "elapsed_sec": round(time.time() - t0, 1),
+        "loadavg": list(os.getloadavg()),
+        "queries": results,
+    }
+    path = Path(_REPO) / f"SCALESOAK_r{round_no:02d}.json"
+    path.write_text(json.dumps(out, indent=1, sort_keys=True))
+    print(json.dumps({k: v["ratio"] for k, v in results.items()} | {"artifact": str(path)}))
+
+
+if __name__ == "__main__":
+    main()
