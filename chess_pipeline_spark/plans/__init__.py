@@ -136,7 +136,7 @@ DRIVER_WINDOW = 50
 # 4x14-bit bands) and re-tune the hamming threshold + planted test
 # geometry accordingly — cross_source_leakage's unblocked banding has
 # an intrinsic n²/2^7-per-band candidate floor at the current 28-bit
-# width (measured 68.6 s at 500k docs; fine to ~10^6 docs, wrong
+# width (measured 59.6 s at 500k docs; fine to ~10^6 docs, wrong
 # tool at 10^9).
 #
 # r11 ROTATION NOTE: r10 holds catalog growth at ONE staged addition

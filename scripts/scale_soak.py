@@ -78,6 +78,10 @@ QUERIES: dict[str, int] = {
     "dup_ngram_fraction": _DOC_MULT,
     "bm25_doc_search": _DOC_MULT,
     "minhash_lsh_candidates": _DOC_MULT,
+    "dedup_groups": _DOC_MULT,
+    "simhash_near_dup": _DOC_MULT,
+    "ngram_jaccard_near_dup": _DOC_MULT,
+    "containment_near_dup": _DOC_MULT,
     "dedup_incremental_simhash": _DOC_MULT,
     "cross_source_leakage": _DOC_MULT,
     "leakage_safe_split": _DOC_MULT,
