@@ -678,10 +678,15 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents.alias("cents"),
         (nxt - F.col("ts_sec")).cast("long").alias("weight_s"),
     ).filter(F.col("weight_s").isNotNull())
+    # nullif the denominator: a user whose events all share one
+    # second has total held-time 0 — no defined time-weighted mean —
+    # and ANSI Spark would otherwise abort the whole job on the
+    # divide (found by the hypothesis generator; both engines agree
+    # on NULL through the nullif)
     return t.groupBy("user_id").agg(
         fround(
             F.sum(F.col("cents") * F.col("weight_s")).cast("double")
-            / (F.lit(100.0) * F.sum("weight_s").cast("double")),
+            / (F.lit(100.0) * F.expr("nullif(sum(weight_s), 0)").cast("double")),
             6,
         ).alias("twa_value"),
         F.sum("weight_s").cast("long").alias("total_seconds"),
@@ -701,7 +706,7 @@ iv AS (
   FROM t)
 SELECT user_id,
        floor((CAST(sum(cents * weight_s) AS DOUBLE)
-              / (100.0 * CAST(sum(weight_s) AS DOUBLE))) * 1000000.0 + 0.5)
+              / (100.0 * CAST(nullif(sum(weight_s), 0) AS DOUBLE))) * 1000000.0 + 0.5)
          / 1000000.0 AS twa_value,
        CAST(sum(weight_s) AS BIGINT) AS total_seconds,
        CAST(count(*) AS BIGINT) AS n_intervals
