@@ -326,16 +326,28 @@ def test_driver_window_r10_rotation():
     # (re-verifications) except the one staged first-contact query
     for name in promoted_r10[1:]:
         assert hist.get(name), f"{name} claimed as freshness return, no history"
-    assert "robust_centroid_goldens" not in hist  # genuinely first contact
+    # genuinely first contact in r10: green history may START at r10
+    # (the driver's own CORRECTNESS_r10.json lands in the repo root
+    # after the round closes) but must not predate it. The r10-judged
+    # form of this assertion ("not in hist") was an artifact time
+    # bomb: it went red the moment the driver's green r10 artifact
+    # existed. Every history assertion in this file must stay true
+    # as FUTURE driver artifacts accumulate.
+    assert min(hist.get("robust_centroid_goldens", {10})) >= 10
     # the r10 bound this rotation exists to hold: post-swap, no DEMOTED
     # query's last driver green is older than r5 (window members are
     # being re-verified this round by construction)
     for name in _DEMOTED:
         if name in _STAGED_R10_LATE:
-            # staged addition: genuinely first-contact pending, so it
-            # must have NO driver history (a history row here would
-            # mean the staging claim is wrong)
-            assert name not in hist, f"{name} staged but has history"
+            # staged addition: first contact scheduled for r11+, so
+            # any driver history must start at r11 or later (a green
+            # row BEFORE r11 would mean the staging claim is wrong;
+            # "no history at all" went stale the moment the r11
+            # promotion landed — the time-bomb class the r10 verdict
+            # flagged)
+            assert min(hist.get(name, {11})) >= 11, (
+                f"{name} staged late-r10 but has pre-r11 history"
+            )
             continue
         assert max(hist[name]) >= 5, (
             f"{name} left demoted with last green r{max(hist[name])} < r5"
