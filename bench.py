@@ -442,9 +442,21 @@ def main() -> None:
     # full bench)
     if "--calibrate-only" in sys.argv:
         local = Path(_REPO) / f"BENCHLOCAL_r{ROUND:02d}.json"
+        if not local.exists():
+            spark.stop()
+            sys.exit(
+                f"--calibrate-only: {local} does not exist — run the full "
+                f"bench first (the probes patch an EXISTING canonical "
+                f"artifact; there is nothing to merge into)"
+            )
         art = json.loads(local.read_text())
         art["calibration"] = calibration
         art["calibration_loadavg"] = loadavg_start
+        # the probes were measured NOW, not when the artifact's query
+        # timings ran — possibly under different load or VM state.
+        # Mark the merge so bench_delta/SCALING.md readers know the
+        # calibration is not contemporaneous with the timings.
+        art["calibration_patched_unix"] = int(time.time())
         local.write_text(json.dumps(art, indent=1) + "\n")
         print(json.dumps({"calibration": calibration, "merged_into": str(local)}))
         spark.stop()

@@ -135,7 +135,23 @@ def main() -> int:
             for k in ("smalljob_ms", "shuffle_probe_sec", "pyloop_sec")
             if ca.get(k) and cb.get(k)
         }
-        platform = max(1.0, min(probe_ratios.values(), default=1.0))
+        # the factor uses ONLY the two Spark-side probes (the
+        # documented contract): pyloop is a driver-side Python
+        # interpreter probe and can sit below a genuine JVM/executor
+        # platform shift, letting the gate fire on shift the two
+        # Spark probes agree is platform-wide. It still PRINTS above
+        # as corroborating context.
+        platform = max(
+            1.0,
+            min(
+                (
+                    v
+                    for k, v in probe_ratios.items()
+                    if k in ("smalljob_ms", "shuffle_probe_sec")
+                ),
+                default=1.0,
+            ),
+        )
         norm = [r / platform for r in ratios]
         print(
             "platform probes (old -> new ratio): "

@@ -14,8 +14,13 @@ data distribution honest instead of pathological:
     events per user; session/window state per key grows — the honest
     direction for window queries).
   - documents x100 (500k docs, ~150 MB text): every word in replica
-    r gets the suffix `_r`, so replicas share NO shingles/grams/terms
-    — each replica mirrors the original corpus's internal dup/near-dup
+    r gets a letters-only suffix (`q` + digits mapped a-j, e.g. rep
+    12 -> `qbc`) that survives BOTH tokenizer families in use —
+    split-on-space AND the [a-z]+ letter-run tokenizer — so replicas
+    share NO shingles/grams/terms under either. (The r10 soak's
+    `_<rep>` suffix was stripped by the [a-z]+ tokenizer, silently
+    measuring dup_ngram_fraction on pure replication — r10 ADVICE.)
+    Each replica mirrors the original corpus's internal dup/near-dup
     structure and the global dup-pair count scales LINEARLY (x100).
     Pure replication would instead make every doc a 100-way near-dup
     (quadratic pair blowup — a different, already-measured stress:
@@ -130,9 +135,22 @@ def _replicate(spark, src: str, out_dir: str) -> dict[str, int]:
         "documents",
         _DOC_MULT,
         lambda d: d.withColumn("doc_id", F.col("doc_id") + off).withColumn(
+            # the replica suffix must survive EVERY tokenizer the
+            # soaked queries use: split(text, ' ') keeps any suffix,
+            # but dup_ngram_fraction's word-gram postings tokenize
+            # with [a-z]+ on lowered text (corpus.py), which STRIPS a
+            # `_<digits>` suffix — the r10 soak measured that query on
+            # a 100-way fully-duplicated corpus by accident (r10
+            # ADVICE). Letters only: 'q' separator + base-26-ish
+            # digit->a-j map; suffixes can't collide across replicas
+            # since a-j never contains the 'q' separator, and the
+            # synthetic corpus is pure lowercase alpha tokens
+            # (verified), so '(\\S+)' == the letter runs.
             "text",
             F.expr(
-                r"regexp_replace(text, '(\\S+)', concat('$1_', __rep))"
+                r"regexp_replace(text, '(\\S+)', concat('$1q', "
+                r"translate(CAST(__rep AS STRING), "
+                r"'0123456789', 'abcdefghij')))"
             ),
         ),
     )
@@ -206,6 +224,38 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # index-family soak (r11): the catalog rows for the persisted
+    # IVFADC / BM25 indexes are ~80% per-run build by construction,
+    # so the per-query ratios above can't separate a build-path
+    # scale-killer from probe growth. Reuse bench.py's phase-split
+    # harness (build 90% / ingest 10% / compact / probe min-of-3) at
+    # both scales and report per-phase ratio vs the driving table's
+    # multiplier (embeddings x250, documents x100).
+    index_soak: dict[str, dict] = {}
+    if os.environ.get("SOAK_SKIP_INDEX") != "1":
+        from bench import time_index_phases
+
+        phases_base = time_index_phases(spark, base_dir)
+        phases_soak = time_index_phases(spark, soak_dir)
+        for key in phases_base:
+            mult = _EMB_MULT if key.startswith("ivf_") else _DOC_MULT
+            index_soak[key] = {
+                "base_sec": phases_base[key],
+                "soak_sec": phases_soak[key],
+                "mult": mult,
+                "ratio": (
+                    round(phases_soak[key] / phases_base[key], 2)
+                    if phases_base[key]
+                    else None
+                ),
+            }
+            print(
+                f"  index {key}: {phases_base[key]}s -> "
+                f"{phases_soak[key]}s (ratio {index_soak[key]['ratio']}x "
+                f"vs data x{mult})",
+                file=sys.stderr,
+            )
+
     out = {
         "base_dir": base_dir,
         "soak_rows": counts,
@@ -214,6 +264,7 @@ def main() -> None:
         "elapsed_sec": round(time.time() - t0, 1),
         "loadavg": list(os.getloadavg()),
         "queries": results,
+        "index_phases": index_soak,
     }
     path = Path(_REPO) / f"SCALESOAK_r{round_no:02d}.json"
     path.write_text(json.dumps(out, indent=1, sort_keys=True))
