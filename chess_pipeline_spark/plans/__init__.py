@@ -131,64 +131,33 @@ DRIVER_WINDOW = 50
 #          double-green (r8 AND r9) r8 promotions whose families
 #          keep in-window anchors; the three ANCHORS stay.
 #
-# r11 WORK NOTE (from the r10 sf1-soak, SCALING.md): widen the
-# SimHash family's signature (56-bit via a second mixed word hash,
-# 4x14-bit bands) and re-tune the hamming threshold + planted test
-# geometry accordingly — cross_source_leakage's unblocked banding has
-# an intrinsic n²/2^7-per-band candidate floor at the current 28-bit
-# width (measured 59.6 s at 500k docs; fine to ~10^6 docs, wrong
-# tool at 10^9).
+#   r10→r11: executed the r11 FRESHNESS rotation — promoted
+#          exact_substring_spans (first driver contact; the r10-late
+#          staged addition and last driver-unseen query) PLUS all 34
+#          r5-era demotions (the entire r5→r6 section: win_ratio_
+#          by_status … tfidf_top_terms) — after this swap no catalog
+#          query's last driver green is older than r6. The driver's
+#          own green CORRECTNESS_r10 gave every r10 window member a
+#          fresh green, so 46 members were freshness-eligible (>= 2
+#          greens incl r10) — more than the ~23 the r10 note
+#          projected. Demoted 35: the sixteen long-history r10
+#          freshness returns, four of the five r3/r4-era returns,
+#          twelve r8-era triple-greens, the two r9-era double-greens,
+#          and concurrency_peak_daily; kept in-window beyond the
+#          ANCHORS: the eleven family anchors listed at the r11
+#          section of _DEMOTED (incl. simhash_near_dup, deliberately
+#          held because the r11 56-bit signature widening changes its
+#          plan and changed code needs driver contact).
 #
-# r11 ROTATION NOTE: r10 holds catalog growth at ONE staged addition
-# (exact_substring_spans, built late-r10 under the r8/r9 staging
-# precedent: demoted on landing, sweep-verified at all three SFs,
-# never driver-seen — it is therefore FIRST in the r11 promotion
-# queue). When CORRECTNESS_r10 lands, the freshness pool becomes
-# the r5-era demotions (the ~34 names last green r5 — win_ratio_
-# by_status, pricing_summary, order_priority_clean, …); the 22 r10
-# promotions go double-green-eligible only after a second driver
-# round, but the 13 r8-era names still in-window (embedding_diversity
-# and dup_ngram_fraction reach double-green with r10) plus the ten
-# remaining r8 double-greens give ~23 eligible slots — promote the
-# stalest r5-era names per check_rotation.py freshness mode, keep
-# the ANCHORS, and rewrite DEMOTION_COVERAGE as below.
+# r11 WORK NOTE status (from the r10 sf1-soak, SCALING.md): the
+# SimHash 56-bit signature widening (second mixed word hash, 4x14-bit
+# bands, re-tuned hamming threshold + planted-geometry tests) is the
+# round's main engine change — see plans/llm.py SimHash section and
+# SCALING.md r11 for the re-soak against the 28-bit n²/2^7-per-band
+# candidate floor (measured 59.6 s at 500k docs in r10).
 _DEMOTED: tuple[str, ...] = (
-    # --- demoted in the r5→r6 rotation (green r5 AND >=1 earlier
-    # round; every name below has >=2 green driver rounds) ---
-    "win_ratio_by_status",
-    "pricing_summary",
-    "top_customer_revenue",
-    "order_priority_clean",
-    "parts_never_ordered",
-    "customers_with_orders",
-    "orders_fulfillment",
-    "order_lines_enriched",
-    "clock_lead_fill",
-    "zip_explode_lockstep",
-    "material_map_expand",
-    "union_by_name",
-    "scalar_feature_sampler",
-    "array_predicate_filter",
-    "rollup_priority_status",
-    "price_percentiles",
-    "events_tumbling_1h",
-    "events_sessionized",
-    "events_dedup_latest",
-    "events_asof_last_purchase",
-    "event_funnel",
-    "win_prob_lr",
-    "lang_id_heuristic",
-    "ngram_jaccard_near_dup",
-    "knn_cosine_ivf",
-    "knn_cosine_lsh",
-    "embedding_quantize_int8",
-    "frame_sample_features",
-    "dedup_normalized",
-    "dedup_groups",
-    "dedup_keep_best",
-    "stratified_sample",
-    "pack_sequences",
-    "tfidf_top_terms",
+    # (the whole r5→r6 demotion section — the 34 names last green r5 —
+    # returned to the window in the r10→r11 freshness rotation below)
     # --- demoted in the r6→r7 rotation: green in r5 AND r6 (first
     # twelve) or r6-green with redundant in-window family coverage
     # (last five) ---
@@ -294,10 +263,68 @@ _DEMOTED: tuple[str, ...] = (
     "media_phash_near_dup",
     "fuzzy_part_matches",
     "bloom_join_prune",
-    # ---- r10-late staged addition (the r8/r9 precedent: built
-    # demoted, sweep-verified at all three SFs on landing, staged
-    # for first driver contact in the r11 promotion) ----
-    "exact_substring_spans",
+    # ---- demoted in the r10→r11 freshness rotation: 35 slots went
+    # to exact_substring_spans (first driver contact — the last
+    # never-driver-seen catalog query) plus ALL 34 r5-era demotions
+    # (the entire r5→r6 section), after which no catalog query's last
+    # driver green is older than r6. Demoted per check_rotation.py's
+    # freshness mode (every name >=2 green rounds including r10),
+    # keeping eleven family anchors in-window beyond the three
+    # standing ANCHORS: pgn_moves_table (PGN UDTF), scd2_point_in_
+    # time_join (SCD2/PIT), above_share_nations (global scalar),
+    # profit_by_nation_year (snowflake), dominant_supplier_parts
+    # (semi/threshold), brand_supplier_counts (anti join),
+    # psi_value_drift (bins), ivf_ingest_audit + bm25_index_probe
+    # (persisted indexes), hll_set_algebra (register sketches), and
+    # simhash_near_dup (hamming banding — KEPT deliberately out of
+    # freshness order because the r11 56-bit signature widening
+    # changes its plan, and changed code needs driver contact, not a
+    # stale green); robust_centroid_goldens stays single-green for
+    # its second round. concurrency_peak_daily rotates out instead —
+    # its sweep-line/time-bucket family re-anchors on the five
+    # returning events queries. ----
+    # the sixteen long-history (r1-r4 + r10) freshness re-promotions
+    "top3_orders_per_customer",
+    "eval_comment_parse",
+    "revenue_by_nation",
+    "running_revenue",
+    "dedup_exact",
+    "text_quality_stats",
+    "doc_fingerprint",
+    "near_dup_pairs_jaccard",
+    "minhash_lsh_candidates",
+    "lineitem_filter_isin",
+    "initial_clock_per_group",
+    "clock_seconds_parse",
+    "orders_per_priority",
+    "struct_pack_fields",
+    "empty_relation_guard",
+    "token_count",
+    # the four r3/r4-era returns re-greened in r10
+    "embedding_near_dup_cosine",
+    "knn_cosine_topk",
+    "embedding_stats",
+    "top_terms_per_source",
+    # twelve r8-era triple-greens (r8, r9, r10) whose families keep
+    # in-window anchors (citations in DEMOTION_COVERAGE)
+    "cheapest_supplier_per_part",
+    "hard_negative_mining",
+    "ivf_adc_recall",
+    "bpe_train_merges",
+    "sliding_window_chunks",
+    "bpe_encode_tokens",
+    "leakage_safe_split",
+    "token_balanced_shards",
+    "source_kl_divergence",
+    "cms_join_size_estimate",
+    "join_key_skew_profile",
+    "containment_near_dup",
+    # two r9-era double-greens (r9, r10)
+    "embedding_diversity",
+    "dup_ngram_fraction",
+    # the sweep-line anchor, triple-green r8-r10; its family
+    # re-anchors on the returning events queries (see note above)
+    "concurrency_peak_daily",
 )
 
 # For every demoted query: the IN-WINDOW queries that keep its SURVEY
@@ -309,188 +336,116 @@ _DEMOTED: tuple[str, ...] = (
 # mixture_sample/multimodal_features; every row below cites r8-window
 # members only).
 DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
-    # ---- r5→r6 demotions, re-cited against the r8 window ----
-    # A1/A2/E5 pivot + row-normalize → grouping sets + share normalization
-    "win_ratio_by_status": ("cube_status_priority", "above_share_nations"),
-    # A3 Q1-shaped multi-agg → grouping-set sums + cardinality profiles
-    "pricing_summary": ("cube_status_priority", "join_key_skew_profile"),
-    # J5/A1/O1/O3 dim join + revenue top-k → snowflake join agg +
-    # per-key rank top-k (r10: top3_orders_per_customer back in-window)
-    "top_customer_revenue": ("profit_by_nation_year", "top3_orders_per_customer"),
-    # P1/P2/P8 projection + recode → CASE recodes in grouping sets +
-    # the priority-grouping count pivot
-    "order_priority_clean": ("cube_status_priority", "orders_per_priority"),
-    # J7/P6 anti join → Q16 NOT-IN anti join + the 0-row prune/anti path
-    "parts_never_ordered": ("brand_supplier_counts", "empty_relation_guard"),
-    # J10 semi join → Q20's decorrelated IN-subquery semi join
-    "customers_with_orders": ("dominant_supplier_parts",),
-    # J3/P7 left join + 0-fill → outer vocab/bin merges with fills
-    "orders_fulfillment": ("source_kl_divergence", "psi_value_drift"),
-    # J4/J9 chained joins → multi-join snowflake report shapes
-    "order_lines_enriched": ("profit_by_nation_year", "cheapest_supplier_per_part"),
-    # W2/W3/W5 lead/lag chains → SCD2 lead-validity intervals + sweep order
-    "clock_lead_fill": ("scd2_point_in_time_join", "concurrency_peak_daily"),
-    # E1/E3/U2 lockstep explode → arrays_zip + posexplode in the PGN UDTF
-    "zip_explode_lockstep": ("pgn_moves_table",),
-    # E2/A6 map→rows symbol counters → per-ply explode + token folds
-    "material_map_expand": ("pgn_moves_table", "bpe_encode_tokens"),
-    # U1/U3 union by name → period-frame unions + estimate/exact unions
-    "union_by_name": ("psi_value_drift", "cms_join_size_estimate"),
-    # F1-F15 scalar chains → the promoted regexp/parse F-chain twins
-    "scalar_feature_sampler": ("eval_comment_parse", "clock_seconds_parse"),
-    # P5/F18/F19 array predicates → gram array ops + token array folds
-    "array_predicate_filter": ("containment_near_dup", "bpe_encode_tokens"),
-    # ROLLUP grouping sets → the CUBE grouping-set twin
-    "rollup_priority_status": ("cube_status_priority",),
-    # percentile aggregates → the percentile-sketch bin machinery
-    "price_percentiles": ("psi_value_drift",),
-    # §2.11 tumbling batch twin → daily time-bucket sweep aggregation
-    "events_tumbling_1h": ("concurrency_peak_daily",),
-    # §2.11 session batch twin → session sweep-line concurrency
-    "events_sessionized": ("concurrency_peak_daily",),
-    # P9/A4/A8/W4 latest-row dedup → SCD2 current-row pick + as-of latest
-    "events_dedup_latest": ("scd2_point_in_time_join", "cheapest_supplier_per_part"),
-    # as-of join → the SCD2 point-in-time lookup IS an as-of join
-    "events_asof_last_purchase": ("scd2_point_in_time_join",),
-    # A5 funnel bins → interval sweep stages + binned period compare
-    "event_funnel": ("concurrency_peak_daily", "psi_value_drift"),
-    # U3 broadcast-model inference → broadcast-LM scoring + broadcast
-    # component projection (LR math keeps pytest coverage in
-    # tests/test_winprob_pipeline.py)
-    "win_prob_lr": ("source_kl_divergence", "knn_cosine_topk"),
-    # n-gram heuristic classify → per-source distribution scoring
-    "lang_id_heuristic": ("source_kl_divergence",),
-    # shingle inverted index + prefix filter → containment gram joins
-    "ngram_jaccard_near_dup": ("containment_near_dup",),
-    # IVF-blocked knn → the persisted IVF recall/ingest audit pair
-    "knn_cosine_ivf": ("ivf_adc_recall", "ivf_ingest_audit"),
-    # LSH-bucketed knn → ADC top-k + broadcast-anchor cosine scan
-    "knn_cosine_lsh": ("ivf_adc_recall", "hard_negative_mining"),
-    # row-local int8 quantize → row-local PQ code quantization
-    "embedding_quantize_int8": ("ivf_ingest_audit",),
-    # mapInPandas frame sampling → the media-features family anchor
-    "frame_sample_features": ("multimodal_features",),
-    # normalized digest dedup → digest clustering + digest-group gate
-    "dedup_normalized": ("leakage_safe_split", "containment_near_dup"),
-    # LSH+CC dedup groups → candidate-pair machinery + digest-group gates
-    # (the byte-identical log-step CC twin rotates back in the r10 pool)
-    "dedup_groups": ("containment_near_dup", "leakage_safe_split"),
-    # CC + keep-best representative → min(struct) argmin pick + digest gates
-    "dedup_keep_best": ("cheapest_supplier_per_part", "leakage_safe_split"),
-    # salted hash-fold sampling → mixture strata + the md5 digest-gate
-    # split (same deterministic-hash-gate machinery)
-    "stratified_sample": ("mixture_sample", "leakage_safe_split"),
-    # BPE-ish tokenize + packing window → token-budget shard packing
-    "pack_sequences": ("token_balanced_shards",),
-    # tf-idf ranking → the persisted BM25 probe runs the same core
-    "tfidf_top_terms": ("bm25_index_probe",),
     # ---- r6→r7 demotions, re-cited against the r8 window ----
-    # vocab-scale DF/IDF term ranking → BM25 probe + pair counting
-    "bm25_top_terms": ("bm25_index_probe", "bpe_train_merges"),
-    # benchmark-gram broadcast anti-overlap → shingle containment joins
-    "decontaminate_ngram_overlap": ("containment_near_dup",),
+    # vocab-scale DF/IDF term ranking → BM25 probe + the in-plan
+    # tf-idf ranking twin
+    "bm25_top_terms": ("bm25_index_probe", "tfidf_top_terms"),
+    # benchmark-gram broadcast anti-overlap → shingle inverted-index
+    # gram joins
+    "decontaminate_ngram_overlap": ("ngram_jaccard_near_dup",),
     # simhash banding (batch-vs-corpus) → the promoted simhash twin
     "dedup_incremental_simhash": ("simhash_near_dup",),
-    # row-local JL projection → row-local embedding folds + PQ encode
-    "embedding_random_projection": ("embedding_stats", "ivf_ingest_audit"),
+    # row-local JL projection → row-local quantize folds + PQ encode
+    "embedding_random_projection": ("embedding_quantize_int8", "ivf_ingest_audit"),
     # stream-stream interval join batch twin → validity-interval join +
-    # sweep-line interval overlap
-    "events_interval_join": ("scd2_point_in_time_join", "concurrency_peak_daily"),
-    # hourly OHLC tumbling agg → daily sweep buckets + interval versions
-    "events_ohlc_hourly": ("concurrency_peak_daily", "scd2_point_in_time_join"),
-    # rolling frame stats → sweep-line window aggs + period stats
-    "events_rolling_zscore": ("concurrency_peak_daily", "psi_value_drift"),
-    # time-weighted avg (lead deltas) → sweep-line delta accumulation
-    "events_time_weighted_avg": ("concurrency_peak_daily",),
-    # paragraph-level digest dedup → chunk digests + CC clustering
-    "paragraph_dedup": ("sliding_window_chunks", "leakage_safe_split"),
-    # keep/drop quality verdicts → length/token + distribution signals
-    "quality_filter_verdicts": ("token_balanced_shards", "source_kl_divergence"),
-    # row-local gram folds / repetition ratios → pair-gram counting +
-    # window-gram chunk folds
-    "repetition_stats": ("bpe_train_merges", "sliding_window_chunks"),
-    # cluster-blocked cosine → label-blocked cosine pair list + ADC scorer
-    "semdedup_embedding": ("embedding_near_dup_cosine", "ivf_adc_recall"),
+    # the as-of interval lookup
+    "events_interval_join": ("scd2_point_in_time_join", "events_asof_last_purchase"),
+    # hourly OHLC tumbling agg → the tumbling-bucket twin
+    "events_ohlc_hourly": ("events_tumbling_1h",),
+    # rolling frame stats → ordered window chains + period stats
+    "events_rolling_zscore": ("clock_lead_fill", "psi_value_drift"),
+    # time-weighted avg (lead deltas) → lead-delta window chains +
+    # tumbling buckets
+    "events_time_weighted_avg": ("clock_lead_fill", "events_tumbling_1h"),
+    # paragraph-level digest dedup → digest dedup + CC clustering
+    "paragraph_dedup": ("dedup_normalized", "dedup_groups"),
+    # keep/drop quality verdicts → heuristic text scoring + token
+    # counting
+    "quality_filter_verdicts": ("lang_id_heuristic", "pack_sequences"),
+    # row-local gram folds / repetition ratios → positional-gram span
+    # counting + shingle folds
+    "repetition_stats": ("exact_substring_spans", "ngram_jaccard_near_dup"),
+    # cluster-blocked cosine → IVF cluster-blocked knn + keep-best pick
+    "semdedup_embedding": ("knn_cosine_ivf", "dedup_keep_best"),
     # cumulative daily HLL → the register set-algebra twin
     "hll_cumulative_daily": ("hll_set_algebra",),
     # Q21-shaped multi-join → snowflake joins + two-level correlated agg
     "waiting_supplier_orders": ("profit_by_nation_year", "dominant_supplier_parts"),
-    # exact ntile deciles → sketch-cut deciles + bin-decomposed ranks
-    "customer_value_deciles": ("token_balanced_shards", "psi_value_drift"),
+    # exact ntile deciles → percentile aggregates + bin machinery
+    "customer_value_deciles": ("price_percentiles", "psi_value_drift"),
     # funnel percentiles → the percentile-sketch bin machinery
     "funnel_latency_percentiles": ("psi_value_drift",),
-    # corpus share-by-source → mixture strata + per-source distributions
-    "corpus_composition": ("mixture_sample", "source_kl_divergence"),
+    # corpus share-by-source → mixture strata + row-normalized shares
+    "corpus_composition": ("mixture_sample", "win_ratio_by_status"),
     # ---- r7→r8 demotions (each green in r6 AND r7 unless noted as a
     # single-green redundancy demotion) ----
     # F9/P8 CASE scoring chains → grouping-set CASE recodes
     "orders_rfm_segments": ("cube_status_priority",),
     # CDC snapshot diff classes → SCD2 version intervals + PIT lookup
     "orders_snapshot_diff": ("scd2_point_in_time_join",),
-    # cohort time buckets + shares → daily sweep buckets + share ratios
-    "orders_retention_cohort": ("concurrency_peak_daily", "above_share_nations"),
+    # cohort time buckets + shares → tumbling time buckets + share ratios
+    "orders_retention_cohort": ("events_tumbling_1h", "above_share_nations"),
     # Q4 EXISTS semi join → Q20 two-level semi + Q16 anti join
     "order_priority_pending": ("dominant_supplier_parts", "brand_supplier_counts"),
     # CASE-folded conditional sums → grouping-set conditional sums
     "returnflag_priority_casesum": ("cube_status_priority",),
-    # Q13 outer-join count distribution → key-cardinality skew profile +
+    # Q13 outer-join count distribution → left join + 0-fill +
     # count-distinct groups
-    "cust_order_count_dist": ("join_key_skew_profile", "brand_supplier_counts"),
+    "cust_order_count_dist": ("orders_fulfillment", "brand_supplier_counts"),
     # Q17 per-group threshold compare → Q20's per-group threshold form
     "small_qty_revenue": ("dominant_supplier_parts",),
     # Q18 group-HAVING + join back → two-level agg + global-scalar HAVING
     "large_quantity_orders": ("dominant_supplier_parts", "above_share_nations"),
     # Q22 anti join + global-avg filter → Q16 anti join + Q11 global scalar
     "idle_customer_balance": ("brand_supplier_counts", "above_share_nations"),
-    # W4/A4 last-touch-per-key → per-key argmin top-1 + as-of latest
-    "attribution_last_touch": ("cheapest_supplier_per_part", "scd2_point_in_time_join"),
-    # lead chains + gram folds → event sweep ordering + pair-gram counts
-    "session_path_trigrams": ("concurrency_peak_daily", "bpe_train_merges"),
-    # lead + row-normalized matrix → sweep transitions + distribution
-    # normalization
-    "event_transition_matrix": ("concurrency_peak_daily", "source_kl_divergence"),
-    # W2/W3 lag gaps → sweep-line intervals + validity-range semantics
-    "events_gap_detection": ("concurrency_peak_daily", "scd2_point_in_time_join"),
+    # W4/A4 last-touch-per-key → as-of latest + PIT lookup
+    "attribution_last_touch": ("events_asof_last_purchase", "scd2_point_in_time_join"),
+    # lead chains + gram folds → session sweep ordering + shingle joins
+    "session_path_trigrams": ("events_sessionized", "ngram_jaccard_near_dup"),
+    # lead + row-normalized matrix → session transitions + pivot
+    # row-normalization
+    "event_transition_matrix": ("events_sessionized", "win_ratio_by_status"),
+    # W2/W3 lag gaps → lead/lag chains + validity-range semantics
+    "events_gap_detection": ("clock_lead_fill", "scd2_point_in_time_join"),
     # E6 JSON flatten → nested-structure UDTF flatten (get_json_object
     # parsing keeps pytest coverage via sources/rest + timeseries tests)
     "json_props_extract": ("pgn_moves_table",),
-    # ordered decay window → sweep ordering + the cumulative frame
-    "events_decay_score": ("concurrency_peak_daily", "running_revenue"),
-    # MinHash/SimHash/embedding agreement audit → dup-band cosine cut +
-    # banded hamming buckets
-    "dedup_embedding_agreement": ("hard_negative_mining", "simhash_near_dup"),
-    # cross-source gram leakage → containment gram joins + group-keyed
-    # split-leakage semantics
-    "cross_source_leakage": ("containment_near_dup", "leakage_safe_split"),
-    # F10 regexp scrub chain → regexp tokenizer + regexp extraction chain
-    "pii_redact_stats": ("bpe_encode_tokens", "eval_comment_parse"),
-    # vocab array ops → vocab-cap distribution scoring + token arrays
-    "oov_rate_top1k": ("source_kl_divergence", "bpe_encode_tokens"),
-    # chunk-digest boilerplate explode → the sliding-window chunk twin +
-    # digest clustering
-    "boilerplate_chunk_removal": ("sliding_window_chunks", "leakage_safe_split"),
-    # broadcast unigram-LM scoring → the KL drift query runs the same
-    # broadcast-LM word-scoring core and vocab-cap policy
-    "unigram_logprob_score": ("source_kl_divergence",),
+    # ordered decay window → tumbling buckets + ordered lead/lag frames
+    "events_decay_score": ("events_tumbling_1h", "clock_lead_fill"),
+    # MinHash/SimHash/embedding agreement audit → banded hamming
+    # buckets + LSH-bucketed cosine
+    "dedup_embedding_agreement": ("simhash_near_dup", "knn_cosine_lsh"),
+    # cross-source gram leakage → simhash banding + shingle gram joins
+    "cross_source_leakage": ("simhash_near_dup", "ngram_jaccard_near_dup"),
+    # F10 regexp scrub chain → the F-chain regexp/parse twin
+    "pii_redact_stats": ("scalar_feature_sampler",),
+    # vocab array ops → vocab-cap term ranking + token arrays
+    "oov_rate_top1k": ("tfidf_top_terms", "pack_sequences"),
+    # chunk-digest boilerplate explode → positional-gram spans +
+    # digest dedup
+    "boilerplate_chunk_removal": ("exact_substring_spans", "dedup_normalized"),
+    # broadcast unigram-LM scoring → broadcast-model inference +
+    # vocab-ranked term scoring
+    "unigram_logprob_score": ("win_prob_lr", "tfidf_top_terms"),
     # in-plan BM25 ranking → the persisted probe is bit-exact vs in-plan
     "bm25_doc_search": ("bm25_index_probe",),
-    # RRF retriever fusion → the lexical arm + the ANN family's ADC scorer
-    "hybrid_search_rrf": ("bm25_index_probe", "ivf_adc_recall"),
+    # RRF retriever fusion → the lexical arm + the IVF ANN arm
+    "hybrid_search_rrf": ("bm25_index_probe", "knn_cosine_ivf"),
     # per-key HLL distincts → the register set-algebra twin
     "hll_distinct_users": ("hll_set_algebra",),
-    # per-column profile aggregates → cardinality profile + bin profiles
-    "data_profile_orders": ("join_key_skew_profile", "psi_value_drift"),
+    # per-column profile aggregates → Q1 multi-agg stats + bin profiles
+    "data_profile_orders": ("pricing_summary", "psi_value_drift"),
     # median/MAD robust bounds → the percentile-sketch bin machinery
     "mad_outlier_bounds": ("psi_value_drift",),
-    # token-length histogram → token-budget shards + fixed-width bins
-    "seq_length_histogram": ("token_balanced_shards", "psi_value_drift"),
-    # Q10-shaped multi-join report → snowflake joins + argmin join-back
-    "returned_items_report": ("profit_by_nation_year", "cheapest_supplier_per_part"),
-    # digest cluster-size histogram → CC cluster labels + split gate
-    "dup_cluster_size_hist": ("leakage_safe_split", "containment_near_dup"),
-    # CMS point-lookup heavy hitters → the same counter-grid algebra in
-    # the AMS/CMS join-size estimate
-    "cms_heavy_hitters": ("cms_join_size_estimate",),
+    # token-length histogram → token packing + fixed-width bins
+    "seq_length_histogram": ("pack_sequences", "psi_value_drift"),
+    # Q10-shaped multi-join report → snowflake joins + revenue top-k
+    "returned_items_report": ("profit_by_nation_year", "top_customer_revenue"),
+    # digest cluster-size histogram → CC cluster labels + keep-best
+    "dup_cluster_size_hist": ("dedup_groups", "dedup_keep_best"),
+    # CMS point-lookup heavy hitters → the mergeable register/counter
+    # algebra twin
+    "cms_heavy_hitters": ("hll_set_algebra",),
     # fixed-width quantile bins → the PSI fixed-width bin machinery
     "value_quantiles_binned": ("psi_value_drift",),
     # orphan-key count audits → ingest count audits + anti-join counts
@@ -499,8 +454,8 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     # revenue → part-join conditional revenue + per-group thresholds
     "disjunctive_brand_revenue": ("brand_supplier_counts", "dominant_supplier_parts"),
     # (single-green redundancy demotion) Q3 join + top-k order → rank
-    # windows + per-key top-1 argmin
-    "shipping_priority_topk": ("hard_negative_mining", "cheapest_supplier_per_part"),
+    # top-k + per-key argmin pick
+    "shipping_priority_topk": ("top_customer_revenue", "dedup_keep_best"),
     # (single-green redundancy demotion) Q5 six-table snowflake →
     # Q7/Q9 snowflake twins
     "local_supplier_volume": ("profit_by_nation_year",),
@@ -509,12 +464,12 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     # share normalization + snowflake join agg → share-vs-global-scalar
     # + the Q9 snowflake
     "nation_market_share": ("above_share_nations", "profit_by_nation_year"),
-    # rank windows + per-segment top-k → per-key argmin top-1 +
-    # per-anchor top-3 ranking
-    "segment_top_value_orders": ("cheapest_supplier_per_part", "hard_negative_mining"),
+    # rank windows + per-segment top-k → revenue rank top-k +
+    # per-key argmin pick
+    "segment_top_value_orders": ("top_customer_revenue", "dedup_keep_best"),
     # SCD2 lead-validity intervals + upsert sink → the PIT lookup over
-    # the same validity intervals + sweep ordering
-    "scd2_customer_snapshot": ("scd2_point_in_time_join", "concurrency_peak_daily"),
+    # the same validity intervals + latest-row dedup
+    "scd2_customer_snapshot": ("scd2_point_in_time_join", "events_dedup_latest"),
     # pushed predicates + conditional period deltas → pushed isin/brand
     # filters + CASE grouping-set sums
     "forecast_revenue_change": ("brand_supplier_counts", "cube_status_priority"),
@@ -522,33 +477,30 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     # joins + CASE recodes/grouping sets
     "promo_revenue_share": ("dominant_supplier_parts", "cube_status_priority"),
     # scalar-max + join-back (A7 at agg grain) → global-scalar HAVING +
-    # the dim-join revenue agg chain
-    "top_supplier_revenue": ("above_share_nations", "revenue_by_nation"),
+    # the dim-join revenue top-k chain
+    "top_supplier_revenue": ("above_share_nations", "top_customer_revenue"),
     # J4/J5 composite-key + broadcast-dim snowflake → the Q9 twin
     "nation_trade_volume": ("profit_by_nation_year",),
     # percentile-sketch decile cut → mergeable sketch tier (PSI bins +
     # HLL register algebra)
     "customer_value_deciles_sketch": ("psi_value_drift", "hll_set_algebra"),
     # row-local PQ subvector encode → the ingest audit runs the same
-    # _encode_rows path; recall audit scores the same codes
-    "embedding_pq_codes": ("ivf_ingest_audit", "ivf_adc_recall"),
-    # ADC top-k scoring → the recall audit's ADC branch + the
-    # broadcast-anchor cosine top-k
-    "knn_pq_adc": ("ivf_adc_recall", "hard_negative_mining"),
-    # log-step CC dedup groups → candidate-pair machinery + digest-
-    # group split gates (the CC iteration itself returns to the window
-    # in the r10 freshness pool — dedup_groups/dedup_keep_best are the
-    # byte-identical demoted twins with multi-round green history)
-    "dedup_groups_logstep": ("containment_near_dup", "leakage_safe_split"),
-    # pair-gram counting → the BPE trainer recomputes pair counts per
-    # merge round; the encoder applies them
-    "bpe_merge_candidates": ("bpe_train_merges", "bpe_encode_tokens"),
+    # _encode_rows path; int8 quantize is the row-local fold twin
+    "embedding_pq_codes": ("ivf_ingest_audit", "embedding_quantize_int8"),
+    # ADC top-k scoring → the persisted-index code path + the
+    # IVF-blocked cosine top-k
+    "knn_pq_adc": ("ivf_ingest_audit", "knn_cosine_ivf"),
+    # log-step CC dedup groups → the byte-identical plain-CC twin is
+    # back in-window
+    "dedup_groups_logstep": ("dedup_groups",),
+    # pair-gram counting → positional-gram counting + BPE-ish tokenize
+    "bpe_merge_candidates": ("exact_substring_spans", "pack_sequences"),
     # ---- demoted in the r9→r10 freshness rotation (the ten r9
     # re-promotions, now freshly triple-green, plus twelve r8-era
     # double-greens; families re-anchored on r10-window members —
     # many on the returning r3/r4-era promotions themselves) ----
-    # P9 distinct → the count-distinct group machinery + priority pivot
-    "distinct_flag_status": ("brand_supplier_counts", "orders_per_priority"),
+    # P9 distinct → the count-distinct group machinery + status pivot
+    "distinct_flag_status": ("brand_supplier_counts", "win_ratio_by_status"),
     # E1 explode + index → posexplode sequence numbering in the PGN UDTF
     "explode_quantities": ("pgn_moves_table",),
     # A7 global min/max → the Q11 global-scalar HAVING form
@@ -563,44 +515,124 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     "value_stats_by_weekday": ("cube_status_priority",),
     # P8 value replace / CASE recode → grouping-set CASE recodes
     "weekday_recode": ("cube_status_priority",),
-    # §2.11 sliding batch twin → sweep-line overlap + cumulative frame
-    "events_sliding_1h_30m": ("concurrency_peak_daily", "running_revenue"),
-    # prefix-filtered Jaccard pairs → the word-set Jaccard index +
-    # shingle containment joins
-    "near_dup_pairs_jaccard_prefix": ("near_dup_pairs_jaccard", "containment_near_dup"),
-    # MinHash signature rows → the full MinHash+LSH band join
-    "minhash_signatures": ("minhash_lsh_candidates",),
-    # ES ±stratum weighted reservoir → mixture strata + token budgets
-    "weighted_sample_es": ("mixture_sample", "token_balanced_shards"),
-    # deterministic pair negatives → md5 sample gates + digest-group split
-    "negative_sample_pairs": ("mixture_sample", "leakage_safe_split"),
-    # per-source oversampling → mixture strata + budget balancing
-    "oversample_balance_sources": ("mixture_sample", "token_balanced_shards"),
-    # span masks over token windows → window chunking + md5 gates
-    "span_corruption_plan": ("sliding_window_chunks", "mixture_sample"),
+    # §2.11 sliding batch twin → the tumbling twin + overlap frames
+    "events_sliding_1h_30m": ("events_tumbling_1h", "clock_lead_fill"),
+    # prefix-filtered Jaccard pairs → the shingle inverted-index
+    # Jaccard join twin
+    "near_dup_pairs_jaccard_prefix": ("ngram_jaccard_near_dup",),
+    # MinHash signature rows → the MinHash-LSH + CC dedup pipeline
+    "minhash_signatures": ("dedup_groups",),
+    # ES ±stratum weighted reservoir → mixture strata + salted strata
+    "weighted_sample_es": ("mixture_sample", "stratified_sample"),
+    # deterministic pair negatives → md5 sample gates + salted strata
+    "negative_sample_pairs": ("mixture_sample", "stratified_sample"),
+    # per-source oversampling → mixture strata + salted strata
+    "oversample_balance_sources": ("mixture_sample", "stratified_sample"),
+    # span masks over token windows → token-window packing + md5 gates
+    "span_corruption_plan": ("pack_sequences", "mixture_sample"),
     # temperature-weighted mixture → the mixture-sampling anchor
     "temperature_mixture_sample": ("mixture_sample",),
-    # per-source weighted reservoirs → mixture strata + token budgets
-    "weighted_sample_per_source": ("mixture_sample", "token_balanced_shards"),
-    # zone-map layout audit → planner-statistics tier (key skew + bins)
-    "zorder_layout_audit": ("join_key_skew_profile", "psi_value_drift"),
-    # per-label mean centroids → the grouped-map Weiszfeld centroids +
-    # anchor-centroid geometry
-    "label_centroids": ("robust_centroid_goldens", "hard_negative_mining"),
+    # per-source weighted reservoirs → mixture strata + salted strata
+    "weighted_sample_per_source": ("mixture_sample", "stratified_sample"),
+    # zone-map layout audit → planner-statistics tier (bins + register
+    # sketches)
+    "zorder_layout_audit": ("psi_value_drift", "hll_set_algebra"),
+    # per-label mean centroids → the grouped-map Weiszfeld centroids
+    "label_centroids": ("robust_centroid_goldens",),
     # Catalyst Gram-matrix PCA → the same integer-cell fold family
-    # (PQ encode audits) + row-local embedding component aggregates
-    "pca_top_component": ("ivf_ingest_audit", "embedding_stats"),
+    # (PQ encode audits) + row-local quantize folds
+    "pca_top_component": ("ivf_ingest_audit", "embedding_quantize_int8"),
     # phash hamming banding → simhash hamming banding + the
     # mapInPandas media anchor
     "media_phash_near_dup": ("simhash_near_dup", "multimodal_features"),
-    # normalized fuzzy matching → the promoted regexp parse chains
-    "fuzzy_part_matches": ("eval_comment_parse", "clock_seconds_parse"),
-    # Bloom membership prune → Q16 anti-join counts + 0-row prune path
-    "bloom_join_prune": ("brand_supplier_counts", "empty_relation_guard"),
-    # (r10-late staged addition, never yet driver-seen — first in the
-    # r11 promotion queue) positional-gram repeated-span extraction →
-    # the dup-gram df/join/fold machinery + per-doc window chunk spans
-    "exact_substring_spans": ("dup_ngram_fraction", "sliding_window_chunks"),
+    # normalized fuzzy matching → the F-chain regexp/parse twin
+    "fuzzy_part_matches": ("scalar_feature_sampler",),
+    # Bloom membership prune → Q16 anti-join counts + the NOT-IN
+    # anti-join prune path
+    "bloom_join_prune": ("brand_supplier_counts", "parts_never_ordered"),
+    # ---- demoted in the r10→r11 freshness rotation (every name >= 2
+    # green rounds including r10; slots went to exact_substring_spans'
+    # first driver contact plus all 34 r5-era stale names — families
+    # re-anchor on those returning queries and the eleven kept
+    # anchors) ----
+    # O2/O3 per-customer top-3 rank → revenue rank top-k + argmin pick
+    "top3_orders_per_customer": ("top_customer_revenue", "dedup_keep_best"),
+    # F-chain eval-comment regexp parse → the F-chain sampler twin
+    "eval_comment_parse": ("scalar_feature_sampler",),
+    # F-chain clock regexp parse → the F-chain sampler + lead/lag fill
+    "clock_seconds_parse": ("scalar_feature_sampler", "clock_lead_fill"),
+    # dim-join revenue agg → the Q9 snowflake + revenue top-k
+    "revenue_by_nation": ("profit_by_nation_year", "top_customer_revenue"),
+    # cumulative revenue frame → ordered lead/lag window chains
+    "running_revenue": ("clock_lead_fill",),
+    # exact hash-groupBy dedup → normalized-digest dedup + keep-best
+    "dedup_exact": ("dedup_normalized", "dedup_keep_best"),
+    # length/punct/stopword quality scoring → heuristic text scoring +
+    # token counting
+    "text_quality_stats": ("lang_id_heuristic", "pack_sequences"),
+    # rolling-hash fingerprint → digest dedup + positional-gram spans
+    "doc_fingerprint": ("dedup_normalized", "exact_substring_spans"),
+    # word-set Jaccard pairs → the shingle inverted-index Jaccard twin
+    "near_dup_pairs_jaccard": ("ngram_jaccard_near_dup",),
+    # MinHash LSH band join → the MinHash-LSH + CC pipeline + LSH knn
+    "minhash_lsh_candidates": ("dedup_groups", "knn_cosine_lsh"),
+    # P3/P4 eq/ineq/isin filters → array predicates + projection/recode
+    "lineitem_filter_isin": ("array_predicate_filter", "order_priority_clean"),
+    # W4 first-in-group → argmin keep-best + ordered window chains
+    "initial_clock_per_group": ("dedup_keep_best", "clock_lead_fill"),
+    # A1 count-by-priority → the pivot + the ROLLUP grouping twin
+    "orders_per_priority": ("win_ratio_by_status", "rollup_priority_status"),
+    # E4 dict→struct pack → struct/zip packing in the PGN UDTF + the
+    # lockstep zip twin
+    "struct_pack_fields": ("pgn_moves_table", "zip_explode_lockstep"),
+    # P10 0-row guard → the NOT-IN anti-join empty/prune path
+    "empty_relation_guard": ("parts_never_ordered",),
+    # whitespace/BPE-ish token counting → the tokenize+pack twin
+    "token_count": ("pack_sequences",),
+    # cosine near-dup banding → IVF-blocked + LSH-bucketed cosine
+    "embedding_near_dup_cosine": ("knn_cosine_ivf", "knn_cosine_lsh"),
+    # brute-force cosine top-k → the IVF + LSH ANN arms
+    "knn_cosine_topk": ("knn_cosine_ivf", "knn_cosine_lsh"),
+    # row-local embedding moment folds → the row-local quantize folds
+    "embedding_stats": ("embedding_quantize_int8",),
+    # per-source term ranking → the tf-idf ranking twin
+    "top_terms_per_source": ("tfidf_top_terms",),
+    # A4/W4 per-key argmin top-1 → keep-best argmin + chained joins
+    "cheapest_supplier_per_part": ("dedup_keep_best", "order_lines_enriched"),
+    # per-anchor cosine top-3 mining → IVF cosine + revenue rank top-k
+    "hard_negative_mining": ("knn_cosine_ivf", "top_customer_revenue"),
+    # IVF+ADC recall audit → the persisted-index ingest audit + the
+    # IVF-blocked knn
+    "ivf_adc_recall": ("ivf_ingest_audit", "knn_cosine_ivf"),
+    # BPE pair-count trainer → positional-gram counting + tokenize/pack
+    "bpe_train_merges": ("exact_substring_spans", "pack_sequences"),
+    # doc-bounded window chunking → token-window packing + gram spans
+    "sliding_window_chunks": ("pack_sequences", "exact_substring_spans"),
+    # iterative merge encode → the BPE-ish tokenize + packing twin
+    "bpe_encode_tokens": ("pack_sequences",),
+    # digest-group split gate → salted md5 strata + CC group labels
+    "leakage_safe_split": ("stratified_sample", "dedup_groups"),
+    # token-budget shard packing → the token packing + mixture budgets
+    "token_balanced_shards": ("pack_sequences", "mixture_sample"),
+    # per-source KL divergence → fixed-bin distribution drift +
+    # heuristic distribution scoring
+    "source_kl_divergence": ("psi_value_drift", "lang_id_heuristic"),
+    # AMS/CMS counter-grid estimate → the mergeable register algebra +
+    # fixed-bin counters
+    "cms_join_size_estimate": ("hll_set_algebra", "psi_value_drift"),
+    # key-cardinality skew stats → bin profiles + register sketches
+    "join_key_skew_profile": ("psi_value_drift", "hll_set_algebra"),
+    # gram containment join → shingle inverted-index joins + gram spans
+    "containment_near_dup": ("ngram_jaccard_near_dup", "exact_substring_spans"),
+    # per-label (label, dim) diversity aggregate → grouped-map centroid
+    # geometry + IVF cluster blocking
+    "embedding_diversity": ("robust_centroid_goldens", "knn_cosine_ivf"),
+    # cross-doc dup-gram fraction → the positional-gram span twin runs
+    # the same df/join/fold posting machinery
+    "dup_ngram_fraction": ("exact_substring_spans",),
+    # sweep-line daily concurrency → session sweep intervals + tumbling
+    # time buckets
+    "concurrency_peak_daily": ("events_sessionized", "events_tumbling_1h"),
 }
 
 

@@ -28,72 +28,32 @@ from chess_pipeline_spark.plans import (
     catalog,
 )
 
-# The byte-stable order for the round-10 driver run: the r10
-# FRESHNESS rotation — robust_centroid_goldens gets its first driver
-# contact (emptying the never-driver-seen set permanently), the seven
-# r3-era and fourteen r4-era demotions return for freshness contact
-# (after which NO catalog query's last driver green is older than
-# r5), and 22 rotate out per scripts/check_rotation.py's freshness
-# mode: the ten r9 freshness re-promotions (now freshly triple-green)
-# plus twelve double-green (r8 AND r9) r8 promotions whose families
-# keep in-window anchors. cube_status_priority, mixture_sample and
-# multimodal_features stay as the grouping-sets / sampling /
-# mapInPandas-media anchors. The subsumption table is
-# DEMOTION_COVERAGE in plans/__init__.py, machine-validated below.
-# Any edit here is a deliberate contract change and must re-justify
-# the window contents.
+# The byte-stable order for the round-11 driver run: the r11
+# FRESHNESS rotation — exact_substring_spans gets its first driver
+# contact (the r10-late staged addition; after it the catalog is
+# permanently free of driver-unseen queries), ALL 34 r5-era demotions
+# return for freshness contact (after which NO catalog query's last
+# driver green is older than r6), and 35 rotate out per
+# scripts/check_rotation.py's freshness mode. Kept in-window beyond
+# the three standing anchors: robust_centroid_goldens (single-green,
+# earning its second round) and eleven family anchors —
+# pgn_moves_table, scd2_point_in_time_join, above_share_nations,
+# profit_by_nation_year, dominant_supplier_parts,
+# brand_supplier_counts, psi_value_drift, ivf_ingest_audit,
+# bm25_index_probe, hll_set_algebra, and simhash_near_dup (held out
+# of freshness order deliberately: the r11 56-bit signature widening
+# changes its plan, and changed code needs fresh driver contact, not
+# a stale green). The subsumption table is DEMOTION_COVERAGE in
+# plans/__init__.py, machine-validated below. Any edit here is a
+# deliberate contract change and must re-justify the window contents.
 FROZEN_ORDER: tuple[str, ...] = (
-    "cheapest_supplier_per_part",
+    "win_ratio_by_status",
     "above_share_nations",
     "profit_by_nation_year",
     "dominant_supplier_parts",
     "brand_supplier_counts",
     "cube_status_priority",
     "scd2_point_in_time_join",
-    "lineitem_filter_isin",
-    "initial_clock_per_group",
-    "top3_orders_per_customer",
-    "clock_seconds_parse",
-    "eval_comment_parse",
-    "orders_per_priority",
-    "struct_pack_fields",
-    "empty_relation_guard",
-    "revenue_by_nation",
-    "running_revenue",
-    "concurrency_peak_daily",
-    "pgn_moves_table",
-    "dedup_exact",
-    "robust_centroid_goldens",
-    "text_quality_stats",
-    "token_count",
-    "doc_fingerprint",
-    "near_dup_pairs_jaccard",
-    "containment_near_dup",
-    "minhash_lsh_candidates",
-    "simhash_near_dup",
-    "embedding_near_dup_cosine",
-    "knn_cosine_topk",
-    "hard_negative_mining",
-    "embedding_diversity",
-    "embedding_stats",
-    "multimodal_features",
-    "top_terms_per_source",
-    "ivf_adc_recall",
-    "ivf_ingest_audit",
-    "dup_ngram_fraction",
-    "bpe_train_merges",
-    "sliding_window_chunks",
-    "bpe_encode_tokens",
-    "mixture_sample",
-    "leakage_safe_split",
-    "token_balanced_shards",
-    "source_kl_divergence",
-    "bm25_index_probe",
-    "hll_set_algebra",
-    "cms_join_size_estimate",
-    "psi_value_drift",
-    "join_key_skew_profile",
-    "win_ratio_by_status",
     "pricing_summary",
     "top_customer_revenue",
     "order_priority_clean",
@@ -115,18 +75,28 @@ FROZEN_ORDER: tuple[str, ...] = (
     "events_asof_last_purchase",
     "event_funnel",
     "win_prob_lr",
+    "pgn_moves_table",
+    "robust_centroid_goldens",
     "lang_id_heuristic",
     "ngram_jaccard_near_dup",
+    "simhash_near_dup",
     "knn_cosine_ivf",
     "knn_cosine_lsh",
     "embedding_quantize_int8",
+    "multimodal_features",
     "frame_sample_features",
     "dedup_normalized",
     "dedup_groups",
+    "ivf_ingest_audit",
+    "exact_substring_spans",
     "dedup_keep_best",
     "stratified_sample",
+    "mixture_sample",
     "pack_sequences",
     "tfidf_top_terms",
+    "bm25_index_probe",
+    "hll_set_algebra",
+    "psi_value_drift",
     "bm25_top_terms",
     "decontaminate_ngram_overlap",
     "dedup_incremental_simhash",
@@ -213,95 +183,52 @@ FROZEN_ORDER: tuple[str, ...] = (
     "media_phash_near_dup",
     "fuzzy_part_matches",
     "bloom_join_prune",
-    # r10-late staged addition (demoted on landing, first in the r11
-    # promotion queue)
-    "exact_substring_spans",
+    "top3_orders_per_customer",
+    "eval_comment_parse",
+    "revenue_by_nation",
+    "running_revenue",
+    "dedup_exact",
+    "text_quality_stats",
+    "doc_fingerprint",
+    "near_dup_pairs_jaccard",
+    "minhash_lsh_candidates",
+    "lineitem_filter_isin",
+    "initial_clock_per_group",
+    "clock_seconds_parse",
+    "orders_per_priority",
+    "struct_pack_fields",
+    "empty_relation_guard",
+    "token_count",
+    "embedding_near_dup_cosine",
+    "knn_cosine_topk",
+    "embedding_stats",
+    "top_terms_per_source",
+    "cheapest_supplier_per_part",
+    "hard_negative_mining",
+    "ivf_adc_recall",
+    "bpe_train_merges",
+    "sliding_window_chunks",
+    "bpe_encode_tokens",
+    "leakage_safe_split",
+    "token_balanced_shards",
+    "source_kl_divergence",
+    "cms_join_size_estimate",
+    "join_key_skew_profile",
+    "containment_near_dup",
+    "embedding_diversity",
+    "dup_ngram_fraction",
+    "concurrency_peak_daily",
 )
-
-# Staged late in r10 under the r8/r9 precedent: demoted on landing
-# with full sweep evidence, never yet driver-seen — exempt from the
-# "no demoted query staler than r5" freshness bound below (it has no
-# history to be stale ABOUT), and pinned to actually have none.
-_STAGED_R10_LATE = frozenset({"exact_substring_spans"})
 
 
 def test_catalog_order_frozen():
     assert tuple(catalog()) == FROZEN_ORDER
 
 
-def test_driver_window_r10_rotation():
-    # round 10's window: the r10 FRESHNESS rotation executed —
-    # robust_centroid_goldens enters for first driver contact, the
-    # seven r3-era and fourteen r4-era demotions return for freshness
-    # contact, and 22 members rotate out per check_rotation.py's
-    # freshness mode (the ten r9 re-promotions plus twelve r8-era
-    # double-greens). Preconditions are verified against the committed
-    # CORRECTNESS artifacts, not prose.
+def _green_history() -> dict[str, set[int]]:
     import json
     from glob import glob
     from pathlib import Path
-
-    assert len(FROZEN_ORDER) - DRIVER_WINDOW == len(_DEMOTED)
-    in_window = set(FROZEN_ORDER[:DRIVER_WINDOW])
-    promoted_r10 = (
-        # first driver contact (r9-staged golden row)
-        "robust_centroid_goldens",
-        # freshness returns — last green r3
-        "orders_per_priority",
-        "clock_seconds_parse",
-        "initial_clock_per_group",
-        "lineitem_filter_isin",
-        "empty_relation_guard",
-        "struct_pack_fields",
-        "token_count",
-        # freshness returns — last green r4
-        "dedup_exact",
-        "text_quality_stats",
-        "doc_fingerprint",
-        "near_dup_pairs_jaccard",
-        "minhash_lsh_candidates",
-        "simhash_near_dup",
-        "knn_cosine_topk",
-        "embedding_stats",
-        "top_terms_per_source",
-        "running_revenue",
-        "revenue_by_nation",
-        "embedding_near_dup_cosine",
-        "eval_comment_parse",
-        "top3_orders_per_customer",
-    )
-    demoted_r10 = (
-        # the ten r9 freshness re-promotions (green r1/r2 AND r9)
-        "distinct_flag_status",
-        "explode_quantities",
-        "global_minmax",
-        "sql_view_game_evals",
-        "binned_mean",
-        "value_stats_by_weekday",
-        "weekday_recode",
-        "events_sliding_1h_30m",
-        "near_dup_pairs_jaccard_prefix",
-        "minhash_signatures",
-        # twelve r8-era members, green in BOTH r8 and r9
-        "weighted_sample_es",
-        "negative_sample_pairs",
-        "oversample_balance_sources",
-        "span_corruption_plan",
-        "temperature_mixture_sample",
-        "weighted_sample_per_source",
-        "zorder_layout_audit",
-        "label_centroids",
-        "pca_top_component",
-        "media_phash_near_dup",
-        "fuzzy_part_matches",
-        "bloom_join_prune",
-    )
-    assert len(promoted_r10) == len(demoted_r10) == 22
-    anchors = ("mixture_sample", "multimodal_features", "cube_status_priority")
-    for name in promoted_r10 + anchors:
-        assert name in in_window, name
-    for name in demoted_r10:
-        assert name in _DEMOTED and name not in in_window, name
 
     hist: dict[str, set[int]] = {}
     root = Path(__file__).parent.parent
@@ -315,42 +242,146 @@ def test_driver_window_r10_rotation():
                 and row.get("hash_match")
             ):
                 hist.setdefault(name, set()).add(rnd)
+    return hist
+
+
+def test_driver_window_r11_rotation():
+    # round 11's window: the r11 FRESHNESS rotation executed —
+    # exact_substring_spans enters for first driver contact, all 34
+    # r5-era demotions return for freshness contact, and 35 members
+    # rotate out per check_rotation.py's freshness mode (every one
+    # >= 2 green rounds INCLUDING r10). Preconditions are verified
+    # against the committed CORRECTNESS artifacts, not prose — and
+    # every assertion here must stay true as FUTURE driver artifacts
+    # accumulate (the r10 form of this test asserted "no history" for
+    # a first-contact query, which went red the moment the driver's
+    # own green r10 artifact landed in the repo root).
+    assert len(FROZEN_ORDER) - DRIVER_WINDOW == len(_DEMOTED)
+    in_window = set(FROZEN_ORDER[:DRIVER_WINDOW])
+    promoted_r11 = (
+        # first driver contact (r10-late staged addition)
+        "exact_substring_spans",
+        # freshness returns — the entire r5-era pool (last green r5)
+        "win_ratio_by_status",
+        "pricing_summary",
+        "top_customer_revenue",
+        "order_priority_clean",
+        "parts_never_ordered",
+        "customers_with_orders",
+        "orders_fulfillment",
+        "order_lines_enriched",
+        "clock_lead_fill",
+        "zip_explode_lockstep",
+        "material_map_expand",
+        "union_by_name",
+        "scalar_feature_sampler",
+        "array_predicate_filter",
+        "rollup_priority_status",
+        "price_percentiles",
+        "events_tumbling_1h",
+        "events_sessionized",
+        "events_dedup_latest",
+        "events_asof_last_purchase",
+        "event_funnel",
+        "win_prob_lr",
+        "lang_id_heuristic",
+        "ngram_jaccard_near_dup",
+        "knn_cosine_ivf",
+        "knn_cosine_lsh",
+        "embedding_quantize_int8",
+        "frame_sample_features",
+        "dedup_normalized",
+        "dedup_groups",
+        "dedup_keep_best",
+        "stratified_sample",
+        "pack_sequences",
+        "tfidf_top_terms",
+    )
+    demoted_r11 = (
+        # sixteen long-history (r1-r4 + r10) freshness re-promotions
+        "top3_orders_per_customer",
+        "eval_comment_parse",
+        "revenue_by_nation",
+        "running_revenue",
+        "dedup_exact",
+        "text_quality_stats",
+        "doc_fingerprint",
+        "near_dup_pairs_jaccard",
+        "minhash_lsh_candidates",
+        "lineitem_filter_isin",
+        "initial_clock_per_group",
+        "clock_seconds_parse",
+        "orders_per_priority",
+        "struct_pack_fields",
+        "empty_relation_guard",
+        "token_count",
+        # four r3/r4-era returns re-greened in r10
+        "embedding_near_dup_cosine",
+        "knn_cosine_topk",
+        "embedding_stats",
+        "top_terms_per_source",
+        # twelve r8-era triple-greens (r8, r9, r10)
+        "cheapest_supplier_per_part",
+        "hard_negative_mining",
+        "ivf_adc_recall",
+        "bpe_train_merges",
+        "sliding_window_chunks",
+        "bpe_encode_tokens",
+        "leakage_safe_split",
+        "token_balanced_shards",
+        "source_kl_divergence",
+        "cms_join_size_estimate",
+        "join_key_skew_profile",
+        "containment_near_dup",
+        # two r9-era double-greens (r9, r10)
+        "embedding_diversity",
+        "dup_ngram_fraction",
+        # the sweep-line anchor (its family re-anchors on the five
+        # returning events queries)
+        "concurrency_peak_daily",
+    )
+    assert len(promoted_r11) == len(demoted_r11) == 35
+    anchors = ("mixture_sample", "multimodal_features", "cube_status_priority")
+    kept = (
+        "robust_centroid_goldens",
+        "pgn_moves_table",
+        "scd2_point_in_time_join",
+        "above_share_nations",
+        "profit_by_nation_year",
+        "dominant_supplier_parts",
+        "brand_supplier_counts",
+        "psi_value_drift",
+        "ivf_ingest_audit",
+        "bm25_index_probe",
+        "hll_set_algebra",
+        "simhash_near_dup",
+    )
+    assert in_window == set(promoted_r11) | set(anchors) | set(kept)
+    for name in demoted_r11:
+        assert name in _DEMOTED and name not in in_window, name
+
+    hist = _green_history()
     # demotion precondition: every rotated-out name has >= 2 green
-    # driver rounds INCLUDING the immediately preceding round (r9)
-    for name in demoted_r10:
+    # driver rounds INCLUDING the immediately preceding round (r10)
+    for name in demoted_r11:
         greens = hist.get(name, set())
-        assert 9 in greens and len(greens) >= 2, (
+        assert 10 in greens and len(greens) >= 2, (
             f"{name} demoted without fresh double-green history: {greens}"
         )
     # freshness precondition: every returning name HAS green history
-    # (re-verifications) except the one staged first-contact query
-    for name in promoted_r10[1:]:
+    # (they are re-verifications, not first contacts)
+    for name in promoted_r11[1:]:
         assert hist.get(name), f"{name} claimed as freshness return, no history"
-    # genuinely first contact in r10: green history may START at r10
-    # (the driver's own CORRECTNESS_r10.json lands in the repo root
-    # after the round closes) but must not predate it. The r10-judged
-    # form of this assertion ("not in hist") was an artifact time
-    # bomb: it went red the moment the driver's green r10 artifact
-    # existed. Every history assertion in this file must stay true
-    # as FUTURE driver artifacts accumulate.
-    assert min(hist.get("robust_centroid_goldens", {10})) >= 10
-    # the r10 bound this rotation exists to hold: post-swap, no DEMOTED
-    # query's last driver green is older than r5 (window members are
-    # being re-verified this round by construction)
+    # genuinely first contact in r11: green history may START at r11
+    # (once the driver's own CORRECTNESS_r11.json lands) but must not
+    # predate it
+    assert min(hist.get("exact_substring_spans", {11})) >= 11
+    # the r11 bound this rotation exists to hold: post-swap, no
+    # DEMOTED query's last driver green is older than r6 (window
+    # members are re-verified this round by construction)
     for name in _DEMOTED:
-        if name in _STAGED_R10_LATE:
-            # staged addition: first contact scheduled for r11+, so
-            # any driver history must start at r11 or later (a green
-            # row BEFORE r11 would mean the staging claim is wrong;
-            # "no history at all" went stale the moment the r11
-            # promotion landed — the time-bomb class the r10 verdict
-            # flagged)
-            assert min(hist.get(name, {11})) >= 11, (
-                f"{name} staged late-r10 but has pre-r11 history"
-            )
-            continue
-        assert max(hist[name]) >= 5, (
-            f"{name} left demoted with last green r{max(hist[name])} < r5"
+        assert max(hist[name]) >= 6, (
+            f"{name} left demoted with last green r{max(hist[name])} < r6"
         )
 
 
