@@ -794,31 +794,69 @@ GROUP BY label
 # ------------------------------------------------------------------
 # SimHash near-dup
 # ------------------------------------------------------------------
-# 28-bit SimHash over MIXED word hashes: each word votes ±1 per bit
+# 56-bit SimHash over MIXED word hashes: each word votes ±1 per bit
 # position according to its hash bits; the signature takes the sign
 # of each vote sum. Near-dups = pairs whose signatures differ in
-# <= 3 bits. Width matters: a k-bit signature passes random pairs at
-# ~C(k,<=3)/2^k — 1% at k=16 (candidate blow-up at corpus scale,
-# observed in the 50k-doc stress run) vs ~1.4e-5 at k=28. The base
-# hash spans only ~27 bits for ASCII words (its high bits would be
-# dead), so it is mixed with a Knuth multiplicative step mod 2^31
-# first; the same closed form runs in the DuckDB oracle bit-for-bit.
+# <= 3 bits (the canonical Manku/WWW'07 operating point: 64-bit
+# signatures, k = 3; 56 here keeps the banding arithmetic in exact
+# BIGINTs with headroom). Width matters twice:
+#
+#  - random-pair pass rate ~ C(k,<=3)/2^k: 1% at k=16 (candidate
+#    blow-up observed in the 50k-doc stress run), ~1.4e-5 at k=28,
+#    ~4e-13 at k=56 — at corpus scale the 28-bit cut was the false-
+#    positive budget's binding constraint;
+#  - the UNBLOCKED banding floor (cross_source_leakage): candidates
+#    per band ~ n²/2^band_bits. The r10 sf1-soak measured the 28-bit
+#    4x7 layout (128 buckets/band) at 59.6 s / 500k docs — an
+#    intrinsic n²/2^7 floor, fine to ~10^6 docs, wrong tool at 10^9.
+#    4x14 (16384 buckets/band) divides that floor by 128.
+#
+# The word hash needs 56 independent bits: md5's first eight hex
+# digits give one 32-bit integer (the r10 fix), digits 9-16 a second,
+# independent one; each is mixed with a Knuth multiplicative step mod
+# 2^31 and contributes its low 28 bits. The md5 string is
+# materialized ONCE per word (inner transform), then folded — the
+# same closed form runs in the DuckDB oracle bit-for-bit. By
+# construction the low 28 bits of the new signature equal the old
+# 28-bit signature exactly (same base hash, same mix, same bits).
 
-_SIMHASH_BITS = 28
+_SIMHASH_BITS = 56
 _SIMHASH_BANDS = 4
-_SIMHASH_BAND_BITS = _SIMHASH_BITS // _SIMHASH_BANDS  # 7 bits -> 128 buckets/band
+_SIMHASH_BAND_BITS = _SIMHASH_BITS // _SIMHASH_BANDS  # 14 bits -> 16384 buckets/band
+# pigeonhole: <= 3 flipped bits leave >= 1 of the 4 bands untouched,
+# so banded candidate generation keeps recall exactly 1.0
+_SIMHASH_MAX_HAMMING = 3
 
 # mix: ((h mod 2^31) * 2654435761) mod 2^31 — stays within BIGINT
 _MIX = "((({h}) % 2147483648) * 2654435761) % 2147483648"
 
 
+def _md5_fold(lo: int, hi: int) -> str:
+    """Integer fold of md5 hex digits [lo, hi] of a pre-computed md5
+    string `{m}` — place-value BIGINT arithmetic, engine-portable."""
+    return "(" + " + ".join(
+        f"CAST(instr('0123456789abcdef', substr({{m}}, {k}, 1)) - 1"
+        f" AS BIGINT) * {16 ** (hi - k)}"
+        for k in range(lo, hi + 1)
+    ) + ")"
+
+
+# 56-bit word hash over `{m}` (the word's md5 string): low 28 bits
+# from the mixed digits-1..8 fold, high 28 from the mixed digits-9..16
+# fold. Max value 2^56 - 1; every intermediate fits BIGINT.
+_WORD_HASH56 = (
+    f"(({_MIX.format(h=_md5_fold(1, 8))} % {1 << 28})"
+    f" + ({_MIX.format(h=_md5_fold(9, 16))} % {1 << 28}) * {1 << 28})"
+)
+
+
 def _simhash_expr_spark() -> str:
     """Signature over a pre-mixed word-hash array column `hw` (hash+
-    mix each word ONCE). ONE fold with a 28-long vote-array
-    accumulator instead of 28 independent folds: integer adds in the
+    mix each word ONCE). ONE fold with a 56-long vote-array
+    accumulator instead of 56 independent folds: integer adds in the
     same left-fold order, so the signature is bit-identical, but the
     array traverses once (measured ~1.7x on the signature stage at
-    sf0.1)."""
+    sf0.1 back at 28 bits; the win widens with the bit count)."""
     votes = (
         f"aggregate(hw, array_repeat(CAST(0 AS BIGINT), {_SIMHASH_BITS}), "
         f"(acc, h) -> zip_with(acc, sequence(0, {_SIMHASH_BITS - 1}), "
@@ -843,6 +881,14 @@ def _simhash_expr_duckdb() -> str:
     return " + ".join(terms)
 
 
+# shared oracle CTE: md5 each word ONCE, then fold the 56-bit hash
+_SIMHASH_HASHED_CTE = f"""hashed AS (
+  SELECT doc_id, source,
+         list_transform(list_transform(string_split(text, ' '), w -> md5(w)),
+                        m -> {_WORD_HASH56.format(m="m")}) AS hw
+  FROM documents)"""
+
+
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash signatures + near-dup pairs (hamming <= 3) blocked on
     `source`. At corpus scale the block key becomes the signature's
@@ -850,15 +896,8 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair space linear-ish; the signature itself is a pure per-row
     projection — no shuffle until the pair join."""
     d = spread(_L(spark, sf_dir, "documents"), "doc_id")
-    hm = _MIX.format(h=_BASE_HASH.format(s="w"))
-    hashed = d.select(
-        "doc_id", "source",
-        F.expr(f"transform(split(text, ' '), w -> {hm})").alias("hw"),
-    )
-    sig = hashed.select(
-        "doc_id", "source", F.expr(_simhash_expr_spark()).alias("simhash")
-    )
-    # LSH banding for hamming distance: 4 bands x 7 bits. A pair at
+    sig = simhash_signatures_for(d)
+    # LSH banding for hamming distance: 4 bands x 14 bits. A pair at
     # hamming <= 3 differs in at most 3 bits, so by pigeonhole at
     # least one band is identical — banding has 100% recall and the
     # verified result equals the naive all-pairs definition (which
@@ -887,7 +926,7 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b -> struct(a.doc_id AS doc_a, b.doc_id AS doc_b, "
         "a.simhash AS simhash_a, "
         "CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT) AS hamming)), "
-        "p -> p.hamming <= 3)))"
+        f"p -> p.hamming <= {_SIMHASH_MAX_HAMMING})))"
     )
     cand = buckets.select(F.explode(F.expr(pair_expr)).alias("p")).select(
         "p.doc_a", "p.doc_b", "p.simhash_a", "p.hamming"
@@ -899,11 +938,7 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SIMHASH_NEAR_DUP_SQL = f"""
-WITH hashed AS (
-  SELECT doc_id, source,
-         list_transform(string_split(text, ' '),
-                        w -> {_MIX.format(h=_BASE_HASH.format(s="w"))}) AS hw
-  FROM documents),
+WITH {_SIMHASH_HASHED_CTE},
 sig AS (
   SELECT doc_id, source, {_simhash_expr_duckdb()} AS simhash
   FROM hashed)
@@ -911,7 +946,7 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        a.simhash AS simhash_a,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
 FROM sig a JOIN sig b ON a.source = b.source AND a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_MAX_HAMMING}
 """
 
 
@@ -920,15 +955,18 @@ def cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources — the train/test-leakage detector. Every other near-dup
     query here blocks on `source` (dedup within a split); leakage is
     the opposite question, so banding runs WITHOUT the source key and
-    the pair filter keeps only cross-source hits. Same 4x7-bit
+    the pair filter keeps only cross-source hits. Same 4x14-bit
     SimHash banding ⇒ same pigeonhole guarantee: 100% recall at
     hamming <= 3 against the all-pairs definition the oracle
     computes.
 
     100 TB shape: identical to simhash_near_dup minus the source
     block — buckets get denser (all sources share them), which is
-    the price of the cross-split question; the lever at scale is
-    wider bands (more, smaller buckets), a constant in this plan.
+    the price of the cross-split question. The band width IS the
+    lever: unblocked banding carries an intrinsic n²/2^band_bits
+    candidate floor per band, and the r10 sf1-soak measured the old
+    4x7 layout (128 buckets/band) at 59.6 s / 500k docs; the r11
+    4x14 widening (16384 buckets/band) divides that floor by 128.
     """
     d = spread(_L(spark, sf_dir, "documents"), "doc_id")
     bands = simhash_bands_for(simhash_signatures_for(d)).localCheckpoint()
@@ -951,7 +989,7 @@ def cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "hamming", F.expr("CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT)")
         )
-        .filter(F.col("hamming") <= 3)
+        .filter(F.col("hamming") <= _SIMHASH_MAX_HAMMING)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
@@ -968,18 +1006,14 @@ def cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CROSS_SOURCE_LEAKAGE_SQL = f"""
-WITH hashed AS (
-  SELECT doc_id, source,
-         list_transform(string_split(text, ' '),
-                        w -> {_MIX.format(h=_BASE_HASH.format(s="w"))}) AS hw
-  FROM documents),
+WITH {_SIMHASH_HASHED_CTE},
 sig AS (
   SELECT doc_id, source, {_simhash_expr_duckdb()} AS simhash FROM hashed)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        a.source AS source_a, b.source AS source_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND a.source <> b.source
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_MAX_HAMMING}
 """
 
 
@@ -994,12 +1028,17 @@ _INCR_SPLIT = 250
 
 def simhash_signatures_for(docs: DataFrame) -> DataFrame:
     """(doc_id, source, text) -> (doc_id, source, simhash). Pure
-    per-row Catalyst projection, no shuffle."""
-    hm = _MIX.format(h=_BASE_HASH.format(s="w"))
+    per-row Catalyst projection, no shuffle. The inner transform
+    materializes each word's md5 string ONCE; the outer transform
+    folds it into the 56-bit mixed hash (16 instr terms over the
+    same attribute, not 16 md5 calls)."""
+    w56 = _WORD_HASH56.format(m="m")
     return docs.select(
         "doc_id",
         "source",
-        F.expr(f"transform(split(text, ' '), w -> {hm})").alias("hw"),
+        F.expr(
+            f"transform(transform(split(text, ' '), w -> md5(w)), m -> {w56})"
+        ).alias("hw"),
     ).select("doc_id", "source", F.expr(_simhash_expr_spark()).alias("simhash"))
 
 
@@ -1034,7 +1073,7 @@ def dedup_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on (source, band, bucket) — at real scale the batch
     side is tiny relative to the corpus and broadcasts, so the
     corpus's banded signature table (a persisted index in practice)
-    streams through unshuffled. Banding at 4x7 bits keeps 100%
+    streams through unshuffled. Banding at 4x14 bits keeps 100%
     recall at hamming <= 3 by pigeonhole, so the result equals the
     naive all-pairs definition the oracle computes.
     """
@@ -1057,7 +1096,7 @@ def dedup_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (batch.bv == cache.c_bv),
         )
         .withColumn("hamming", F.expr("CAST(bit_count(simhash ^ c_sig) AS BIGINT)"))
-        .filter(F.col("hamming") <= 3)
+        .filter(F.col("hamming") <= _SIMHASH_MAX_HAMMING)
         .groupBy("doc_id")
         .agg(F.min(F.struct("hamming", "c_id")).alias("m"))
     )
@@ -1074,11 +1113,7 @@ def dedup_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_INCREMENTAL_SIMHASH_SQL = f"""
-WITH hashed AS (
-  SELECT doc_id, source,
-         list_transform(string_split(text, ' '),
-                        w -> {_MIX.format(h=_BASE_HASH.format(s="w"))}) AS hw
-  FROM documents),
+WITH {_SIMHASH_HASHED_CTE},
 sig AS (
   SELECT doc_id, source, {_simhash_expr_duckdb()} AS simhash FROM hashed),
 cache AS (SELECT * FROM sig WHERE doc_id < {_INCR_SPLIT}),
@@ -1092,7 +1127,7 @@ nearest AS (
              PARTITION BY b.doc_id
              ORDER BY bit_count(xor(b.simhash, c.simhash)), c.doc_id) AS rn
     FROM batch b JOIN cache c ON b.source = c.source
-    WHERE bit_count(xor(b.simhash, c.simhash)) <= 3)
+    WHERE bit_count(xor(b.simhash, c.simhash)) <= {_SIMHASH_MAX_HAMMING})
   WHERE rn = 1)
 SELECT b.doc_id, n.hamming IS NOT NULL AS is_dup, n.dup_of, n.hamming
 FROM batch b LEFT JOIN nearest n USING (doc_id)

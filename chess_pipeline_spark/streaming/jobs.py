@@ -362,6 +362,7 @@ def stream_ingest_dedup(docs: DataFrame, index_path: str, verdicts_path: str):
     from pyspark.errors import AnalysisException
 
     from chess_pipeline_spark.plans.llm import (
+        _SIMHASH_MAX_HAMMING,
         simhash_bands_for,
         simhash_signatures_for,
     )
@@ -395,7 +396,7 @@ def stream_ingest_dedup(docs: DataFrame, index_path: str, verdicts_path: str):
             .withColumn(
                 "hamming", F.expr("CAST(bit_count(simhash ^ c_sig) AS BIGINT)")
             )
-            .filter(F.col("hamming") <= 3)
+            .filter(F.col("hamming") <= _SIMHASH_MAX_HAMMING)
             .groupBy("doc_id")
             .agg(F.min(F.struct("hamming", "c_id")).alias("m"))
         )
