@@ -202,7 +202,7 @@ EXTENDED = [
     "robust_centroid_goldens",
 ]
 
-ROUND = 10  # bump per round; names the committed BENCHLOCAL file
+ROUND = 11  # bump per round; names the committed BENCHLOCAL file
 
 
 def time_index_phases(spark, sf_dir: str) -> dict[str, float]:

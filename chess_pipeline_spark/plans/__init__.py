@@ -35,13 +35,15 @@ __all__ = ["QuerySpec", "catalog", "DRIVER_WINDOW", "DEMOTION_COVERAGE"]
 # remaining last-green is r3-era; 21 names still wait for r10+),
 # which the md5 sample would amortize uniformly. The sample is
 # reproducible by both sides with ten lines of code and retires that
-# bookkeeping. r10 update: SEVEN executed rotation rounds (r4-r10),
-# zero misses, zero regressions; after the r10 freshness swap every
-# one of the 170 catalog queries has driver contact and none is
-# staler than r5 — but holding that bound now costs a 22-name swap
-# plus a ~50-row DEMOTION_COVERAGE rewrite per round, bookkeeping
-# the md5 sample would retire entirely. Until adopted, the checklist
-# discipline below continues.
+# bookkeeping. r11 update: EIGHT executed rotation rounds (r4-r11),
+# zero misses, zero regressions; the r11 swap moved 35 names (the
+# largest freshness rotation yet) to hold the staleness bound at r6,
+# and cost a 35-name _DEMOTED edit, a ~90-row DEMOTION_COVERAGE
+# re-cite, a FROZEN_ORDER regeneration, and a new contract test —
+# per round. check_rotation.py --report now emits the last-green
+# histogram as ROTATION_r{N}.json so at least the EVIDENCE is one
+# committed file, but the md5-seeded per-round sample would retire
+# the whole checklist. Until adopted, the discipline below continues.
 DRIVER_WINDOW = 50
 
 # Queries pushed past the driver window — exactly

@@ -50,10 +50,61 @@ def green_history() -> dict[str, list[int]]:
     return out
 
 
+def write_freshness_report(round_no: int) -> str:
+    """Emit ROTATION_r{N}.json: per-query green-round history and the
+    last-green histogram — the table the r10 judge recomputed by hand
+    from ten CORRECTNESS files, as one committed artifact per round
+    (r10 verdict task 8). Window membership is included so the reader
+    can verify the freshness bound (in-window names are being
+    re-verified in the CURRENT round by construction; the bound
+    applies to the demoted set)."""
+    from collections import Counter
+
+    from chess_pipeline_spark.plans import DRIVER_WINDOW, _DEMOTED, catalog
+
+    cat = list(catalog())
+    window = set(cat[:DRIVER_WINDOW])
+    hist = green_history()
+    rows = {
+        n: {
+            "green_rounds": sorted(hist.get(n, [])),
+            "last_green": max(hist.get(n, [0])) or None,
+            "in_window": n in window,
+        }
+        for n in cat
+    }
+    demoted_last = [rows[n]["last_green"] or 0 for n in _DEMOTED]
+    out = {
+        "round": round_no,
+        "window": DRIVER_WINDOW,
+        "catalog": len(cat),
+        "demoted_last_green_histogram": dict(
+            sorted(Counter(demoted_last).items())
+        ),
+        "oldest_demoted_last_green": min(demoted_last) if demoted_last else None,
+        "never_driver_green": sorted(n for n in cat if not hist.get(n)),
+        "queries": rows,
+    }
+    path = Path(_REPO) / f"ROTATION_r{round_no:02d}.json"
+    path.write_text(json.dumps(out, indent=1, sort_keys=False) + "\n")
+    return str(path)
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--plan", action="store_true", help="propose the next rotation")
+    ap.add_argument(
+        "--report",
+        type=int,
+        metavar="ROUND",
+        help="write ROTATION_r{N}.json (per-query green history + "
+        "last-green histogram) and exit",
+    )
     args = ap.parse_args(argv)
+
+    if args.report is not None:
+        print(write_freshness_report(args.report))
+        return 0
 
     from chess_pipeline_spark.plans import DRIVER_WINDOW, _DEMOTED, catalog
 
