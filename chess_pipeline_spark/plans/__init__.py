@@ -327,6 +327,10 @@ _DEMOTED: tuple[str, ...] = (
     # the sweep-line anchor, triple-green r8-r10; its family
     # re-anchors on the returning events queries (see note above)
     "concurrency_peak_daily",
+    # ---- r11-late staged addition (the r8-r10 precedent: built
+    # demoted, sweep-verified on landing, staged for first driver
+    # contact in the r12 promotion) ----
+    "exact_substring_rewrite",
 )
 
 # For every demoted query: the IN-WINDOW queries that keep its SURVEY
@@ -635,6 +639,12 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     # sweep-line daily concurrency → session sweep intervals + tumbling
     # time buckets
     "concurrency_peak_daily": ("events_sessionized", "events_tumbling_1h"),
+    # (r11-late staged addition, never yet driver-seen — first in the
+    # r12 promotion queue) ExactSubstr span-removal rewrite → the
+    # in-window spans PLANNING pass runs the identical interval
+    # machinery (repeated_span_intervals is shared code); the
+    # row-local token-stream rewrite rides the tokenize/pack family
+    "exact_substring_rewrite": ("exact_substring_spans", "pack_sequences"),
 }
 
 

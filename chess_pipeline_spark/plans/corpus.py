@@ -2984,27 +2984,22 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repeated_spans(pos)
 
 
-def repeated_spans(
+def repeated_span_intervals(
     pos: DataFrame,
     n: int = _SPANGRAM_N,
     hot_cnt: int = _SPANGRAM_HOT_CNT,
 ) -> DataFrame:
-    """Occurrence count + skew-safe repeated-flag join + per-doc
-    island merge over a positional postings frame (doc_id, i, gd) —
-    the core of exact_substring_spans, parameterized so law/skew
-    tests can lower `hot_cnt` to force the broadcast branch and
-    shrink `n` against planted fixtures.
-
-    The per-doc word count is DERIVED from the positions frame
-    (n_words = max(i) + n - 1, exact because position max(i) is
-    size(w) - n + 1), so the document text is scanned exactly once —
-    the positions checkpoint feeds the occurrence count, the flag
-    join, AND the word-count rollup."""
+    """(doc_id, s, e) merged repeated-run word intervals (1-based,
+    inclusive) from a positional postings frame (doc_id, i, gd):
+    corpus occurrence count per digest → skew-safe repeated-flag join
+    (counts >= hot_cnt broadcast, the dup-gram posture) → per-doc
+    gaps-and-islands merge of the fixed-length intervals [i, i+n-1]
+    (same-length intervals overlap iff the start gap <= n, so one lag
+    + one running sum inside the doc_id window — state bounded by the
+    doc's own positions). Shared by the spans ROLLUP
+    (exact_substring_spans) and the span-removal REWRITE
+    (exact_substring_rewrite), which consume the same intervals."""
     from pyspark.sql import Window
-
-    doc_words = pos.groupBy("doc_id").agg(
-        (F.max("i") + n - 1).cast("long").alias("n_words")
-    )
 
     cnt = pos.groupBy("gd").agg(F.count("*").cast("long").alias("cnt"))
     rep = cnt.filter(F.col("cnt") >= 2).select("gd", "cnt")
@@ -3035,9 +3030,32 @@ def repeated_spans(
             ).over(w),
         )
     )
-    spans = isl.groupBy("doc_id", "island").agg(
+    return isl.groupBy("doc_id", "island").agg(
         F.min("i").alias("s"), (F.max("i") + n - 1).alias("e")
+    ).select("doc_id", "s", "e")
+
+
+def repeated_spans(
+    pos: DataFrame,
+    n: int = _SPANGRAM_N,
+    hot_cnt: int = _SPANGRAM_HOT_CNT,
+) -> DataFrame:
+    """Occurrence count + skew-safe repeated-flag join + per-doc
+    island merge over a positional postings frame (doc_id, i, gd) —
+    the core of exact_substring_spans, parameterized so law/skew
+    tests can lower `hot_cnt` to force the broadcast branch and
+    shrink `n` against planted fixtures.
+
+    The per-doc word count is DERIVED from the positions frame
+    (n_words = max(i) + n - 1, exact because position max(i) is
+    size(w) - n + 1), so the document text is scanned exactly once —
+    the positions checkpoint feeds the occurrence count, the flag
+    join, AND the word-count rollup."""
+    doc_words = pos.groupBy("doc_id").agg(
+        (F.max("i") + n - 1).cast("long").alias("n_words")
     )
+
+    spans = repeated_span_intervals(pos, n=n, hot_cnt=hot_cnt)
     per_doc = spans.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_spans"),
         F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("dup_words"),
@@ -3103,6 +3121,115 @@ ORDER BY doc_id
 """
 
 
+def exact_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document SPAN-REMOVAL REWRITE — the execution pass of
+    exact-substring deduplication (Lee et al. 2022, ExactSubstr
+    "remove" step; reference anchor: the repo models data-cleaning
+    transforms like reference transforms.py's column scrubs, lifted
+    to corpus scale): drop every word covered by a repeated run of
+    >= {_SPANGRAM_N} consecutive words (ALL occurrences — Lee et al.
+    remove every copy; what survives is text that appears once in
+    the corpus) and emit the cleaned token stream. Operates on the
+    normalized token sequence (lowered [a-z]+ runs — the same
+    tokenization the span detector and the downstream LM tokenizer
+    consume), so `text_clean` is the training-ready form, not a
+    byte-offset patch of the raw string.
+
+    Output: one row per >= n-word doc — n_words, removed_words, and
+    text_clean ('' when the whole doc is repeated material; such
+    rows are the ExactSubstr drop set).
+
+    100 TB shape: the span detection is exact_substring_spans'
+    machinery verbatim (digest-only shuffles, hot/cold flag join,
+    per-doc island windows — see repeated_span_intervals); the only
+    additions are one collect_list of (s, e) intervals per doc
+    (bounded by the doc's own span count, not the corpus) and a
+    row-local rewrite expression (filter over the words array with
+    an exists() probe into the doc's own interval list). The words
+    array is re-materialized for the rewrite scan — text must flow
+    to the OUTPUT here, so unlike the spans rollup the doc body
+    legitimately crosses one exchange: the (doc_id, spans) frame
+    joins to the words scan on doc_id, and at real scale the spans
+    side is the small one (only docs WITH repeats) and broadcasts.
+    """
+    d = spread(_L(spark, sf_dir, "documents"), "doc_id")
+    words = d.select(
+        "doc_id",
+        F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)").alias("w"),
+    ).filter(F.size("w") >= _SPANGRAM_N)
+    pos = span_positions(d).localCheckpoint(eager=False)
+    doc_spans = (
+        repeated_span_intervals(pos)
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("s", "e")).alias("spans"))
+    )
+    kept = (
+        "filter(transform(w, (x, j) -> struct(x AS t, CAST(j + 1 AS BIGINT)"
+        " AS i)), p -> NOT exists(coalesce(spans, array()),"
+        " sp -> p.i >= sp.s AND p.i <= sp.e))"
+    )
+    return (
+        words.join(doc_spans, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("w").cast("long").alias("n_words"),
+            F.expr(kept).alias("k"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            (F.col("n_words") - F.size("k")).cast("long").alias("removed_words"),
+            F.expr("concat_ws(' ', transform(k, p -> p.t))").alias("text_clean"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+EXACT_SUBSTRING_REWRITE_SQL = f"""
+WITH words AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
+  FROM documents),
+docs AS (
+  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words, w
+  FROM words WHERE len(w) >= {{n}}),
+pos AS (
+  SELECT doc_id, CAST(t.i AS BIGINT) AS i,
+         array_to_string(w[CAST(t.i AS BIGINT):CAST(t.i + {{n1}} AS BIGINT)], ' ') AS g
+  FROM docs, LATERAL unnest(range(1, len(w) - {{n2}})) AS t(i)),
+rep_g AS (SELECT g FROM pos GROUP BY g HAVING count(*) >= 2),
+rep AS (SELECT doc_id, i FROM pos SEMI JOIN rep_g USING (g)),
+lagged AS (
+  SELECT doc_id, i,
+         lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+  FROM rep),
+isl AS (
+  SELECT doc_id, i,
+         SUM(CASE WHEN prev IS NULL OR i - prev > {{n}}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY i) AS island
+  FROM lagged),
+spans AS (
+  SELECT doc_id, island, MIN(i) AS s, MAX(i) + {{n1}} AS e
+  FROM isl GROUP BY doc_id, island),
+tok AS (
+  SELECT doc_id, CAST(t.j AS BIGINT) AS j, w[CAST(t.j AS BIGINT)] AS tok
+  FROM docs, LATERAL unnest(range(1, len(w) + 1)) AS t(j)),
+kept AS (
+  SELECT doc_id, j, tok FROM tok t
+  WHERE NOT EXISTS (SELECT 1 FROM spans s
+                    WHERE s.doc_id = t.doc_id AND t.j BETWEEN s.s AND s.e)),
+kc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         string_agg(tok, ' ' ORDER BY j) AS txt
+  FROM kept GROUP BY doc_id)
+SELECT d.doc_id, d.n_words,
+       CAST(d.n_words - COALESCE(kc.n_kept, 0) AS BIGINT) AS removed_words,
+       COALESCE(kc.txt, '') AS text_clean
+FROM docs d LEFT JOIN kc USING (doc_id)
+ORDER BY d.doc_id
+""".format(n=_SPANGRAM_N, n1=_SPANGRAM_N - 1, n2=_SPANGRAM_N - 2)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dup_ngram_fraction": QuerySpec(
         dup_ngram_fraction, DUP_NGRAM_FRACTION_SQL, "corpus-dup-exposure"
@@ -3111,6 +3238,11 @@ QUERIES: dict[str, QuerySpec] = {
         exact_substring_spans,
         EXACT_SUBSTRING_SPANS_SQL,
         "corpus-exact-substring-spans",
+    ),
+    "exact_substring_rewrite": QuerySpec(
+        exact_substring_rewrite,
+        EXACT_SUBSTRING_REWRITE_SQL,
+        "corpus-exact-substring-rewrite",
     ),
     "dedup_keep_best": QuerySpec(
         dedup_keep_best, DEDUP_KEEP_BEST_SQL, "corpus-keep-best"

@@ -218,7 +218,17 @@ FROZEN_ORDER: tuple[str, ...] = (
     "embedding_diversity",
     "dup_ngram_fraction",
     "concurrency_peak_daily",
+    # r11-late staged addition (demoted on landing, first in the r12
+    # promotion queue)
+    "exact_substring_rewrite",
 )
+
+
+# Staged late in r11 under the r8-r10 precedent: demoted on landing
+# with full sweep evidence, never yet driver-seen — exempt from the
+# freshness bound below (no history to be stale about), and pinned to
+# have none before its scheduled r12 first contact.
+_STAGED_R11_LATE = frozenset({"exact_substring_rewrite"})
 
 
 def test_catalog_order_frozen():
@@ -380,6 +390,14 @@ def test_driver_window_r11_rotation():
     # DEMOTED query's last driver green is older than r6 (window
     # members are re-verified this round by construction)
     for name in _DEMOTED:
+        if name in _STAGED_R11_LATE:
+            # staged addition: first contact scheduled for r12+, so
+            # any driver history must start at r12 or later (written
+            # future-artifact-proof, per the r10 time-bomb lesson)
+            assert min(hist.get(name, {12})) >= 12, (
+                f"{name} staged late-r11 but has pre-r12 history"
+            )
+            continue
         assert max(hist[name]) >= 6, (
             f"{name} left demoted with last green r{max(hist[name])} < r6"
         )
