@@ -90,6 +90,9 @@ QUERIES: dict[str, int] = {
     "dedup_incremental_simhash": _DOC_MULT,
     "cross_source_leakage": _DOC_MULT,
     "leakage_safe_split": _DOC_MULT,
+    # the ExactSubstr pair (r11): planning rollup + removal rewrite
+    "exact_substring_spans": _DOC_MULT,
+    "exact_substring_rewrite": _DOC_MULT,
     # embeddings tier (x250)
     "knn_cosine_topk": _EMB_MULT,
     "knn_cosine_ivf": _EMB_MULT,

@@ -229,6 +229,13 @@ _RANDOMIZED_QUERIES = (
     # regexp_replace) and per-(doc, span) hash slots must agree on
     # empty/whitespace-only/punctuation-heavy generated texts
     "span_corruption_plan",
+    # r11: the ExactSubstr pair — the >= 10-word gram threshold
+    # rarely binds on 60-char generated texts (docs mostly fall
+    # below n words and both engines must agree they produce NO
+    # row), and when it does bind the island merge + rewrite must
+    # agree cross-engine on adversarial near-boundary lengths
+    "exact_substring_spans",
+    "exact_substring_rewrite",
 )
 
 
