@@ -2999,8 +2999,6 @@ def repeated_span_intervals(
     doc's own positions). Shared by the spans ROLLUP
     (exact_substring_spans) and the span-removal REWRITE
     (exact_substring_rewrite), which consume the same intervals."""
-    from pyspark.sql import Window
-
     cnt = pos.groupBy("gd").agg(F.count("*").cast("long").alias("cnt"))
     rep = cnt.filter(F.col("cnt") >= 2).select("gd", "cnt")
     hot = rep.filter(F.col("cnt") >= hot_cnt).select("gd")
@@ -3015,6 +3013,19 @@ def repeated_span_intervals(
         .join(cold, "gd", "left_semi")
     )
     repeated = hot_rows.unionByName(cold_rows).select("doc_id", "i")
+    return merge_span_islands(repeated, n=n)
+
+
+def merge_span_islands(repeated: DataFrame, n: int = _SPANGRAM_N) -> DataFrame:
+    """(doc_id, i) repeated-gram start positions -> (doc_id, s, e)
+    merged word intervals: fixed-length intervals [i, i+n-1] overlap
+    iff the start gap <= n, so the merge is one lag + one running sum
+    inside the doc_id window — state bounded by the doc's own
+    positions. Shared by the batch flag-join path
+    (repeated_span_intervals) and the ledger-served probe
+    (streaming.jobs.spans_from_ledger), which flag repeats by
+    different means but merge identically."""
+    from pyspark.sql import Window
 
     w = Window.partitionBy("doc_id").orderBy("i")
     isl = (
@@ -3054,8 +3065,14 @@ def repeated_spans(
     doc_words = pos.groupBy("doc_id").agg(
         (F.max("i") + n - 1).cast("long").alias("n_words")
     )
+    return span_rollup(doc_words, repeated_span_intervals(pos, n=n, hot_cnt=hot_cnt))
 
-    spans = repeated_span_intervals(pos, n=n, hot_cnt=hot_cnt)
+
+def span_rollup(doc_words: DataFrame, spans: DataFrame) -> DataFrame:
+    """(doc_id, n_words) x (doc_id, s, e) -> the exact_substring_spans
+    output schema (zero-filled: a doc with no repeats is a 0-span row,
+    not a missing row). Shared by the batch query and the
+    ledger-served streaming probe."""
     per_doc = spans.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_spans"),
         F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("dup_words"),

@@ -1350,6 +1350,98 @@ def stream_dupgram_ledger(docs: DataFrame, ledger_dir: str):
     return docs.writeStream.foreachBatch(_process)
 
 
+def ingest_spangram_delta(
+    batch: DataFrame, ledger_dir: str, batch_id: int
+) -> None:
+    """Fold one document delta into the persisted POSITIONAL-gram
+    occurrence ledger: rows (gd = xxhash64 of the 10-word positional
+    gram, cnt = occurrences in THIS batch — occurrences, not distinct
+    docs: an internal loop is repetition too, the exact_substring
+    semantics) land under their batch_id partition via dynamic
+    partition overwrite. Occurrence addition is associative and
+    commutative but NOT idempotent, so exactly-once comes from layout
+    (the dup-gram / Count-Min / text-index discipline): a replayed
+    batch rewrites exactly its own partition with identical bytes.
+    The ledger is gram-vocab scale (digests only — gram text never
+    persists and never shuffles): the incremental-maintenance posture
+    ExactSubstr needs at 100 TB, where re-scanning the corpus to
+    refresh occurrence counts after every crawl batch is off the
+    table."""
+    from chess_pipeline_spark.plans.corpus import span_positions
+    from chess_pipeline_spark.sinks import upsert_partition_overwrite
+
+    delta = (
+        span_positions(batch)
+        .groupBy("gd")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .withColumn("batch_id", F.lit(batch_id))
+    )
+    if _refuse_folded_batch_id(
+        ledger_dir, batch_id, "ingest_spangram_delta", frame=delta
+    ):
+        return
+    upsert_partition_overwrite(delta, ledger_dir, ["batch_id"])
+
+
+def compact_spangram_ledger(spark, ledger_dir: str) -> None:
+    """Fold the per-batch occurrence partitions into one batch-0
+    partition: the probe (spans_from_ledger) sums cnt across batches,
+    so the fold is probe-invariant by construction. Crash-idempotent
+    via the shared `_folded_batches.json` marker; ingest refuses
+    folded ids (occurrence addition is not idempotent)."""
+    from chess_pipeline_spark.sinks import compact_batch_ledger
+
+    compact_batch_ledger(spark, ledger_dir, ["gd"], sum_cols=["cnt"])
+
+
+def stream_spangram_ledger(docs: DataFrame, ledger_dir: str):
+    """Continuous ExactSubstr planning-state maintenance: each
+    micro-batch folds its positional-gram occurrence counts into the
+    ledger. spans_from_ledger over the streamed ledger equals the
+    batch exact_substring_spans over the same documents byte-for-byte
+    (pytest law, duplicate delivery included)."""
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        ingest_spangram_delta(batch, ledger_dir, batch_id)
+
+    return docs.writeStream.foreachBatch(_process)
+
+
+def spans_from_ledger(spark, ledger_dir: str, docs: DataFrame) -> DataFrame:
+    """Serve per-doc repeated-span rollups from the persisted ledger:
+    re-derive the probe docs' positional gram digests (same
+    span_positions rule as ingest), flag positions whose gram's
+    batch-summed occurrence count is >= 2, and run the shared island
+    merge + rollup — identical output schema and values to
+    exact_substring_spans when the ledger has ingested the same
+    corpus (2^-64 digest collisions are the documented approximation;
+    a collision can only merge two grams and nudge spans upward).
+    The join is digest-keyed; gram text never leaves the probe scan.
+    At real scale the probe side (one new batch) is small against the
+    vocab-scale ledger, and the repeated-digest set after the >= 2
+    filter is the natural broadcast candidate."""
+    from chess_pipeline_spark.plans.corpus import (
+        _SPANGRAM_N,
+        merge_span_islands,
+        span_positions,
+        span_rollup,
+    )
+
+    pos = span_positions(docs).localCheckpoint(eager=False)
+    led = (
+        spark.read.parquet(ledger_dir)
+        .groupBy("gd")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("gd")
+    )
+    repeated = pos.join(led, "gd", "left_semi").select("doc_id", "i")
+    doc_words = pos.groupBy("doc_id").agg(
+        (F.max("i") + _SPANGRAM_N - 1).cast("long").alias("n_words")
+    )
+    return span_rollup(doc_words, merge_span_islands(repeated))
+
+
 def dup_exposure_from_ledger(
     spark, ledger_dir: str, docs: DataFrame
 ) -> DataFrame:
