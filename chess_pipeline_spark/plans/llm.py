@@ -1078,7 +1078,13 @@ def dedup_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     naive all-pairs definition the oracle computes.
     """
     d = spread(_L(spark, sf_dir, "documents"), "doc_id")
-    sig = simhash_signatures_for(d)
+    # the signature subtree feeds THREE plan arms (the band join's
+    # cache side, its batch side, and the final per-doc left join) —
+    # without a checkpoint each arm re-tokenizes and re-folds the
+    # corpus, which the 56-bit widening made 2x costlier (r11 soak:
+    # 35.1 s at 500k docs; one lazy localCheckpoint cuts it to one
+    # signature pass)
+    sig = simhash_signatures_for(d).localCheckpoint(eager=False)
     bands = simhash_bands_for(sig)
     cache = bands.filter(F.col("doc_id") < _INCR_SPLIT).select(
         F.col("source").alias("c_source"),
