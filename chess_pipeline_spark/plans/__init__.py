@@ -151,6 +151,17 @@ DRIVER_WINDOW = 50
 #          held because the r11 56-bit signature widening changes its
 #          plan and changed code needs driver contact).
 #
+#   r11→r12: executed the r12 FRESHNESS rotation exactly as the r11
+#          verdict staged it — promoted exact_substring_rewrite
+#          (first driver contact; the only never-driver-seen catalog
+#          query, completing the ExactSubstr pair) PLUS all 17 r6-era
+#          demotions (the entire r6→r7 section: bm25_top_terms …
+#          corpus_composition) — after this swap no catalog query's
+#          last driver green is older than r7. Demoted 18 per
+#          freshness mode from the 23 freshest eligibles (each >=2
+#          greens incl. r11), picked to minimize coverage churn; see
+#          the r12 section of _DEMOTED for the anchor rationale.
+#
 # r11 WORK NOTE status (from the r10 sf1-soak, SCALING.md): the
 # SimHash 56-bit signature widening (second mixed word hash, 4x14-bit
 # bands, re-tuned hamming threshold + planted-geometry tests) is the
@@ -159,27 +170,9 @@ DRIVER_WINDOW = 50
 # candidate floor (measured 59.6 s at 500k docs in r10).
 _DEMOTED: tuple[str, ...] = (
     # (the whole r5→r6 demotion section — the 34 names last green r5 —
-    # returned to the window in the r10→r11 freshness rotation below)
-    # --- demoted in the r6→r7 rotation: green in r5 AND r6 (first
-    # twelve) or r6-green with redundant in-window family coverage
-    # (last five) ---
-    "bm25_top_terms",
-    "decontaminate_ngram_overlap",
-    "dedup_incremental_simhash",
-    "embedding_random_projection",
-    "events_interval_join",
-    "events_ohlc_hourly",
-    "events_rolling_zscore",
-    "events_time_weighted_avg",
-    "paragraph_dedup",
-    "quality_filter_verdicts",
-    "repetition_stats",
-    "semdedup_embedding",
-    "hll_cumulative_daily",
-    "waiting_supplier_orders",
-    "customer_value_deciles",
-    "funnel_latency_percentiles",
-    "corpus_composition",
+    # returned to the window in the r10→r11 freshness rotation; the
+    # whole r6→r7 section — the 17 names last green r6 — returned in
+    # the r11→r12 freshness rotation below)
     # --- demoted in the r7→r8 rotation: the 32 non-anchor window
     # members green in BOTH r6 and r7 (json_props_extract: green in
     # r1-r5 and r7), plus 3 single-green r7 DSS promotions with
@@ -327,10 +320,39 @@ _DEMOTED: tuple[str, ...] = (
     # the sweep-line anchor, triple-green r8-r10; its family
     # re-anchors on the returning events queries (see note above)
     "concurrency_peak_daily",
-    # ---- r11-late staged addition (the r8-r10 precedent: built
-    # demoted, sweep-verified on landing, staged for first driver
-    # contact in the r12 promotion) ----
-    "exact_substring_rewrite",
+    # ---- demoted in the r11→r12 freshness rotation: 18 slots went
+    # to exact_substring_rewrite (first driver contact — the last
+    # never-driver-seen catalog query, completing the ExactSubstr
+    # pair) plus ALL 17 r6-era demotions (the entire r6→r7 section),
+    # after which no catalog query's last driver green is older than
+    # r7. Demoted per check_rotation.py's freshness mode: every name
+    # below has >=2 green rounds INCLUDING r11 (most carry six greens
+    # r1-r5+r11), and the set was chosen from the 23 freshest
+    # eligibles to minimize DEMOTION_COVERAGE churn (the five heavier-
+    # cited fresh members — top_customer_revenue, clock_lead_fill,
+    # events_tumbling_1h, scalar_feature_sampler, events_sessionized —
+    # stay in-window as join/window/time-bucket/scalar/session family
+    # anchors). win_ratio_by_status rotates out of the WINDOW but not
+    # out of driver contact: it remains the entry() flagship the
+    # driver smoke-runs every round. ----
+    "win_ratio_by_status",
+    "pricing_summary",
+    "order_priority_clean",
+    "parts_never_ordered",
+    "customers_with_orders",
+    "orders_fulfillment",
+    "order_lines_enriched",
+    "zip_explode_lockstep",
+    "material_map_expand",
+    "union_by_name",
+    "array_predicate_filter",
+    "rollup_priority_status",
+    "price_percentiles",
+    "events_dedup_latest",
+    "events_asof_last_purchase",
+    "event_funnel",
+    "win_prob_lr",
+    "lang_id_heuristic",
 )
 
 # For every demoted query: the IN-WINDOW queries that keep its SURVEY
@@ -342,47 +364,10 @@ _DEMOTED: tuple[str, ...] = (
 # mixture_sample/multimodal_features; every row below cites r8-window
 # members only).
 DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
-    # ---- r6→r7 demotions, re-cited against the r8 window ----
-    # vocab-scale DF/IDF term ranking → BM25 probe + the in-plan
-    # tf-idf ranking twin
-    "bm25_top_terms": ("bm25_index_probe", "tfidf_top_terms"),
-    # benchmark-gram broadcast anti-overlap → shingle inverted-index
-    # gram joins
-    "decontaminate_ngram_overlap": ("ngram_jaccard_near_dup",),
-    # simhash banding (batch-vs-corpus) → the promoted simhash twin
-    "dedup_incremental_simhash": ("simhash_near_dup",),
-    # row-local JL projection → row-local quantize folds + PQ encode
-    "embedding_random_projection": ("embedding_quantize_int8", "ivf_ingest_audit"),
-    # stream-stream interval join batch twin → validity-interval join +
-    # the as-of interval lookup
-    "events_interval_join": ("scd2_point_in_time_join", "events_asof_last_purchase"),
-    # hourly OHLC tumbling agg → the tumbling-bucket twin
-    "events_ohlc_hourly": ("events_tumbling_1h",),
-    # rolling frame stats → ordered window chains + period stats
-    "events_rolling_zscore": ("clock_lead_fill", "psi_value_drift"),
-    # time-weighted avg (lead deltas) → lead-delta window chains +
-    # tumbling buckets
-    "events_time_weighted_avg": ("clock_lead_fill", "events_tumbling_1h"),
-    # paragraph-level digest dedup → digest dedup + CC clustering
-    "paragraph_dedup": ("dedup_normalized", "dedup_groups"),
-    # keep/drop quality verdicts → heuristic text scoring + token
-    # counting
-    "quality_filter_verdicts": ("lang_id_heuristic", "pack_sequences"),
-    # row-local gram folds / repetition ratios → positional-gram span
-    # counting + shingle folds
-    "repetition_stats": ("exact_substring_spans", "ngram_jaccard_near_dup"),
-    # cluster-blocked cosine → IVF cluster-blocked knn + keep-best pick
-    "semdedup_embedding": ("knn_cosine_ivf", "dedup_keep_best"),
-    # cumulative daily HLL → the register set-algebra twin
-    "hll_cumulative_daily": ("hll_set_algebra",),
-    # Q21-shaped multi-join → snowflake joins + two-level correlated agg
-    "waiting_supplier_orders": ("profit_by_nation_year", "dominant_supplier_parts"),
-    # exact ntile deciles → percentile aggregates + bin machinery
-    "customer_value_deciles": ("price_percentiles", "psi_value_drift"),
-    # funnel percentiles → the percentile-sketch bin machinery
-    "funnel_latency_percentiles": ("psi_value_drift",),
-    # corpus share-by-source → mixture strata + row-normalized shares
-    "corpus_composition": ("mixture_sample", "win_ratio_by_status"),
+    # (the whole r6→r7 block — bm25_top_terms … corpus_composition —
+    # returned to the window in the r11→r12 freshness rotation; its
+    # 17 coverage rows are retired and the members now serve as
+    # coverers themselves)
     # ---- r7→r8 demotions (each green in r6 AND r7 unless noted as a
     # single-green redundancy demotion) ----
     # F9/P8 CASE scoring chains → grouping-set CASE recodes
@@ -397,7 +382,7 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     "returnflag_priority_casesum": ("cube_status_priority",),
     # Q13 outer-join count distribution → left join + 0-fill +
     # count-distinct groups
-    "cust_order_count_dist": ("orders_fulfillment", "brand_supplier_counts"),
+    "cust_order_count_dist": ("customer_value_deciles", "brand_supplier_counts"),
     # Q17 per-group threshold compare → Q20's per-group threshold form
     "small_qty_revenue": ("dominant_supplier_parts",),
     # Q18 group-HAVING + join back → two-level agg + global-scalar HAVING
@@ -405,12 +390,12 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     # Q22 anti join + global-avg filter → Q16 anti join + Q11 global scalar
     "idle_customer_balance": ("brand_supplier_counts", "above_share_nations"),
     # W4/A4 last-touch-per-key → as-of latest + PIT lookup
-    "attribution_last_touch": ("events_asof_last_purchase", "scd2_point_in_time_join"),
+    "attribution_last_touch": ("scd2_point_in_time_join", "dedup_keep_best"),
     # lead chains + gram folds → session sweep ordering + shingle joins
     "session_path_trigrams": ("events_sessionized", "ngram_jaccard_near_dup"),
     # lead + row-normalized matrix → session transitions + pivot
     # row-normalization
-    "event_transition_matrix": ("events_sessionized", "win_ratio_by_status"),
+    "event_transition_matrix": ("events_sessionized", "corpus_composition"),
     # W2/W3 lag gaps → lead/lag chains + validity-range semantics
     "events_gap_detection": ("clock_lead_fill", "scd2_point_in_time_join"),
     # E6 JSON flatten → nested-structure UDTF flatten (get_json_object
@@ -432,7 +417,7 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     "boilerplate_chunk_removal": ("exact_substring_spans", "dedup_normalized"),
     # broadcast unigram-LM scoring → broadcast-model inference +
     # vocab-ranked term scoring
-    "unigram_logprob_score": ("win_prob_lr", "tfidf_top_terms"),
+    "unigram_logprob_score": ("quality_filter_verdicts", "tfidf_top_terms"),
     # in-plan BM25 ranking → the persisted probe is bit-exact vs in-plan
     "bm25_doc_search": ("bm25_index_probe",),
     # RRF retriever fusion → the lexical arm + the IVF ANN arm
@@ -440,7 +425,7 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     # per-key HLL distincts → the register set-algebra twin
     "hll_distinct_users": ("hll_set_algebra",),
     # per-column profile aggregates → Q1 multi-agg stats + bin profiles
-    "data_profile_orders": ("pricing_summary", "psi_value_drift"),
+    "data_profile_orders": ("events_ohlc_hourly", "psi_value_drift"),
     # median/MAD robust bounds → the percentile-sketch bin machinery
     "mad_outlier_bounds": ("psi_value_drift",),
     # token-length histogram → token packing + fixed-width bins
@@ -475,7 +460,7 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     "segment_top_value_orders": ("top_customer_revenue", "dedup_keep_best"),
     # SCD2 lead-validity intervals + upsert sink → the PIT lookup over
     # the same validity intervals + latest-row dedup
-    "scd2_customer_snapshot": ("scd2_point_in_time_join", "events_dedup_latest"),
+    "scd2_customer_snapshot": ("scd2_point_in_time_join", "dedup_keep_best"),
     # pushed predicates + conditional period deltas → pushed isin/brand
     # filters + CASE grouping-set sums
     "forecast_revenue_change": ("brand_supplier_counts", "cube_status_priority"),
@@ -506,7 +491,7 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     # double-greens; families re-anchored on r10-window members —
     # many on the returning r3/r4-era promotions themselves) ----
     # P9 distinct → the count-distinct group machinery + status pivot
-    "distinct_flag_status": ("brand_supplier_counts", "win_ratio_by_status"),
+    "distinct_flag_status": ("brand_supplier_counts", "cube_status_priority"),
     # E1 explode + index → posexplode sequence numbering in the PGN UDTF
     "explode_quantities": ("pgn_moves_table",),
     # A7 global min/max → the Q11 global-scalar HAVING form
@@ -555,7 +540,7 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     "fuzzy_part_matches": ("scalar_feature_sampler",),
     # Bloom membership prune → Q16 anti-join counts + the NOT-IN
     # anti-join prune path
-    "bloom_join_prune": ("brand_supplier_counts", "parts_never_ordered"),
+    "bloom_join_prune": ("brand_supplier_counts", "decontaminate_ngram_overlap"),
     # ---- demoted in the r10→r11 freshness rotation (every name >= 2
     # green rounds including r10; slots went to exact_substring_spans'
     # first driver contact plus all 34 r5-era stale names — families
@@ -575,7 +560,7 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     "dedup_exact": ("dedup_normalized", "dedup_keep_best"),
     # length/punct/stopword quality scoring → heuristic text scoring +
     # token counting
-    "text_quality_stats": ("lang_id_heuristic", "pack_sequences"),
+    "text_quality_stats": ("quality_filter_verdicts", "pack_sequences"),
     # rolling-hash fingerprint → digest dedup + positional-gram spans
     "doc_fingerprint": ("dedup_normalized", "exact_substring_spans"),
     # word-set Jaccard pairs → the shingle inverted-index Jaccard twin
@@ -583,16 +568,16 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     # MinHash LSH band join → the MinHash-LSH + CC pipeline + LSH knn
     "minhash_lsh_candidates": ("dedup_groups", "knn_cosine_lsh"),
     # P3/P4 eq/ineq/isin filters → array predicates + projection/recode
-    "lineitem_filter_isin": ("array_predicate_filter", "order_priority_clean"),
+    "lineitem_filter_isin": ("scalar_feature_sampler", "quality_filter_verdicts"),
     # W4 first-in-group → argmin keep-best + ordered window chains
     "initial_clock_per_group": ("dedup_keep_best", "clock_lead_fill"),
     # A1 count-by-priority → the pivot + the ROLLUP grouping twin
-    "orders_per_priority": ("win_ratio_by_status", "rollup_priority_status"),
+    "orders_per_priority": ("cube_status_priority",),
     # E4 dict→struct pack → struct/zip packing in the PGN UDTF + the
     # lockstep zip twin
-    "struct_pack_fields": ("pgn_moves_table", "zip_explode_lockstep"),
+    "struct_pack_fields": ("pgn_moves_table", "exact_substring_rewrite"),
     # P10 0-row guard → the NOT-IN anti-join empty/prune path
-    "empty_relation_guard": ("parts_never_ordered",),
+    "empty_relation_guard": ("decontaminate_ngram_overlap",),
     # whitespace/BPE-ish token counting → the tokenize+pack twin
     "token_count": ("pack_sequences",),
     # cosine near-dup banding → IVF-blocked + LSH-bucketed cosine
@@ -604,7 +589,7 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     # per-source term ranking → the tf-idf ranking twin
     "top_terms_per_source": ("tfidf_top_terms",),
     # A4/W4 per-key argmin top-1 → keep-best argmin + chained joins
-    "cheapest_supplier_per_part": ("dedup_keep_best", "order_lines_enriched"),
+    "cheapest_supplier_per_part": ("dedup_keep_best", "profit_by_nation_year"),
     # per-anchor cosine top-3 mining → IVF cosine + revenue rank top-k
     "hard_negative_mining": ("knn_cosine_ivf", "top_customer_revenue"),
     # IVF+ADC recall audit → the persisted-index ingest audit + the
@@ -622,7 +607,7 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     "token_balanced_shards": ("pack_sequences", "mixture_sample"),
     # per-source KL divergence → fixed-bin distribution drift +
     # heuristic distribution scoring
-    "source_kl_divergence": ("psi_value_drift", "lang_id_heuristic"),
+    "source_kl_divergence": ("psi_value_drift", "corpus_composition"),
     # AMS/CMS counter-grid estimate → the mergeable register algebra +
     # fixed-bin counters
     "cms_join_size_estimate": ("hll_set_algebra", "psi_value_drift"),
@@ -639,12 +624,60 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     # sweep-line daily concurrency → session sweep intervals + tumbling
     # time buckets
     "concurrency_peak_daily": ("events_sessionized", "events_tumbling_1h"),
-    # (r11-late staged addition, never yet driver-seen — first in the
-    # r12 promotion queue) ExactSubstr span-removal rewrite → the
-    # in-window spans PLANNING pass runs the identical interval
-    # machinery (repeated_span_intervals is shared code); the
-    # row-local token-stream rewrite rides the tokenize/pack family
-    "exact_substring_rewrite": ("exact_substring_spans", "pack_sequences"),
+    # ---- r11→r12 freshness demotions (each green r1-r5 + r11, i.e.
+    # six driver rounds; every row cites post-r12-window members) ----
+    # A1/A2/E5 pivot countDistinct + row-normalize → grouping-set
+    # conditional counts + row-normalized source shares (ALSO: this is
+    # the entry() flagship — the driver smoke-runs it every round)
+    "win_ratio_by_status": ("cube_status_priority", "corpus_composition"),
+    # A3 multi-agg stats (std NULL→0) + P3/P4 filters → OHLC multi-agg
+    # buckets + grouping-set conditional sums
+    "pricing_summary": ("events_ohlc_hourly", "cube_status_priority"),
+    # P1/P2/P8 projection/rename/value-replace → CASE recodes +
+    # scalar-expression projection chains
+    "order_priority_clean": ("cube_status_priority", "scalar_feature_sampler"),
+    # P6 negated membership → anti join → broadcast gram anti-overlap
+    # + the supplier anti join
+    "parts_never_ordered": ("decontaminate_ngram_overlap", "brand_supplier_counts"),
+    # J10 semi-join delete → Q20 two-level semi + Q21 EXISTS machinery
+    "customers_with_orders": ("dominant_supplier_parts", "waiting_supplier_orders"),
+    # J3 left join + 0-fill, P7 null handling → PIT left lookups with
+    # null rails + Q21 outer-join counting
+    "orders_fulfillment": ("scd2_point_in_time_join", "waiting_supplier_orders"),
+    # J4/J5/J9 composite-key + broadcast-dim chained joins → the
+    # six-table snowflake + per-group threshold join
+    "order_lines_enriched": ("profit_by_nation_year", "dominant_supplier_parts"),
+    # E3 arrays_zip lockstep explode → PGN UDTF lockstep arrays +
+    # token-stream/span-mask zip in the rewrite
+    "zip_explode_lockstep": ("pgn_moves_table", "exact_substring_rewrite"),
+    # A6/E2 map→rows+columns → the UDTF nested-structure flatten
+    "material_map_expand": ("pgn_moves_table",),
+    # U1/U3 union-by-name + column intersection → register set algebra
+    # + cross-source share union
+    "union_by_name": ("hll_set_algebra", "corpus_composition"),
+    # P5 array predicate → token-array predicates in the rewrite +
+    # sequence-array filters in packing
+    "array_predicate_filter": ("exact_substring_rewrite", "pack_sequences"),
+    # ROLLUP grouping sets → the CUBE superset twin
+    "rollup_priority_status": ("cube_status_priority",),
+    # percentile aggregates → exact ntile deciles + sketch bins
+    "price_percentiles": ("customer_value_deciles", "psi_value_drift"),
+    # A8 dedup-before-write latest-per-key → argmin keep-best +
+    # normalized digest dedup
+    "events_dedup_latest": ("dedup_keep_best", "dedup_normalized"),
+    # as-of latest lookup → PIT validity intervals + the stream-stream
+    # interval join twin
+    "events_asof_last_purchase": ("scd2_point_in_time_join", "events_interval_join"),
+    # funnel stage ordering → funnel latency percentiles + session
+    # sweep ordering
+    "event_funnel": ("funnel_latency_percentiles", "events_sessionized"),
+    # U3 LR inference (scalar sigmoid fold) → grouped-map numeric
+    # geometry + scalar expression chains; coef-recovery stays
+    # pytest-verified (tests/test_winprob.py)
+    "win_prob_lr": ("robust_centroid_goldens", "scalar_feature_sampler"),
+    # text heuristics (n-gram scores) → keep/drop quality scoring +
+    # row-local repetition ratios
+    "lang_id_heuristic": ("quality_filter_verdicts", "repetition_stats"),
 }
 
 

@@ -73,7 +73,14 @@ def write_freshness_report(round_no: int) -> str:
         }
         for n in cat
     }
-    demoted_last = [rows[n]["last_green"] or 0 for n in _DEMOTED]
+    # Freshness bound over the demoted-WITH-history set only: a staged
+    # never-green name is surfaced under never_driver_green, not folded
+    # in as 0 (r11 ADVICE: the 0 made oldest_demoted_last_green
+    # meaningless in ROTATION_r11.json the one round a staged query
+    # existed).
+    demoted_last = [
+        rows[n]["last_green"] for n in _DEMOTED if rows[n]["last_green"]
+    ]
     out = {
         "round": round_no,
         "window": DRIVER_WINDOW,

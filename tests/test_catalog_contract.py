@@ -28,92 +28,78 @@ from chess_pipeline_spark.plans import (
     catalog,
 )
 
-# The byte-stable order for the round-11 driver run: the r11
-# FRESHNESS rotation — exact_substring_spans gets its first driver
-# contact (the r10-late staged addition; after it the catalog is
-# permanently free of driver-unseen queries), ALL 34 r5-era demotions
-# return for freshness contact (after which NO catalog query's last
-# driver green is older than r6), and 35 rotate out per
-# scripts/check_rotation.py's freshness mode. Kept in-window beyond
-# the three standing anchors: robust_centroid_goldens (single-green,
-# earning its second round) and eleven family anchors —
-# pgn_moves_table, scd2_point_in_time_join, above_share_nations,
+# The byte-stable order for the round-12 driver run: the r12
+# FRESHNESS rotation — exact_substring_rewrite gets its first driver
+# contact (the r11-late staged addition, completing the ExactSubstr
+# pair; after it the catalog is again free of driver-unseen queries),
+# ALL 17 r6-era demotions return for freshness contact (after which
+# NO catalog query's last driver green is older than r7), and 18
+# rotate out per scripts/check_rotation.py's freshness mode (every
+# one >= 2 greens INCLUDING r11, chosen from the 23 freshest
+# eligibles to minimize coverage churn). Kept in-window beyond the
+# three standing anchors: the r11 kept set (pgn_moves_table,
+# scd2_point_in_time_join, above_share_nations,
 # profit_by_nation_year, dominant_supplier_parts,
 # brand_supplier_counts, psi_value_drift, ivf_ingest_audit,
-# bm25_index_probe, hll_set_algebra, and simhash_near_dup (held out
-# of freshness order deliberately: the r11 56-bit signature widening
-# changes its plan, and changed code needs fresh driver contact, not
-# a stale green). The subsumption table is DEMOTION_COVERAGE in
-# plans/__init__.py, machine-validated below. Any edit here is a
-# deliberate contract change and must re-justify the window contents.
+# bm25_index_probe, hll_set_algebra, simhash_near_dup,
+# robust_centroid_goldens) plus the r11 single/kept promotions still
+# accruing history and five heavily-cited family anchors
+# (top_customer_revenue, clock_lead_fill, events_tumbling_1h,
+# scalar_feature_sampler, events_sessionized). The subsumption table
+# is DEMOTION_COVERAGE in plans/__init__.py, machine-validated below.
+# Any edit here is a deliberate contract change and must re-justify
+# the window contents.
 FROZEN_ORDER: tuple[str, ...] = (
-    "win_ratio_by_status",
     "above_share_nations",
     "profit_by_nation_year",
     "dominant_supplier_parts",
     "brand_supplier_counts",
+    "waiting_supplier_orders",
     "cube_status_priority",
     "scd2_point_in_time_join",
-    "pricing_summary",
+    "customer_value_deciles",
     "top_customer_revenue",
-    "order_priority_clean",
-    "parts_never_ordered",
-    "customers_with_orders",
-    "orders_fulfillment",
-    "order_lines_enriched",
     "clock_lead_fill",
-    "zip_explode_lockstep",
-    "material_map_expand",
-    "union_by_name",
     "scalar_feature_sampler",
-    "array_predicate_filter",
-    "rollup_priority_status",
-    "price_percentiles",
+    "funnel_latency_percentiles",
     "events_tumbling_1h",
     "events_sessionized",
-    "events_dedup_latest",
-    "events_asof_last_purchase",
-    "event_funnel",
-    "win_prob_lr",
+    "events_interval_join",
+    "events_rolling_zscore",
+    "events_ohlc_hourly",
+    "events_time_weighted_avg",
     "pgn_moves_table",
     "robust_centroid_goldens",
-    "lang_id_heuristic",
     "ngram_jaccard_near_dup",
     "simhash_near_dup",
+    "dedup_incremental_simhash",
+    "semdedup_embedding",
     "knn_cosine_ivf",
     "knn_cosine_lsh",
     "embedding_quantize_int8",
+    "embedding_random_projection",
     "multimodal_features",
     "frame_sample_features",
     "dedup_normalized",
     "dedup_groups",
     "ivf_ingest_audit",
     "exact_substring_spans",
+    "exact_substring_rewrite",
     "dedup_keep_best",
     "stratified_sample",
     "mixture_sample",
     "pack_sequences",
     "tfidf_top_terms",
+    "decontaminate_ngram_overlap",
+    "bm25_top_terms",
+    "repetition_stats",
+    "quality_filter_verdicts",
+    "paragraph_dedup",
+    "corpus_composition",
     "bm25_index_probe",
+    "hll_cumulative_daily",
     "hll_set_algebra",
     "psi_value_drift",
-    "bm25_top_terms",
-    "decontaminate_ngram_overlap",
-    "dedup_incremental_simhash",
-    "embedding_random_projection",
-    "events_interval_join",
-    "events_ohlc_hourly",
-    "events_rolling_zscore",
-    "events_time_weighted_avg",
-    "paragraph_dedup",
-    "quality_filter_verdicts",
-    "repetition_stats",
-    "semdedup_embedding",
-    "hll_cumulative_daily",
-    "waiting_supplier_orders",
-    "customer_value_deciles",
-    "funnel_latency_percentiles",
-    "corpus_composition",
     "orders_rfm_segments",
     "orders_snapshot_diff",
     "orders_retention_cohort",
@@ -218,21 +204,54 @@ FROZEN_ORDER: tuple[str, ...] = (
     "embedding_diversity",
     "dup_ngram_fraction",
     "concurrency_peak_daily",
-    # r11-late staged addition (demoted on landing, first in the r12
-    # promotion queue)
-    "exact_substring_rewrite",
+    "win_ratio_by_status",
+    "pricing_summary",
+    "order_priority_clean",
+    "parts_never_ordered",
+    "customers_with_orders",
+    "orders_fulfillment",
+    "order_lines_enriched",
+    "zip_explode_lockstep",
+    "material_map_expand",
+    "union_by_name",
+    "array_predicate_filter",
+    "rollup_priority_status",
+    "price_percentiles",
+    "events_dedup_latest",
+    "events_asof_last_purchase",
+    "event_funnel",
+    "win_prob_lr",
+    "lang_id_heuristic",
 )
 
 
-# Staged late in r11 under the r8-r10 precedent: demoted on landing
-# with full sweep evidence, never yet driver-seen — exempt from the
-# freshness bound below (no history to be stale about), and pinned to
-# have none before its scheduled r12 first contact.
-_STAGED_R11_LATE = frozenset({"exact_substring_rewrite"})
+# Staged-late additions (the r8-r11 precedent: built demoted with
+# full sweep evidence, never yet driver-seen, exempt from the
+# freshness bound until their scheduled first contact). Empty after
+# the r12 rotation promoted exact_substring_rewrite; new late-round
+# operators land here with their scheduled first-contact round.
+_STAGED_LATE: frozenset[str] = frozenset()
 
 
 def test_catalog_order_frozen():
     assert tuple(catalog()) == FROZEN_ORDER
+
+
+def _latest_round_artifact(root, pattern):
+    """Latest r{N} artifact by PARSED round number, not filename sort
+    (r11 ADVICE: lexicographic sort puts ROTATION_r100 before
+    ROTATION_r99 once rounds hit three digits)."""
+    import re
+    from glob import glob
+    from pathlib import Path
+
+    paths = glob(str(Path(root) / pattern))
+
+    def round_no(path):
+        m = re.search(r"_r(\d+)", Path(path).name)
+        return int(m.group(1)) if m else -1
+
+    return max(paths, key=round_no) if paths else None
 
 
 def _green_history() -> dict[str, set[int]]:
@@ -255,104 +274,65 @@ def _green_history() -> dict[str, set[int]]:
     return hist
 
 
-def test_driver_window_r11_rotation():
-    # round 11's window: the r11 FRESHNESS rotation executed —
-    # exact_substring_spans enters for first driver contact, all 34
-    # r5-era demotions return for freshness contact, and 35 members
-    # rotate out per check_rotation.py's freshness mode (every one
-    # >= 2 green rounds INCLUDING r10). Preconditions are verified
-    # against the committed CORRECTNESS artifacts, not prose — and
-    # every assertion here must stay true as FUTURE driver artifacts
-    # accumulate (the r10 form of this test asserted "no history" for
-    # a first-contact query, which went red the moment the driver's
-    # own green r10 artifact landed in the repo root).
+def test_driver_window_r12_rotation():
+    # round 12's window: the r12 FRESHNESS rotation executed —
+    # exact_substring_rewrite enters for first driver contact (the
+    # r11-late staged addition), all 17 r6-era demotions return for
+    # freshness contact, and 18 members rotate out per
+    # check_rotation.py's freshness mode (every one >= 2 green rounds
+    # INCLUDING r11). Preconditions are verified against the committed
+    # CORRECTNESS artifacts, not prose — and every assertion must stay
+    # true as FUTURE driver artifacts accumulate (the r10 time-bomb
+    # lesson: never assert "no history" for a query whose green is
+    # scheduled to land).
     assert len(FROZEN_ORDER) - DRIVER_WINDOW == len(_DEMOTED)
     in_window = set(FROZEN_ORDER[:DRIVER_WINDOW])
-    promoted_r11 = (
-        # first driver contact (r10-late staged addition)
-        "exact_substring_spans",
-        # freshness returns — the entire r5-era pool (last green r5)
+    promoted_r12 = (
+        # first driver contact (r11-late staged addition)
+        "exact_substring_rewrite",
+        # freshness returns — the entire r6-era pool (last green r6)
+        "bm25_top_terms",
+        "decontaminate_ngram_overlap",
+        "dedup_incremental_simhash",
+        "embedding_random_projection",
+        "events_interval_join",
+        "events_ohlc_hourly",
+        "events_rolling_zscore",
+        "events_time_weighted_avg",
+        "paragraph_dedup",
+        "quality_filter_verdicts",
+        "repetition_stats",
+        "semdedup_embedding",
+        "hll_cumulative_daily",
+        "waiting_supplier_orders",
+        "customer_value_deciles",
+        "funnel_latency_percentiles",
+        "corpus_composition",
+    )
+    demoted_r12 = (
         "win_ratio_by_status",
         "pricing_summary",
-        "top_customer_revenue",
         "order_priority_clean",
         "parts_never_ordered",
         "customers_with_orders",
         "orders_fulfillment",
         "order_lines_enriched",
-        "clock_lead_fill",
         "zip_explode_lockstep",
         "material_map_expand",
         "union_by_name",
-        "scalar_feature_sampler",
         "array_predicate_filter",
         "rollup_priority_status",
         "price_percentiles",
-        "events_tumbling_1h",
-        "events_sessionized",
         "events_dedup_latest",
         "events_asof_last_purchase",
         "event_funnel",
         "win_prob_lr",
         "lang_id_heuristic",
-        "ngram_jaccard_near_dup",
-        "knn_cosine_ivf",
-        "knn_cosine_lsh",
-        "embedding_quantize_int8",
-        "frame_sample_features",
-        "dedup_normalized",
-        "dedup_groups",
-        "dedup_keep_best",
-        "stratified_sample",
-        "pack_sequences",
-        "tfidf_top_terms",
     )
-    demoted_r11 = (
-        # sixteen long-history (r1-r4 + r10) freshness re-promotions
-        "top3_orders_per_customer",
-        "eval_comment_parse",
-        "revenue_by_nation",
-        "running_revenue",
-        "dedup_exact",
-        "text_quality_stats",
-        "doc_fingerprint",
-        "near_dup_pairs_jaccard",
-        "minhash_lsh_candidates",
-        "lineitem_filter_isin",
-        "initial_clock_per_group",
-        "clock_seconds_parse",
-        "orders_per_priority",
-        "struct_pack_fields",
-        "empty_relation_guard",
-        "token_count",
-        # four r3/r4-era returns re-greened in r10
-        "embedding_near_dup_cosine",
-        "knn_cosine_topk",
-        "embedding_stats",
-        "top_terms_per_source",
-        # twelve r8-era triple-greens (r8, r9, r10)
-        "cheapest_supplier_per_part",
-        "hard_negative_mining",
-        "ivf_adc_recall",
-        "bpe_train_merges",
-        "sliding_window_chunks",
-        "bpe_encode_tokens",
-        "leakage_safe_split",
-        "token_balanced_shards",
-        "source_kl_divergence",
-        "cms_join_size_estimate",
-        "join_key_skew_profile",
-        "containment_near_dup",
-        # two r9-era double-greens (r9, r10)
-        "embedding_diversity",
-        "dup_ngram_fraction",
-        # the sweep-line anchor (its family re-anchors on the five
-        # returning events queries)
-        "concurrency_peak_daily",
-    )
-    assert len(promoted_r11) == len(demoted_r11) == 35
+    assert len(promoted_r12) == len(demoted_r12) == 18
     anchors = ("mixture_sample", "multimodal_features", "cube_status_priority")
     kept = (
+        # the r11 kept set, still anchoring their families
         "robust_centroid_goldens",
         "pgn_moves_table",
         "scd2_point_in_time_join",
@@ -365,41 +345,56 @@ def test_driver_window_r11_rotation():
         "bm25_index_probe",
         "hll_set_algebra",
         "simhash_near_dup",
+        # r11 promotions staying for further history / family anchoring
+        "exact_substring_spans",
+        "ngram_jaccard_near_dup",
+        "knn_cosine_ivf",
+        "knn_cosine_lsh",
+        "embedding_quantize_int8",
+        "frame_sample_features",
+        "dedup_normalized",
+        "dedup_groups",
+        "dedup_keep_best",
+        "stratified_sample",
+        "pack_sequences",
+        "tfidf_top_terms",
+        # the five heavily-cited fresh members held back from the r12
+        # demotion set as join/window/time-bucket/scalar/session
+        # family anchors (see plans/__init__.py r12 note)
+        "top_customer_revenue",
+        "clock_lead_fill",
+        "events_tumbling_1h",
+        "scalar_feature_sampler",
+        "events_sessionized",
     )
-    assert in_window == set(promoted_r11) | set(anchors) | set(kept)
-    for name in demoted_r11:
+    assert in_window == set(promoted_r12) | set(anchors) | set(kept)
+    for name in demoted_r12:
         assert name in _DEMOTED and name not in in_window, name
 
     hist = _green_history()
     # demotion precondition: every rotated-out name has >= 2 green
-    # driver rounds INCLUDING the immediately preceding round (r10)
-    for name in demoted_r11:
+    # driver rounds INCLUDING the immediately preceding round (r11)
+    for name in demoted_r12:
         greens = hist.get(name, set())
-        assert 10 in greens and len(greens) >= 2, (
+        assert 11 in greens and len(greens) >= 2, (
             f"{name} demoted without fresh double-green history: {greens}"
         )
     # freshness precondition: every returning name HAS green history
     # (they are re-verifications, not first contacts)
-    for name in promoted_r11[1:]:
+    for name in promoted_r12[1:]:
         assert hist.get(name), f"{name} claimed as freshness return, no history"
-    # genuinely first contact in r11: green history may START at r11
-    # (once the driver's own CORRECTNESS_r11.json lands) but must not
+    # genuinely first contact in r12: green history may START at r12
+    # (once the driver's own CORRECTNESS_r12.json lands) but must not
     # predate it
-    assert min(hist.get("exact_substring_spans", {11})) >= 11
-    # the r11 bound this rotation exists to hold: post-swap, no
-    # DEMOTED query's last driver green is older than r6 (window
+    assert min(hist.get("exact_substring_rewrite", {12})) >= 12
+    # the r12 bound this rotation exists to hold: post-swap, no
+    # DEMOTED query's last driver green is older than r7 (window
     # members are re-verified this round by construction)
     for name in _DEMOTED:
-        if name in _STAGED_R11_LATE:
-            # staged addition: first contact scheduled for r12+, so
-            # any driver history must start at r12 or later (written
-            # future-artifact-proof, per the r10 time-bomb lesson)
-            assert min(hist.get(name, {12})) >= 12, (
-                f"{name} staged late-r11 but has pre-r12 history"
-            )
+        if name in _STAGED_LATE:
             continue
-        assert max(hist[name]) >= 6, (
-            f"{name} left demoted with last green r{max(hist[name])} < r6"
+        assert max(hist[name]) >= 7, (
+            f"{name} left demoted with last green r{max(hist[name])} < r7"
         )
 
 
@@ -416,9 +411,9 @@ def test_latest_rotation_report_covers_catalog():
     from pathlib import Path
 
     root = Path(__file__).parent.parent
-    reports = sorted(glob(str(root / "ROTATION_r*.json")))
-    assert reports, "no ROTATION report — run scripts/check_rotation.py --report N"
-    data = json.loads(Path(reports[-1]).read_text())
+    report = _latest_round_artifact(root, "ROTATION_r*.json")
+    assert report, "no ROTATION report — run scripts/check_rotation.py --report N"
+    data = json.loads(Path(report).read_text())
     cat = catalog()
     assert data["catalog"] == len(cat)
     assert data["window"] == DRIVER_WINDOW
@@ -510,12 +505,12 @@ def test_latest_oracle_sweep_covers_catalog_and_is_green():
     from pathlib import Path
 
     root = Path(__file__).parent.parent
-    sweeps = sorted(glob(str(root / "ORACLESWEEP_r*.json")))
-    assert sweeps, (
+    sweep_path = _latest_round_artifact(root, "ORACLESWEEP_r*.json")
+    assert sweep_path, (
         "no committed ORACLESWEEP artifact — run "
         "`python scripts/oracle_sweep.py` before closing the round"
     )
-    sweep = json.loads(Path(sweeps[-1]).read_text())
+    sweep = json.loads(Path(sweep_path).read_text())
     cat = catalog()
     with_oracle = {n for n, s in cat.items() if s.oracle}
     covered = set(sweep["results"])
@@ -590,12 +585,12 @@ def test_latest_skew_audit_covers_catalog_and_is_clean():
     from pathlib import Path
 
     root = Path(__file__).parent.parent
-    audits = sorted(glob(str(root / "SKEWAUDIT_r*.json")))
-    assert audits, (
+    audit_path = _latest_round_artifact(root, "SKEWAUDIT_r*.json")
+    assert audit_path, (
         "no committed SKEWAUDIT artifact — run "
         "`python scripts/skew_audit_catalog.py` before closing the round"
     )
-    audit = json.loads(Path(audits[-1]).read_text())
+    audit = json.loads(Path(audit_path).read_text())
     assert audit["n_audited"] == len(catalog()), (
         f"audit covers {audit['n_audited']} of {len(catalog())} catalog "
         "queries — re-run scripts/skew_audit_catalog.py after any "
