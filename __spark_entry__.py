@@ -22,6 +22,7 @@ _REPO = str(Path(__file__).resolve().parent)
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
+from chess_pipeline_spark.checkpoints import release_between_queries  # noqa: E402
 from chess_pipeline_spark.plans import catalog  # noqa: E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -38,9 +39,30 @@ def entry(spark: SparkSession) -> DataFrame:
     return catalog()["win_ratio_by_status"].spark(spark, SMOKE_SF_DIR)
 
 
+def _with_checkpoint_release(
+    build: Callable[[SparkSession, str], DataFrame],
+) -> Callable[[SparkSession, str], DataFrame]:
+    """Free the PREVIOUS query's localCheckpoint blocks before building
+    the next plan. The driver runs the window sequentially (build →
+    collect → compare → next), so by the time query N builds, query
+    N-1's result is consumed and its pins are dead weight; without
+    this, a 50-query run in one JVM accumulates every query's pinned
+    blocks until driver-side GC happens to run (the r11 soak measured
+    a heap death from exactly this pattern — SCALING.md r11 §5)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        release_between_queries(spark)
+        return build(spark, sf_dir)
+
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: spec.spark for name, spec in catalog().items()}
+    return {
+        name: _with_checkpoint_release(spec.spark)
+        for name, spec in catalog().items()
+    }
 
 
 def oracle_sql() -> dict[str, str]:

@@ -40,6 +40,7 @@ _REPO = str(Path(__file__).resolve().parent)
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
+from chess_pipeline_spark.checkpoints import scoped_checkpoints  # noqa: E402
 from chess_pipeline_spark.plans import catalog  # noqa: E402
 from chess_pipeline_spark.session import get_spark  # noqa: E402
 
@@ -428,9 +429,16 @@ def main() -> None:
             spec = cat[name]
             best = float("inf")
             for _ in range(runs):
-                t0 = time.perf_counter()
-                spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t0)
+                # checkpoint creation is part of the query's cost and
+                # stays inside the timer; the release is consumer-side
+                # bookkeeping and stays outside it
+                with scoped_checkpoints(spark):
+                    t0 = time.perf_counter()
+                    spec.spark(spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    elapsed = time.perf_counter() - t0
+                best = min(best, elapsed)
             out[name] = round(best, 3)
         return out
 

@@ -63,6 +63,7 @@ def main(argv: list[str] | None = None) -> int:
 
     from pyspark.sql import SparkSession
 
+    from chess_pipeline_spark.checkpoints import scoped_checkpoints
     from chess_pipeline_spark.plans import catalog
     from oracle_harness import compare, duckdb_connection
 
@@ -88,7 +89,8 @@ def main(argv: list[str] | None = None) -> int:
             no_oracle.append(name)
             continue
         try:
-            sdf = spec.spark(spark, args.sf_dir).toPandas()
+            with scoped_checkpoints(spark):
+                sdf = spec.spark(spark, args.sf_dir).toPandas()
             con = duckdb_connection(args.sf_dir)
             try:
                 odf = con.sql(spec.oracle).df()

@@ -56,6 +56,7 @@ if _REPO not in sys.path:
 
 import pyspark.sql.functions as F  # noqa: E402
 
+from chess_pipeline_spark.checkpoints import scoped_checkpoints  # noqa: E402
 from chess_pipeline_spark.plans import catalog  # noqa: E402
 from chess_pipeline_spark.session import get_spark  # noqa: E402
 
@@ -176,11 +177,16 @@ def _replicate(spark, src: str, out_dir: str) -> dict[str, int]:
 def _time_query(spark, spec, sf_dir: str, runs: int) -> float:
     best = float("inf")
     for _ in range(runs):
-        t0 = time.perf_counter()
-        spec.spark(spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        best = min(best, time.perf_counter() - t0)
+        # release each run's localCheckpoint pins deterministically
+        # (outside the timer): the r11 soak accumulated un-GC'd blocks
+        # across back-to-back scale runs in one JVM and died on heap
+        with scoped_checkpoints(spark):
+            t0 = time.perf_counter()
+            spec.spark(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            elapsed = time.perf_counter() - t0
+        best = min(best, elapsed)
     return round(best, 3)
 
 

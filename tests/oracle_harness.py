@@ -78,7 +78,13 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> None:
 
 
 def run_and_compare(spark, sf_dir: str, name: str, spec) -> None:
-    sdf = spec.spark(spark, sf_dir).toPandas()
+    from chess_pipeline_spark.checkpoints import scoped_checkpoints
+
+    # the full-catalog oracle run executes 170+ plans in one JVM —
+    # release each query's localCheckpoint pins deterministically
+    # (SCALING.md r11 §5: un-GC'd pins accumulated to a heap death)
+    with scoped_checkpoints(spark):
+        sdf = spec.spark(spark, sf_dir).toPandas()
     con = duckdb_connection(sf_dir)
     try:
         odf = con.sql(spec.oracle).df()

@@ -20,9 +20,12 @@ def test_query_matches_oracle(spark, sf_dir, name):
 
 @pytest.mark.parametrize("name", _ROWS_ONLY)
 def test_rows_only_query_runs(spark, sf_dir, name):
-    df = _CATALOG[name].spark(spark, sf_dir)
-    assert df.count() >= 0
-    assert len(df.schema.fields) > 0
+    from chess_pipeline_spark.checkpoints import scoped_checkpoints
+
+    with scoped_checkpoints(spark):
+        df = _CATALOG[name].spark(spark, sf_dir)
+        assert df.count() >= 0
+        assert len(df.schema.fields) > 0
 
 
 def test_entry_smoke(spark):
