@@ -827,6 +827,18 @@ _SIMHASH_BAND_BITS = _SIMHASH_BITS // _SIMHASH_BANDS  # 14 bits -> 16384 buckets
 # so banded candidate generation keeps recall exactly 1.0
 _SIMHASH_MAX_HAMMING = 3
 
+# Signature-format tag persisted alongside any on-disk simhash index
+# (r11 ADVICE: the 28→56-bit widening silently changed the meaning of
+# stored simhash/bv columns; an old-format index would join against
+# new-format band values and return false 'not a dup' verdicts with
+# no error). Any change to the fold geometry MUST change this string;
+# consumers refuse a stamped mismatch and an unstamped pre-existing
+# index instead of producing silently-wrong verdicts.
+SIMHASH_FORMAT = (
+    f"simhash{_SIMHASH_BITS}-b{_SIMHASH_BANDS}x{_SIMHASH_BAND_BITS}"
+    f"-h{_SIMHASH_MAX_HAMMING}-knuth31x2"
+)
+
 # mix: ((h mod 2^31) * 2654435761) mod 2^31 — stays within BIGINT
 _MIX = "((({h}) % 2147483648) * 2654435761) % 2147483648"
 

@@ -363,9 +363,45 @@ def stream_ingest_dedup(docs: DataFrame, index_path: str, verdicts_path: str):
 
     from chess_pipeline_spark.plans.llm import (
         _SIMHASH_MAX_HAMMING,
+        SIMHASH_FORMAT,
         simhash_bands_for,
         simhash_signatures_for,
     )
+
+    def _check_or_stamp_format(index_exists: bool) -> None:
+        # r11 ADVICE: the 28→56-bit signature widening changed the
+        # meaning of the persisted simhash/bv columns. An old-format
+        # index would band-join against new-format values and return
+        # false 'not a dup' verdicts with NO error — so the index
+        # carries a _format.json sidecar (underscore-prefixed files
+        # are invisible to parquet readers, the _folded_batches.json
+        # pattern) and a mismatch, or a pre-existing index with no
+        # stamp at all, refuses loudly instead.
+        import json
+        import os
+
+        stamp_path = os.path.join(index_path, "_format.json")
+        if os.path.exists(stamp_path):
+            with open(stamp_path) as fh:
+                stored = json.load(fh).get("signature_format")
+            if stored != SIMHASH_FORMAT:
+                raise ValueError(
+                    f"simhash index at {index_path} was written with "
+                    f"signature format {stored!r} but this build "
+                    f"produces {SIMHASH_FORMAT!r} — rebuild the index "
+                    "(delete the directory and replay the stream)"
+                )
+        elif index_exists:
+            raise ValueError(
+                f"simhash index at {index_path} predates format "
+                f"stamping and cannot be verified against "
+                f"{SIMHASH_FORMAT!r} — rebuild the index (delete the "
+                "directory and replay the stream)"
+            )
+        else:
+            os.makedirs(index_path, exist_ok=True)
+            with open(stamp_path, "w") as fh:
+                json.dump({"signature_format": SIMHASH_FORMAT}, fh)
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -375,8 +411,11 @@ def stream_ingest_dedup(docs: DataFrame, index_path: str, verdicts_path: str):
         bands = simhash_bands_for(sig)
         try:
             idx = spark.read.parquet(index_path)
+            index_exists = True
         except AnalysisException:
             idx = spark.createDataFrame([], bands.schema)
+            index_exists = False
+        _check_or_stamp_format(index_exists)
         cache = idx.select(
             F.col("source").alias("c_source"),
             F.col("band").alias("c_band"),

@@ -1375,3 +1375,79 @@ def test_append_ledger_compaction_probe_invariant(spark, sf_dir, tmp_path):
     compact_boilerplate_ledger(spark, bled)
     assert os.path.exists(bled) and not os.path.exists(f"{bled}.__bak__")
     assert counts() == bwant
+
+
+def test_stream_ingest_dedup_stamps_and_enforces_signature_format(
+    spark, sf_dir, tmp_path
+):
+    """r11 ADVICE: the persisted band index must carry its signature
+    format — an index written under a different fold geometry (e.g.
+    the pre-r11 28-bit signatures) would band-join against new-format
+    values and yield false 'not a dup' verdicts with no error. The
+    stream (a) stamps a fresh index, (b) refuses a stamped mismatch,
+    and (c) refuses an unstamped pre-existing index."""
+    import json
+    import os
+    import time
+
+    import pandas as pd
+    from pyspark.errors import StreamingQueryException
+
+    from chess_pipeline_spark.plans.llm import SIMHASH_FORMAT
+    from chess_pipeline_spark.streaming.jobs import (
+        read_documents_stream,
+        stream_ingest_dedup,
+    )
+
+    def drive(src_name: str, index: str, batch_no: int) -> None:
+        src = tmp_path / src_name
+        src.mkdir(exist_ok=True)
+        pd.DataFrame(
+            {
+                "doc_id": [batch_no * 10 + i for i in range(3)],
+                "source": ["web"] * 3,
+                "text": [f"alpha beta gamma delta {batch_no} {i}" for i in range(3)],
+            }
+        ).to_parquet(str(src / f"b{batch_no}.parquet"))
+        stream = read_documents_stream(
+            spark, str(src), glob="*.parquet", max_files_per_trigger=1
+        )
+        q = (
+            stream_ingest_dedup(
+                stream, index, str(tmp_path / f"verdicts_{src_name}")
+            )
+            .option(
+                "checkpointLocation", str(tmp_path / f"ckpt_{src_name}_{batch_no}")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+
+    # (a) a fresh index gets stamped with the current format
+    index = str(tmp_path / "index")
+    drive("a", index, 0)
+    stamp = json.loads((tmp_path / "index" / "_format.json").read_text())
+    assert stamp["signature_format"] == SIMHASH_FORMAT
+
+    # (b) a stamped MISMATCH refuses instead of silently missing dups
+    (tmp_path / "index" / "_format.json").write_text(
+        json.dumps({"signature_format": "simhash28-b4x7-h3-knuth31"})
+    )
+    with pytest.raises(StreamingQueryException, match="signature format"):
+        drive("a", index, 1)
+    # restore the true stamp: the same stream must then proceed
+    (tmp_path / "index" / "_format.json").write_text(
+        json.dumps({"signature_format": SIMHASH_FORMAT})
+    )
+    drive("a", index, 2)
+
+    # (c) an unstamped PRE-EXISTING index (pre-stamping era) refuses
+    index2 = str(tmp_path / "index2")
+    drive("b", index2, 0)
+    os.remove(os.path.join(index2, "_format.json"))
+    with pytest.raises(StreamingQueryException, match="predates format"):
+        drive("b", index2, 1)
