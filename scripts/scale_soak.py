@@ -100,6 +100,44 @@ QUERIES: dict[str, int] = {
 }
 
 
+def _document_replica(d):
+    """Re-key + re-text one documents replica (expects __rep).
+
+    The replica suffix must survive EVERY tokenizer the soaked
+    queries use: split(text, ' ') keeps any suffix, but
+    dup_ngram_fraction's word-gram postings tokenize with [a-z]+ on
+    lowered text (corpus.py), which STRIPS a `_<digits>` suffix (the
+    r10 ADVICE accident). Letters only: 'q' separator + digit->a-j
+    map; suffixes can't collide across replicas since a-j never
+    contains the 'q' separator, and the synthetic corpus is pure
+    lowercase alpha tokens (verified)."""
+    off = F.col("__rep") * F.lit(1_000_000_000)
+    return d.withColumn("doc_id", F.col("doc_id") + off).withColumn(
+        "text",
+        F.expr(
+            r"regexp_replace(text, '(\\S+)', concat('$1q', "
+            r"translate(CAST(__rep AS STRING), "
+            r"'0123456789', 'abcdefghij')))"
+        ),
+    )
+
+
+def replicate_documents(
+    spark, src: str, out_dir: str, mult: int = _DOC_MULT
+) -> int:
+    """Write ONLY the replicated documents table under out_dir — for
+    soaks that need the doc corpus without paying for the relational
+    and embedding tiers (the spangram ledger stress)."""
+    os.makedirs(out_dir, exist_ok=True)
+    base = spark.read.parquet(f"{src}/documents.parquet")
+    reps = spark.range(mult).withColumnRenamed("id", "__rep")
+    df = _document_replica(base.crossJoin(F.broadcast(reps))).drop("__rep")
+    df.repartition(64).write.mode("overwrite").parquet(
+        f"{out_dir}/documents.parquet"
+    )
+    return spark.read.parquet(f"{out_dir}/documents.parquet").count()
+
+
 def _replicate(spark, src: str, out_dir: str) -> dict[str, int]:
     """Write the soak tables (and pass-through dims) under out_dir."""
     os.makedirs(out_dir, exist_ok=True)
@@ -135,29 +173,7 @@ def _replicate(spark, src: str, out_dir: str) -> dict[str, int]:
         _REL_MULT,
         lambda d: d.withColumn("event_id", F.col("event_id") + off),
     )
-    grown(
-        "documents",
-        _DOC_MULT,
-        lambda d: d.withColumn("doc_id", F.col("doc_id") + off).withColumn(
-            # the replica suffix must survive EVERY tokenizer the
-            # soaked queries use: split(text, ' ') keeps any suffix,
-            # but dup_ngram_fraction's word-gram postings tokenize
-            # with [a-z]+ on lowered text (corpus.py), which STRIPS a
-            # `_<digits>` suffix — the r10 soak measured that query on
-            # a 100-way fully-duplicated corpus by accident (r10
-            # ADVICE). Letters only: 'q' separator + base-26-ish
-            # digit->a-j map; suffixes can't collide across replicas
-            # since a-j never contains the 'q' separator, and the
-            # synthetic corpus is pure lowercase alpha tokens
-            # (verified), so '(\\S+)' == the letter runs.
-            "text",
-            F.expr(
-                r"regexp_replace(text, '(\\S+)', concat('$1q', "
-                r"translate(CAST(__rep AS STRING), "
-                r"'0123456789', 'abcdefghij')))"
-            ),
-        ),
-    )
+    grown("documents", _DOC_MULT, _document_replica)
     grown(
         "embeddings",
         _EMB_MULT,
@@ -190,6 +206,14 @@ def _time_query(spark, spec, sf_dir: str, runs: int) -> float:
     return round(best, 3)
 
 
+def _calibration(spark) -> dict:
+    """Contemporaneous platform probes (bench.py's block) so soak
+    absolutes are normalizable the same way bench deltas are."""
+    from bench import platform_calibration
+
+    return platform_calibration(spark)
+
+
 def main() -> None:
     base_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     work = os.environ.get("SOAK_DIR", "/tmp/scale_soak")
@@ -197,6 +221,12 @@ def main() -> None:
     round_no = int(os.environ.get("SOAK_ROUND", "10"))
     spark = get_spark(app_name="scale-soak")
     soak_dir = os.path.join(work, "sfx")
+
+    # provenance: start loadavg bounds the whole run's contention (the
+    # committed r11 soak ran at 22.4 — its ratios were same-run
+    # relative and fine, but the absolutes were inflated and only a
+    # judge could see why; r11 verdict task 3 / stretch task 8)
+    loadavg_start = list(os.getloadavg())
 
     t0 = time.time()
     if os.environ.get("SOAK_REBUILD") == "1" or not os.path.exists(soak_dir):
@@ -271,7 +301,9 @@ def main() -> None:
         "gen_sec": gen_sec,
         "runs_per_query": runs,
         "elapsed_sec": round(time.time() - t0, 1),
-        "loadavg": list(os.getloadavg()),
+        "loadavg": loadavg_start,
+        "loadavg_end": list(os.getloadavg()),
+        "calibration": _calibration(spark),
         "queries": results,
         "index_phases": index_soak,
     }
