@@ -353,6 +353,10 @@ _DEMOTED: tuple[str, ...] = (
     "event_funnel",
     "win_prob_lr",
     "lang_id_heuristic",
+    # ---- r12-late staged addition (the r8-r11 precedent: built
+    # demoted, sweep-verified on landing, staged for first driver
+    # contact in the r13 promotion) ----
+    "dsir_importance_weights",
 )
 
 # For every demoted query: the IN-WINDOW queries that keep its SURVEY
@@ -678,6 +682,12 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     # text heuristics (n-gram scores) → keep/drop quality scoring +
     # row-local repetition ratios
     "lang_id_heuristic": ("quality_filter_verdicts", "repetition_stats"),
+    # (r12-late staged addition, never yet driver-seen — first in the
+    # r13 promotion queue) DSIR hashed-ngram importance weights → the
+    # micro-nat LM-ratio machinery is unigram_logprob_score's (both
+    # demoted; in-window coverage via the heuristic-scoring and
+    # source-share anchors that cover that family)
+    "dsir_importance_weights": ("quality_filter_verdicts", "corpus_composition"),
 }
 
 

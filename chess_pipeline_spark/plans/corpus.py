@@ -1934,6 +1934,170 @@ FROM agg
 
 
 # ------------------------------------------------------------------
+# DSIR importance weights (hashed n-gram domain selection)
+# ------------------------------------------------------------------
+
+# hashed n-gram buckets. Xie et al. 2023 ("Data Selection for
+# Language Models via Importance Resampling", NeurIPS) use 10^4;
+# the synthetic corpus' vocabulary saturates far below that, and
+# 1024 keeps the bucket frame comfortably broadcastable while still
+# exercising real hash collisions at fixture scale.
+_DSIR_B = 1024
+
+
+def _dsir_gram_buckets(d: DataFrame) -> DataFrame:
+    """(doc_id, source, b): one row per unigram+bigram OCCURRENCE,
+    folded to its md5 bucket in [0, _DSIR_B). The words array is
+    materialized first (the minhash lesson: element_at over a split
+    inside a lambda re-splits per element)."""
+    words = d.filter(F.col("text").isNotNull()).select(
+        "doc_id", "source", F.split("text", " ").alias("ws")
+    )
+    grams = words.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "concat(ws, CASE WHEN size(ws) >= 2 THEN "
+                "transform(sequence(1, size(ws) - 1), "
+                "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))) "
+                "ELSE CAST(array() AS ARRAY<STRING>) END)"
+            )
+        ).alias("g"),
+    )
+    return grams.select(
+        "doc_id",
+        "source",
+        F.expr(f"({_md5_u6('g')} % {_DSIR_B})").alias("b"),
+    )
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR importance log-weight — hashed n-gram
+    importance resampling (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): fit two
+    bag-of-hashed-ngram multinomials — p on the TARGET domain, q on
+    the whole raw pool — and score every document with
+    log w(x) = sum over x's gram occurrences of log(p[b]/q[b]).
+    Selection then resamples by weight; this query materializes the
+    per-doc scores a curator thresholds or samples against. The
+    target domain is the lexicographically first source (a small,
+    deterministic stratum — DSIR's regime of a small high-quality
+    target against a large raw pool).
+
+    Determinism (the unigram_logprob_score pattern): each bucket's
+    log-ratio is quantized to integer micro-nats BEFORE any per-doc
+    aggregation, so document sums are exact integer arithmetic and
+    the output is all-integer (no float summation order anywhere);
+    only the two ln() calls per bucket carry float semantics, and
+    they are computed from identical rationals on both engines.
+
+    100 TB shape: one tokenize pass feeds a lazily localCheckpointed
+    occurrence-postings frame (doc_id, source, 24-bit md5 bucket —
+    gram text never persists and never shuffles); the bucket counts
+    map-side-combine to <= 1024 rows and broadcast back; the only
+    corpus-scale shuffle is the per-doc rollup on narrow integer
+    rows. Both model fits and the scoring pass are ONE job over ONE
+    corpus scan — the paper's own n-gram pipeline, re-expressed as
+    two KB-scale broadcast frames around a posting aggregation.
+    Consumed by release discipline: the checkpoint pins free on plan
+    completion (checkpoints.scoped_checkpoints consumers).
+    """
+    d = spread(_L(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id", "source", "text"
+    )
+    tgt = d.agg(F.min("source").alias("t"))
+    posts = _dsir_gram_buckets(d).localCheckpoint(eager=False)
+    counts = (
+        posts.crossJoin(F.broadcast(tgt))
+        .groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("source") == F.col("t"), 1).otherwise(0))
+            .cast("long")
+            .alias("cp"),
+            F.count("*").cast("long").alias("cq"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("cp").cast("long").alias("np"),
+        F.sum("cq").cast("long").alias("nq"),
+    )
+    lr = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.floor(
+                (
+                    F.log(
+                        (F.col("cp") + 1).cast("double")
+                        / (F.col("np") + _DSIR_B).cast("double")
+                    )
+                    - F.log(
+                        (F.col("cq") + 1).cast("double")
+                        / (F.col("nq") + _DSIR_B).cast("double")
+                    )
+                )
+                * 1e6
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("lr_unats"),
+        )
+    )
+    agg = (
+        posts.join(F.broadcast(lr), "b")
+        .crossJoin(F.broadcast(tgt))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum("lr_unats").cast("long").alias("logweight_unats"),
+            F.max(F.col("source") == F.col("t")).alias("is_target"),
+        )
+    )
+    return agg.select(
+        "doc_id", "source", "is_target", "n_grams", "logweight_unats"
+    )
+
+
+DSIR_IMPORTANCE_WEIGHTS_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source, text FROM documents WHERE text IS NOT NULL),
+tgt AS (SELECT min(source) AS t FROM d),
+words AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM d),
+grams AS (
+  SELECT doc_id, source, unnest(ws) AS g FROM words
+  UNION ALL
+  SELECT doc_id, source, ws[CAST(t.i AS BIGINT)] || ' ' ||
+         ws[CAST(t.i + 1 AS BIGINT)] AS g
+  FROM words, LATERAL unnest(range(1, len(ws))) AS t(i)
+  WHERE len(ws) >= 2),
+posts AS (
+  SELECT doc_id, source, ({_md5_u6('g')} % {_DSIR_B}) AS b FROM grams),
+counts AS (
+  SELECT b,
+         CAST(sum(CASE WHEN source = (SELECT t FROM tgt)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+         CAST(count(*) AS BIGINT) AS cq
+  FROM posts GROUP BY b),
+tot AS (
+  SELECT CAST(sum(cp) AS BIGINT) AS np, CAST(sum(cq) AS BIGINT) AS nq
+  FROM counts),
+lr AS (
+  SELECT b,
+         CAST(floor((ln(CAST(cp + 1 AS DOUBLE) / CAST(np + {_DSIR_B} AS DOUBLE))
+                   - ln(CAST(cq + 1 AS DOUBLE) / CAST(nq + {_DSIR_B} AS DOUBLE)))
+                    * 1000000.0 + 0.5) AS BIGINT) AS lr_unats
+  FROM counts, tot)
+SELECT p.doc_id, p.source,
+       max(p.source = (SELECT t FROM tgt)) AS is_target,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(l.lr_unats) AS BIGINT) AS logweight_unats
+FROM posts p JOIN lr l USING (b)
+GROUP BY p.doc_id, p.source
+"""
+
+
+# ------------------------------------------------------------------
 # Per-source distribution drift: unigram KL divergence vs the corpus
 # ------------------------------------------------------------------
 
@@ -3250,6 +3414,11 @@ ORDER BY d.doc_id
 QUERIES: dict[str, QuerySpec] = {
     "dup_ngram_fraction": QuerySpec(
         dup_ngram_fraction, DUP_NGRAM_FRACTION_SQL, "corpus-dup-exposure"
+    ),
+    "dsir_importance_weights": QuerySpec(
+        dsir_importance_weights,
+        DSIR_IMPORTANCE_WEIGHTS_SQL,
+        "corpus-dsir-importance",
     ),
     "exact_substring_spans": QuerySpec(
         exact_substring_spans,

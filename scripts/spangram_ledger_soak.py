@@ -65,15 +65,6 @@ def n_parquet_files(root: str) -> int:
     )
 
 
-def min_of_3(fn) -> float:
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        fn()
-        best = min(best, time.perf_counter() - t0)
-    return round(best, 3)
-
-
 def checksum(df) -> tuple[int, int]:
     """(row_count, order-insensitive sum of row hashes) — the scale
     substitute for a sorted-rows collect."""
@@ -136,12 +127,7 @@ def main() -> None:
     # the serving shape: one new delta probed against the full ledger
     probe_docs = batch_frame(n_batches - 1)
 
-    def probe() -> int:
-        with scoped_checkpoints(spark):
-            return spans_from_ledger(spark, led, probe_docs).count()
-
     out["files_before"] = n_parquet_files(led)
-    out["probe_before_s"] = min_of_3(probe)
 
     # law at scale, run TWICE in this one JVM (the r11 heap-death
     # shape): ledger-served rollup == the batch query, by checksum
@@ -168,16 +154,40 @@ def main() -> None:
     )
     out["law_at_scale"] = law
 
+    # snapshot the pre-compaction layout so the before/after probe
+    # pair can run INTERLEAVED at the very end, after the heavy law
+    # queries' load tail settles — the first draw of this artifact
+    # measured probe_after at loadavg 25 (right after the law runs)
+    # and read as a compaction regression that was really contention
+    led_pre = f"{work}/ledger_precompact"
+    shutil.copytree(led, led_pre)
+
     t0 = time.perf_counter()
     compact_spangram_ledger(spark, led)
     out["compact_s"] = round(time.perf_counter() - t0, 3)
     out["files_after"] = n_parquet_files(led)
-    out["probe_after_s"] = min_of_3(probe)
     # compaction is probe-invariant
     with scoped_checkpoints(spark):
         out["law_after_compact"] = (
             checksum(spans_from_ledger(spark, led, docs)) == got
         )
+
+    def probe_at(path: str) -> None:
+        with scoped_checkpoints(spark):
+            spans_from_ledger(spark, path, probe_docs).count()
+
+    time.sleep(int(os.environ.get("SPANGRAM_SETTLE_S", "60")))
+    out["loadavg_probes"] = list(os.getloadavg())
+    before = after = float("inf")
+    for _ in range(3):  # interleaved min-of-3: no layout owns a
+        t0 = time.perf_counter()  # loaded stretch of the run
+        probe_at(led_pre)
+        before = min(before, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        probe_at(led)
+        after = min(after, time.perf_counter() - t0)
+    out["probe_before_s"] = round(before, 3)
+    out["probe_after_s"] = round(after, 3)
 
     out["loadavg_end"] = list(os.getloadavg())
     line = json.dumps(out)

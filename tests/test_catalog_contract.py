@@ -222,15 +222,17 @@ FROZEN_ORDER: tuple[str, ...] = (
     "event_funnel",
     "win_prob_lr",
     "lang_id_heuristic",
+    "dsir_importance_weights",
 )
 
 
 # Staged-late additions (the r8-r11 precedent: built demoted with
 # full sweep evidence, never yet driver-seen, exempt from the
-# freshness bound until their scheduled first contact). Empty after
-# the r12 rotation promoted exact_substring_rewrite; new late-round
-# operators land here with their scheduled first-contact round.
-_STAGED_LATE: frozenset[str] = frozenset()
+# freshness bound until their scheduled first contact). The r12
+# rotation promoted exact_substring_rewrite and emptied the set;
+# dsir_importance_weights (r12-late) stages for its r13 first
+# contact.
+_STAGED_LATE: frozenset[str] = frozenset({"dsir_importance_weights"})
 
 
 def test_catalog_order_frozen():
@@ -392,6 +394,12 @@ def test_driver_window_r12_rotation():
     # members are re-verified this round by construction)
     for name in _DEMOTED:
         if name in _STAGED_LATE:
+            # staged addition: first contact scheduled for r13+, so
+            # any driver history must start there or later (written
+            # future-artifact-proof, per the r10 time-bomb lesson)
+            assert min(hist.get(name, {13})) >= 13, (
+                f"{name} staged late-r12 but has pre-r13 history"
+            )
             continue
         assert max(hist[name]) >= 7, (
             f"{name} left demoted with last green r{max(hist[name])} < r7"
