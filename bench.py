@@ -201,9 +201,14 @@ EXTENDED = [
     # r9: the grouped-map Weiszfeld golden row (fixture-scale by
     # design — tracked so the grouped-map path stays timed)
     "robust_centroid_goldens",
+    # r12: the ExactSubstr pair (previously soak-only — now visible
+    # round-over-round) and the staged DSIR importance weights
+    "exact_substring_spans",
+    "exact_substring_rewrite",
+    "dsir_importance_weights",
 ]
 
-ROUND = 11  # bump per round; names the committed BENCHLOCAL file
+ROUND = 12  # bump per round; names the committed BENCHLOCAL file
 
 
 def time_index_phases(spark, sf_dir: str) -> dict[str, float]:

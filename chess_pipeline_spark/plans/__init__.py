@@ -44,6 +44,16 @@ __all__ = ["QuerySpec", "catalog", "DRIVER_WINDOW", "DEMOTION_COVERAGE"]
 # histogram as ROTATION_r{N}.json so at least the EVIDENCE is one
 # committed file, but the md5-seeded per-round sample would retire
 # the whole checklist. Until adopted, the discipline below continues.
+# r12 update (ninth executed round): the r12 swap promoted the last
+# never-driver-seen query plus all 17 r6-era names, holding the
+# bound at r7 — the steady state is now ~18 swaps/round forever just
+# to keep the oldest demoted green within 5 rounds. ROTATION_r12.json
+# carries the full ledger. Two driver-side asks, standing: (a) the
+# md5-seeded per-round sample above; (b) record start loadavg in
+# BENCH_r{N}.json and re-draw when > ~4 on the 32-cpu box (the r11
+# driver draw at 18.81 was unusable except via the calibration
+# block; the repo's own artifacts now carry machine-checked
+# provenance — tests/test_artifact_provenance.py).
 DRIVER_WINDOW = 50
 
 # Queries pushed past the driver window — exactly
