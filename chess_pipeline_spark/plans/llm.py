@@ -2580,11 +2580,14 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         lo = j * _PQ_SUB + 1
         return fround(
             F.expr(
-                f"aggregate(zip_with(slice(embedding, {lo}, {_PQ_SUB}), "
-                f"slice(c, {lo}, {_PQ_SUB}), "
-                f"(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) "
-                f"* (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
-                f"CAST(0 AS DOUBLE), (a, b) -> a + b)"
+                # index-fold form (r12, the ann_index pq_j rewrite):
+                # zero per-pair array allocation, identical add order
+                f"aggregate(sequence({lo}, {lo + _PQ_SUB - 1}), "
+                f"CAST(0 AS DOUBLE), "
+                f"(a, i) -> a + (CAST(element_at(embedding, i) AS DOUBLE) "
+                f"- CAST(element_at(c, i) AS DOUBLE)) "
+                f"* (CAST(element_at(embedding, i) AS DOUBLE) "
+                f"- CAST(element_at(c, i) AS DOUBLE)))"
             ),
             9,
         ).alias(f"d{j}")
@@ -2693,11 +2696,13 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     def dist_micro(j: int):
         lo = j * _PQ_SUB + 1
         d = F.expr(
-            f"aggregate(zip_with(slice(embedding, {lo}, {_PQ_SUB}), "
-            f"slice(c, {lo}, {_PQ_SUB}), "
-            f"(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) "
-            f"* (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
-            f"CAST(0 AS DOUBLE), (a, b) -> a + b)"
+            # index-fold form (r12): see dist() above
+            f"aggregate(sequence({lo}, {lo + _PQ_SUB - 1}), "
+            f"CAST(0 AS DOUBLE), "
+            f"(a, i) -> a + (CAST(element_at(embedding, i) AS DOUBLE) "
+            f"- CAST(element_at(c, i) AS DOUBLE)) "
+            f"* (CAST(element_at(embedding, i) AS DOUBLE) "
+            f"- CAST(element_at(c, i) AS DOUBLE)))"
         )
         return F.floor(fround(d, 9) * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
 
