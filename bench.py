@@ -477,7 +477,10 @@ def main() -> None:
 
     timings = time_set(HEADLINE)
     extended = time_set(EXTENDED)
-    index_phases = time_index_phases(spark, sf_dir)
+    # the phase harness pins seeds/codebook frames internally; release
+    # them with the block (the on-disk index is the cross-phase state)
+    with scoped_checkpoints(spark):
+        index_phases = time_index_phases(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
     # bulky per-query maps FIRST, scalar totals LAST: the driver keeps

@@ -321,17 +321,26 @@ def scd2_process_batch(
             current = spark.createDataFrame(
                 [], f"{fields}, valid_from long, valid_to long, is_current boolean"
             )
+    from chess_pipeline_spark.checkpoints import scoped_checkpoints
+
     merged = scd2_apply(current, batch, keys, attrs, batch_ts=batch_id)
-    rows = merged.localCheckpoint()  # pin before the swap rewrites the source
-    tmp = f"{dim_path}.__tmp__{uuid.uuid4().hex[:8]}"
-    rows.write.mode("overwrite").parquet(tmp)
-    if os.path.exists(bak):
-        shutil.rmtree(bak)
-    if os.path.exists(dim_path):
-        os.rename(dim_path, bak)
-    os.rename(tmp, dim_path)
-    if os.path.exists(bak):
-        shutil.rmtree(bak)
+    # the pin's whole purpose is to survive the swap below; the scope
+    # releases it deterministically once the swap is done (r12
+    # checkpoint lifetime discipline — a long-lived stream otherwise
+    # accumulates one pinned dimension snapshot per micro-batch).
+    # foreachBatch batches for one dimension run sequentially, so the
+    # scope only ever sees this batch's pin.
+    with scoped_checkpoints(spark):
+        rows = merged.localCheckpoint()  # pin before the swap rewrites source
+        tmp = f"{dim_path}.__tmp__{uuid.uuid4().hex[:8]}"
+        rows.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(bak):
+            shutil.rmtree(bak)
+        if os.path.exists(dim_path):
+            os.rename(dim_path, bak)
+        os.rename(tmp, dim_path)
+        if os.path.exists(bak):
+            shutil.rmtree(bak)
 
 
 def stream_ingest_dedup(docs: DataFrame, index_path: str, verdicts_path: str):

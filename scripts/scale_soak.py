@@ -274,8 +274,10 @@ def main() -> None:
     if os.environ.get("SOAK_SKIP_INDEX") != "1":
         from bench import time_index_phases
 
-        phases_base = time_index_phases(spark, base_dir)
-        phases_soak = time_index_phases(spark, soak_dir)
+        with scoped_checkpoints(spark):
+            phases_base = time_index_phases(spark, base_dir)
+        with scoped_checkpoints(spark):
+            phases_soak = time_index_phases(spark, soak_dir)
         for key in phases_base:
             mult = _EMB_MULT if key.startswith("ivf_") else _DOC_MULT
             index_soak[key] = {
