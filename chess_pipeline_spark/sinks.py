@@ -195,6 +195,20 @@ def compact_batch_ledger(
         json.dump(sorted(folded | ids), fh)
     with open(os.path.join(tmp, "_folded_digests.json"), "w") as fh:
         json.dump({str(k): v for k, v in sorted(digests.items())}, fh)
+    # carry every OTHER underscore sidecar across the swap untouched —
+    # ledgers stamp identity metadata beside their data (the DSIR
+    # _target.json, the simhash _format.json pattern) and a fold that
+    # silently dropped a stamp would turn the next ingest's
+    # refuse-on-mismatch guard into refuse-always (r12)
+    for name in os.listdir(ledger_dir):
+        if (
+            name.startswith("_")
+            and name.endswith(".json")
+            and not os.path.exists(os.path.join(tmp, name))
+        ):
+            shutil.copy(
+                os.path.join(ledger_dir, name), os.path.join(tmp, name)
+            )
     if os.path.exists(bak):
         shutil.rmtree(bak)
     os.rename(ledger_dir, bak)

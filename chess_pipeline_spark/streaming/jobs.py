@@ -1511,3 +1511,162 @@ def dup_exposure_from_ledger(
     )
     grams = word_gram_postings(docs).withColumn("gd", F.xxhash64("g"))
     return exposure_fold(grams.join(led, "gd"))
+
+
+# ------------------------------------------------------------------
+# DSIR bucket-count ledger (streaming twin of dsir_importance_weights)
+# ------------------------------------------------------------------
+
+
+def _dsir_check_or_stamp_target(ledger_dir: str, target_source: str) -> None:
+    """Pin the ledger's target domain in a `_target.json` sidecar
+    (the simhash `_format.json` pattern): DSIR's p-model is defined
+    by WHICH source is the target, so counts ingested under one
+    target silently mean something different under another. A fresh
+    ledger is stamped; a mismatch refuses with a rebuild message."""
+    import json as _json
+    import os
+
+    stamp = os.path.join(ledger_dir, "_target.json")
+    if os.path.exists(stamp):
+        with open(stamp) as fh:
+            stored = _json.load(fh).get("target_source")
+        if stored != target_source:
+            raise ValueError(
+                f"DSIR ledger at {ledger_dir} was ingested with target "
+                f"{stored!r} but this ingest/serve uses "
+                f"{target_source!r} — rebuild the ledger (delete the "
+                "directory and replay the stream)"
+            )
+    else:
+        os.makedirs(ledger_dir, exist_ok=True)
+        with open(stamp, "w") as fh:
+            _json.dump({"target_source": target_source}, fh)
+
+
+def ingest_dsir_delta(
+    batch: DataFrame, ledger_dir: str, batch_id: int, target_source: str
+) -> None:
+    """Fold one document delta into the persisted DSIR bucket-count
+    ledger: rows (b, cp = target-domain gram occurrences in THIS
+    batch, cq = all gram occurrences) land under their batch_id
+    partition via dynamic partition overwrite — the dup-gram ledger
+    discipline exactly (addition is associative+commutative but not
+    idempotent; a replayed batch rewrites its own partition with
+    identical bytes). Unlike the batch query's data-derived
+    min(source) target, the streaming target is PINNED explicitly
+    (and stamped into the ledger): a later batch introducing a
+    lexicographically-smaller source must not retroactively redefine
+    the p-model the accumulated counts were folded under. The ledger
+    is <= _DSIR_B rows per batch — model-scale, not corpus-scale."""
+    from chess_pipeline_spark.plans.corpus import _dsir_gram_buckets
+    from chess_pipeline_spark.sinks import upsert_partition_overwrite
+
+    _dsir_check_or_stamp_target(ledger_dir, target_source)
+    delta = (
+        _dsir_gram_buckets(batch.select("doc_id", "source", "text"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("source") == target_source, 1).otherwise(0))
+            .cast("long")
+            .alias("cp"),
+            F.count("*").cast("long").alias("cq"),
+        )
+        .withColumn("batch_id", F.lit(batch_id))
+    )
+    if _refuse_folded_batch_id(
+        ledger_dir, batch_id, "ingest_dsir_delta", frame=delta
+    ):
+        return
+    upsert_partition_overwrite(delta, ledger_dir, ["batch_id"])
+
+
+def compact_dsir_ledger(spark, ledger_dir: str) -> None:
+    """Fold the per-batch bucket-count partitions into one batch-0
+    partition; the serve path sums (cp, cq) across batches, so the
+    fold is probe-invariant by construction. Crash-idempotent via the
+    shared `_folded_batches.json` marker; ingest refuses folded ids."""
+    from chess_pipeline_spark.sinks import compact_batch_ledger
+
+    compact_batch_ledger(spark, ledger_dir, ["b"], sum_cols=["cp", "cq"])
+
+
+def stream_dsir_ledger(docs: DataFrame, ledger_dir: str, target_source: str):
+    """Continuous DSIR model maintenance: each micro-batch folds its
+    hashed-ngram bucket counts into the ledger.
+    dsir_from_ledger over the streamed ledger equals the batch
+    dsir_importance_weights over the same documents byte-for-byte
+    when the pinned target equals the corpus min(source) (pytest
+    law, duplicate delivery included)."""
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        ingest_dsir_delta(batch, ledger_dir, batch_id, target_source)
+
+    return docs.writeStream.foreachBatch(_process)
+
+
+def dsir_from_ledger(spark, ledger_dir: str, docs: DataFrame) -> DataFrame:
+    """Serve per-doc DSIR importance log-weights from the persisted
+    ledger: sum the bucket counts across batches, derive the
+    micro-nat log-ratios with the SAME add-1/B smoothing as the batch
+    query, re-derive the probe docs' gram buckets, and roll up —
+    identical output schema and values to dsir_importance_weights
+    when the ledger has ingested the same corpus and the pinned
+    target is that corpus' min(source). The model join is
+    bucket-keyed (<= _DSIR_B broadcast rows); gram text never leaves
+    the probe scan."""
+    import json as _json
+    import os
+
+    from chess_pipeline_spark.plans.corpus import _DSIR_B, _dsir_gram_buckets
+
+    with open(os.path.join(ledger_dir, "_target.json")) as fh:
+        target_source = _json.load(fh)["target_source"]
+
+    counts = (
+        spark.read.parquet(ledger_dir)
+        .groupBy("b")
+        .agg(
+            F.sum("cp").cast("long").alias("cp"),
+            F.sum("cq").cast("long").alias("cq"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("cp").cast("long").alias("np"),
+        F.sum("cq").cast("long").alias("nq"),
+    )
+    lr = counts.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.floor(
+            (
+                F.log(
+                    (F.col("cp") + 1).cast("double")
+                    / (F.col("np") + _DSIR_B).cast("double")
+                )
+                - F.log(
+                    (F.col("cq") + 1).cast("double")
+                    / (F.col("nq") + _DSIR_B).cast("double")
+                )
+            )
+            * 1e6
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("lr_unats"),
+    )
+    posts = _dsir_gram_buckets(docs.select("doc_id", "source", "text"))
+    return (
+        posts.join(F.broadcast(lr), "b")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum("lr_unats").cast("long").alias("logweight_unats"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            (F.col("source") == target_source).alias("is_target"),
+            "n_grams",
+            "logweight_unats",
+        )
+    )
