@@ -1243,3 +1243,18 @@ def test_dup_ngram_fraction_skew_posture_pinned(spark, sf_dir):
             assert not a["aqe_splittable"], a
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_dsir_model_broadcasts_postings_shuffle_once(spark, sf_dir):
+    # the DSIR model frames (bucket counts, totals, log-ratios) are
+    # <= _DSIR_B rows and must reach the scoring join as broadcasts;
+    # the gram postings never pair-join (no SMJ, no cartesian) and
+    # the text column never survives past the scan into an exchange
+    plan = _plan(spark, sf_dir, "dsir_importance_weights")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1), m.group(0)
