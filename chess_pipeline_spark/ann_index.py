@@ -112,6 +112,14 @@ def _nearest_lists(
 _PQ_M = 8
 _PQ_K = 32
 
+# On-disk format identity (the simhash _format.json discipline,
+# generalized r12): persisted codes/norms only mean something under
+# the geometry that wrote them. Changing PQ shape, the int8 affine
+# rule, or the grid rounding MUST change this string; builds stamp
+# it, probes and ingests refuse a mismatch or an unstamped index.
+# (The r12 index-fold rewrite is byte-identical, NOT a format change.)
+_IVF_FORMAT = f"ivfadc-pq{_PQ_M}x{_PQ_K}-int8affine-grid1e9"
+
 
 def _pq_subdist(j: int, sub: int):
     """Squared L2 between `embedding`'s and `c`'s j-th subvector,
@@ -200,6 +208,9 @@ def build_ivf_index(
     ).mode("overwrite").parquet(os.path.join(out_path, "lists"))
     seeds.write.mode("overwrite").parquet(os.path.join(out_path, "centroids"))
     codebook.write.mode("overwrite").parquet(os.path.join(out_path, "pq_codebook"))
+    from chess_pipeline_spark.sinks import stamp_format
+
+    stamp_format(out_path, _IVF_FORMAT)
 
 
 def _encode_rows(
@@ -330,6 +341,9 @@ def ingest_ivf_batch(
         upsert_partition_overwrite,
     )
 
+    from chess_pipeline_spark.sinks import require_format
+
+    require_format(index_path, _IVF_FORMAT, "IVF/ADC index")
     spark = batch.sparkSession
     # restore a mid-swap .bak before reading the folded marker (it
     # lives INSIDE the lists dir): otherwise a crash-window ingest
@@ -446,6 +460,9 @@ def _read_lists(spark: SparkSession, index_path: str) -> DataFrame:
     base's _folded_batches.json marker already covers are excluded, so
     a probe racing (or crashed out of) a compaction never reads a
     folded row twice."""
+    from chess_pipeline_spark.sinks import require_format
+
+    require_format(index_path, _IVF_FORMAT, "IVF/ADC index")
     lists_path = os.path.join(index_path, "lists")
     if not os.path.exists(lists_path) and os.path.exists(f"{lists_path}.__bak__"):
         lists_path = f"{lists_path}.__bak__"

@@ -655,3 +655,78 @@ def repair_partitions(
         else:
             shutil.rmtree(level, ignore_errors=True)
     return bad_keys
+
+
+def check_or_stamp_format(dir_path: str, format_str: str, what: str) -> None:
+    """Identity stamp for a persisted index directory — the simhash
+    band index's `_format.json` discipline (r11 ADVICE), generalized
+    in r12 to every on-disk index whose bytes only mean something
+    under the code geometry that wrote them (PQ subspace/codebook
+    shape, BM25 tokenizer/bucket-hash). A probe or ingest against an
+    index written under a different geometry would return silently
+    wrong results with no error; instead: a fresh directory is
+    stamped, a stamped mismatch refuses with a rebuild message, and a
+    pre-existing unstamped directory refuses as unverifiable.
+    Underscore-prefixed, so parquet readers never see it; ledger
+    compactions carry it across their directory swaps."""
+    import json
+
+    stamp = os.path.join(dir_path, "_format.json")
+    exists = os.path.isdir(dir_path) and any(
+        not n.startswith("_") for n in os.listdir(dir_path)
+    )
+    if os.path.exists(stamp):
+        with open(stamp) as fh:
+            stored = json.load(fh).get("format")
+        if stored != format_str:
+            raise ValueError(
+                f"{what} at {dir_path} was written with format "
+                f"{stored!r} but this build produces {format_str!r} — "
+                "rebuild the index"
+            )
+    elif exists:
+        raise ValueError(
+            f"{what} at {dir_path} predates format stamping and cannot "
+            f"be verified against {format_str!r} — rebuild the index"
+        )
+    else:
+        os.makedirs(dir_path, exist_ok=True)
+        with open(stamp, "w") as fh:
+            json.dump({"format": format_str}, fh)
+
+
+def stamp_format(dir_path: str, format_str: str) -> None:
+    """Unconditional (re)stamp — the BUILD path, whose intent is a
+    rebuild: overwriting an old-format index with a fresh one is the
+    documented remedy, so the stamp follows the bytes."""
+    import json
+
+    os.makedirs(dir_path, exist_ok=True)
+    with open(os.path.join(dir_path, "_format.json"), "w") as fh:
+        json.dump({"format": format_str}, fh)
+
+
+def require_format(dir_path: str, format_str: str, what: str) -> None:
+    """PROBE-path check: a stamped mismatch or an unstamped directory
+    WITH data refuses; a missing/empty directory defers to the
+    reader's own error (probing a nonexistent index should fail as
+    exactly that, not as a stamping complaint)."""
+    import json
+
+    stamp = os.path.join(dir_path, "_format.json")
+    if os.path.exists(stamp):
+        with open(stamp) as fh:
+            stored = json.load(fh).get("format")
+        if stored != format_str:
+            raise ValueError(
+                f"{what} at {dir_path} was written with format "
+                f"{stored!r} but this build expects {format_str!r} — "
+                "rebuild the index"
+            )
+    elif os.path.isdir(dir_path) and any(
+        not n.startswith("_") for n in os.listdir(dir_path)
+    ):
+        raise ValueError(
+            f"{what} at {dir_path} predates format stamping and cannot "
+            f"be verified against {format_str!r} — rebuild the index"
+        )

@@ -55,6 +55,15 @@ _K1 = 1.2  # = plans.corpus._BM25_K1 (kept literal: this module must
 _B = 0.75  # not import the plans tier; parity is pytest-enforced)
 
 
+
+# On-disk format identity (r12, the simhash/_IVF_FORMAT discipline):
+# postings only mean something under the tokenizer, bucket hash, and
+# BM25 parameters that wrote them. Any change here MUST change this
+# string; build stamps, ingest/probe refuse a mismatch or an
+# unstamped index.
+_TI_FORMAT = f"bm25-k1{_K1}-b{_B}-wsplit-md5hexb{_TI_BUCKETS}"
+
+
 def _bucket_col(term):
     """term -> 0..{_TI_BUCKETS-1}: first hex digit of md5 % buckets —
     the same engine-portable hex parse as the sketch tier."""
@@ -106,6 +115,9 @@ def build_text_index(docs: DataFrame, index_path: str) -> None:
     import shutil
 
     shutil.rmtree(index_path, ignore_errors=True)
+    from chess_pipeline_spark.sinks import stamp_format
+
+    stamp_format(index_path, _TI_FORMAT)
     ingest_text_delta(docs, index_path, batch_id=0)
     postings_p, _, _ = _paths(index_path)
     with open(os.path.join(postings_p, "_folded_batches.json"), "w") as fh:
@@ -127,7 +139,16 @@ def ingest_text_delta(
     a dynamic overwrite of a folded partition would REPLACE merged
     base rows, the same silent-loss hazard the IVF sibling guards
     (ann_index.ingest_ivf_batch)."""
-    from chess_pipeline_spark.sinks import restore_bak_if_missing
+    from chess_pipeline_spark.sinks import (
+        check_or_stamp_format,
+        restore_bak_if_missing,
+    )
+
+    # ingest semantics: a stream may legitimately build the index
+    # from scratch, so a fresh/empty directory gets stamped on first
+    # contact; a stamped mismatch or an unstamped PRE-EXISTING index
+    # refuses (check_or_stamp_format docstring)
+    check_or_stamp_format(index_path, _TI_FORMAT, "BM25 text index")
 
     postings_p, doclens_p, stats_p = _paths(index_path)
     # a compaction crash mid-swap leaves a table (and, for postings,
@@ -311,6 +332,9 @@ def probe_bm25(
     postings scan -> query-time df/idf (tiny, broadcast) -> score ->
     top-k by (score desc, doc_id). Bit-identical to bm25_doc_search
     over the same corpus and terms (pytest contract)."""
+    from chess_pipeline_spark.sinks import require_format
+
+    require_format(index_path, _TI_FORMAT, "BM25 text index")
     postings_p, doclens_p, stats_p = _paths(index_path)
     import hashlib
 

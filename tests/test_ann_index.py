@@ -243,11 +243,20 @@ def test_ivf_coded_probe_layout_guards(spark, sf_dir, tmp_path):
         for r in probe_ivf_index(spark, idx, queries, k=3, coded=True).collect()
     }
 
-    # strip the code column -> pre-code layout -> clear error
+    # a hand-built UNSTAMPED directory refuses at the format gate
+    # (r12: the stamp guard fires before any layout inspection)
     lists = spark.read.parquet(idx + "/lists")
     legacy_dir = str(tmp_path / "ivf_precode")
     lists.drop("code").write.partitionBy("list_id").parquet(legacy_dir + "/lists")
     spark.read.parquet(idx + "/centroids").write.parquet(legacy_dir + "/centroids")
+    with pytest.raises(ValueError, match="format stamping"):
+        probe_ivf_index(spark, legacy_dir, queries, k=3, coded=True)
+
+    # stamped but code-stripped -> the original layout guard still
+    # produces its clear error (not an opaque AnalysisException)
+    import shutil
+
+    shutil.copy(idx + "/_format.json", legacy_dir + "/_format.json")
     with pytest.raises(ValueError, match="no 'code' column"):
         probe_ivf_index(spark, legacy_dir, queries, k=3, coded=True)
 
@@ -257,6 +266,7 @@ def test_ivf_coded_probe_layout_guards(spark, sf_dir, tmp_path):
         "code", F.expr("transform(code, c -> CAST(c AS INT) + 128)")
     ).write.partitionBy("list_id").parquet(int_dir + "/lists")
     spark.read.parquet(idx + "/centroids").write.parquet(int_dir + "/centroids")
+    shutil.copy(idx + "/_format.json", int_dir + "/_format.json")
     int_rows = {
         (r.qid, r.neighbor_id): r.cos_sim
         for r in probe_ivf_index(spark, int_dir, queries, k=3, coded=True).collect()
@@ -542,3 +552,42 @@ def test_compaction_idempotent_after_crash_window(spark, sf_dir, tmp_path):
         ingest_ivf_batch(corpus.filter(F.col("vec_id") <= 3), 7, idx)
     # nothing was written: no delta directory reappeared
     assert not os.path.exists(delta)
+
+
+def test_ivf_index_format_stamp_enforced(spark, sf_dir, tmp_path):
+    """r12: the persisted IVFADC index carries its code-geometry
+    format; a stamped mismatch refuses at probe AND ingest instead of
+    decoding bytes under the wrong geometry, and a rebuild re-stamps."""
+    import json
+
+    import pyspark.sql.functions as F
+    import pytest
+
+    from chess_pipeline_spark.ann_index import (
+        _IVF_FORMAT,
+        build_ivf_index,
+        ingest_ivf_batch,
+        probe_ivf_index,
+    )
+    from chess_pipeline_spark.sources import load_table
+
+    idx = str(tmp_path / "ivf_fmt")
+    corpus = load_table(spark, sf_dir, "embeddings")
+    build_ivf_index(corpus.filter(F.col("vec_id") >= 10), idx, n_lists=4)
+    stamp = json.loads((tmp_path / "ivf_fmt" / "_format.json").read_text())
+    assert stamp["format"] == _IVF_FORMAT
+
+    queries = corpus.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    (tmp_path / "ivf_fmt" / "_format.json").write_text(
+        json.dumps({"format": "ivfadc-pq4x16-float-grid1e6"})
+    )
+    with pytest.raises(ValueError, match="format"):
+        probe_ivf_index(spark, idx, queries, k=2, coded=True)
+    with pytest.raises(ValueError, match="format"):
+        ingest_ivf_batch(corpus.filter(F.col("vec_id") < 10), 1, idx)
+
+    # a rebuild is the documented remedy: it re-stamps and probes work
+    build_ivf_index(corpus.filter(F.col("vec_id") >= 10), idx, n_lists=4)
+    assert probe_ivf_index(spark, idx, queries, k=2, coded=True).count() > 0

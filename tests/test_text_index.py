@@ -395,3 +395,37 @@ def test_compaction_sweeps_stale_tmp_dirs(spark, sf_dir, tmp_path):
     os.makedirs(stale)
     compact_batch_ledger(spark, led, ["gd"], sum_cols=["df"])
     assert not os.path.exists(stale)
+
+
+def test_text_index_format_stamp_enforced(spark, sf_dir, tmp_path):
+    """r12: the persisted BM25 index carries its tokenizer/bucket/
+    parameter format; a stamped mismatch refuses at probe and ingest,
+    and a rebuild re-stamps."""
+    import json
+
+    import pytest
+
+    from chess_pipeline_spark.sources import load_table
+    from chess_pipeline_spark.text_index import (
+        _TI_FORMAT,
+        build_text_index,
+        ingest_text_delta,
+        probe_bm25,
+    )
+
+    idx = str(tmp_path / "tix_fmt")
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    build_text_index(docs, idx)
+    stamp = json.loads((tmp_path / "tix_fmt" / "_format.json").read_text())
+    assert stamp["format"] == _TI_FORMAT
+
+    (tmp_path / "tix_fmt" / "_format.json").write_text(
+        json.dumps({"format": "bm25-k12.0-b0.5-porter-md5hexb64"})
+    )
+    with pytest.raises(ValueError, match="format"):
+        probe_bm25(spark, idx, ("data",), k=5)
+    with pytest.raises(ValueError, match="format"):
+        ingest_text_delta(docs, idx, batch_id=1)
+
+    build_text_index(docs, idx)
+    assert probe_bm25(spark, idx, ("data",), k=5).count() >= 0
