@@ -75,3 +75,40 @@ def test_dsir_ledger_stream_equals_batch(spark, sf_dir, tmp_path):
     # counts under a redefined p-model
     with pytest.raises(ValueError, match="target"):
         ingest_dsir_delta(hi, led, 2, "some_other_source")
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark, tmp_path):
+    """Planted-signal law: documents written in the TARGET domain's
+    vocabulary must score strictly higher mean importance weight than
+    documents from a disjoint vocabulary — the selection property the
+    operator exists for (oracle parity alone only proves both engines
+    compute the same numbers)."""
+    import pandas as pd
+
+    from chess_pipeline_spark.plans.corpus import dsir_importance_weights
+
+    # target domain 'aaa_target' (min source) writes vocab A; raw pool
+    # writes vocab B; two raw docs are target-like plants
+    vocab_a = "alpha beta gamma delta epsilon zeta"
+    vocab_b = "omega psi chi phi upsilon tau"
+    rows = []
+    for i in range(10):
+        rows.append((i, "aaa_target", vocab_a))
+    for i in range(10, 40):
+        rows.append((i, "zz_raw", vocab_b))
+    plants = [40, 41]
+    for i in plants:
+        rows.append((i, "zz_raw", vocab_a))
+    pd.DataFrame(rows, columns=["doc_id", "source", "text"]).to_parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+    got = {
+        r.doc_id: r.logweight_unats
+        for r in dsir_importance_weights(spark, str(tmp_path)).collect()
+    }
+    plant_scores = [got[i] for i in plants]
+    raw_scores = [got[i] for i in range(10, 40)]
+    assert min(plant_scores) > max(raw_scores), (
+        "target-vocabulary plants must outscore every raw-vocabulary doc"
+    )
