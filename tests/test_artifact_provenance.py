@@ -91,10 +91,11 @@ def test_latest_scalesoak_provenance():
     )
 
 
-def test_spangram_soak_provenance_if_committed():
-    found = _latest(re.compile(r"^SPANGRAMSOAK_r(\d+)\.json$"))
+@pytest.mark.parametrize("stem", ["SPANGRAMSOAK", "DSIRSOAK"])
+def test_ledger_soak_provenance_if_committed(stem):
+    found = _latest(re.compile(rf"^{stem}_r(\d+)\.json$"))
     if not found:
-        pytest.skip("no SPANGRAMSOAK artifact (first committed in r12)")
+        pytest.skip(f"no {stem} artifact (first committed in r12)")
     _, path = found
     art = json.loads(path.read_text())
     assert "loadavg_start" in art and "loadavg_end" in art, path.name
