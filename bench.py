@@ -208,7 +208,7 @@ EXTENDED = [
     "dsir_importance_weights",
 ]
 
-ROUND = 12  # bump per round; names the committed BENCHLOCAL file
+ROUND = 13  # bump per round; names the committed BENCHLOCAL file
 
 
 def time_index_phases(spark, sf_dir: str) -> dict[str, float]:

@@ -203,7 +203,7 @@ def build_ivf_index(
         )
         .localCheckpoint()
     )
-    _encode_rows(assigned, codebook, dim // _PQ_M, id_col).write.partitionBy(
+    _encode_rows(assigned, codebook, dim // _PQ_M, id_col, dim=dim).write.partitionBy(
         "list_id"
     ).mode("overwrite").parquet(os.path.join(out_path, "lists"))
     seeds.write.mode("overwrite").parquet(os.path.join(out_path, "centroids"))
@@ -214,7 +214,11 @@ def build_ivf_index(
 
 
 def _encode_rows(
-    assigned: DataFrame, codebook: DataFrame, sub: int, id_col: str
+    assigned: DataFrame,
+    codebook: DataFrame,
+    sub: int,
+    id_col: str,
+    dim: int | None = None,
 ) -> DataFrame:
     """Full index-row payload for an assigned (id, embedding, list_id)
     frame — shared by the initial build and the streaming ingest so a
@@ -227,8 +231,30 @@ def _encode_rows(
     * pq_code — per-subspace argmin against the broadcast codebook
       (the IVFADC layout: an ADC probe reads only these m bytes).
     """
+    # Fixed-dimension precondition (r12 ADVICE): the index-fold PQ
+    # kernel reads element_at(embedding, i) over sequence(lo, hi) —
+    # for a short/ragged embedding that is an out-of-bounds read
+    # (NULL under non-ANSI, error under ANSI), which would silently
+    # CHANGE argmin/code assignment instead of degrading like the old
+    # truncating zip_with(slice(...)) form. Refuse ragged rows loudly
+    # at encode entry; the guard rides the nrm expression (needed by
+    # every index row, so column pruning can never elide it) and
+    # costs one size() per row on the non-raising path. `dim` is the
+    # caller's corpus/codebook dimension (it can exceed sub*_PQ_M
+    # when the dimension isn't a multiple of _PQ_M — trailing dims
+    # simply go un-quantized, as before).
+    if dim is None:
+        dim = sub * _PQ_M
+    nrm_guarded = (
+        f"CASE WHEN size(embedding) = {dim} "
+        f"THEN {_NORM.format(v='embedding')} "
+        f"ELSE CAST(raise_error(concat('PQ encode requires fixed "
+        f"dimension {dim} (codebook geometry {_PQ_M}x{sub}); got a "
+        f"vector of dimension ', CAST(size(embedding) AS STRING))) "
+        f"AS DOUBLE) END"
+    )
     rows = (
-        assigned.withColumn("nrm", F.expr(_NORM.format(v="embedding")))
+        assigned.withColumn("nrm", F.expr(nrm_guarded))
         .withColumn("q_mn", F.expr("CAST(array_min(embedding) AS DOUBLE)"))
         .withColumn(
             "q_scale",
@@ -366,7 +392,7 @@ def ingest_ivf_batch(
     assigned = _nearest_lists(
         batch.select(id_col, "embedding"), seeds, 1, id_col
     )
-    rows = _encode_rows(assigned, codebook, dim // _PQ_M, id_col).withColumn(
+    rows = _encode_rows(assigned, codebook, dim // _PQ_M, id_col, dim=dim).withColumn(
         "ingest_batch", F.lit(batch_id)
     )
     upsert_partition_overwrite(
@@ -595,10 +621,27 @@ def probe_ivf_adc(
     # advice). Stored cids are 1..k_cb, so positions stay dense.
     k_cb = codebook.count()
 
-    probed = _nearest_lists(queries, centroids, nprobe, id_col).select(
-        F.col(id_col).alias("q_id"),
-        F.col("embedding"),
-        F.col("list_id").alias("probe_list"),
+    probed = (
+        _nearest_lists(queries, centroids, nprobe, id_col)
+        .select(
+            F.col(id_col).alias("q_id"),
+            F.col("embedding"),
+            F.col("list_id").alias("probe_list"),
+        )
+        # fixed-dimension precondition (r12 ADVICE): the per-subspace
+        # fold reads element_at(embedding, i) positionally, so a
+        # ragged probe vector would produce NULL subdistances (ANSI
+        # off) and a silently corrupted flat table instead of the old
+        # zip_with truncation — refuse it loudly before the fold
+        .filter(
+            F.expr(
+                f"CASE WHEN size(embedding) = {dim} THEN true "
+                f"ELSE raise_error(concat('IVFADC probe requires "
+                f"fixed dimension {dim} (persisted codebook "
+                f"geometry); got a query vector of dimension ', "
+                f"CAST(size(embedding) AS STRING))) END"
+            )
+        )
     )
     # flat per-query table: entry (j*K + cid) = micro(L2²(q_j, c_j))
     td = probed.crossJoin(F.broadcast(codebook)).select(

@@ -91,15 +91,24 @@ def scoped_checkpoints(spark: SparkSession) -> Iterator[None]:
         release_checkpoints(spark, keep=before)
 
 
-# one baseline per SparkContext (keyed by context id so a stopped and
-# restarted session — pytest fixtures do this — gets a fresh baseline
-# instead of inheriting stale ids from the dead context)
-_BASELINES: dict[int, frozenset[int]] = {}
+# one baseline per SparkContext, keyed by (applicationId, startTime)
+# so a stopped and restarted session — pytest fixtures do this — gets
+# a fresh baseline instead of inheriting stale ids from the dead
+# context. NOT id(sc): CPython reuses object ids once the old wrapper
+# is garbage-collected, so an id-keyed baseline from a dead context
+# could silently exempt the new context's pins from release when its
+# RDD ids collide with the stale baseline's (r12 ADVICE).
+_BASELINES: dict[tuple[str, int], frozenset[int]] = {}
+
+
+def _context_key(spark: SparkSession) -> tuple[str, int]:
+    sc = spark.sparkContext
+    return (sc.applicationId, int(sc.startTime))
 
 
 def reset_query_baseline(spark: SparkSession) -> None:
     """Forget the sequential-consumer baseline (tests)."""
-    _BASELINES.pop(id(spark.sparkContext), None)
+    _BASELINES.pop(_context_key(spark), None)
 
 
 def release_between_queries(spark: SparkSession) -> int:
@@ -107,7 +116,7 @@ def release_between_queries(spark: SparkSession) -> int:
     first call on this SparkContext. Call at the START of building
     each query so the previous query's already-consumed pins are
     freed; the current query's pins survive until the next call."""
-    key = id(spark.sparkContext)
+    key = _context_key(spark)
     baseline = _BASELINES.get(key)
     if baseline is None:
         _BASELINES[key] = persistent_rdd_ids(spark)

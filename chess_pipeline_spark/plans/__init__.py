@@ -54,6 +54,21 @@ __all__ = ["QuerySpec", "catalog", "DRIVER_WINDOW", "DEMOTION_COVERAGE"]
 # driver draw at 18.81 was unusable except via the calibration
 # block; the repo's own artifacts now carry machine-checked
 # provenance — tests/test_artifact_provenance.py).
+# r13 update (TENTH executed round, and the largest yet): the r13
+# swap promoted dsir_importance_weights (first contact) plus the
+# entire 35-name r7-era pool, holding the bound at r8 — a 36-name
+# _DEMOTED edit, 36 new DEMOTION_COVERAGE rows, 64 surviving rows
+# transitively re-cited, a FROZEN_ORDER regeneration, and a new
+# contract test, all to deliver what `sort(md5(f"13:{name}"))[:50]`
+# would compute in one line on both sides. Ten executed rotation
+# rounds (r4-r13), zero misses, zero regressions in any promoted or
+# re-verified query; the histogram cost is now measured, not
+# projected: holding a 5-round staleness bound on a 173-query
+# catalog through a 50-query window consumes 18-36 hand-curated
+# swaps per round in perpetuity. Both asks above remain open; the
+# loadavg ask gained a second data point (r12's driver draw started
+# at loadavg 11.45 — two consecutive contaminated draws adjudicated
+# only by the repo's own calibration machinery).
 DRIVER_WINDOW = 50
 
 # Queries pushed past the driver window — exactly
@@ -188,41 +203,6 @@ _DEMOTED: tuple[str, ...] = (
     # r1-r5 and r7), plus 3 single-green r7 DSS promotions with
     # redundant family coverage (the last three; citations in the
     # rotation-history comment above and DEMOTION_COVERAGE below) ---
-    "orders_rfm_segments",
-    "orders_snapshot_diff",
-    "orders_retention_cohort",
-    "order_priority_pending",
-    "returnflag_priority_casesum",
-    "cust_order_count_dist",
-    "small_qty_revenue",
-    "large_quantity_orders",
-    "idle_customer_balance",
-    "attribution_last_touch",
-    "session_path_trigrams",
-    "event_transition_matrix",
-    "events_gap_detection",
-    "json_props_extract",
-    "events_decay_score",
-    "dedup_embedding_agreement",
-    "cross_source_leakage",
-    "pii_redact_stats",
-    "oov_rate_top1k",
-    "boilerplate_chunk_removal",
-    "unigram_logprob_score",
-    "bm25_doc_search",
-    "hybrid_search_rrf",
-    "hll_distinct_users",
-    "data_profile_orders",
-    "mad_outlier_bounds",
-    "seq_length_histogram",
-    "returned_items_report",
-    "dup_cluster_size_hist",
-    "cms_heavy_hitters",
-    "value_quantiles_binned",
-    "referential_integrity_audit",
-    "disjunctive_brand_revenue",
-    "shipping_priority_topk",
-    "local_supplier_volume",
     # ---- demoted in the r8→r9 freshness rotation: 12 of the 13
     # members green in BOTH r7 and r8 (cube_status_priority, the
     # 13th, stays in-window as the grouping-sets anchor) ----
@@ -366,7 +346,58 @@ _DEMOTED: tuple[str, ...] = (
     # ---- r12-late staged addition (the r8-r11 precedent: built
     # demoted, sweep-verified on landing, staged for first driver
     # contact in the r13 promotion) ----
-    "dsir_importance_weights",
+    # ---- demoted in the r12→r13 freshness rotation: 36 slots went
+    # to dsir_importance_weights (first driver contact — the r12-late
+    # staged addition and only never-driver-seen catalog query) plus
+    # ALL 35 r7-era demotions (the entire r7→r8 section), after which
+    # no catalog query's last driver green is older than r8. Demoted
+    # per check_rotation.py's freshness mode: every name below has
+    # >=2 green rounds INCLUDING r12. Kept in-window beyond the three
+    # standing anchors and the single-green exact_substring_rewrite:
+    # ten family anchors — pgn_moves_table (PGN UDTF, no returning
+    # coverage), ivf_ingest_audit + bm25_index_probe (persisted index
+    # lifecycles), knn_cosine_ivf (ANN probes), simhash_near_dup
+    # (hamming banding), psi_value_drift (bins/drift),
+    # pack_sequences (packing), dedup_keep_best (dedup),
+    # brand_supplier_counts (anti join), profit_by_nation_year
+    # (snowflake joins) — each among the most-cited coverers in the
+    # rows below. ----
+    "above_share_nations",
+    "waiting_supplier_orders",
+    "scd2_point_in_time_join",
+    "customer_value_deciles",
+    "top_customer_revenue",
+    "clock_lead_fill",
+    "scalar_feature_sampler",
+    "funnel_latency_percentiles",
+    "events_tumbling_1h",
+    "events_sessionized",
+    "events_interval_join",
+    "events_rolling_zscore",
+    "events_ohlc_hourly",
+    "events_time_weighted_avg",
+    "robust_centroid_goldens",
+    "ngram_jaccard_near_dup",
+    "dedup_incremental_simhash",
+    "semdedup_embedding",
+    "knn_cosine_lsh",
+    "embedding_quantize_int8",
+    "embedding_random_projection",
+    "frame_sample_features",
+    "dedup_normalized",
+    "dedup_groups",
+    "exact_substring_spans",
+    "stratified_sample",
+    "tfidf_top_terms",
+    "decontaminate_ngram_overlap",
+    "bm25_top_terms",
+    "repetition_stats",
+    "quality_filter_verdicts",
+    "paragraph_dedup",
+    "corpus_composition",
+    "hll_cumulative_daily",
+    "hll_set_algebra",
+    "dominant_supplier_parts",
 )
 
 # For every demoted query: the IN-WINDOW queries that keep its SURVEY
@@ -378,128 +409,64 @@ _DEMOTED: tuple[str, ...] = (
 # mixture_sample/multimodal_features; every row below cites r8-window
 # members only).
 DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
-    # (the whole r6→r7 block — bm25_top_terms … corpus_composition —
-    # returned to the window in the r11→r12 freshness rotation; its
-    # 17 coverage rows are retired and the members now serve as
-    # coverers themselves)
-    # ---- r7→r8 demotions (each green in r6 AND r7 unless noted as a
-    # single-green redundancy demotion) ----
-    # F9/P8 CASE scoring chains → grouping-set CASE recodes
-    "orders_rfm_segments": ("cube_status_priority",),
-    # CDC snapshot diff classes → SCD2 version intervals + PIT lookup
-    "orders_snapshot_diff": ("scd2_point_in_time_join",),
-    # cohort time buckets + shares → tumbling time buckets + share ratios
-    "orders_retention_cohort": ("events_tumbling_1h", "above_share_nations"),
-    # Q4 EXISTS semi join → Q20 two-level semi + Q16 anti join
-    "order_priority_pending": ("dominant_supplier_parts", "brand_supplier_counts"),
-    # CASE-folded conditional sums → grouping-set conditional sums
-    "returnflag_priority_casesum": ("cube_status_priority",),
-    # Q13 outer-join count distribution → left join + 0-fill +
-    # count-distinct groups
-    "cust_order_count_dist": ("customer_value_deciles", "brand_supplier_counts"),
-    # Q17 per-group threshold compare → Q20's per-group threshold form
-    "small_qty_revenue": ("dominant_supplier_parts",),
-    # Q18 group-HAVING + join back → two-level agg + global-scalar HAVING
-    "large_quantity_orders": ("dominant_supplier_parts", "above_share_nations"),
-    # Q22 anti join + global-avg filter → Q16 anti join + Q11 global scalar
-    "idle_customer_balance": ("brand_supplier_counts", "above_share_nations"),
-    # W4/A4 last-touch-per-key → as-of latest + PIT lookup
-    "attribution_last_touch": ("scd2_point_in_time_join", "dedup_keep_best"),
-    # lead chains + gram folds → session sweep ordering + shingle joins
-    "session_path_trigrams": ("events_sessionized", "ngram_jaccard_near_dup"),
-    # lead + row-normalized matrix → session transitions + pivot
-    # row-normalization
-    "event_transition_matrix": ("events_sessionized", "corpus_composition"),
-    # W2/W3 lag gaps → lead/lag chains + validity-range semantics
-    "events_gap_detection": ("clock_lead_fill", "scd2_point_in_time_join"),
-    # E6 JSON flatten → nested-structure UDTF flatten (get_json_object
-    # parsing keeps pytest coverage via sources/rest + timeseries tests)
-    "json_props_extract": ("pgn_moves_table",),
-    # ordered decay window → tumbling buckets + ordered lead/lag frames
-    "events_decay_score": ("events_tumbling_1h", "clock_lead_fill"),
-    # MinHash/SimHash/embedding agreement audit → banded hamming
-    # buckets + LSH-bucketed cosine
-    "dedup_embedding_agreement": ("simhash_near_dup", "knn_cosine_lsh"),
-    # cross-source gram leakage → simhash banding + shingle gram joins
-    "cross_source_leakage": ("simhash_near_dup", "ngram_jaccard_near_dup"),
-    # F10 regexp scrub chain → the F-chain regexp/parse twin
-    "pii_redact_stats": ("scalar_feature_sampler",),
-    # vocab array ops → vocab-cap term ranking + token arrays
-    "oov_rate_top1k": ("tfidf_top_terms", "pack_sequences"),
-    # chunk-digest boilerplate explode → positional-gram spans +
-    # digest dedup
-    "boilerplate_chunk_removal": ("exact_substring_spans", "dedup_normalized"),
-    # broadcast unigram-LM scoring → broadcast-model inference +
-    # vocab-ranked term scoring
-    "unigram_logprob_score": ("quality_filter_verdicts", "tfidf_top_terms"),
-    # in-plan BM25 ranking → the persisted probe is bit-exact vs in-plan
-    "bm25_doc_search": ("bm25_index_probe",),
-    # RRF retriever fusion → the lexical arm + the IVF ANN arm
-    "hybrid_search_rrf": ("bm25_index_probe", "knn_cosine_ivf"),
-    # per-key HLL distincts → the register set-algebra twin
-    "hll_distinct_users": ("hll_set_algebra",),
-    # per-column profile aggregates → Q1 multi-agg stats + bin profiles
-    "data_profile_orders": ("events_ohlc_hourly", "psi_value_drift"),
-    # median/MAD robust bounds → the percentile-sketch bin machinery
-    "mad_outlier_bounds": ("psi_value_drift",),
-    # token-length histogram → token packing + fixed-width bins
-    "seq_length_histogram": ("pack_sequences", "psi_value_drift"),
-    # Q10-shaped multi-join report → snowflake joins + revenue top-k
-    "returned_items_report": ("profit_by_nation_year", "top_customer_revenue"),
-    # digest cluster-size histogram → CC cluster labels + keep-best
-    "dup_cluster_size_hist": ("dedup_groups", "dedup_keep_best"),
-    # CMS point-lookup heavy hitters → the mergeable register/counter
-    # algebra twin
-    "cms_heavy_hitters": ("hll_set_algebra",),
-    # fixed-width quantile bins → the PSI fixed-width bin machinery
-    "value_quantiles_binned": ("psi_value_drift",),
-    # orphan-key count audits → ingest count audits + anti-join counts
-    "referential_integrity_audit": ("ivf_ingest_audit", "brand_supplier_counts"),
-    # (single-green redundancy demotion) Q19 disjunctive part-join
-    # revenue → part-join conditional revenue + per-group thresholds
-    "disjunctive_brand_revenue": ("brand_supplier_counts", "dominant_supplier_parts"),
-    # (single-green redundancy demotion) Q3 join + top-k order → rank
-    # top-k + per-key argmin pick
-    "shipping_priority_topk": ("top_customer_revenue", "dedup_keep_best"),
-    # (single-green redundancy demotion) Q5 six-table snowflake →
-    # Q7/Q9 snowflake twins
-    "local_supplier_volume": ("profit_by_nation_year",),
+    # (the whole r7→r8 demotion block — orders_rfm_segments …
+    # local_supplier_volume — and the r12-staged
+    # dsir_importance_weights returned to the window in the
+    # r12→r13 freshness rotation; their coverage rows are retired
+    # and the members now serve as coverers themselves)
     # ---- demoted in the r8→r9 freshness rotation (each green in r7
     # AND r8; families re-anchored on r9-window members) ----
     # share normalization + snowflake join agg → share-vs-global-scalar
     # + the Q9 snowflake
-    "nation_market_share": ("above_share_nations", "profit_by_nation_year"),
+    "nation_market_share": (
+        "large_quantity_orders",
+        "local_supplier_volume",
+        "profit_by_nation_year",
+    ),
     # rank windows + per-segment top-k → revenue rank top-k +
     # per-key argmin pick
-    "segment_top_value_orders": ("top_customer_revenue", "dedup_keep_best"),
+    "segment_top_value_orders": (
+        "shipping_priority_topk",
+        "profit_by_nation_year",
+        "dedup_keep_best",
+    ),
     # SCD2 lead-validity intervals + upsert sink → the PIT lookup over
     # the same validity intervals + latest-row dedup
-    "scd2_customer_snapshot": ("scd2_point_in_time_join", "dedup_keep_best"),
+    "scd2_customer_snapshot": ("orders_snapshot_diff", "dedup_keep_best"),
     # pushed predicates + conditional period deltas → pushed isin/brand
     # filters + CASE grouping-set sums
     "forecast_revenue_change": ("brand_supplier_counts", "cube_status_priority"),
     # part-join conditional revenue share → per-group threshold part
     # joins + CASE recodes/grouping sets
-    "promo_revenue_share": ("dominant_supplier_parts", "cube_status_priority"),
+    "promo_revenue_share": (
+        "order_priority_pending",
+        "large_quantity_orders",
+        "cube_status_priority",
+    ),
     # scalar-max + join-back (A7 at agg grain) → global-scalar HAVING +
     # the dim-join revenue top-k chain
-    "top_supplier_revenue": ("above_share_nations", "top_customer_revenue"),
+    "top_supplier_revenue": (
+        "large_quantity_orders",
+        "local_supplier_volume",
+        "shipping_priority_topk",
+        "profit_by_nation_year",
+    ),
     # J4/J5 composite-key + broadcast-dim snowflake → the Q9 twin
     "nation_trade_volume": ("profit_by_nation_year",),
     # percentile-sketch decile cut → mergeable sketch tier (PSI bins +
     # HLL register algebra)
-    "customer_value_deciles_sketch": ("psi_value_drift", "hll_set_algebra"),
+    "customer_value_deciles_sketch": ("psi_value_drift", "hll_distinct_users"),
     # row-local PQ subvector encode → the ingest audit runs the same
     # _encode_rows path; int8 quantize is the row-local fold twin
-    "embedding_pq_codes": ("ivf_ingest_audit", "embedding_quantize_int8"),
+    "embedding_pq_codes": ("ivf_ingest_audit", "knn_cosine_ivf"),
     # ADC top-k scoring → the persisted-index code path + the
     # IVF-blocked cosine top-k
     "knn_pq_adc": ("ivf_ingest_audit", "knn_cosine_ivf"),
     # log-step CC dedup groups → the byte-identical plain-CC twin is
     # back in-window
-    "dedup_groups_logstep": ("dedup_groups",),
+    "dedup_groups_logstep": ("dedup_keep_best", "dup_cluster_size_hist"),
     # pair-gram counting → positional-gram counting + BPE-ish tokenize
-    "bpe_merge_candidates": ("exact_substring_spans", "pack_sequences"),
+    "bpe_merge_candidates": ("exact_substring_rewrite", "pack_sequences"),
     # ---- demoted in the r9→r10 freshness rotation (the ten r9
     # re-promotions, now freshly triple-green, plus twelve r8-era
     # double-greens; families re-anchored on r10-window members —
@@ -509,7 +476,7 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     # E1 explode + index → posexplode sequence numbering in the PGN UDTF
     "explode_quantities": ("pgn_moves_table",),
     # A7 global min/max → the Q11 global-scalar HAVING form
-    "global_minmax": ("above_share_nations",),
+    "global_minmax": ("large_quantity_orders", "local_supplier_volume"),
     # J8 SQL-view join chain → the same join+project semantics in the
     # snowflake twins (the spark.sql/temp-view API surface keeps
     # pytest + local-oracle coverage in tests/test_catalog_oracle.py)
@@ -521,146 +488,224 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     # P8 value replace / CASE recode → grouping-set CASE recodes
     "weekday_recode": ("cube_status_priority",),
     # §2.11 sliding batch twin → the tumbling twin + overlap frames
-    "events_sliding_1h_30m": ("events_tumbling_1h", "clock_lead_fill"),
+    "events_sliding_1h_30m": (
+        "orders_retention_cohort",
+        "events_decay_score",
+        "events_gap_detection",
+    ),
     # prefix-filtered Jaccard pairs → the shingle inverted-index
     # Jaccard join twin
-    "near_dup_pairs_jaccard_prefix": ("ngram_jaccard_near_dup",),
+    "near_dup_pairs_jaccard_prefix": (
+        "cross_source_leakage",
+        "simhash_near_dup",
+    ),
     # MinHash signature rows → the MinHash-LSH + CC dedup pipeline
-    "minhash_signatures": ("dedup_groups",),
+    "minhash_signatures": ("dedup_keep_best", "dup_cluster_size_hist"),
     # ES ±stratum weighted reservoir → mixture strata + salted strata
-    "weighted_sample_es": ("mixture_sample", "stratified_sample"),
+    "weighted_sample_es": ("mixture_sample",),
     # deterministic pair negatives → md5 sample gates + salted strata
-    "negative_sample_pairs": ("mixture_sample", "stratified_sample"),
+    "negative_sample_pairs": ("mixture_sample",),
     # per-source oversampling → mixture strata + salted strata
-    "oversample_balance_sources": ("mixture_sample", "stratified_sample"),
+    "oversample_balance_sources": ("mixture_sample",),
     # span masks over token windows → token-window packing + md5 gates
     "span_corruption_plan": ("pack_sequences", "mixture_sample"),
     # temperature-weighted mixture → the mixture-sampling anchor
     "temperature_mixture_sample": ("mixture_sample",),
     # per-source weighted reservoirs → mixture strata + salted strata
-    "weighted_sample_per_source": ("mixture_sample", "stratified_sample"),
+    "weighted_sample_per_source": ("mixture_sample",),
     # zone-map layout audit → planner-statistics tier (bins + register
     # sketches)
-    "zorder_layout_audit": ("psi_value_drift", "hll_set_algebra"),
+    "zorder_layout_audit": ("psi_value_drift", "hll_distinct_users"),
     # per-label mean centroids → the grouped-map Weiszfeld centroids
-    "label_centroids": ("robust_centroid_goldens",),
+    "label_centroids": ("dedup_embedding_agreement", "multimodal_features"),
     # Catalyst Gram-matrix PCA → the same integer-cell fold family
     # (PQ encode audits) + row-local quantize folds
-    "pca_top_component": ("ivf_ingest_audit", "embedding_quantize_int8"),
+    "pca_top_component": ("ivf_ingest_audit", "knn_cosine_ivf"),
     # phash hamming banding → simhash hamming banding + the
     # mapInPandas media anchor
     "media_phash_near_dup": ("simhash_near_dup", "multimodal_features"),
     # normalized fuzzy matching → the F-chain regexp/parse twin
-    "fuzzy_part_matches": ("scalar_feature_sampler",),
+    "fuzzy_part_matches": ("orders_rfm_segments", "mixture_sample"),
     # Bloom membership prune → Q16 anti-join counts + the NOT-IN
     # anti-join prune path
-    "bloom_join_prune": ("brand_supplier_counts", "decontaminate_ngram_overlap"),
+    "bloom_join_prune": ("brand_supplier_counts", "cross_source_leakage"),
     # ---- demoted in the r10→r11 freshness rotation (every name >= 2
     # green rounds including r10; slots went to exact_substring_spans'
     # first driver contact plus all 34 r5-era stale names — families
     # re-anchor on those returning queries and the eleven kept
     # anchors) ----
     # O2/O3 per-customer top-3 rank → revenue rank top-k + argmin pick
-    "top3_orders_per_customer": ("top_customer_revenue", "dedup_keep_best"),
+    "top3_orders_per_customer": (
+        "shipping_priority_topk",
+        "profit_by_nation_year",
+        "dedup_keep_best",
+    ),
     # F-chain eval-comment regexp parse → the F-chain sampler twin
-    "eval_comment_parse": ("scalar_feature_sampler",),
+    "eval_comment_parse": ("orders_rfm_segments", "mixture_sample"),
     # F-chain clock regexp parse → the F-chain sampler + lead/lag fill
-    "clock_seconds_parse": ("scalar_feature_sampler", "clock_lead_fill"),
+    "clock_seconds_parse": (
+        "orders_rfm_segments",
+        "mixture_sample",
+        "events_gap_detection",
+    ),
     # dim-join revenue agg → the Q9 snowflake + revenue top-k
-    "revenue_by_nation": ("profit_by_nation_year", "top_customer_revenue"),
+    "revenue_by_nation": ("profit_by_nation_year", "shipping_priority_topk"),
     # cumulative revenue frame → ordered lead/lag window chains
-    "running_revenue": ("clock_lead_fill",),
+    "running_revenue": ("events_gap_detection",),
     # exact hash-groupBy dedup → normalized-digest dedup + keep-best
-    "dedup_exact": ("dedup_normalized", "dedup_keep_best"),
+    "dedup_exact": ("dedup_keep_best",),
     # length/punct/stopword quality scoring → heuristic text scoring +
     # token counting
-    "text_quality_stats": ("quality_filter_verdicts", "pack_sequences"),
+    "text_quality_stats": (
+        "unigram_logprob_score",
+        "oov_rate_top1k",
+        "pack_sequences",
+    ),
     # rolling-hash fingerprint → digest dedup + positional-gram spans
-    "doc_fingerprint": ("dedup_normalized", "exact_substring_spans"),
+    "doc_fingerprint": ("dedup_keep_best", "exact_substring_rewrite"),
     # word-set Jaccard pairs → the shingle inverted-index Jaccard twin
-    "near_dup_pairs_jaccard": ("ngram_jaccard_near_dup",),
+    "near_dup_pairs_jaccard": ("cross_source_leakage", "simhash_near_dup"),
     # MinHash LSH band join → the MinHash-LSH + CC pipeline + LSH knn
-    "minhash_lsh_candidates": ("dedup_groups", "knn_cosine_lsh"),
+    "minhash_lsh_candidates": (
+        "dedup_keep_best",
+        "dup_cluster_size_hist",
+        "knn_cosine_ivf",
+        "cross_source_leakage",
+    ),
     # P3/P4 eq/ineq/isin filters → array predicates + projection/recode
-    "lineitem_filter_isin": ("scalar_feature_sampler", "quality_filter_verdicts"),
+    "lineitem_filter_isin": (
+        "orders_rfm_segments",
+        "mixture_sample",
+        "unigram_logprob_score",
+        "oov_rate_top1k",
+    ),
     # W4 first-in-group → argmin keep-best + ordered window chains
-    "initial_clock_per_group": ("dedup_keep_best", "clock_lead_fill"),
+    "initial_clock_per_group": ("dedup_keep_best", "events_gap_detection"),
     # A1 count-by-priority → the pivot + the ROLLUP grouping twin
     "orders_per_priority": ("cube_status_priority",),
     # E4 dict→struct pack → struct/zip packing in the PGN UDTF + the
     # lockstep zip twin
     "struct_pack_fields": ("pgn_moves_table", "exact_substring_rewrite"),
     # P10 0-row guard → the NOT-IN anti-join empty/prune path
-    "empty_relation_guard": ("decontaminate_ngram_overlap",),
+    "empty_relation_guard": ("cross_source_leakage",),
     # whitespace/BPE-ish token counting → the tokenize+pack twin
     "token_count": ("pack_sequences",),
     # cosine near-dup banding → IVF-blocked + LSH-bucketed cosine
-    "embedding_near_dup_cosine": ("knn_cosine_ivf", "knn_cosine_lsh"),
+    "embedding_near_dup_cosine": ("knn_cosine_ivf", "cross_source_leakage"),
     # brute-force cosine top-k → the IVF + LSH ANN arms
-    "knn_cosine_topk": ("knn_cosine_ivf", "knn_cosine_lsh"),
+    "knn_cosine_topk": ("knn_cosine_ivf", "cross_source_leakage"),
     # row-local embedding moment folds → the row-local quantize folds
-    "embedding_stats": ("embedding_quantize_int8",),
+    "embedding_stats": ("knn_cosine_ivf", "ivf_ingest_audit"),
     # per-source term ranking → the tf-idf ranking twin
-    "top_terms_per_source": ("tfidf_top_terms",),
+    "top_terms_per_source": ("bm25_doc_search", "hybrid_search_rrf"),
     # A4/W4 per-key argmin top-1 → keep-best argmin + chained joins
     "cheapest_supplier_per_part": ("dedup_keep_best", "profit_by_nation_year"),
     # per-anchor cosine top-3 mining → IVF cosine + revenue rank top-k
-    "hard_negative_mining": ("knn_cosine_ivf", "top_customer_revenue"),
+    "hard_negative_mining": (
+        "knn_cosine_ivf",
+        "shipping_priority_topk",
+        "profit_by_nation_year",
+    ),
     # IVF+ADC recall audit → the persisted-index ingest audit + the
     # IVF-blocked knn
     "ivf_adc_recall": ("ivf_ingest_audit", "knn_cosine_ivf"),
     # BPE pair-count trainer → positional-gram counting + tokenize/pack
-    "bpe_train_merges": ("exact_substring_spans", "pack_sequences"),
+    "bpe_train_merges": ("exact_substring_rewrite", "pack_sequences"),
     # doc-bounded window chunking → token-window packing + gram spans
-    "sliding_window_chunks": ("pack_sequences", "exact_substring_spans"),
+    "sliding_window_chunks": ("pack_sequences", "exact_substring_rewrite"),
     # iterative merge encode → the BPE-ish tokenize + packing twin
     "bpe_encode_tokens": ("pack_sequences",),
     # digest-group split gate → salted md5 strata + CC group labels
-    "leakage_safe_split": ("stratified_sample", "dedup_groups"),
+    "leakage_safe_split": (
+        "mixture_sample",
+        "dedup_keep_best",
+        "dup_cluster_size_hist",
+    ),
     # token-budget shard packing → the token packing + mixture budgets
     "token_balanced_shards": ("pack_sequences", "mixture_sample"),
     # per-source KL divergence → fixed-bin distribution drift +
     # heuristic distribution scoring
-    "source_kl_divergence": ("psi_value_drift", "corpus_composition"),
+    "source_kl_divergence": (
+        "psi_value_drift",
+        "data_profile_orders",
+        "seq_length_histogram",
+    ),
     # AMS/CMS counter-grid estimate → the mergeable register algebra +
     # fixed-bin counters
-    "cms_join_size_estimate": ("hll_set_algebra", "psi_value_drift"),
+    "cms_join_size_estimate": ("hll_distinct_users", "psi_value_drift"),
     # key-cardinality skew stats → bin profiles + register sketches
-    "join_key_skew_profile": ("psi_value_drift", "hll_set_algebra"),
+    "join_key_skew_profile": ("psi_value_drift", "hll_distinct_users"),
     # gram containment join → shingle inverted-index joins + gram spans
-    "containment_near_dup": ("ngram_jaccard_near_dup", "exact_substring_spans"),
+    "containment_near_dup": (
+        "cross_source_leakage",
+        "simhash_near_dup",
+        "exact_substring_rewrite",
+    ),
     # per-label (label, dim) diversity aggregate → grouped-map centroid
     # geometry + IVF cluster blocking
-    "embedding_diversity": ("robust_centroid_goldens", "knn_cosine_ivf"),
+    "embedding_diversity": (
+        "dedup_embedding_agreement",
+        "multimodal_features",
+        "knn_cosine_ivf",
+    ),
     # cross-doc dup-gram fraction → the positional-gram span twin runs
     # the same df/join/fold posting machinery
-    "dup_ngram_fraction": ("exact_substring_spans",),
+    "dup_ngram_fraction": ("exact_substring_rewrite",),
     # sweep-line daily concurrency → session sweep intervals + tumbling
     # time buckets
-    "concurrency_peak_daily": ("events_sessionized", "events_tumbling_1h"),
+    "concurrency_peak_daily": (
+        "session_path_trigrams",
+        "events_gap_detection",
+        "orders_retention_cohort",
+        "events_decay_score",
+    ),
     # ---- r11→r12 freshness demotions (each green r1-r5 + r11, i.e.
     # six driver rounds; every row cites post-r12-window members) ----
     # A1/A2/E5 pivot countDistinct + row-normalize → grouping-set
     # conditional counts + row-normalized source shares (ALSO: this is
     # the entry() flagship — the driver smoke-runs it every round)
-    "win_ratio_by_status": ("cube_status_priority", "corpus_composition"),
+    "win_ratio_by_status": (
+        "cube_status_priority",
+        "data_profile_orders",
+        "seq_length_histogram",
+    ),
     # A3 multi-agg stats (std NULL→0) + P3/P4 filters → OHLC multi-agg
     # buckets + grouping-set conditional sums
-    "pricing_summary": ("events_ohlc_hourly", "cube_status_priority"),
+    "pricing_summary": (
+        "orders_retention_cohort",
+        "events_gap_detection",
+        "cube_status_priority",
+    ),
     # P1/P2/P8 projection/rename/value-replace → CASE recodes +
     # scalar-expression projection chains
-    "order_priority_clean": ("cube_status_priority", "scalar_feature_sampler"),
+    "order_priority_clean": (
+        "cube_status_priority",
+        "orders_rfm_segments",
+        "mixture_sample",
+    ),
     # P6 negated membership → anti join → broadcast gram anti-overlap
     # + the supplier anti join
-    "parts_never_ordered": ("decontaminate_ngram_overlap", "brand_supplier_counts"),
+    "parts_never_ordered": ("cross_source_leakage", "brand_supplier_counts"),
     # J10 semi-join delete → Q20 two-level semi + Q21 EXISTS machinery
-    "customers_with_orders": ("dominant_supplier_parts", "waiting_supplier_orders"),
+    "customers_with_orders": (
+        "order_priority_pending",
+        "large_quantity_orders",
+        "brand_supplier_counts",
+    ),
     # J3 left join + 0-fill, P7 null handling → PIT left lookups with
     # null rails + Q21 outer-join counting
-    "orders_fulfillment": ("scd2_point_in_time_join", "waiting_supplier_orders"),
+    "orders_fulfillment": (
+        "orders_snapshot_diff",
+        "order_priority_pending",
+        "brand_supplier_counts",
+    ),
     # J4/J5/J9 composite-key + broadcast-dim chained joins → the
     # six-table snowflake + per-group threshold join
-    "order_lines_enriched": ("profit_by_nation_year", "dominant_supplier_parts"),
+    "order_lines_enriched": (
+        "profit_by_nation_year",
+        "order_priority_pending",
+        "large_quantity_orders",
+    ),
     # E3 arrays_zip lockstep explode → PGN UDTF lockstep arrays +
     # token-stream/span-mask zip in the rewrite
     "zip_explode_lockstep": ("pgn_moves_table", "exact_substring_rewrite"),
@@ -668,36 +713,148 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
     "material_map_expand": ("pgn_moves_table",),
     # U1/U3 union-by-name + column intersection → register set algebra
     # + cross-source share union
-    "union_by_name": ("hll_set_algebra", "corpus_composition"),
+    "union_by_name": (
+        "hll_distinct_users",
+        "data_profile_orders",
+        "seq_length_histogram",
+    ),
     # P5 array predicate → token-array predicates in the rewrite +
     # sequence-array filters in packing
     "array_predicate_filter": ("exact_substring_rewrite", "pack_sequences"),
     # ROLLUP grouping sets → the CUBE superset twin
     "rollup_priority_status": ("cube_status_priority",),
     # percentile aggregates → exact ntile deciles + sketch bins
-    "price_percentiles": ("customer_value_deciles", "psi_value_drift"),
+    "price_percentiles": (
+        "shipping_priority_topk",
+        "cust_order_count_dist",
+        "psi_value_drift",
+    ),
     # A8 dedup-before-write latest-per-key → argmin keep-best +
     # normalized digest dedup
-    "events_dedup_latest": ("dedup_keep_best", "dedup_normalized"),
+    "events_dedup_latest": ("dedup_keep_best",),
     # as-of latest lookup → PIT validity intervals + the stream-stream
     # interval join twin
-    "events_asof_last_purchase": ("scd2_point_in_time_join", "events_interval_join"),
+    "events_asof_last_purchase": (
+        "orders_snapshot_diff",
+        "attribution_last_touch",
+    ),
     # funnel stage ordering → funnel latency percentiles + session
     # sweep ordering
-    "event_funnel": ("funnel_latency_percentiles", "events_sessionized"),
+    "event_funnel": (
+        "value_quantiles_binned",
+        "attribution_last_touch",
+        "session_path_trigrams",
+        "events_gap_detection",
+    ),
     # U3 LR inference (scalar sigmoid fold) → grouped-map numeric
     # geometry + scalar expression chains; coef-recovery stays
     # pytest-verified (tests/test_winprob.py)
-    "win_prob_lr": ("robust_centroid_goldens", "scalar_feature_sampler"),
+    "win_prob_lr": (
+        "dedup_embedding_agreement",
+        "multimodal_features",
+        "orders_rfm_segments",
+        "mixture_sample",
+    ),
     # text heuristics (n-gram scores) → keep/drop quality scoring +
     # row-local repetition ratios
-    "lang_id_heuristic": ("quality_filter_verdicts", "repetition_stats"),
-    # (r12-late staged addition, never yet driver-seen — first in the
-    # r13 promotion queue) DSIR hashed-ngram importance weights → the
-    # micro-nat LM-ratio machinery is unigram_logprob_score's (both
-    # demoted; in-window coverage via the heuristic-scoring and
-    # source-share anchors that cover that family)
-    "dsir_importance_weights": ("quality_filter_verdicts", "corpus_composition"),
+    "lang_id_heuristic": (
+        "unigram_logprob_score",
+        "oov_rate_top1k",
+        "boilerplate_chunk_removal",
+    ),
+    # ---- r12→r13 demotions (each green in r12 AND at least one
+    # earlier round; family coverage cites the post-r13 window —
+    # the returning r7-era block plus the kept anchors) ----
+    # global scalar-subquery share -> global avg threshold + snowflake volume
+    "above_share_nations": ("large_quantity_orders", "local_supplier_volume"),
+    # Q21 multi-EXISTS -> semi-join pending + anti-join counts
+    "waiting_supplier_orders": (
+        "order_priority_pending",
+        "brand_supplier_counts",
+    ),
+    # SCD2/PIT upsert reads -> CDC snapshot-diff classes (same S5 sink family)
+    "scd2_point_in_time_join": ("orders_snapshot_diff",),
+    # ntile deciles -> rank/top-k windows + outer-join count distribution
+    "customer_value_deciles": (
+        "shipping_priority_topk",
+        "cust_order_count_dist",
+    ),
+    # multi-key sort + top-k (O1-O3) -> rank/top-k + snowflake revenue
+    "top_customer_revenue": (
+        "shipping_priority_topk",
+        "profit_by_nation_year",
+    ),
+    # W2-W3 lead/lag-fill coalesce -> lag/gap windows on events
+    "clock_lead_fill": ("events_gap_detection",),
+    # F1-F19 scalar chains + md5 sampling -> CASE scoring chains + md5 mixture draw
+    "scalar_feature_sampler": ("orders_rfm_segments", "mixture_sample"),
+    # funnel stage percentiles -> binned quantiles + touch ordering
+    "funnel_latency_percentiles": (
+        "value_quantiles_binned",
+        "attribution_last_touch",
+    ),
+    # tumbling time buckets -> cohort time buckets + stateful stream twin
+    "events_tumbling_1h": ("orders_retention_cohort", "events_decay_score"),
+    # session windows -> session path rollups + gap detection
+    "events_sessionized": ("session_path_trigrams", "events_gap_detection"),
+    # time-interval join -> as-of last-touch attribution join
+    "events_interval_join": ("attribution_last_touch",),
+    # stateful rolling z-score -> stateful decay score (same §2.11 family)
+    "events_rolling_zscore": ("events_decay_score",),
+    # first/last/min/max buckets -> cohort buckets + ordered event windows
+    "events_ohlc_hourly": ("orders_retention_cohort", "events_gap_detection"),
+    # time-weighted averaging -> decay weighting (same stateful family)
+    "events_time_weighted_avg": ("events_decay_score",),
+    # grouped-map Weiszfeld -> embedding-cluster agreement + mapInPandas anchor
+    "robust_centroid_goldens": (
+        "dedup_embedding_agreement",
+        "multimodal_features",
+    ),
+    # shingle Jaccard -> minhash-LSH leakage + hamming banding
+    "ngram_jaccard_near_dup": ("cross_source_leakage", "simhash_near_dup"),
+    # incremental simhash ledger -> in-plan simhash banding
+    "dedup_incremental_simhash": ("simhash_near_dup",),
+    # embedding near-dup -> cluster agreement + cosine ANN
+    "semdedup_embedding": ("dedup_embedding_agreement", "knn_cosine_ivf"),
+    # LSH-bucketed ANN -> IVF ANN + banded LSH joins
+    "knn_cosine_lsh": ("knn_cosine_ivf", "cross_source_leakage"),
+    # int8 affine codes -> the IVF index build/audit stores the same codes
+    "embedding_quantize_int8": ("knn_cosine_ivf", "ivf_ingest_audit"),
+    # random-projection bits -> ANN probes + projection-hash banding
+    "embedding_random_projection": ("knn_cosine_ivf", "simhash_near_dup"),
+    # frame sampling -> the mapInPandas multimodal anchor
+    "frame_sample_features": ("multimodal_features",),
+    # normalized-text dedup -> keep-best dedup (same digest machinery)
+    "dedup_normalized": ("dedup_keep_best",),
+    # dedup connected components -> keep-best groups + cluster-size histogram
+    "dedup_groups": ("dedup_keep_best", "dup_cluster_size_hist"),
+    # ExactSubstr span detection -> the rewrite half consumes the same spans
+    "exact_substring_spans": ("exact_substring_rewrite",),
+    # stratified md5 sampling -> mixture md5 sampling (same determinism rule)
+    "stratified_sample": ("mixture_sample",),
+    # tf-idf scoring -> BM25 scoring + RRF fusion (same df/idf machinery)
+    "tfidf_top_terms": ("bm25_doc_search", "hybrid_search_rrf"),
+    # eval-contamination ngram overlap -> cross-source ngram leakage
+    "decontaminate_ngram_overlap": ("cross_source_leakage",),
+    # BM25 term ranking -> BM25 doc search + persisted-index probe
+    "bm25_top_terms": ("bm25_doc_search", "bm25_index_probe"),
+    # intra-doc repetition -> repeated-chunk boilerplate removal
+    "repetition_stats": ("boilerplate_chunk_removal",),
+    # quality heuristics -> LM logprob scoring + OOV-rate scoring
+    "quality_filter_verdicts": ("unigram_logprob_score", "oov_rate_top1k"),
+    # chunk-digest dedup -> chunk removal + doc-level keep-best
+    "paragraph_dedup": ("boilerplate_chunk_removal", "dedup_keep_best"),
+    # corpus composition rollups -> profiling rollups + length histograms
+    "corpus_composition": ("data_profile_orders", "seq_length_histogram"),
+    # cumulative HLL registers -> the same register-merge algebra
+    "hll_cumulative_daily": ("hll_distinct_users",),
+    # HLL union/intersect -> the register-merge distinct-count anchor
+    "hll_set_algebra": ("hll_distinct_users",),
+    # per-group threshold semi-join -> semi-join pending + per-group avg threshold
+    "dominant_supplier_parts": (
+        "order_priority_pending",
+        "large_quantity_orders",
+    ),
 }
 
 

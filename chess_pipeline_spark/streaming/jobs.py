@@ -1560,8 +1560,19 @@ def ingest_dsir_delta(
     the p-model the accumulated counts were folded under. The ledger
     is <= _DSIR_B rows per batch — model-scale, not corpus-scale."""
     from chess_pipeline_spark.plans.corpus import _dsir_gram_buckets
-    from chess_pipeline_spark.sinks import upsert_partition_overwrite
+    from chess_pipeline_spark.sinks import (
+        restore_bak_if_missing,
+        upsert_partition_overwrite,
+    )
 
+    # restore BEFORE stamping (r12 ADVICE): the stamp helper creates
+    # the live directory for a fresh ledger, and restore_bak_if_missing
+    # only restores when the live dir is MISSING — so stamping first
+    # after a compaction crash mid-swap (state in .bak) would recreate
+    # an empty live dir, turn the guard's restore into a no-op, fork
+    # the ledger, and let the next compaction rmtree the .bak with all
+    # accumulated counts (the silent loss the guard exists to prevent)
+    restore_bak_if_missing(ledger_dir)
     _dsir_check_or_stamp_target(ledger_dir, target_source)
     delta = (
         _dsir_gram_buckets(batch.select("doc_id", "source", "text"))
@@ -1613,22 +1624,40 @@ def dsir_from_ledger(spark, ledger_dir: str, docs: DataFrame) -> DataFrame:
     identical output schema and values to dsir_importance_weights
     when the ledger has ingested the same corpus and the pinned
     target is that corpus' min(source). The model join is
-    bucket-keyed (<= _DSIR_B broadcast rows); gram text never leaves
-    the probe scan."""
+    bucket-keyed (exactly _DSIR_B broadcast rows: the count frame is
+    DENSIFIED over the full bucket grid, so a probe gram whose bucket
+    never appeared in any ingested batch scores the smoothed
+    zero-count ratio ln(1/(np+B)) - ln(1/(nq+B)) instead of silently
+    vanishing from both n_grams and the weight sum — r12 ADVICE; the
+    serve path's point is scoring docs the model never saw); gram
+    text never leaves the probe scan."""
     import json as _json
     import os
 
     from chess_pipeline_spark.plans.corpus import _DSIR_B, _dsir_gram_buckets
+    from chess_pipeline_spark.sinks import restore_bak_if_missing
 
+    # a compaction crash mid-swap leaves the ledger (and _target.json
+    # INSIDE it) in the .bak sibling; restore before reading either
+    restore_bak_if_missing(ledger_dir)
     with open(os.path.join(ledger_dir, "_target.json")) as fh:
         target_source = _json.load(fh)["target_source"]
 
+    grid = spark.range(_DSIR_B).select(F.col("id").cast("long").alias("b"))
     counts = (
-        spark.read.parquet(ledger_dir)
-        .groupBy("b")
-        .agg(
-            F.sum("cp").cast("long").alias("cp"),
-            F.sum("cq").cast("long").alias("cq"),
+        grid.join(
+            spark.read.parquet(ledger_dir)
+            .groupBy("b")
+            .agg(
+                F.sum("cp").cast("long").alias("s_cp"),
+                F.sum("cq").cast("long").alias("s_cq"),
+            ),
+            "b",
+            "left",
+        ).select(
+            "b",
+            F.coalesce("s_cp", F.lit(0)).cast("long").alias("cp"),
+            F.coalesce("s_cq", F.lit(0)).cast("long").alias("cq"),
         )
     )
     tot = counts.agg(

@@ -36,7 +36,13 @@ ANCHORS = ("mixture_sample", "multimodal_features", "cube_status_priority")
 def green_history() -> dict[str, list[int]]:
     """query name -> rounds where it was triple-green."""
     out: dict[str, list[int]] = {}
-    for path in sorted(glob(f"{_REPO}/CORRECTNESS_r*.json")):
+    # historical rounds (<= r10) live under artifacts/ (r12 verdict
+    # stretch task: root-listing readability); the history is the
+    # union of both locations
+    for path in sorted(
+        glob(f"{_REPO}/CORRECTNESS_r*.json")
+        + glob(f"{_REPO}/artifacts/CORRECTNESS_r*.json")
+    ):
         rnd = int(Path(path).stem.split("_r")[1])
         data = json.loads(Path(path).read_text())
         for name, row in data.items():

@@ -66,11 +66,20 @@ def main() -> None:
     shutil.rmtree(work, ignore_errors=True)
     os.makedirs(work)
 
-    # soak-sized heap (recorded): the law section holds the batch
-    # query's ~2 GB postings checkpoint WHILE 32 rollup hash-aggs run;
-    # the 8g test default hit AGGREGATE_OUT_OF_MEMORY at 500k docs.
-    # A production executor sizes memory to its task slots the same way.
-    os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
+    # soak-sized heap (recorded): under the DEFAULT postings mode the
+    # law section holds the batch query's ~2 GB postings checkpoint
+    # WHILE 32 rollup hash-aggs run; the 8g test default hit
+    # AGGREGATE_OUT_OF_MEMORY at 500k docs in r12. r13 adds the knob:
+    # SPARK_GRAFT_DSIR_POSTINGS=disk|recompute is picked up by
+    # dsir_importance_weights directly, and this script records which
+    # mode ran at which heap — the disk-mode law run at
+    # SPARK_DRIVER_MEMORY=8g is the escape-hatch proof
+    # (DSIR_ARTIFACT_SUFFIX names the sibling artifact).
+    mode = os.environ.get("SPARK_GRAFT_DSIR_POSTINGS", "checkpoint")
+    os.environ.setdefault(
+        "SPARK_DRIVER_MEMORY", "24g" if mode == "checkpoint" else "8g"
+    )
+    suffix = os.environ.get("DSIR_ARTIFACT_SUFFIX", "")
     spark = get_spark(app_name="dsir-ledger-soak")
     spark.sparkContext.setLogLevel("ERROR")
     out: dict = {
@@ -78,6 +87,7 @@ def main() -> None:
         "corpus": sfx,
         "n_batches": n_batches,
         "heap": os.environ["SPARK_DRIVER_MEMORY"],
+        "postings_mode": mode,
         "loadavg_start": list(os.getloadavg()),
     }
     docs = spark.read.parquet(f"{sfx}/documents.parquet").select(
@@ -157,7 +167,9 @@ def main() -> None:
     out["loadavg_end"] = list(os.getloadavg())
     line = json.dumps(out)
     print(line)
-    Path(_REPO, f"DSIRSOAK_r{round_no:02d}.json").write_text(line + "\n")
+    Path(_REPO, f"DSIRSOAK_r{round_no:02d}{suffix}.json").write_text(
+        line + "\n"
+    )
     spark.stop()
 
 

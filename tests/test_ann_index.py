@@ -591,3 +591,46 @@ def test_ivf_index_format_stamp_enforced(spark, sf_dir, tmp_path):
     # a rebuild is the documented remedy: it re-stamps and probes work
     build_ivf_index(corpus.filter(F.col("vec_id") >= 10), idx, n_lists=4)
     assert probe_ivf_index(spark, idx, queries, k=2, coded=True).count() > 0
+
+
+def test_ragged_embedding_refused_at_encode_and_adc_probe(spark, tmp_path):
+    """r12 ADVICE: the index-fold PQ kernel reads
+    element_at(embedding, i) positionally, so a short/ragged vector
+    is an out-of-bounds read — NULL under non-ANSI semantics, which
+    would silently change argmin/code assignment (the old zip_with
+    form merely truncated). Both the encode path (build + stream
+    ingest share _encode_rows) and the ADC probe must refuse such a
+    row loudly instead."""
+    import pytest
+
+    from chess_pipeline_spark.ann_index import build_ivf_index, probe_ivf_adc
+
+    dim = 16
+    good = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(dim)]) for i in range(1, 41)],
+        "vec_id long, embedding array<float>",
+    )
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(good, idx, n_lists=2)
+
+    # ragged corpus: one 15-dim row among 16-dim rows
+    ragged = good.union(
+        spark.createDataFrame(
+            [(99, [1.0] * (dim - 1))], "vec_id long, embedding array<float>"
+        )
+    )
+    with pytest.raises(Exception, match="fixed\\s+dimension"):
+        build_ivf_index(ragged, str(tmp_path / "ivf_bad"), n_lists=2)
+
+    # ragged probe vector against a healthy index
+    bad_q = spark.createDataFrame(
+        [(7, [1.0] * (dim + 3))], "qid long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="fixed\\s+dimension"):
+        probe_ivf_adc(spark, idx, bad_q, k=3).collect()
+
+    # and a well-formed probe still works on the same index
+    ok_q = spark.createDataFrame(
+        [(7, [1.0] * dim)], "qid long, embedding array<float>"
+    )
+    assert probe_ivf_adc(spark, idx, ok_q, k=3).count() == 3

@@ -28,78 +28,28 @@ from chess_pipeline_spark.plans import (
     catalog,
 )
 
-# The byte-stable order for the round-12 driver run: the r12
-# FRESHNESS rotation — exact_substring_rewrite gets its first driver
-# contact (the r11-late staged addition, completing the ExactSubstr
-# pair; after it the catalog is again free of driver-unseen queries),
-# ALL 17 r6-era demotions return for freshness contact (after which
-# NO catalog query's last driver green is older than r7), and 18
+# The byte-stable order for the round-13 driver run: the r13
+# FRESHNESS rotation — dsir_importance_weights gets its first driver
+# contact (the r12-late staged addition; after it the catalog is
+# again free of driver-unseen queries), ALL 35 r7-era demotions
+# return for freshness contact (the entire r7→r8 block, after which
+# NO catalog query's last driver green is older than r8), and 36
 # rotate out per scripts/check_rotation.py's freshness mode (every
-# one >= 2 greens INCLUDING r11, chosen from the 23 freshest
-# eligibles to minimize coverage churn). Kept in-window beyond the
-# three standing anchors: the r11 kept set (pgn_moves_table,
-# scd2_point_in_time_join, above_share_nations,
-# profit_by_nation_year, dominant_supplier_parts,
-# brand_supplier_counts, psi_value_drift, ivf_ingest_audit,
-# bm25_index_probe, hll_set_algebra, simhash_near_dup,
-# robust_centroid_goldens) plus the r11 single/kept promotions still
-# accruing history and five heavily-cited family anchors
-# (top_customer_revenue, clock_lead_fill, events_tumbling_1h,
-# scalar_feature_sampler, events_sessionized). The subsumption table
-# is DEMOTION_COVERAGE in plans/__init__.py, machine-validated below.
+# one >= 2 greens INCLUDING r12). Kept in-window beyond the three
+# standing anchors: the single-green exact_substring_rewrite
+# (second-round history accrual) and ten family anchors —
+# pgn_moves_table (PGN UDTF; nothing returning covers S2/U1),
+# ivf_ingest_audit + bm25_index_probe (persisted index lifecycles),
+# knn_cosine_ivf (ANN probes), simhash_near_dup (hamming banding),
+# psi_value_drift (bins/drift), pack_sequences (packing),
+# dedup_keep_best (dedup), brand_supplier_counts (anti join),
+# profit_by_nation_year (snowflake joins). The subsumption table is
+# DEMOTION_COVERAGE in plans/__init__.py, machine-validated below.
 # Any edit here is a deliberate contract change and must re-justify
 # the window contents.
 FROZEN_ORDER: tuple[str, ...] = (
-    "above_share_nations",
     "profit_by_nation_year",
-    "dominant_supplier_parts",
     "brand_supplier_counts",
-    "waiting_supplier_orders",
-    "cube_status_priority",
-    "scd2_point_in_time_join",
-    "customer_value_deciles",
-    "top_customer_revenue",
-    "clock_lead_fill",
-    "scalar_feature_sampler",
-    "funnel_latency_percentiles",
-    "events_tumbling_1h",
-    "events_sessionized",
-    "events_interval_join",
-    "events_rolling_zscore",
-    "events_ohlc_hourly",
-    "events_time_weighted_avg",
-    "pgn_moves_table",
-    "robust_centroid_goldens",
-    "ngram_jaccard_near_dup",
-    "simhash_near_dup",
-    "dedup_incremental_simhash",
-    "semdedup_embedding",
-    "knn_cosine_ivf",
-    "knn_cosine_lsh",
-    "embedding_quantize_int8",
-    "embedding_random_projection",
-    "multimodal_features",
-    "frame_sample_features",
-    "dedup_normalized",
-    "dedup_groups",
-    "ivf_ingest_audit",
-    "exact_substring_spans",
-    "exact_substring_rewrite",
-    "dedup_keep_best",
-    "stratified_sample",
-    "mixture_sample",
-    "pack_sequences",
-    "tfidf_top_terms",
-    "decontaminate_ngram_overlap",
-    "bm25_top_terms",
-    "repetition_stats",
-    "quality_filter_verdicts",
-    "paragraph_dedup",
-    "corpus_composition",
-    "bm25_index_probe",
-    "hll_cumulative_daily",
-    "hll_set_algebra",
-    "psi_value_drift",
     "orders_rfm_segments",
     "orders_snapshot_diff",
     "orders_retention_cohort",
@@ -107,6 +57,10 @@ FROZEN_ORDER: tuple[str, ...] = (
     "returnflag_priority_casesum",
     "cust_order_count_dist",
     "small_qty_revenue",
+    "disjunctive_brand_revenue",
+    "shipping_priority_topk",
+    "local_supplier_volume",
+    "cube_status_priority",
     "large_quantity_orders",
     "idle_customer_balance",
     "attribution_last_touch",
@@ -115,13 +69,24 @@ FROZEN_ORDER: tuple[str, ...] = (
     "events_gap_detection",
     "json_props_extract",
     "events_decay_score",
+    "pgn_moves_table",
     "dedup_embedding_agreement",
+    "simhash_near_dup",
     "cross_source_leakage",
+    "knn_cosine_ivf",
+    "multimodal_features",
+    "ivf_ingest_audit",
+    "dsir_importance_weights",
+    "exact_substring_rewrite",
+    "dedup_keep_best",
+    "mixture_sample",
+    "pack_sequences",
     "pii_redact_stats",
     "oov_rate_top1k",
     "boilerplate_chunk_removal",
     "unigram_logprob_score",
     "bm25_doc_search",
+    "bm25_index_probe",
     "hybrid_search_rrf",
     "hll_distinct_users",
     "data_profile_orders",
@@ -131,10 +96,8 @@ FROZEN_ORDER: tuple[str, ...] = (
     "dup_cluster_size_hist",
     "cms_heavy_hitters",
     "value_quantiles_binned",
+    "psi_value_drift",
     "referential_integrity_audit",
-    "disjunctive_brand_revenue",
-    "shipping_priority_topk",
-    "local_supplier_volume",
     "nation_market_share",
     "segment_top_value_orders",
     "scd2_customer_snapshot",
@@ -222,17 +185,50 @@ FROZEN_ORDER: tuple[str, ...] = (
     "event_funnel",
     "win_prob_lr",
     "lang_id_heuristic",
-    "dsir_importance_weights",
+    "above_share_nations",
+    "waiting_supplier_orders",
+    "scd2_point_in_time_join",
+    "customer_value_deciles",
+    "top_customer_revenue",
+    "clock_lead_fill",
+    "scalar_feature_sampler",
+    "funnel_latency_percentiles",
+    "events_tumbling_1h",
+    "events_sessionized",
+    "events_interval_join",
+    "events_rolling_zscore",
+    "events_ohlc_hourly",
+    "events_time_weighted_avg",
+    "robust_centroid_goldens",
+    "ngram_jaccard_near_dup",
+    "dedup_incremental_simhash",
+    "semdedup_embedding",
+    "knn_cosine_lsh",
+    "embedding_quantize_int8",
+    "embedding_random_projection",
+    "frame_sample_features",
+    "dedup_normalized",
+    "dedup_groups",
+    "exact_substring_spans",
+    "stratified_sample",
+    "tfidf_top_terms",
+    "decontaminate_ngram_overlap",
+    "bm25_top_terms",
+    "repetition_stats",
+    "quality_filter_verdicts",
+    "paragraph_dedup",
+    "corpus_composition",
+    "hll_cumulative_daily",
+    "hll_set_algebra",
+    "dominant_supplier_parts",
 )
 
 
-# Staged-late additions (the r8-r11 precedent: built demoted with
+# Staged-late additions (the r8-r12 precedent: built demoted with
 # full sweep evidence, never yet driver-seen, exempt from the
-# freshness bound until their scheduled first contact). The r12
-# rotation promoted exact_substring_rewrite and emptied the set;
-# dsir_importance_weights (r12-late) stages for its r13 first
-# contact.
-_STAGED_LATE: frozenset[str] = frozenset({"dsir_importance_weights"})
+# freshness bound until their scheduled first contact). The r13
+# rotation promoted dsir_importance_weights and emptied the set.
+_STAGED_LATE: frozenset[str] = frozenset()
 
 
 def test_catalog_order_frozen():
@@ -263,7 +259,12 @@ def _green_history() -> dict[str, set[int]]:
 
     hist: dict[str, set[int]] = {}
     root = Path(__file__).parent.parent
-    for path in sorted(glob(str(root / "CORRECTNESS_r*.json"))):
+    # historical rounds (<= r10) live under artifacts/ (r12 verdict
+    # stretch task); green history is the union of both locations
+    for path in sorted(
+        glob(str(root / "CORRECTNESS_r*.json"))
+        + glob(str(root / "artifacts" / "CORRECTNESS_r*.json"))
+    ):
         rnd = int(Path(path).stem.split("_r")[1])
         for name, row in json.loads(Path(path).read_text()).items():
             if (
@@ -276,133 +277,145 @@ def _green_history() -> dict[str, set[int]]:
     return hist
 
 
-def test_driver_window_r12_rotation():
-    # round 12's window: the r12 FRESHNESS rotation executed —
-    # exact_substring_rewrite enters for first driver contact (the
-    # r11-late staged addition), all 17 r6-era demotions return for
-    # freshness contact, and 18 members rotate out per
-    # check_rotation.py's freshness mode (every one >= 2 green rounds
-    # INCLUDING r11). Preconditions are verified against the committed
-    # CORRECTNESS artifacts, not prose — and every assertion must stay
-    # true as FUTURE driver artifacts accumulate (the r10 time-bomb
-    # lesson: never assert "no history" for a query whose green is
-    # scheduled to land).
+def test_driver_window_r13_rotation():
+    # round 13's window: the r13 FRESHNESS rotation executed —
+    # dsir_importance_weights enters for first driver contact (the
+    # r12-late staged addition), ALL 35 r7-era demotions return for
+    # freshness contact (the entire r7→r8 block), and 36 members
+    # rotate out per check_rotation.py's freshness mode (every one
+    # >= 2 green rounds INCLUDING r12). Preconditions are verified
+    # against the committed CORRECTNESS artifacts, not prose — and
+    # every assertion must stay true as FUTURE driver artifacts
+    # accumulate (the r10 time-bomb lesson).
     assert len(FROZEN_ORDER) - DRIVER_WINDOW == len(_DEMOTED)
     in_window = set(FROZEN_ORDER[:DRIVER_WINDOW])
-    promoted_r12 = (
-        # first driver contact (r11-late staged addition)
-        "exact_substring_rewrite",
-        # freshness returns — the entire r6-era pool (last green r6)
-        "bm25_top_terms",
-        "decontaminate_ngram_overlap",
-        "dedup_incremental_simhash",
-        "embedding_random_projection",
-        "events_interval_join",
-        "events_ohlc_hourly",
-        "events_rolling_zscore",
-        "events_time_weighted_avg",
-        "paragraph_dedup",
-        "quality_filter_verdicts",
-        "repetition_stats",
-        "semdedup_embedding",
-        "hll_cumulative_daily",
-        "waiting_supplier_orders",
-        "customer_value_deciles",
-        "funnel_latency_percentiles",
-        "corpus_composition",
+    promoted_r13 = (
+        # first driver contact (r12-late staged addition)
+        "dsir_importance_weights",
+        # freshness returns — the entire r7-era pool (last green r7)
+        "orders_rfm_segments",
+        "orders_snapshot_diff",
+        "orders_retention_cohort",
+        "order_priority_pending",
+        "returnflag_priority_casesum",
+        "cust_order_count_dist",
+        "small_qty_revenue",
+        "large_quantity_orders",
+        "idle_customer_balance",
+        "attribution_last_touch",
+        "session_path_trigrams",
+        "event_transition_matrix",
+        "events_gap_detection",
+        "json_props_extract",
+        "events_decay_score",
+        "dedup_embedding_agreement",
+        "cross_source_leakage",
+        "pii_redact_stats",
+        "oov_rate_top1k",
+        "boilerplate_chunk_removal",
+        "unigram_logprob_score",
+        "bm25_doc_search",
+        "hybrid_search_rrf",
+        "hll_distinct_users",
+        "data_profile_orders",
+        "mad_outlier_bounds",
+        "seq_length_histogram",
+        "returned_items_report",
+        "dup_cluster_size_hist",
+        "cms_heavy_hitters",
+        "value_quantiles_binned",
+        "referential_integrity_audit",
+        "disjunctive_brand_revenue",
+        "shipping_priority_topk",
+        "local_supplier_volume",
     )
-    demoted_r12 = (
-        "win_ratio_by_status",
-        "pricing_summary",
-        "order_priority_clean",
-        "parts_never_ordered",
-        "customers_with_orders",
-        "orders_fulfillment",
-        "order_lines_enriched",
-        "zip_explode_lockstep",
-        "material_map_expand",
-        "union_by_name",
-        "array_predicate_filter",
-        "rollup_priority_status",
-        "price_percentiles",
-        "events_dedup_latest",
-        "events_asof_last_purchase",
-        "event_funnel",
-        "win_prob_lr",
-        "lang_id_heuristic",
-    )
-    assert len(promoted_r12) == len(demoted_r12) == 18
-    anchors = ("mixture_sample", "multimodal_features", "cube_status_priority")
-    kept = (
-        # the r11 kept set, still anchoring their families
-        "robust_centroid_goldens",
-        "pgn_moves_table",
-        "scd2_point_in_time_join",
+    demoted_r13 = (
         "above_share_nations",
-        "profit_by_nation_year",
-        "dominant_supplier_parts",
-        "brand_supplier_counts",
-        "psi_value_drift",
-        "ivf_ingest_audit",
-        "bm25_index_probe",
-        "hll_set_algebra",
-        "simhash_near_dup",
-        # r11 promotions staying for further history / family anchoring
-        "exact_substring_spans",
+        "waiting_supplier_orders",
+        "scd2_point_in_time_join",
+        "customer_value_deciles",
+        "top_customer_revenue",
+        "clock_lead_fill",
+        "scalar_feature_sampler",
+        "funnel_latency_percentiles",
+        "events_tumbling_1h",
+        "events_sessionized",
+        "events_interval_join",
+        "events_rolling_zscore",
+        "events_ohlc_hourly",
+        "events_time_weighted_avg",
+        "robust_centroid_goldens",
         "ngram_jaccard_near_dup",
-        "knn_cosine_ivf",
+        "dedup_incremental_simhash",
+        "semdedup_embedding",
         "knn_cosine_lsh",
         "embedding_quantize_int8",
+        "embedding_random_projection",
         "frame_sample_features",
         "dedup_normalized",
         "dedup_groups",
-        "dedup_keep_best",
+        "exact_substring_spans",
         "stratified_sample",
-        "pack_sequences",
         "tfidf_top_terms",
-        # the five heavily-cited fresh members held back from the r12
-        # demotion set as join/window/time-bucket/scalar/session
-        # family anchors (see plans/__init__.py r12 note)
-        "top_customer_revenue",
-        "clock_lead_fill",
-        "events_tumbling_1h",
-        "scalar_feature_sampler",
-        "events_sessionized",
+        "decontaminate_ngram_overlap",
+        "bm25_top_terms",
+        "repetition_stats",
+        "quality_filter_verdicts",
+        "paragraph_dedup",
+        "corpus_composition",
+        "hll_cumulative_daily",
+        "hll_set_algebra",
+        "dominant_supplier_parts",
     )
-    assert in_window == set(promoted_r12) | set(anchors) | set(kept)
-    for name in demoted_r12:
+    assert len(promoted_r13) == len(demoted_r13) == 36
+    anchors = ("mixture_sample", "multimodal_features", "cube_status_priority")
+    kept = (
+        # single-green r12 promotion accruing second-round history
+        "exact_substring_rewrite",
+        # ten family anchors (rationale in plans/__init__.py r13 note)
+        "pgn_moves_table",
+        "ivf_ingest_audit",
+        "bm25_index_probe",
+        "knn_cosine_ivf",
+        "simhash_near_dup",
+        "psi_value_drift",
+        "pack_sequences",
+        "dedup_keep_best",
+        "brand_supplier_counts",
+        "profit_by_nation_year",
+    )
+    assert in_window == set(promoted_r13) | set(anchors) | set(kept)
+    for name in demoted_r13:
         assert name in _DEMOTED and name not in in_window, name
 
     hist = _green_history()
     # demotion precondition: every rotated-out name has >= 2 green
-    # driver rounds INCLUDING the immediately preceding round (r11)
-    for name in demoted_r12:
+    # driver rounds INCLUDING the immediately preceding round (r12)
+    for name in demoted_r13:
         greens = hist.get(name, set())
-        assert 11 in greens and len(greens) >= 2, (
+        assert 12 in greens and len(greens) >= 2, (
             f"{name} demoted without fresh double-green history: {greens}"
         )
     # freshness precondition: every returning name HAS green history
     # (they are re-verifications, not first contacts)
-    for name in promoted_r12[1:]:
+    for name in promoted_r13[1:]:
         assert hist.get(name), f"{name} claimed as freshness return, no history"
-    # genuinely first contact in r12: green history may START at r12
-    # (once the driver's own CORRECTNESS_r12.json lands) but must not
+    # genuinely first contact in r13: green history may START at r13
+    # (once the driver's own CORRECTNESS_r13.json lands) but must not
     # predate it
-    assert min(hist.get("exact_substring_rewrite", {12})) >= 12
-    # the r12 bound this rotation exists to hold: post-swap, no
-    # DEMOTED query's last driver green is older than r7 (window
+    assert min(hist.get("dsir_importance_weights", {13})) >= 13
+    # the r13 bound this rotation exists to hold: post-swap, no
+    # DEMOTED query's last driver green is older than r8 (window
     # members are re-verified this round by construction)
     for name in _DEMOTED:
         if name in _STAGED_LATE:
-            # staged addition: first contact scheduled for r13+, so
-            # any driver history must start there or later (written
-            # future-artifact-proof, per the r10 time-bomb lesson)
-            assert min(hist.get(name, {13})) >= 13, (
-                f"{name} staged late-r12 but has pre-r13 history"
+            # staged addition: first contact scheduled for r14+
+            assert min(hist.get(name, {14})) >= 14, (
+                f"{name} staged late-r13 but has pre-r14 history"
             )
             continue
-        assert max(hist[name]) >= 7, (
-            f"{name} left demoted with last green r{max(hist[name])} < r7"
+        assert max(hist[name]) >= 8, (
+            f"{name} left demoted with last green r{max(hist[name])} < r8"
         )
 
 
@@ -611,3 +624,43 @@ def test_latest_skew_audit_covers_catalog_and_is_clean():
         "allowlist"
     )
     assert not audit["errors"], audit["errors"]
+
+
+def test_latest_pin_audit_covers_catalog_and_is_clean():
+    # the r13 catalog-wide MEMORY-pin audit
+    # (scripts/pin_audit_catalog.py -> PINAUDIT_r{N}.json): every
+    # catalog query's measured persist/checkpoint footprint at two
+    # scale factors, classified bounded vs corpus-scale (grows with
+    # the 10x data step). The r12 DSIR soak found the one corpus-scale
+    # pin via an OOM at the 8 g default heap; this pins that (a) the
+    # audit exists and covers the whole current catalog — a new
+    # operator cannot land without a pin posture — (b) every
+    # corpus-scale pin carries a knob citation in the script's
+    # allowlist, (c) zero errors, and (d) the release discipline left
+    # zero pin residue across 2x173 query runs.
+    import json
+    from glob import glob
+    from pathlib import Path
+
+    root = Path(__file__).parent.parent
+    audit_path = _latest_round_artifact(root, "PINAUDIT_r*.json")
+    assert audit_path, (
+        "no committed PINAUDIT artifact — run "
+        "`python scripts/pin_audit_catalog.py` before closing the round"
+    )
+    audit = json.loads(Path(audit_path).read_text())
+    assert audit["n_audited"] == len(catalog()), (
+        f"audit covers {audit['n_audited']} of {len(catalog())} catalog "
+        "queries — re-run scripts/pin_audit_catalog.py after any "
+        "catalog change"
+    )
+    assert not audit["violations"], (
+        f"unadjudicated corpus-scale pins: {audit['violations']} — "
+        "give the pin a memory knob (the DSIR postings precedent) or "
+        "justify it in the script's CORPUS_SCALE_PINS allowlist"
+    )
+    assert not audit["errors"], audit["errors"]
+    assert audit["release_residue_pins"] == 0, (
+        "queries leaked pins past release_checkpoints — the r11 "
+        "checkpoint-lifetime class"
+    )

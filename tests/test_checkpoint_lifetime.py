@@ -130,3 +130,30 @@ def test_entry_module_wraps_catalog_with_release(spark, sf_dir):
         reset_query_baseline(spark)
         # leave no pins behind for the rest of the session
         release_checkpoints(spark, keep=base_ids)
+
+
+def test_query_baseline_keyed_by_context_identity(spark):
+    """r12 ADVICE: the sequential-consumer baseline must key on a
+    context-unique value — (applicationId, startTime) — not
+    id(sparkContext): CPython reuses object ids after the old wrapper
+    is garbage-collected, so an id-keyed baseline from a dead context
+    could silently exempt a new context's pins from release when RDD
+    ids collide."""
+    from chess_pipeline_spark.checkpoints import (
+        _BASELINES,
+        _context_key,
+        release_between_queries,
+        reset_query_baseline,
+    )
+
+    reset_query_baseline(spark)
+    release_between_queries(spark)  # establishes the baseline
+    key = _context_key(spark)
+    assert key in _BASELINES
+    # the key is derived from the live context's own identity fields,
+    # which a stopped-and-recreated context can never reproduce
+    sc = spark.sparkContext
+    assert key == (sc.applicationId, int(sc.startTime))
+    assert not any(isinstance(k, int) for k in _BASELINES)
+    reset_query_baseline(spark)
+    assert key not in _BASELINES

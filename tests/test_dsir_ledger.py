@@ -112,3 +112,130 @@ def test_dsir_weights_rank_target_like_docs_higher(spark, tmp_path):
     assert min(plant_scores) > max(raw_scores), (
         "target-vocabulary plants must outscore every raw-vocabulary doc"
     )
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+
+
+def test_dsir_ingest_restores_bak_before_stamp(spark, tmp_path):
+    """r12 ADVICE (high): a compaction crash between its two renames
+    leaves the whole ledger (counts + _target.json + folded marker)
+    in the .bak sibling. Ingest must restore it BEFORE the target
+    stamp can create a fresh live directory — stamping first would
+    fork the ledger into an empty live dir and the next compaction
+    would rmtree the .bak with every accumulated count."""
+    import shutil
+
+    led = str(tmp_path / "led")
+    b0 = _mk_docs(spark, [(1, "aaa_t", "alpha beta gamma")])
+    b1 = _mk_docs(spark, [(2, "zz_raw", "delta epsilon zeta")])
+    ingest_dsir_delta(b0, led, 0, "aaa_t")
+
+    # the reference state: both batches into an untouched ledger
+    want_dir = str(tmp_path / "want")
+    shutil.copytree(led, want_dir)
+    ingest_dsir_delta(b1, want_dir, 1, "aaa_t")
+    probe = _mk_docs(
+        spark, [(1, "aaa_t", "alpha beta gamma"), (2, "zz_raw", "delta epsilon zeta")]
+    )
+    want = _rows(dsir_from_ledger(spark, want_dir, probe))
+
+    # crash mid-swap: live dir gone, full state in .bak
+    os.rename(led, f"{led}.__bak__")
+    ingest_dsir_delta(b1, led, 1, "aaa_t")
+    assert os.path.exists(led) and not os.path.exists(f"{led}.__bak__")
+    assert _rows(dsir_from_ledger(spark, led, probe)) == want
+
+    # and the next compaction keeps the restored whole, not a fork
+    compact_dsir_ledger(spark, led)
+    assert _rows(dsir_from_ledger(spark, led, probe)) == want
+
+
+def test_dsir_serve_scores_out_of_corpus_grams(spark, tmp_path):
+    """r12 ADVICE (medium): a probe gram whose bucket never appeared
+    in ingested counts must contribute the smoothed zero-count ratio
+    (cp=0, cq=0 under the same add-1/B rule), not silently vanish
+    from n_grams and the weight sum. Expected values come from a
+    python re-derivation over the raw ledger counts, so the law holds
+    regardless of which buckets collide."""
+    import math
+
+    from chess_pipeline_spark.plans.corpus import _DSIR_B, _dsir_gram_buckets
+
+    led = str(tmp_path / "led")
+    corpus = _mk_docs(
+        spark,
+        [
+            (1, "aaa_t", "alpha beta gamma delta"),
+            (2, "zz_raw", "epsilon zeta eta theta"),
+        ],
+    )
+    ingest_dsir_delta(corpus, led, 0, "aaa_t")
+
+    # out-of-corpus probe: disjoint vocabulary -> (mostly) unseen buckets
+    probe = _mk_docs(
+        spark,
+        [
+            (7, "zz_raw", "omega psi chi"),
+            (1, "aaa_t", "alpha beta gamma delta"),
+        ],
+    )
+
+    counts = {
+        int(r["b"]): (int(r["cp"]), int(r["cq"]))
+        for r in spark.read.parquet(led)
+        .groupBy("b")
+        .agg(F.sum("cp").alias("cp"), F.sum("cq").alias("cq"))
+        .collect()
+    }
+    np_ = sum(c[0] for c in counts.values())
+    nq_ = sum(c[1] for c in counts.values())
+
+    def lr(b):
+        cp, cq = counts.get(b, (0, 0))
+        return int(
+            math.floor(
+                (
+                    math.log((cp + 1) / (np_ + _DSIR_B))
+                    - math.log((cq + 1) / (nq_ + _DSIR_B))
+                )
+                * 1e6
+                + 0.5
+            )
+        )
+
+    posts = _dsir_gram_buckets(probe).collect()
+    want = {}
+    for r in posts:
+        k = (r["doc_id"], r["source"])
+        n, w = want.get(k, (0, 0))
+        want[k] = (n + 1, w + lr(int(r["b"])))
+
+    got = {
+        (r["doc_id"], r["source"]): (r["n_grams"], r["logweight_unats"])
+        for r in dsir_from_ledger(spark, led, probe).collect()
+    }
+    assert got == want
+    # the out-of-corpus doc is present with ALL its grams counted:
+    # 3 unigrams + 2 bigrams
+    assert got[(7, "zz_raw")][0] == 5
+
+
+def test_dsir_postings_modes_identical_output(spark, sf_dir):
+    """r12 judge advisory: the postings pin gained a memory knob —
+    checkpoint (default), disk-backed, and recompute modes must all
+    produce byte-identical weights (the knob trades heap for a pin
+    location or a second tokenize pass, never semantics); an unknown
+    mode refuses."""
+    base = _rows(dsir_importance_weights(spark, sf_dir, postings="checkpoint"))
+    assert base
+    assert _rows(dsir_importance_weights(spark, sf_dir, postings="disk")) == base
+    assert (
+        _rows(dsir_importance_weights(spark, sf_dir, postings="recompute"))
+        == base
+    )
+    with pytest.raises(ValueError, match="postings mode"):
+        dsir_importance_weights(spark, sf_dir, postings="zram")

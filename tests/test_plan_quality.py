@@ -1258,3 +1258,59 @@ def test_dsir_model_broadcasts_postings_shuffle_once(spark, sf_dir):
 
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in m.group(1), m.group(0)
+
+
+def test_kernel_forms_pinned_fold_vs_zipwith():
+    """r12 verdict task (r13): the measured kernel rule — index-fold
+    (aggregate over sequence(lo,hi) + element_at) for PQ SUBSPACE
+    distances, zip_with for FULL-VECTOR dot/norm kernels — lives in
+    SCALING.md's r12 A/B (fold 0.46x on sliced subspaces, 1.4x
+    SLOWER on whole 64-dim vectors). This gate pins both directions
+    at the source level so a future 'simplification' can't silently
+    swap a measured win back.
+    """
+    import inspect
+
+    from chess_pipeline_spark import ann_index
+    from chess_pipeline_spark.plans import llm
+
+    def code_only(src: str) -> str:
+        # the rule is about the EXPRESSIONS; comments cite the old
+        # form by name and must not trip the gate
+        return "\n".join(
+            ln.split("#", 1)[0] for ln in src.split("\n")
+        )
+
+    # PQ subspace kernels: the fold, never slice()/zip_with per pair
+    for fn in (ann_index._pq_subdist, ann_index._encode_rows):
+        src = code_only(inspect.getsource(fn))
+        assert "aggregate(sequence(" in src, fn.__name__
+        assert "element_at(embedding" in src, fn.__name__
+        assert "zip_with(slice(" not in src, (
+            f"{fn.__name__}: PQ subspace distance regressed to the "
+            "sliced zip_with form (3 allocations per pair; 2.3x "
+            "slower at 500k vectors — SCALING.md r12)"
+        )
+    pq_src = code_only(inspect.getsource(llm))
+    pq_region = pq_src[pq_src.index("_PQ_SUB = "):]
+    assert "zip_with(slice(" not in pq_region, (
+        "plans/llm.py PQ section regressed to the sliced zip_with form"
+    )
+    assert "aggregate(sequence(" in pq_region
+
+    # full-vector kernels: zip_with, never the element_at fold
+    for name, tmpl in (
+        ("ann_index._DOT", ann_index._DOT),
+        ("llm._DOT", llm._DOT),
+    ):
+        assert "zip_with(" in tmpl, name
+        assert "element_at(" not in tmpl, (
+            f"{name}: full-vector dot kernel regressed to the "
+            "element_at fold (1.4x slower on whole 64-dim arrays — "
+            "SCALING.md r12 kernel note)"
+        )
+    for name, tmpl in (
+        ("ann_index._NORM", ann_index._NORM),
+        ("llm._NORM", llm._NORM),
+    ):
+        assert "aggregate(" in tmpl and "element_at(" not in tmpl, name
