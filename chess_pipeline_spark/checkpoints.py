@@ -48,6 +48,7 @@ __all__ = [
     "scoped_checkpoints",
     "release_between_queries",
     "reset_query_baseline",
+    "pin_corpus_frame",
 ]
 
 
@@ -122,3 +123,43 @@ def release_between_queries(spark: SparkSession) -> int:
         _BASELINES[key] = persistent_rdd_ids(spark)
         return 0
     return release_checkpoints(spark, keep=baseline)
+
+
+def pin_corpus_frame(df, mode: str | None = None, eager: bool = False):
+    """Pin (or deliberately NOT pin) a corpus-SCALE intermediate — the
+    shared memory knob behind every pin PINAUDIT flags as growing
+    with the data rather than with a model/band/bin bound (the DSIR
+    postings frame, the dup-gram postings, the ExactSubstr span
+    positions, the simhash band self-join input).
+
+    ``mode`` (or env ``SPARK_GRAFT_CORPUS_PINS``; default
+    ``checkpoint``) picks the heap-vs-recompute trade, with output
+    bytes identical across modes (tests pin the equality):
+
+    * ``checkpoint`` — localCheckpoint at the default MEMORY_AND_DISK
+      level; fastest, but the pin competes with execution memory
+      (the DSIRSOAK_r12 8 g OOM class).
+    * ``disk`` — localCheckpoint at DISK_ONLY: same one-computation
+      plan and the same consumer release discipline, zero storage
+      heap.
+    * ``recompute`` — no pin: the subtree recomputes per consumer
+      branch. Right when a second scan is cheaper than the pin
+      footprint (heavily filtered inputs, memory-tight executors).
+    """
+    import os
+
+    mode = mode or os.environ.get("SPARK_GRAFT_CORPUS_PINS", "checkpoint")
+    if mode == "checkpoint":
+        return df.localCheckpoint(eager=eager)
+    if mode == "disk":
+        from pyspark import StorageLevel
+
+        return df.localCheckpoint(
+            eager=eager, storageLevel=StorageLevel.DISK_ONLY
+        )
+    if mode == "recompute":
+        return df
+    raise ValueError(
+        f"pin_corpus_frame: unknown corpus-pin mode {mode!r} "
+        "(expected 'checkpoint', 'disk', or 'recompute')"
+    )

@@ -398,6 +398,11 @@ _DEMOTED: tuple[str, ...] = (
     "hll_cumulative_daily",
     "hll_set_algebra",
     "dominant_supplier_parts",
+    # ---- r13-late staged addition (the r8-r13 precedent: built
+    # demoted, sweep-verified on landing, staged for first driver
+    # contact in the r14 promotion): the Gumbel-top-k selection step
+    # over the DSIR weights ----
+    "dsir_resample_topk",
 )
 
 # For every demoted query: the IN-WINDOW queries that keep its SURVEY
@@ -855,6 +860,11 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
         "order_priority_pending",
         "large_quantity_orders",
     ),
+    # ---- r13-late staged addition ----
+    # Gumbel-top-k resampling over the DSIR weights -> the weights
+    # query itself (in-window for its r13 first contact) + the
+    # deterministic-sampling family anchor
+    "dsir_resample_topk": ("dsir_importance_weights", "mixture_sample"),
 }
 
 

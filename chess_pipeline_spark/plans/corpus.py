@@ -2034,19 +2034,13 @@ def dsir_importance_weights(
             f"dsir_importance_weights: unknown postings mode {mode!r} "
             "(expected 'checkpoint', 'disk', or 'recompute')"
         )
+    from chess_pipeline_spark.checkpoints import pin_corpus_frame
+
     d = spread(_L(spark, sf_dir, "documents"), "doc_id").select(
         "doc_id", "source", "text"
     )
     tgt = d.agg(F.min("source").alias("t"))
-    posts = _dsir_gram_buckets(d)
-    if mode == "checkpoint":
-        posts = posts.localCheckpoint(eager=False)
-    elif mode == "disk":
-        from pyspark import StorageLevel
-
-        posts = posts.localCheckpoint(
-            eager=False, storageLevel=StorageLevel.DISK_ONLY
-        )
+    posts = pin_corpus_frame(_dsir_gram_buckets(d), mode=mode)
     counts = (
         posts.crossJoin(F.broadcast(tgt))
         .groupBy("b")
@@ -2133,6 +2127,68 @@ SELECT p.doc_id, p.source,
        CAST(sum(l.lr_unats) AS BIGINT) AS logweight_unats
 FROM posts p JOIN lr l USING (b)
 GROUP BY p.doc_id, p.source
+"""
+
+
+# resampling budget: how many documents the DSIR selection keeps
+_DSIR_RES_K = 100
+
+
+def dsir_resample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance RESAMPLING — the selection step the weights
+    exist for (Xie et al. 2023 §2: sample k documents from the raw
+    pool with probability proportional to their importance weight,
+    without replacement). The Gumbel-top-k identity makes it exact
+    and one-pass: draw one Gumbel per document and keep the k largest
+    (log w + Gumbel) keys — distributionally identical to sequential
+    weighted draws without replacement, with no rejection loop, no
+    global normalizer, and no RNG state to ship (the
+    Efraimidis–Spirakis race in log space; weighted_sample_es is the
+    u^(1/w) form of the same identity).
+
+    Determinism (the micro-nat lesson): u is a dyadic rational from a
+    salted md5 fold, the Gumbel -ln(-ln(u)) is quantized to integer
+    micro-nats, and the ranking key is the exact integer sum
+    logweight_unats + gumbel_micro under a (key, doc_id) total order
+    — both engines keep the identical k documents.
+
+    100 TB shape: everything before the top-k is the
+    dsir_importance_weights plan (one corpus scan, broadcast model
+    frames, one rollup shuffle) plus a row-local key projection; the
+    selection itself is TakeOrdered partial heaps + a k-row driver
+    merge (plan-gated), never a global sort. k is a constant, so the
+    final hop is k rows at any corpus size.
+    """
+    w = dsir_importance_weights(spark, sf_dir)
+    u = (
+        F.expr(
+            _md5_u6("concat('dsirres:', CAST(doc_id AS STRING))")
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(16**6))
+    g = F.floor(-F.log(-F.log(u)) * 1e6 + F.lit(0.5)).cast("long")
+    scored = w.select(
+        "doc_id",
+        "source",
+        "logweight_unats",
+        (F.col("logweight_unats") + g).cast("long").alias("key_micro"),
+    )
+    return scored.orderBy(
+        F.col("key_micro").desc(), F.col("doc_id").asc()
+    ).limit(_DSIR_RES_K)
+
+
+_DSIR_RES_U = _md5_u6("concat('dsirres:', CAST(doc_id AS STRING))")
+
+DSIR_RESAMPLE_TOPK_SQL = f"""
+WITH w AS ({DSIR_IMPORTANCE_WEIGHTS_SQL})
+SELECT doc_id, source, logweight_unats,
+       CAST(logweight_unats
+            + floor(-ln(-ln(({_DSIR_RES_U} + 0.5) / {float(16**6)}))
+                    * 1000000.0 + 0.5) AS BIGINT) AS key_micro
+FROM w
+ORDER BY key_micro DESC, doc_id ASC
+LIMIT {_DSIR_RES_K}
 """
 
 
@@ -3061,10 +3117,14 @@ def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     Docs with fewer than {_DUPGRAM_N} words have no gram set and are
     excluded (same contract as the shingle detectors' size gate).
     """
+    from chess_pipeline_spark.checkpoints import pin_corpus_frame
+
     d = spread(_L(spark, sf_dir, "documents"), "doc_id")
-    grams = word_gram_postings(d).select(
-        "doc_id", "source", F.xxhash64("g").alias("gd")
-    ).localCheckpoint(eager=False)
+    grams = pin_corpus_frame(
+        word_gram_postings(d).select(
+            "doc_id", "source", F.xxhash64("g").alias("gd")
+        )
+    )
     return dup_exposure_skew_safe(grams)
 
 
@@ -3182,8 +3242,10 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct grams (nudging spans upward); the oracle stays on gram
     text, and the law tests pin planted span geometry exactly.
     """
+    from chess_pipeline_spark.checkpoints import pin_corpus_frame
+
     d = spread(_L(spark, sf_dir, "documents"), "doc_id")
-    pos = span_positions(d).localCheckpoint(eager=False)
+    pos = pin_corpus_frame(span_positions(d))
     return repeated_spans(pos)
 
 
@@ -3377,7 +3439,9 @@ def exact_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)").alias("w"),
     ).filter(F.size("w") >= _SPANGRAM_N)
-    pos = span_positions(d).localCheckpoint(eager=False)
+    from chess_pipeline_spark.checkpoints import pin_corpus_frame
+
+    pos = pin_corpus_frame(span_positions(d))
     doc_spans = (
         repeated_span_intervals(pos)
         .groupBy("doc_id")
@@ -3458,6 +3522,11 @@ QUERIES: dict[str, QuerySpec] = {
         dsir_importance_weights,
         DSIR_IMPORTANCE_WEIGHTS_SQL,
         "corpus-dsir-importance",
+    ),
+    "dsir_resample_topk": QuerySpec(
+        dsir_resample_topk,
+        DSIR_RESAMPLE_TOPK_SQL,
+        "corpus-dsir-resample",
     ),
     "exact_substring_spans": QuerySpec(
         exact_substring_spans,

@@ -980,8 +980,12 @@ def cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     4x7 layout (128 buckets/band) at 59.6 s / 500k docs; the r11
     4x14 widening (16384 buckets/band) divides that floor by 128.
     """
+    from chess_pipeline_spark.checkpoints import pin_corpus_frame
+
     d = spread(_L(spark, sf_dir, "documents"), "doc_id")
-    bands = simhash_bands_for(simhash_signatures_for(d)).localCheckpoint()
+    bands = pin_corpus_frame(
+        simhash_bands_for(simhash_signatures_for(d)), eager=True
+    )
     a, b = bands.alias("a"), bands.alias("b")
     # hash-join on the band bucket (the shared-bucket shape, but as a
     # streamed join: without the source block the buckets are DENSE,

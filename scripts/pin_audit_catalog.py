@@ -56,15 +56,32 @@ FLOOR_BYTES = 1 << 20  # 1 MiB at sf0.1
 
 # Queries whose corpus-scale pin is a DOCUMENTED, knob-equipped
 # trade-off (the audit refuses any corpus-scale pin not cited here).
+# All four route through checkpoints.pin_corpus_frame, so env
+# SPARK_GRAFT_CORPUS_PINS='disk'|'recompute' is the uniform escape
+# hatch (DSIR additionally takes a per-call `postings` parameter);
+# tests pin output equality across modes and SCALING.md r13 records
+# the measured A/B.
 CORPUS_SCALE_PINS: dict[str, str] = {
-    # the postings frame pins one (doc_id, source, bucket) row per
-    # gram occurrence so the tokenize stage runs once for both the
-    # model fit and the scoring pass. r13 adds the escape hatch:
-    # dsir_importance_weights(..., postings='disk') keeps the pin
-    # off-heap, postings='recompute' drops it entirely (SCALING.md
-    # r13 records the A/B; tests pin output equality across modes).
-    "dsir_importance_weights": "postings pin; knob: postings="
-    "'checkpoint'|'disk'|'recompute' (r13)",
+    # one (doc_id, source, bucket) row per gram occurrence, pinned so
+    # the tokenize stage runs once for both the model fit and the
+    # scoring pass (53 MB at sf0.1, ~2 GB at 500k docs)
+    "dsir_importance_weights": "postings pin; pin_corpus_frame knob "
+    "+ postings= param (r13)",
+    # the Gumbel-top-k selection composes the weights plan and
+    # inherits its postings pin (same knob, same escape hatches)
+    "dsir_resample_topk": "inherits the DSIR postings pin; same "
+    "pin_corpus_frame knob (r13)",
+    # word-gram digest postings pinned across the df-count and
+    # hot/cold-split consumers (25 MB at sf0.1)
+    "dup_ngram_fraction": "gram-postings pin; pin_corpus_frame knob (r13)",
+    # span positions pinned across the ledger-count and rollup
+    # consumers (21 MB at sf0.1; the rewrite half shares the site)
+    "exact_substring_spans": "span-positions pin; pin_corpus_frame "
+    "knob (r13)",
+    # banded simhash signatures pinned so the band self-join's two
+    # sides don't recompute the signature subtree (2 MB at sf0.1)
+    "cross_source_leakage": "band-signature pin; pin_corpus_frame "
+    "knob (r13)",
 }
 
 

@@ -221,14 +221,17 @@ FROZEN_ORDER: tuple[str, ...] = (
     "hll_cumulative_daily",
     "hll_set_algebra",
     "dominant_supplier_parts",
+    "dsir_resample_topk",
 )
 
 
-# Staged-late additions (the r8-r12 precedent: built demoted with
+# Staged-late additions (the r8-r13 precedent: built demoted with
 # full sweep evidence, never yet driver-seen, exempt from the
 # freshness bound until their scheduled first contact). The r13
-# rotation promoted dsir_importance_weights and emptied the set.
-_STAGED_LATE: frozenset[str] = frozenset()
+# rotation promoted dsir_importance_weights; dsir_resample_topk
+# (r13-late, the Gumbel-top-k selection step over those weights)
+# stages for its r14 first contact.
+_STAGED_LATE: frozenset[str] = frozenset({"dsir_resample_topk"})
 
 
 def test_catalog_order_frozen():

@@ -239,3 +239,66 @@ def test_dsir_postings_modes_identical_output(spark, sf_dir):
     )
     with pytest.raises(ValueError, match="postings mode"):
         dsir_importance_weights(spark, sf_dir, postings="zram")
+
+
+@pytest.mark.parametrize(
+    "qname",
+    ["dup_ngram_fraction", "exact_substring_spans", "cross_source_leakage"],
+)
+def test_corpus_pin_modes_identical_output(spark, sf_dir, qname, monkeypatch):
+    """PINAUDIT_r13 found three corpus-scale pins beyond DSIR's; all
+    now route through checkpoints.pin_corpus_frame, whose env knob
+    (SPARK_GRAFT_CORPUS_PINS) must trade memory for recompute WITHOUT
+    changing a single output byte."""
+    from chess_pipeline_spark.plans import catalog
+
+    spec = catalog()[qname]
+    monkeypatch.delenv("SPARK_GRAFT_CORPUS_PINS", raising=False)
+    base = _rows(spec.spark(spark, sf_dir))
+    assert base
+    for mode in ("disk", "recompute"):
+        monkeypatch.setenv("SPARK_GRAFT_CORPUS_PINS", mode)
+        assert _rows(spec.spark(spark, sf_dir)) == base, (qname, mode)
+    monkeypatch.setenv("SPARK_GRAFT_CORPUS_PINS", "zram")
+    with pytest.raises(ValueError, match="corpus-pin mode"):
+        spec.spark(spark, sf_dir).collect()
+
+
+def test_dsir_resample_topk_law(spark, sf_dir):
+    """dsir_resample_topk == python re-derivation: take the weights
+    frame, add the SAME salted-md5 Gumbel in micro-nats, keep the
+    top-k under the (key, doc_id) total order. Exactness is the
+    point — the Gumbel-top-k identity makes one-pass weighted
+    sampling without replacement reproducible across engines."""
+    import hashlib
+    import math
+
+    from chess_pipeline_spark.plans.corpus import (
+        _DSIR_RES_K,
+        dsir_importance_weights,
+        dsir_resample_topk,
+    )
+
+    w = {
+        r["doc_id"]: (r["source"], r["logweight_unats"])
+        for r in dsir_importance_weights(spark, sf_dir).collect()
+    }
+    scored = []
+    for doc_id, (source, lw) in w.items():
+        u6 = int(hashlib.md5(f"dsirres:{doc_id}".encode()).hexdigest()[:6], 16)
+        u = (u6 + 0.5) / 16**6
+        g = math.floor(-math.log(-math.log(u)) * 1e6 + 0.5)
+        scored.append((lw + g, doc_id, source, lw))
+    want = sorted(scored, key=lambda t: (-t[0], t[1]))[:_DSIR_RES_K]
+    want_rows = sorted(
+        (d, s, lw, k) for (k, d, s, lw) in want
+    )
+    got = sorted(
+        map(tuple, dsir_resample_topk(spark, sf_dir).collect())
+    )
+    assert got == want_rows
+    # selection law: the weights bias the draw — the selected set's
+    # mean weight exceeds the corpus mean (planted-signal analogue)
+    sel_mean = sum(r[2] for r in got) / len(got)
+    all_mean = sum(lw for _, lw in w.values()) / len(w)
+    assert sel_mean > all_mean

@@ -34,3 +34,25 @@ def test_metrics_on_known_plans(spark, sf_dir):
 
     m = plan_metrics(_CATALOG["multimodal_features"].spark(spark, sf_dir))
     assert m["arrow_udf"] >= 1 and m["python_eval"] == 0
+
+
+def test_pin_snapshot_reports_measured_pin_bytes(spark):
+    # the memory side of the plan-gate story (r13): a materialized
+    # localCheckpoint must appear in the snapshot with nonzero
+    # measured bytes, keyed by an id absent from the pre-pin baseline
+    from chess_pipeline_spark.checkpoints import persistent_rdd_ids
+    from chess_pipeline_spark.introspect import pin_snapshot
+
+    before = persistent_rdd_ids(spark)
+    df = spark.range(200_000).localCheckpoint()
+    df.count()
+    try:
+        new = {
+            i: v for i, v in pin_snapshot(spark).items() if i not in before
+        }
+        assert new, "materialized checkpoint missing from snapshot"
+        total = sum(v["mem_bytes"] + v["disk_bytes"] for v in new.values())
+        assert total > 0
+        assert all(v["cached_partitions"] > 0 for v in new.values())
+    finally:
+        df.unpersist(True)

@@ -1314,3 +1314,14 @@ def test_kernel_forms_pinned_fold_vs_zipwith():
         ("llm._NORM", llm._NORM),
     ):
         assert "aggregate(" in tmpl and "element_at(" not in tmpl, name
+
+
+def test_dsir_resample_is_takeordered_over_weights_plan(spark, sf_dir):
+    # the Gumbel-top-k selection must ride TakeOrdered partial heaps
+    # (k-row driver merge), never a global sort, and inherit the
+    # weights plan's broadcast-model / no-SMJ shape
+    plan = _plan(spark, sf_dir, "dsir_resample_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
