@@ -157,16 +157,41 @@ def build_ivf_index(
     keeps its previous centroid. The final write is the only wide
     shuffle (partitioned by list).
     """
-    seeds = (
-        corpus.orderBy(id_col)
-        .limit(n_lists)
-        .select(
-            F.row_number().over(Window.orderBy(id_col)).cast("long").alias("list_id"),
-            F.col("embedding").alias("centroid"),
-        )
-        .withColumn("c_nrm", F.expr(_NORM.format(v="centroid")))
-        .localCheckpoint()
+    # r13 (guide §1.2/§5): seeds, PQ codebook and the dimension all
+    # come from ONE TakeOrdered collect of the max(n_lists, _PQ_K)
+    # lowest-id vectors (KB-bounded — ≤ 32 rows of one embedding
+    # each), rebuilt as local relations. The previous shape ran the
+    # orderBy+limit TWICE (seeds, codebook), eagerly localCheckpointed
+    # both (two more jobs + pinned blocks), and paid one more job for
+    # a `first()` just to learn the dimension — five corpus-touching
+    # driver round-trips per build collapsed into one. Values, order
+    # and schemas are identical (numpy-parity + oracle tests pin the
+    # codes byte-for-byte).
+    spark = corpus.sparkSession
+    emb_type = corpus.schema["embedding"].dataType
+    head = [
+        r["embedding"]
+        for r in corpus.orderBy(id_col)
+        .limit(max(n_lists, _PQ_K))
+        .select("embedding")
+        .collect()
+    ]
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
     )
+
+    seeds = spark.createDataFrame(
+        [(i + 1, e) for i, e in enumerate(head[:n_lists])],
+        StructType(
+            [
+                StructField("list_id", LongType(), False),
+                StructField("centroid", emb_type, True),
+            ]
+        ),
+    ).withColumn("c_nrm", F.expr(_NORM.format(v="centroid")))
     vecs = corpus.select(id_col, "embedding")
     for _ in range(lloyd_iterations):
         assigned = _nearest_lists(vecs, seeds, 1, id_col)
@@ -192,16 +217,17 @@ def build_ivf_index(
         )
     assigned = _nearest_lists(vecs, seeds, 1, id_col)
     # product-quantization codebook (r6): the _PQ_K lowest-id
-    # vectors, same seeding rule as the coarse centroids.
-    dim = corpus.select(F.size("embedding").alias("d")).first()["d"]
-    codebook = (
-        corpus.orderBy(id_col)
-        .limit(_PQ_K)
-        .select(
-            F.row_number().over(Window.orderBy(id_col)).alias("cid"),
-            F.col("embedding").alias("c"),
-        )
-        .localCheckpoint()
+    # vectors, same seeding rule as the coarse centroids — sliced
+    # from the same single collect as the seeds (r13).
+    dim = len(head[0])
+    codebook = spark.createDataFrame(
+        [(i + 1, e) for i, e in enumerate(head[:_PQ_K])],
+        StructType(
+            [
+                StructField("cid", IntegerType(), False),
+                StructField("c", emb_type, True),
+            ]
+        ),
     )
     _encode_rows(assigned, codebook, dim // _PQ_M, id_col, dim=dim).write.partitionBy(
         "list_id"
@@ -211,6 +237,7 @@ def build_ivf_index(
     from chess_pipeline_spark.sinks import stamp_format
 
     stamp_format(out_path, _IVF_FORMAT)
+    _write_meta(out_path, {"dim": dim, "k_cb": min(_PQ_K, len(head))})
 
 
 def _encode_rows(
@@ -312,6 +339,31 @@ def _encode_rows(
     ).drop("cbk")
 
 
+def _write_meta(index_path: str, meta: dict) -> None:
+    """Scalar geometry facts (embedding dim, persisted codebook
+    cardinality) stamped next to the format marker at build time so
+    ingests and probes don't each pay a Spark job to re-derive them
+    from the codebook parquet (r13 — one `first()` + one `count()`
+    per ingest/probe call removed). Underscore-prefixed: invisible to
+    Spark's readers."""
+    import json
+
+    with open(os.path.join(index_path, "_meta.json"), "w") as fh:
+        json.dump(meta, fh)
+
+
+def _read_meta(index_path: str) -> dict:
+    """The build-time geometry sidecar; {} for an index built before
+    it existed (callers fall back to deriving from the codebook)."""
+    import json
+
+    p = os.path.join(index_path, "_meta.json")
+    if os.path.exists(p):
+        with open(p) as fh:
+            return json.load(fh)
+    return {}
+
+
 def stream_ingest_ivf(vectors: DataFrame, index_path: str, id_col: str = "vec_id"):
     """Incremental IVF/IVFADC maintenance: continuously ingest new
     vectors into an EXISTING index without touching the base lists.
@@ -388,7 +440,9 @@ def ingest_ivf_batch(
         )
     seeds = spark.read.parquet(os.path.join(index_path, "centroids"))
     codebook = spark.read.parquet(os.path.join(index_path, "pq_codebook"))
-    dim = codebook.select(F.size("c").alias("d")).first()["d"]
+    dim = _read_meta(index_path).get("dim") or (
+        codebook.select(F.size("c").alias("d")).first()["d"]
+    )
     assigned = _nearest_lists(
         batch.select(id_col, "embedding"), seeds, 1, id_col
     )
@@ -450,10 +504,12 @@ def compact_ivf_index(spark: SparkSession, index_path: str) -> None:
         return
     folded = _read_folded(lists_path)
     delta_raw = spark.read.parquet(delta_path)
-    new_batches = sorted(
-        {r["ingest_batch"] for r in delta_raw.select("ingest_batch").distinct().collect()}
-        - folded
-    )
+    # r13: the delta's batch ids are its partition DIRECTORY names
+    # (ingest lands under list_id=*/ingest_batch=* by construction) —
+    # an os.scandir answers what the previous distinct().collect()
+    # paid a Spark job for, and it's the same source of truth Spark's
+    # own partition discovery reads.
+    new_batches = sorted(_delta_batch_ids_fs(delta_path) - folded)
     if not new_batches:
         # everything in the delta is already in the base (crash after
         # the rename, before the delta removal) — just finish cleanup
@@ -474,6 +530,22 @@ def compact_ivf_index(spark: SparkSession, index_path: str) -> None:
     os.rename(tmp, lists_path)
     shutil.rmtree(bak_path)
     shutil.rmtree(delta_path)
+
+
+def _delta_batch_ids_fs(delta_path: str) -> set[int]:
+    """ingest_batch ids present in a (list_id, ingest_batch)-
+    partitioned delta, from the second-level partition directory
+    names — the same dirs Spark's partition discovery parses, without
+    a job. Spark's writers never leave an empty partition directory,
+    so the listing equals the distinct column values."""
+    ids: set[int] = set()
+    for lid in os.scandir(delta_path):
+        if not (lid.is_dir() and lid.name.startswith("list_id=")):
+            continue
+        for b in os.scandir(lid.path):
+            if b.is_dir() and b.name.startswith("ingest_batch="):
+                ids.add(int(b.name.split("=", 1)[1]))
+    return ids
 
 
 def _read_lists(spark: SparkSession, index_path: str) -> DataFrame:
@@ -611,15 +683,18 @@ def probe_ivf_adc(
         )
     centroids = spark.read.parquet(os.path.join(index_path, "centroids"))
     codebook = spark.read.parquet(os.path.join(index_path, "pq_codebook"))
-    dim = codebook.select(F.size("c").alias("d")).first()["d"]
-    sub = dim // _PQ_M
     # The flat-table stride is the PERSISTED codebook's cardinality,
     # not _PQ_K: build_ivf_index writes min(corpus, _PQ_K) rows, and a
     # hardcoded 32 against a shorter codebook would make element_at
     # index past the table — NULL under non-ANSI semantics, which
     # sorts first under asc and silently corrupts the top-k (r6
     # advice). Stored cids are 1..k_cb, so positions stay dense.
-    k_cb = codebook.count()
+    # Both geometry scalars come from the build-time _meta.json
+    # sidecar when present (r13) — two fewer Spark jobs per probe.
+    meta = _read_meta(index_path)
+    dim = meta.get("dim") or codebook.select(F.size("c").alias("d")).first()["d"]
+    sub = dim // _PQ_M
+    k_cb = meta.get("k_cb") or codebook.count()
 
     probed = (
         _nearest_lists(queries, centroids, nprobe, id_col)

@@ -2805,9 +2805,19 @@ def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
         ).alias("word"),
     )
+    # r13 (guide §2.3): the per-source frequencies are pinned once
+    # (word×source scale — the same "word-scale ≪ corpus" class as
+    # the merge chain's vocab pin) and the global vocabulary derives
+    # from them by a second-level sum — the corpus is tokenized ONCE
+    # instead of twice (the vocab groupBy previously re-ran the full
+    # regexp tokenize + explode). Σ per-source counts == global
+    # count, so wfreq is value-identical.
+    src_freq = words_src.groupBy("source", "word").agg(
+        F.count("*").cast("long").alias("f")
+    ).localCheckpoint()
     vocab = (
-        words_src.groupBy("word")
-        .agg(F.count("*").cast("long").alias("wfreq"))
+        src_freq.groupBy("word")
+        .agg(F.sum("f").cast("long").alias("wfreq"))
         .select(
             "word",
             "wfreq",
@@ -2859,9 +2869,6 @@ def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.expr("regexp_extract_all(v, '<([^>]+)>', 1)"))
         .cast("long")
         .alias("n_syms"),
-    )
-    src_freq = words_src.groupBy("source", "word").agg(
-        F.count("*").cast("long").alias("f")
     )
     joined = src_freq.join(syms_per_word, "word")
     return (

@@ -1145,20 +1145,33 @@ def hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est_e4", "est_union_e4"
     )
 
-    members = tagged.select("set_name", "event_id").distinct()
-    exact_sets = members.groupBy("set_name").agg(
-        F.count("*").cast("long").alias("n_exact")
+    # r13 (guide §2.4): one groupBy(event_id) collects each event's
+    # set memberships (≤ 3 names by construction), exact set sizes and
+    # pairwise intersections both derive from that frame — the
+    # previous shape ran a DISTINCT plus an event-keyed SELF-JOIN
+    # (the catalog's one allowlisted SortMergeJoin), i.e. three more
+    # corpus-scale passes and two join-side shuffles, to compute the
+    # same counts. Same output rows (collect_set == distinct per key).
+    sets_per_event = tagged.groupBy("event_id").agg(
+        F.sort_array(F.collect_set("set_name")).alias("ss")
     )
-    a = members.select(
-        F.col("set_name").alias("ia"), F.col("event_id").alias("eid")
-    )
-    b = members.select(
-        F.col("set_name").alias("ib"), F.col("event_id").alias("eid")
+    exact_sets = (
+        sets_per_event.select(F.explode("ss").alias("set_name"))
+        .groupBy("set_name")
+        .agg(F.count("*").cast("long").alias("n_exact"))
     )
     exact_inter = (
-        a.join(b, "eid")
-        .filter(F.col("ia") < F.col("ib"))
-        .groupBy("ia", "ib")
+        sets_per_event.filter(F.size("ss") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ss, (a, i) -> "
+                    "transform(slice(ss, i + 2, size(ss)), "
+                    "b -> struct(a AS ia, b AS ib))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.ia").alias("ia"), F.col("p.ib").alias("ib"))
         .agg(F.count("*").cast("long").alias("n_exact_inter"))
     )
 
@@ -1306,29 +1319,51 @@ def cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("wf"))
     )
 
-    def inner_product(a: DataFrame, b: DataFrame, name: str) -> DataFrame:
-        ca = cms_sketch_counters(a, weighted=True).withColumnRenamed("cnt", "ca")
-        cb = cms_sketch_counters(b, weighted=True).withColumnRenamed("cnt", "cb")
+    # r13 (guide §2.3/§2.4): the self-join estimate/exact pair both
+    # collapse to per-row folds — joining a unique-keyed frame to
+    # itself matches each row exactly once, so Σ cntA·cntB over the
+    # (row_i, bucket)-unique counters is Σ cnt², and the exact
+    # lineitem self-join size over the (word)-unique vocabulary is
+    # Σ wf² — removing one counter build, one vocabulary scan and two
+    # self-joins (identical integer sums, oracle-pinned). The two
+    # counter frames that remain are built ONCE each and pinned
+    # (≤ _CMS_D·_CMS_W = 4096 rows — model-scale, the hll regs pattern);
+    # previously each side's counters re-ran their corpus scan per
+    # consumer.
+    c_ok = cms_sketch_counters(orders_keys, weighted=True).localCheckpoint()
+    c_lk = cms_sketch_counters(li_orderkeys, weighted=True).localCheckpoint()
+    c_sk = cms_sketch_counters(li_suppkeys, weighted=True).localCheckpoint()
+
+    def ip_min(per_row: DataFrame, name: str) -> DataFrame:
         return (
-            ca.join(cb, ["row_i", "bucket"])
-            .groupBy("row_i")
-            .agg(F.sum(F.col("ca") * F.col("cb")).alias("ip"))
+            per_row.groupBy("row_i")
+            .agg(F.sum("p").alias("ip"))
             .agg(F.min("ip").cast("long").alias("cms_estimate"))
             .select(F.lit(name).alias("join_name"), "cms_estimate")
         )
 
-    def exact(a: DataFrame, b: DataFrame, name: str) -> DataFrame:
-        return (
-            a.join(b.withColumnRenamed("wf", "wfb"), "word")
-            .agg(F.sum(F.col("wf") * F.col("wfb")).cast("long").alias("exact_size"))
-            .select(F.lit(name).alias("join_name"), "exact_size")
+    est = ip_min(
+        c_ok.withColumnRenamed("cnt", "ca")
+        .join(c_lk.withColumnRenamed("cnt", "cb"), ["row_i", "bucket"])
+        .select("row_i", (F.col("ca") * F.col("cb")).alias("p")),
+        "orders_x_lineitem",
+    ).unionByName(
+        ip_min(
+            c_sk.select("row_i", (F.col("cnt") * F.col("cnt")).alias("p")),
+            "lineitem_selfjoin_suppkey",
         )
-
-    est = inner_product(orders_keys, li_orderkeys, "orders_x_lineitem").unionByName(
-        inner_product(li_suppkeys, li_suppkeys, "lineitem_selfjoin_suppkey")
     )
-    ex = exact(orders_keys, li_orderkeys, "orders_x_lineitem").unionByName(
-        exact(li_suppkeys, li_suppkeys, "lineitem_selfjoin_suppkey")
+    ex = (
+        orders_keys.join(li_orderkeys.withColumnRenamed("wf", "wfb"), "word")
+        .agg(F.sum(F.col("wf") * F.col("wfb")).cast("long").alias("exact_size"))
+        .select(F.lit("orders_x_lineitem").alias("join_name"), "exact_size")
+        .unionByName(
+            li_suppkeys.agg(
+                F.sum(F.col("wf") * F.col("wf")).cast("long").alias("exact_size")
+            ).select(
+                F.lit("lineitem_selfjoin_suppkey").alias("join_name"), "exact_size"
+            )
+        )
     )
     return (
         est.join(ex, "join_name")
@@ -1675,24 +1710,37 @@ def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cust_hit.cast("long")).alias("m_cust"),
         F.sum(date_hit.cast("long")).alias("m_date"),
     )
-    reports = []
+    # r13 (guide §2.4): ONE aggregation over zones answers both
+    # predicates — each file row melts into a (predicate, scan-hit,
+    # match-count) pair and a single groupBy(layout, predicate)
+    # produces all four report rows. The previous two-aggregation
+    # union consumed `zones` twice, re-running the two global ntile
+    # window sorts per branch (the whole corpus-scale piece of this
+    # audit, twice). Same rows, same values.
+    preds = []
     for pred, lo, hi, dim, mcol in (
         ("custkey", _Z_CUST_LO, _Z_CUST_HI, "x", "m_cust"),
         ("orderdate", _Z_DAY_LO, _Z_DAY_HI, "y", "m_date"),
     ):
         scan = (F.col(f"{dim}_max") >= lo) & (F.col(f"{dim}_min") <= hi)
-        reports.append(
-            zones.groupBy("layout").agg(
+        preds.append(
+            F.struct(
                 F.lit(pred).alias("predicate"),
-                F.count("*").cast("long").alias("files_total"),
-                F.sum(scan.cast("long")).cast("long").alias("files_scanned"),
-                F.sum(F.when(scan, F.col("rows")).otherwise(0))
-                .cast("long")
-                .alias("rows_scanned"),
-                F.sum(mcol).cast("long").alias("rows_matching"),
+                scan.cast("long").alias("scanned"),
+                F.when(scan, F.col("rows")).otherwise(0).alias("rscan"),
+                F.col(mcol).alias("m"),
             )
         )
-    out = reports[0].unionByName(reports[1])
+    out = (
+        zones.select("layout", "rows", F.explode(F.array(*preds)).alias("e"))
+        .groupBy("layout", F.col("e.predicate").alias("predicate"))
+        .agg(
+            F.count("*").cast("long").alias("files_total"),
+            F.sum("e.scanned").cast("long").alias("files_scanned"),
+            F.sum("e.rscan").cast("long").alias("rows_scanned"),
+            F.sum("e.m").cast("long").alias("rows_matching"),
+        )
+    )
     return out.select(
         "layout", "predicate", "files_total", "files_scanned",
         "rows_scanned", "rows_matching",

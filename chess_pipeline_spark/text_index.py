@@ -177,7 +177,28 @@ def ingest_text_delta(
     upsert_partition_overwrite(
         lens.withColumn("batch_id", F.lit(batch_id)), doclens_p, ["batch_id"]
     )
-    delta_stats = lens.agg(
+    # r13 (guide §2.3): the per-batch stats row aggregates the
+    # JUST-WRITTEN doclens partition (2-column, partition-pruned
+    # parquet read) instead of the lazy `lens` plan, whose lineage
+    # would re-run the full document tokenize a third time per
+    # ingest. Same rows by construction — the partition holds exactly
+    # this batch's lens output. An EMPTY delta writes no partitions
+    # (and on a fresh index no readable table at all), so only then
+    # fall back to aggregating the lens plan directly — its n_docs=0
+    # stats row must still land (compact_text_index's consistency
+    # guard counts on it).
+    has_lens = os.path.isdir(doclens_p) and any(
+        e.is_dir() and e.name.startswith("batch_id=")
+        for e in os.scandir(doclens_p)
+    )
+    stats_src = (
+        delta_docs.sparkSession.read.parquet(doclens_p).filter(
+            F.col("batch_id") == batch_id
+        )
+        if has_lens
+        else lens
+    )
+    delta_stats = stats_src.agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("len_d").cast("long").alias("total_len"),
     ).withColumn("batch_id", F.lit(batch_id))
@@ -243,9 +264,15 @@ def compact_text_index(spark: SparkSession, index_path: str) -> None:
         return
 
     def batch_ids(path: str) -> set[int]:
+        # r13: batch ids are the batch_id=N partition DIRECTORY names
+        # (every table here is batch_id-partitioned; Spark's writers
+        # never leave an empty partition dir) — an os.scandir answers
+        # what a parquet read + distinct + collect paid a Spark job
+        # for, three times per compaction.
         return {
-            int(r["batch_id"])
-            for r in spark.read.parquet(path).select("batch_id").distinct().collect()
+            int(e.name.split("=", 1)[1])
+            for e in os.scandir(path)
+            if e.is_dir() and e.name.startswith("batch_id=")
         }
 
     def swap(path: str, write_tmp, marker=None) -> None:
@@ -292,7 +319,7 @@ def compact_text_index(spark: SparkSession, index_path: str) -> None:
         return  # fresh build, nothing ever ingested: a no-op
     marker = sorted(folded | all_ids)
 
-    if batch_ids(postings_p) != {0} or folded != set(marker):
+    if p_ids != {0} or folded != set(marker):
         merged = spark.read.parquet(postings_p).withColumn("batch_id", F.lit(0))
         swap(
             postings_p,
@@ -301,13 +328,13 @@ def compact_text_index(spark: SparkSession, index_path: str) -> None:
             .parquet(t),
             marker,
         )
-    if batch_ids(doclens_p) != {0}:
+    if d_ids != {0}:
         merged = spark.read.parquet(doclens_p).withColumn("batch_id", F.lit(0))
         swap(
             doclens_p,
             lambda t: merged.write.partitionBy("batch_id").mode("overwrite").parquet(t),
         )
-    if batch_ids(stats_p) != {0} or spark.read.parquet(stats_p).count() > 1:
+    if s_ids != {0} or spark.read.parquet(stats_p).count() > 1:
         summed = (
             spark.read.parquet(stats_p)
             .agg(
