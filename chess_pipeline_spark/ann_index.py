@@ -674,8 +674,8 @@ def probe_ivf_adc(
     integer micro-unit tables make the ADC sum order-free, so results
     are deterministic and engine-stable.
     """
-    lists_schema = _read_lists(spark, index_path).schema
-    if "pq_code" not in [f.name for f in lists_schema.fields]:
+    all_lists = _read_lists(spark, index_path)
+    if "pq_code" not in all_lists.columns:
         raise ValueError(
             f"probe_ivf_adc: index at {index_path!r} has no 'pq_code' "
             "column (built before PQ codes existed); rebuild with "
@@ -751,7 +751,7 @@ def probe_ivf_adc(
             F.expr("transform(array_sort(collect_list(e)), x -> x.dm)").alias("tbl")
         )
     )
-    lists = _read_lists(spark, index_path).select("vec_id", "list_id", "pq_code")
+    lists = all_lists.select("vec_id", "list_id", "pq_code")
     adc = F.expr(
         f"aggregate(zip_with(pq_code, sequence(0, {_PQ_M - 1}), "
         f"(c, j) -> element_at(tbl, j * {k_cb} + CAST(c AS INT))), "

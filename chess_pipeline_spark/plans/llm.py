@@ -359,7 +359,16 @@ def _rare_shingle_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle explode → df agg → cap filter → per-gram sorted doc-id
     list. Shared by the Jaccard and containment detectors. List sizes
     are bounded by the df cap, so downstream local pair expansion is
-    CAP²-bounded per gram (the LSH-bucket discipline)."""
+    CAP²-bounded per gram (the LSH-bucket discipline).
+
+    The list frame is pinned through checkpoints.pin_corpus_frame
+    (the dup_ngram_fraction postings precedent): its two consumers —
+    pair expansion and the per-doc set sizes — would otherwise each
+    re-run the shingle tokenize + df-count chain. Corpus-scale pin,
+    so it carries the SPARK_GRAFT_CORPUS_PINS knob and a
+    CORPUS_SCALE_PINS audit citation (scripts/pin_audit_catalog.py)."""
+    from chess_pipeline_spark.checkpoints import pin_corpus_frame
+
     d = spread(_L(spark, sf_dir, "documents"), "doc_id")
     sh = (
         f"array_distinct(transform(sequence(1, greatest(length(text) - {_SHINGLE_K - 1}, 1)), "
@@ -372,8 +381,10 @@ def _rare_shingle_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = shingles.join(freq, ["source", "shingle"]).filter(
         F.col("df") <= F.lit(_NGRAM_DF_CAP)
     )
-    return kept.groupBy("source", "shingle").agg(
-        F.sort_array(F.collect_list("doc_id")).alias("ids")
+    return pin_corpus_frame(
+        kept.groupBy("source", "shingle").agg(
+            F.sort_array(F.collect_list("doc_id")).alias("ids")
+        )
     )
 
 

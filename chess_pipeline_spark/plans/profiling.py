@@ -835,12 +835,20 @@ def hll_cumulative_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("user_id").cast("string")).alias("h"),
     )
     reg, rank = hll_rank_cols(F.col("h"))
+    # r13: the per-day register table is pinned (bin-bounded —
+    # types × days × ≤256 rows regardless of corpus size) and the
+    # day/reg axes both derive from it: every (type, day) with one
+    # event has at least one register row, so the distincts are
+    # identical to scanning the events again. Previously `days` was a
+    # separate corpus scan and `regs` re-ran the daily aggregation's
+    # whole lineage — two of the query's four event passes.
     daily = (
         ev.select("event_type", "day", reg, rank)
         .groupBy("event_type", "day", "reg")
         .agg(F.max("rank").alias("m_day"))
+        .localCheckpoint()
     )
-    days = ev.select("event_type", "day").distinct()
+    days = daily.select("event_type", "day").distinct()
     regs = daily.select("event_type", "reg").distinct()
     grid = days.join(regs, "event_type")
     g = grid.join(daily, ["event_type", "day", "reg"], "left")
@@ -1145,34 +1153,39 @@ def hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est_e4", "est_union_e4"
     )
 
-    # r13 (guide §2.4): one groupBy(event_id) collects each event's
-    # set memberships (≤ 3 names by construction), exact set sizes and
-    # pairwise intersections both derive from that frame — the
-    # previous shape ran a DISTINCT plus an event-keyed SELF-JOIN
-    # (the catalog's one allowlisted SortMergeJoin), i.e. three more
-    # corpus-scale passes and two join-side shuffles, to compute the
-    # same counts. Same output rows (collect_set == distinct per key).
+    # r13 (guide §2.4): ONE corpus pass answers the whole exact
+    # branch — groupBy(event_id) collects each event's set
+    # memberships (≤ 3 names by construction), then every event melts
+    # into its member singletons (k2 NULL) and member PAIRS (k1 < k2)
+    # and one groupBy counts both. The aggregate is ≤ 6 rows (3 sets +
+    # 3 pairs), pinned so its two consumers split it without
+    # recomputing. The previous shape ran a DISTINCT plus an
+    # event-keyed SELF-JOIN (the catalog's one allowlisted
+    # SortMergeJoin) — three more corpus-scale passes and two
+    # join-side shuffles — for the same counts.
     sets_per_event = tagged.groupBy("event_id").agg(
         F.sort_array(F.collect_set("set_name")).alias("ss")
     )
-    exact_sets = (
-        sets_per_event.select(F.explode("ss").alias("set_name"))
-        .groupBy("set_name")
-        .agg(F.count("*").cast("long").alias("n_exact"))
+    melt = (
+        "concat("
+        "transform(ss, s -> named_struct('k1', s, 'k2', CAST(NULL AS STRING))), "
+        "flatten(transform(ss, (a, i) -> "
+        "transform(slice(ss, i + 2, size(ss)), "
+        "b -> named_struct('k1', a, 'k2', b)))))"
     )
-    exact_inter = (
-        sets_per_event.filter(F.size("ss") >= 2)
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ss, (a, i) -> "
-                    "transform(slice(ss, i + 2, size(ss)), "
-                    "b -> struct(a AS ia, b AS ib))))"
-                )
-            ).alias("p")
-        )
-        .groupBy(F.col("p.ia").alias("ia"), F.col("p.ib").alias("ib"))
-        .agg(F.count("*").cast("long").alias("n_exact_inter"))
+    exact_counts = (
+        sets_per_event.select(F.explode(F.expr(melt)).alias("p"))
+        .groupBy(F.col("p.k1").alias("k1"), F.col("p.k2").alias("k2"))
+        .agg(F.count("*").cast("long").alias("n"))
+        .localCheckpoint()  # ≤ 6 rows: 3 per-set sizes + 3 pair counts
+    )
+    exact_sets = exact_counts.filter(F.col("k2").isNull()).select(
+        F.col("k1").alias("set_name"), F.col("n").alias("n_exact")
+    )
+    exact_inter = exact_counts.filter(F.col("k2").isNotNull()).select(
+        F.col("k1").alias("ia"),
+        F.col("k2").alias("ib"),
+        F.col("n").alias("n_exact_inter"),
     )
 
     out = (

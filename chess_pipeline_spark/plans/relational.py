@@ -2232,14 +2232,16 @@ def waiting_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     into a left-semi and the NOT EXISTS into a left-anti over the
     same fact, both correlated on (orderkey, suppkey≠).
 
-    Plan shape here: the decorrelated two-level-agg form — lineitem
-    projected to (orderkey, suppkey, open), a per-(order, supplier)
-    aggregate, then a per-order aggregate broadcast back. Spark
-    scans the projected fact twice (no subplan sharing without an
-    explicit cache), but both scans read the 3-column projection and
-    neither is a correlated semi/anti PROBE of the full fact — the
-    per-order side reduces to order-cardinality before its broadcast.
-    Top-10 by (count desc, suppkey) for a stable driver hash.
+    Plan shape here (r13, guide §2.4): the decorrelated
+    single-lineage form — lineitem projected to (orderkey, suppkey,
+    open), a per-(order, supplier) aggregate, then the per-order
+    totals as UNORDERED WINDOW AGGREGATES over the same frame. The
+    previous two-level-agg form scanned the projected fact twice (no
+    subplan sharing) and broadcast an ORDER-CARDINALITY aggregate
+    back — a broadcast that grows with the fact table, i.e. a driver
+    OOM at warehouse scale; the window keeps everything
+    partition-local after one orderkey exchange. Top-10 by
+    (count desc, suppkey) for a stable driver hash.
     """
     li = _L(spark, sf_dir, "lineitem").select(
         "l_orderkey",
@@ -2249,14 +2251,17 @@ def waiting_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
         F.max("open").alias("has_open")
     )
-    per_o = per_os.groupBy("l_orderkey").agg(
-        F.count("*").alias("n_supps"),
-        F.sum("has_open").alias("n_open_supps"),
-    )
-    hits = (
-        per_os.filter(F.col("has_open") == 1)
-        .join(F.broadcast(per_o), "l_orderkey")
-        .filter((F.col("n_supps") >= 2) & (F.col("n_open_supps") == 1))
+    wo = Window.partitionBy("l_orderkey")
+    hits = per_os.select(
+        "l_orderkey",
+        "l_suppkey",
+        "has_open",
+        F.count("*").over(wo).alias("n_supps"),
+        F.sum("has_open").over(wo).alias("n_open_supps"),
+    ).filter(
+        (F.col("has_open") == 1)
+        & (F.col("n_supps") >= 2)
+        & (F.col("n_open_supps") == 1)
     )
     return (
         hits.groupBy("l_suppkey")
