@@ -320,55 +320,14 @@ def ngram_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     This cut is the 100 TB lever for a zipfian corpus: head shingles
     (whose posting lists would SQUARE inside the inverted-index pair
     join — df² join rows per shingle) never enter the index, every
-    posting list is bounded by the CONSTANT cap, and the pair space is
+    posting list is bounded by the CONSTANT cap, and the pair join is
     bounded by {_NGRAM_DF_CAP}·|postings| — linear in corpus size —
-    instead of Σdf².
-
-    Plan (r13 rewrite, guide §2.3/§2.4): shingle explode → df agg
-    (map-side combined, shuffles 5-char grams) → df filter → per-gram
-    SORTED POSTING LIST (the groupBy rides the join's own
-    (source, shingle) partitioning — bounded ≤ cap by the filter) →
-    LOCAL pair expansion inside each list (the
-    minhash_lsh_candidates combination form) → one pair-keyed count.
-    The previous shape self-joined the postings with the per-doc size
-    n attached to EVERY posting row — n now attaches at PAIR scale
-    (two doc-keyed joins of the pair frame), so the corpus-scale
-    posting rows cross exchanges without the n payload and the
-    two posting-side self-join shuffles disappear outright
-    (plans/r13/ngram_jaccard_near_dup_{before,after}.txt). The old
-    in-join size prune (J >= t forces t <= min(na,nb)/max(na,nb)) is
-    subsumed by the final jaccard filter; results are identical.
-    No window, no verify join, no corpus² anywhere.
+    instead of Σdf². Plan: shingle explode → df agg (map-side
+    combined, shuffles 5-char grams) → df filter → per-doc rare-set
+    size → blocked posting self-join with the exactness-preserving
+    size filter → per-pair count. No window, no verify join, no
+    corpus² anywhere.
     """
-    lists = _rare_shingle_lists(spark, sf_dir)
-    inter = _shingle_pair_inter(lists)
-    n = _rare_set_sizes(lists)
-    res = inter.join(
-        n.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a"
-    ).join(
-        n.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b"
-    )
-    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
-    return res.select(
-        "doc_a", "doc_b", fround(jac, 6).alias("jaccard")
-    ).filter(jac >= _NGRAM_T)
-
-
-def _rare_shingle_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """df-capped 5-char-shingle posting lists per (source, shingle):
-    shingle explode → df agg → cap filter → per-gram sorted doc-id
-    list. Shared by the Jaccard and containment detectors. List sizes
-    are bounded by the df cap, so downstream local pair expansion is
-    CAP²-bounded per gram (the LSH-bucket discipline).
-
-    The list frame is pinned through checkpoints.pin_corpus_frame
-    (the dup_ngram_fraction postings precedent): its two consumers —
-    pair expansion and the per-doc set sizes — would otherwise each
-    re-run the shingle tokenize + df-count chain. Corpus-scale pin,
-    so it carries the SPARK_GRAFT_CORPUS_PINS knob and a
-    CORPUS_SCALE_PINS audit citation (scripts/pin_audit_catalog.py)."""
-    from chess_pipeline_spark.checkpoints import pin_corpus_frame
-
     d = spread(_L(spark, sf_dir, "documents"), "doc_id")
     sh = (
         f"array_distinct(transform(sequence(1, greatest(length(text) - {_SHINGLE_K - 1}, 1)), "
@@ -378,45 +337,38 @@ def _rare_shingle_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", F.explode(F.expr(sh)).alias("shingle")
     )
     freq = shingles.groupBy("source", "shingle").agg(F.count("*").alias("df"))
-    kept = shingles.join(freq, ["source", "shingle"]).filter(
-        F.col("df") <= F.lit(_NGRAM_DF_CAP)
+    kept = (
+        shingles.join(freq, ["source", "shingle"])
+        .filter(F.col("df") <= F.lit(_NGRAM_DF_CAP))
+        .select("doc_id", "source", "shingle")
     )
-    return pin_corpus_frame(
-        kept.groupBy("source", "shingle").agg(
-            F.sort_array(F.collect_list("doc_id")).alias("ids")
+    nper = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ws = kept.join(nper, "doc_id").select("doc_id", "source", "n", "shingle")
+    a, b = ws.alias("a"), ws.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # exactness-preserving size filter: J >= t forces
+            # t <= min(na,nb)/max(na,nb), pruned inside the join,
+            # before the pair-key shuffle
+            & (F.col("a.n") * F.lit(_NGRAM_T) <= F.col("b.n"))
+            & (F.col("b.n") * F.lit(_NGRAM_T) <= F.col("a.n")),
         )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .agg(F.count("*").alias("inter"))
     )
-
-
-def _shingle_pair_inter(lists: DataFrame) -> DataFrame:
-    """(doc_a, doc_b, inter) from per-gram posting lists: combination
-    expansion inside each ≤cap-sized sorted list (doc_a < doc_b by
-    construction), then one map-side-combined pair count — replaces
-    the posting self-join of the pre-r13 shape."""
-    pairs = lists.filter(F.size("ids") >= 2).select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ids, (a, i) -> "
-                "transform(slice(ids, i + 2, size(ids)), "
-                "b -> struct(a AS doc_a, b AS doc_b))))"
-            )
-        ).alias("p")
-    )
-    return pairs.groupBy(
-        F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b")
-    ).agg(F.count("*").alias("inter"))
-
-
-def _rare_set_sizes(lists: DataFrame) -> DataFrame:
-    """(doc_id, n): per-doc rare-shingle-set size, derived from the
-    posting lists (explode + count) so no corpus-scale frame needs a
-    pin and the n payload never rides posting rows through a
-    shuffle."""
-    return (
-        lists.select(F.explode("ids").alias("doc_id"))
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n"))
-    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+    return inter.select(
+        "doc_a", "doc_b", fround(jac, 6).alias("jaccard")
+    ).filter(jac >= _NGRAM_T)
 
 
 NGRAM_JACCARD_NEAR_DUP_SQL = f"""
@@ -482,22 +434,42 @@ def containment_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     C >= {_CONT_T}; n_small is the shorter doc's rare-set size so a
     consumer can gate on evidence mass.
 
-    100 TB shape (r13 rewrite, shared with ngram_jaccard_near_dup):
-    shingle explode → df agg (map-side combined) → df filter →
-    per-gram sorted posting list (≤ cap) → LOCAL pair expansion →
-    one pair-keyed count; per-doc sizes attach at PAIR scale instead
-    of riding every posting row through a self-join (plan diff in
-    plans/r13/containment_near_dup_{before,after}.txt). One
-    corpus-scale gram shuffle + one pair-keyed count shuffle, both
-    map-side combined; no window, no corpus².
+    100 TB shape: shingle explode → df agg (map-side combined) → df
+    filter → posting self-join → per-pair count. One corpus-scale
+    gram shuffle + one pair-keyed count shuffle, both map-side
+    combined; no window, no corpus².
     """
-    lists = _rare_shingle_lists(spark, sf_dir)
-    inter_pairs = _shingle_pair_inter(lists)
-    n = _rare_set_sizes(lists)
-    inter = inter_pairs.join(
-        n.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a"
-    ).join(
-        n.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b"
+    d = spread(_L(spark, sf_dir, "documents"), "doc_id")
+    sh = (
+        f"array_distinct(transform(sequence(1, greatest(length(text) - {_SHINGLE_K - 1}, 1)), "
+        f"i -> substring(text, i, {_SHINGLE_K})))"
+    )
+    shingles = d.select(
+        "doc_id", "source", F.explode(F.expr(sh)).alias("shingle")
+    )
+    freq = shingles.groupBy("source", "shingle").agg(F.count("*").alias("df"))
+    kept = (
+        shingles.join(freq, ["source", "shingle"])
+        .filter(F.col("df") <= F.lit(_NGRAM_DF_CAP))
+        .select("doc_id", "source", "shingle")
+    )
+    nper = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ws = kept.join(nper, "doc_id").select("doc_id", "source", "n", "shingle")
+    a, b = ws.alias("a"), ws.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .agg(F.count("*").alias("inter"))
     )
     cont = F.col("inter") / F.least("na", "nb").cast("double")
     return inter.select(
@@ -3036,26 +3008,17 @@ def media_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     lng = ph.select("doc_id", F.posexplode("bands").alias("j", "v"))
     freq = lng.groupBy("j", "v").agg(F.count("*").alias("bf"))
     kept = lng.join(freq, ["j", "v"]).filter(F.col("bf") <= _PHASH_CAP)
-    # r13 (guide §2.4): group each surviving band bucket and expand
-    # its pairs LOCALLY (bucket size ≤ {_PHASH_CAP} by the filter —
-    # the minhash_lsh_candidates form) instead of self-joining kept
-    # against itself, which shuffled the band rows twice more. Same
-    # (doc_a < doc_b) pair set, one fewer corpus-scale pass.
-    buckets = kept.groupBy("j", "v").agg(
-        F.sort_array(F.collect_list("doc_id")).alias("ids")
-    )
     cands = (
-        buckets.filter(F.size("ids") >= 2)
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, (a, i) -> "
-                    "transform(slice(ids, i + 2, size(ids)), "
-                    "b -> struct(a AS doc_a, b AS doc_b))))"
-                )
-            ).alias("p")
+        kept.alias("a")
+        .join(
+            kept.alias("b"),
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
         .distinct()
     )
     wa = wide.select(

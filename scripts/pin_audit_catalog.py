@@ -82,14 +82,6 @@ CORPUS_SCALE_PINS: dict[str, str] = {
     # sides don't recompute the signature subtree (2 MB at sf0.1)
     "cross_source_leakage": "band-signature pin; pin_corpus_frame "
     "knob (r13)",
-    # df-capped shingle posting lists pinned across the pair-expansion
-    # and per-doc-size consumers (r13 optimization round: replaced the
-    # posting self-join; without the pin each consumer re-runs the
-    # shingle tokenize + df-count chain — the dup_ngram precedent)
-    "ngram_jaccard_near_dup": "rare-shingle posting-list pin; "
-    "pin_corpus_frame knob (r13-opt)",
-    "containment_near_dup": "rare-shingle posting-list pin; "
-    "pin_corpus_frame knob (r13-opt)",
 }
 
 

@@ -550,24 +550,11 @@ def test_ngram_dfcut_no_window_no_verify_join(spark, sf_dir):
     # posting lists never reach it
     import re
 
-    # the r13 shape pins the posting-list frame (pin_corpus_frame), so
-    # explain the full lineage in recompute mode — the same knob the
-    # pin audit documents
-    import os
-
-    os.environ["SPARK_GRAFT_CORPUS_PINS"] = "recompute"
-    try:
-        plan = _plan(spark, sf_dir, "ngram_jaccard_near_dup")
-    finally:
-        os.environ.pop("SPARK_GRAFT_CORPUS_PINS", None)
+    plan = _plan(spark, sf_dir, "ngram_jaccard_near_dup")
     assert not re.search(r"^\(\d+\) Window\b", plan, re.MULTILINE)
     assert "CartesianProduct" not in plan
     assert "array_intersect" not in plan  # pair counts, not array verify
     assert "(df#" in plan or "df <= 64" in plan or "(df" in plan  # the cut exists
-    # r13: pairs expand LOCALLY inside df-capped posting lists — the
-    # collect_list aggregation exists and no posting-side self-join
-    # re-shuffles the exploded grams with the per-doc size attached
-    assert "collect_list" in plan
 
 
 def test_deciles_sketch_no_global_customer_sort(spark, sf_dir):
@@ -831,25 +818,19 @@ def test_hll_set_algebra_single_tag_scan_and_broadcasts(spark, sf_dir):
 
 def test_containment_same_bounded_index_shape_as_jaccard(spark, sf_dir):
     # the asymmetric detector must keep the Jaccard plan's bounds: df
-    # cut before the posting lists are grouped (lists constant-
-    # bounded), the pair count map-side combined, no window, no
-    # cartesian — the ONLY intended difference is containment's score
-    # arithmetic. r13: both detectors share _rare_shingle_lists, so
-    # the cut appears ONCE in the single pinned lineage (explained in
-    # recompute mode) instead of on two self-join sides.
-    import os
-    import re
-
-    os.environ["SPARK_GRAFT_CORPUS_PINS"] = "recompute"
-    try:
-        plan = _plan(spark, sf_dir, "containment_near_dup")
-    finally:
-        os.environ.pop("SPARK_GRAFT_CORPUS_PINS", None)
+    # cut before the pair join (posting lists constant-bounded), the
+    # pair count map-side combined, no window, no cartesian — the
+    # ONLY intended difference is the dropped length-ratio prune
+    plan = _plan(spark, sf_dir, "containment_near_dup")
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
     assert "partial_count" in plan
-    assert len(re.findall(r"\(df#\d+L? <= 64\)", plan)) >= 1, plan[:2000]
-    assert "collect_list" in plan  # grouped posting lists, not a self-join
+    # the df filter must run BEFORE the self-join: the cap condition
+    # appears as a Filter on BOTH posting-list sides (4 subtree
+    # copies in the unreused plan), never as a join-output filter
+    import re
+
+    assert len(re.findall(r"\(df#\d+L? <= 64\)", plan)) >= 2, plan[:2000]
 
 
 def test_source_kl_single_corpus_shuffle_rest_broadcast(spark, sf_dir):
