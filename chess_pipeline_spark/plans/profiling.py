@@ -1153,39 +1153,21 @@ def hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est_e4", "est_union_e4"
     )
 
-    # r13 (guide §2.4): ONE corpus pass answers the whole exact
-    # branch — groupBy(event_id) collects each event's set
-    # memberships (≤ 3 names by construction), then every event melts
-    # into its member singletons (k2 NULL) and member PAIRS (k1 < k2)
-    # and one groupBy counts both. The aggregate is ≤ 6 rows (3 sets +
-    # 3 pairs), pinned so its two consumers split it without
-    # recomputing. The previous shape ran a DISTINCT plus an
-    # event-keyed SELF-JOIN (the catalog's one allowlisted
-    # SortMergeJoin) — three more corpus-scale passes and two
-    # join-side shuffles — for the same counts.
-    sets_per_event = tagged.groupBy("event_id").agg(
-        F.sort_array(F.collect_set("set_name")).alias("ss")
+    members = tagged.select("set_name", "event_id").distinct()
+    exact_sets = members.groupBy("set_name").agg(
+        F.count("*").cast("long").alias("n_exact")
     )
-    melt = (
-        "concat("
-        "transform(ss, s -> named_struct('k1', s, 'k2', CAST(NULL AS STRING))), "
-        "flatten(transform(ss, (a, i) -> "
-        "transform(slice(ss, i + 2, size(ss)), "
-        "b -> named_struct('k1', a, 'k2', b)))))"
+    a = members.select(
+        F.col("set_name").alias("ia"), F.col("event_id").alias("eid")
     )
-    exact_counts = (
-        sets_per_event.select(F.explode(F.expr(melt)).alias("p"))
-        .groupBy(F.col("p.k1").alias("k1"), F.col("p.k2").alias("k2"))
-        .agg(F.count("*").cast("long").alias("n"))
-        .localCheckpoint()  # ≤ 6 rows: 3 per-set sizes + 3 pair counts
+    b = members.select(
+        F.col("set_name").alias("ib"), F.col("event_id").alias("eid")
     )
-    exact_sets = exact_counts.filter(F.col("k2").isNull()).select(
-        F.col("k1").alias("set_name"), F.col("n").alias("n_exact")
-    )
-    exact_inter = exact_counts.filter(F.col("k2").isNotNull()).select(
-        F.col("k1").alias("ia"),
-        F.col("k2").alias("ib"),
-        F.col("n").alias("n_exact_inter"),
+    exact_inter = (
+        a.join(b, "eid")
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count("*").cast("long").alias("n_exact_inter"))
     )
 
     out = (
@@ -1332,51 +1314,29 @@ def cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("wf"))
     )
 
-    # r13 (guide §2.3/§2.4): the self-join estimate/exact pair both
-    # collapse to per-row folds — joining a unique-keyed frame to
-    # itself matches each row exactly once, so Σ cntA·cntB over the
-    # (row_i, bucket)-unique counters is Σ cnt², and the exact
-    # lineitem self-join size over the (word)-unique vocabulary is
-    # Σ wf² — removing one counter build, one vocabulary scan and two
-    # self-joins (identical integer sums, oracle-pinned). The two
-    # counter frames that remain are built ONCE each and pinned
-    # (≤ _CMS_D·_CMS_W = 4096 rows — model-scale, the hll regs pattern);
-    # previously each side's counters re-ran their corpus scan per
-    # consumer.
-    c_ok = cms_sketch_counters(orders_keys, weighted=True).localCheckpoint()
-    c_lk = cms_sketch_counters(li_orderkeys, weighted=True).localCheckpoint()
-    c_sk = cms_sketch_counters(li_suppkeys, weighted=True).localCheckpoint()
-
-    def ip_min(per_row: DataFrame, name: str) -> DataFrame:
+    def inner_product(a: DataFrame, b: DataFrame, name: str) -> DataFrame:
+        ca = cms_sketch_counters(a, weighted=True).withColumnRenamed("cnt", "ca")
+        cb = cms_sketch_counters(b, weighted=True).withColumnRenamed("cnt", "cb")
         return (
-            per_row.groupBy("row_i")
-            .agg(F.sum("p").alias("ip"))
+            ca.join(cb, ["row_i", "bucket"])
+            .groupBy("row_i")
+            .agg(F.sum(F.col("ca") * F.col("cb")).alias("ip"))
             .agg(F.min("ip").cast("long").alias("cms_estimate"))
             .select(F.lit(name).alias("join_name"), "cms_estimate")
         )
 
-    est = ip_min(
-        c_ok.withColumnRenamed("cnt", "ca")
-        .join(c_lk.withColumnRenamed("cnt", "cb"), ["row_i", "bucket"])
-        .select("row_i", (F.col("ca") * F.col("cb")).alias("p")),
-        "orders_x_lineitem",
-    ).unionByName(
-        ip_min(
-            c_sk.select("row_i", (F.col("cnt") * F.col("cnt")).alias("p")),
-            "lineitem_selfjoin_suppkey",
+    def exact(a: DataFrame, b: DataFrame, name: str) -> DataFrame:
+        return (
+            a.join(b.withColumnRenamed("wf", "wfb"), "word")
+            .agg(F.sum(F.col("wf") * F.col("wfb")).cast("long").alias("exact_size"))
+            .select(F.lit(name).alias("join_name"), "exact_size")
         )
+
+    est = inner_product(orders_keys, li_orderkeys, "orders_x_lineitem").unionByName(
+        inner_product(li_suppkeys, li_suppkeys, "lineitem_selfjoin_suppkey")
     )
-    ex = (
-        orders_keys.join(li_orderkeys.withColumnRenamed("wf", "wfb"), "word")
-        .agg(F.sum(F.col("wf") * F.col("wfb")).cast("long").alias("exact_size"))
-        .select(F.lit("orders_x_lineitem").alias("join_name"), "exact_size")
-        .unionByName(
-            li_suppkeys.agg(
-                F.sum(F.col("wf") * F.col("wf")).cast("long").alias("exact_size")
-            ).select(
-                F.lit("lineitem_selfjoin_suppkey").alias("join_name"), "exact_size"
-            )
-        )
+    ex = exact(orders_keys, li_orderkeys, "orders_x_lineitem").unionByName(
+        exact(li_suppkeys, li_suppkeys, "lineitem_selfjoin_suppkey")
     )
     return (
         est.join(ex, "join_name")
