@@ -206,9 +206,12 @@ EXTENDED = [
     "exact_substring_spans",
     "exact_substring_rewrite",
     "dsir_importance_weights",
+    # r14: the Gumbel-top-k selection step over the DSIR weights
+    # (first bench row, alongside its first driver-window contact)
+    "dsir_resample_topk",
 ]
 
-ROUND = 13  # bump per round; names the committed BENCHLOCAL file
+ROUND = 14  # bump per round; names the committed BENCHLOCAL file
 
 
 def time_index_phases(spark, sf_dir: str) -> dict[str, float]:

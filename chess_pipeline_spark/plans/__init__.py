@@ -398,11 +398,13 @@ _DEMOTED: tuple[str, ...] = (
     "hll_cumulative_daily",
     "hll_set_algebra",
     "dominant_supplier_parts",
-    # ---- r13-late staged addition (the r8-r13 precedent: built
-    # demoted, sweep-verified on landing, staged for first driver
-    # contact in the r14 promotion): the Gumbel-top-k selection step
-    # over the DSIR weights ----
-    "dsir_resample_topk",
+    # ---- r14 rotation (ELEVENTH executed round, minimal swap —
+    # optimization round, so only the staged first-contact promotion):
+    # dsir_resample_topk promoted for first driver contact;
+    # json_props_extract demoted (6 green rounds incl. r13, cited by
+    # no DEMOTION_COVERAGE row, non-anchor — the cheapest demotion
+    # check_rotation.py's eligibility rules admit) ----
+    "json_props_extract",
 )
 
 # For every demoted query: the IN-WINDOW queries that keep its SURVEY
@@ -860,11 +862,11 @@ DEMOTION_COVERAGE: dict[str, tuple[str, ...]] = {
         "order_priority_pending",
         "large_quantity_orders",
     ),
-    # ---- r13-late staged addition ----
-    # Gumbel-top-k resampling over the DSIR weights -> the weights
-    # query itself (in-window for its r13 first contact) + the
-    # deterministic-sampling family anchor
-    "dsir_resample_topk": ("dsir_importance_weights", "mixture_sample"),
+    # ---- r14 demotion ----
+    # row-local JSON field extraction (S1 E6) -> the PGN UDTF string
+    # parse + row-local substring rewrite (the same pair that covers
+    # struct_pack_fields' E6)
+    "json_props_extract": ("pgn_moves_table", "exact_substring_rewrite"),
 }
 
 

@@ -37,7 +37,14 @@ from chess_pipeline_spark.session import get_spark  # noqa: E402
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("queries", nargs="+")
+    ap.add_argument(
+        "queries",
+        nargs="*",
+        help="catalog query names, and/or 'index_phases' to remeasure "
+        "the 8 bench index phases (r14: the VERDICT item-2 gap — the "
+        "r13 ivf_build phase regression slipped through because the "
+        "A/B instruments covered queries only)",
+    )
     ap.add_argument("--rounds", type=int, default=5)
     ap.add_argument(
         "--baseline",
@@ -50,7 +57,13 @@ def main() -> None:
     )
     args = ap.parse_args()
 
+    do_phases = "index_phases" in args.queries
+    args.queries = [q for q in args.queries if q != "index_phases"]
+    if not args.queries and not do_phases:
+        sys.exit("nothing to remeasure")
+
     base_rows: dict[str, float] = {}
+    base_phases: dict[str, float] = {}
     if args.baseline is not None:
         art = json.loads(
             (Path(_REPO) / f"BENCHLOCAL_r{args.baseline:02d}.json").read_text()
@@ -58,6 +71,7 @@ def main() -> None:
         base_rows = dict(art.get("queries", {})) | dict(
             art.get("extended_queries", {})
         )
+        base_phases = dict(art.get("index_phases", {}))
 
     cat = catalog()
     missing = [q for q in args.queries if q not in cat]
@@ -92,6 +106,30 @@ def main() -> None:
         }
         for q, t in best.items()
     }
+
+    phase_out: dict[str, dict] = {}
+    if do_phases:
+        # each "round" is one full lifecycle (build→ingest→compact→
+        # probe have hard data dependencies, so interleaving happens
+        # at lifecycle granularity); per-phase min across rounds, same
+        # min-of-N discipline as the query rows
+        import bench
+
+        best_ph: dict[str, float] = {}
+        for _ in range(args.rounds):
+            with scoped_checkpoints(spark):
+                ph = bench.time_index_phases(spark, args.sf_dir)
+            for k, v in ph.items():
+                best_ph[k] = min(best_ph.get(k, float("inf")), v)
+        phase_out = {
+            k: {
+                "min_sec": round(v, 3),
+                "baseline_sec": base_phases.get(k),
+                "ratio": round(v / base_phases[k], 2) if base_phases.get(k) else None,
+            }
+            for k, v in best_ph.items()
+        }
+
     print(
         json.dumps(
             {
@@ -99,6 +137,7 @@ def main() -> None:
                 "loadavg_start": list(load0),
                 "loadavg_end": list(os.getloadavg()),
                 "queries": out,
+                **({"index_phases": phase_out} if phase_out else {}),
             }
         )
     )

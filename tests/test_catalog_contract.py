@@ -28,7 +28,11 @@ from chess_pipeline_spark.plans import (
     catalog,
 )
 
-# The byte-stable order for the round-13 driver run: the r13
+# The byte-stable order for the round-14 driver run: the r13 window
+# plus the minimal r14 swap (dsir_resample_topk in for first contact,
+# json_props_extract out — 6 greens incl. r13, uncited, non-anchor;
+# r14 is an optimization round so no freshness block moves). The r13
+# provenance below still describes 49 of the 50 members: the r13
 # FRESHNESS rotation — dsir_importance_weights gets its first driver
 # contact (the r12-late staged addition; after it the catalog is
 # again free of driver-unseen queries), ALL 35 r7-era demotions
@@ -67,7 +71,6 @@ FROZEN_ORDER: tuple[str, ...] = (
     "session_path_trigrams",
     "event_transition_matrix",
     "events_gap_detection",
-    "json_props_extract",
     "events_decay_score",
     "pgn_moves_table",
     "dedup_embedding_agreement",
@@ -77,6 +80,7 @@ FROZEN_ORDER: tuple[str, ...] = (
     "multimodal_features",
     "ivf_ingest_audit",
     "dsir_importance_weights",
+    "dsir_resample_topk",
     "exact_substring_rewrite",
     "dedup_keep_best",
     "mixture_sample",
@@ -221,17 +225,15 @@ FROZEN_ORDER: tuple[str, ...] = (
     "hll_cumulative_daily",
     "hll_set_algebra",
     "dominant_supplier_parts",
-    "dsir_resample_topk",
+    "json_props_extract",
 )
 
 
 # Staged-late additions (the r8-r13 precedent: built demoted with
 # full sweep evidence, never yet driver-seen, exempt from the
-# freshness bound until their scheduled first contact). The r13
-# rotation promoted dsir_importance_weights; dsir_resample_topk
-# (r13-late, the Gumbel-top-k selection step over those weights)
-# stages for its r14 first contact.
-_STAGED_LATE: frozenset[str] = frozenset({"dsir_resample_topk"})
+# freshness bound until their scheduled first contact). The r14
+# rotation promoted dsir_resample_topk — the staged backlog is empty.
+_STAGED_LATE: frozenset[str] = frozenset()
 
 
 def test_catalog_order_frozen():
@@ -280,18 +282,20 @@ def _green_history() -> dict[str, set[int]]:
     return hist
 
 
-def test_driver_window_r13_rotation():
-    # round 13's window: the r13 FRESHNESS rotation executed —
-    # dsir_importance_weights enters for first driver contact (the
-    # r12-late staged addition), ALL 35 r7-era demotions return for
-    # freshness contact (the entire r7→r8 block), and 36 members
-    # rotate out per check_rotation.py's freshness mode (every one
-    # >= 2 green rounds INCLUDING r12). Preconditions are verified
-    # against the committed CORRECTNESS artifacts, not prose — and
-    # every assertion must stay true as FUTURE driver artifacts
-    # accumulate (the r10 time-bomb lesson).
+def test_driver_window_r14_rotation():
+    # round 14's window: the r13 FRESHNESS rotation (36 swaps, ledger
+    # below) plus the MINIMAL r14 swap — r14 is an optimization round,
+    # so the only rotation is the scheduled first contact:
+    # dsir_resample_topk (r13-late staged) promoted, json_props_extract
+    # demoted (6 green rounds incl. r13, cited by no coverage row,
+    # non-anchor). Preconditions are verified against the committed
+    # CORRECTNESS artifacts, not prose — and every assertion must stay
+    # true as FUTURE driver artifacts accumulate (the r10 time-bomb
+    # lesson).
     assert len(FROZEN_ORDER) - DRIVER_WINDOW == len(_DEMOTED)
     in_window = set(FROZEN_ORDER[:DRIVER_WINDOW])
+    promoted_r14 = ("dsir_resample_topk",)
+    demoted_r14 = ("json_props_extract",)
     promoted_r13 = (
         # first driver contact (r12-late staged addition)
         "dsir_importance_weights",
@@ -387,34 +391,43 @@ def test_driver_window_r13_rotation():
         "brand_supplier_counts",
         "profit_by_nation_year",
     )
-    assert in_window == set(promoted_r13) | set(anchors) | set(kept)
-    for name in demoted_r13:
+    assert in_window == (
+        set(promoted_r13) | set(anchors) | set(kept) | set(promoted_r14)
+    ) - set(demoted_r14)
+    for name in demoted_r13 + demoted_r14:
         assert name in _DEMOTED and name not in in_window, name
 
     hist = _green_history()
     # demotion precondition: every rotated-out name has >= 2 green
-    # driver rounds INCLUDING the immediately preceding round (r12)
+    # driver rounds INCLUDING the round immediately preceding its
+    # demotion (r12 for the r13 block, r13 for the r14 swap)
     for name in demoted_r13:
         greens = hist.get(name, set())
         assert 12 in greens and len(greens) >= 2, (
+            f"{name} demoted without fresh double-green history: {greens}"
+        )
+    for name in demoted_r14:
+        greens = hist.get(name, set())
+        assert 13 in greens and len(greens) >= 2, (
             f"{name} demoted without fresh double-green history: {greens}"
         )
     # freshness precondition: every returning name HAS green history
     # (they are re-verifications, not first contacts)
     for name in promoted_r13[1:]:
         assert hist.get(name), f"{name} claimed as freshness return, no history"
-    # genuinely first contact in r13: green history may START at r13
-    # (once the driver's own CORRECTNESS_r13.json lands) but must not
-    # predate it
+    # genuinely first contacts: green history may START at the round of
+    # first contact (once the driver's own CORRECTNESS artifact lands)
+    # but must not predate it
     assert min(hist.get("dsir_importance_weights", {13})) >= 13
-    # the r13 bound this rotation exists to hold: post-swap, no
+    assert min(hist.get("dsir_resample_topk", {14})) >= 14
+    # the staleness bound rotation exists to hold: post-swap, no
     # DEMOTED query's last driver green is older than r8 (window
     # members are re-verified this round by construction)
     for name in _DEMOTED:
         if name in _STAGED_LATE:
-            # staged addition: first contact scheduled for r14+
-            assert min(hist.get(name, {14})) >= 14, (
-                f"{name} staged late-r13 but has pre-r14 history"
+            # staged addition awaiting its scheduled first contact
+            assert not hist.get(name), (
+                f"{name} staged but already has driver history"
             )
             continue
         assert max(hist[name]) >= 8, (
