@@ -157,41 +157,34 @@ def build_ivf_index(
     keeps its previous centroid. The final write is the only wide
     shuffle (partitioned by list).
     """
-    # r13 (guide §1.2/§5): seeds, PQ codebook and the dimension all
-    # come from ONE TakeOrdered collect of the max(n_lists, _PQ_K)
-    # lowest-id vectors (KB-bounded — ≤ 32 rows of one embedding
-    # each), rebuilt as local relations. The previous shape ran the
-    # orderBy+limit TWICE (seeds, codebook), eagerly localCheckpointed
-    # both (two more jobs + pinned blocks), and paid one more job for
-    # a `first()` just to learn the dimension — five corpus-touching
-    # driver round-trips per build collapsed into one. Values, order
-    # and schemas are identical (numpy-parity + oracle tests pin the
-    # codes byte-for-byte).
-    spark = corpus.sparkSession
-    emb_type = corpus.schema["embedding"].dataType
-    head = [
-        r["embedding"]
-        for r in corpus.orderBy(id_col)
-        .limit(max(n_lists, _PQ_K))
-        .select("embedding")
-        .collect()
-    ]
-    from pyspark.sql.types import (
-        IntegerType,
-        LongType,
-        StructField,
-        StructType,
+    # r14 REVERT of the r13 single-collect seeding (guide §1.6:
+    # measure after every change — applied to index PHASES this
+    # round, the instrument gap r13's regression slipped through).
+    # The r13 form collapsed five corpus-touching driver round-trips
+    # (two orderBy+limit jobs, two localCheckpoints, one first()) into
+    # one TakeOrdered collect rebuilt as LocalRelations — fewer jobs,
+    # but the whole build measured 1.30x SLOWER in an interleaved
+    # same-session A/B (min-of-5: 3.71 s vs 2.86 s at sf0.1; the r13
+    # idle canonical saw the same 2.86→4.57 s). The collect itself is
+    # cheap (85 ms); the cost lands downstream: every job over plans
+    # embedding the LocalRelations re-ships the inlined vectors and
+    # the tiny centroids/codebook writes go from ~0.1 s to ~0.5 s
+    # each. localCheckpointing the LocalRelations recovers only half
+    # the gap (3.21 s) — the checkpointed orderBy+limit form below is
+    # the measured optimum, so the extra driver round-trips stay. The
+    # independent r13 wins are KEPT: the _meta.json geometry sidecar
+    # (still written below — probes/ingests stay job-free for
+    # dim/k_cb) and the scandir delta-batch discovery.
+    seeds = (
+        corpus.orderBy(id_col)
+        .limit(n_lists)
+        .select(
+            F.row_number().over(Window.orderBy(id_col)).cast("long").alias("list_id"),
+            F.col("embedding").alias("centroid"),
+        )
+        .withColumn("c_nrm", F.expr(_NORM.format(v="centroid")))
+        .localCheckpoint()
     )
-
-    seeds = spark.createDataFrame(
-        [(i + 1, e) for i, e in enumerate(head[:n_lists])],
-        StructType(
-            [
-                StructField("list_id", LongType(), False),
-                StructField("centroid", emb_type, True),
-            ]
-        ),
-    ).withColumn("c_nrm", F.expr(_NORM.format(v="centroid")))
     vecs = corpus.select(id_col, "embedding")
     for _ in range(lloyd_iterations):
         assigned = _nearest_lists(vecs, seeds, 1, id_col)
@@ -217,17 +210,16 @@ def build_ivf_index(
         )
     assigned = _nearest_lists(vecs, seeds, 1, id_col)
     # product-quantization codebook (r6): the _PQ_K lowest-id
-    # vectors, same seeding rule as the coarse centroids — sliced
-    # from the same single collect as the seeds (r13).
-    dim = len(head[0])
-    codebook = spark.createDataFrame(
-        [(i + 1, e) for i, e in enumerate(head[:_PQ_K])],
-        StructType(
-            [
-                StructField("cid", IntegerType(), False),
-                StructField("c", emb_type, True),
-            ]
-        ),
+    # vectors, same seeding rule as the coarse centroids.
+    dim = corpus.select(F.size("embedding").alias("d")).first()["d"]
+    codebook = (
+        corpus.orderBy(id_col)
+        .limit(_PQ_K)
+        .select(
+            F.row_number().over(Window.orderBy(id_col)).alias("cid"),
+            F.col("embedding").alias("c"),
+        )
+        .localCheckpoint()
     )
     _encode_rows(assigned, codebook, dim // _PQ_M, id_col, dim=dim).write.partitionBy(
         "list_id"
@@ -237,7 +229,10 @@ def build_ivf_index(
     from chess_pipeline_spark.sinks import stamp_format
 
     stamp_format(out_path, _IVF_FORMAT)
-    _write_meta(out_path, {"dim": dim, "k_cb": min(_PQ_K, len(head))})
+    # k_cb: the codebook write truncates at the corpus size when the
+    # corpus has fewer than _PQ_K vectors (limit semantics)
+    n_cb = codebook.count()
+    _write_meta(out_path, {"dim": dim, "k_cb": n_cb})
 
 
 def _encode_rows(

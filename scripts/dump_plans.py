@@ -1,6 +1,6 @@
 #!/usr/bin/env python3
 """Dump `.explain("formatted")` for named catalog queries into
-plans/r13/<name>_<suffix>.txt — the before/after plan evidence the
+plans/r14/<name>_<suffix>.txt — the before/after plan evidence the
 optimization rounds commit (judge-checkable without running Spark).
 
 Usage:
@@ -36,7 +36,7 @@ def main() -> None:
         sf_dir = args[i + 1]
         del args[i : i + 2]
     names = args
-    out_dir = Path(_REPO) / "plans" / "r13"
+    out_dir = Path(_REPO) / "plans" / "r14"
     out_dir.mkdir(parents=True, exist_ok=True)
 
     spark = get_spark(app_name="dump-plans")
