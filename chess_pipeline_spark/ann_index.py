@@ -175,16 +175,50 @@ def build_ivf_index(
     # independent r13 wins are KEPT: the _meta.json geometry sidecar
     # (still written below — probes/ingests stay job-free for
     # dim/k_cb) and the scandir delta-batch discovery.
-    seeds = (
-        corpus.orderBy(id_col)
-        .limit(n_lists)
-        .select(
-            F.row_number().over(Window.orderBy(id_col)).cast("long").alias("list_id"),
-            F.col("embedding").alias("centroid"),
+    # r14 (guide §2.6): the three seed-stage driver actions — the
+    # seeds checkpoint, the PQ-codebook checkpoint, and the dim probe
+    # (`first()`) — are data-independent jobs the old code ran
+    # sequentially; a 3-thread pool overlaps them so the later jobs'
+    # tasks back-fill the scheduler while the first one's tail
+    # finishes. Same frames, same checkpointed contents, so the index
+    # bytes are unchanged (numpy-parity + oracle tests).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _mk_seeds():
+        return (
+            corpus.orderBy(id_col)
+            .limit(n_lists)
+            .select(
+                F.row_number()
+                .over(Window.orderBy(id_col))
+                .cast("long")
+                .alias("list_id"),
+                F.col("embedding").alias("centroid"),
+            )
+            .withColumn("c_nrm", F.expr(_NORM.format(v="centroid")))
+            .localCheckpoint()
         )
-        .withColumn("c_nrm", F.expr(_NORM.format(v="centroid")))
-        .localCheckpoint()
-    )
+
+    def _mk_codebook():
+        return (
+            corpus.orderBy(id_col)
+            .limit(_PQ_K)
+            .select(
+                F.row_number().over(Window.orderBy(id_col)).alias("cid"),
+                F.col("embedding").alias("c"),
+            )
+            .localCheckpoint()
+        )
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_seeds = pool.submit(_mk_seeds)
+        f_codebook = pool.submit(_mk_codebook)
+        f_dim = pool.submit(
+            lambda: corpus.select(F.size("embedding").alias("d")).first()["d"]
+        )
+        seeds = f_seeds.result()
+        codebook = f_codebook.result()
+        dim = f_dim.result()
     vecs = corpus.select(id_col, "embedding")
     for _ in range(lloyd_iterations):
         assigned = _nearest_lists(vecs, seeds, 1, id_col)
@@ -209,23 +243,32 @@ def build_ivf_index(
             .localCheckpoint()
         )
     assigned = _nearest_lists(vecs, seeds, 1, id_col)
-    # product-quantization codebook (r6): the _PQ_K lowest-id
-    # vectors, same seeding rule as the coarse centroids.
-    dim = corpus.select(F.size("embedding").alias("d")).first()["d"]
-    codebook = (
-        corpus.orderBy(id_col)
-        .limit(_PQ_K)
-        .select(
-            F.row_number().over(Window.orderBy(id_col)).alias("cid"),
-            F.col("embedding").alias("c"),
-        )
-        .localCheckpoint()
-    )
-    _encode_rows(assigned, codebook, dim // _PQ_M, id_col, dim=dim).write.partitionBy(
-        "list_id"
-    ).mode("overwrite").parquet(os.path.join(out_path, "lists"))
-    seeds.write.mode("overwrite").parquet(os.path.join(out_path, "centroids"))
-    codebook.write.mode("overwrite").parquet(os.path.join(out_path, "pq_codebook"))
+    # r14 (guide §2.6): the three persisting writes are likewise
+    # independent — the corpus-scale encode+partitioned lists write
+    # and the two KB-scale sidecar writes off already-checkpointed
+    # frames. Submitting the tiny writes alongside lets them ride the
+    # big write's scheduler gaps instead of serializing after it.
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [
+            pool.submit(
+                lambda: _encode_rows(assigned, codebook, dim // _PQ_M, id_col, dim=dim)
+                .write.partitionBy("list_id")
+                .mode("overwrite")
+                .parquet(os.path.join(out_path, "lists"))
+            ),
+            pool.submit(
+                lambda: seeds.write.mode("overwrite").parquet(
+                    os.path.join(out_path, "centroids")
+                )
+            ),
+            pool.submit(
+                lambda: codebook.write.mode("overwrite").parquet(
+                    os.path.join(out_path, "pq_codebook")
+                )
+            ),
+        ]
+        for f in futs:
+            f.result()
     from chess_pipeline_spark.sinks import stamp_format
 
     stamp_format(out_path, _IVF_FORMAT)

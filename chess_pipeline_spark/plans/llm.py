@@ -3496,8 +3496,27 @@ def ivf_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _scratch_index_dir("ivf_ingest")
     base = e.filter(F.col("vec_id") % 2 == 0)
     build_ivf_index(base, idx, n_lists=_IVF_NLISTS)
-    ingest_ivf_batch(e.filter(F.col("vec_id") % 4 == 1), 0, idx)
-    ingest_ivf_batch(e.filter(F.col("vec_id") % 4 == 3), 1, idx)
+    # r14 (guide §2.6): the two delta batches are independent ingest
+    # jobs writing DISJOINT (list_id, ingest_batch) partitions — a
+    # 2-thread pool overlaps them so batch 1's jobs back-fill the
+    # scheduler during batch 0's stragglers, exactly the
+    # independent-jobs overlap the guide prescribes. Safe because
+    # upsert_partition_overwrite sets dynamic overwrite per-writer
+    # (not via a racy session-conf toggle) and each batch rewrites
+    # only its own partitions; the audit result is batch-order-free.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [
+            pool.submit(
+                ingest_ivf_batch, e.filter(F.col("vec_id") % 4 == 1), 0, idx
+            ),
+            pool.submit(
+                ingest_ivf_batch, e.filter(F.col("vec_id") % 4 == 3), 1, idx
+            ),
+        ]
+        for f in futs:
+            f.result()
 
     # the pre-compaction counts must materialize BEFORE compaction
     # rewrites the files under them (the returned plan is lazy);

@@ -35,14 +35,18 @@ def upsert_partition_overwrite(
     df: DataFrame, path: str, partition_cols: list[str]
 ) -> None:
     """Idempotent write replacing exactly the partitions present in
-    df (spark.sql.sources.partitionOverwriteMode=dynamic)."""
-    spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    df (partitionOverwriteMode=dynamic, set as a PER-WRITER option —
+    not a session-conf toggle, which would race when independent
+    ingest jobs overlap from driver threads (guide §2.6): a second
+    writer could capture "dynamic" as its restore value or, worse,
+    plan its write after the first writer's restore flipped the
+    session back to static and silently truncate the whole table)."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
 
 
 def read_folded_marker(table_dir: str) -> set[int]:

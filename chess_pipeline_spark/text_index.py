@@ -169,6 +169,11 @@ def ingest_text_delta(
             f"{max(folded)}."
         )
     postings, lens = _tokenized(delta_docs)
+    # r14: overlapping these two writes from a 2-thread pool (the
+    # guide §2.6 move that won 0.74x on the IVF audit) measured FLAT
+    # here in two interleaved A/Bs (min ratios 1.07 and 1.007) — the
+    # two branches re-tokenize independently, so overlap just doubles
+    # the tokenize pressure on the same cores. Kept serial.
     upsert_partition_overwrite(
         postings.withColumn("batch_id", F.lit(batch_id)),
         postings_p,
