@@ -2084,6 +2084,18 @@ def pca_iterate(one: DataFrame) -> DataFrame:
         f"acc + element_at(gc, CAST(i * {_PCA_D} + j + 1 AS INT)) "
         f"* element_at(b, CAST(j + 1 AS INT))))"
     )
+    # r14 (guide §1.2 — fewer driver round-trips): the per-step
+    # barrier stays (it is LOAD-BEARING for evaluation, not just plan
+    # size: without it Catalyst substitutes b's expression into every
+    # element_at of the next step's fold and re-evaluates it per
+    # access — a measured ~8x blowup at 2-3 steps per barrier) but
+    # becomes LAZY: localCheckpoint(eager=False) truncates the
+    # lineage identically while deferring execution, so all
+    # {_PCA_ITERS} step RDDs materialize inside the consumer's ONE
+    # action instead of costing a scheduler round-trip job each.
+    # Interleaved A/B: 0.47x on a degraded scheduler, 0.85x idle;
+    # rows byte-identical (same expressions, same IEEE order — only
+    # WHEN they run changes), pinned by numpy-parity + oracle hash.
     for _ in range(_PCA_ITERS):
         it = (
             it.withColumn("nb", F.expr(nb_expr))
@@ -2093,7 +2105,7 @@ def pca_iterate(one: DataFrame) -> DataFrame:
                     "transform(nb, x -> x / sqrt(aggregate(nb, 0D, (acc, y) -> acc + y * y)))"
                 ),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     final = it.select(
         "b",

@@ -236,53 +236,82 @@ def concurrency_peak_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     with (t, d, user_id, session_id), so both engines walk the same
     sweep. All-integer arithmetic.
     """
+    # r14 restructure (guide §2.4 — remove redundant passes): the old
+    # form UNIONED two selects of the session frame (2 sessionization
+    # subtree evaluations) and then consumed `deltas` twice — once for
+    # the per-bucket carry aggregation, once joined back against it —
+    # so the events scan + sessionization windows executed 4x per run.
+    # This form (a) emits both deltas from ONE pass via explode, and
+    # (b) aggregates each bucket BEFORE the carry: because the bucket
+    # width divides a day, max(conc) over a day's rows equals
+    # max over its buckets of (carry_in + max within-bucket running
+    # sum), and sessions_started sums per bucket. The within-bucket
+    # window and the per-bucket aggregation share one hash exchange;
+    # everything after is ≤ #buckets rows — the carry join-back on the
+    # delta-scale frame is gone entirely. Same total order (t, d,
+    # user_id, session_id), all-integer arithmetic: results identical
+    # (oracle hash).
+    assert 86400 % _CONC_BUCKET_S == 0  # day-alignment the fold relies on
     sess = _session_frame(spark, sf_dir)
     deltas = sess.select(
-        F.col("session_start").alias("t"),
-        F.lit(1).alias("d"),
         "user_id",
         "session_id",
-    ).unionByName(
-        sess.select(
-            (F.col("session_end") + 1).alias("t"),
-            F.lit(-1).alias("d"),
-            "user_id",
-            "session_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("session_start").alias("t"), F.lit(1).alias("d")
+                ),
+                F.struct(
+                    (F.col("session_end") + 1).alias("t"),
+                    F.lit(-1).alias("d"),
+                ),
+            )
+        ).alias("e"),
+    ).select(
+        F.col("e.t").alias("t"),
+        F.col("e.d").alias("d"),
+        "user_id",
+        "session_id",
+        F.floor(F.col("e.t") / _CONC_BUCKET_S).cast("long").alias("bucket"),
+    )
+    wb = Window.partitionBy("bucket").orderBy(
+        "t", "d", "user_id", "session_id"
+    )
+    per_bucket = (
+        deltas.withColumn(
+            "within",
+            F.sum("d").over(wb.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.max("within").alias("mx"),
+            F.sum("d").alias("bucket_delta"),
+            F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).alias("starts"),
         )
     )
-    deltas = deltas.withColumn(
-        "bucket", F.floor(F.col("t") / _CONC_BUCKET_S).cast("long")
-    )
-    carry = (
-        deltas.groupBy("bucket")
-        .agg(F.sum("d").alias("bucket_delta"))
-        .withColumn(
-            "carry_in",
+    carried = per_bucket.withColumn(
+        "carry_in",
+        F.coalesce(
             F.sum("bucket_delta").over(
                 Window.orderBy("bucket").rowsBetween(
                     Window.unboundedPreceding, -1
                 )
             ),
+            F.lit(0),
+        ),
+    )
+    return (
+        carried.withColumn(
+            "day",
+            F.floor(F.col("bucket") * _CONC_BUCKET_S / 86400).cast("long"),
         )
-        .select("bucket", F.coalesce("carry_in", F.lit(0)).alias("carry_in"))
-    )
-    wb = Window.partitionBy("bucket").orderBy(
-        "t", "d", "user_id", "session_id"
-    )
-    swept = (
-        deltas.join(carry, "bucket")
-        .withColumn(
-            "conc",
-            F.col("carry_in")
-            + F.sum("d").over(wb.rowsBetween(Window.unboundedPreceding, 0)),
+        .groupBy("day")
+        .agg(
+            F.max(F.col("carry_in") + F.col("mx"))
+            .cast("long")
+            .alias("peak_concurrency"),
+            F.sum("starts").cast("long").alias("sessions_started"),
         )
-        .withColumn("day", F.floor(F.col("t") / 86400).cast("long"))
-    )
-    return swept.groupBy("day").agg(
-        F.max("conc").cast("long").alias("peak_concurrency"),
-        F.sum(F.when(F.col("d") == 1, 1).otherwise(0))
-        .cast("long")
-        .alias("sessions_started"),
     )
 
 
