@@ -210,12 +210,20 @@ def build_ivf_index(
             .localCheckpoint()
         )
 
+    def _probe_dim():
+        row = corpus.select(F.size("embedding").alias("d")).first()
+        if row is None:  # r14 ADVICE: descriptive error at build entry
+            raise ValueError(
+                "build_ivf_index: the corpus is empty — an IVF index "
+                "needs at least one vector to seed centroids and the "
+                "PQ codebook"
+            )
+        return row["d"]
+
     with ThreadPoolExecutor(max_workers=3) as pool:
         f_seeds = pool.submit(_mk_seeds)
         f_codebook = pool.submit(_mk_codebook)
-        f_dim = pool.submit(
-            lambda: corpus.select(F.size("embedding").alias("d")).first()["d"]
-        )
+        f_dim = pool.submit(_probe_dim)
         seeds = f_seeds.result()
         codebook = f_codebook.result()
         dim = f_dim.result()
@@ -386,19 +394,32 @@ def _write_meta(index_path: str, meta: dict) -> None:
     Spark's readers."""
     import json
 
-    with open(os.path.join(index_path, "_meta.json"), "w") as fh:
+    # r14 ADVICE: tmp + os.replace so a crash mid-write cannot leave a
+    # truncated file that fails every later probe/ingest — the crash
+    # discipline the other index sidecars follow. Local-filesystem
+    # only (like the swap/rename logic and the scandir helpers): an
+    # object-store backend must port all of them together.
+    tmp = os.path.join(index_path, "_meta.json.tmp")
+    with open(tmp, "w") as fh:
         json.dump(meta, fh)
+    os.replace(tmp, os.path.join(index_path, "_meta.json"))
 
 
 def _read_meta(index_path: str) -> dict:
     """The build-time geometry sidecar; {} for an index built before
-    it existed (callers fall back to deriving from the codebook)."""
+    it existed OR whose sidecar is unreadable (r14 ADVICE: a damaged
+    sidecar must degrade to the derive-from-codebook fallback the
+    callers already implement, not raise JSONDecodeError on every
+    probe)."""
     import json
 
     p = os.path.join(index_path, "_meta.json")
     if os.path.exists(p):
-        with open(p) as fh:
-            return json.load(fh)
+        try:
+            with open(p) as fh:
+                return json.load(fh)
+        except (json.JSONDecodeError, OSError):
+            return {}
     return {}
 
 
@@ -478,9 +499,11 @@ def ingest_ivf_batch(
         )
     seeds = spark.read.parquet(os.path.join(index_path, "centroids"))
     codebook = spark.read.parquet(os.path.join(index_path, "pq_codebook"))
-    dim = _read_meta(index_path).get("dim") or (
-        codebook.select(F.size("c").alias("d")).first()["d"]
-    )
+    # r14 ADVICE: `is None`, not `or` — a stored 0 must not silently
+    # fall through to the codebook derivation as if the key were absent
+    dim = _read_meta(index_path).get("dim")
+    if dim is None:
+        dim = codebook.select(F.size("c").alias("d")).first()["d"]
     assigned = _nearest_lists(
         batch.select(id_col, "embedding"), seeds, 1, id_col
     )
@@ -575,7 +598,13 @@ def _delta_batch_ids_fs(delta_path: str) -> set[int]:
     partitioned delta, from the second-level partition directory
     names — the same dirs Spark's partition discovery parses, without
     a job. Spark's writers never leave an empty partition directory,
-    so the listing equals the distinct column values."""
+    so the listing equals the distinct column values.
+
+    LOCAL FILESYSTEM ONLY (r14 ADVICE): os.scandir binds index paths
+    to a POSIX fs, like the swap/rename logic and the _meta.json
+    sidecar I/O — the distinct().collect() this replaced worked
+    through any Hadoop FS. An object-store backend must port every
+    one of these helpers together, not just the renames."""
     ids: set[int] = set()
     for lid in os.scandir(delta_path):
         if not (lid.is_dir() and lid.name.startswith("list_id=")):
@@ -730,9 +759,14 @@ def probe_ivf_adc(
     # Both geometry scalars come from the build-time _meta.json
     # sidecar when present (r13) — two fewer Spark jobs per probe.
     meta = _read_meta(index_path)
-    dim = meta.get("dim") or codebook.select(F.size("c").alias("d")).first()["d"]
+    # r14 ADVICE: `is None`, not `or` — 0 is a value, not "missing"
+    dim = meta.get("dim")
+    if dim is None:
+        dim = codebook.select(F.size("c").alias("d")).first()["d"]
     sub = dim // _PQ_M
-    k_cb = meta.get("k_cb") or codebook.count()
+    k_cb = meta.get("k_cb")
+    if k_cb is None:
+        k_cb = codebook.count()
 
     probed = (
         _nearest_lists(queries, centroids, nprobe, id_col)

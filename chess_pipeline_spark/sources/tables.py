@@ -96,8 +96,30 @@ def _normalize_events(df: DataFrame) -> DataFrame:
 _SCAN_CACHE: dict[tuple[str, int, str], DataFrame] = {}
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def clear_scan_cache() -> None:
+    """Drop every memoized scan (r14 ADVICE): the explicit escape
+    hatch for a caller that rewrites a table file at a previously
+    loaded path within one SparkContext lifetime — the one situation
+    the memo's path-immutability contract (load_table docstring)
+    does not cover."""
+    _SCAN_CACHE.clear()
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, refresh: bool = False
+) -> DataFrame:
     """Load one synthetic table; normalizes the events timestamp.
+
+    CONTRACT (r14 ADVICE, explicit): the parquet at each loaded path
+    is treated as IMMUTABLE for the lifetime of the SparkContext —
+    the scan is memoized per (applicationId, startTime, path), so a
+    caller that rewrites a loaded table file in-place within one
+    context would silently read the stale plan (or fail on deleted
+    files). The driver generates all tables before any query runs,
+    and every property test writes into a fresh mktemp dir, so the
+    contract holds everywhere today; a caller that must re-read a
+    mutated path passes ``refresh=True`` (re-scans and replaces the
+    memo entry) or calls :func:`clear_scan_cache`.
 
     events gains:
       ts      TIMESTAMP  (microsecond precision)
@@ -111,9 +133,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     sc = spark.sparkContext
     key = (sc.applicationId, int(sc.startTime), path)
-    cached = _SCAN_CACHE.get(key)
-    if cached is not None:
-        return cached
+    if not refresh:
+        cached = _SCAN_CACHE.get(key)
+        if cached is not None:
+            return cached
     # only one SparkContext can be live per process: entries under any
     # other (appId, startTime) belong to a stopped context — evict so
     # long pytest processes that cycle sessions don't accumulate

@@ -273,7 +273,9 @@ def compact_text_index(spark: SparkSession, index_path: str) -> None:
         # (every table here is batch_id-partitioned; Spark's writers
         # never leave an empty partition dir) — an os.scandir answers
         # what a parquet read + distinct + collect paid a Spark job
-        # for, three times per compaction.
+        # for, three times per compaction. LOCAL FILESYSTEM ONLY
+        # (r14 ADVICE) — like the swap/rename logic and ingest's
+        # has_lens scandir; an object-store backend ports them all.
         return {
             int(e.name.split("=", 1)[1])
             for e in os.scandir(path)

@@ -634,3 +634,89 @@ def test_ragged_embedding_refused_at_encode_and_adc_probe(spark, tmp_path):
         [(7, [1.0] * dim)], "qid long, embedding array<float>"
     )
     assert probe_ivf_adc(spark, idx, ok_q, k=3).count() == 3
+
+
+def test_meta_sidecar_crash_discipline_and_empty_corpus_guard(
+    spark, sf_dir, tmp_path
+):
+    """r14 ADVICE fixes: (1) a truncated/corrupt _meta.json degrades
+    to the derive-from-codebook fallback instead of raising
+    JSONDecodeError on every probe; (2) _write_meta goes through
+    tmp + os.replace (no .tmp residue, valid JSON after build);
+    (3) an empty corpus refuses at build entry with a descriptive
+    error, not a bare IndexError/TypeError."""
+    import json
+    import os
+
+    import pytest
+
+    from chess_pipeline_spark.ann_index import (
+        _read_meta,
+        build_ivf_index,
+        probe_ivf_adc,
+    )
+    from chess_pipeline_spark.sources import load_table
+
+    corpus = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    idx = str(tmp_path / "ivf_meta")
+    build_ivf_index(corpus, idx, n_lists=_N_LISTS)
+
+    # build leaves a valid sidecar and no tmp residue
+    meta = _read_meta(idx)
+    assert set(meta) == {"dim", "k_cb"} and meta["dim"] > 0
+    assert not os.path.exists(os.path.join(idx, "_meta.json.tmp"))
+
+    queries = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    want = sorted(
+        map(tuple, probe_ivf_adc(spark, idx, queries, k=3).collect())
+    )
+
+    # corrupt the sidecar mid-byte (the crash this guards against):
+    # _read_meta returns {} and the probe falls back to the codebook,
+    # returning identical rows
+    with open(os.path.join(idx, "_meta.json"), "w") as fh:
+        fh.write('{"dim": 6')  # truncated JSON
+    assert _read_meta(idx) == {}
+    got = sorted(
+        map(tuple, probe_ivf_adc(spark, idx, queries, k=3).collect())
+    )
+    assert got == want
+
+    # restore a valid sidecar through the tmp+replace writer
+    from chess_pipeline_spark.ann_index import _write_meta
+
+    _write_meta(idx, meta)
+    assert json.load(open(os.path.join(idx, "_meta.json"))) == meta
+
+    # empty corpus refuses loudly at build entry
+    empty = corpus.filter(F.col("vec_id") < 0)
+    with pytest.raises(ValueError, match="empty"):
+        build_ivf_index(empty, str(tmp_path / "ivf_empty"), n_lists=2)
+
+
+def test_scan_cache_refresh_and_clear(spark, tmp_path):
+    """r14 ADVICE: the scan memo's path-immutability contract gets an
+    explicit escape hatch — refresh=True re-scans a rewritten path,
+    clear_scan_cache() drops every entry."""
+    import os
+
+    from chess_pipeline_spark.sources import clear_scan_cache, load_table
+
+    d = str(tmp_path / "sfx")
+    os.makedirs(d)
+    p = os.path.join(d, "region.parquet")
+    spark.range(3).toDF("r_regionkey").write.mode("overwrite").parquet(p)
+    assert load_table(spark, d, "region").count() == 3
+
+    # rewrite the file in place: the memo (by contract) still serves
+    # the stale plan; refresh=True re-scans; the cache then serves the
+    # fresh entry; clear_scan_cache drops everything without error
+    spark.range(5).toDF("r_regionkey").write.mode("overwrite").parquet(p)
+    assert load_table(spark, d, "region", refresh=True).count() == 5
+    assert load_table(spark, d, "region").count() == 5
+    clear_scan_cache()
+    assert load_table(spark, d, "region").count() == 5
