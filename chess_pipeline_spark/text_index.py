@@ -326,34 +326,64 @@ def compact_text_index(spark: SparkSession, index_path: str) -> None:
         return  # fresh build, nothing ever ingested: a no-op
     marker = sorted(folded | all_ids)
 
-    if p_ids != {0} or folded != set(marker):
-        merged = spark.read.parquet(postings_p).withColumn("batch_id", F.lit(0))
-        swap(
-            postings_p,
-            lambda t: merged.write.partitionBy("batch_id", "bucket")
-            .mode("overwrite")
-            .parquet(t),
-            marker,
-        )
-    if d_ids != {0}:
-        merged = spark.read.parquet(doclens_p).withColumn("batch_id", F.lit(0))
-        swap(
-            doclens_p,
-            lambda t: merged.write.partitionBy("batch_id").mode("overwrite").parquet(t),
-        )
-    if s_ids != {0} or spark.read.parquet(stats_p).count() > 1:
-        summed = (
-            spark.read.parquet(stats_p)
-            .agg(
-                F.sum("n_docs").cast("long").alias("n_docs"),
-                F.sum("total_len").cast("long").alias("total_len"),
+    # r14 (guide §2.6): the three per-table folds are independent
+    # jobs over different tables, and the crash contract above
+    # ("a crash between tables leaves some folded and some not, which
+    # the next run simply finishes") is already ORDER-FREE — so
+    # submit them from a 3-thread pool and let the two KB-scale folds
+    # back-fill the postings fold's scheduler tail. Each swap touches
+    # only its own table's tmp/.bak paths; no shared state.
+    def _fold_postings():
+        if p_ids != {0} or folded != set(marker):
+            merged = spark.read.parquet(postings_p).withColumn(
+                "batch_id", F.lit(0)
             )
-            .withColumn("batch_id", F.lit(0))
-        )
-        swap(
-            stats_p,
-            lambda t: summed.write.partitionBy("batch_id").mode("overwrite").parquet(t),
-        )
+            swap(
+                postings_p,
+                lambda t: merged.write.partitionBy("batch_id", "bucket")
+                .mode("overwrite")
+                .parquet(t),
+                marker,
+            )
+
+    def _fold_doclens():
+        if d_ids != {0}:
+            merged = spark.read.parquet(doclens_p).withColumn(
+                "batch_id", F.lit(0)
+            )
+            swap(
+                doclens_p,
+                lambda t: merged.write.partitionBy("batch_id")
+                .mode("overwrite")
+                .parquet(t),
+            )
+
+    def _fold_stats():
+        if s_ids != {0} or spark.read.parquet(stats_p).count() > 1:
+            summed = (
+                spark.read.parquet(stats_p)
+                .agg(
+                    F.sum("n_docs").cast("long").alias("n_docs"),
+                    F.sum("total_len").cast("long").alias("total_len"),
+                )
+                .withColumn("batch_id", F.lit(0))
+            )
+            swap(
+                stats_p,
+                lambda t: summed.write.partitionBy("batch_id")
+                .mode("overwrite")
+                .parquet(t),
+            )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        for f in [
+            pool.submit(_fold_postings),
+            pool.submit(_fold_doclens),
+            pool.submit(_fold_stats),
+        ]:
+            f.result()
 
 
 def probe_bm25(
