@@ -2367,7 +2367,9 @@ def component_labels(
         pairs.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
         )
-    ).localCheckpoint()  # the LSH pipeline runs ONCE, not per round
+    ).localCheckpoint(eager=False)  # the LSH pipeline runs ONCE, not
+    # per round (r14: lazily — round 1's convergence job materializes
+    # it; one fewer driver round-trip)
     # round-0 hook folded into initialization: every node starts at
     # min(itself, its neighbors) — the same aggregation that would
     # otherwise be the first loop iteration, saving one full round of
@@ -2406,11 +2408,16 @@ def component_labels(
                     "label0",
                 )
             )
+        # r14: LAZY checkpoint — the convergence count right below is
+        # the materializing action, so each round costs ONE job
+        # instead of an eager-checkpoint job plus a count job; the
+        # count still scans the persisted round output, and later
+        # rounds read the same pinned RDD (the pca lazy-barrier move)
         new_labels = cur.select(
             "doc_id",
             "label",
             (F.col("label") < F.col("label0")).alias("changed"),
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         changed = new_labels.filter("changed").limit(1).count()
         labels = new_labels.select("doc_id", "label")
         if changed == 0:
@@ -2455,7 +2462,8 @@ def component_labels_logstep(
         e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        # r14: lazy — round 1's convergence job materializes it
+        .localCheckpoint(eager=False)
     )
     # same init-hook as component_labels: start at min(self, neighbors)
     labels = (
@@ -2501,7 +2509,9 @@ def component_labels_logstep(
                     < F.col("label0")
                 ).alias("changed"),
             )
-            .localCheckpoint()
+            # r14: LAZY checkpoint — the convergence count below is
+            # the materializing action (one job per round, not two)
+            .localCheckpoint(eager=False)
         )
         changed = compressed.filter("changed").limit(1).count()
         labels = compressed.select("doc_id", "label")
