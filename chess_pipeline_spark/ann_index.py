@@ -227,7 +227,15 @@ def build_ivf_index(
         seeds = f_seeds.result()
         codebook = f_codebook.result()
         dim = f_dim.result()
-    vecs = corpus.select(id_col, "embedding")
+    # r14 (guide §2.5 input under-split): a small corpus parquet scans
+    # as ONE split, serializing the expensive per-row PQ encode onto a
+    # single core (profiled: 1.9 s of the 2.9 s bench build phase was
+    # the encode on one core). spread() is a no-op whenever the scan
+    # already has >= cores partitions — the 100 TB case — and
+    # otherwise buys full encode parallelism for one narrow shuffle.
+    from chess_pipeline_spark.sources import spread
+
+    vecs = spread(corpus.select(id_col, "embedding"), id_col)
     for _ in range(lloyd_iterations):
         assigned = _nearest_lists(vecs, seeds, 1, id_col)
         means = (
@@ -256,10 +264,21 @@ def build_ivf_index(
     # and the two KB-scale sidecar writes off already-checkpointed
     # frames. Submitting the tiny writes alongside lets them ride the
     # big write's scheduler gaps instead of serializing after it.
+    # r14 (guide §6 small files / write distribution): without a
+    # shuffle, the partitionBy write emits (input partitions x
+    # n_lists) files — 256 KB-scale files at bench shape, and at
+    # corpus scale (thousands of tasks x n_lists) an unbounded
+    # small-file explosion. A REBALANCE-by-list_id exchange before the
+    # write is the standard hash write-distribution: AQE sizes the
+    # post-shuffle partitions (coalescing tiny ones, splitting skewed
+    # lists), so each list lands in few well-sized files. The shuffle
+    # carries the encoded payload exactly once — the only wide
+    # exchange in the build, as before.
     with ThreadPoolExecutor(max_workers=3) as pool:
         futs = [
             pool.submit(
                 lambda: _encode_rows(assigned, codebook, dim // _PQ_M, id_col, dim=dim)
+                .hint("rebalance", "list_id")
                 .write.partitionBy("list_id")
                 .mode("overwrite")
                 .parquet(os.path.join(out_path, "lists"))
@@ -497,6 +516,17 @@ def ingest_ivf_batch(
             "the stream's checkpoint was reset, resume ingest with ids "
             f"above {max(folded)}."
         )
+    folding = _read_folding(os.path.join(index_path, "lists"))
+    if batch_id in folding:
+        raise ValueError(
+            f"ingest_ivf_batch: batch_id {batch_id} is mid-fold — a "
+            "compaction recorded it in _folding_batches.json and may "
+            "already have moved part of its rows into the base, so a "
+            "replay here would duplicate the moved rows. Run "
+            "compact_ivf_index to finish the fold (the batch's rows are "
+            "all present across base+delta), then ingest NEW data under "
+            "a fresh id."
+        )
     seeds = spark.read.parquet(os.path.join(index_path, "centroids"))
     codebook = spark.read.parquet(os.path.join(index_path, "pq_codebook"))
     # r14 ADVICE: `is None`, not `or` — a stored 0 must not silently
@@ -504,14 +534,23 @@ def ingest_ivf_batch(
     dim = _read_meta(index_path).get("dim")
     if dim is None:
         dim = codebook.select(F.size("c").alias("d")).first()["d"]
+    # r14: same two scale guards as the build — spread() for encode
+    # parallelism on an under-split delta (no-op when the batch scan
+    # already has >= cores partitions), REBALANCE-by-list_id so the
+    # (list_id, ingest_batch) write emits few AQE-sized files instead
+    # of (input partitions x n_lists) KB-scale ones (profiled: 256
+    # files per 500-row batch; the dynamic-overwrite commit and every
+    # later delta read paid for them).
+    from chess_pipeline_spark.sources import spread
+
     assigned = _nearest_lists(
-        batch.select(id_col, "embedding"), seeds, 1, id_col
+        spread(batch.select(id_col, "embedding"), id_col), seeds, 1, id_col
     )
     rows = _encode_rows(assigned, codebook, dim // _PQ_M, id_col, dim=dim).withColumn(
         "ingest_batch", F.lit(batch_id)
     )
     upsert_partition_overwrite(
-        rows,
+        rows.hint("rebalance", "list_id"),
         os.path.join(index_path, "lists_delta"),
         ["list_id", "ingest_batch"],
     )
@@ -532,25 +571,79 @@ def _read_folded(lists_dir: str) -> set[int]:
     return set()
 
 
-def compact_ivf_index(spark: SparkSession, index_path: str) -> None:
-    """Fold lists_delta into the base lists, idempotently. The swap
-    renames the live base to a .bak sibling before renaming the merged
-    tmp into place (and only then drops .bak + delta), so a crash at
-    any instant leaves either the target or the .bak holding a full
-    base — _read_lists falls back to the .bak, and a half-completed
-    swap is restored here before compacting.
-
-    Idempotence across the crash window between the final rename and
-    the delta removal: the merged base carries a
-    `_folded_batches.json` marker listing every ingest_batch id it
-    already contains, and both this function and _read_lists anti-
-    filter the delta against it — so a re-run after ANY crash folds
-    each batch exactly once (the re-compaction-duplicates window a
-    bare rename sequence leaves open), and probes between the rename
-    and the delta removal no longer double-read folded rows."""
+def _write_json_atomic(path: str, payload) -> None:
+    """tmp + os.replace, the _meta.json crash discipline — a reader
+    never sees a truncated marker. Local filesystem only, like every
+    sidecar helper here."""
     import json
+
+    tmp = f"{path}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh)
+    os.replace(tmp, path)
+
+
+def _read_folding(lists_dir: str) -> set[int]:
+    """ingest_batch ids a (possibly crashed) move-based compaction is
+    currently folding, from `_folding_batches.json` inside the lists
+    dir. A batch listed here may have SOME of its files already moved
+    into the base — ingest must refuse a replay of it (duplicates),
+    and the next compact_ivf_index run finishes the fold. Empty when
+    no fold is in flight."""
+    import json
+
+    p = os.path.join(lists_dir, "_folding_batches.json")
+    if os.path.exists(p):
+        try:
+            with open(p) as fh:
+                return set(json.load(fh))
+        except (json.JSONDecodeError, OSError):
+            return set()
+    return set()
+
+
+def _clear_folding(lists_dir: str) -> None:
+    p = os.path.join(lists_dir, "_folding_batches.json")
+    if os.path.exists(p):
+        os.remove(p)
+
+
+def compact_ivf_index(
+    spark: SparkSession, index_path: str, rewrite: bool = False
+) -> None:
+    """Fold lists_delta into the base lists, idempotently.
+
+    Default (r14, guide §6/§1.2 — make maintenance delta-proportional):
+    a MINOR fold that renames the delta's parquet files into the base's
+    list_id directories — zero Spark jobs, zero bytes rewritten, cost
+    proportional to the number of delta FILES rather than the base
+    size. Base and delta files carry the identical physical schema by
+    construction (_encode_rows wrote both; list_id/ingest_batch are
+    directory-encoded), so a moved file IS a base file. Exactly-once
+    across any crash instant, proven over the probe contract
+    base ∪ (delta − folded):
+
+      * os.rename is atomic and removes the source, so every row lives
+        in exactly one of base/delta at all times — a probe racing the
+        fold reads each row exactly once, before and after any crash;
+      * `_folding_batches.json` (written BEFORE the first move) lists
+        the batches being folded: ingest refuses a replay of those ids
+        (their rows may be partially in the base, where a dynamic
+        partition overwrite of the delta cannot reach them), closing
+        the duplicate window a replay-during-crashed-fold would open;
+      * `_folded_batches.json` is updated only AFTER every file of the
+        fold moved, so probes never anti-filter a batch whose rows are
+        still (partly) in the delta;
+      * a re-run after ANY crash recomputes the remaining work from
+        the surviving delta directories and finishes it.
+
+    `rewrite=True` is the MAJOR compaction: the pre-r14 read-union-
+    rewrite through a tmp + .bak swap, which also consolidates the
+    base into freshly AQE-sized files. A deployment alternates: minor
+    per delta epoch, major on a file-count budget. Results (rows, and
+    every probe) are identical either way — only file layout differs.
+    """
     import shutil
-    import uuid
 
     from chess_pipeline_spark.sinks import clean_stale_tmp_dirs
 
@@ -562,9 +655,12 @@ def compact_ivf_index(spark: SparkSession, index_path: str) -> None:
         os.rename(bak_path, lists_path)
     clean_stale_tmp_dirs(lists_path)
     if not os.path.exists(delta_path):
+        # a fold may have crashed after removing the delta but before
+        # clearing its in-flight marker — finish that cleanup
+        if os.path.exists(lists_path):
+            _clear_folding(lists_path)
         return
     folded = _read_folded(lists_path)
-    delta_raw = spark.read.parquet(delta_path)
     # r13: the delta's batch ids are its partition DIRECTORY names
     # (ingest lands under list_id=*/ingest_batch=* by construction) —
     # an os.scandir answers what the previous distinct().collect()
@@ -573,18 +669,73 @@ def compact_ivf_index(spark: SparkSession, index_path: str) -> None:
     new_batches = sorted(_delta_batch_ids_fs(delta_path) - folded)
     if not new_batches:
         # everything in the delta is already in the base (crash after
-        # the rename, before the delta removal) — just finish cleanup
+        # the marker update, before the delta removal) — finish cleanup
         shutil.rmtree(delta_path)
+        _clear_folding(lists_path)
         return
-    base = spark.read.parquet(lists_path)
-    delta = delta_raw.filter(F.col("ingest_batch").isin(new_batches)).drop(
-        "ingest_batch"
+    if rewrite:
+        _compact_rewrite(spark, lists_path, delta_path, folded, new_batches)
+        return
+    # ---- minor fold: move delta files into the base, no Spark ----
+    _write_json_atomic(
+        os.path.join(lists_path, "_folding_batches.json"), new_batches
     )
-    merged = base.unionByName(delta)
+    todo = set(new_batches)
+    for lid in os.scandir(delta_path):
+        if not (lid.is_dir() and lid.name.startswith("list_id=")):
+            continue
+        for b in os.scandir(lid.path):
+            if not (b.is_dir() and b.name.startswith("ingest_batch=")):
+                continue
+            bid = int(b.name.split("=", 1)[1])
+            if bid not in todo:
+                continue
+            dest = os.path.join(lists_path, lid.name)
+            os.makedirs(dest, exist_ok=True)
+            for f in os.scandir(b.path):
+                if f.is_file() and not f.name.startswith(("_", ".")):
+                    os.rename(f.path, os.path.join(dest, f"b{bid}-{f.name}"))
+    _write_json_atomic(
+        os.path.join(lists_path, "_folded_batches.json"),
+        sorted(folded | set(new_batches)),
+    )
+    _clear_folding(lists_path)
+    shutil.rmtree(delta_path)
+
+
+def _compact_rewrite(
+    spark: SparkSession,
+    lists_path: str,
+    delta_path: str,
+    folded: set[int],
+    new_batches: list[int],
+) -> None:
+    """Major compaction: read base ∪ (delta − folded), rewrite the
+    base in one AQE-rebalanced partitioned write, and swap it in via
+    tmp → .bak → rename (a crash at any instant leaves either the
+    target or the .bak holding a full base — _read_lists falls back
+    to the .bak). The `_folded_batches.json` marker rides INSIDE the
+    merged tmp, so it renames atomically with the base it describes."""
+    import json
+    import shutil
+    import uuid
+
+    base = spark.read.parquet(lists_path)
+    merged = base
+    if _delta_has_files(delta_path):
+        delta = (
+            spark.read.parquet(delta_path)
+            .filter(F.col("ingest_batch").isin(new_batches))
+            .drop("ingest_batch")
+        )
+        merged = base.unionByName(delta)
     tmp = f"{lists_path}.__tmp__{uuid.uuid4().hex[:8]}"
-    merged.write.partitionBy("list_id").mode("overwrite").parquet(tmp)
+    merged.hint("rebalance", "list_id").write.partitionBy("list_id").mode(
+        "overwrite"
+    ).parquet(tmp)
     with open(os.path.join(tmp, "_folded_batches.json"), "w") as fh:
         json.dump(sorted(folded | set(new_batches)), fh)
+    bak_path = f"{lists_path}.__bak__"
     if os.path.exists(bak_path):
         shutil.rmtree(bak_path)
     os.rename(lists_path, bak_path)
@@ -615,6 +766,17 @@ def _delta_batch_ids_fs(delta_path: str) -> set[int]:
     return ids
 
 
+def _delta_has_files(delta_path: str) -> bool:
+    """True iff the delta holds at least one data file. A move-based
+    fold that crashed after its last rename can leave only EMPTY
+    partition directories behind — a parquet read of that raises
+    (no schema), so readers check this first."""
+    for root, _dirs, files in os.walk(delta_path):
+        if any(not f.startswith(("_", ".")) for f in files):
+            return True
+    return False
+
+
 def _read_lists(spark: SparkSession, index_path: str) -> DataFrame:
     """Base lists plus any un-compacted ingest delta (same schema by
     construction — _encode_rows built both). Partition pruning on
@@ -633,7 +795,7 @@ def _read_lists(spark: SparkSession, index_path: str) -> DataFrame:
         lists_path = f"{lists_path}.__bak__"
     lists = spark.read.parquet(lists_path)
     delta_path = os.path.join(index_path, "lists_delta")
-    if os.path.exists(delta_path):
+    if os.path.exists(delta_path) and _delta_has_files(delta_path):
         delta = spark.read.parquet(delta_path)
         folded = _read_folded(lists_path)
         if folded and "ingest_batch" in delta.columns:

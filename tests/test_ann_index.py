@@ -720,3 +720,89 @@ def test_scan_cache_refresh_and_clear(spark, tmp_path):
     assert load_table(spark, d, "region").count() == 5
     clear_scan_cache()
     assert load_table(spark, d, "region").count() == 5
+
+
+def test_minor_fold_moves_files_and_survives_mid_fold_crash(
+    spark, sf_dir, tmp_path
+):
+    """r14: compact_ivf_index's default fold MOVES delta files into
+    the base (delta-proportional, zero Spark jobs). Laws pinned here:
+    (a) a fold crashed between its first move and the folded-marker
+    update leaves every row readable exactly once (os.rename keeps
+    each row in exactly one of base/delta, and the batch is not yet
+    anti-filtered); (b) an ingest replay of a mid-fold batch id is
+    REFUSED (its rows may already be partly in the base, out of reach
+    of the delta's dynamic partition overwrite); (c) a re-run finishes
+    the fold; (d) rewrite=True (major compaction) yields the identical
+    row multiset from the same start state."""
+    import os
+    import shutil
+
+    import pytest
+    import pyspark.sql.functions as F
+
+    from chess_pipeline_spark.ann_index import (
+        _read_folded,
+        _read_lists,
+        build_ivf_index,
+        compact_ivf_index,
+        ingest_ivf_batch,
+    )
+
+    corpus = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    mid = corpus.agg(F.expr("percentile(vec_id, 0.5)")).first()[0]
+
+    def rows(df):
+        return sorted(map(tuple, df.select("vec_id", "list_id").collect()))
+
+    def build_and_ingest(path):
+        build_ivf_index(corpus.filter(F.col("vec_id") <= mid), path, n_lists=8)
+        ingest_ivf_batch(corpus.filter(F.col("vec_id") > mid), 7, path)
+
+    idx = str(tmp_path / "ivf_minor")
+    build_and_ingest(idx)
+    want = rows(_read_lists(spark, idx))
+
+    # manufacture the mid-fold crash: folding marker written, SOME
+    # delta files moved (exactly what the move loop does for a strict
+    # subset of list dirs), then "crash"
+    from chess_pipeline_spark.ann_index import _write_json_atomic
+
+    lists_p, delta_p = os.path.join(idx, "lists"), os.path.join(idx, "lists_delta")
+    _write_json_atomic(os.path.join(lists_p, "_folding_batches.json"), [7])
+    lids = sorted(
+        e.name for e in os.scandir(delta_p) if e.name.startswith("list_id=")
+    )
+    moved_any = False
+    for lid in lids[: max(1, len(lids) // 2)]:
+        bdir = os.path.join(delta_p, lid, "ingest_batch=7")
+        if not os.path.isdir(bdir):
+            continue
+        dest = os.path.join(lists_p, lid)
+        os.makedirs(dest, exist_ok=True)
+        for f in os.scandir(bdir):
+            if f.is_file() and not f.name.startswith(("_", ".")):
+                os.rename(f.path, os.path.join(dest, f"b7-{f.name}"))
+                moved_any = True
+    assert moved_any
+
+    # (a) exactly-once through the crash window
+    assert rows(_read_lists(spark, idx)) == want
+    # (b) replaying the mid-fold batch id is refused
+    with pytest.raises(ValueError, match="mid-fold"):
+        ingest_ivf_batch(corpus.filter(F.col("vec_id") > mid), 7, idx)
+    # (c) a re-run finishes the fold: delta gone, marker updated,
+    # rows identical, and no in-flight marker remains
+    compact_ivf_index(spark, idx)
+    assert not os.path.exists(delta_p)
+    assert _read_folded(lists_p) == {7}
+    assert not os.path.exists(os.path.join(lists_p, "_folding_batches.json"))
+    assert rows(spark.read.parquet(lists_p)) == want
+
+    # (d) the major (rewrite) compaction from the same start state
+    # produces the identical row multiset
+    idx2 = str(tmp_path / "ivf_major")
+    build_and_ingest(idx2)
+    compact_ivf_index(spark, idx2, rewrite=True)
+    assert not os.path.exists(os.path.join(idx2, "lists_delta"))
+    assert rows(spark.read.parquet(os.path.join(idx2, "lists"))) == want
