@@ -694,6 +694,14 @@ def compact_ivf_index(
             os.makedirs(dest, exist_ok=True)
             for f in os.scandir(b.path):
                 if f.is_file() and not f.name.startswith(("_", ".")):
+                    # carry the Hadoop checksum sidecar so local-fs
+                    # verification stays intact for the moved file
+                    crc = os.path.join(b.path, f".{f.name}.crc")
+                    if os.path.exists(crc):
+                        os.rename(
+                            crc,
+                            os.path.join(dest, f".b{bid}-{f.name}.crc"),
+                        )
                     os.rename(f.path, os.path.join(dest, f"b{bid}-{f.name}"))
     _write_json_atomic(
         os.path.join(lists_path, "_folded_batches.json"),

@@ -82,7 +82,15 @@ def _paths(index_path: str) -> tuple[str, str, str]:
 def _tokenized(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(postings rows, doc lengths) from a documents frame — length
     semantics identical to bm25_doc_search (size of the raw split,
-    empty tokens counted)."""
+    empty tokens counted).
+
+    r14 note (guide §1.6): spread()-ing the filtered docs here — the
+    under-split guard that won 0.36x on the IVF build — measured
+    1.75x/2.1x SLOWER on build/ingest in an interleaved A/B: BOTH
+    consumers (postings and lens) re-execute the repartition, so the
+    narrow shuffle is paid twice and costs more than the single-core
+    tokenize it parallelizes (the catalog query already spreads its
+    corpus ONCE, upstream, which is the right place). Kept unspread."""
     base = docs.filter(F.col("text").isNotNull()).select(
         "doc_id",
         F.split("text", " ").alias("toks"),
@@ -237,21 +245,31 @@ def compact_text_index(spark: SparkSession, index_path: str) -> None:
     The fold is a pure LAYOUT move: batch partitions hold disjoint
     documents, probes never filter on batch_id, and stats are summed
     at probe time — so probe_bm25 is bit-identical before, during,
-    and after compaction. That makes the three per-table swaps safe
-    to run non-atomically: a crash between tables leaves some folded
-    and some not, which the next run simply finishes.
+    and after compaction. r14 takes that property to its conclusion
+    (guide §1.2 — make maintenance delta-proportional): postings and
+    doclens fold by RENAMING each batch's parquet files into the
+    batch-0 directories — zero Spark jobs, zero bytes rewritten, cost
+    proportional to delta FILE COUNT, not table size. os.rename is
+    atomic and removes the source, so every row lives in exactly one
+    directory at any crash instant, and probes (which never filter on
+    batch_id) read each row exactly once throughout. Only the stats
+    table still runs a (one-job, ≤#batches-row) Spark rewrite, via
+    the tmp → .bak → rename swap, because its fold is a SUM, not a
+    move.
 
-    Each table swaps via the ann_index.compact_ivf_index crash
-    discipline: write merged tmp → rename live to .bak → rename tmp
-    in → drop .bak; a crash at any instant leaves either the target
-    or the .bak holding a full table, restored here before
-    compacting. The postings tmp carries a `_folded_batches.json`
-    marker listing every batch id folded; ingest_text_delta raises on
-    a folded-id reuse (fresh-checkpoint restart at 0) instead of
-    letting a dynamic overwrite replace merged base partitions.
+    The `_folded_batches.json` marker is updated BEFORE the first
+    move: a replayed ingest of a mid-fold batch would dynamic-
+    overwrite only the partitions still under its own batch_id —
+    rows already moved to batch 0 are out of its reach — so the
+    folded-id guard must refuse the replay from the instant the fold
+    starts. (Rows are never lost in that window: a batch reaches
+    compaction only after its ingest committed, and the marker-then-
+    move order is crash-monotone — a re-run finishes the moves from
+    the surviving directories.)
 
-    Parity anchor: ann_index.py:330 (compact_ivf_index) — same
-    marker, same swap, same law tests (tests/test_text_index.py)."""
+    Parity anchor: ann_index.compact_ivf_index (same move-based
+    minor fold; its delta is probe-filtered by the marker, so it
+    orders marker AFTER moves — the guards differ deliberately)."""
     import json
     import shutil
     import uuid
@@ -265,16 +283,18 @@ def compact_text_index(spark: SparkSession, index_path: str) -> None:
             # crashed between the two renames: the .bak IS the table
             os.rename(bak, p)
         clean_stale_tmp_dirs(p)
+        _sweep_empty_batch_dirs(p)
     if not os.path.exists(postings_p):
         return
 
     def batch_ids(path: str) -> set[int]:
         # r13: batch ids are the batch_id=N partition DIRECTORY names
         # (every table here is batch_id-partitioned; Spark's writers
-        # never leave an empty partition dir) — an os.scandir answers
-        # what a parquet read + distinct + collect paid a Spark job
-        # for, three times per compaction. LOCAL FILESYSTEM ONLY
-        # (r14 ADVICE) — like the swap/rename logic and ingest's
+        # never leave an empty partition dir, and entry swept any
+        # emptied-by-a-crashed-move dirs above) — an os.scandir
+        # answers what a parquet read + distinct + collect paid a
+        # Spark job for, three times per compaction. LOCAL FILESYSTEM
+        # ONLY (r14 ADVICE) — like the swap/rename logic and ingest's
         # has_lens scandir; an object-store backend ports them all.
         return {
             int(e.name.split("=", 1)[1])
@@ -282,12 +302,9 @@ def compact_text_index(spark: SparkSession, index_path: str) -> None:
             if e.is_dir() and e.name.startswith("batch_id=")
         }
 
-    def swap(path: str, write_tmp, marker=None) -> None:
+    def swap(path: str, write_tmp) -> None:
         tmp = f"{path}.__tmp__{uuid.uuid4().hex[:8]}"
         write_tmp(tmp)
-        if marker is not None:
-            with open(os.path.join(tmp, "_folded_batches.json"), "w") as fh:
-                json.dump(marker, fh)
         bak = f"{path}.__bak__"
         if os.path.exists(bak):
             shutil.rmtree(bak)
@@ -325,65 +342,108 @@ def compact_text_index(spark: SparkSession, index_path: str) -> None:
     if all_ids <= {0} and not folded:
         return  # fresh build, nothing ever ingested: a no-op
     marker = sorted(folded | all_ids)
+    if set(marker) != folded:
+        # marker FIRST (atomicity note in the docstring): from here a
+        # replayed ingest of any batch being folded raises instead of
+        # overwriting partitions whose rows may already sit in batch 0
+        tmp_m = os.path.join(postings_p, "_folded_batches.json.tmp")
+        with open(tmp_m, "w") as fh:
+            json.dump(marker, fh)
+        os.replace(tmp_m, os.path.join(postings_p, "_folded_batches.json"))
 
-    # r14 (guide §2.6): the three per-table folds are independent
-    # jobs over different tables, and the crash contract above
-    # ("a crash between tables leaves some folded and some not, which
-    # the next run simply finishes") is already ORDER-FREE — so
-    # submit them from a 3-thread pool and let the two KB-scale folds
-    # back-fill the postings fold's scheduler tail. Each swap touches
-    # only its own table's tmp/.bak paths; no shared state.
-    def _fold_postings():
-        if p_ids != {0} or folded != set(marker):
-            merged = spark.read.parquet(postings_p).withColumn(
-                "batch_id", F.lit(0)
+    # postings: move batch_id=N/bucket=B files into batch_id=0/bucket=B
+    _move_batches_into_zero(postings_p, nested=True)
+    # doclens: move batch_id=N files into batch_id=0
+    _move_batches_into_zero(doclens_p, nested=False)
+    # stats: the fold is a SUM — one tiny Spark job over ≤#batches
+    # rows, swapped atomically (post-fold the table is a single
+    # summed batch-0 row by construction)
+    if s_ids != {0}:
+        summed = (
+            spark.read.parquet(stats_p)
+            .agg(
+                F.sum("n_docs").cast("long").alias("n_docs"),
+                F.sum("total_len").cast("long").alias("total_len"),
             )
-            swap(
-                postings_p,
-                lambda t: merged.write.partitionBy("batch_id", "bucket")
-                .mode("overwrite")
-                .parquet(t),
-                marker,
-            )
+            .withColumn("batch_id", F.lit(0))
+        )
+        swap(
+            stats_p,
+            lambda t: summed.write.partitionBy("batch_id")
+            .mode("overwrite")
+            .parquet(t),
+        )
 
-    def _fold_doclens():
-        if d_ids != {0}:
-            merged = spark.read.parquet(doclens_p).withColumn(
-                "batch_id", F.lit(0)
-            )
-            swap(
-                doclens_p,
-                lambda t: merged.write.partitionBy("batch_id")
-                .mode("overwrite")
-                .parquet(t),
-            )
 
-    def _fold_stats():
-        if s_ids != {0} or spark.read.parquet(stats_p).count() > 1:
-            summed = (
-                spark.read.parquet(stats_p)
-                .agg(
-                    F.sum("n_docs").cast("long").alias("n_docs"),
-                    F.sum("total_len").cast("long").alias("total_len"),
+def _sweep_empty_batch_dirs(table_dir: str) -> None:
+    """Remove batch_id=N (and nested bucket=B) directories that hold
+    no data files — the residue of a move-based fold that crashed
+    after its last rename. Without the sweep, batch_ids() would keep
+    reporting the emptied batch and the cross-table consistency guard
+    could refuse a compaction over a ghost."""
+    if not os.path.isdir(table_dir):
+        return
+    for b in os.scandir(table_dir):
+        if not (b.is_dir() and b.name.startswith("batch_id=")):
+            continue
+        if int(b.name.split("=", 1)[1]) == 0:
+            continue
+        for sub in os.scandir(b.path):
+            if sub.is_dir() and not any(os.scandir(sub.path)):
+                os.rmdir(sub.path)
+        if not any(os.scandir(b.path)):
+            os.rmdir(b.path)
+
+
+def _move_data_files(src_dir: str, dest_dir: str, prefix: str) -> None:
+    """Rename every data file in src_dir into dest_dir under
+    prefix+name, carrying each file's Hadoop `.{name}.crc` checksum
+    sidecar along (renamed to match, so local-fs checksum
+    verification stays intact), then clear hidden residue and drop
+    src_dir. os.rename is atomic per file. LOCAL FILESYSTEM ONLY,
+    like every sidecar helper here."""
+    os.makedirs(dest_dir, exist_ok=True)
+    for f in os.scandir(src_dir):
+        if f.is_file() and not f.name.startswith(("_", ".")):
+            crc = os.path.join(src_dir, f".{f.name}.crc")
+            if os.path.exists(crc):
+                os.rename(
+                    crc, os.path.join(dest_dir, f".{prefix}{f.name}.crc")
                 )
-                .withColumn("batch_id", F.lit(0))
-            )
-            swap(
-                stats_p,
-                lambda t: summed.write.partitionBy("batch_id")
-                .mode("overwrite")
-                .parquet(t),
-            )
+            os.rename(f.path, os.path.join(dest_dir, f"{prefix}{f.name}"))
+    for leftover in os.scandir(src_dir):
+        if leftover.is_file() and leftover.name.startswith(("_", ".")):
+            os.remove(leftover.path)
+    os.rmdir(src_dir)
 
-    from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        for f in [
-            pool.submit(_fold_postings),
-            pool.submit(_fold_doclens),
-            pool.submit(_fold_stats),
-        ]:
-            f.result()
+def _move_batches_into_zero(table_dir: str, nested: bool) -> None:
+    """Rename every batch_id=N>0 partition's data files into the
+    batch_id=0 layout (same bucket subdir when nested), prefixing
+    with bN- so names stay unique, then drop the emptied batch dirs.
+    Pure os.rename — atomic per file, no Spark, delta-proportional."""
+    zero = os.path.join(table_dir, "batch_id=0")
+    for b in sorted(os.scandir(table_dir), key=lambda e: e.name):
+        if not (b.is_dir() and b.name.startswith("batch_id=")):
+            continue
+        bid = int(b.name.split("=", 1)[1])
+        if bid == 0:
+            continue
+        if nested:
+            for bucket in sorted(os.scandir(b.path), key=lambda e: e.name):
+                if bucket.is_dir():
+                    _move_data_files(
+                        bucket.path,
+                        os.path.join(zero, bucket.name),
+                        f"b{bid}-",
+                    )
+        else:
+            _move_data_files(b.path, zero, f"b{bid}-")
+            continue  # _move_data_files already dropped the dir
+        for leftover in os.scandir(b.path):
+            if leftover.is_file() and leftover.name.startswith(("_", ".")):
+                os.remove(leftover.path)
+        os.rmdir(b.path)
 
 
 def probe_bm25(

@@ -429,3 +429,61 @@ def test_text_index_format_stamp_enforced(spark, sf_dir, tmp_path):
 
     build_text_index(docs, idx)
     assert probe_bm25(spark, idx, ("data",), k=5).count() >= 0
+
+
+def test_move_fold_mid_crash_probe_exact_and_replay_refused(
+    spark, sf_dir, tmp_path
+):
+    """r14: compact_text_index folds postings/doclens by MOVING batch
+    files into batch_id=0 (delta-proportional, no Spark jobs). Laws:
+    (a) a fold crashed after the marker write and a partial move
+    leaves probe_bm25 bit-identical (probes never filter batch_id;
+    every row is in exactly one directory); (b) an ingest replay of a
+    marked batch id raises; (c) a re-run finishes the fold to the
+    single batch-0 layout with the identical probe."""
+    import json
+    import os
+
+    import pytest
+
+    from chess_pipeline_spark.text_index import (
+        _move_data_files,
+        compact_text_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    mid = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    idx = str(tmp_path / "tix")
+    build_text_index(docs.filter(F.col("doc_id") <= mid), idx)
+    ingest_text_delta(docs.filter(F.col("doc_id") > mid), idx, batch_id=1)
+    want = _rows(probe_bm25(spark, idx, _BM25_QUERY_TERMS))
+
+    # manufacture the crash: marker updated (the fold's first step),
+    # then only ONE bucket of batch 1 moved before dying
+    pp = os.path.join(idx, "postings")
+    with open(os.path.join(pp, "_folded_batches.json"), "w") as fh:
+        json.dump([0, 1], fh)
+    b1 = os.path.join(pp, "batch_id=1")
+    buckets = sorted(e.name for e in os.scandir(b1) if e.is_dir())
+    assert buckets
+    _move_data_files(
+        os.path.join(b1, buckets[0]),
+        os.path.join(pp, "batch_id=0", buckets[0]),
+        "b1-",
+    )
+
+    # (a) probe bit-identical through the crash window
+    assert _rows(probe_bm25(spark, idx, _BM25_QUERY_TERMS)) == want
+    # (b) replaying the marked batch raises
+    with pytest.raises(ValueError, match="already folded"):
+        ingest_text_delta(docs.filter(F.col("doc_id") > mid), idx, batch_id=1)
+    # (c) re-run finishes: single batch-0 layout, identical probe
+    compact_text_index(spark, idx)
+    for table in ("postings", "doclens", "stats"):
+        dirs = sorted(
+            x
+            for x in os.listdir(os.path.join(idx, table))
+            if x.startswith("batch_id=")
+        )
+        assert dirs == ["batch_id=0"], table
+    assert _rows(probe_bm25(spark, idx, _BM25_QUERY_TERMS)) == want
