@@ -899,10 +899,12 @@ def probe_ivf_adc(
     the nprobe nearest lists, scored entirely from the stored PQ
     codes — the billion-scale serving path (Jégou et al.).
 
-    Per query: one tiny job against the broadcast codebook builds a
-    FLAT lookup table (its L2² to every per-subspace centroid,
-    _PQ_M·_PQ_K integer micro-units); each probed candidate is then
-    scored by _PQ_M `element_at` lookups folded over its code array —
+    Per query: a FLAT lookup table (its L2² to every per-subspace
+    centroid, _PQ_M·_PQ_K integer micro-units) is built ROW-LOCALLY
+    against the broadcast 1-row codebook array (r14 — previously an
+    explode + groupBy paid an exchange and a hash aggregate for the
+    same integers); each probed candidate is then scored by _PQ_M
+    `element_at` lookups folded over its code array —
     row-local, zero per-candidate joins, and the lists scan reads
     ONLY (vec_id, list_id, pq_code): neither the float embedding nor
     the int8 affine codes are touched (asserted on ReadSchema in
@@ -960,38 +962,44 @@ def probe_ivf_adc(
             )
         )
     )
-    # flat per-query table: entry (j*K + cid) = micro(L2²(q_j, c_j))
-    td = probed.crossJoin(F.broadcast(codebook)).select(
+    # flat per-query table: entry (j*K + cid) = micro(L2²(q_j, c_j)).
+    # r14 (guide §2.4): built ROW-LOCALLY — the codebook folds into a
+    # broadcast 1-row sorted array (the _nearest_lists/_encode_rows
+    # pattern) and each (query, probe_list) row emits its whole table
+    # as flatten(per-subspace transform), j-major then cid —
+    # bit-identical entries at identical positions to the previous
+    # explode + groupBy + array_sort(collect_list) form (A/B-verified
+    # row equality), without that form's exchange and hash aggregate.
+    # A/B 0.81x mins / 0.72x medians on the probe phase.
+    cba = codebook.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "c"))).alias("cbk")
+    )
+
+    def _dm_row(j: int) -> str:
+        lo = j * sub + 1
+        d = (
+            f"aggregate(sequence({lo}, {lo + sub - 1}), "
+            f"CAST(0 AS DOUBLE), "
+            f"(a, i) -> a + (CAST(element_at(embedding, i) AS DOUBLE) "
+            f"- CAST(element_at(e.c, i) AS DOUBLE)) "
+            f"* (CAST(element_at(embedding, i) AS DOUBLE) "
+            f"- CAST(element_at(e.c, i) AS DOUBLE)))"
+        )
+        # identical micro-unit rounding to _pq_subdist * 1e6: grid the
+        # distance at 1e-9, then floor to integer micro-units
+        return (
+            f"transform(cbk, e -> CAST(floor((floor(({d}) * 1000000000.0 "
+            f"+ 0.5) / 1000000000.0) * 1000000.0 + 0.5) AS BIGINT))"
+        )
+
+    tbl = probed.crossJoin(F.broadcast(cba)).select(
         "q_id",
         "probe_list",
-        "cid",
-        *[
-            F.floor(_pq_subdist(j, sub) * F.lit(1_000_000.0) + F.lit(0.5))
-            .cast("long")
-            .alias(f"dm{j}")
-            for j in range(_PQ_M)
-        ],
-    )
-    tbl = (
-        td.select(
-            "q_id",
-            "probe_list",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            (F.lit(j * k_cb) + F.col("cid")).alias("pos"),
-                            F.col(f"dm{j}").alias("dm"),
-                        )
-                        for j in range(_PQ_M)
-                    ]
-                )
-            ).alias("e"),
-        )
-        .groupBy("q_id", "probe_list")
-        .agg(
-            F.expr("transform(array_sort(collect_list(e)), x -> x.dm)").alias("tbl")
-        )
+        F.expr(
+            "flatten(array("
+            + ", ".join(_dm_row(j) for j in range(_PQ_M))
+            + "))"
+        ).alias("tbl"),
     )
     lists = all_lists.select("vec_id", "list_id", "pq_code")
     adc = F.expr(

@@ -2694,16 +2694,20 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     float-summation-order hazards the JL oracle hit in r4 — and the
     ranking's (adc_micro, vec_id) order is total.
 
-    100 TB shape: the distance tables are |queries|·{_PQ_M}·{_PQ_K}
-    rows and BROADCAST; the corpus side is row-local until one
-    map-side-combined (qid, vec_id) integer-sum shuffle of
-    |queries|·|corpus| compact rows (the same scoring geometry as
-    knn_cosine_topk, but each scored row is 3 ints instead of a
-    float-vector dot); the per-query top-{_ADC_K} is a bounded
-    window. On a real deployment the codes come from the persisted
-    IVF index (ann_index.py stores them) and the probe prunes lists
-    first — this catalog form scores the whole corpus so the oracle
-    can too.
+    100 TB shape (r14, guide §2.3/§2.4): each query's whole distance
+    table is ONE broadcast array row ({_PQ_M}·{_PQ_K} integers,
+    j-major), and every corpus row scores itself by {_PQ_M} row-local
+    element_at lookups on its codes — the corpus side never melts and
+    never shuffles an intermediate; the only corpus-scale exchange
+    left is the per-query top-{_ADC_K} window. (The previous form
+    melted codes to {_PQ_M} rows/vector and paid a
+    (qid, vec_id)-keyed integer-sum shuffle of
+    |queries|·|corpus|·{_PQ_M} rows; the lookup-fold is bit-identical
+    — integer table entries at identical positions — and is the same
+    scoring shape ann_index.probe_ivf_adc serves with. A/B 0.81x.)
+    On a real deployment the codes come from the persisted IVF index
+    (ann_index.py stores them) and the probe prunes lists first —
+    this catalog form scores the whole corpus so the oracle can too.
     """
     e = spread(_L(spark, sf_dir, "embeddings"), "vec_id").select(
         "vec_id", "embedding"
@@ -2714,57 +2718,51 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_PQ_K)
         .select(F.row_number().over(w).alias("cid"), F.col("embedding").alias("c"))
     )
+    cba = cent.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "c"))).alias("cbk")
+    )
 
-    def dist_micro(j: int):
+    def dm_row(j: int) -> str:
         lo = j * _PQ_SUB + 1
-        d = F.expr(
+        d = (
             # index-fold form (r12): see dist() above
             f"aggregate(sequence({lo}, {lo + _PQ_SUB - 1}), "
             f"CAST(0 AS DOUBLE), "
             f"(a, i) -> a + (CAST(element_at(embedding, i) AS DOUBLE) "
-            f"- CAST(element_at(c, i) AS DOUBLE)) "
+            f"- CAST(element_at(e.c, i) AS DOUBLE)) "
             f"* (CAST(element_at(embedding, i) AS DOUBLE) "
-            f"- CAST(element_at(c, i) AS DOUBLE)))"
+            f"- CAST(element_at(e.c, i) AS DOUBLE)))"
         )
-        return F.floor(fround(d, 9) * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
+        # identical micro-unit rounding to the old dist_micro: grid at
+        # 1e-9 (fround 9), then floor to integer micro-units
+        return (
+            f"transform(cbk, e -> CAST(floor((floor(({d}) * 1000000000.0 "
+            f"+ 0.5) / 1000000000.0) * 1000000.0 + 0.5) AS BIGINT))"
+        )
 
     queries = e.filter(F.col("vec_id") < _ADC_NQ).select(
         F.col("vec_id").alias("qid"), "embedding"
     )
-    td = queries.crossJoin(F.broadcast(cent)).select(
-        "qid", "cid", *[dist_micro(j).alias(f"dm{j}") for j in range(_PQ_M)]
-    )
-    td_melt = td.select(
+    tbl = queries.crossJoin(F.broadcast(cba)).select(
         "qid",
-        "cid",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(j).alias("j"), F.col(f"dm{j}").alias("dm"))
-                    for j in range(_PQ_M)
-                ]
-            )
-        ).alias("m"),
-    ).select("qid", "cid", "m.j", "m.dm")
+        F.expr(
+            "flatten(array(" + ", ".join(dm_row(j) for j in range(_PQ_M)) + "))"
+        ).alias("tbl"),
+    )
 
     codes = embedding_pq_codes(spark, sf_dir)
-    code_melt = codes.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(j).alias("j"), F.col(f"code_{j}").alias("cid"))
-                    for j in range(_PQ_M)
-                ]
-            )
-        ).alias("m"),
-    ).select("vec_id", "m.j", "m.cid")
-
+    adc = F.expr(
+        "CAST("
+        + " + ".join(
+            f"element_at(tbl, {j * _PQ_K} + CAST(code_{j} AS INT))"
+            for j in range(_PQ_M)
+        )
+        + " AS BIGINT)"
+    )
     scored = (
-        code_melt.join(F.broadcast(td_melt), ["j", "cid"])
+        codes.crossJoin(F.broadcast(tbl))
         .filter(F.col("vec_id") != F.col("qid"))
-        .groupBy("qid", "vec_id")
-        .agg(F.sum("dm").alias("adc_micro"))
+        .select("qid", "vec_id", adc.alias("adc_micro"))
     )
     wr = Window.partitionBy("qid").orderBy(F.asc("adc_micro"), F.asc("vec_id"))
     return (

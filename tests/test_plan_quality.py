@@ -630,12 +630,17 @@ def test_pq_codebook_broadcasts(spark, sf_dir):
 
 
 def test_adc_tables_broadcast_and_integer_sum(spark, sf_dir):
-    # the per-query distance tables broadcast (512 rows by
-    # construction); the ADC aggregate is an integer partial_sum with
-    # map-side combine before the (qid, vec_id) shuffle; no cartesian
+    # r14 shape: the per-query FLAT distance tables broadcast as
+    # {_ADC_NQ} array rows and every corpus row scores itself by
+    # row-local element_at lookups — no melt, no (qid, vec_id)
+    # aggregate exchange; the only remaining corpus-scale shuffle is
+    # the per-query top-k window, and nothing is an unbounded
+    # cartesian (the nested-loop join's broadcast side is the
+    # |queries|-row table frame)
     plan = _plan(spark, sf_dir, "knn_pq_adc")
-    assert "BroadcastHashJoin" in plan
-    assert "partial_sum" in plan
+    assert "BroadcastExchange" in plan
+    assert "element_at(tbl" in plan
+    assert "partial_sum" not in plan  # the melt-join rollup is gone
     assert "CartesianProduct" not in plan
 
 
