@@ -659,6 +659,13 @@ def compact_ivf_index(
         # clearing its in-flight marker — finish that cleanup
         if os.path.exists(lists_path):
             _clear_folding(lists_path)
+        if rewrite and os.path.exists(lists_path):
+            # a major compaction with nothing to fold is still a
+            # base rewrite — that file-count consolidation is its
+            # whole purpose after a run of minor folds
+            _compact_rewrite(
+                spark, lists_path, delta_path, _read_folded(lists_path), []
+            )
         return
     folded = _read_folded(lists_path)
     # r13: the delta's batch ids are its partition DIRECTORY names
@@ -730,7 +737,7 @@ def _compact_rewrite(
 
     base = spark.read.parquet(lists_path)
     merged = base
-    if _delta_has_files(delta_path):
+    if os.path.exists(delta_path) and _delta_has_files(delta_path):
         delta = (
             spark.read.parquet(delta_path)
             .filter(F.col("ingest_batch").isin(new_batches))
@@ -749,7 +756,8 @@ def _compact_rewrite(
     os.rename(lists_path, bak_path)
     os.rename(tmp, lists_path)
     shutil.rmtree(bak_path)
-    shutil.rmtree(delta_path)
+    if os.path.exists(delta_path):
+        shutil.rmtree(delta_path)
 
 
 def _delta_batch_ids_fs(delta_path: str) -> set[int]:

@@ -233,7 +233,9 @@ def _read_folded(postings_dir: str) -> set[int]:
     return set()
 
 
-def compact_text_index(spark: SparkSession, index_path: str) -> None:
+def compact_text_index(
+    spark: SparkSession, index_path: str, rewrite: bool = False
+) -> None:
     """Fold every ingested batch into batch 0, idempotently — the
     maintenance pass continuous BM25 ingest needs: without it the
     index accumulates one (batch_id, bucket) postings partition set,
@@ -269,7 +271,13 @@ def compact_text_index(spark: SparkSession, index_path: str) -> None:
 
     Parity anchor: ann_index.compact_ivf_index (same move-based
     minor fold; its delta is probe-filtered by the marker, so it
-    orders marker AFTER moves — the guards differ deliberately)."""
+    orders marker AFTER moves — the guards differ deliberately).
+
+    `rewrite=True` is the MAJOR compaction (ann_index parity): each
+    table re-reads as batch 0 and rewrites through the tmp → .bak →
+    rename swap, consolidating the file count a run of minor folds
+    accumulated. Runs even when there is nothing new to fold —
+    hygiene is its purpose. Probe results identical either way."""
     import json
     import shutil
     import uuid
@@ -302,9 +310,15 @@ def compact_text_index(spark: SparkSession, index_path: str) -> None:
             if e.is_dir() and e.name.startswith("batch_id=")
         }
 
-    def swap(path: str, write_tmp) -> None:
+    def swap(path: str, write_tmp, marker_payload=None) -> None:
         tmp = f"{path}.__tmp__{uuid.uuid4().hex[:8]}"
         write_tmp(tmp)
+        if marker_payload is not None:
+            # the folded marker must ride INSIDE the swapped table so
+            # it renames atomically with the base it describes (and a
+            # rewrite never disarms the ingest id-reuse guard)
+            with open(os.path.join(tmp, "_folded_batches.json"), "w") as fh:
+                json.dump(marker_payload, fh)
         bak = f"{path}.__bak__"
         if os.path.exists(bak):
             shutil.rmtree(bak)
@@ -339,7 +353,7 @@ def compact_text_index(spark: SparkSession, index_path: str) -> None:
             "would bake the partial batch into batch 0 and the folded-id "
             "guard would refuse the healing replay."
         )
-    if all_ids <= {0} and not folded:
+    if all_ids <= {0} and not folded and not rewrite:
         return  # fresh build, nothing ever ingested: a no-op
     marker = sorted(folded | all_ids)
     if set(marker) != folded:
@@ -351,10 +365,36 @@ def compact_text_index(spark: SparkSession, index_path: str) -> None:
             json.dump(marker, fh)
         os.replace(tmp_m, os.path.join(postings_p, "_folded_batches.json"))
 
-    # postings: move batch_id=N/bucket=B files into batch_id=0/bucket=B
-    _move_batches_into_zero(postings_p, nested=True)
-    # doclens: move batch_id=N files into batch_id=0
-    _move_batches_into_zero(doclens_p, nested=False)
+    if rewrite:
+        # major: re-read each table as batch 0 and swap in one
+        # AQE-sized write — consolidates the minor folds' file count
+        for path, parts in (
+            (postings_p, ["batch_id", "bucket"]),
+            (doclens_p, ["batch_id"]),
+        ):
+            # REBALANCE by the leaf partition column (guide §6) so the
+            # consolidated write emits few AQE-sized files per
+            # directory — file-count hygiene is the major's purpose
+            merged = spark.read.parquet(path).withColumn(
+                "batch_id", F.lit(0)
+            )
+            merged = (
+                merged.hint("rebalance", "bucket")
+                if path == postings_p
+                else merged.hint("rebalance")
+            )
+            swap(
+                path,
+                lambda t, m=merged, pc=parts: m.write.partitionBy(*pc)
+                .mode("overwrite")
+                .parquet(t),
+                marker_payload=marker if path == postings_p else None,
+            )
+    else:
+        # postings: move batch_id=N/bucket=B files into batch_id=0/bucket=B
+        _move_batches_into_zero(postings_p, nested=True)
+        # doclens: move batch_id=N files into batch_id=0
+        _move_batches_into_zero(doclens_p, nested=False)
     # stats: the fold is a SUM — one tiny Spark job over ≤#batches
     # rows, swapped atomically (post-fold the table is a single
     # summed batch-0 row by construction)

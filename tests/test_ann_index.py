@@ -806,3 +806,55 @@ def test_minor_fold_moves_files_and_survives_mid_fold_crash(
     compact_ivf_index(spark, idx2, rewrite=True)
     assert not os.path.exists(os.path.join(idx2, "lists_delta"))
     assert rows(spark.read.parquet(os.path.join(idx2, "lists"))) == want
+
+
+def test_ivf_major_rewrite_consolidates_without_a_delta(
+    spark, sf_dir, tmp_path
+):
+    """r14: compact_ivf_index(rewrite=True) consolidates the base's
+    file count even when the delta is already folded away (the state a
+    run of minor folds leaves) and keeps the folded marker + probe
+    results intact."""
+    import os
+
+    import pyspark.sql.functions as F
+    import pytest
+
+    from chess_pipeline_spark.ann_index import (
+        _read_folded,
+        build_ivf_index,
+        compact_ivf_index,
+        ingest_ivf_batch,
+        probe_ivf_adc,
+    )
+
+    corpus = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    mid = corpus.agg(F.expr("percentile(vec_id, 0.5)")).first()[0]
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(corpus.filter(F.col("vec_id") <= mid), idx, n_lists=8)
+    ingest_ivf_batch(corpus.filter(F.col("vec_id") > mid), 3, idx)
+    queries = corpus.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    want = sorted(map(tuple, probe_ivf_adc(spark, idx, queries, k=5).collect()))
+    compact_ivf_index(spark, idx)  # minor: delta gone, files moved
+    lists_p = os.path.join(idx, "lists")
+
+    def data_files(p):
+        return sum(
+            1
+            for _r, _d, fs in os.walk(p)
+            for f in fs
+            if not f.startswith(("_", "."))
+        )
+
+    before = data_files(lists_p)
+    compact_ivf_index(spark, idx, rewrite=True)  # no delta: still rewrites
+    assert data_files(lists_p) <= before
+    assert _read_folded(lists_p) == {3}
+    with pytest.raises(ValueError, match="already folded"):
+        ingest_ivf_batch(corpus.filter(F.col("vec_id") <= 3), 3, idx)
+    got = sorted(map(tuple, probe_ivf_adc(spark, idx, queries, k=5).collect()))
+    assert got == want

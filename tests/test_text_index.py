@@ -487,3 +487,48 @@ def test_move_fold_mid_crash_probe_exact_and_replay_refused(
         )
         assert dirs == ["batch_id=0"], table
     assert _rows(probe_bm25(spark, idx, _BM25_QUERY_TERMS)) == want
+
+
+def test_major_rewrite_consolidates_and_keeps_the_folded_marker(
+    spark, sf_dir, tmp_path
+):
+    """r14: compact(rewrite=True) is the MAJOR compaction — it re-
+    writes each table as consolidated batch-0 files even when there is
+    nothing new to fold, and the folded marker MUST ride the swap (a
+    rewrite that dropped it would silently disarm the ingest id-reuse
+    guard)."""
+    import os
+
+    import pytest
+
+    from chess_pipeline_spark.text_index import (
+        _read_folded,
+        compact_text_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    mid = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    idx = str(tmp_path / "tix")
+    build_text_index(docs.filter(F.col("doc_id") <= mid), idx)
+    ingest_text_delta(docs.filter(F.col("doc_id") > mid), idx, batch_id=1)
+    want = _rows(probe_bm25(spark, idx, _BM25_QUERY_TERMS))
+    compact_text_index(spark, idx)  # minor: moves files
+
+    pp = os.path.join(idx, "postings")
+
+    def data_files(p):
+        return sum(
+            1
+            for _r, _d, fs in os.walk(p)
+            for f in fs
+            if not f.startswith(("_", "."))
+        )
+
+    before = data_files(pp)
+    compact_text_index(spark, idx, rewrite=True)
+    after = data_files(pp)
+    assert after <= before
+    assert _read_folded(pp) == {0, 1}  # the marker survived the swap
+    with pytest.raises(ValueError, match="already folded"):
+        ingest_text_delta(docs.limit(3), idx, batch_id=1)
+    assert _rows(probe_bm25(spark, idx, _BM25_QUERY_TERMS)) == want
