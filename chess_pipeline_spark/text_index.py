@@ -90,7 +90,25 @@ def _tokenized(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     consumers (postings and lens) re-execute the repartition, so the
     narrow shuffle is paid twice and costs more than the single-core
     tokenize it parallelizes (the catalog query already spreads its
-    corpus ONCE, upstream, which is the right place). Kept unspread."""
+    corpus ONCE, upstream, which is the right place). Kept unspread.
+
+    r14 third pass (guide §2.4): per-doc term frequencies are a pure
+    function of the doc's own token array, so the postings aggregate
+    is computed ROW-LOCALLY as run lengths over the sorted array —
+    the explode -> groupBy(term, doc_id) form paid a corpus-scale
+    hash exchange of the postings rows for an aggregation whose keys
+    never cross documents (bm25_doc_search learned the same lesson
+    for its 3 fixed query terms; this is the full-vocabulary form).
+    Plan: 1 Exchange -> 0 on the postings branch
+    (plans/r14/bm25_tokenized_postings_{before,after}.txt);
+    interleaved A/B min-of-5 at sf0.1: build 0.97x / ingest 0.91x
+    medians, probe rows bit-identical. Each intermediate array is
+    materialized as a COLUMN before a lambda indexes it (the minhash
+    lesson: a captured expression inside a lambda re-evaluates per
+    element — the un-materialized draft of this form measured 293 s
+    per build, O(n^2 log n) per doc). A spread() on this branch
+    alone re-measured 2.0x SLOWER (the narrow shuffle again), so the
+    row-local form runs in the scan partitioning."""
     base = docs.filter(F.col("text").isNotNull()).select(
         "doc_id",
         F.split("text", " ").alias("toks"),
@@ -98,10 +116,42 @@ def _tokenized(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     lens = base.select(
         "doc_id", F.size("toks").cast("long").alias("len_d")
     )
+    # sorted-run-length entries: bounds = 1-based end position of each
+    # run of equal tokens in the sorted array; tf = distance to the
+    # previous bound. explode drops size-0 arrays in the groupBy form,
+    # so keep that guard (split() never yields an empty array, but the
+    # equivalence should not rest on that)
+    st_df = base.filter(F.size("toks") > 0).select(
+        "doc_id", F.array_sort("toks").alias("st")
+    )
+    n = F.size("st")
+    changes = F.when(
+        n > F.lit(1),
+        F.filter(
+            F.sequence(F.lit(1), n - F.lit(1)),
+            lambda j: F.get(F.col("st"), j - F.lit(1))
+            != F.get(F.col("st"), j),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<int>)"))
+    b_df = st_df.select(
+        "doc_id", "st", F.concat(changes, F.array(n)).alias("bounds")
+    )
+    entries = F.transform(
+        F.col("bounds"),
+        lambda b, i: F.struct(
+            F.get(F.col("st"), b - F.lit(1)).alias("term"),
+            (b - F.coalesce(F.get(F.col("bounds"), i - F.lit(1)), F.lit(0)))
+            .cast("long")
+            .alias("tf"),
+        ),
+    )
     postings = (
-        base.select("doc_id", F.explode("toks").alias("term"))
-        .groupBy("term", "doc_id")
-        .agg(F.count("*").cast("long").alias("tf"))
+        b_df.select("doc_id", F.explode(entries).alias("e"))
+        .select(
+            F.col("e.term").alias("term"),
+            "doc_id",
+            F.col("e.tf").alias("tf"),
+        )
         .withColumn("bucket", _bucket_col(F.col("term")))
     )
     return postings, lens
