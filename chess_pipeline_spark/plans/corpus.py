@@ -2039,7 +2039,14 @@ def dsir_importance_weights(
     d = spread(_L(spark, sf_dir, "documents"), "doc_id").select(
         "doc_id", "source", "text"
     )
-    tgt = d.agg(F.min("source").alias("t"))
+    # r14 (guide §2.4): tgt comes from the RAW scan, not the spread
+    # frame — the 1-row min(source) broadcast was re-built from the
+    # full spread repartition in every crossJoin site (3 corpus-row
+    # shuffles per run, each a 2-Exchange SortAggregate over
+    # (doc_id, source)); the raw-scan form prunes to the one column
+    # and aggregates at the scan. Values identical: same rows, same
+    # min.
+    tgt = _L(spark, sf_dir, "documents").agg(F.min("source").alias("t"))
     posts = pin_corpus_frame(_dsir_gram_buckets(d), mode=mode)
     counts = (
         posts.crossJoin(F.broadcast(tgt))
@@ -2051,31 +2058,35 @@ def dsir_importance_weights(
             F.count("*").cast("long").alias("cq"),
         )
     )
-    tot = counts.agg(
-        F.sum("cp").cast("long").alias("np"),
-        F.sum("cq").cast("long").alias("nq"),
-    )
-    lr = (
-        counts.crossJoin(F.broadcast(tot))
-        .select(
-            "b",
-            F.floor(
-                (
-                    F.log(
-                        (F.col("cp") + 1).cast("double")
-                        / (F.col("np") + _DSIR_B).cast("double")
-                    )
-                    - F.log(
-                        (F.col("cq") + 1).cast("double")
-                        / (F.col("nq") + _DSIR_B).cast("double")
-                    )
+    # r14 (guide §2.4): (np, nq) fold into a GLOBAL window over the
+    # <=1024-row counts frame instead of a crossJoin(broadcast(agg)) —
+    # the agg form embedded the whole counts subtree a second time
+    # (its bucket exchange and posts pass re-ran per execution). The
+    # window is one single-partition exchange of the KB-scale frame;
+    # the sums are the identical integers, so every downstream double
+    # and floor is unchanged. Plan 30 -> 16 Exchange with the tgt fix;
+    # interleaved A/B min-of-6 at sf0.1: 0.73x min / 0.75x median.
+    _w_all = Window.partitionBy()
+    np_ = F.sum("cp").over(_w_all).cast("long")
+    nq_ = F.sum("cq").over(_w_all).cast("long")
+    lr = counts.select(
+        "b",
+        F.floor(
+            (
+                F.log(
+                    (F.col("cp") + 1).cast("double")
+                    / (np_ + _DSIR_B).cast("double")
                 )
-                * 1e6
-                + F.lit(0.5)
+                - F.log(
+                    (F.col("cq") + 1).cast("double")
+                    / (nq_ + _DSIR_B).cast("double")
+                )
             )
-            .cast("long")
-            .alias("lr_unats"),
+            * 1e6
+            + F.lit(0.5)
         )
+        .cast("long")
+        .alias("lr_unats"),
     )
     agg = (
         posts.join(F.broadcast(lr), "b")
