@@ -2225,47 +2225,71 @@ def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer arithmetic — no float summation order anywhere.
 
     100 TB shape: ONE corpus-scale map-side-combined shuffle (the
-    (source, word) count); everything after is vocabulary-scale —
-    corpus counts re-aggregate the per-source counts (never a second
-    pass over the corpus), the (N, V) scalars and per-source totals
-    broadcast, and the final rollup groups ≤|sources| keys. A real
-    corpus caps the vocab at top-K + OOV bucket exactly like
-    oov_rate_top1k (documented swap).
+    (source, word) count); everything after is vocabulary-scale and
+    rides that ONE frame through chained windows — corpus counts,
+    per-source totals, and the (N, V) scalars are window sums over
+    the sw rows, so no consumer ever re-runs the corpus explode and
+    nothing vocabulary-sized broadcasts. A real corpus caps the
+    vocab at top-K + OOV bucket exactly like oov_rate_top1k
+    (documented swap).
+
+    r14 (guide §2.4): the previous form re-derived cw/ns/scal as
+    separate aggregations of sw and joined them back — Catalyst
+    shares no subtrees across branches, so the corpus explode +
+    (source, word) exchange executed FIVE times per run (5 document
+    scans in the before-plan). The window chain keeps one sw frame:
+    plan 40 -> 10 Exchange, 5 document scans -> 1
+    (plans/r14/source_kl_divergence_{before,after}.txt); interleaved
+    A/B min-of-6 at sf0.1: 0.56x min / 0.39x median (an eager pin of
+    sw also won, 0.61x/0.56x, but the window chain beat it in 4/6
+    rounds and needs no pin memory). Integer equality: every window
+    sum is the same long arithmetic as the aggregate it replaces;
+    v_corpus counts first-row-per-word indicators under a
+    deterministic (word, source) order.
     """
     d = spread(_L(spark, sf_dir, "documents"), "doc_id")
     words = d.filter(F.col("text").isNotNull()).select(
         "source", F.explode(F.split("text", " ")).alias("word")
     )
     sw = words.groupBy("source", "word").agg(F.count("*").alias("c_sw"))
-    cw = sw.groupBy("word").agg(F.sum("c_sw").alias("c_w"))
-    scal = cw.agg(
-        F.sum("c_w").alias("n_corpus"), F.count("*").alias("v_corpus")
+    w_src = Window.partitionBy("source")
+    w_word = Window.partitionBy("word")
+    w_word_rn = Window.partitionBy("word").orderBy("source")
+    w_all = Window.partitionBy()
+    en = sw.select(
+        "source",
+        "word",
+        "c_sw",
+        F.sum("c_sw").over(w_src).alias("n_src"),
+        F.count("*").over(w_src).alias("v_src"),
+        F.sum("c_sw").over(w_word).alias("c_w"),
+        (F.row_number().over(w_word_rn) == 1).cast("long").alias("wfirst"),
+    ).select(
+        "*",
+        F.sum("c_sw").over(w_all).alias("n_corpus"),
+        F.sum("wfirst").over(w_all).alias("v_corpus"),
     )
-    ns = sw.groupBy("source").agg(
-        F.sum("c_sw").alias("n_src"), F.count("*").alias("v_src")
+    contrib = en.select(
+        "source",
+        "n_src",
+        "v_src",
+        (
+            F.col("c_sw")
+            * F.floor(
+                F.log(
+                    (F.col("c_sw") * (F.col("n_corpus") + F.col("v_corpus")))
+                    .cast("double")
+                    / (F.col("n_src") * (F.col("c_w") + 1)).cast("double")
+                )
+                * 1e6
+                + F.lit(0.5)
+            ).cast("long")
+        ).alias("contrib"),
     )
-    contrib = (
-        sw.join(F.broadcast(cw), "word")
-        .join(F.broadcast(ns.select("source", "n_src")), "source")
-        .crossJoin(F.broadcast(scal))
-        .select(
-            "source",
-            (
-                F.col("c_sw")
-                * F.floor(
-                    F.log(
-                        (F.col("c_sw") * (F.col("n_corpus") + F.col("v_corpus")))
-                        .cast("double")
-                        / (F.col("n_src") * (F.col("c_w") + 1)).cast("double")
-                    )
-                    * 1e6
-                    + F.lit(0.5)
-                ).cast("long")
-            ).alias("contrib"),
-        )
+    agg = contrib.groupBy("source", "n_src", "v_src").agg(
+        F.sum("contrib").alias("kl_sum")
     )
-    agg = contrib.groupBy("source").agg(F.sum("contrib").alias("kl_sum"))
-    return agg.join(ns, "source").select(
+    return agg.select(
         "source",
         F.col("n_src").cast("long").alias("n_words"),
         F.col("v_src").cast("long").alias("src_vocab"),

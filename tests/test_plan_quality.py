@@ -838,16 +838,20 @@ def test_containment_same_bounded_index_shape_as_jaccard(spark, sf_dir):
     assert len(re.findall(r"\(df#\d+L? <= 64\)", plan)) >= 2, plan[:2000]
 
 
-def test_source_kl_single_corpus_shuffle_rest_broadcast(spark, sf_dir):
+def test_source_kl_single_corpus_shuffle_rest_windows(spark, sf_dir):
     # ONE corpus-scale exchange (the (source, word) count, map-side
-    # combined); corpus totals re-aggregate per-source counts; the
-    # vocab/scalar joins broadcast — no SMJ, no cartesian beyond the
-    # 1-row broadcast scalars
+    # combined); every derived total (cw/ns/scal) rides the same sw
+    # frame through chained windows — r14 removed the join-back form
+    # whose branches re-ran the corpus explode five times, so the
+    # plan now has NO joins at all and exactly one document scan
     plan = _plan(spark, sf_dir, "source_kl_divergence")
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    assert "Join" not in plan
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan
+    assert "Window" in plan
+    # formatted explain prints a scan once in the tree and once in
+    # the node details — count distinct scan nodes via Location lines
+    assert plan.count("Location: InMemoryFileIndex") <= 1
     # text never moves: no exchange line carries the text column
     exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
     assert exchanges and all("text" not in ln for ln in exchanges)
