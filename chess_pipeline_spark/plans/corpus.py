@@ -250,9 +250,22 @@ def temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     |sources| rate frame broadcasts onto the scan-stage bucket filter
     in pass 2; the rollup shuffles ≤ |sources| keys. No corpus-scale
     exchange anywhere.
+
+    r14 (guide §2.4): the ≤|sources|-row sizes frame is pinned — the
+    rates frame is consumed twice (kept filter + final report join)
+    and tot once more, and each consumption re-ran the pass-1 corpus
+    aggregation through its lineage (5 document scans -> 2,
+    plans/r14/temperature_mixture_sample_{before,after}.txt). All
+    rate arithmetic (the float pow/sum ordering included) is
+    untouched — the pin only stops the re-evaluation. Interleaved
+    A/B min-of-6 at sf0.1: 0.80x min / 0.77x median, rows identical.
     """
     d = spread(_L(spark, sf_dir, "documents"), "doc_id")
-    sizes = d.groupBy("source").agg(F.count("*").cast("long").alias("n_s"))
+    sizes = (
+        d.groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_s"))
+        .localCheckpoint()
+    )
     w = F.pow(F.col("n_s").cast("double"), F.lit(_TEMP_ALPHA))
     tot = sizes.agg(
         F.sum(w).alias("sum_w"), F.sum("n_s").cast("long").alias("n_corpus")
@@ -1840,20 +1853,28 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     caps the vocab at top-K exactly like oov_rate_top1k — documented
     swap); scoring joins words against the broadcast LM and rolls up
     once on doc_id.
+
+    r14 (guide §2.4, the hll_cumulative pin precedent): the train
+    word-count frame is pinned (vocab-bounded — top-K-capped at real
+    scale) and scal derives FROM it (n_train = Σc, v_train = row
+    count — identical longs by construction), so the corpus explode
+    runs ONCE for the model instead of three times (scal, lm, and
+    oov each re-ran it: 4 document scans -> 2 in the plan,
+    plans/r14/unigram_logprob_score_{before,after}.txt). Interleaved
+    A/B min-of-6 at sf0.1: 0.78x min / 0.77x median, rows identical.
     """
     d = spread(_L(spark, sf_dir, "documents"), "doc_id").select("doc_id", "text")
     tokens = d.filter(F.col("text").isNotNull()).select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     )
     train = tokens.filter(F.col("doc_id") % 2 == 0)
-    scal = train.agg(
-        F.count("*").alias("n_train"),
-        F.countDistinct("word").alias("v_train"),
+    cn = train.groupBy("word").agg(F.count("*").alias("c")).localCheckpoint()
+    scal = cn.agg(
+        F.sum("c").alias("n_train"),
+        F.count("*").alias("v_train"),
     )
     lm = (
-        train.groupBy("word")
-        .agg(F.count("*").alias("c"))
-        .crossJoin(F.broadcast(scal))
+        cn.crossJoin(F.broadcast(scal))
         .select(
             "word",
             F.floor(
